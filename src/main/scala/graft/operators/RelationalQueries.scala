@@ -1,0 +1,453 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** The relational/graph-pattern operator surface from SURVEY.md §2,
+  * expressed over the driver testdata tables so each operator has a
+  * DuckDB-checkable oracle.
+  *
+  * Mapping to the reference (cites are files under /root/reference/):
+  *  - Cypher pattern hops = equi-joins over node/rel tables
+  *    (robosystems/operations/views/trial_balance.py:37-39) → q03/q04.
+  *  - OPTIONAL MATCH = left outer join; `x IS NULL` post-filter = anti
+  *    join (robosystems/operations/views/fact_query.py:53-55, 79) →
+  *    q05/q06/q07.
+  *  - Implicit grouping + conditional aggregation
+  *    (robosystems/middleware/mcp/tools/facts_tool.py:140-142) → q01/q08.
+  *  - Window dedup on ingest
+  *    (robosystems/graph_api/core/duckdb/manager.py:111-135) → q12.
+  *  - ORDER BY + LIMIT top-k
+  *    (examples/accounting_demo/05_query_graph.py:151-159) → q09.
+  *  - Self-join with `<` dedup predicate
+  *    (examples/custom_graph_demo/05_query_graph.py:99-104) → q13.
+  *  - Month bucketing via substring on date strings
+  *    (examples/accounting_demo/05_query_graph.py:110-132) → q15.
+  *  - Fact-grid pivot (operations/views/fact_grid_builder.py:231-247) →
+  *    q17.
+  *
+  * Scale notes (the 100 TB design intent, verified on the local plans):
+  *  - Dimension tables (region/nation/supplier/part at TPC-H shape) are
+  *    broadcast explicitly; fact-fact joins (orders⋈lineitem) shuffle on
+  *    the join key and rely on AQE for skew.
+  *  - Aggregations are expressed as groupBy().agg() so Catalyst plans
+  *    partial (map-side) aggregation before the shuffle.
+  *  - Filters sit directly on the scan columns so they reach parquet as
+  *    PushedFilters; projections are narrow so ReadSchema stays minimal.
+  */
+object RelationalQueries {
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  /** TPC-H Q1-shaped pricing summary: scan → filter → implicit group →
+    * multi-aggregate. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1999-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r2(sum(col("l_quantity"))).as("sum_qty"),
+        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        r2(avg(col("l_quantity"))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q6-shaped: tight filter + single global aggregate (tests
+    * predicate pushdown — all three filters reach the parquet scan). */
+  def q02FilterAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) &&
+        col("l_quantity") < 24)
+      .agg(r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+
+  /** TPC-H Q3-shaped 2-hop pattern: customer→orders→lineitem with
+    * group + top-k (TakeOrderedAndProject). */
+  def q03JoinTopK(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** 4-hop chain region→nation→customer→orders (the trial-balance join
+    * spine, trial_balance.py:37-39): dims broadcast, fact shuffles once. */
+  def q04MultiHopAgg(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        r2(sum(col("o_totalprice"))).as("total_revenue"),
+        count(lit(1)).as("order_cnt"))
+      .orderBy(col("r_name"))
+  }
+
+  /** OPTIONAL MATCH: every customer keeps its row even with zero orders
+    * (left outer join; count(o_orderkey) counts only matches). */
+  def q05OptionalMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("order_cnt"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** OPTIONAL MATCH … WHERE x IS NULL = anti join: customers without
+    * orders (fact_query.py:79 `fd IS NULL` semantics). */
+  def q06AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** EXISTS = semi join: customers with at least one finished order. */
+  def q07SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cust_cnt"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Conditional aggregation sum/count(CASE WHEN …) per group
+    * (facts_tool.py:140-142, accounting_demo/05:138-139). */
+  def q08CaseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_totalprice") > 300000.0, lit(1))).as("big_cnt"),
+        r2(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(lit(0.0)))).as("finished_total"),
+        count(lit(1)).as("order_cnt"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Top-k by sort: ORDER BY … DESC LIMIT k with deterministic
+    * tie-break — Catalyst plans TakeOrderedAndProject (no full sort). */
+  def q09TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), r2(col("o_totalprice")).as("totalprice"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** DISTINCT rows (metrics_service.py:237 `RETURN DISTINCT …`). */
+  def q10Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** UNION ALL of per-label counts (example_queries_tool.py:82). */
+  def q11UnionAll(spark: SparkSession, dir: String): DataFrame = {
+    def labeled(name: String): DataFrame =
+      Tables(spark, dir, name).agg(count(lit(1)).as("cnt"))
+        .select(lit(name).as("label"), col("cnt"))
+    labeled("customer")
+      .unionByName(labeled("orders"))
+      .unionByName(labeled("supplier"))
+      .orderBy(col("label"))
+  }
+
+  /** Ingest window-dedup (manager.py:111-120): ROW_NUMBER over the key,
+    * keep rn=1, then aggregate to a compact checkable result. */
+  def q12WindowDedup(spark: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the testdata — order by
+    // the full row so the kept row is deterministic across engines.
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(
+      col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity"), col("l_extendedprice"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .agg(
+        count(lit(1)).as("first_lines"),
+        r2(sum(col("l_quantity"))).as("sum_qty"))
+  }
+
+  /** Self-join with `<` dedup predicate: nation pairs sharing a region
+    * (custom_graph_demo/05:99-104 collaboration pairs). */
+  def q13SelfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir).select(
+      col("n_name").as("nation1"), col("n_regionkey").as("rk1"))
+    val n2 = Tables.nation(spark, dir).select(
+      col("n_name").as("nation2"), col("n_regionkey").as("rk2"))
+    val r = Tables.region(spark, dir)
+    n1.join(n2, col("rk1") === col("rk2") && col("nation1") < col("nation2"))
+      .join(broadcast(r), col("rk1") === r("r_regionkey"))
+      .select(col("r_name"), col("nation1"), col("nation2"))
+      .orderBy(col("r_name"), col("nation1"), col("nation2"))
+  }
+
+  /** HAVING: WITH … WHERE after aggregation (§2.4 last row). */
+  def q14Having(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("cust_cnt"), r2(avg(col("c_acctbal"))).as("avg_bal"))
+      .filter(col("cust_cnt") > 30)
+      .orderBy(col("c_nationkey"))
+
+  /** Month bucketing via 1-based substring over the date rendered as a
+    * string — the reference compares ISO-8601 strings lexicographically
+    * (accounting_demo/05:110-132, trial_balance.py:40-41). */
+  def q15SubstrBucket(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("month", substring(col("o_orderdate").cast("string"), 1, 7))
+      .filter(col("month") >= "1996-01" && col("month") <= "1996-12")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("order_cnt"), r2(sum(col("o_totalprice"))).as("total"))
+      .orderBy(col("month"))
+
+  /** String predicates: CONTAINS / STARTS WITH / IN list (§2.2). */
+  def q16StringPredicates(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_type").contains("ANDA") &&
+        !col("p_name").startsWith("s") &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("part_cnt"))
+      .orderBy(col("p_brand"))
+
+  /** Fact-grid pivot (fact_grid_builder.py:231-247):
+    * groupBy().pivot().agg with a fixed value list (no extra job to
+    * discover values — required at scale). */
+  def q17Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(r2(sum(col("o_totalprice"))))
+      .orderBy(col("o_orderpriority"))
+
+  /** Ranking inside groups: top customer by balance per nation
+    * (row_number with deterministic tie-break). */
+  def q18WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_nationkey"), col("c_custkey"), r2(col("c_acctbal")).as("acctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Running total window frame (rowsBetween) per supplier nation. */
+  def q19RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.supplier(spark, dir)
+      .select(col("s_nationkey"), col("s_suppkey"),
+        r2(sum(col("s_acctbal")).over(w)).as("running_bal"))
+      .orderBy(col("s_nationkey"), col("s_suppkey"))
+  }
+
+  /** Event-time tumbling window over the events table: hour buckets
+    * rendered as strings for engine-portable comparison. */
+  def q20EventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).cast("string").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("total_value"))
+      .filter(col("hour") < "2024-01-03 00:00:00")
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Cross join (disconnected MATCH, custom_graph_demo/05:99-103):
+    * region × region grid — requires explicit crossJoin in Spark. */
+  def q21CrossJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r1 = Tables.region(spark, dir).select(col("r_name").as("r1"))
+    val r2_ = Tables.region(spark, dir).select(col("r_name").as("r2"))
+    r1.crossJoin(r2_).filter(col("r1") =!= col("r2"))
+      .orderBy(col("r1"), col("r2"))
+  }
+
+  /** Multi-stage aggregation via WITH (accounting_demo/05:129-145):
+    * orders→month totals→avg of month totals per priority. */
+  def q22MultiStageAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("month", substring(col("o_orderdate").cast("string"), 1, 7))
+      .groupBy(col("o_orderpriority"), col("month"))
+      .agg(sum(col("o_totalprice")).as("month_total"))
+      .groupBy(col("o_orderpriority"))
+      .agg(r2(avg(col("month_total"))).as("avg_month_total"),
+        count(lit(1)).as("n_months"))
+      .orderBy(col("o_orderpriority"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_filter_agg" -> q02FilterAgg _,
+    "q03_join_topk" -> q03JoinTopK _,
+    "q04_multihop_agg" -> q04MultiHopAgg _,
+    "q05_optional_match" -> q05OptionalMatch _,
+    "q06_anti_join" -> q06AntiJoin _,
+    "q07_semi_join" -> q07SemiJoin _,
+    "q08_case_agg" -> q08CaseAgg _,
+    "q09_topk" -> q09TopK _,
+    "q10_distinct" -> q10Distinct _,
+    "q11_union_all" -> q11UnionAll _,
+    "q12_window_dedup" -> q12WindowDedup _,
+    "q13_self_join" -> q13SelfJoin _,
+    "q14_having" -> q14Having _,
+    "q15_substr_bucket" -> q15SubstrBucket _,
+    "q16_string_predicates" -> q16StringPredicates _,
+    "q17_pivot" -> q17Pivot _,
+    "q18_window_rank" -> q18WindowRank _,
+    "q19_running_sum" -> q19RunningSum _,
+    "q20_events_hourly" -> q20EventsHourly _,
+    "q21_cross_join" -> q21CrossJoin _,
+    "q22_multistage_agg" -> q22MultiStageAgg _,
+  )
+
+  /** DuckDB-dialect oracle SQL, column-name-aligned with the Spark
+    * results (driver hash-compares after sorting columns by name). */
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 2) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q02_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""",
+    "q03_join_topk" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q04_multihop_agg" ->
+      """SELECT r_name, round(sum(o_totalprice), 2) AS total_revenue,
+         count(*) AS order_cnt
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q05_optional_match" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1, 2 ORDER BY 1""",
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY 1""",
+    "q07_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS cust_cnt FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         GROUP BY 1 ORDER BY 1""",
+    "q08_case_agg" ->
+      """SELECT o_orderpriority,
+         count(CASE WHEN o_totalprice > 300000.0 THEN 1 END) AS big_cnt,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS finished_total,
+         count(*) AS order_cnt
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q09_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+         FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 20""",
+    "q10_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY 1, 2""",
+    "q11_union_all" ->
+      """SELECT * FROM (
+           SELECT 'customer' AS label, count(*) AS cnt FROM customer
+           UNION ALL SELECT 'orders', count(*) FROM orders
+           UNION ALL SELECT 'supplier', count(*) FROM supplier)
+         ORDER BY label""",
+    "q12_window_dedup" ->
+      """SELECT count(*) AS first_lines, round(sum(l_quantity), 2) AS sum_qty
+         FROM (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_partkey, l_suppkey,
+                           l_quantity, l_extendedprice) AS rn
+               FROM lineitem) WHERE rn = 1""",
+    "q13_self_join" ->
+      """SELECT r_name, n1.n_name AS nation1, n2.n_name AS nation2
+         FROM nation n1
+         JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+                        AND n1.n_name < n2.n_name
+         JOIN region ON n1.n_regionkey = r_regionkey
+         ORDER BY 1, 2, 3""",
+    "q14_having" ->
+      """SELECT c_nationkey, count(*) AS cust_cnt,
+         round(avg(c_acctbal), 2) AS avg_bal
+         FROM customer GROUP BY 1 HAVING count(*) > 30 ORDER BY 1""",
+    "q15_substr_bucket" ->
+      """SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+         count(*) AS order_cnt, round(sum(o_totalprice), 2) AS total
+         FROM orders
+         WHERE substr(CAST(o_orderdate AS VARCHAR), 1, 7) >= '1996-01'
+           AND substr(CAST(o_orderdate AS VARCHAR), 1, 7) <= '1996-12'
+         GROUP BY 1 ORDER BY 1""",
+    "q16_string_predicates" ->
+      """SELECT p_brand, count(*) AS part_cnt FROM part
+         WHERE p_type LIKE '%ANDA%' AND p_name NOT LIKE 's%'
+           AND p_size IN (1, 5, 9, 13, 17, 21)
+         GROUP BY 1 ORDER BY 1""",
+    "q17_pivot" ->
+      """SELECT o_orderpriority,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q18_window_rank" ->
+      """SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal
+         FROM (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+               FROM customer) WHERE rn = 1 ORDER BY c_nationkey""",
+    "q19_running_sum" ->
+      """SELECT s_nationkey, s_suppkey,
+         round(sum(s_acctbal) OVER
+           (PARTITION BY s_nationkey ORDER BY s_suppkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_bal
+         FROM supplier ORDER BY 1, 2""",
+    "q20_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+         count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events
+         GROUP BY 1, 2 HAVING CAST(date_trunc('hour', ts) AS VARCHAR) < '2024-01-03 00:00:00'
+         ORDER BY 1, 2""",
+    "q21_cross_join" ->
+      """SELECT a.r_name AS r1, b.r_name AS r2
+         FROM region a CROSS JOIN region b
+         WHERE a.r_name <> b.r_name ORDER BY 1, 2""",
+    "q22_multistage_agg" ->
+      """SELECT o_orderpriority,
+         round(avg(month_total), 2) AS avg_month_total,
+         count(*) AS n_months
+         FROM (SELECT o_orderpriority,
+                 substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+                 sum(o_totalprice) AS month_total
+               FROM orders GROUP BY 1, 2)
+         GROUP BY 1 ORDER BY 1""",
+  )
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided TPC-H-ish testdata (TESTDATA.md).
+  *
+  * Reads are plain parquet scans so Catalyst can push filters/prune
+  * columns into the scan (verify with `.explain`: `PushedFilters`,
+  * `ReadSchema`). At 100 TB these would be partitioned/bucketed Delta or
+  * parquet datasets; the loader API is path-based so that swap is local.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS); Spark reads it as
+    * LongType under spark.sql.legacy.parquet.nanosAsLong (set in every
+    * session builder here) — normalize back to a (microsecond)
+    * TimestampType column for uniform downstream semantics. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            (org.apache.spark.sql.functions.col("ts") / 1000L)
+              .cast(org.apache.spark.sql.types.LongType)))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
