@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.query.PatternQuery
+import graft.query.PatternQuery.p
+import graft.sources.TpchGraph
+
+/** The PatternQuery (Cypher-semantics) engine run against the TPC-H
+  * graph view so the graph layer itself sits under the DuckDB
+  * differential gate: each query is a MATCH-pattern pipeline, each
+  * oracle re-expresses it as the joins Cypher compiles to. */
+object GraphQueries {
+
+  /** MATCH (c:Customer)-[:CUSTOMER_IN_NATION]->(n)-[:NATION_IN_REGION]->(r),
+    *       (c)-[:CUSTOMER_PLACED_ORDER]->(o)
+    * RETURN r.name, count(o), sum(o.totalprice) — implicit grouping. */
+  def g01MultiHop(spark: SparkSession, dir: String): DataFrame =
+    PatternQuery.matchNode(new TpchGraph(spark, dir), "c", "Customer")
+      .out("CUSTOMER_IN_NATION", "c", "n")
+      .out("NATION_IN_REGION", "n", "r")
+      .out("CUSTOMER_PLACED_ORDER", "c", "o")
+      .returning(
+        "region" -> p("r.name"),
+        "order_cnt" -> count(p("o.identifier")),
+        "total" -> round(sum(p("o.totalprice")), 2))
+      .orderBy(col("region"))
+
+  /** OPTIONAL MATCH: every customer row survives; count(o) counts only
+    * matches (zero for order-less customers). */
+  def g02OptionalMatch(spark: SparkSession, dir: String): DataFrame =
+    PatternQuery.matchNode(new TpchGraph(spark, dir), "c", "Customer")
+      .out("CUSTOMER_PLACED_ORDER", "c", "o", optional = true)
+      .returning(
+        "identifier" -> p("c.identifier"),
+        "order_cnt" -> count(p("o.identifier")))
+      .orderBy(col("identifier"))
+
+  /** WHERE + RETURN DISTINCT over a hop (metrics_service.py:237). */
+  def g03Distinct(spark: SparkSession, dir: String): DataFrame =
+    PatternQuery.matchNode(new TpchGraph(spark, dir), "c", "Customer")
+      .out("CUSTOMER_IN_NATION", "c", "n")
+      .where(p("c.acctbal") > 4000.0)
+      .returningDistinct("nation" -> p("n.name"))
+      .orderBy(col("nation"))
+
+  /** Reverse hop + self-pair dedup predicate: nations sharing a region
+    * (custom_graph_demo/05:99-110 collaboration shape), via an `in`
+    * traversal from the region side. */
+  def g04SelfPairs(spark: SparkSession, dir: String): DataFrame =
+    PatternQuery.matchNode(new TpchGraph(spark, dir), "n1", "Nation")
+      .out("NATION_IN_REGION", "n1", "r")
+      .in("NATION_IN_REGION", "r", "n2")
+      .where(p("n1.name") < p("n2.name"))
+      .returning(
+        "region" -> p("r.name"),
+        "nation1" -> p("n1.name"),
+        "nation2" -> p("n2.name"))
+      .orderBy(col("region"), col("nation1"), col("nation2"))
+
+  /** Conditional aggregation through the pattern engine:
+    * count(CASE WHEN …) per group (facts_tool.py:140-142 shape). */
+  def g05CaseAgg(spark: SparkSession, dir: String): DataFrame =
+    PatternQuery.matchNode(new TpchGraph(spark, dir), "c", "Customer")
+      .out("CUSTOMER_PLACED_ORDER", "c", "o")
+      .returning(
+        "mktsegment" -> p("c.mktsegment"),
+        "finished" -> count(when(p("o.status") === "F", lit(1))),
+        "open" -> count(when(p("o.status") === "O", lit(1))),
+        "total" -> round(sum(p("o.totalprice")), 2))
+      .orderBy(col("mktsegment"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_graph_multihop" -> g01MultiHop _,
+    "g02_graph_optional" -> g02OptionalMatch _,
+    "g03_graph_distinct" -> g03Distinct _,
+    "g04_graph_selfpairs" -> g04SelfPairs _,
+    "g05_graph_caseagg" -> g05CaseAgg _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "g01_graph_multihop" ->
+      """SELECT r_name AS region, count(o_orderkey) AS order_cnt,
+         round(sum(o_totalprice), 2) AS total
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "g02_graph_optional" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+         count(o_orderkey) AS order_cnt
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "g03_graph_distinct" ->
+      """SELECT DISTINCT n_name AS nation
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_acctbal > 4000.0 ORDER BY 1""",
+    "g04_graph_selfpairs" ->
+      """SELECT r_name AS region, n1.n_name AS nation1, n2.n_name AS nation2
+         FROM nation n1
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN nation n2 ON n2.n_regionkey = r_regionkey
+         WHERE n1.n_name < n2.n_name
+         ORDER BY 1, 2, 3""",
+    "g05_graph_caseagg" ->
+      """SELECT c_mktsegment AS mktsegment,
+         count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished,
+         count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open,
+         round(sum(o_totalprice), 2) AS total
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+  )
+}

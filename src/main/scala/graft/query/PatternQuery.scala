@@ -1,0 +1,189 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.graft.ColumnInternals
+import graft.storage.GraphSource
+
+/** Cypher-pattern semantics compiled to DataFrame relational algebra
+  * (SURVEY.md §2.2-2.7). A `MATCH (a)-[:R]->(b)` hop is two equi-joins
+  * over the node/rel tables (robosystems trial_balance.py:37-39);
+  * `OPTIONAL MATCH` is a left outer join whose right side is the
+  * pre-joined rel⋈node subtree (fact_query.py:53-55); `returning`
+  * applies Cypher's implicit grouping — every non-aggregate item is a
+  * grouping key (§2.4, the #1 semantic difference vs SQL).
+  *
+  * Columns are namespaced `var__prop` ("e"."name" → `e__name`,
+  * addressable via [[PatternQuery.p]]). All joins are key-equi joins so
+  * Catalyst plans broadcast-hash for dimension-sized node tables and
+  * sort-merge (with AQE skew splitting) for fact-sized ones — nothing
+  * here forces a physical strategy, and predicates pushed through
+  * `where` reach the parquet scans.
+  */
+final class PatternQuery private (
+    private val store: GraphSource,
+    private val frame: DataFrame,
+    /** node variable → label */
+    private val nodeVars: Map[String, String],
+    /** all bound variables incl. relationship vars */
+    private val boundVars: Set[String]) {
+
+  private def namespaced(df: DataFrame, v: String): DataFrame =
+    df.select(df.columns.map(c => col(c).as(s"${v}__$c")).toIndexedSeq: _*)
+
+  private def requireBound(v: String): Unit =
+    require(nodeVars.contains(v), s"node variable $v not bound (have: ${nodeVars.keySet})")
+
+  private def requireFresh(v: String): Unit =
+    require(!boundVars.contains(v), s"variable $v already bound")
+
+  private def pkCol(v: String): String =
+    s"${v}__${store.schema.node(nodeVars(v)).primaryKey}"
+
+  /** Additional disconnected `MATCH` — an explicit cartesian product
+    * (custom_graph_demo/05:99-103; Spark requires explicit crossJoin). */
+  def alsoMatch(v: String, label: String): PatternQuery = {
+    requireFresh(v)
+    new PatternQuery(store, frame.crossJoin(namespaced(store.node(label), v)),
+      nodeVars + (v -> label), boundVars + v)
+  }
+
+  /** `(from)-[:relType]->(v)`; v's label is the schema's declared
+    * to-node. `optional=true` = OPTIONAL MATCH (left join keeping the
+    * left row; the hop's columns become null). `relVar` exposes the
+    * relationship's own properties as `relVar__prop`. */
+  def out(relType: String, from: String, v: String,
+      optional: Boolean = false, relVar: String = null): PatternQuery =
+    hop(relType, from, v, forward = true, optional, Option(relVar))
+
+  /** `(from)<-[:relType]-(v)` reversed hop. */
+  def in(relType: String, from: String, v: String,
+      optional: Boolean = false, relVar: String = null): PatternQuery =
+    hop(relType, from, v, forward = false, optional, Option(relVar))
+
+  private def hop(relType: String, from: String, v: String,
+      forward: Boolean, optional: Boolean, relVar: Option[String]): PatternQuery = {
+    requireBound(from); requireFresh(v)
+    val relDef = store.schema.rel(relType)
+    val targetLabel = if (forward) relDef.to else relDef.from
+    val rv = relVar.getOrElse(s"__r_${relType}_$v")
+    val relDf = namespaced(store.rel(relType), rv)
+    val nodeDf = namespaced(store.node(targetLabel), v)
+    val (nearKey, farKey) =
+      if (forward) (s"${rv}__src", s"${rv}__dst") else (s"${rv}__dst", s"${rv}__src")
+    val fromPk = pkCol(from)
+    val toPk = s"${v}__${store.schema.node(targetLabel).primaryKey}"
+    val next =
+      if (optional) {
+        // Pre-join rel⋈node, then one left join so the whole optional
+        // subtree nulls out together (fact_query.py:53-55).
+        val right = relDf.join(nodeDf, col(farKey) === col(toPk))
+        frame.join(right, col(fromPk) === col(nearKey), "left")
+      } else {
+        frame.join(relDf, col(fromPk) === col(nearKey))
+          .join(nodeDf, col(farKey) === col(toPk))
+      }
+    new PatternQuery(store, next, nodeVars + (v -> targetLabel), boundVars + v + rv)
+  }
+
+  /** Bounded variable-length path `-[:R*min..max]->`: iterative join
+    * expansion unioned across lengths. The reference's validator caps
+    * paths at 5 hops (query_validator.py:416-429); unbounded recursion
+    * is not supported by design. */
+  def outVar(relType: String, from: String, v: String,
+      minHops: Int, maxHops: Int): PatternQuery = {
+    require(minHops >= 1 && maxHops >= minHops && maxHops <= 5,
+      "variable-length paths are bounded to 1..5 hops")
+    requireBound(from); requireFresh(v)
+    val relDef = store.schema.rel(relType)
+    require(relDef.from == relDef.to || maxHops == 1,
+      s"multi-hop expansion needs a self-typed relationship, got ${relDef.from}->${relDef.to}")
+    val pk = store.schema.node(relDef.to).primaryKey
+    val edges = store.rel(relType).select(col("src"), col("dst"))
+    var paths = edges
+    var acc: DataFrame = if (minHops == 1) edges else null
+    for (k <- 2 to maxHops) {
+      paths = paths.as("a")
+        .join(edges.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      if (k >= minHops) acc = if (acc == null) paths else acc.unionByName(paths)
+    }
+    val reach = acc.distinct()
+      .select(col("src").as("__v_src"), col("dst").as("__v_dst"))
+    val nodeDf = namespaced(store.node(relDef.to), v)
+    new PatternQuery(store,
+      frame.join(reach, col(pkCol(from)) === col("__v_src"))
+        .join(nodeDf, col("__v_dst") === col(s"${v}__$pk"))
+        .drop("__v_src", "__v_dst"),
+      nodeVars + (v -> relDef.to), boundVars + v)
+  }
+
+  /** WHERE over any bound variables' properties (use [[PatternQuery.p]]). */
+  def where(cond: Column): PatternQuery =
+    new PatternQuery(store, frame.filter(cond), nodeVars, boundVars)
+
+  /** Raw access for composition / debugging / explain. */
+  def df: DataFrame = frame
+
+  /** RETURN with Cypher implicit grouping: items whose expression
+    * contains an aggregate become aggregates; all other items become
+    * grouping keys. With no aggregates this is a plain projection. */
+  def returning(items: (String, Column)*): DataFrame = {
+    val (aggs, keys) = items.partition { case (_, c) => PatternQuery.isAggregate(c) }
+    if (aggs.isEmpty) frame.select(items.map { case (n, c) => c.as(n) }: _*)
+    else {
+      val grouped =
+        if (keys.isEmpty) frame.agg(aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, c) => c.as(n) }: _*)
+        else frame
+          .groupBy(keys.map { case (n, c) => c.as(n) }: _*)
+          .agg(aggs.head._2.as(aggs.head._1),
+            aggs.tail.map { case (n, c) => c.as(n) }: _*)
+      // restore the caller's item order
+      grouped.select(items.map { case (n, _) => col(n) }: _*)
+    }
+  }
+
+  /** RETURN DISTINCT (metrics_service.py:237). */
+  def returningDistinct(items: (String, Column)*): DataFrame =
+    returning(items: _*).distinct()
+}
+
+object PatternQuery {
+
+  /** MATCH (v:label) — anchor of a pattern. */
+  def matchNode(store: GraphSource, v: String, label: String): PatternQuery = {
+    val df = store.node(label)
+    new PatternQuery(store,
+      df.select(df.columns.map(c => col(c).as(s"${v}__$c")).toIndexedSeq: _*),
+      Map(v -> label), Set(v))
+  }
+
+  /** Property accessor: p("e.name") → col("e__name"). */
+  def p(ref: String): Column = {
+    val parts = ref.split("\\.", 2)
+    require(parts.length == 2, s"property ref must be var.prop, got $ref")
+    col(s"${parts(0)}__${parts(1)}")
+  }
+
+  private val aggFunctionNames = Set(
+    "sum", "avg", "mean", "min", "max", "count", "count_distinct",
+    "collect_list", "collect_set", "first", "last", "stddev",
+    "stddev_samp", "variance", "var_samp", "approx_count_distinct",
+    "percentile_approx", "median")
+
+  /** Cypher-compiler aggregate detection: walk the (unresolved)
+    * expression tree for aggregate functions — the same syntactic rule
+    * Cypher uses to split RETURN items into keys vs aggregates. */
+  def isAggregate(c: Column): Boolean = {
+    val e = ColumnInternals.expression(c)
+    e.exists {
+      case f: UnresolvedFunction =>
+        aggFunctionNames.contains(f.nameParts.last.toLowerCase)
+      case _: AggregateExpression => true
+      case _ => false
+    }
+  }
+}

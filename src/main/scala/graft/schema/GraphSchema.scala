@@ -1,0 +1,134 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Schema-full property-graph model: each node label and relationship
+  * type is a table with a declared column schema.
+  *
+  * Re-expresses the reference's schema system
+  * (robosystems/schemas/models.py:11-113 — Property/Node/Relationship/
+  * Schema emitting Cypher DDL) as case classes emitting Spark
+  * `StructType`. Type mapping follows SURVEY.md §1.3
+  * (robosystems/schemas/custom.py:53-76).
+  */
+sealed trait GraftType { def spark: DataType }
+object GraftType {
+  case object STRING extends GraftType { val spark: DataType = StringType }
+  case object INT8 extends GraftType { val spark: DataType = ByteType }
+  case object INT16 extends GraftType { val spark: DataType = ShortType }
+  case object INT32 extends GraftType { val spark: DataType = IntegerType }
+  case object INT64 extends GraftType { val spark: DataType = LongType }
+  case object INT128 extends GraftType { val spark: DataType = DecimalType(38, 0) }
+  case object UINT8 extends GraftType { val spark: DataType = ShortType }
+  case object UINT16 extends GraftType { val spark: DataType = IntegerType }
+  case object UINT32 extends GraftType { val spark: DataType = LongType }
+  case object UINT64 extends GraftType { val spark: DataType = DecimalType(20, 0) }
+  case object FLOAT extends GraftType { val spark: DataType = FloatType }
+  case object DOUBLE extends GraftType { val spark: DataType = DoubleType }
+  case object BOOLEAN extends GraftType { val spark: DataType = BooleanType }
+  case object BLOB extends GraftType { val spark: DataType = BinaryType }
+  case object DATE extends GraftType { val spark: DataType = DateType }
+  case object TIMESTAMP extends GraftType { val spark: DataType = TimestampType }
+  case object INTERVAL extends GraftType { val spark: DataType = DayTimeIntervalType() }
+  /** UUIDv7 strings in the reference (robosystems/schemas/base.py:19-21). */
+  case object UUID extends GraftType { val spark: DataType = StringType }
+  final case class LIST(element: GraftType) extends GraftType {
+    def spark: DataType = ArrayType(element.spark)
+  }
+  final case class MAP(key: GraftType, value: GraftType) extends GraftType {
+    def spark: DataType = MapType(key.spark, value.spark)
+  }
+  final case class STRUCT(fields: Seq[(String, GraftType)]) extends GraftType {
+    def spark: DataType = StructType(fields.map { case (n, t) => StructField(n, t.spark) })
+  }
+
+  /** Parse a reference type name (schemas/custom.py VALID_TYPES). */
+  def parse(name: String): GraftType = name.trim.toUpperCase match {
+    case "STRING" | "VARCHAR" | "TEXT" => STRING
+    case "INT8" => INT8
+    case "INT16" => INT16
+    case "INT32" | "INT" => INT32
+    case "INT64" | "LONG" => INT64
+    case "INT128" => INT128
+    case "UINT8" => UINT8
+    case "UINT16" => UINT16
+    case "UINT32" => UINT32
+    case "UINT64" => UINT64
+    case "FLOAT" | "REAL" => FLOAT
+    case "DOUBLE" => DOUBLE
+    case "BOOLEAN" | "BOOL" => BOOLEAN
+    case "BLOB" | "BYTES" => BLOB
+    case "DATE" => DATE
+    case "TIMESTAMP" => TIMESTAMP
+    case "INTERVAL" => INTERVAL
+    case "UUID" => UUID
+    case s if s.startsWith("LIST<") && s.endsWith(">") =>
+      LIST(parse(s.stripPrefix("LIST<").stripSuffix(">")))
+    case other => throw new IllegalArgumentException(s"unknown graph type: $other")
+  }
+}
+
+/** One declared column (robosystems/schemas/models.py:11). */
+final case class Property(
+    name: String,
+    tpe: GraftType,
+    isPrimaryKey: Boolean = false,
+    nullable: Boolean = true) {
+  def field: StructField = StructField(name, tpe.spark, nullable && !isPrimaryKey)
+}
+
+/** A node label = one table (models.py:26). */
+final case class NodeDef(name: String, properties: Seq[Property]) {
+  require(properties.exists(_.isPrimaryKey), s"node $name needs a primary key")
+  def primaryKey: String = properties.find(_.isPrimaryKey).get.name
+  def structType: StructType = StructType(properties.map(_.field))
+}
+
+/** A relationship type = one table with src, dst, then properties
+  * (models.py:67; src/dst contract at
+  * robosystems/graph_api/core/duckdb/manager.py:124-135). */
+final case class RelDef(
+    name: String,
+    from: String,
+    to: String,
+    properties: Seq[Property] = Seq.empty) {
+  def structType: StructType = StructType(
+    StructField("src", StringType, nullable = false) +:
+      StructField("dst", StringType, nullable = false) +:
+      properties.map(_.field))
+}
+
+/** Named, versioned schema collection (models.py:104). Extensions
+  * compose by concatenation (robosystems/schemas/manager.py:52). */
+final case class GraphSchema(
+    name: String,
+    version: String,
+    nodes: Seq[NodeDef],
+    rels: Seq[RelDef]) {
+
+  lazy val nodeByName: Map[String, NodeDef] = nodes.map(n => n.name -> n).toMap
+  lazy val relByName: Map[String, RelDef] = rels.map(r => r.name -> r).toMap
+
+  def node(label: String): NodeDef =
+    nodeByName.getOrElse(label, throw new NoSuchElementException(s"node table $label"))
+  def rel(tpe: String): RelDef =
+    relByName.getOrElse(tpe, throw new NoSuchElementException(s"rel table $tpe"))
+
+  /** Compose an extension onto this schema (later defs win on clash). */
+  def extend(ext: GraphSchema): GraphSchema = GraphSchema(
+    s"$name+${ext.name}", version,
+    (nodes.filterNot(n => ext.nodeByName.contains(n.name)) ++ ext.nodes),
+    (rels.filterNot(r => ext.relByName.contains(r.name)) ++ ext.rels))
+
+  /** Validate relationship endpoints refer to declared node tables
+    * (robosystems/schemas/loader.py:181-279 validation). */
+  def validate(): Seq[String] = {
+    val labels = nodeByName.keySet
+    rels.flatMap { r =>
+      Seq(
+        Option.unless(labels.contains(r.from))(s"rel ${r.name}: unknown from-node ${r.from}"),
+        Option.unless(labels.contains(r.to))(s"rel ${r.name}: unknown to-node ${r.to}")
+      ).flatten
+    }
+  }
+}

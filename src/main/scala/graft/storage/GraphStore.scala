@@ -1,0 +1,189 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
+import graft.schema.{GraphSchema, NodeDef, RelDef}
+
+/** Per-graph storage: one parquet dataset per node label
+  * (`nodes/<Label>`) and per relationship type (`rels/<TYPE>` with
+  * `src`, `dst`, props) — SURVEY.md §1.1's single most important
+  * mapping. Multi-tenancy = one root directory per graphId
+  * (robosystems tier model, routers/graphs/query/execute.py:247-252).
+  *
+  * Ingest semantics mirror the reference's staging layer:
+  *  - window dedup on the primary key / (src,dst)
+  *    (robosystems/graph_api/core/duckdb/manager.py:111-135);
+  *  - `file_id` provenance column + per-file delete
+  *    (manager.py:144-228, 626);
+  *  - dup-tolerant "ignore errors" COPY for globally-shared entities vs
+  *    strict append for report-scoped tables
+  *    (robosystems/operations/lbug/ingest.py:588-665) — expressed as an
+  *    anti-join against existing keys instead of row-wise MERGE (the
+  *    reference measured MERGE 40× slower; the anti-join is one shuffle).
+  *
+  * Scale: every write repartitions by the join key so downstream
+  * pattern joins read co-partitioned data; on a real cluster these
+  * datasets would be bucketed Delta/Iceberg tables — the API here is
+  * path-shaped so that swap stays local to this class.
+  */
+final class GraphStore(
+    val spark: SparkSession,
+    val root: String,
+    val graphId: String,
+    val schema: GraphSchema) extends GraphSource {
+
+  val FileIdCol = "file_id"
+
+  def nodePath(label: String): String = s"$root/$graphId/nodes/$label"
+  def relPath(tpe: String): String = s"$root/$graphId/rels/$tpe"
+
+  private def exists(path: String): Boolean =
+    new java.io.File(path).exists()
+
+  // ---- readers -----------------------------------------------------------
+
+  def node(label: String): DataFrame = {
+    val d = schema.node(label)
+    if (exists(nodePath(label))) spark.read.parquet(nodePath(label))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withFileId(d.structType))
+  }
+
+  def rel(tpe: String): DataFrame = {
+    val d = schema.rel(tpe)
+    if (exists(relPath(tpe))) spark.read.parquet(relPath(tpe))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withFileId(d.structType))
+  }
+
+  private def withFileId(st: StructType): StructType =
+    if (st.fieldNames.contains(FileIdCol)) st
+    else st.add(FileIdCol, org.apache.spark.sql.types.StringType)
+
+  // ---- schema conformance ------------------------------------------------
+
+  /** Conform an arbitrary incoming frame to the declared table schema:
+    * add missing columns as typed nulls, cast present ones, drop
+    * extras, order canonically (adapters/sec/processors/
+    * schema.py:157-218 create_schema_compatible_dataframe). */
+  def conform(df: DataFrame, st: StructType): DataFrame = {
+    val cols = st.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Window dedup on key columns, deterministic keep: first row by the
+    * remaining columns (manager.py:111-120 ROW_NUMBER … WHERE rn=1). */
+  def dedup(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val orderCols = df.columns.filterNot(keys.contains).map(col).toIndexedSeq
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- ingest ------------------------------------------------------------
+
+  /** Ingest node rows. `ignoreErrors = true` is the reference's
+    * dup-tolerant COPY for globally-shared entities: rows whose key
+    * already exists are silently dropped (anti-join). `false` is the
+    * strict report-scoped append. */
+  def ingestNodes(
+      label: String,
+      df: DataFrame,
+      fileId: Option[String] = None,
+      ignoreErrors: Boolean = false): Long = {
+    val d = schema.node(label)
+    val pk = d.primaryKey
+    val conformed = conform(df, d.structType)
+      .withColumn(FileIdCol, lit(fileId.orNull).cast("string"))
+    val deduped = dedup(conformed, Seq(pk))
+    val toWrite =
+      if (ignoreErrors && exists(nodePath(label))) {
+        val existing = node(label).select(pk)
+        deduped.join(existing, Seq(pk), "left_anti")
+      } else deduped
+    val out = toWrite.repartition(col(pk))
+    out.write.mode(SaveMode.Append).parquet(nodePath(label))
+    out.count()
+  }
+
+  /** Ingest relationship rows arriving with `from`/`to` columns,
+    * renamed to `src`/`dst` (manager.py:124-135), deduped on the pair. */
+  def ingestRels(
+      tpe: String,
+      df: DataFrame,
+      fileId: Option[String] = None): Long = {
+    val d = schema.rel(tpe)
+    val renamed = df
+      .withColumnsRenamed(Map("from" -> "src", "to" -> "dst"))
+    val conformed = conform(renamed, d.structType)
+      .withColumn(FileIdCol, lit(fileId.orNull).cast("string"))
+    val deduped = dedup(conformed, Seq("src", "dst"))
+    val out = deduped.repartition(col("src"))
+    out.write.mode(SaveMode.Append).parquet(relPath(tpe))
+    out.count()
+  }
+
+  /** Multi-file ingest with per-file provenance then global dedup
+    * (manager.py:144-228: per-file SELECT + literal file_id, UNION ALL,
+    * dedup). */
+  def ingestNodeFiles(label: String, files: Seq[(String, String)]): Long = {
+    val d = schema.node(label)
+    val unioned = files.map { case (path, fid) =>
+      conform(spark.read.parquet(path), d.structType)
+        .withColumn(FileIdCol, lit(fid))
+    }.reduce(_ unionByName _)
+    val deduped = dedup(unioned, Seq(d.primaryKey)).repartition(col(d.primaryKey))
+    deduped.write.mode(SaveMode.Append).parquet(nodePath(label))
+    deduped.count()
+  }
+
+  /** Incremental un-ingest by provenance (manager.py:626
+    * delete_file_data). Parquet has no transactional DELETE: rewrite to
+    * a staging dir then swap — on Delta this is `DELETE WHERE`. */
+  def deleteFileData(label: String, fileId: String): Unit = {
+    val path = nodePath(label)
+    if (!exists(path)) return
+    val kept = spark.read.parquet(path).filter(
+      col(FileIdCol).isNull || col(FileIdCol) =!= fileId)
+    val tmp = s"$path.__tmp_${System.nanoTime()}"
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new java.io.File(path)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(fs)
+    new java.io.File(tmp).renameTo(fs): Unit
+  }
+
+  /** Subgraph fork = path copy (operations/graph/subgraph_service.py;
+    * Delta shallow clone on a real deployment). */
+  def fork(newGraphId: String): GraphStore = {
+    val src = new java.io.File(s"$root/$graphId")
+    val dst = new java.io.File(s"$root/$newGraphId")
+    def cp(a: java.io.File, b: java.io.File): Unit = {
+      if (a.isDirectory) {
+        b.mkdirs()
+        Option(a.listFiles()).foreach(_.foreach(f => cp(f, new java.io.File(b, f.getName))))
+      } else java.nio.file.Files.copy(a.toPath, b.toPath): Unit
+    }
+    if (src.exists()) cp(src, dst)
+    new GraphStore(spark, root, newGraphId, schema)
+  }
+
+  /** Register every materialized table as a temp view for SQL
+    * passthrough (manager.py:336-372 query_table). */
+  def registerViews(): Unit = {
+    schema.nodes.foreach { n =>
+      if (exists(nodePath(n.name))) node(n.name).createOrReplaceTempView(n.name)
+    }
+    schema.rels.foreach { r =>
+      if (exists(relPath(r.name))) rel(r.name).createOrReplaceTempView(r.name)
+    }
+  }
+}
