@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, language ID, quality scoring, document
+  * fingerprinting. All pure `Column` expressions (codegen'd by
+  * Tungsten — no UDFs), so they stay inside WholeStageCodegen and
+  * scale linearly with executors. */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(c: Column): Column =
+    split(lower(trim(c)), "\\s+")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single
+    * punctuation — the shape GPT-style tokenizers pre-split on. */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Character n-gram shingles (for MinHash / Jaccard). */
+  def charShingles(c: Column, n: Int): Column = {
+    val s = lower(trim(c))
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(s) - n, lit(0))),
+      i => substr(s, i + 1, lit(n))))
+  }
+
+  /** Word n-gram shingles. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(t) - n, lit(0))),
+      i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as", "at", "by", "be"),
+    "fr" -> Seq("le", "la", "les", "un", "une", "des", "et", "ou", "de",
+      "dans", "est", "que", "pour", "sur", "avec", "par"),
+    "es" -> Seq("el", "la", "los", "las", "un", "una", "y", "o", "de",
+      "en", "es", "que", "para", "con", "por"),
+    "de" -> Seq("der", "die", "das", "ein", "eine", "und", "oder", "von",
+      "in", "ist", "dass", "für", "auf", "mit", "bei"),
+    "zh" -> Seq("的", "了", "和", "是", "在", "我", "有", "他", "这", "中"))
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(c: Column, lang: String): Column = {
+    val t = tokens(c)
+    val sw = array(stopwords(lang).map(lit): _*)
+    when(size(t) > 0,
+      size(filter(t, x => array_contains(sw, x))).cast("double") / size(t))
+      .otherwise(lit(0.0))
+  }
+
+  /** N-gram/stopword-heuristic language ID: highest stopword-hit ratio
+    * wins; deterministic tie-break by language code. Returns a language
+    * code column ("und" when nothing matches). */
+  def langId(c: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l => (l, stopwordRatio(c, l)))
+    val best = scored.map(_._2).reduce(greatest(_, _))
+    val pick = scored.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Heuristic quality score in [0,1]: balanced length, healthy
+    * alpha/punctuation mix, stopword presence, sane mean word length —
+    * the classic pre-training corpus filters (C4-style). */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val t = tokens(c)
+    val nTokens = size(t).cast("double")
+    val meanWordLen = when(nTokens > 0, nChars / nTokens).otherwise(lit(0.0))
+    val alphaChars = length(regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    val alphaRatio = when(nChars > 0, alphaChars / nChars).otherwise(lit(0.0))
+    val lenScore = least(nTokens / lit(64.0), lit(1.0))
+    val wordLenScore = when(meanWordLen.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    val swScore = least(stopwordRatio(c, "en") * 5.0, lit(1.0))
+    round(lenScore * 0.35 + alphaRatio * 0.3 + wordLenScore * 0.2 + swScore * 0.15, 6)
+  }
+
+  /** Rolling hash over tokens (Karp-Rabin-style document fingerprint):
+    * an xxhash64 chain — order-sensitive, deterministic, and free of
+    * the 64-bit multiply that ANSI mode rejects on overflow. */
+  def fingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(t, acc))
+
+  /** MinHash signature: k independent permutations approximated by
+    * seeded xxhash64 over the shingle set; element i = min over
+    * shingles of hash(shingle, seed=i). */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shinglesCol, s => xxhash64(s, lit(i))))): _*)
+
+  /** SimHash-64 from a token array: bit i of the result is the sign of
+    * Σ_tokens (2·bit_i(hash(token)) − 1). Pure expression — no shuffle. */
+  def simhash64(tokensCol: Column): Column = {
+    val sums = (0 until 64).map { i =>
+      aggregate(tokensCol, lit(0L),
+        (acc, t) => acc + (shiftright(xxhash64(t), i).bitwiseAND(1L) * 2L - 1L))
+    }
+    sums.zipWithIndex.map { case (s, i) =>
+      when(s > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

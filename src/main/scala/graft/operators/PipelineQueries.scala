@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+/** Training-data pipeline operators as driver-gate queries over the
+  * `documents` and `embeddings` tables. Oracle-backed where the math is
+  * engine-portable (token arithmetic, md5, double folds); LSH/sketch
+  * operators are checked rows-only (no SQL equivalent) plus unit specs.
+  */
+object PipelineQueries {
+
+  /** Token statistics per language — arithmetic chosen to be
+    * bit-identical in any engine (single-space tokenized corpus). */
+  def t01TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tokens",
+        lit(1) + length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        round(avg(col("tokens")), 4).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  /** Exact dedup accounting over md5(text). */
+  def t02ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(spark, dir)
+      .select(md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+    hashed.agg(
+      count(lit(1)).as("distinct_texts"),
+      sum(col("n")).as("total_docs"),
+      count(when(col("n") > 1, lit(1))).as("dup_groups"),
+      coalesce(sum(when(col("n") > 1, col("n"))), lit(0)).as("docs_in_dup_groups"))
+  }
+
+  /** Per-label embedding norm statistics — sequential double folds so
+    * the DuckDB oracle reproduces the sum bit-for-bit. */
+  def t03EmbeddingNorms(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("norm", VectorFunctions.l2Norm(col("embedding")))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"))
+      .orderBy(col("label"))
+
+  /** Exact brute-force cosine top-k for a small query set (vec_id < 3),
+    * the ANN baseline. Deterministic: cosine rounded before ranking,
+    * ties broken by corpus id; self-matches excluded. */
+  def t04AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("v"), col("qv")), 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("id"), col("cosine"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** MinHash+LSH near-dup pairs with Jaccard verify (rows-only gate —
+    * LSH banding has no SQL oracle; invariants unit-tested). */
+  def t05MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(
+      Tables.documents(spark, dir), "doc_id", "text",
+      shingleN = 4, numHashes = 64, bands = 16, minJaccard = Some(0.5))
+      .orderBy(col("id1"), col("id2"))
+
+  /** SimHash near-dup pairs, hamming ≤ 6 (rows-only gate). */
+  def t06SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+      maxHamming = 6)
+      .orderBy(col("id1"), col("id2"))
+
+  /** Language-ID + quality scoring over the corpus (rows-only gate;
+    * determinism + range invariants unit-tested). */
+  def t07LangQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .groupBy(col("lang_pred"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+      .orderBy(col("lang_pred"))
+
+  /** Document fingerprints (rolling hash) — rows-only gate. */
+  def t08Fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** LSH-bucketed ANN (the scale path; recall < 1 ⇒ rows-only gate). */
+  def t09LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, dim = 64, nPlanes = 8)
+      .filter(col("qid") =!= col("id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs (rows-only gate). */
+  def t10EmbeddingDedup(spark: SparkSession, dir: String): DataFrame =
+    // testdata embeddings are i.i.d. random (max pairwise cosine ≈0.51)
+    // — threshold set low so the operator's output is non-vacuous here;
+    // real dedup uses ≥0.9.
+    Dedup.embeddingPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      dim = 64, minCosine = 0.35, nPlanes = 4)
+      .orderBy(col("id1"), col("id2"))
+
+  /** Multimodal stub pipeline: synthetic media → frame-sample videos →
+    * decode-stub features → per-type accounting (rows-only gate; the
+    * decode is a documented stub, the plan shape is real). */
+  def t11MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(spark, 300)
+    val features = Multimodal.extractFeatures(media, dim = 16, partitions = 8)
+    features.groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
+      .orderBy(col("media_type"))
+  }
+
+  /** Sessionization over the events table: 30-minute-gap sessions via
+    * lag + running sum (the §2.9 streaming-extension semantics in batch
+    * form — same windows Structured Streaming would maintain). */
+  def t12Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val events = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(byUser))
+    events.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_idx")).as("n_sessions"),
+        round(avg(col("n_events")), 4).as("avg_events_per_session"))
+      .orderBy(col("user_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> t01TokenStats _,
+    "t02_exact_dedup" -> t02ExactDedup _,
+    "t03_embedding_norms" -> t03EmbeddingNorms _,
+    "t04_ann_bruteforce" -> t04AnnBruteForce _,
+    "t05_minhash_pairs" -> t05MinhashPairs _,
+    "t06_simhash_pairs" -> t06SimhashPairs _,
+    "t07_lang_quality" -> t07LangQuality _,
+    "t08_fingerprints" -> t08Fingerprints _,
+    "t09_lsh_ann" -> t09LshAnn _,
+    "t10_embedding_dedup" -> t10EmbeddingDedup _,
+    "t11_media_features" -> t11MediaFeatures _,
+    "t12_sessionize" -> t12Sessionize _,
+  )
+
+  /** DuckDB oracles for the engine-portable subset. The vector oracles
+    * reproduce the same sequential double folds (list_reduce with a 0.0
+    * seed) so sums match bit-for-bit before rounding. */
+  val oracle: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         sum(length(text)) AS total_chars,
+         round(avg(1 + length(text) - length(replace(text, ' ', ''))), 4) AS avg_tokens
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "t02_exact_dedup" ->
+      """SELECT count(*) AS distinct_texts, sum(n) AS total_docs,
+         count(CASE WHEN n > 1 THEN 1 END) AS dup_groups,
+         coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS docs_in_dup_groups
+         FROM (SELECT md5(text) AS h, count(*) AS n
+               FROM documents GROUP BY 1)""",
+    "t03_embedding_norms" ->
+      """SELECT label, count(*) AS n,
+         round(min(norm), 6) AS min_norm, round(max(norm), 6) AS max_norm
+         FROM (SELECT label,
+                 sqrt(list_reduce(
+                   list_prepend(0.0, list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                   (a, b) -> a + b)) AS norm
+               FROM embeddings)
+         GROUP BY 1 ORDER BY 1""",
+    "t04_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                    WHERE vec_id < 3),
+         scored AS (
+           SELECT q.qid, e.vec_id AS id,
+             round(
+               list_reduce(list_prepend(0.0,
+                 list_transform(list_zip(e.embedding, q.qv),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                 (a, b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(q.qv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, b) -> a + b))), 6) AS cosine
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+           FROM scored)
+         SELECT qid, id, cosine, rank FROM ranked WHERE rank <= 5
+         ORDER BY qid, rank""",
+    "t12_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id,
+             sum(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM marked),
+         per_session AS (
+           SELECT user_id, session_idx, count(*) AS n_events
+           FROM sessions GROUP BY 1, 2)
+         SELECT user_id, max(session_idx) AS n_sessions,
+           round(avg(n_events), 4) AS avg_events_per_session
+         FROM per_session GROUP BY 1 ORDER BY 1""",
+  )
+}

