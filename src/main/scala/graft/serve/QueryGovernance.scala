@@ -1,0 +1,131 @@
+package graft.serve
+
+/** Engine-independent query governance, ported from the reference's
+  * design (SURVEY.md §3.1/§4 — these layers are explicitly portable):
+  * classification (security/cypher_analyzer.py:33-247), shape/cost
+  * analysis (middleware/graph/execution_strategies.py:59-198), and
+  * complexity scoring (middleware/mcp/query_validator.py:403-440). All
+  * pure string/AST logic — no Spark dependency. */
+object QueryGovernance {
+
+  sealed trait QueryKind
+  object QueryKind {
+    case object Read extends QueryKind
+    case object Write extends QueryKind
+    case object Bulk extends QueryKind
+    case object Admin extends QueryKind
+    case object Ddl extends QueryKind
+  }
+
+  private val writeKeywords = Set(
+    "CREATE", "MERGE", "SET", "DELETE", "REMOVE", "DETACH", "DROP",
+    "ALTER", "INSERT", "UPDATE")
+  private val bulkKeywords = Set("COPY", "LOAD", "IMPORT")
+  private val adminKeywords = Set("EXPORT", "INSTALL", "ATTACH", "USE")
+  private val ddlPhrases = Seq(
+    "CREATE NODE TABLE", "CREATE REL TABLE", "DROP NODE TABLE",
+    "DROP REL TABLE", "ALTER TABLE", "ADD COLUMN", "DROP COLUMN",
+    "RENAME TABLE", "RENAME COLUMN")
+
+  /** Strip string literals and comments so keywords inside them don't
+    * misclassify (cypher_analyzer.py does the same before matching). */
+  private[serve] def stripLiterals(q: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var mode: Char = ' ' // ' '=code, '\''/'"'=string, '/'=block, '-'=line
+    while (i < q.length) {
+      val c = q(i)
+      mode match {
+        case ' ' =>
+          if (c == '\'' || c == '"') { mode = c; sb += ' ' }
+          else if (c == '/' && i + 1 < q.length && q(i + 1) == '*') { mode = '/'; i += 1 }
+          else if (c == '/' && i + 1 < q.length && q(i + 1) == '/') { mode = '-'; i += 1 }
+          else sb += c
+        case '\'' | '"' =>
+          if (c == mode && (i == 0 || q(i - 1) != '\\')) mode = ' '
+        case '/' =>
+          if (c == '*' && i + 1 < q.length && q(i + 1) == '/') { mode = ' '; i += 1 }
+        case '-' =>
+          if (c == '\n') { mode = ' '; sb += '\n' }
+        case _ =>
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Classify a query read/write/bulk/admin/DDL. */
+  def classify(query: String): QueryKind = {
+    val cleaned = stripLiterals(query).toUpperCase
+    val words = cleaned.split("[^A-Z_]+").filter(_.nonEmpty).toSet
+    if (ddlPhrases.exists(cleaned.contains)) QueryKind.Ddl
+    else if (words.exists(adminKeywords)) QueryKind.Admin
+    else if (words.exists(bulkKeywords)) QueryKind.Bulk
+    else if (words.exists(writeKeywords)) QueryKind.Write
+    else QueryKind.Read
+  }
+
+  sealed trait ResultSize
+  object ResultSize {
+    case object Small extends ResultSize  // ≤ 100 rows
+    case object Medium extends ResultSize // ≤ 1000
+    case object Large extends ResultSize  // stream it
+  }
+
+  final case class QueryShape(
+      estimatedSize: ResultSize,
+      hasAggregation: Boolean,
+      hasLimit: Option[Long],
+      potentiallyExpensive: Boolean,
+      requiresStreaming: Boolean)
+
+  private val aggRe = "(?i)\\b(count|sum|avg|min|max|collect)\\s*\\(".r
+  private val limitRe = "(?i)\\blimit\\s+(\\d+)".r
+  private val expensiveRe =
+    "(?i)(shortestpath|allshortestpaths|\\bmatch\\s*\\([^)]*\\)\\s*,\\s*\\()".r
+  private val varLenRe = "\\*\\s*(\\d*)\\s*\\.\\.\\s*(\\d+)".r
+
+  /** Shape analysis → routing (execution_strategies.py:59-198:
+    * SMALL_RESULT=100, MEDIUM_RESULT=1000). */
+  def analyze(query: String): QueryShape = {
+    val cleaned = stripLiterals(query)
+    val limit = limitRe.findFirstMatchIn(cleaned).map(_.group(1).toLong)
+    val agg = aggRe.findFirstIn(cleaned).isDefined
+    val expensive = expensiveRe.findFirstIn(cleaned).isDefined
+    val size = limit match {
+      case Some(n) if n <= 100 => ResultSize.Small
+      case Some(n) if n <= 1000 => ResultSize.Medium
+      case Some(_) => ResultSize.Large
+      case None if agg => ResultSize.Small // aggregates collapse cardinality
+      case None => ResultSize.Large
+    }
+    QueryShape(size, agg, limit, expensive, size == ResultSize.Large)
+  }
+
+  /** Complexity score (query_validator.py:403-440): var-length paths
+    * beyond 5 hops cost (ub−5)×10; each WITH/CALL{} beyond 10 rejects;
+    * missing LIMIT on a non-aggregate adds 10. Score > 50 ⇒ reject. */
+  def complexityScore(query: String): Int = {
+    val cleaned = stripLiterals(query)
+    var score = 0
+    varLenRe.findAllMatchIn(cleaned).foreach { m =>
+      val ub = m.group(2).toInt
+      if (ub > 5) score += (ub - 5) * 10
+    }
+    val withCount = "(?i)\\bwith\\b".r.findAllIn(cleaned).length +
+      "(?i)\\bcall\\s*\\{".r.findAllIn(cleaned).length
+    if (withCount > 10) score += 100
+    val shape = analyze(query)
+    if (shape.hasLimit.isEmpty && !shape.hasAggregation) score += 10
+    if (shape.potentiallyExpensive) score += 25
+    score
+  }
+
+  val MaxComplexity = 50
+  def validate(query: String): Either[String, Unit] = {
+    require(query.length <= 100000, "query exceeds max length") // pytest.ini GRAPH_MAX_QUERY_LENGTH
+    val s = complexityScore(query)
+    if (s > MaxComplexity) Left(s"query too complex (score $s > $MaxComplexity)")
+    else Right(())
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.serve.{QueryGovernance => QG, QueryQueue, ResultStreamer}
+import graft.sources.Tables
+
+class ServeSpec extends SparkTestBase {
+
+  test("classification: read/write/bulk/admin/ddl") {
+    import QG.QueryKind._
+    assert(QG.classify("MATCH (n) RETURN n LIMIT 10") === Read)
+    assert(QG.classify("MATCH (n) SET n.x = 1") === Write)
+    assert(QG.classify("CREATE (n:Entity {id: 1})") === Write)
+    assert(QG.classify("COPY Entity FROM 'x.parquet'") === Bulk)
+    assert(QG.classify("ATTACH 'db' AS x") === Admin)
+    assert(QG.classify("CREATE NODE TABLE Foo(id STRING)") === Ddl)
+    // keywords inside string literals must not classify
+    assert(QG.classify("MATCH (n) WHERE n.name = 'CREATE MERGE' RETURN n LIMIT 5") === Read)
+    // keywords inside comments must not classify
+    assert(QG.classify("MATCH (n) // SET later\nRETURN n LIMIT 5") === Read)
+  }
+
+  test("shape analysis thresholds (small<=100, medium<=1000)") {
+    import QG.ResultSize._
+    assert(QG.analyze("MATCH (n) RETURN n LIMIT 50").estimatedSize === Small)
+    assert(QG.analyze("MATCH (n) RETURN n LIMIT 500").estimatedSize === Medium)
+    assert(QG.analyze("MATCH (n) RETURN n LIMIT 5000").estimatedSize === Large)
+    assert(QG.analyze("MATCH (n) RETURN count(n)").estimatedSize === Small)
+    assert(QG.analyze("MATCH (n) RETURN n").requiresStreaming)
+    assert(QG.analyze("MATCH p=shortestPath((a)-[*]-(b)) RETURN p LIMIT 5").potentiallyExpensive)
+  }
+
+  test("complexity scoring: var-length >5 hops penalized, reject > 50") {
+    assert(QG.complexityScore("MATCH (a)-[:R*1..3]->(b) RETURN a LIMIT 5") === 0)
+    assert(QG.complexityScore("MATCH (a)-[:R*1..9]->(b) RETURN a LIMIT 5") === 40)
+    assert(QG.validate("MATCH (a)-[:R*1..9]->(b) RETURN a LIMIT 5").isRight)
+    assert(QG.validate("MATCH (a)-[:R*1..12]->(b) RETURN a LIMIT 5").isLeft)
+  }
+
+  test("queue: priority order, per-user caps, cancel, results") {
+    val q = new QueryQueue(maxConcurrent = 2, maxQueueSize = 100, maxPerUser = 3)
+    try {
+      val done = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      // saturate both workers so later submissions queue up
+      (1 to 2).foreach(_ => q.submit("u0") { gate.await(); 0 })
+      Thread.sleep(100)
+      val low = q.submit("u1", priority = 1) { done.add(1); 1 }.toOption.get
+      val high = q.submit("u1", priority = 10) { done.add(10); 10 }.toOption.get
+      gate.countDown()
+      assert(q.await(low) === q.Status.Completed)
+      assert(q.await(high) === q.Status.Completed)
+      assert(done.peek() === 10) // higher priority drained first
+      assert(q.resultOf(high).contains(10))
+      // per-user cap
+      val g2 = new java.util.concurrent.CountDownLatch(1)
+      (1 to 2).foreach(_ => q.submit("u9") { g2.await(); 0 })
+      val ids = (1 to 3).map(_ => q.submit("u2") { g2.await(); 0 })
+      assert(ids.forall(_.isRight))
+      assert(q.submit("u2")(0).isLeft)
+      // cancel one still queued
+      val queued = ids.last.toOption.get
+      assert(q.cancel(queued))
+      g2.countDown()
+      assert(q.await(queued) === q.Status.Cancelled)
+    } finally q.shutdown()
+  }
+
+  test("failed query surfaces its error") {
+    val q = new QueryQueue(maxConcurrent = 1)
+    try {
+      val id = q.submit("u") { throw new RuntimeException("boom") }.toOption.get
+      assert(q.await(id) === q.Status.Failed)
+      assert(q.errorOf(id).exists(_.getMessage === "boom"))
+    } finally q.shutdown()
+  }
+
+  test("ndjson streaming chunks rows lazily with correct framing") {
+    val df = Tables.nation(spark, sfDir)
+    val chunks = ResultStreamer.ndjsonChunks(df, chunkSize = 10).toSeq
+    assert(chunks.map(_.size).sum === 25)
+    assert(chunks.head.size === 10 && chunks.last.size === 5)
+    assert(chunks.head.head.startsWith("{\"n_nationkey\":"))
+    val sse = ResultStreamer.sseEvents(df, chunkSize = 10).toSeq
+    assert(sse.size === 4) // 3 data + done
+    assert(sse.last.contains("\"rows\":25"))
+  }
+}

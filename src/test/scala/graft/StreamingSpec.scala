@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.schema.RoboledgerSchema
+import graft.storage.GraphStore
+import graft.streaming.IngestStream
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("AvailableNow file-source ingest lands deduped rows in the store") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val watch = s"$tmp/drops"; new java.io.File(watch).mkdirs()
+    val store = new GraphStore(spark, s"$tmp/graph", "g1", RoboledgerSchema.schema)
+
+    // two drops with an overlapping key: stream must dedup via
+    // ignore-errors ingest
+    store.conform(Seq(("e1", "Acme"), ("e2", "Globex")).toDF("identifier", "name"),
+      store.schema.node("Entity").structType)
+      .coalesce(1).write.parquet(s"$watch/drop1")
+    store.conform(Seq(("e2", "Globex Again"), ("e3", "Initech")).toDF("identifier", "name"),
+      store.schema.node("Entity").structType)
+      .coalesce(1).write.parquet(s"$watch/drop2")
+
+    val q = IngestStream.nodeIngest(store, "Entity", s"$watch/*/", s"$tmp/ckpt")
+    q.awaitTermination(60000)
+    assert(store.node("Entity").count() === 3)
+    assert(store.node("Entity").select("identifier").as[String].collect().sorted
+      === Array("e1", "e2", "e3"))
+  }
+
+  test("watermarked windowed aggregation over a file event stream") {
+    val tmp = Files.createTempDirectory("graft-events").toString
+    val src = graft.sources.Tables.events(spark, sfDir).limit(500)
+    src.write.parquet(s"$tmp/in")
+    val stream = IngestStream.eventStream(spark, s"$tmp/in",
+      spark.read.parquet(s"$tmp/in").schema)
+    val agg = IngestStream.windowedEventCounts(stream, "10 minutes", "5 minutes")
+    val q = agg.writeStream
+      .format("memory").queryName("winagg")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // append mode emits only watermark-closed windows; with a finite
+    // file source the final window may stay open — compare the closed
+    // prefix against the batch computation.
+    val got = spark.table("winagg")
+    val batch = src
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    val gotSet = got.select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batchSet = batch.as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(gotSet.nonEmpty)
+    assert(gotSet.subsetOf(batchSet))
+  }
+}
