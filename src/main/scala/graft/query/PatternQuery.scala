@@ -127,6 +127,10 @@ final class PatternQuery private (
   /** Raw access for composition / debugging / explain. */
   def df: DataFrame = frame
 
+  /** Bound node variables and their labels (for compilers layered on
+    * top, e.g. the Cypher front end). */
+  def variables: Map[String, String] = nodeVars
+
   /** RETURN with Cypher implicit grouping: items whose expression
     * contains an aggregate become aggregates; all other items become
     * grouping keys. With no aggregates this is a plain projection. */

@@ -1,0 +1,396 @@
+package graft.query.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.query.PatternQuery
+import graft.storage.GraphSource
+import CypherAst._
+
+/** Compiles the parsed Cypher subset onto [[PatternQuery]] /
+  * DataFrame relational algebra — the "our compiler" box in SURVEY.md
+  * §3.1's lifecycle. Semantics encoded here (the hard parts list,
+  * SURVEY.md §7):
+  *
+  *  - pattern hops → equi-joins (PatternQuery);
+  *  - OPTIONAL MATCH → left joins; `x IS NULL` on an optional var
+  *    works because the var's columns are genuinely null;
+  *  - implicit grouping at WITH/RETURN — any item containing an
+  *    aggregate function makes all non-aggregate items grouping keys;
+  *  - a bare node variable carried through WITH keeps all its columns
+  *    (grouping by node identity = grouping by its column tuple);
+  *  - Cypher `substring` is 0-based → shifted to Spark's 1-based;
+  *  - `$param` placeholders bound from a Scala map;
+  *  - ORDER BY may reference RETURN aliases or pre-projection
+  *    expressions (resolved AST-equal items map to their alias).
+  */
+final class CypherCompiler(
+    source: GraphSource,
+    params: Map[String, Any] = Map.empty) {
+
+  private val aggNames = Set("count", "sum", "avg", "min", "max",
+    "collect", "stdev", "stdevp", "percentilecont", "percentiledisc")
+
+  def run(text: String): DataFrame =
+    CypherParser.parseQuery(text) match {
+      case Left(err) => throw new IllegalArgumentException(err)
+      case Right(q) => compile(q)
+    }
+
+  // ---- pattern assembly --------------------------------------------------
+
+  private var anonCounter = 0
+  private def fresh(prefix: String): String = {
+    anonCounter += 1; s"__${prefix}_$anonCounter"
+  }
+
+  /** relationship variable → declared type (for `type(r)`). */
+  private val relVarTypes = scala.collection.mutable.Map.empty[String, String]
+
+  def compile(q: Query): DataFrame = {
+    var pq: PatternQuery = null
+    var postFilters = Vector.empty[Expr]
+
+    q.matches.foreach { m =>
+      m.paths.foreach { path =>
+        pq = compilePath(pq, path, m.optional, (c: Expr) => postFilters :+= c)
+      }
+      m.where.foreach { w => pq = pq.where(toColumn(w, pq.variables)) }
+    }
+    postFilters.foreach { f => pq = pq.where(toColumn(f, pq.variables)) }
+
+    var frame = pq.df
+    var vars = pq.variables
+
+    // WITH pipeline stages
+    q.withClauses.foreach { w =>
+      val (f2, v2) = project(frame, vars, w.items, distinct = false,
+        sortBy = Seq.empty, keepNamespaces = true)
+      frame = f2; vars = v2
+      w.where.foreach { cond => frame = frame.filter(toColumn(cond, vars)) }
+    }
+
+    // RETURN (+ ORDER BY resolved against pre-projection context)
+    val (out, _) = project(frame, vars, q.ret.items, q.ret.distinct, q.orderBy,
+      keepNamespaces = false)
+    var res = out
+    q.skip.foreach(n => res = res.offset(n.toInt))
+    q.limit.foreach(n => res = res.limit(n.toInt))
+    res
+  }
+
+  private def compilePath(
+      start: PatternQuery, path: PathPat, optional: Boolean,
+      addFilter: Expr => Unit): PatternQuery = {
+    val headVar = path.head.variable.getOrElse(fresh("n"))
+    var pq = start match {
+      case null =>
+        val label = path.head.label.getOrElse(
+          throw new IllegalArgumentException(s"first node ($headVar) needs a label"))
+        PatternQuery.matchNode(source, headVar, label)
+      case prev if prev.variables.contains(headVar) => prev
+      case prev =>
+        val label = path.head.label.getOrElse(
+          throw new IllegalArgumentException(s"new node $headVar needs a label"))
+        prev.alsoMatch(headVar, label)
+    }
+    path.head.props.foreach { case (k, v) =>
+      addFilter(Bin("=", Prop(headVar, k), v))
+    }
+    var fromVar = headVar
+    path.hops.foreach { case (rel, node) =>
+      val relType = rel.relType.getOrElse(
+        throw new IllegalArgumentException("untyped relationships are not supported"))
+      val toVar = node.variable.getOrElse(fresh("n"))
+      if (pq.variables.contains(toVar))
+        throw new IllegalArgumentException(
+          s"cyclic pattern (rebinding $toVar) is not supported")
+      val rv = rel.variable.getOrElse(fresh("r"))
+      relVarTypes.update(rv, relType)
+      pq = rel.varLength match {
+        case Some((lo, hi)) => pq.outVar(relType, fromVar, toVar, lo, hi)
+        case None =>
+          if (rel.rightward) pq.out(relType, fromVar, toVar, optional, rv)
+          else pq.in(relType, fromVar, toVar, optional, rv)
+      }
+      node.label.foreach { l =>
+        val declared = pq.variables(toVar)
+        require(declared == l,
+          s"pattern label $l does not match schema endpoint $declared for $toVar")
+      }
+      node.props.foreach { case (k, v) => addFilter(Bin("=", Prop(toVar, k), v)) }
+      fromVar = toVar
+    }
+    pq
+  }
+
+  // ---- projection with implicit grouping ---------------------------------
+
+  /** Column accessor safe for alias names containing dots (`e.name`). */
+  private def bcol(name: String): Column = col(s"`$name`")
+
+
+  /** Expand items: a bare node variable keeps its full column set. */
+  private def expandItems(
+      items: Seq[ProjectionItem], vars: Map[String, String],
+      frame: DataFrame, keepNamespaces: Boolean): Seq[(String, Column, Option[Expr])] =
+    items.flatMap {
+      case ProjectionItem(VarRef(v), alias) if vars.contains(v) =>
+        val prefix = s"${v}__"
+        val cols = frame.columns.filter(_.startsWith(prefix))
+        if (keepNamespaces) cols.map(c => (c, col(c), None))
+        else cols.map(c =>
+          (s"${alias.getOrElse(v)}.${c.stripPrefix(prefix)}", col(c), None))
+      case ProjectionItem(e, alias) =>
+        Seq((alias.getOrElse(pretty(e)), toColumn(e, vars), Some(e)))
+    }
+
+  private def isAggExpr(e: Expr): Boolean = e match {
+    case FnCall(n, args, _) =>
+      aggNames.contains(n) || args.exists(isAggExpr)
+    case Bin(_, l, r) => isAggExpr(l) || isAggExpr(r)
+    case Not(x) => isAggExpr(x)
+    case IsNull(x, _) => isAggExpr(x)
+    case In(x, l) => isAggExpr(x) || isAggExpr(l)
+    case CaseWhen(whens, o) =>
+      whens.exists { case (c, v) => isAggExpr(c) || isAggExpr(v) } ||
+        o.exists(isAggExpr)
+    case _ => false
+  }
+
+  private def project(
+      frame: DataFrame, vars: Map[String, String],
+      items: Seq[ProjectionItem], distinct: Boolean,
+      sortBy: Seq[OrderItem], keepNamespaces: Boolean): (DataFrame, Map[String, String]) = {
+
+    val expanded = expandItems(items, vars, frame, keepNamespaces)
+    val hasAgg = items.exists {
+      case ProjectionItem(e, _) => isAggExpr(e)
+    }
+    val carriedVars =
+      if (keepNamespaces)
+        vars.filter { case (v, _) => items.exists {
+          case ProjectionItem(VarRef(x), _) => x == v
+          case _ => false
+        } }
+      else Map.empty[String, String]
+
+    val projected: DataFrame =
+      if (!hasAgg) {
+        val f2 = frame.select(expanded.map { case (n, c, _) => c.as(n) }: _*)
+        if (distinct) f2.distinct() else f2
+      } else {
+        val (aggs, keys) = expanded.partition {
+          case (_, _, Some(e)) => isAggExpr(e)
+          case _ => false
+        }
+        require(aggs.nonEmpty)
+        val grouped =
+          if (keys.isEmpty)
+            frame.agg(aggs.head._2.as(aggs.head._1),
+              aggs.tail.map { case (n, c, _) => c.as(n) }: _*)
+          else frame.groupBy(keys.map { case (n, c, _) => c.as(n) }: _*)
+            .agg(aggs.head._2.as(aggs.head._1),
+              aggs.tail.map { case (n, c, _) => c.as(n) }: _*)
+        val ordered = grouped.select(expanded.map { case (n, _, _) => bcol(n) }: _*)
+        if (distinct) ordered.distinct() else ordered
+      }
+
+    // ORDER BY: alias, AST-equal item alias, or (non-agg case) an
+    // expression over the pre-projection frame appended temporarily.
+    val sorted =
+      if (sortBy.isEmpty) projected
+      else {
+        val itemByAst: Map[Expr, String] = expanded.collect {
+          case (n, _, Some(e)) => (e, n)
+        }.toMap
+        def sortCol(o: OrderItem): (Column, Boolean) = o.expr match {
+          case VarRef(a) if projected.columns.contains(a) => (bcol(a), o.desc)
+          case e if itemByAst.contains(e) => (bcol(itemByAst(e)), o.desc)
+          case e => (toColumn(e, vars), o.desc) // pre-projection expr
+        }
+        val resolved = sortBy.map(sortCol)
+        val usesPreProjection = sortBy.exists {
+          case OrderItem(VarRef(a), _) => !projected.columns.contains(a)
+          case OrderItem(e, _) => !itemByAst.contains(e)
+        }
+        if (!usesPreProjection || hasAgg || distinct)
+          projected.orderBy(resolved.map { case (c, d) => if (d) c.desc else c.asc }: _*)
+        else {
+          // append sort keys, sort, drop — keeps exprs over carried vars legal
+          val tmpNames = resolved.indices.map(i => s"__sort_$i")
+          val withKeys = frame.select(
+            (expanded.map { case (n, c, _) => c.as(n) } ++
+              resolved.zip(tmpNames).map { case ((c, _), n) => c.as(n) }): _*)
+          withKeys.orderBy(resolved.zip(tmpNames).map { case ((_, d), n) =>
+            if (d) col(n).desc else col(n).asc
+          }: _*).drop(tmpNames: _*)
+        }
+      }
+    (sorted, carriedVars)
+  }
+
+  // ---- expression compilation --------------------------------------------
+
+  private def litColumn(v: Any): Column = v match {
+    case null => lit(null)
+    case s: Seq[_] => array(s.map(litColumn): _*)
+    case other => lit(other)
+  }
+
+  private[cypher] def toColumn(e: Expr, vars: Map[String, String]): Column = e match {
+    case Prop(v, name) =>
+      if (vars.contains(v)) col(s"${v}__$name")
+      else col(s"${v}__$name") // rel vars / carried columns share the scheme
+    case VarRef(n) => col(n) // bare alias from a WITH stage
+    case Param(n) => litColumn(params.getOrElse(n,
+      throw new IllegalArgumentException(s"missing parameter $$$n")))
+    case Lit(v) => lit(v)
+    case ListLit(items) => array(items.map(toColumn(_, vars)): _*)
+    case Star => lit(1)
+    case Not(x) => !toColumn(x, vars)
+    case IsNull(x, neg) =>
+      val c = x match {
+        // `n IS NULL` on a node/rel var: test its key column
+        case VarRef(v) if vars.contains(v) =>
+          col(s"${v}__${source.schema.node(vars(v)).primaryKey}")
+        case other => toColumn(other, vars)
+      }
+      if (neg) c.isNotNull else c.isNull
+    case In(x, ListLit(items)) => toColumn(x, vars).isin(items.map {
+      case Lit(v) => v
+      case other => throw new IllegalArgumentException(s"IN needs literals, got $other")
+    }: _*)
+    case In(x, Param(n)) =>
+      params.getOrElse(n, throw new IllegalArgumentException(s"missing parameter $$$n")) match {
+        case s: Seq[_] => toColumn(x, vars).isin(s: _*)
+        case other => toColumn(x, vars) === lit(other)
+      }
+    case In(x, other) => array_contains(toColumn(other, vars), toColumn(x, vars))
+    case CaseWhen(whens, otherwise) =>
+      val base = whens.tail.foldLeft(
+        when(toColumn(whens.head._1, vars), toColumn(whens.head._2, vars))) {
+        case (acc, (c, v)) => acc.when(toColumn(c, vars), toColumn(v, vars))
+      }
+      otherwise.fold(base)(o => base.otherwise(toColumn(o, vars)))
+    case Bin(op, l, r) =>
+      val (lc, rc) = (toColumn(l, vars), toColumn(r, vars))
+      op match {
+        case "AND" => lc && rc
+        case "OR" => lc || rc
+        case "=" => lc === rc
+        case "<>" => lc =!= rc
+        case "<" => lc < rc
+        case "<=" => lc <= rc
+        case ">" => lc > rc
+        case ">=" => lc >= rc
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+        case "%" => lc % rc
+        case "CONTAINS" => lc.contains(rc)
+        case "STARTS" => lc.startsWith(rc)
+        case "ENDS" => lc.endsWith(rc)
+      }
+    case FnCall(name, args, distinct) =>
+      compileFn(name, args, distinct, vars)
+  }
+
+  private def compileFn(
+      name: String, args: Seq[Expr], distinct: Boolean,
+      vars: Map[String, String]): Column = {
+    def a(i: Int): Column = toColumn(args(i), vars)
+    name match {
+      // aggregates — count(v) over a node var counts its non-null keys
+      case "count" => args match {
+        case Seq(Star) => count(lit(1))
+        case Seq(VarRef(v)) if vars.contains(v) =>
+          val key = col(s"${v}__${source.schema.node(vars(v)).primaryKey}")
+          if (distinct) count_distinct(key) else count(key)
+        case Seq(x) =>
+          if (distinct) count_distinct(toColumn(x, vars)) else count(toColumn(x, vars))
+      }
+      case "sum" => sum(a(0))
+      case "avg" => avg(a(0))
+      case "min" => min(a(0))
+      case "max" => max(a(0))
+      case "collect" =>
+        if (distinct) collect_set(a(0)) else collect_list(a(0))
+      // scalar functions from the §2.8 exercised surface
+      case "substring" =>
+        // Cypher substring is 0-based; Spark's is 1-based
+        if (args.length == 3) substring(a(0), cypherStart(args(1)), lenLit(args(2)))
+        else substr(a(0), a(1) + lit(1))
+      case "toupper" | "upper" => upper(a(0))
+      case "tolower" | "lower" => lower(a(0))
+      case "trim" => trim(a(0))
+      case "size" | "length" => args.head match {
+        case VarRef(_) | ListLit(_) => size(a(0))
+        case _ => length(a(0))
+      }
+      case "coalesce" => coalesce(args.map(toColumn(_, vars)): _*)
+      case "abs" => abs(a(0))
+      case "round" => if (args.length == 2) round(a(0), lenLit(args(1))) else round(a(0))
+      case "tostring" => a(0).cast("string")
+      case "tointeger" => a(0).cast("long")
+      case "tofloat" => a(0).cast("double")
+      case "date" => to_date(a(0))
+      case "split" => split(a(0), argString(args(1)))
+      // graph introspection (§2.3 last row)
+      case "id" => args.head match {
+        case VarRef(v) if vars.contains(v) =>
+          col(s"${v}__${source.schema.node(vars(v)).primaryKey}")
+        case _ => throw new IllegalArgumentException("id() needs a node variable")
+      }
+      case "labels" => args.head match {
+        case VarRef(v) if vars.contains(v) => array(lit(vars(v)))
+        case _ => throw new IllegalArgumentException("labels() needs a node variable")
+      }
+      case "label" => args.head match {
+        case VarRef(v) if vars.contains(v) => lit(vars(v))
+        case _ => throw new IllegalArgumentException("label() needs a node variable")
+      }
+      case "type" => args.head match {
+        case VarRef(v) if relVarTypes.contains(v) => lit(relVarTypes(v))
+        case _ => throw new IllegalArgumentException("type() needs a relationship variable")
+      }
+      case "keys" => args.head match {
+        case VarRef(v) if vars.contains(v) =>
+          array(source.schema.node(vars(v)).properties.map(p => lit(p.name)): _*)
+        case _ => throw new IllegalArgumentException("keys() needs a node variable")
+      }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported function: $other")
+    }
+  }
+
+  private def cypherStart(e: Expr): Int = e match {
+    case Lit(n: Long) => n.toInt + 1
+    case other => throw new IllegalArgumentException(s"substring start must be literal, got $other")
+  }
+  private def lenLit(e: Expr): Int = e match {
+    case Lit(n: Long) => n.toInt
+    case other => throw new IllegalArgumentException(s"literal int expected, got $other")
+  }
+  private def argString(e: Expr): String = e match {
+    case Lit(s: String) => s
+    case other => throw new IllegalArgumentException(s"string literal expected, got $other")
+  }
+
+  private def pretty(e: Expr): String = e match {
+    case Prop(v, n) => s"$v.$n"
+    case VarRef(n) => n
+    case Param(n) => s"$$$n"
+    case Lit(s: String) => s"'$s'"
+    case Lit(v) => String.valueOf(v)
+    case Star => "*"
+    case FnCall(n, args, d) =>
+      s"$n(${if (d) "DISTINCT " else ""}${args.map(pretty).mkString(", ")})"
+    case Bin(op, l, r) => s"${pretty(l)} $op ${pretty(r)}"
+    case Not(x) => s"NOT ${pretty(x)}"
+    case IsNull(x, neg) => s"${pretty(x)} IS ${if (neg) "NOT " else ""}NULL"
+    case In(x, l) => s"${pretty(x)} IN ${pretty(l)}"
+    case ListLit(items) => items.map(pretty).mkString("[", ", ", "]")
+    case CaseWhen(_, _) => "case"
+  }
+}

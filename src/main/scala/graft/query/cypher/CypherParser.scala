@@ -1,0 +1,186 @@
+package graft.query.cypher
+
+import scala.util.parsing.combinator.RegexParsers
+import CypherAst._
+
+/** Recursive-descent parser for the reference's exercised Cypher
+  * subset (SURVEY.md §2.2-2.8): MATCH/OPTIONAL MATCH pattern chains,
+  * WHERE predicates (comparisons, boolean composition, IS [NOT] NULL,
+  * CONTAINS/STARTS WITH/ENDS WITH, IN, CASE), WITH pipelines, RETURN
+  * [DISTINCT] with aggregates and aliases, ORDER BY/SKIP/LIMIT, and
+  * `$param` placeholders. Grammar scope is deliberately exactly the
+  * §2 corpus — anything outside parses to a clear error. */
+object CypherParser extends RegexParsers {
+
+  override val skipWhitespace = true
+  override val whiteSpace = "(\\s|//[^\n]*)+".r
+
+  private def kw(s: String): Parser[String] = ("(?i)\\b" + s + "\\b").r ^^ (_.toUpperCase)
+
+  private val ident: Parser[String] = "[A-Za-z_][A-Za-z0-9_]*".r
+  private val number: Parser[Lit] =
+    "-?\\d+\\.\\d+".r ^^ (s => Lit(s.toDouble)) |
+      "-?\\d+".r ^^ (s => Lit(s.toLong))
+  private val stringLit: Parser[Lit] =
+    "'(\\\\.|[^'\\\\])*'".r ^^ (s => Lit(unescape(s.substring(1, s.length - 1)))) |
+      "\"(\\\\.|[^\"\\\\])*\"".r ^^ (s => Lit(unescape(s.substring(1, s.length - 1))))
+
+  private def unescape(s: String): String =
+    s.replace("\\'", "'").replace("\\\"", "\"").replace("\\\\", "\\")
+      .replace("\\n", "\n").replace("\\t", "\t")
+
+  // ---- expressions (precedence: OR < AND < NOT < cmp < add < mul) --------
+
+  private lazy val expr: Parser[Expr] = orExpr
+
+  private lazy val orExpr: Parser[Expr] =
+    andExpr ~ rep(kw("OR") ~> andExpr) ^^ {
+      case h ~ t => t.foldLeft(h)((a, b) => Bin("OR", a, b))
+    }
+
+  private lazy val andExpr: Parser[Expr] =
+    notExpr ~ rep(kw("AND") ~> notExpr) ^^ {
+      case h ~ t => t.foldLeft(h)((a, b) => Bin("AND", a, b))
+    }
+
+  private lazy val notExpr: Parser[Expr] =
+    kw("NOT") ~> notExpr ^^ Not.apply | cmpExpr
+
+  private lazy val cmpExpr: Parser[Expr] =
+    addExpr ~ opt(
+      kw("IS") ~ kw("NOT") ~ kw("NULL") ^^^ { (e: Expr) => IsNull(e, negated = true) } |
+        kw("IS") ~ kw("NULL") ^^^ { (e: Expr) => IsNull(e, negated = false) } |
+        kw("STARTS") ~ kw("WITH") ~> addExpr ^^ { r => (e: Expr) => Bin("STARTS", e, r) } |
+        kw("ENDS") ~ kw("WITH") ~> addExpr ^^ { r => (e: Expr) => Bin("ENDS", e, r) } |
+        kw("CONTAINS") ~> addExpr ^^ { r => (e: Expr) => Bin("CONTAINS", e, r) } |
+        kw("IN") ~> addExpr ^^ { r => (e: Expr) => In(e, r) } |
+        ("<>" | "<=" | ">=" | "=" | "<" | ">") ~ addExpr ^^ {
+          case op ~ r => (e: Expr) => Bin(op, e, r)
+        }) ^^ {
+      case e ~ Some(f) => f(e)
+      case e ~ None => e
+    }
+
+  private lazy val addExpr: Parser[Expr] =
+    mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ {
+      case h ~ t => t.foldLeft(h) { case (a, op ~ b) => Bin(op, a, b) }
+    }
+
+  private lazy val mulExpr: Parser[Expr] =
+    unaryExpr ~ rep(("*" | "/" | "%") ~ unaryExpr) ^^ {
+      case h ~ t => t.foldLeft(h) { case (a, op ~ b) => Bin(op, a, b) }
+    }
+
+  private lazy val unaryExpr: Parser[Expr] =
+    "-" ~> atom ^^ (e => Bin("-", Lit(0L), e)) | atom
+
+  private lazy val caseExpr: Parser[Expr] =
+    kw("CASE") ~> rep1(kw("WHEN") ~> expr ~ (kw("THEN") ~> expr)) ~
+      opt(kw("ELSE") ~> expr) <~ kw("END") ^^ {
+      case whens ~ other => CaseWhen(whens.map { case c ~ v => (c, v) }, other)
+    }
+
+  private lazy val fnCall: Parser[Expr] =
+    ident ~ ("(" ~> opt(kw("DISTINCT")) ~ repsep(expr | "*" ^^^ Star, ",") <~ ")") ^^ {
+      case name ~ (distinct ~ args) =>
+        FnCall(name.toLowerCase, args, distinct.isDefined)
+    }
+
+  private lazy val atom: Parser[Expr] =
+    caseExpr |
+      kw("NULL") ^^^ Lit(null) |
+      kw("TRUE") ^^^ Lit(true) |
+      kw("FALSE") ^^^ Lit(false) |
+      fnCall |
+      "$" ~> ident ^^ Param.apply |
+      ident ~ ("." ~> ident) ^^ { case v ~ p => Prop(v, p) } |
+      stringLit | number |
+      "[" ~> repsep(expr, ",") <~ "]" ^^ ListLit.apply |
+      "(" ~> expr <~ ")" |
+      ident ^^ VarRef.apply
+
+  // ---- patterns ----------------------------------------------------------
+
+  private lazy val mapProps: Parser[Seq[(String, Expr)]] =
+    "{" ~> repsep(ident ~ (":" ~> expr) ^^ { case k ~ v => (k, v) }, ",") <~ "}"
+
+  private lazy val nodePat: Parser[NodePat] =
+    "(" ~> opt(ident) ~ opt(":" ~> ident) ~ opt(mapProps) <~ ")" ^^ {
+      case v ~ l ~ m => NodePat(v, l, m.getOrElse(Seq.empty))
+    }
+
+  private lazy val varLen: Parser[(Int, Int)] =
+    "*" ~> opt("\\d+".r) ~ opt(".." ~> "\\d+".r) ^^ {
+      case lo ~ hi =>
+        val l = lo.map(_.toInt).getOrElse(1)
+        (l, hi.map(_.toInt).orElse(lo.map(_.toInt)).getOrElse(l))
+    }
+
+  private lazy val relBody: Parser[(Option[String], Option[String], Option[(Int, Int)])] =
+    opt("[" ~> opt(ident) ~ opt(":" ~> ident) ~ opt(varLen) <~ "]") ^^ {
+      case Some(v ~ t ~ vl) => (v, t, vl)
+      case None => (None, None, None)
+    }
+
+  private lazy val hop: Parser[(RelPat, NodePat)] =
+    ("<-" ~> relBody <~ "-") ~ nodePat ^^ {
+      case (v, t, vl) ~ n => (RelPat(v, t, rightward = false, vl), n)
+    } |
+      ("-" ~> relBody <~ "->") ~ nodePat ^^ {
+        case (v, t, vl) ~ n => (RelPat(v, t, rightward = true, vl), n)
+      } |
+      ("-" ~> relBody <~ "-") ~ nodePat ^^ { // undirected: treated rightward
+        case (v, t, vl) ~ n => (RelPat(v, t, rightward = true, vl), n)
+      }
+
+  private lazy val pathPat: Parser[PathPat] =
+    nodePat ~ rep(hop) ^^ { case h ~ hops => PathPat(h, hops) }
+
+  // ---- clauses -----------------------------------------------------------
+
+  private lazy val whereClause: Parser[Expr] = kw("WHERE") ~> expr
+
+  private lazy val matchClause: Parser[MatchClause] =
+    opt(kw("OPTIONAL")) ~ (kw("MATCH") ~> rep1sep(pathPat, ",")) ~ opt(whereClause) ^^ {
+      case optional ~ paths ~ where => MatchClause(paths, optional.isDefined, where)
+    }
+
+  private lazy val projItem: Parser[ProjectionItem] =
+    expr ~ opt(kw("AS") ~> ident) ^^ { case e ~ a => ProjectionItem(e, a) }
+
+  private lazy val withClause: Parser[WithClause] =
+    kw("WITH") ~> rep1sep(projItem, ",") ~ opt(whereClause) ^^ {
+      case items ~ w => WithClause(items, w)
+    }
+
+  private lazy val returnClause: Parser[ReturnClause] =
+    kw("RETURN") ~> opt(kw("DISTINCT")) ~ rep1sep(projItem, ",") ^^ {
+      case d ~ items => ReturnClause(items, d.isDefined)
+    }
+
+  private lazy val orderItem: Parser[OrderItem] =
+    expr ~ opt(kw("DESC") | kw("ASC")) ^^ {
+      case e ~ d => OrderItem(e, d.contains("DESC"))
+    }
+
+  private lazy val query: Parser[Query] =
+    rep1(matchClause) ~ rep(withClause ~ rep(matchClause) ^^ {
+      case w ~ ms =>
+        require(ms.isEmpty, "MATCH after WITH is not supported in this subset")
+        w
+    }) ~ returnClause ~
+      opt(kw("ORDER") ~ kw("BY") ~> rep1sep(orderItem, ",")) ~
+      opt(kw("SKIP") ~> "\\d+".r) ~ opt(kw("LIMIT") ~> "\\d+".r) ^^ {
+      case ms ~ ws ~ ret ~ ob ~ skip ~ limit =>
+        Query(ms, ws, ret, ob.getOrElse(Seq.empty),
+          skip.map(_.toLong), limit.map(_.toLong))
+    }
+
+  def parseQuery(text: String): Either[String, Query] =
+    parseAll(query, text) match {
+      case Success(q, _) => Right(q)
+      case NoSuccess(msg, next) =>
+        Left(s"Cypher parse error at line ${next.pos.line}, col ${next.pos.column}: $msg")
+      case other => Left(s"Cypher parse error: $other")
+    }
+}
