@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.query.cypher.CypherCompiler
+import graft.sources.TpchGraph
+
+/** The full Cypher path (parse → compile → PatternQuery → Catalyst)
+  * under the DuckDB differential gate, over the TPC-H graph view.
+  * These exercise the exact text-to-result pipeline a reference user
+  * would hit via POST /v1/graphs/{id}/query. */
+object CypherQueries {
+
+  private def run(spark: SparkSession, dir: String, q: String,
+      params: Map[String, Any] = Map.empty): DataFrame =
+    new CypherCompiler(new TpchGraph(spark, dir), params).run(q)
+
+  def c01MultiHop(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (c:Customer)-[:CUSTOMER_IN_NATION]->(n:Nation)
+               -[:NATION_IN_REGION]->(r:Region)
+         MATCH (c)-[:CUSTOMER_PLACED_ORDER]->(o:Order)
+         RETURN r.name AS region, count(o) AS order_cnt,
+                round(sum(o.totalprice), 2) AS total
+         ORDER BY region""")
+
+  def c02Optional(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (c:Customer)
+         OPTIONAL MATCH (c)-[:CUSTOMER_PLACED_ORDER]->(o:Order)
+         RETURN c.identifier AS identifier, count(o) AS order_cnt
+         ORDER BY identifier""")
+
+  def c03Predicates(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (c:Customer)-[:CUSTOMER_PLACED_ORDER]->(o:Order)
+         WHERE c.mktsegment IN $segments AND o.status <> 'P'
+               AND o.totalprice >= $minTotal
+         RETURN c.identifier AS cust, round(sum(o.totalprice), 2) AS spend
+         ORDER BY spend DESC, cust LIMIT 25""",
+      Map("segments" -> Seq("BUILDING", "MACHINERY"), "minTotal" -> 1000.0))
+
+  def c04CaseAgg(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (c:Customer)-[:CUSTOMER_PLACED_ORDER]->(o:Order)
+         RETURN c.mktsegment AS mktsegment,
+                count(CASE WHEN o.status = 'F' THEN 1 END) AS finished,
+                sum(CASE WHEN o.totalprice > 300000.0 THEN 1 ELSE 0 END) AS big,
+                round(avg(o.totalprice), 2) AS avg_price
+         ORDER BY mktsegment""")
+
+  def c05WithHaving(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (n:Nation)<-[:CUSTOMER_IN_NATION]-(c:Customer)
+         WITH n, count(c) AS customers
+         WHERE customers > 30
+         RETURN n.name AS nation, customers
+         ORDER BY nation""")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_cypher_multihop" -> c01MultiHop _,
+    "c02_cypher_optional" -> c02Optional _,
+    "c03_cypher_predicates" -> c03Predicates _,
+    "c04_cypher_caseagg" -> c04CaseAgg _,
+    "c05_cypher_with_having" -> c05WithHaving _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c01_cypher_multihop" ->
+      """SELECT r_name AS region, count(o_orderkey) AS order_cnt,
+         round(sum(o_totalprice), 2) AS total
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "c02_cypher_optional" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS identifier,
+         count(o_orderkey) AS order_cnt
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "c03_cypher_predicates" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS cust,
+         round(sum(o_totalprice), 2) AS spend
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+           AND o_orderstatus <> 'P' AND o_totalprice >= 1000.0
+         GROUP BY 1 ORDER BY spend DESC, cust LIMIT 25""",
+    "c04_cypher_caseagg" ->
+      """SELECT c_mktsegment AS mktsegment,
+         count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished,
+         sum(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS big,
+         round(avg(o_totalprice), 2) AS avg_price
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "c05_cypher_with_having" ->
+      """SELECT n_name AS nation, count(c_custkey) AS customers
+         FROM nation JOIN customer ON c_nationkey = n_nationkey
+         GROUP BY 1 HAVING count(c_custkey) > 30 ORDER BY 1""",
+  )
+}
