@@ -146,8 +146,14 @@ final class GraphStore(
   /** Incremental un-ingest by provenance (manager.py:626
     * delete_file_data). Parquet has no transactional DELETE: rewrite to
     * a staging dir then swap — on Delta this is `DELETE WHERE`. */
-  def deleteFileData(label: String, fileId: String): Unit = {
-    val path = nodePath(label)
+  def deleteFileData(label: String, fileId: String): Unit =
+    deleteByFileId(nodePath(label), fileId)
+
+  /** Same incremental un-ingest for relationship tables. */
+  def deleteRelFileData(tpe: String, fileId: String): Unit =
+    deleteByFileId(relPath(tpe), fileId)
+
+  private def deleteByFileId(path: String, fileId: String): Unit = {
     if (!exists(path)) return
     val kept = spark.read.parquet(path).filter(
       col(FileIdCol).isNull || col(FileIdCol) =!= fileId)
