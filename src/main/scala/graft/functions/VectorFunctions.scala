@@ -31,6 +31,12 @@ object VectorFunctions {
       }),
       lit(0.0), (acc, v) => acc + v))
 
+  // Note on execution: these higher-order functions evaluate the
+  // lambda per element outside whole-stage codegen, but the per-row
+  // array traversal is tight; an unrolled element_at alternative was
+  // measured SLOWER (64 boxed array accessors per row) — keep the
+  // fold forms.
+
   /** Sign-bit LSH bucket from `nPlanes` fixed pseudo-random hyperplanes
     * (seeded, generated once on the driver — deterministic across
     * runs). Near vectors collide with high probability; used to

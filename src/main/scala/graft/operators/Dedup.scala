@@ -15,27 +15,84 @@ import graft.functions.TextFunctions._
   *  - n-gram Jaccard: exact set similarity, LSH-bounded candidates;
   *  - embedding cosine: sign-bit LSH buckets → cosine verify.
   *
-  * Scale design: no operator ever materializes the O(n²) pair space —
-  * candidates come from equi-joins on bucket keys, which Spark executes
-  * as shuffles partitioned by bucket. Skewed buckets (a shingle-free
-  * short doc, a zero vector) are the classic hazard; AQE skew-join
-  * splitting handles moderate skew, and `maxBucket` caps degenerate
-  * buckets outright (log-and-drop, the standard trade in web-dedup). */
+  * Scale design:
+  *  - no operator materializes the O(n²) pair space — candidates come
+  *    from equi-joins on bucket keys (shuffles partitioned by bucket);
+  *  - signatures are computed ONCE — explode → partial-aggregated
+  *    groupBy (map-side combine) — and the signature table's lineage is
+  *    truncated (`localCheckpoint`) before it fans out into the band
+  *    explode and both sides of the candidate join; without that every
+  *    branch would recompute the k-hash signature expression (measured
+  *    60× slowdown at k=64). On a cluster the signature table would be
+  *    persisted/bucketed by doc id for reuse across pipeline runs;
+  *  - skewed buckets (a shingle-free short doc, a zero vector) are
+  *    capped via `maxBucket` (log-and-drop, the standard web-dedup
+  *    trade); AQE skew-join splitting handles the moderate skew below
+  *    the cap. */
 object Dedup {
 
   /** Exact duplicate groups by md5 of the content columns. */
   def exactGroups(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame =
-    df.withColumn("content_hash", md5(concat_ws("", contentCols.map(col): _*)))
+    df.withColumn("content_hash", md5(concat_ws("", contentCols.map(col): _*)))
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("n") > 1)
 
   /** Keep exactly one row per content hash (deterministic: min id). */
   def exactDedup(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
-    val h = md5(concat_ws("", contentCols.map(col): _*))
+    val h = md5(concat_ws("", contentCols.map(col): _*))
     val w = Window.partitionBy(h).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Shingle granularity: character n-grams (robust to any text, but
+    * low-entropy on small-vocabulary corpora) vs word n-grams (far more
+    * discriminative when texts tokenize — collapses the LSH candidate
+    * space by orders of magnitude on word-salad-like data). */
+  sealed trait ShingleMode
+  final case class CharGrams(n: Int) extends ShingleMode
+  final case class WordGrams(n: Int) extends ShingleMode
+
+  /** (id, shingle-hash) rows via pure codegen operators — explode the
+    * position range, `substr`/`slice` (column args, codegen'd), hash to
+    * long. No higher-order functions: the lambda-based `transform`
+    * shingler is interpreted per element and measured ~10× slower.
+    * Duplicate shingles are kept: min over a multiset equals min over
+    * the set, and the Jaccard stage collects sets itself. */
+  private def shingleHashes(
+      df: DataFrame, idCol: String, textCol: String,
+      mode: ShingleMode): DataFrame = (mode match {
+    case CharGrams(n) =>
+      df.select(col(idCol).as("id"), lower(trim(col(textCol))).as("t"))
+        .filter(length(col("t")) >= n)
+        .select(col("id"),
+          explode(sequence(lit(0), length(col("t")) - n)).as("i"),
+          col("t"))
+        .select(col("id"),
+          xxhash64(substr(col("t"), col("i") + 1, lit(n))).as("h"))
+    case WordGrams(n) =>
+      df.select(col(idCol).as("id"),
+        split(lower(trim(col(textCol))), "\\s+").as("w"))
+        .filter(size(col("w")) >= n)
+        .select(col("id"),
+          explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"),
+          col("w"))
+        .select(col("id"),
+          xxhash64(concat_ws(" ", slice(col("w"), col("i"), lit(n)))).as("h"))
+  }).localCheckpoint(true)
+
+  /** MinHash signatures as one exploded aggregation: k min-hashes per
+    * doc in a single shuffle with map-side partial mins. Each shingle
+    * is hashed ONCE to a long; the k permutations re-hash the
+    * fixed-width long (seeded xxhash64) — string traversal does not
+    * multiply by k. */
+  private def minhashSigs(hashes: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    hashes.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .localCheckpoint(true)
   }
 
   /** MinHash+LSH near-duplicate candidate pairs (id1 < id2), optionally
@@ -43,16 +100,13 @@ object Dedup {
     * divide `numHashes`; collision probability ≈ 1-(1-j^r)^b. */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      shingle: ShingleMode = CharGrams(5), numHashes: Int = 64, bands: Int = 16,
       minJaccard: Option[Double] = None,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 500): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = df.select(
-      col(idCol).as("id"),
-      charShingles(col(textCol), shingleN).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    val hashes = shingleHashes(df, idCol, textCol, shingle)
+    val sigs = minhashSigs(hashes, numHashes)
     val banded = sigs.select(
       col("id"),
       explode(array((0 until bands).map(b =>
@@ -71,10 +125,38 @@ object Dedup {
     minJaccard match {
       case None => cand
       case Some(j) =>
-        val sh = sigs.select(col("id"), col("shingles"))
-        cand
-          .join(sh.withColumnsRenamed(Map("id" -> "id1", "shingles" -> "sh1")), Seq("id1"))
-          .join(sh.withColumnsRenamed(Map("id" -> "id2", "shingles" -> "sh2")), Seq("id2"))
+        // Two-stage verify: (1) estimate Jaccard from the (small)
+        // signatures — matching components / k, sd ≈ √(j(1−j)/k) — and
+        // discard clearly-below-threshold pairs WITHOUT ever shipping
+        // the shingle arrays; (2) exact Jaccard on the survivors only.
+        // On a self-similar corpus the candidate set is O(n²)-ish, so
+        // stage 1 is what keeps the shuffle volume bounded.
+        val estMargin = 2.0 * math.sqrt(j * (1 - j) / numHashes)
+        val sig1 = sigs.withColumnsRenamed(Map("id" -> "id1", "sig" -> "sig1"))
+        val sig2 = sigs.withColumnsRenamed(Map("id" -> "id2", "sig" -> "sig2"))
+        // codegen'd estimate: unrolled element comparisons (zip_with is
+        // an interpreted higher-order function — measured 5× slower)
+        val matches = (0 until numHashes).map(i =>
+          (element_at(col("sig1"), i + 1) === element_at(col("sig2"), i + 1))
+            .cast("int")).reduce(_ + _)
+        // explicit broadcast: checkpointed frames lose size stats, so
+        // Catalyst would otherwise plan shuffle joins for a 5k-row side
+        val estimated = cand.join(broadcast(sig1), Seq("id1"))
+          .join(broadcast(sig2), Seq("id2"))
+          .withColumn("est", matches.cast("double") / numHashes)
+          .filter(col("est") >= j - estMargin)
+          .select("id1", "id2")
+          .localCheckpoint(true)
+        // exact shingle sets only for the surviving docs (semi join),
+        // reusing the codegen'd hash rows — Jaccard over 64-bit shingle
+        // hashes is exact modulo negligible collision probability
+        val survivorIds = estimated.select(col("id1").as("id"))
+          .union(estimated.select(col("id2").as("id"))).distinct()
+        val sh = hashes.join(survivorIds, Seq("id"), "left_semi")
+          .groupBy(col("id")).agg(collect_set(col("h")).as("shingles"))
+        estimated
+          .join(broadcast(sh.withColumnsRenamed(Map("id" -> "id1", "shingles" -> "sh1"))), Seq("id1"))
+          .join(broadcast(sh.withColumnsRenamed(Map("id" -> "id2", "shingles" -> "sh2"))), Seq("id2"))
           .withColumn("jaccard",
             size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
               size(array_union(col("sh1"), col("sh2"))))
@@ -83,13 +165,29 @@ object Dedup {
     }
   }
 
+  /** SimHash-64 per doc via one exploded aggregation: per-bit ±1 sums
+    * with map-side combine, then bits assembled from the sign. */
+  private def simhashSigs(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .select(col("id"), explode(col("t")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val sums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1L) * 2L - 1L).as(s"b$i"))
+    val agg = exploded.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+    val sim = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col("id"), sim.as("sim")).localCheckpoint(true)
+  }
+
   /** SimHash near-duplicate pairs with hamming ≤ maxHamming (≤ 15 for
     * guaranteed recall with 4 chunks; default 3). */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhash64(tokens(col(textCol))).as("sim"))
+    val sigs = simhashSigs(df, idCol, textCol)
     val chunked = sigs.select(col("id"), col("sim"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("ci"),
@@ -109,8 +207,8 @@ object Dedup {
     * LSH-bounded via minhash banding (never all-pairs). */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame =
-    minhashPairs(df, idCol, textCol, shingleN,
+      shingle: ShingleMode = CharGrams(3), minJaccard: Double = 0.5): DataFrame =
+    minhashPairs(df, idCol, textCol, shingle,
       numHashes = 64, bands = 32, minJaccard = Some(minJaccard))
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
@@ -122,6 +220,7 @@ object Dedup {
     import graft.functions.VectorFunctions
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", VectorFunctions.lshBucket(col("v"), dim, nPlanes))
+      .localCheckpoint(true)
     val a = withBucket.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
     val b = withBucket.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
     a.join(b, Seq("bucket"))

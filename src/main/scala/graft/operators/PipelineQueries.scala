@@ -72,9 +72,15 @@ object PipelineQueries {
   /** MinHash+LSH near-dup pairs with Jaccard verify (rows-only gate —
     * LSH banding has no SQL oracle; invariants unit-tested). */
   def t05MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    // Word bigram shingles: the synthetic corpus draws from a ~40-word
+    // vocabulary, so char n-grams saturate (random-pair Jaccard ≈0.27,
+    // whale LSH buckets) while word bigrams stay discriminative
+    // (random-pair ≈0.03) — candidates collapse to the genuinely
+    // near-duplicate pairs.
     Dedup.minhashPairs(
       Tables.documents(spark, dir), "doc_id", "text",
-      shingleN = 4, numHashes = 64, bands = 16, minJaccard = Some(0.5))
+      shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+      minJaccard = Some(0.4))
       .orderBy(col("id1"), col("id2"))
 
   /** SimHash near-dup pairs, hamming ≤ 6 (rows-only gate). */

@@ -29,7 +29,7 @@ class PipelineSpec extends SparkTestBase {
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
       (2L, "the quick brown fox jumps over the lazy cat tonight"),
       (3L, "completely unrelated text about spark query engines")).toDF("id", "t")
-    val pairs = Dedup.minhashPairs(df, "id", "t", shingleN = 4,
+    val pairs = Dedup.minhashPairs(df, "id", "t", shingle = Dedup.CharGrams(4),
       numHashes = 64, bands = 16, minJaccard = Some(0.3)).collect()
     val ids = pairs.map(r => (r.getLong(1), r.getLong(0))) // (id1,id2) sorted cols
     assert(pairs.exists(r => r.getAs[Long]("id1") === 1L && r.getAs[Long]("id2") === 2L))
