@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.RelationalQueries
+import graft.query.cypher.CypherCompiler
+import graft.sources.TpchGraph
+
+/** Physical-plan assertions — the properties that decide whether these
+  * plans survive a 100 TB scale-up. A correctness-green query with the
+  * wrong plan (filters not pushed, dim tables shuffled, full sorts for
+  * top-k) fails here. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02: all three filters reach the parquet scan as PushedFilters") {
+    val plan = planOf(RelationalQueries.q02FilterAgg(spark, sfDir))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(plan.contains("LessThan(l_quantity,24.0)"))
+  }
+
+  test("q02: scan reads only the needed columns (pruning)") {
+    val plan = planOf(RelationalQueries.q02FilterAgg(spark, sfDir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+    assert(!readSchema.contains("l_returnflag"), s"unpruned scan: $readSchema")
+  }
+
+  test("q04: dimension joins broadcast; no shuffle of nation/region") {
+    val plan = planOf(RelationalQueries.q04MultiHopAgg(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q09 top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(RelationalQueries.q09TopK(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q01 aggregation is partial (map-side combine) before the shuffle") {
+    val plan = planOf(RelationalQueries.q01PricingSummary(spark, sfDir))
+    assert(plan.contains("partial_sum") || plan.contains("partial_"),
+      s"no partial aggregation in:\n$plan")
+  }
+
+  test("whole-stage codegen covers the q01 hot path") {
+    val df = RelationalQueries.q01PricingSummary(spark, sfDir)
+    df.collect() // AQE finalizes stages on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark WholeStageCodegen stages in the final plan
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("*("), s"no codegen stages in:\n$plan")
+  }
+
+  test("cypher-compiled pattern query keeps filter pushdown through the joins") {
+    val df = new CypherCompiler(new TpchGraph(spark, sfDir)).run(
+      """MATCH (c:Customer)-[:CUSTOMER_PLACED_ORDER]->(o:Order)
+         WHERE c.mktsegment = 'BUILDING'
+         RETURN c.identifier AS id, count(o) AS n""")
+    val plan = planOf(df)
+    // the mktsegment predicate must reach the customer parquet scan
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-scans") {
+    val semi = planOf(RelationalQueries.q07SemiJoin(spark, sfDir))
+    assert(semi.contains("LeftSemi"))
+    val anti = planOf(RelationalQueries.q06AntiJoin(spark, sfDir))
+    assert(anti.contains("LeftAnti"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.fixtures.AccountingFixture
+import graft.functions.IdFunctions
+import graft.schema.RoboledgerSchema
+import graft.storage._
+
+/** Storage-adjacent parity surface: file staging, metrics, backup,
+  * transactions, id generation. */
+class StorageOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft-storeops").toString
+  private lazy val store = AccountingFixture.ingest(spark, root, "ops")
+
+  test("csv staging reads headers and ingests with dedup") {
+    val csvDir = Files.createTempDirectory("graft-csv").toString
+    Seq(("p1", "Close Books", "monthly"), ("p2", "Audit", "yearly"),
+      ("p1", "Close Books", "monthly"))
+      .toDF("identifier", "name", "process_type")
+      .coalesce(1).write.option("header", "true").mode("overwrite")
+      .csv(s"$csvDir/procs")
+    val written = FileStaging.ingestNodeFile(store, "Process", s"$csvDir/procs", "csv1")
+    assert(written === 2) // dup p1 dropped
+    assert(spark.sql("SELECT count(*) AS n FROM staged_process").collect()(0).getLong(0) === 3)
+    assert(store.node("Process").count() === 2)
+  }
+
+  test("staging rejects excel and unknown formats explicitly") {
+    assertThrows[UnsupportedOperationException] {
+      FileStaging.stage(spark, "/tmp/x.xlsx", "v")
+    }
+    assertThrows[IllegalArgumentException] {
+      FileStaging.stage(spark, "/tmp/x.bin", "v")
+    }
+  }
+
+  test("metrics: per-label and per-type counts plus summary") {
+    val nodes = GraphMetrics.nodeCounts(store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nodes("Element") === 18L && nodes("Transaction") === 60L)
+    val rels = GraphMetrics.relCounts(store).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rels("ENTITY_HAS_TRANSACTION") === 60L)
+    val s = GraphMetrics.summary(store).collect()(0)
+    assert(s.getAs[Long]("total_nodes") >= 139L)
+    assert(s.getAs[Long]("rel_types") === 3L)
+  }
+
+  test("property coverage reports non-null ratios") {
+    val cov = GraphMetrics.propertyCoverage(store, "Element").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(cov("identifier") === 18L)
+    assert(cov("classification") === 18L)
+    assert(cov("substitution_group") === 0L) // never populated by fixture
+  }
+
+  test("backup export/import round-trips every materialized table") {
+    val dest = Files.createTempDirectory("graft-backup").toString
+    val exported = GraphBackup.exportGraph(store, dest).toMap
+    assert(exported("nodes/Element") === 18L)
+    assert(exported.keys.exists(_.startsWith("rels/")))
+    val restored = new GraphStore(spark, root, "ops-restored", RoboledgerSchema.schema)
+    val imported = GraphBackup.importGraph(restored, dest).toMap
+    assert(imported("nodes/Element") === 18L)
+    assert(restored.node("Transaction").count() === store.node("Transaction").count())
+  }
+
+  test("transaction saga rolls back every table on failure") {
+    val before = (store.node("Process").count(), store.rel("ENTITY_HAS_TRANSACTION").count())
+    val attempt = scala.util.Try {
+      GraphTransaction(store).run { txn =>
+        txn.ingestNodes("Process",
+          Seq(("pX", "Doomed", "t")).toDF("identifier", "name", "process_type"))
+        txn.ingestRels("ENTITY_HAS_TRANSACTION",
+          Seq(("ent1", "txn001")).toDF("from", "to"))
+        throw new RuntimeException("simulated failure")
+      }
+    }
+    assert(attempt.isFailure)
+    assert(store.node("Process").count() === before._1)
+    assert(store.rel("ENTITY_HAS_TRANSACTION").count() === before._2)
+  }
+
+  test("transaction commit keeps writes") {
+    val before = store.node("Process").count()
+    GraphTransaction(store).run { txn =>
+      txn.ingestNodes("Process",
+        Seq(("pY", "Kept", "t")).toDF("identifier", "name", "process_type"))
+    }
+    assert(store.node("Process").count() === before + 1)
+  }
+
+  test("uuidv7 shape: version 7, variant 10x, time-ordered prefix") {
+    val ids = spark.range(100).select(IdFunctions.uuidv7().as("id"))
+      .collect().map(_.getString(0))
+    val re = "^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
+    assert(ids.forall(id => re.matches(id)), s"bad uuid: ${ids.find(id => !re.matches(id))}")
+    assert(ids.distinct.length === ids.length)
+    // deterministic content ids replay identically
+    val c1 = Seq(("a", "b")).toDF("x", "y")
+      .select(IdFunctions.contentId("fact", col("x"), col("y"))).collect()(0).getString(0)
+    val c2 = Seq(("a", "b")).toDF("x", "y")
+      .select(IdFunctions.contentId("fact", col("x"), col("y"))).collect()(0).getString(0)
+    assert(c1 === c2 && c1.startsWith("fact_"))
+  }
+}
