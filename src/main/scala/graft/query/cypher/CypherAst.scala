@@ -46,4 +46,8 @@ object CypherAst {
       orderBy: Seq[OrderItem],
       skip: Option[Long],
       limit: Option[Long])
+
+  /** One or more single queries combined with UNION ALL / UNION
+    * (example_queries_tool.py:82 — per-label count branches). */
+  final case class UnionQuery(branches: Seq[Query], distinct: Boolean)
 }

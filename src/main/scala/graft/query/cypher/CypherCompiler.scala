@@ -33,7 +33,12 @@ final class CypherCompiler(
   def run(text: String): DataFrame =
     CypherParser.parseQuery(text) match {
       case Left(err) => throw new IllegalArgumentException(err)
-      case Right(q) => compile(q)
+      case Right(UnionQuery(Seq(q), _)) => compile(q)
+      case Right(UnionQuery(branches, distinct)) =>
+        // §2.7: UNION [ALL] of branch results by column name
+        val frames = branches.map(compile)
+        val unioned = frames.reduce(_ unionByName _)
+        if (distinct) unioned.distinct() else unioned
     }
 
   // ---- pattern assembly --------------------------------------------------

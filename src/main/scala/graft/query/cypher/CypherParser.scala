@@ -176,8 +176,15 @@ object CypherParser extends RegexParsers {
           skip.map(_.toLong), limit.map(_.toLong))
     }
 
-  def parseQuery(text: String): Either[String, Query] =
-    parseAll(query, text) match {
+  private lazy val unionQuery: Parser[UnionQuery] =
+    query ~ rep(kw("UNION") ~ opt(kw("ALL")) ~ query) ^^ {
+      case h ~ t =>
+        val distinct = t.exists { case _ ~ all ~ _ => all.isEmpty }
+        UnionQuery(h +: t.map { case _ ~ _ ~ q => q }, distinct)
+    }
+
+  def parseQuery(text: String): Either[String, UnionQuery] =
+    parseAll(unionQuery, text) match {
       case Success(q, _) => Right(q)
       case NoSuccess(msg, next) =>
         Left(s"Cypher parse error at line ${next.pos.line}, col ${next.pos.column}: $msg")
