@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up study: synthesize k× the sf0.1 fact tables (key-shifted
+  * unions — same distributions, disjoint keys), run the representative
+  * query shapes at 1×/4×/16×, and report wall-clock scaling factors.
+  * Linear-ish growth (factor ≈ k on a fixed-core box) is the evidence
+  * that the plans are shuffle/partition-sound; super-linear growth
+  * would flag a plan that won't survive 100 TB.
+  *
+  * Usage: runMain graft.ScaleCheck [maxK] (writes /tmp/graft_scale). */
+object ScaleCheck {
+
+  def synthesize(spark: SparkSession, srcDir: String, destDir: String, k: Int): Unit = {
+    def scaleTable(name: String, keyCols: Seq[String], rowsPerKeySpace: Long): Unit = {
+      val base = spark.read.parquet(s"$srcDir/$name.parquet")
+      val copies = (0 until k).map { i =>
+        keyCols.foldLeft(base) { (df, c) =>
+          df.withColumn(c, col(c) + lit(i * rowsPerKeySpace))
+        }
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$destDir/$name.parquet")
+    }
+    // key spaces chosen beyond the sf0.1 max key values
+    scaleTable("lineitem", Seq("l_orderkey"), 10000000L)
+    scaleTable("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
+    scaleTable("customer", Seq("c_custkey"), 10000000L)
+    Seq("region", "nation", "supplier", "part", "events", "documents", "embeddings")
+      .foreach { t =>
+        spark.read.parquet(s"$srcDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$destDir/$t.parquet")
+      }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val maxK = args.headOption.map(_.toInt).getOrElse(16)
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val shapes = Seq("q01_pricing_summary", "q03_join_topk",
+      "q04_multihop_agg", "q12_window_dedup", "t12_sessionize")
+
+    val ks = Seq(1, 4, maxK).distinct.filter(_ <= maxK)
+    val results = ks.map { k =>
+      val dir = if (k == 1) src else {
+        val d = s"/tmp/graft_scale/x$k"
+        synthesize(spark, src, d, k)
+        d
+      }
+      val times = shapes.map { q =>
+        SparkEntry.queries(q)(spark, dir) // warmup
+          .write.mode("overwrite").format("noop").save()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        q -> (System.nanoTime() - t0) / 1e9
+      }
+      k -> times
+    }
+
+    println("| query | " + ks.map(k => s"${k}x sec").mkString(" | ") +
+      " | growth vs data |")
+    println("|---|" + ks.map(_ => "---|").mkString + "---|")
+    shapes.foreach { q =>
+      val row = results.map { case (_, ts) => ts.toMap.apply(q) }
+      val growth = row.last / row.head
+      println(f"| $q | " + row.map(t => f"$t%.2f").mkString(" | ") +
+        f" | ${growth}%.1fx over ${ks.last}x rows |")
+    }
+    spark.stop()
+  }
+}
