@@ -88,6 +88,24 @@ final class PatternQuery private (
     new PatternQuery(store, next, nodeVars + (v -> targetLabel), boundVars + v + rv)
   }
 
+  /** Close a cycle: `(from)-[:relType]->(to)` where BOTH endpoints are
+    * already bound — joins only the relationship table and constrains
+    * dst to `to`'s key (the conjunctive-pattern case of
+    * custom_graph_demo/05:99-104: `(p2)-[:WORKS_ON]->(proj)` with proj
+    * bound by an earlier path). */
+  def closeHop(relType: String, from: String, to: String,
+      relVar: String = null): PatternQuery = {
+    requireBound(from); requireBound(to)
+    val rv = Option(relVar).getOrElse(s"__r_${relType}_${from}_$to")
+    require(!boundVars.contains(rv), s"rel variable $rv already bound")
+    val relDf = namespaced(store.rel(relType), rv)
+    new PatternQuery(store,
+      frame.join(relDf,
+        col(pkCol(from)) === col(s"${rv}__src") &&
+          col(pkCol(to)) === col(s"${rv}__dst")),
+      nodeVars, boundVars + rv)
+  }
+
   /** Bounded variable-length path `-[:R*min..max]->`: iterative join
     * expansion unioned across lengths. The reference's validator caps
     * paths at 5 hops (query_validator.py:416-429); unbounded recursion

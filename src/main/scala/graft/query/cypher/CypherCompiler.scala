@@ -106,17 +106,21 @@ final class CypherCompiler(
       val relType = rel.relType.getOrElse(
         throw new IllegalArgumentException("untyped relationships are not supported"))
       val toVar = node.variable.getOrElse(fresh("n"))
-      if (pq.variables.contains(toVar))
-        throw new IllegalArgumentException(
-          s"cyclic pattern (rebinding $toVar) is not supported")
       val rv = rel.variable.getOrElse(fresh("r"))
       relVarTypes.update(rv, relType)
-      pq = rel.varLength match {
-        case Some((lo, hi)) => pq.outVar(relType, fromVar, toVar, lo, hi)
-        case None =>
-          if (rel.rightward) pq.out(relType, fromVar, toVar, optional, rv)
-          else pq.in(relType, fromVar, toVar, optional, rv)
-      }
+      pq =
+        if (pq.variables.contains(toVar)) {
+          // cycle closure: both endpoints bound — join the rel table only
+          require(!optional && rel.varLength.isEmpty,
+            s"cyclic pattern on $toVar supports plain inner hops only")
+          val (src, dst) = if (rel.rightward) (fromVar, toVar) else (toVar, fromVar)
+          pq.closeHop(relType, src, dst, rv)
+        } else rel.varLength match {
+          case Some((lo, hi)) => pq.outVar(relType, fromVar, toVar, lo, hi)
+          case None =>
+            if (rel.rightward) pq.out(relType, fromVar, toVar, optional, rv)
+            else pq.in(relType, fromVar, toVar, optional, rv)
+        }
       node.label.foreach { l =>
         val declared = pq.variables(toVar)
         require(declared == l,
