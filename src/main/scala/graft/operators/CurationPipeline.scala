@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** End-to-end corpus curation — the composed training-data pipeline:
+  * annotate (tokens, language, quality, fingerprint) → filter (length
+  * + quality thresholds) → exact dedup → near-dedup (MinHash survivor
+  * pruning: of every near-dup pair, drop the higher id). Each stage is
+  * a narrow transform or a bounded bucket join; the whole pipeline is
+  * one linear DAG with no driver materialization, so it scales with
+  * executors. */
+object CurationPipeline {
+
+  final case class Config(
+      minTokens: Int = 8,
+      minQuality: Double = 0.3,
+      nearDupJaccard: Double = 0.5,
+      shingle: Dedup.ShingleMode = Dedup.WordGrams(2))
+
+  /** Stage 1: per-document annotations. */
+  def annotate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+
+  /** Full pipeline; returns the curated corpus with annotations and a
+    * `drop_reason` audit column on the rejected rows (kept separately
+    * via [[curateWithAudit]]). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame =
+    curateWithAudit(docs, idCol, textCol, cfg)._1
+
+  def curateWithAudit(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config): (DataFrame, DataFrame) = {
+    val annotated = annotate(docs, idCol, textCol)
+
+    val qualityFiltered = annotated.filter(
+      col("n_tokens") >= cfg.minTokens && col("quality") >= cfg.minQuality)
+    val qualityDropped = annotated.filter(
+      !(col("n_tokens") >= cfg.minTokens && col("quality") >= cfg.minQuality))
+      .withColumn("drop_reason", lit("quality"))
+
+    val exactKept = Dedup.exactDedup(qualityFiltered, idCol, Seq(textCol))
+    val exactDropped = qualityFiltered
+      .join(exactKept.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("drop_reason", lit("exact_dup"))
+
+    // near-dedup: of each near-dup pair keep the smaller id
+    val pairs = Dedup.minhashPairs(exactKept, idCol, textCol,
+      shingle = cfg.shingle, minJaccard = Some(cfg.nearDupJaccard))
+    val toDrop = pairs.select(col("id2").as(idCol)).distinct()
+    val kept = exactKept.join(toDrop, Seq(idCol), "left_anti")
+    val nearDropped = exactKept.join(toDrop, Seq(idCol), "left_semi")
+      .withColumn("drop_reason", lit("near_dup"))
+
+    (kept, qualityDropped.unionByName(exactDropped).unionByName(nearDropped))
+  }
+}

@@ -162,7 +162,22 @@ object PipelineQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Full curation pipeline accounting: kept + per-reason drop counts
+    * (rows-only gate; stage invariants unit-tested). */
+  def t13Curation(spark: SparkSession, dir: String): DataFrame = {
+    val (kept, dropped) = CurationPipeline.curateWithAudit(
+      Tables.documents(spark, dir), "doc_id", "text",
+      CurationPipeline.Config())
+    kept.select(lit("kept").as("bucket")).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .unionByName(
+        dropped.groupBy(col("drop_reason").as("bucket"))
+          .agg(count(lit(1)).as("n")))
+      .orderBy(col("bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_curation" -> t13Curation _,
     "t01_token_stats" -> t01TokenStats _,
     "t02_exact_dedup" -> t02ExactDedup _,
     "t03_embedding_norms" -> t03EmbeddingNorms _,

@@ -290,7 +290,27 @@ object RelationalQueries {
         count(lit(1)).as("n_months"))
       .orderBy(col("o_orderpriority"))
 
+  /** count(DISTINCT …) (facts_tool.py:212-214). */
+  def q23CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** collect() → list (§2.4; sorted for engine-portable comparison). */
+  def q24Collect(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_count_distinct" -> q23CountDistinct _,
+    "q24_collect" -> q24Collect _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_agg" -> q02FilterAgg _,
     "q03_join_topk" -> q03JoinTopK _,
@@ -318,6 +338,17 @@ object RelationalQueries {
   /** DuckDB-dialect oracle SQL, column-name-aligned with the Spark
     * results (driver hash-compares after sorting columns by name). */
   val oracle: Map[String, String] = Map(
+    "q23_count_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey) AS n_orders,
+         count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q24_collect" ->
+      """SELECT o_orderpriority,
+         list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+         count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CurationPipeline
+import graft.serve.QueryTimeout
+import graft.sources.Tables
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("curation partitions the corpus: kept + dropped = input") {
+    val docs = Tables.documents(spark, sfDir)
+    val (kept, dropped) = CurationPipeline.curateWithAudit(
+      docs, "doc_id", "text", CurationPipeline.Config())
+    assert(kept.count() + dropped.count() === docs.count())
+    assert(kept.columns.contains("quality") && kept.columns.contains("lang_pred"))
+    val reasons = dropped.select("drop_reason").distinct()
+      .as[String].collect().toSet
+    assert(reasons.subsetOf(Set("quality", "exact_dup", "near_dup")))
+  }
+
+  test("near-dup stage drops the higher id of each planted pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "completely different text about query engines and columnar scans"))
+      .toDF("doc_id", "text")
+    val kept = CurationPipeline.curate(docs, "doc_id", "text",
+      CurationPipeline.Config(minTokens = 5, minQuality = 0.0, nearDupJaccard = 0.5))
+    val ids = kept.select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 3L)) // 2 dropped as near-dup of 1
+  }
+
+  test("exact duplicates collapse before near-dedup") {
+    val docs = Seq(
+      (1L, "the same exact text appears twice in this corpus right here"),
+      (2L, "the same exact text appears twice in this corpus right here"),
+      (3L, "another unrelated document that talks about something else entirely"))
+      .toDF("doc_id", "text")
+    val (kept, dropped) = CurationPipeline.curateWithAudit(docs, "doc_id", "text",
+      CurationPipeline.Config(minTokens = 5, minQuality = 0.0))
+    assert(kept.count() === 2)
+    assert(dropped.filter(col("drop_reason") === "exact_dup").count() === 1)
+  }
+
+  test("timeout: fast query completes, slow query cancels") {
+    val fast = QueryTimeout.collectWithTimeout(spark,
+      Tables.nation(spark, sfDir), timeoutMs = 60000)
+    assert(fast.length === 25)
+    // a deliberately huge cartesian product cannot finish in 300 ms
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val slow = li.crossJoin(li.select(col("l_orderkey").as("k2")))
+      .agg(sum(col("l_quantity")))
+    assertThrows[java.util.concurrent.TimeoutException] {
+      QueryTimeout.collectWithTimeout(spark, slow, timeoutMs = 300)
+    }
+  }
+
+  test("timeout bounds are enforced") {
+    assertThrows[IllegalArgumentException] {
+      QueryTimeout.collectWithTimeout(spark,
+        Tables.nation(spark, sfDir), timeoutMs = 500000)
+    }
+  }
+}
