@@ -176,8 +176,21 @@ object PipelineQueries {
       .orderBy(col("bucket"))
   }
 
+  /** JSON property extraction (§2.8 JSON row): the events table's
+    * `props` column is a JSON string — parse, extract, aggregate. */
+  def t14JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t13_curation" -> t13Curation _,
+    "t14_json_props" -> t14JsonProps _,
     "t01_token_stats" -> t01TokenStats _,
     "t02_exact_dedup" -> t02ExactDedup _,
     "t03_embedding_norms" -> t03EmbeddingNorms _,
@@ -196,6 +209,12 @@ object PipelineQueries {
     * reproduce the same sequential double folds (list_reduce with a 0.0
     * seed) so sums match bit-for-bit before rounding. */
   val oracle: Map[String, String] = Map(
+    "t14_json_props" ->
+      """SELECT event_type,
+         count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+         round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
     "t01_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
          sum(length(text)) AS total_chars,
