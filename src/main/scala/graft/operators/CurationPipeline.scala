@@ -38,10 +38,14 @@ object CurationPipeline {
       cfg: Config): (DataFrame, DataFrame) = {
     val annotated = annotate(docs, idCol, textCol)
 
-    val qualityFiltered = annotated.filter(
-      col("n_tokens") >= cfg.minTokens && col("quality") >= cfg.minQuality)
-    val qualityDropped = annotated.filter(
-      !(col("n_tokens") >= cfg.minTokens && col("quality") >= cfg.minQuality))
+    // null-safe: a null text yields null predicates, and both
+    // filter(cond) and filter(!cond) drop null rows — coalesce so every
+    // input row lands in exactly one branch
+    val passes = coalesce(
+      col("n_tokens") >= cfg.minTokens && col("quality") >= cfg.minQuality,
+      lit(false))
+    val qualityFiltered = annotated.filter(passes)
+    val qualityDropped = annotated.filter(!passes)
       .withColumn("drop_reason", lit("quality"))
 
     val exactKept = Dedup.exactDedup(qualityFiltered, idCol, Seq(textCol))

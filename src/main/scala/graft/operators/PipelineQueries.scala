@@ -113,8 +113,7 @@ object PipelineQueries {
     Similarity.lshTopK(
       emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 3), "vec_id", "embedding",
-      k = 5, dim = 64, nPlanes = 8)
-      .filter(col("qid") =!= col("id"))
+      k = 5, dim = 64, nPlanes = 8, excludeSelf = true)
       .orderBy(col("qid"), col("rank"))
   }
 

@@ -39,7 +39,8 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, dim: Int, nPlanes: Int = 8): DataFrame = {
+      k: Int, dim: Int, nPlanes: Int = 8,
+      excludeSelf: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
     val qBase = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
@@ -50,7 +51,10 @@ object Similarity {
         (col("qbucket") +: (0 until nPlanes).map(i =>
           col("qbucket").bitwiseXOR(shiftleft(lit(1L), i)))): _*)))
       .select(col("qid"), col("qv"), col("bucket"))
-    val cand = c.join(probes, Seq("bucket"))
+    val candRaw = c.join(probes, Seq("bucket"))
+    // self-exclusion must precede ranking or rank 1 is burned on the
+    // query's own vector (rank gaps + k-1 usable neighbors)
+    val cand = (if (excludeSelf) candRaw.filter(col("id") =!= col("qid")) else candRaw)
       .withColumn("cosine", cosine(col("v"), col("qv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
     cand.withColumn("rank", row_number().over(w))

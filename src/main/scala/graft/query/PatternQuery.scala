@@ -88,6 +88,50 @@ final class PatternQuery private (
     new PatternQuery(store, next, nodeVars + (v -> targetLabel), boundVars + v + rv)
   }
 
+  /** OPTIONAL MATCH of a whole multi-hop path with an optional
+    * pattern-local predicate: the subtree (rel⋈node⋈rel⋈node…,
+    * filtered) is built independently and left-joined ONCE, so (a) the
+    * entire optional pattern nulls out together — Cypher's semantics
+    * when any part fails to match — and (b) the predicate applies
+    * before the join, preserving left rows (a post-join filter would
+    * silently drop them). The predicate may reference only this path's
+    * own variables. Hops: (relType, relVar, nodeVar, rightward). */
+  def optionalPath(
+      from: String,
+      hops: Seq[(String, String, String, Boolean)],
+      pathFilter: Option[Column] = None): PatternQuery = {
+    requireBound(from)
+    require(hops.nonEmpty, "optional path needs at least one hop")
+    var curLabel = nodeVars(from)
+    var newVars = Map.empty[String, String]
+    var subtree: DataFrame = null
+    var firstKey: String = null
+    hops.foreach { case (relType, rv, v, rightward) =>
+      requireFresh(v); require(!boundVars.contains(rv), s"rel var $rv bound")
+      val relDef = store.schema.rel(relType)
+      val targetLabel = if (rightward) relDef.to else relDef.from
+      val relDf = namespaced(store.rel(relType), rv)
+      val nodeDf = namespaced(store.node(targetLabel), v)
+      val (nearKey, farKey) =
+        if (rightward) (s"${rv}__src", s"${rv}__dst") else (s"${rv}__dst", s"${rv}__src")
+      val toPk = s"${v}__${store.schema.node(targetLabel).primaryKey}"
+      val hopDf = relDf.join(nodeDf, col(farKey) === col(toPk))
+      if (subtree == null) { subtree = hopDf; firstKey = nearKey }
+      else {
+        val prevVar = hops(hops.indexWhere(_._3 == v) - 1)._3
+        val prevPk = s"${prevVar}__${store.schema.node(newVars(prevVar)).primaryKey}"
+        subtree = subtree.join(hopDf, col(prevPk) === col(nearKey))
+      }
+      newVars += (v -> targetLabel)
+      curLabel = targetLabel
+    }
+    val filtered = pathFilter.fold(subtree)(subtree.filter)
+    new PatternQuery(store,
+      frame.join(filtered, col(pkCol(from)) === col(firstKey), "left"),
+      nodeVars ++ newVars,
+      boundVars ++ newVars.keySet ++ hops.map(_._2))
+  }
+
   /** Close a cycle: `(from)-[:relType]->(to)` where BOTH endpoints are
     * already bound — joins only the relationship table and constrains
     * dst to `to`'s key (the conjunctive-pattern case of

@@ -56,10 +56,15 @@ final class CypherCompiler(
     var postFilters = Vector.empty[Expr]
 
     q.matches.foreach { m =>
-      m.paths.foreach { path =>
-        pq = compilePath(pq, path, m.optional, (c: Expr) => postFilters :+= c)
+      if (m.optional) {
+        require(m.paths.length == 1, "OPTIONAL MATCH supports one path per clause")
+        pq = compileOptionalPath(pq, m.paths.head, m.where)
+      } else {
+        m.paths.foreach { path =>
+          pq = compilePath(pq, path, (c: Expr) => postFilters :+= c)
+        }
+        m.where.foreach { w => pq = pq.where(toColumn(w, pq.variables)) }
       }
-      m.where.foreach { w => pq = pq.where(toColumn(w, pq.variables)) }
     }
     postFilters.foreach { f => pq = pq.where(toColumn(f, pq.variables)) }
 
@@ -83,8 +88,74 @@ final class CypherCompiler(
     res
   }
 
+  /** OPTIONAL MATCH: whole-path left join via PatternQuery.optionalPath
+    * — the clause's WHERE and inline property maps filter the subtree
+    * BEFORE the left join (post-join filtering would drop unmatched
+    * left rows, violating Cypher's left-preservation). The predicate
+    * may reference only the path's newly-bound variables. */
+  private def compileOptionalPath(
+      start: PatternQuery, path: PathPat, where: Option[Expr]): PatternQuery = {
+    require(start != null, "OPTIONAL MATCH cannot be the first clause")
+    val headVar = path.head.variable.getOrElse(
+      throw new IllegalArgumentException("OPTIONAL MATCH path needs a bound head variable"))
+    require(start.variables.contains(headVar),
+      s"OPTIONAL MATCH head $headVar must already be bound")
+    require(path.head.props.isEmpty,
+      "property map on the bound head of an OPTIONAL MATCH is not supported")
+    var fromLabel = start.variables(headVar)
+    val hopSpecs = path.hops.map { case (rel, node) =>
+      val relType = rel.relType.getOrElse(
+        throw new IllegalArgumentException("untyped relationships are not supported"))
+      require(rel.varLength.isEmpty, "variable-length OPTIONAL MATCH is not supported")
+      val toVar = node.variable.getOrElse(fresh("n"))
+      require(!start.variables.contains(toVar),
+        s"cyclic OPTIONAL MATCH (rebinding $toVar) is not supported")
+      val rv = rel.variable.getOrElse(fresh("r"))
+      relVarTypes.update(rv, relType)
+      fromLabel = if (rel.rightward) source.schema.rel(relType).to
+                  else source.schema.rel(relType).from
+      (relType, rv, toVar, rel.rightward, fromLabel)
+    }
+    val newVars = hopSpecs.map(_._3).toSet ++ hopSpecs.map(_._2).toSet
+    val newVarLabels = hopSpecs.map(sp => sp._3 -> sp._5).toMap
+    val propFilters = path.hops.flatMap { case (_, node) =>
+      node.variable.toSeq.flatMap(v => node.props.map { case (k, ve) =>
+        Bin("=", Prop(v, k), ve): Expr
+      })
+    }
+    val allFilters = propFilters ++ where.toSeq
+    allFilters.foreach { f =>
+      val refs = referencedVars(f)
+      require(refs.subsetOf(newVars),
+        s"OPTIONAL MATCH WHERE may reference only the optional path's own " +
+          s"variables ($newVars); got $refs — move outer-variable predicates " +
+          "to a WITH/WHERE after the clause")
+    }
+    val varsForExpr = start.variables ++ newVarLabels
+    val filterCol = allFilters
+      .map(toColumn(_, varsForExpr))
+      .reduceOption(_ && _)
+    start.optionalPath(headVar, hopSpecs.map(sp => (sp._1, sp._2, sp._3, sp._4)),
+      filterCol)
+  }
+
+  private def referencedVars(e: Expr): Set[String] = e match {
+    case Prop(v, _) => Set(v)
+    case VarRef(v) => Set(v)
+    case Bin(_, l, r) => referencedVars(l) ++ referencedVars(r)
+    case Not(x) => referencedVars(x)
+    case IsNull(x, _) => referencedVars(x)
+    case In(x, l) => referencedVars(x) ++ referencedVars(l)
+    case FnCall(_, args, _) => args.flatMap(referencedVars).toSet
+    case ListLit(items) => items.flatMap(referencedVars).toSet
+    case CaseWhen(whens, o) =>
+      whens.flatMap { case (c, v) => referencedVars(c) ++ referencedVars(v) }.toSet ++
+        o.toSeq.flatMap(referencedVars)
+    case _ => Set.empty
+  }
+
   private def compilePath(
-      start: PatternQuery, path: PathPat, optional: Boolean,
+      start: PatternQuery, path: PathPat,
       addFilter: Expr => Unit): PatternQuery = {
     val headVar = path.head.variable.getOrElse(fresh("n"))
     var pq = start match {
@@ -111,15 +182,15 @@ final class CypherCompiler(
       pq =
         if (pq.variables.contains(toVar)) {
           // cycle closure: both endpoints bound — join the rel table only
-          require(!optional && rel.varLength.isEmpty,
+          require(rel.varLength.isEmpty,
             s"cyclic pattern on $toVar supports plain inner hops only")
           val (src, dst) = if (rel.rightward) (fromVar, toVar) else (toVar, fromVar)
           pq.closeHop(relType, src, dst, rv)
         } else rel.varLength match {
           case Some((lo, hi)) => pq.outVar(relType, fromVar, toVar, lo, hi)
           case None =>
-            if (rel.rightward) pq.out(relType, fromVar, toVar, optional, rv)
-            else pq.in(relType, fromVar, toVar, optional, rv)
+            if (rel.rightward) pq.out(relType, fromVar, toVar, optional = false, rv)
+            else pq.in(relType, fromVar, toVar, optional = false, rv)
         }
       node.label.foreach { l =>
         val declared = pq.variables(toVar)

@@ -25,9 +25,23 @@ object CypherParser extends RegexParsers {
     "'(\\\\.|[^'\\\\])*'".r ^^ (s => Lit(unescape(s.substring(1, s.length - 1)))) |
       "\"(\\\\.|[^\"\\\\])*\"".r ^^ (s => Lit(unescape(s.substring(1, s.length - 1))))
 
-  private def unescape(s: String): String =
-    s.replace("\\'", "'").replace("\\\"", "\"").replace("\\\\", "\\")
-      .replace("\\n", "\n").replace("\\t", "\t")
+  /** Single left-to-right pass — sequential `.replace` chains corrupt
+    * adjacent escapes (e.g. backslash-backslash-n). */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb += '\n'
+          case 't' => sb += '\t'
+          case c => sb += c
+        }
+        i += 2
+      } else { sb += s.charAt(i); i += 1 }
+    }
+    sb.toString
+  }
 
   // ---- expressions (precedence: OR < AND < NOT < cmp < add < mul) --------
 
@@ -113,7 +127,10 @@ object CypherParser extends RegexParsers {
     "*" ~> opt("\\d+".r) ~ opt(".." ~> "\\d+".r) ^^ {
       case lo ~ hi =>
         val l = lo.map(_.toInt).getOrElse(1)
-        (l, hi.map(_.toInt).orElse(lo.map(_.toInt)).getOrElse(l))
+        // bare `*`/`*n..` = unbounded in Cypher — surfaces as the
+        // compiler's "bounded to 1..5 hops" rejection, never a silent
+        // single-hop reading
+        (l, hi.map(_.toInt).orElse(lo.map(_.toInt)).getOrElse(Int.MaxValue))
     }
 
   private lazy val relBody: Parser[(Option[String], Option[String], Option[(Int, Int)])] =

@@ -122,10 +122,14 @@ object QueryGovernance {
   }
 
   val MaxComplexity = 50
+  val MaxQueryLength = 100000 // pytest.ini GRAPH_MAX_QUERY_LENGTH
   def validate(query: String): Either[String, Unit] = {
-    require(query.length <= 100000, "query exceeds max length") // pytest.ini GRAPH_MAX_QUERY_LENGTH
-    val s = complexityScore(query)
-    if (s > MaxComplexity) Left(s"query too complex (score $s > $MaxComplexity)")
-    else Right(())
+    if (query.length > MaxQueryLength)
+      Left(s"query exceeds max length ($MaxQueryLength chars)")
+    else {
+      val s = complexityScore(query)
+      if (s > MaxComplexity) Left(s"query too complex (score $s > $MaxComplexity)")
+      else Right(())
+    }
   }
 }

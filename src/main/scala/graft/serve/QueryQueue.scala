@@ -49,9 +49,12 @@ final class QueryQueue(
   @volatile private var stopped = false
 
   private val workers = {
-    val pool = Executors.newFixedThreadPool(math.max(2, maxConcurrent / 4),
+    // one worker per admitted slot — a smaller pool would silently cap
+    // concurrency below maxConcurrent (the semaphore would never bind)
+    val nWorkers = math.max(2, maxConcurrent)
+    val pool = Executors.newFixedThreadPool(nWorkers,
       r => { val t = new Thread(r, "graft-query-worker"); t.setDaemon(true); t })
-    (1 to math.max(2, maxConcurrent / 4)).foreach(_ => pool.submit(new Runnable {
+    (1 to nWorkers).foreach(_ => pool.submit(new Runnable {
       def run(): Unit = while (!stopped) {
         val s = queue.poll(100, TimeUnit.MILLISECONDS)
         if (s != null) {

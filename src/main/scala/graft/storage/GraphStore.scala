@@ -107,9 +107,18 @@ final class GraphStore(
         val existing = node(label).select(pk)
         deduped.join(existing, Seq(pk), "left_anti")
       } else deduped
-    val out = toWrite.repartition(col(pk))
-    out.write.mode(SaveMode.Append).parquet(nodePath(label))
-    out.count()
+    writeCounted(toWrite.repartition(col(pk)), nodePath(label))
+  }
+
+  /** Persist → write → count from cache → unpersist: the pipeline runs
+    * once (a post-write recount would re-execute conform+dedup+anti-join
+    * — and an anti-join re-run would see the just-written keys). */
+  private def writeCounted(df: DataFrame, path: String): Long = {
+    val cached = df.persist()
+    try {
+      cached.write.mode(SaveMode.Append).parquet(path)
+      cached.count()
+    } finally { cached.unpersist(); () }
   }
 
   /** Ingest relationship rows arriving with `from`/`to` columns,
@@ -124,9 +133,7 @@ final class GraphStore(
     val conformed = conform(renamed, d.structType)
       .withColumn(FileIdCol, lit(fileId.orNull).cast("string"))
     val deduped = dedup(conformed, Seq("src", "dst"))
-    val out = deduped.repartition(col("src"))
-    out.write.mode(SaveMode.Append).parquet(relPath(tpe))
-    out.count()
+    writeCounted(deduped.repartition(col("src")), relPath(tpe))
   }
 
   /** Multi-file ingest with per-file provenance then global dedup
@@ -138,9 +145,8 @@ final class GraphStore(
       conform(spark.read.parquet(path), d.structType)
         .withColumn(FileIdCol, lit(fid))
     }.reduce(_ unionByName _)
-    val deduped = dedup(unioned, Seq(d.primaryKey)).repartition(col(d.primaryKey))
-    deduped.write.mode(SaveMode.Append).parquet(nodePath(label))
-    deduped.count()
+    writeCounted(dedup(unioned, Seq(d.primaryKey)).repartition(col(d.primaryKey)),
+      nodePath(label))
   }
 
   /** Incremental un-ingest by provenance (manager.py:626
