@@ -398,9 +398,11 @@ final class CypherCompiler(
         if (distinct) collect_set(a(0)) else collect_list(a(0))
       // scalar functions from the §2.8 exercised surface
       case "substring" =>
-        // Cypher substring is 0-based; Spark's is 1-based
+        // The reference engine (Kuzu-style) uses SQL 1-based substring
+        // (accounting_demo/05 relies on substring(t.date, 1, 7) =
+        // 'YYYY-MM'); clamp 0 to 1 so openCypher-habit queries behave
         if (args.length == 3) substring(a(0), cypherStart(args(1)), lenLit(args(2)))
-        else substr(a(0), a(1) + lit(1))
+        else substr(a(0), greatest(a(1), lit(1)))
       case "toupper" | "upper" => upper(a(0))
       case "tolower" | "lower" => lower(a(0))
       case "trim" => trim(a(0))
@@ -445,7 +447,7 @@ final class CypherCompiler(
   }
 
   private def cypherStart(e: Expr): Int = e match {
-    case Lit(n: Long) => n.toInt + 1
+    case Lit(n: Long) => math.max(n.toInt, 1)
     case other => throw new IllegalArgumentException(s"substring start must be literal, got $other")
   }
   private def lenLit(e: Expr): Int = e match {

@@ -60,7 +60,7 @@ class CypherSpec extends SparkTestBase {
   test("implicit grouping with CASE WHEN and month bucketing (accounting demo)") {
     val df = run(
       """MATCH (t:Transaction)-[:TRANSACTION_HAS_LINE_ITEM]->(li:LineItem)
-         RETURN substring(toString(t.date), 0, 7) AS month,
+         RETURN substring(toString(t.date), 1, 7) AS month,
                 sum(li.debit_amount) AS debits,
                 count(li) AS n
          ORDER BY month""")
