@@ -49,8 +49,12 @@ object TextFunctions {
     "zh" -> Seq("的", "了", "和", "是", "在", "我", "有", "他", "这", "中"))
 
   /** Fraction of tokens that are stopwords of `lang`. */
-  def stopwordRatio(c: Column, lang: String): Column = {
-    val t = tokens(c)
+  def stopwordRatio(c: Column, lang: String): Column =
+    stopwordRatioTokens(tokens(c), lang)
+
+  /** Same over a precomputed token array — callers scoring several
+    * languages (langId, quality) tokenize once instead of per score. */
+  def stopwordRatioTokens(t: Column, lang: String): Column = {
     val sw = array(stopwords(lang).map(lit): _*)
     when(size(t) > 0,
       size(filter(t, x => array_contains(sw, x))).cast("double") / size(t))
@@ -60,8 +64,10 @@ object TextFunctions {
   /** N-gram/stopword-heuristic language ID: highest stopword-hit ratio
     * wins; deterministic tie-break by language code. Returns a language
     * code column ("und" when nothing matches). */
-  def langId(c: Column): Column = {
-    val scored = stopwords.keys.toSeq.sorted.map(l => (l, stopwordRatio(c, l)))
+  def langId(c: Column): Column = langIdTokens(tokens(c))
+
+  def langIdTokens(t: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l => (l, stopwordRatioTokens(t, l)))
     val best = scored.map(_._2).reduce(greatest(_, _))
     val pick = scored.foldRight(lit("und")) { case ((l, s), acc) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)
@@ -72,16 +78,17 @@ object TextFunctions {
   /** Heuristic quality score in [0,1]: balanced length, healthy
     * alpha/punctuation mix, stopword presence, sane mean word length —
     * the classic pre-training corpus filters (C4-style). */
-  def qualityScore(c: Column): Column = {
+  def qualityScore(c: Column): Column = qualityScoreTokens(c, tokens(c))
+
+  def qualityScoreTokens(c: Column, t: Column): Column = {
     val nChars = length(c).cast("double")
-    val t = tokens(c)
     val nTokens = size(t).cast("double")
     val meanWordLen = when(nTokens > 0, nChars / nTokens).otherwise(lit(0.0))
     val alphaChars = length(regexp_replace(c, "[^A-Za-z]", "")).cast("double")
     val alphaRatio = when(nChars > 0, alphaChars / nChars).otherwise(lit(0.0))
     val lenScore = least(nTokens / lit(64.0), lit(1.0))
     val wordLenScore = when(meanWordLen.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.5))
-    val swScore = least(stopwordRatio(c, "en") * 5.0, lit(1.0))
+    val swScore = least(stopwordRatioTokens(t, "en") * 5.0, lit(1.0))
     round(lenScore * 0.35 + alphaRatio * 0.3 + wordLenScore * 0.2 + swScore * 0.15, 6)
   }
 

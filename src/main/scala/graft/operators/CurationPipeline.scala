@@ -19,13 +19,18 @@ object CurationPipeline {
       nearDupJaccard: Double = 0.5,
       shingle: Dedup.ShingleMode = Dedup.WordGrams(2))
 
-  /** Stage 1: per-document annotations. */
+  /** Stage 1: per-document annotations — one tokenization feeds every
+    * score (langId alone scores five languages; per-score tokenization
+    * was the t13 hot spot). */
   def annotate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
-      .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
-      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
-      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__t", TextFunctions.tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("__t")))
+      .withColumn("lang_pred", TextFunctions.langIdTokens(col("__t")))
+      .withColumn("quality", TextFunctions.qualityScoreTokens(col(textCol), col("__t")))
+      .withColumn("fingerprint",
+        aggregate(col("__t"), lit(0L), (acc, t) => xxhash64(t, acc)))
+      .drop("__t")
 
   /** Full pipeline; returns the curated corpus with annotations and a
     * `drop_reason` audit column on the rejected rows (kept separately

@@ -93,8 +93,9 @@ object PipelineQueries {
     * determinism + range invariants unit-tested). */
   def t07LangQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("lang_pred", TextFunctions.langId(col("text")))
-      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("__t", TextFunctions.tokens(col("text")))
+      .withColumn("lang_pred", TextFunctions.langIdTokens(col("__t")))
+      .withColumn("quality", TextFunctions.qualityScoreTokens(col("text"), col("__t")))
       .groupBy(col("lang_pred"))
       .agg(
         count(lit(1)).as("n_docs"),
