@@ -42,7 +42,11 @@ object QueryGovernance {
           else if (c == '/' && i + 1 < q.length && q(i + 1) == '/') { mode = '-'; i += 1 }
           else sb += c
         case '\'' | '"' =>
-          if (c == mode && (i == 0 || q(i - 1) != '\\')) mode = ' '
+          // consume the escaped char so a backslash-escaped backslash
+          // before the closing quote cannot hold the string open and
+          // swallow (mis-classify) the rest of the query
+          if (c == '\\' && i + 1 < q.length) i += 1
+          else if (c == mode) mode = ' '
         case '/' =>
           if (c == '*' && i + 1 < q.length && q(i + 1) == '/') { mode = ' '; i += 1 }
         case '-' =>
@@ -83,7 +87,16 @@ object QueryGovernance {
   private val limitRe = "(?i)\\blimit\\s+(\\d+)".r
   private val expensiveRe =
     "(?i)(shortestpath|allshortestpaths|\\bmatch\\s*\\([^)]*\\)\\s*,\\s*\\()".r
-  private val varLenRe = "\\*\\s*(\\d*)\\s*\\.\\.\\s*(\\d+)".r
+  // matches *, *n, *..n, *m..n, *m.. inside a relationship bracket
+  private val varLenRe = "\\[[^\\]]*\\*\\s*(\\d*)\\s*(?:(\\.\\.)\\s*(\\d*))?\\s*\\]".r
+
+  private val returnRe = "(?is)\\breturn\\b(.*?)(\\border\\s+by\\b|\\blimit\\b|\\bskip\\b|$)".r
+  private def returnAllAggregates(cleaned: String): Boolean =
+    returnRe.findFirstMatchIn(cleaned).exists { m =>
+      val items = m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+      items.nonEmpty && items.forall(it =>
+        "(?i)^(count|sum|avg|min|max|collect)\\s*\\(".r.findFirstIn(it).isDefined)
+    }
 
   /** Shape analysis → routing (execution_strategies.py:59-198:
     * SMALL_RESULT=100, MEDIUM_RESULT=1000). */
@@ -96,7 +109,10 @@ object QueryGovernance {
       case Some(n) if n <= 100 => ResultSize.Small
       case Some(n) if n <= 1000 => ResultSize.Medium
       case Some(_) => ResultSize.Large
-      case None if agg => ResultSize.Small // aggregates collapse cardinality
+      // only a GLOBAL aggregate collapses cardinality — a grouped
+      // RETURN (non-aggregate items beside the aggregate) can be
+      // arbitrarily large and must still stream
+      case None if agg && returnAllAggregates(cleaned) => ResultSize.Small
       case None => ResultSize.Large
     }
     QueryShape(size, agg, limit, expensive, size == ResultSize.Large)
@@ -109,7 +125,14 @@ object QueryGovernance {
     val cleaned = stripLiterals(query)
     var score = 0
     varLenRe.findAllMatchIn(cleaned).foreach { m =>
-      val ub = m.group(2).toInt
+      val lo = Option(m.group(1)).filter(_.nonEmpty).map(_.toInt)
+      val dots = Option(m.group(2)).isDefined
+      val hi = Option(m.group(3)).filter(_.nonEmpty).map(_.toInt)
+      val ub = (lo, dots, hi) match {
+        case (_, true, Some(n)) => n          // *m..n / *..n
+        case (Some(n), false, _) => n         // *n (exact)
+        case _ => 100                         // * or *m.. — unbounded
+      }
       if (ub > 5) score += (ub - 5) * 10
     }
     val withCount = "(?i)\\bwith\\b".r.findAllIn(cleaned).length +

@@ -22,7 +22,11 @@ import scala.collection.concurrent.TrieMap
 final class QueryQueue(
     maxConcurrent: Int = 50,
     maxQueueSize: Int = 10000,
-    maxPerUser: Int = 100) {
+    maxPerUser: Int = 100,
+    /** finished entries retained for status/result lookup; older ones
+      * are evicted (unbounded retention of Array[Row] results would
+      * grow the driver heap monotonically) */
+    maxFinishedRetained: Int = 1000) {
 
   sealed trait Status
   object Status {
@@ -45,20 +49,33 @@ final class QueryQueue(
   private val errors = TrieMap.empty[Long, Throwable]
   private val cancelled = TrieMap.empty[Long, AtomicBoolean]
   private val perUser = TrieMap.empty[String, AtomicLong]
-  private val running = new Semaphore(maxConcurrent)
+  private val finished = new ConcurrentLinkedQueue[Long]()
   @volatile private var stopped = false
 
+  private def recordFinished(id: Long): Unit = {
+    finished.add(id)
+    while (finished.size > maxFinishedRetained) {
+      val old = finished.poll()
+      if (old != 0L) {
+        status.remove(old); results.remove(old)
+        errors.remove(old); cancelled.remove(old)
+      }
+    }
+  }
+
   private val workers = {
-    // one worker per admitted slot — a smaller pool would silently cap
-    // concurrency below maxConcurrent (the semaphore would never bind)
-    val nWorkers = math.max(2, maxConcurrent)
+    // exactly maxConcurrent workers, each pulling only when free to
+    // run: pool size IS the concurrency bound, and nothing is dequeued
+    // ahead of execution (a dequeue-then-wait design inverts priority —
+    // a low-priority query parked in a blocked worker runs before a
+    // higher-priority one still in the heap)
+    val nWorkers = math.max(1, maxConcurrent)
     val pool = Executors.newFixedThreadPool(nWorkers,
       r => { val t = new Thread(r, "graft-query-worker"); t.setDaemon(true); t })
     (1 to nWorkers).foreach(_ => pool.submit(new Runnable {
       def run(): Unit = while (!stopped) {
         val s = queue.poll(100, TimeUnit.MILLISECONDS)
         if (s != null) {
-          running.acquire()
           try {
             if (cancelled(s.id).get()) status.update(s.id, Status.Cancelled)
             else {
@@ -69,7 +86,7 @@ final class QueryQueue(
               }
             }
           } finally {
-            running.release()
+            recordFinished(s.id)
             perUser.get(s.userId).foreach(_.decrementAndGet())
           }
         }

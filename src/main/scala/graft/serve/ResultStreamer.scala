@@ -24,7 +24,11 @@ object ResultStreamer {
       case c => c.toString
     } + "\""
     case b: Boolean => b.toString
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+    case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
     case n: java.lang.Number => n.toString
+    case bytes: Array[Byte] =>
+      jsonValue(java.util.Base64.getEncoder.encodeToString(bytes))
     case d: java.sql.Date => jsonValue(d.toString)
     case t: java.sql.Timestamp => jsonValue(t.toString)
     case seq: scala.collection.Seq[_] => seq.map(jsonValue).mkString("[", ",", "]")

@@ -43,13 +43,17 @@ object GraphMetrics {
     * discovery support, middleware/mcp/tools/schema_tool.py shape). */
   def propertyCoverage(store: GraphStore, label: String): DataFrame = {
     val df = store.node(label)
-    val total = df.count()
-    val rows = store.schema.node(label).properties.map { p =>
-      val nonNull = df.filter(col(p.name).isNotNull).count()
-      (p.name, p.tpe.toString, nonNull, total)
-    }
+    val props = store.schema.node(label).properties
+    // one scan: count(col) skips nulls, so every property's coverage
+    // plus the total comes from a single multi-aggregate job (the
+    // per-property-job version is P+1 full scans)
+    val aggs = count(lit(1)).as("__total") +:
+      props.map(p => count(col(p.name)).as(s"__c_${p.name}"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val total = row.getAs[Long]("__total")
     val spark = store.spark
     import spark.implicits._
-    rows.toDF("property", "type", "non_null", "total")
+    props.map(p => (p.name, p.tpe.toString, row.getAs[Long](s"__c_${p.name}"), total))
+      .toDF("property", "type", "non_null", "total")
   }
 }

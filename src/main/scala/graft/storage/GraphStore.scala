@@ -103,9 +103,21 @@ final class GraphStore(
       .withColumn(FileIdCol, lit(fileId.orNull).cast("string"))
     val deduped = dedup(conformed, Seq(pk))
     val toWrite =
-      if (ignoreErrors && exists(nodePath(label))) {
+      if (exists(nodePath(label))) {
         val existing = node(label).select(pk)
-        deduped.join(existing, Seq(pk), "left_anti")
+        if (ignoreErrors) deduped.join(existing, Seq(pk), "left_anti")
+        else {
+          // strict mode mirrors the reference's plain COPY: duplicate
+          // primary keys fail loudly instead of silently fanning out
+          // every future join on this label (ingest.py:596-665)
+          val clash = deduped.join(existing, Seq(pk), "left_semi").limit(1)
+          if (!clash.isEmpty)
+            throw new IllegalArgumentException(
+              s"duplicate primary key(s) in strict ingest into $label " +
+                s"(e.g. ${clash.collect()(0).getAs[String](pk)}); " +
+                "use ignoreErrors=true for dup-tolerant COPY")
+          deduped
+        }
       } else deduped
     writeCounted(toWrite.repartition(col(pk)), nodePath(label))
   }
@@ -165,12 +177,24 @@ final class GraphStore(
       col(FileIdCol).isNull || col(FileIdCol) =!= fileId)
     val tmp = s"$path.__tmp_${System.nanoTime()}"
     kept.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = new java.io.File(path)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    // swap via rename-aside so a failure at any step leaves either the
+    // old or the new table intact (never a partially-deleted one);
+    // every File boolean is checked — silent rename/delete failures
+    // would corrupt the table (on Delta this whole method is one
+    // transactional DELETE WHERE)
+    val cur = new java.io.File(path)
+    val old = new java.io.File(s"$path.__old_${System.nanoTime()}")
+    if (!cur.renameTo(old))
+      throw new java.io.IOException(s"cannot move $path aside for rewrite")
+    if (!new java.io.File(tmp).renameTo(cur)) {
+      old.renameTo(cur) // restore
+      throw new java.io.IOException(s"cannot activate rewritten $path")
     }
-    rm(fs)
-    new java.io.File(tmp).renameTo(fs): Unit
+    def rm(f: java.io.File): Boolean = {
+      Option(f.listFiles()).forall(_.forall(rm)) && f.delete()
+    }
+    if (!rm(old))
+      throw new java.io.IOException(s"rewrote $path but could not remove $old")
   }
 
   /** Subgraph fork = path copy (operations/graph/subgraph_service.py;

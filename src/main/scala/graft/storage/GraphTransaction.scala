@@ -21,16 +21,16 @@ final class GraphTransaction(store: GraphStore) {
   def ingestNodes(label: String, df: org.apache.spark.sql.DataFrame,
       ignoreErrors: Boolean = false): Long = {
     require(!done, "transaction already closed")
-    val n = store.ingestNodes(label, df, Some(txnId), ignoreErrors)
+    // record BEFORE writing: a failure mid-write (after the parquet
+    // commit) must still be compensated by rollback
     nodeWrites :+= label
-    n
+    store.ingestNodes(label, df, Some(txnId), ignoreErrors)
   }
 
   def ingestRels(tpe: String, df: org.apache.spark.sql.DataFrame): Long = {
     require(!done, "transaction already closed")
-    val n = store.ingestRels(tpe, df, Some(txnId))
     relWrites :+= tpe
-    n
+    store.ingestRels(tpe, df, Some(txnId))
   }
 
   /** Undo every write of this transaction (compensation). */
