@@ -31,16 +31,23 @@ import graft.functions.TextFunctions._
   *    the cap. */
 object Dedup {
 
+  /** Unambiguous multi-column content hash: a separator prevents
+    * ("ab","c") colliding with ("a","bc"), and a null marker prevents
+    * null colliding with empty string (concat_ws skips nulls). */
+  private def contentHash(contentCols: Seq[String]): Column =
+    md5(concat_ws("|", contentCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000NULL"))): _*))
+
   /** Exact duplicate groups by md5 of the content columns. */
   def exactGroups(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame =
-    df.withColumn("content_hash", md5(concat_ws("", contentCols.map(col): _*)))
+    df.withColumn("content_hash", contentHash(contentCols))
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("n") > 1)
 
   /** Keep exactly one row per content hash (deterministic: min id). */
   def exactDedup(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
-    val h = md5(concat_ws("", contentCols.map(col): _*))
+    val h = contentHash(contentCols)
     val w = Window.partitionBy(h).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

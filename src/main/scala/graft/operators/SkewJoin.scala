@@ -20,6 +20,12 @@ object SkewJoin {
       factor: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(factor > 0)
+    // the small side is replicated factor x; join types that preserve
+    // it (right/full outer) would emit factor copies of every unmatched
+    // small-side row
+    require(Set("inner", "left", "leftouter").contains(
+      joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val salted = large.withColumn("__salt",
       (pmod(xxhash64(monotonically_increasing_id()), lit(factor.toLong))).cast("int"))
     val replicated = small.withColumn("__salt",

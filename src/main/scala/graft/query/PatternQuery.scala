@@ -155,7 +155,7 @@ final class PatternQuery private (
     * paths at 5 hops (query_validator.py:416-429); unbounded recursion
     * is not supported by design. */
   def outVar(relType: String, from: String, v: String,
-      minHops: Int, maxHops: Int): PatternQuery = {
+      minHops: Int, maxHops: Int, rightward: Boolean = true): PatternQuery = {
     require(minHops >= 1 && maxHops >= minHops && maxHops <= 5,
       "variable-length paths are bounded to 1..5 hops")
     requireBound(from); requireFresh(v)
@@ -163,7 +163,10 @@ final class PatternQuery private (
     require(relDef.from == relDef.to || maxHops == 1,
       s"multi-hop expansion needs a self-typed relationship, got ${relDef.from}->${relDef.to}")
     val pk = store.schema.node(relDef.to).primaryKey
-    val edges = store.rel(relType).select(col("src"), col("dst"))
+    // leftward patterns traverse the reversed edge set
+    val edges =
+      if (rightward) store.rel(relType).select(col("src"), col("dst"))
+      else store.rel(relType).select(col("dst").as("src"), col("src").as("dst"))
     var paths = edges
     var acc: DataFrame = if (minHops == 1) edges else null
     for (k <- 2 to maxHops) {

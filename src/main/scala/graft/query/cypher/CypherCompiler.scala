@@ -18,7 +18,8 @@ import CypherAst._
   *    aggregate function makes all non-aggregate items grouping keys;
   *  - a bare node variable carried through WITH keeps all its columns
   *    (grouping by node identity = grouping by its column tuple);
-  *  - Cypher `substring` is 0-based → shifted to Spark's 1-based;
+  *  - `substring` is 1-based (the reference's Kuzu-style engine uses
+  *    SQL semantics; accounting_demo relies on it);
   *  - `$param` placeholders bound from a Scala map;
   *  - ORDER BY may reference RETURN aliases or pre-projection
   *    expressions (resolved AST-equal items map to their alias).
@@ -35,10 +36,30 @@ final class CypherCompiler(
       case Left(err) => throw new IllegalArgumentException(err)
       case Right(UnionQuery(Seq(q), _)) => compile(q)
       case Right(UnionQuery(branches, distinct)) =>
-        // §2.7: UNION [ALL] of branch results by column name
-        val frames = branches.map(compile)
+        // §2.7: UNION [ALL] of branch results by column name. Trailing
+        // ORDER BY/SKIP/LIMIT parse into the LAST branch but apply to
+        // the whole union in Cypher — lift them (they may only
+        // reference result-column aliases at that point).
+        require(branches.init.forall(b =>
+          b.orderBy.isEmpty && b.skip.isEmpty && b.limit.isEmpty),
+          "ORDER BY/SKIP/LIMIT inside a non-final UNION branch is not supported")
+        val last = branches.last
+        val trimmedLast = last.copy(orderBy = Seq.empty, skip = None, limit = None)
+        val frames = (branches.init :+ trimmedLast).map(compile)
         val unioned = frames.reduce(_ unionByName _)
-        if (distinct) unioned.distinct() else unioned
+        val deduped = if (distinct) unioned.distinct() else unioned
+        val sorted =
+          if (last.orderBy.isEmpty) deduped
+          else deduped.orderBy(last.orderBy.map { o =>
+            o.expr match {
+              case VarRef(a) if deduped.columns.contains(a) =>
+                if (o.desc) bcol(a).desc else bcol(a).asc
+              case other => throw new IllegalArgumentException(
+                s"ORDER BY after UNION may reference result aliases only, got $other")
+            }
+          }: _*)
+        val skipped = last.skip.fold(sorted)(n => sorted.offset(n.toInt))
+        last.limit.fold(skipped)(n => skipped.limit(n.toInt))
     }
 
   // ---- pattern assembly --------------------------------------------------
@@ -103,7 +124,10 @@ final class CypherCompiler(
     require(path.head.props.isEmpty,
       "property map on the bound head of an OPTIONAL MATCH is not supported")
     var fromLabel = start.variables(headVar)
-    val hopSpecs = path.hops.map { case (rel, node) =>
+    // pair each hop with its ASSIGNED node variable so inline property
+    // maps on anonymous nodes still filter (a node.variable-keyed
+    // lookup would silently drop them)
+    val hopSpecsWithProps = path.hops.map { case (rel, node) =>
       val relType = rel.relType.getOrElse(
         throw new IllegalArgumentException("untyped relationships are not supported"))
       require(rel.varLength.isEmpty, "variable-length OPTIONAL MATCH is not supported")
@@ -114,15 +138,14 @@ final class CypherCompiler(
       relVarTypes.update(rv, relType)
       fromLabel = if (rel.rightward) source.schema.rel(relType).to
                   else source.schema.rel(relType).from
-      (relType, rv, toVar, rel.rightward, fromLabel)
-    }
-    val newVars = hopSpecs.map(_._3).toSet ++ hopSpecs.map(_._2).toSet
-    val newVarLabels = hopSpecs.map(sp => sp._3 -> sp._5).toMap
-    val propFilters = path.hops.flatMap { case (_, node) =>
-      node.variable.toSeq.flatMap(v => node.props.map { case (k, ve) =>
-        Bin("=", Prop(v, k), ve): Expr
+      ((relType, rv, toVar, rel.rightward, fromLabel), node.props.map {
+        case (k, ve) => Bin("=", Prop(toVar, k), ve): Expr
       })
     }
+    val hopSpecs = hopSpecsWithProps.map(_._1)
+    val newVars = hopSpecs.map(_._3).toSet ++ hopSpecs.map(_._2).toSet
+    val newVarLabels = hopSpecs.map(sp => sp._3 -> sp._5).toMap
+    val propFilters = hopSpecsWithProps.flatMap(_._2)
     val allFilters = propFilters ++ where.toSeq
     allFilters.foreach { f =>
       val refs = referencedVars(f)
@@ -187,7 +210,7 @@ final class CypherCompiler(
           val (src, dst) = if (rel.rightward) (fromVar, toVar) else (toVar, fromVar)
           pq.closeHop(relType, src, dst, rv)
         } else rel.varLength match {
-          case Some((lo, hi)) => pq.outVar(relType, fromVar, toVar, lo, hi)
+          case Some((lo, hi)) => pq.outVar(relType, fromVar, toVar, lo, hi, rel.rightward)
           case None =>
             if (rel.rightward) pq.out(relType, fromVar, toVar, optional = false, rv)
             else pq.in(relType, fromVar, toVar, optional = false, rv)
@@ -216,10 +239,18 @@ final class CypherCompiler(
     items.flatMap {
       case ProjectionItem(VarRef(v), alias) if vars.contains(v) =>
         val prefix = s"${v}__"
+        val out = alias.getOrElse(v)
         val cols = frame.columns.filter(_.startsWith(prefix))
-        if (keepNamespaces) cols.map(c => (c, col(c), None))
-        else cols.map(c =>
-          (s"${alias.getOrElse(v)}.${c.stripPrefix(prefix)}", col(c), None))
+        if (keepNamespaces)
+          // `WITH v AS w` renames the whole namespace so later
+          // references to w.prop (and the carried-var registry) resolve
+          cols.map(c => (s"${out}__${c.stripPrefix(prefix)}", col(c), None))
+        else cols.map { c =>
+          val propName = c.stripPrefix(prefix)
+          // record the Prop AST so ORDER BY v.prop post-aggregation
+          // resolves to the expanded column
+          (s"$out.$propName", col(c), Some(Prop(v, propName): Expr))
+        }
       case ProjectionItem(e, alias) =>
         Seq((alias.getOrElse(pretty(e)), toColumn(e, vars), Some(e)))
     }
@@ -248,10 +279,10 @@ final class CypherCompiler(
     }
     val carriedVars =
       if (keepNamespaces)
-        vars.filter { case (v, _) => items.exists {
-          case ProjectionItem(VarRef(x), _) => x == v
-          case _ => false
-        } }
+        items.collect {
+          case ProjectionItem(VarRef(x), alias) if vars.contains(x) =>
+            alias.getOrElse(x) -> vars(x)
+        }.toMap
       else Map.empty[String, String]
 
     val projected: DataFrame =
@@ -390,10 +421,12 @@ final class CypherCompiler(
         case Seq(x) =>
           if (distinct) count_distinct(toColumn(x, vars)) else count(toColumn(x, vars))
       }
-      case "sum" => sum(a(0))
-      case "avg" => avg(a(0))
-      case "min" => min(a(0))
-      case "max" => max(a(0))
+      case "sum" => if (distinct) sum_distinct(a(0)) else sum(a(0))
+      case "avg" =>
+        if (distinct) sum_distinct(a(0)) / count_distinct(a(0)) else avg(a(0))
+      case "min" | "max" =>
+        // min/max are DISTINCT-insensitive
+        if (name == "min") min(a(0)) else max(a(0))
       case "collect" =>
         if (distinct) collect_set(a(0)) else collect_list(a(0))
       // scalar functions from the §2.8 exercised surface

@@ -181,11 +181,10 @@ object CypherParser extends RegexParsers {
     }
 
   private lazy val query: Parser[Query] =
-    rep1(matchClause) ~ rep(withClause ~ rep(matchClause) ^^ {
-      case w ~ ms =>
-        require(ms.isEmpty, "MATCH after WITH is not supported in this subset")
-        w
-    }) ~ returnClause ~
+    rep1(matchClause) ~ rep((withClause ~ rep(matchClause)) ^? (
+      { case w ~ Nil => w },
+      _ => "MATCH after WITH is not supported in this subset"
+    )) ~ returnClause ~
       opt(kw("ORDER") ~ kw("BY") ~> rep1sep(orderItem, ",")) ~
       opt(kw("SKIP") ~> "\\d+".r) ~ opt(kw("LIMIT") ~> "\\d+".r) ^^ {
       case ms ~ ws ~ ret ~ ob ~ skip ~ limit =>

@@ -20,7 +20,13 @@ object FactGrid {
       memberLabels: Map[String, String] = Map.empty,
       elementOrder: Seq[String] = Seq.empty): DataFrame = {
 
+    // instant periods carry null end_date (roboledger Period shape);
+    // they cannot form pivot columns — fall back to start_date, then
+    // drop rows with neither (matching the builder's period_col probe,
+    // fact_grid_builder.py:217-222)
     val facts = FactQuery(store, entityId)
+      .withColumn("period_end", coalesce(col("period_end"), col("period_start")))
+      .filter(col("period_end").isNotNull)
       .select("element_id", "element_name", "period_end", "numeric_value")
 
     val periods: Seq[String] =
