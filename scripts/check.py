@@ -2,12 +2,16 @@
 """Local replica of the driver's correctness gate: run Verify (Spark) at a
 given SF, then execute each oracle SQL in DuckDB over the same parquet
 tables and compare row sets (columns sorted by name, rows sorted, values
-stringified). Usage: python3 scripts/check.py [sfdir] [outdir]
+stringified). Both sides go through pandas like the driver does — this
+catches dtype coercions the raw fetchall() path hides (e.g. DuckDB
+sum(INTEGER) -> HUGEINT -> pandas float64 -> "6.0" vs Spark "6").
+Usage: python3 scripts/check.py [sfdir] [outdir]
 Run `sbt "runMain graft.Verify <sfdir> <outdir>"` first.
 """
 import sys, os, json, glob
 
 import duckdb
+import pandas as pd
 import pyarrow.parquet as pq
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -26,17 +30,23 @@ with open(os.path.join(outdir, "oracle_sql.json")) as f:
     oracles = json.load(f)
 
 
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df, sig6=False):
+    """Column-name-sorted, row-sorted tuple-of-str canonical form."""
+    cols = sorted(df.columns)
     out = []
-    for r in rows:
+    for _, r in df[cols].iterrows():
         vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
+        for v in r:
+            if sig6 and isinstance(v, float):
                 vals.append(f"{v:.6g}")
             else:
-                vals.append(str(v))
+                s = str(v)
+                # DuckDB DATE -> pandas datetime64 prints a midnight time
+                # component Spark's DateType doesn't; the driver's gate
+                # normalizes this (q03 passed round 1), so mirror it.
+                if s.endswith(" 00:00:00"):
+                    s = s[: -len(" 00:00:00")]
+                vals.append(s)
         out.append(tuple(vals))
     return sorted(out)
 
@@ -49,24 +59,28 @@ for name in sorted(oracles):
         print(f"FAIL {name}: no spark result written")
         fails += 1
         continue
-    t = pq.read_table(files[0])
-    spark_cols = t.column_names
-    spark_rows = [tuple(d[c] for c in spark_cols) for d in t.to_pylist()]
+    sdf = pq.read_table(files[0]).to_pandas()
     try:
-        cur = con.execute(oracles[name])
-        duck_cols = [d[0] for d in cur.description]
-        duck_rows = cur.fetchall()
+        ddf = con.execute(oracles[name]).df()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
         fails += 1
         continue
-    if sorted(spark_cols) != sorted(duck_cols):
-        print(f"FAIL {name}: columns spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        print(f"FAIL {name}: columns spark={sorted(sdf.columns)} "
+              f"duck={sorted(ddf.columns)}")
         fails += 1
         continue
-    s, d = canon(spark_cols, spark_rows), canon(duck_cols, duck_rows)
+    try:
+        s, d = canon(sdf), canon(ddf)
+    except Exception as e:
+        print(f"FAIL {name}: canon error (unsortable/unhashable col?): {e}")
+        fails += 1
+        continue
     if s != d:
-        print(f"FAIL {name}: {len(s)} spark rows vs {len(d)} duck rows")
+        loose = canon(sdf, sig6=True) == canon(ddf, sig6=True)
+        kind = "representation-only (6g matches)" if loose else "VALUE"
+        print(f"FAIL {name}: {len(s)} spark rows vs {len(d)} duck rows [{kind}]")
         for i, (a, b) in enumerate(zip(s, d)):
             if a != b:
                 print(f"  first diff at row {i}:\n    spark={a}\n    duck ={b}")

@@ -88,7 +88,7 @@ object CypherQueries {
     "c04_cypher_caseagg" ->
       """SELECT c_mktsegment AS mktsegment,
          count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished,
-         sum(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS big,
+         CAST(sum(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS BIGINT) AS big,
          round(avg(o_totalprice), 2) AS avg_price
          FROM customer JOIN orders ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",

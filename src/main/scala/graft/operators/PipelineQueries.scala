@@ -217,13 +217,13 @@ object PipelineQueries {
          FROM events GROUP BY 1 ORDER BY 1""",
     "t01_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-         sum(length(text)) AS total_chars,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
          round(avg(1 + length(text) - length(replace(text, ' ', ''))), 4) AS avg_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
     "t02_exact_dedup" ->
-      """SELECT count(*) AS distinct_texts, sum(n) AS total_docs,
+      """SELECT count(*) AS distinct_texts, CAST(sum(n) AS BIGINT) AS total_docs,
          count(CASE WHEN n > 1 THEN 1 END) AS dup_groups,
-         coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS docs_in_dup_groups
+         CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS docs_in_dup_groups
          FROM (SELECT md5(text) AS h, count(*) AS n
                FROM documents GROUP BY 1)""",
     "t03_embedding_norms" ->
@@ -271,9 +271,9 @@ object PipelineQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sessions AS (
            SELECT user_id,
-             sum(new_session) OVER
+             CAST(sum(new_session) OVER
                (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
            FROM marked),
          per_session AS (
            SELECT user_id, session_idx, count(*) AS n_events

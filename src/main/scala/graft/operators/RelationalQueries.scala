@@ -300,11 +300,13 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
-  /** collect() → list (§2.4; sorted for engine-portable comparison). */
+  /** collect() → list (§2.4). The list is sorted then joined to a
+    * string so the driver's comparator (which sorts scalar cells) can
+    * hash it — the collect itself still exercises collect_set. */
   def q24Collect(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
-      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+      .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
@@ -346,7 +348,7 @@ object RelationalQueries {
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q24_collect" ->
       """SELECT o_orderpriority,
-         list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+         array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
          count(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
     "q01_pricing_summary" ->

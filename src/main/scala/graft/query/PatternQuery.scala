@@ -162,7 +162,10 @@ final class PatternQuery private (
     val relDef = store.schema.rel(relType)
     require(relDef.from == relDef.to || maxHops == 1,
       s"multi-hop expansion needs a self-typed relationship, got ${relDef.from}->${relDef.to}")
-    val pk = store.schema.node(relDef.to).primaryKey
+    // The far endpoint of a leftward hop is the rel's FROM node (mirrors
+    // hop()): (n)<-[:R*1..1]-(c) reaches R's source label, not its target.
+    val targetLabel = if (rightward) relDef.to else relDef.from
+    val pk = store.schema.node(targetLabel).primaryKey
     // leftward patterns traverse the reversed edge set
     val edges =
       if (rightward) store.rel(relType).select(col("src"), col("dst"))
@@ -177,12 +180,12 @@ final class PatternQuery private (
     }
     val reach = acc.distinct()
       .select(col("src").as("__v_src"), col("dst").as("__v_dst"))
-    val nodeDf = namespaced(store.node(relDef.to), v)
+    val nodeDf = namespaced(store.node(targetLabel), v)
     new PatternQuery(store,
       frame.join(reach, col(pkCol(from)) === col("__v_src"))
         .join(nodeDf, col("__v_dst") === col(s"${v}__$pk"))
         .drop("__v_src", "__v_dst"),
-      nodeVars + (v -> relDef.to), boundVars + v)
+      nodeVars + (v -> targetLabel), boundVars + v)
   }
 
   /** WHERE over any bound variables' properties (use [[PatternQuery.p]]). */

@@ -24,10 +24,12 @@ object CypherAst {
   final case class NodePat(
       variable: Option[String], label: Option[String],
       props: Seq[(String, Expr)])
-  /** dir: true = `-[..]->`, false = `<-[..]-`. */
+  /** dir: true = `-[..]->`, false = `<-[..]-`. `undirected` marks
+    * `-[..]-` (no arrowhead); the compiler rejects it loudly rather
+    * than silently picking a direction. */
   final case class RelPat(
       variable: Option[String], relType: Option[String], rightward: Boolean,
-      varLength: Option[(Int, Int)])
+      varLength: Option[(Int, Int)], undirected: Boolean = false)
   final case class PathPat(head: NodePat, hops: Seq[(RelPat, NodePat)])
 
   // ---- clauses -----------------------------------------------------------

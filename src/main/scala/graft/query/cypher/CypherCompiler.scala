@@ -128,6 +128,9 @@ final class CypherCompiler(
     // maps on anonymous nodes still filter (a node.variable-keyed
     // lookup would silently drop them)
     val hopSpecsWithProps = path.hops.map { case (rel, node) =>
+      require(!rel.undirected,
+        "undirected relationship patterns (a)-[:R]-(b) are not supported — " +
+          "write the direction explicitly or UNION both directions")
       val relType = rel.relType.getOrElse(
         throw new IllegalArgumentException("untyped relationships are not supported"))
       require(rel.varLength.isEmpty, "variable-length OPTIONAL MATCH is not supported")
@@ -197,6 +200,9 @@ final class CypherCompiler(
     }
     var fromVar = headVar
     path.hops.foreach { case (rel, node) =>
+      require(!rel.undirected,
+        "undirected relationship patterns (a)-[:R]-(b) are not supported — " +
+          "write the direction explicitly or UNION both directions")
       val relType = rel.relType.getOrElse(
         throw new IllegalArgumentException("untyped relationships are not supported"))
       val toVar = node.variable.getOrElse(fresh("n"))

@@ -146,8 +146,8 @@ object CypherParser extends RegexParsers {
       ("-" ~> relBody <~ "->") ~ nodePat ^^ {
         case (v, t, vl) ~ n => (RelPat(v, t, rightward = true, vl), n)
       } |
-      ("-" ~> relBody <~ "-") ~ nodePat ^^ { // undirected: treated rightward
-        case (v, t, vl) ~ n => (RelPat(v, t, rightward = true, vl), n)
+      ("-" ~> relBody <~ "-") ~ nodePat ^^ { // undirected: compiler rejects
+        case (v, t, vl) ~ n => (RelPat(v, t, rightward = true, vl, undirected = true), n)
       }
 
   private lazy val pathPat: Parser[PathPat] =

@@ -58,14 +58,51 @@ object QueryGovernance {
     sb.toString
   }
 
+  // Tokens/chars after which a clause CANNOT start — those positions are
+  // expression context, so a keyword there is an alias/variable/property
+  // (e.g. `RETURN c.set AS use`), not a write clause.
+  private val exprContextWords = Set(
+    "RETURN", "WITH", "WHERE", "BY", "AS", "DISTINCT", "AND", "OR",
+    "XOR", "NOT", "IN", "WHEN", "THEN", "ELSE", "CASE", "CONTAINS",
+    "STARTS", "ENDS", "OPTIONAL", "UNWIND", "SKIP", "LIMIT")
+  private val exprContextChars = ".$,{(=<>+-*/|[:".toSet
+
+  /** True iff any of `kws` occurs at a position where a clause can
+    * begin: start of query, or after a pattern/expression terminator —
+    * never right after '.', '$', 'AS', 'RETURN', a comma, an operator,
+    * or as a map key (`{set: 1}`). Heuristic (the reference classifies
+    * with regexes too, cypher_analyzer.py:140-247); the conservative
+    * direction is preserved for genuine clause positions. */
+  private def hasClauseKeyword(cleaned: String, kws: Set[String]): Boolean = {
+    val word = "[A-Za-z_][A-Za-z_0-9]*".r
+    var prevWord: String = null
+    var prevEnd = -1
+    for (m <- word.findAllMatchIn(cleaned)) {
+      val tok = m.matched.toUpperCase
+      if (kws.contains(tok)) {
+        val between = cleaned.substring(math.max(prevEnd, 0), m.start)
+        val sigChars = between.filterNot(_.isWhitespace)
+        val after = cleaned.drop(m.end).dropWhile(_.isWhitespace)
+        val inExprContext =
+          sigChars.lastOption.exists(exprContextChars) ||
+            (sigChars.isEmpty && prevWord != null && exprContextWords(prevWord)) ||
+            after.headOption.contains(':') // map key {set: 1}
+        if (!inExprContext) return true
+      }
+      prevWord = tok
+      prevEnd = m.end
+    }
+    false
+  }
+
   /** Classify a query read/write/bulk/admin/DDL. */
   def classify(query: String): QueryKind = {
-    val cleaned = stripLiterals(query).toUpperCase
-    val words = cleaned.split("[^A-Z_]+").filter(_.nonEmpty).toSet
-    if (ddlPhrases.exists(cleaned.contains)) QueryKind.Ddl
-    else if (words.exists(adminKeywords)) QueryKind.Admin
-    else if (words.exists(bulkKeywords)) QueryKind.Bulk
-    else if (words.exists(writeKeywords)) QueryKind.Write
+    val cleaned = stripLiterals(query)
+    val upper = cleaned.toUpperCase
+    if (ddlPhrases.exists(upper.contains)) QueryKind.Ddl
+    else if (hasClauseKeyword(cleaned, adminKeywords)) QueryKind.Admin
+    else if (hasClauseKeyword(cleaned, bulkKeywords)) QueryKind.Bulk
+    else if (hasClauseKeyword(cleaned, writeKeywords)) QueryKind.Write
     else QueryKind.Read
   }
 

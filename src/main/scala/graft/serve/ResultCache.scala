@@ -22,8 +22,14 @@ final class ResultCache[V](
 
   def key(graphId: String, query: String, params: Map[String, Any] = Map.empty): String = {
     val normalized = query.trim.replaceAll("\\s+", " ")
-    val p = params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
-    s"$graphId|$normalized|$p"
+    // Length-prefix every component so values containing the separators
+    // ('=', ';', '|') cannot collide: Map("a"->"1;b=2") and
+    // Map("a"->"1","b"->"2") must produce distinct keys.
+    def enc(s: String): String = s"${s.length}:$s"
+    val p = params.toSeq.sortBy(_._1)
+      .map { case (k, v) => enc(k) + "=" + enc(String.valueOf(v)) }
+      .mkString(";")
+    s"${enc(graphId)}|${enc(normalized)}|$p"
   }
 
   def get(k: String): Option[V] = {
@@ -50,8 +56,9 @@ final class ResultCache[V](
     get(k).getOrElse { val v = compute; put(k, v); v }
 
   def invalidateGraph(graphId: String): Unit = {
+    val prefix = s"${graphId.length}:$graphId|" // same encoding as key()
     val it = entries.keySet().iterator()
-    while (it.hasNext) if (it.next().startsWith(s"$graphId|")) it.remove()
+    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
   }
 
   def stats: (Long, Long, Int) = (hitCount.get(), missCount.get(), entries.size())
