@@ -61,18 +61,27 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /** The languages [[langIdTokens]] scores, sorted (tie-break order). */
+  val langIdLanguages: Seq[String] = stopwords.keys.toSeq.sorted
+
   /** N-gram/stopword-heuristic language ID: highest stopword-hit ratio
     * wins; deterministic tie-break by language code. Returns a language
     * code column ("und" when nothing matches). */
   def langId(c: Column): Column = langIdTokens(tokens(c))
 
-  def langIdTokens(t: Column): Column = {
-    val scored = stopwords.keys.toSeq.sorted.map(l => (l, stopwordRatioTokens(t, l)))
+  def langIdTokens(t: Column): Column =
+    langIdFromRatios(langIdLanguages.map(l => (l, stopwordRatioTokens(t, l))))
+
+  /** Argmax over precomputed per-language ratio columns. Pipelines that
+    * stage each ratio as a real column (one `filter` HOF pass per
+    * language) should use this: inlining the ratios into the argmax
+    * expression tree re-evaluates every interpreted HOF ~3× (greatest
+    * chain + per-language comparison). */
+  def langIdFromRatios(scored: Seq[(String, Column)]): Column = {
     val best = scored.map(_._2).reduce(greatest(_, _))
-    val pick = scored.foldRight(lit("und")) { case ((l, s), acc) =>
+    scored.foldRight(lit("und")) { case ((l, s), acc) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)
     }
-    pick
   }
 
   /** Heuristic quality score in [0,1]: balanced length, healthy
@@ -80,7 +89,13 @@ object TextFunctions {
     * the classic pre-training corpus filters (C4-style). */
   def qualityScore(c: Column): Column = qualityScoreTokens(c, tokens(c))
 
-  def qualityScoreTokens(c: Column, t: Column): Column = {
+  def qualityScoreTokens(c: Column, t: Column): Column =
+    qualityScoreWithSw(c, t, stopwordRatioTokens(t, "en"))
+
+  /** Quality score with the English stopword ratio supplied as a
+    * (usually pre-staged) column — shared with langId's ratio columns
+    * so the token array is HOF-scanned once, not once per score. */
+  def qualityScoreWithSw(c: Column, t: Column, enRatio: Column): Column = {
     val nChars = length(c).cast("double")
     val nTokens = size(t).cast("double")
     val meanWordLen = when(nTokens > 0, nChars / nTokens).otherwise(lit(0.0))
@@ -88,7 +103,7 @@ object TextFunctions {
     val alphaRatio = when(nChars > 0, alphaChars / nChars).otherwise(lit(0.0))
     val lenScore = least(nTokens / lit(64.0), lit(1.0))
     val wordLenScore = when(meanWordLen.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.5))
-    val swScore = least(stopwordRatioTokens(t, "en") * 5.0, lit(1.0))
+    val swScore = least(enRatio * 5.0, lit(1.0))
     round(lenScore * 0.35 + alphaRatio * 0.3 + wordLenScore * 0.2 + swScore * 0.15, 6)
   }
 

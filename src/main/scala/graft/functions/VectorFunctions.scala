@@ -3,39 +3,45 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector primitives over `Array[Float]` columns, expressed
-  * as higher-order Column functions (`zip_with`/`aggregate`) so they
-  * codegen and never leave the executor. Arithmetic is forced to
-  * double with a sequential fold, which makes results bit-reproducible
-  * across engines (the DuckDB oracle folds lists in the same order). */
+/** Embedding-vector primitives over `Array[Float]` columns, backed by
+  * graft's native codegen expressions ([[VectorExpressions]]) — a
+  * tight primitive loop inside whole-stage codegen, NOT an interpreted
+  * higher-order function (`aggregate(zip_with(...))` evaluates its
+  * lambda per element and dominated the ANN candidate joins).
+  * Arithmetic is strict left-to-right double accumulation, which makes
+  * results bit-reproducible across engines (the DuckDB oracle folds
+  * lists in the same order). */
 object VectorFunctions {
+  import org.apache.spark.sql.graft.ColumnInternals.{column, expression}
+  import org.apache.spark.sql.graft.VectorExpressions._
 
-  /** Σ aᵢ·bᵢ as a strict left-to-right double fold. */
+  /** Σ aᵢ·bᵢ as a strict left-to-right double accumulation. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    column(VecDot(expression(a), expression(b)))
 
-  /** Σ aᵢ² (same fold discipline). */
+  /** Σ aᵢ² (same accumulation discipline). */
   def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    column(VecNormSq(expression(a)))
 
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Cosine when per-vector norms are already materialized — the form
+    * every pairwise candidate join should use: norms are computed once
+    * per VECTOR (n rows), not three array traversals per PAIR. */
+  def cosinePre(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+
+  /** Elementwise √Σ(aᵢ−bᵢ)² (HOF form — not on a pairwise hot path;
+    * the expanded ‖a‖²−2a·b+‖b‖² form would differ numerically). */
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double"); d * d
       }),
       lit(0.0), (acc, v) => acc + v))
-
-  // Note on execution: these higher-order functions evaluate the
-  // lambda per element outside whole-stage codegen, but the per-row
-  // array traversal is tight; an unrolled element_at alternative was
-  // measured SLOWER (64 boxed array accessors per row) — keep the
-  // fold forms.
 
   /** Sign-bit LSH bucket from `nPlanes` fixed pseudo-random hyperplanes
     * (seeded, generated once on the driver — deterministic across

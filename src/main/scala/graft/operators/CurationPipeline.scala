@@ -20,17 +20,29 @@ object CurationPipeline {
       shingle: Dedup.ShingleMode = Dedup.WordGrams(2))
 
   /** Stage 1: per-document annotations — one tokenization feeds every
-    * score (langId alone scores five languages; per-score tokenization
-    * was the t13 hot spot). */
-  def annotate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .withColumn("__t", TextFunctions.tokens(col(textCol)))
+    * score, and each per-language stopword ratio is staged as a REAL
+    * column so the interpreted `filter` HOF runs once per language per
+    * row (inlining them into langId's argmax tree re-evaluates each
+    * ratio ~3×; per-score tokenization was the original t13 hot spot). */
+  def annotate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val langs = TextFunctions.langIdLanguages
+    val ratioCols = langs.map(l => s"__r_$l")
+    langs.zip(ratioCols)
+      .foldLeft(docs.withColumn("__t", TextFunctions.tokens(col(textCol)))) {
+        case (df, (l, rc)) =>
+          df.withColumn(rc, TextFunctions.stopwordRatioTokens(col("__t"), l))
+      }
       .withColumn("n_tokens", size(col("__t")))
-      .withColumn("lang_pred", TextFunctions.langIdTokens(col("__t")))
-      .withColumn("quality", TextFunctions.qualityScoreTokens(col(textCol), col("__t")))
+      .withColumn("lang_pred",
+        TextFunctions.langIdFromRatios(langs.zip(ratioCols).map {
+          case (l, rc) => (l, col(rc))
+        }))
+      .withColumn("quality", TextFunctions.qualityScoreWithSw(
+        col(textCol), col("__t"), col("__r_en")))
       .withColumn("fingerprint",
         aggregate(col("__t"), lit(0L), (acc, t) => xxhash64(t, acc)))
-      .drop("__t")
+      .drop("__t" +: ratioCols: _*)
+  }
 
   /** Full pipeline; returns the curated corpus with annotations and a
     * `drop_reason` audit column on the rejected rows (kept separately
@@ -41,7 +53,12 @@ object CurationPipeline {
 
   def curateWithAudit(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config): (DataFrame, DataFrame) = {
-    val annotated = annotate(docs, idCol, textCol)
+    // annotation fans into both filter branches and (through exact
+    // dedup) four more consumers — truncate lineage once so the HOF
+    // scoring isn't re-executed per consumer (same policy as the
+    // minhash signature table; on a cluster this would be a persisted
+    // intermediate)
+    val annotated = annotate(docs, idCol, textCol).localCheckpoint(true)
 
     // null-safe: a null text yields null predicates, and both
     // filter(cond) and filter(!cond) drop null rows — coalesce so every
@@ -54,6 +71,7 @@ object CurationPipeline {
       .withColumn("drop_reason", lit("quality"))
 
     val exactKept = Dedup.exactDedup(qualityFiltered, idCol, Seq(textCol))
+      .localCheckpoint(true) // feeds minhash + kept/dropped joins
     val exactDropped = qualityFiltered
       .join(exactKept.select(col(idCol)), Seq(idCol), "left_anti")
       .withColumn("drop_reason", lit("exact_dup"))

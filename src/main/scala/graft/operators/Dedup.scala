@@ -225,14 +225,20 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       minCosine: Double = 0.95, nPlanes: Int = 8): DataFrame = {
     import graft.functions.VectorFunctions
+    // bucket AND norm computed once per vector; the candidate join then
+    // evaluates a single codegen'd dot per pair
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", VectorFunctions.lshBucket(col("v"), dim, nPlanes))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
       .localCheckpoint(true)
-    val a = withBucket.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
-    val b = withBucket.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    val a = withBucket.select(col("bucket"), col("id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = withBucket.select(col("bucket"), col("id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("bucket"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine", VectorFunctions.cosine(col("v1"), col("v2")))
+      .withColumn("cosine", VectorFunctions.cosinePre(
+        VectorFunctions.dot(col("v1"), col("v2")), col("n1"), col("n2")))
       .filter(col("cosine") >= minCosine)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
       .distinct()

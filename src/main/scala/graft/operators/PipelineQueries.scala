@@ -57,10 +57,13 @@ object PipelineQueries {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("nq", VectorFunctions.l2Norm(col("qv")))
     val scored = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("nv", VectorFunctions.l2Norm(col("v")))
       .crossJoin(broadcast(queries))
       .filter(col("id") =!= col("qid"))
-      .withColumn("cosine", round(VectorFunctions.cosine(col("v"), col("qv")), 6))
+      .withColumn("cosine", round(VectorFunctions.cosinePre(
+        VectorFunctions.dot(col("v"), col("qv")), col("nv"), col("nq")), 6))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
@@ -92,10 +95,7 @@ object PipelineQueries {
   /** Language-ID + quality scoring over the corpus (rows-only gate;
     * determinism + range invariants unit-tested). */
   def t07LangQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("__t", TextFunctions.tokens(col("text")))
-      .withColumn("lang_pred", TextFunctions.langIdTokens(col("__t")))
-      .withColumn("quality", TextFunctions.qualityScoreTokens(col("text"), col("__t")))
+    CurationPipeline.annotate(Tables.documents(spark, dir), "doc_id", "text")
       .groupBy(col("lang_pred"))
       .agg(
         count(lit(1)).as("n_docs"),

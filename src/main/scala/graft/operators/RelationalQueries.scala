@@ -166,22 +166,25 @@ object RelationalQueries {
       .orderBy(col("label"))
   }
 
-  /** Ingest window-dedup (manager.py:111-120): ROW_NUMBER over the key,
-    * keep rn=1, then aggregate to a compact checkable result. */
-  def q12WindowDedup(spark: SparkSession, dir: String): DataFrame = {
-    // (l_orderkey, l_linenumber) is NOT unique in the testdata — order by
-    // the full row so the kept row is deterministic across engines.
-    val w = Window.partitionBy(col("l_orderkey")).orderBy(
-      col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-      col("l_quantity"), col("l_extendedprice"))
+  /** Ingest dedup-on-load semantics (manager.py:111-120: ROW_NUMBER
+    * over the key, keep rn=1), re-expressed Spark-first: the kept row
+    * is min(struct(orderCols…)) per key — lexicographic struct ordering
+    * equals the window's ORDER BY, but a groupBy aggregates partially
+    * map-side, where ROW_NUMBER must shuffle + sort EVERY row. At 100
+    * TB that is the difference between a combiner-reduced shuffle and a
+    * full-data sort. (The window form still exists in GraphStore.dedup
+    * for rows whose full payload must survive; q18 covers row_number.)
+    * (l_orderkey, l_linenumber) is NOT unique in the testdata — the
+    * struct carries the full tie-break column list. */
+  def q12WindowDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy(col("l_orderkey"))
+      .agg(min(struct(
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"))).as("first_row"))
       .agg(
         count(lit(1)).as("first_lines"),
-        r2(sum(col("l_quantity"))).as("sum_qty"))
-  }
+        r2(sum(col("first_row.l_quantity"))).as("sum_qty"))
 
   /** Self-join with `<` dedup predicate: nation pairs sharing a region
     * (custom_graph_demo/05:99-104 collaboration pairs). */

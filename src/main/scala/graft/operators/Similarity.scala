@@ -24,9 +24,13 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int): DataFrame = {
+    // norms once per VECTOR (n + q rows), not per PAIR (n×q rows) —
+    // the pair loop then does a single codegen'd dot per candidate
     val joined = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
-      .withColumn("cosine", cosine(col("v"), col("qv")))
+      .withColumn("nv", l2Norm(col("v")))
+      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+        .withColumn("nq", l2Norm(col("qv")))))
+      .withColumn("cosine", cosinePre(dot(col("v"), col("qv")), col("nv"), col("nq")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -43,19 +47,21 @@ object Similarity {
       excludeSelf: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
+      .withColumn("nv", l2Norm(col("v")))
     val qBase = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
       .withColumn("qbucket", lshBucket(col("qv"), dim, nPlanes))
+      .withColumn("nq", l2Norm(col("qv")))
     // multi-probe: the bucket itself plus each 1-bit flip
     val probes = qBase.withColumn("bucket",
       explode(array(
         (col("qbucket") +: (0 until nPlanes).map(i =>
           col("qbucket").bitwiseXOR(shiftleft(lit(1L), i)))): _*)))
-      .select(col("qid"), col("qv"), col("bucket"))
+      .select(col("qid"), col("qv"), col("nq"), col("bucket"))
     val candRaw = c.join(probes, Seq("bucket"))
     // self-exclusion must precede ranking or rank 1 is burned on the
     // query's own vector (rank gaps + k-1 usable neighbors)
     val cand = (if (excludeSelf) candRaw.filter(col("id") =!= col("qid")) else candRaw)
-      .withColumn("cosine", cosine(col("v"), col("qv")))
+      .withColumn("cosine", cosinePre(dot(col("v"), col("qv")), col("nv"), col("nq")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -14,8 +14,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // `spark.read.parquet` performs file listing + footer/schema read on
+  // every call — measurable per-query planning overhead when a pattern
+  // query touches 5+ tables. A DataFrame is an immutable logical plan,
+  // so reuse per (session, path) is safe; the underlying testdata is
+  // static (a live deployment would swap this for catalog tables whose
+  // file index Spark already caches).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
+
+  /** Drop cached plans (tests that rewrite files under a reused dir). */
+  def invalidate(): Unit = cache.clear()
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

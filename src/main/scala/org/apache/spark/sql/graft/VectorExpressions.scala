@@ -1,0 +1,124 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding-vector arithmetic.
+  *
+  * The higher-order-function forms (`aggregate(zip_with(...))`) are
+  * interpreted per element OUTSIDE whole-stage codegen — fine for one
+  * pass over a table, but the dominant cost when a candidate join
+  * evaluates millions of pairs (ANN, embedding dedup). These
+  * expressions generate a tight primitive loop inside codegen instead;
+  * same arithmetic, same strict left-to-right double accumulation, so
+  * results stay bit-identical to the fold forms (and to the DuckDB
+  * oracle's `list_reduce` with a 0.0 seed).
+  *
+  * Element null handling: a null element contributes 0.0 (the corpora
+  * these serve never contain null elements; 0.0 keeps the loop
+  * branch-light instead of null-poisoning the whole result).
+  */
+object VectorExpressions {
+
+  private val vecType = TypeCollection(
+    ArrayType(FloatType), ArrayType(DoubleType))
+
+  private def elemAccessor(t: DataType, arr: String, i: String): String =
+    t.asInstanceOf[ArrayType].elementType match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
+
+  private def elemAt(t: DataType, arr: ArrayData, i: Int): Double =
+    t.asInstanceOf[ArrayType].elementType match {
+      case FloatType => arr.getFloat(i).toDouble
+      case _ => arr.getDouble(i)
+    }
+
+  /** Σ aᵢ·bᵢ — strict sequential double accumulation. */
+  final case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(vecType, vecType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i))
+          acc += elemAt(left.dataType, x, i) * elemAt(right.dataType, y, i)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+            $acc += ${elemAccessor(left.dataType, a, i)} *
+              ${elemAccessor(right.dataType, b, i)};
+          }
+        }
+        ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): VecDot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Σ aᵢ² — strict sequential double accumulation. */
+  final case class VecNormSq(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(vecType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_norm_sq"
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var acc = 0.0
+      var i = 0
+      val n = x.numElements()
+      while (i < n) {
+        if (!x.isNullAt(i)) {
+          val v = elemAt(child.dataType, x, i); acc += v * v
+        }
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc"); val v = ctx.freshName("v")
+        s"""
+        int $n = $a.numElements();
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i)) {
+            double $v = ${elemAccessor(child.dataType, a, i)};
+            $acc += $v * $v;
+          }
+        }
+        ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): VecNormSq =
+      copy(child = newChild)
+  }
+}

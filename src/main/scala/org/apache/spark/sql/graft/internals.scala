@@ -13,4 +13,10 @@ import org.apache.spark.sql.classic.ColumnNodeToExpressionConverter
 object ColumnInternals {
   def expression(c: Column): Expression =
     ColumnNodeToExpressionConverter(c.node)
+
+  /** Wrap a Catalyst Expression back into a user-facing Column (the
+    * public API has no constructor for this; used to expose graft's
+    * custom codegen expressions, e.g. the vector-math primitives). */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }
