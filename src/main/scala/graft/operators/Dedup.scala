@@ -211,12 +211,43 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity pairs ≥ threshold; candidates
-    * LSH-bounded via minhash banding (never all-pairs). */
+    * LSH-bounded via minhash banding (never all-pairs). Probabilistic
+    * recall (banding can miss a threshold-grazing pair) — use
+    * [[jaccardPairsExact]] when the output must be deterministic. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingle: ShingleMode = CharGrams(3), minJaccard: Double = 0.5): DataFrame =
     minhashPairs(df, idCol, textCol, shingle,
       numHashes = 64, bands = 32, minJaccard = Some(minJaccard))
+
+  /** EXACT n-gram Jaccard pairs via an inverted-index join — the
+    * deterministic (non-LSH) scale path: explode distinct shingles,
+    * self-join on the shingle, count common shingles per pair
+    * (map-side partial agg), then |A∩B|/(|A|+|B|−|A∩B|). Every pair
+    * sharing ≥1 shingle is scored, so recall is 1 by construction —
+    * unlike banding there is no probabilistic miss. Candidate volume is
+    * Σ_shingle df²; at web scale you'd add prefix filtering on rare
+    * shingles, which composes here as a filter on the exploded table. */
+  def jaccardPairsExact(
+      df: DataFrame, idCol: String, textCol: String,
+      shingle: ShingleMode = WordGrams(2), minJaccard: Double = 0.5): DataFrame = {
+    // distinct (id, shingle-hash): Jaccard is over shingle SETS
+    val sh = shingleHashes(df, idCol, textCol, shingle).distinct()
+      .localCheckpoint(true) // feeds sizes + both join sides
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("h"), col("id").as("id1"))
+    val b = sh.select(col("h"), col("id").as("id2"))
+    val common = a.join(b, Seq("h"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
+    common
+      .join(broadcast(sizes.withColumnsRenamed(Map("id" -> "id1", "sz" -> "sz1"))), Seq("id1"))
+      .join(broadcast(sizes.withColumnsRenamed(Map("id" -> "id2", "sz" -> "sz2"))), Seq("id2"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sz1") + col("sz2") - col("c")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
     * restricted to sign-bit LSH buckets (nPlanes small keeps recall
