@@ -33,18 +33,22 @@ with open(os.path.join(outdir, "oracle_sql.json")) as f:
 def canon(df, sig6=False):
     """Column-name-sorted, row-sorted tuple-of-str canonical form."""
     cols = sorted(df.columns)
+    # DuckDB DATE -> pandas datetime64 prints a midnight time component
+    # Spark's DateType doesn't; the driver's gate normalizes this (q03
+    # passed round 1), so mirror it — but ONLY for datetime64 columns: a
+    # literal string that happens to end in " 00:00:00" must stay a
+    # genuine difference.
+    dt_cols = {c for c in cols
+               if pd.api.types.is_datetime64_any_dtype(df[c])}
     out = []
     for _, r in df[cols].iterrows():
         vals = []
-        for v in r:
+        for c, v in zip(cols, r):
             if sig6 and isinstance(v, float):
                 vals.append(f"{v:.6g}")
             else:
                 s = str(v)
-                # DuckDB DATE -> pandas datetime64 prints a midnight time
-                # component Spark's DateType doesn't; the driver's gate
-                # normalizes this (q03 passed round 1), so mirror it.
-                if s.endswith(" 00:00:00"):
+                if c in dt_cols and s.endswith(" 00:00:00"):
                     s = s[: -len(" 00:00:00")]
                 vals.append(s)
         out.append(tuple(vals))

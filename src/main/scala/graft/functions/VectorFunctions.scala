@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
   * lambda per element and dominated the ANN candidate joins).
   * Arithmetic is strict left-to-right double accumulation, which makes
   * results bit-reproducible across engines (the DuckDB oracle folds
-  * lists in the same order). */
+  * lists in the same order).
+  *
+  * Null policy (see [[org.apache.spark.sql.graft.VectorExpressions]]):
+  * `dot`/`cosine` over vectors of DIFFERENT lengths yield null — a
+  * malformed embedding surfaces as a visible null, never a truncated
+  * similarity; null ELEMENTS contribute 0.0. */
 object VectorFunctions {
   import org.apache.spark.sql.graft.ColumnInternals.{column, expression}
   import org.apache.spark.sql.graft.VectorExpressions._

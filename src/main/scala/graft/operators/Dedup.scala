@@ -105,11 +105,21 @@ object Dedup {
   /** MinHash+LSH near-duplicate candidate pairs (id1 < id2), optionally
     * verified with exact Jaccard over the shingle sets. `bands` must
     * divide `numHashes`; collision probability ≈ 1-(1-j^r)^b. */
+  /** Broadcast a per-document side table only when it is provably
+    * small — a checkpointed frame has no size stats, so an unhinted
+    * plan falls back to shuffle joins (measured slowdown), but an
+    * unconditional hint is a driver OOM at the 100 TB design point.
+    * The count is cheap: every caller passes an eagerly-checkpointed
+    * frame. Above the cap, AQE's runtime shuffle stats decide. */
+  private def maybeBroadcast(df: DataFrame, rows: Long, maxRows: Long): DataFrame =
+    if (rows <= maxRows) broadcast(df) else df
+
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingle: ShingleMode = CharGrams(5), numHashes: Int = 64, bands: Int = 16,
       minJaccard: Option[Double] = None,
-      maxBucket: Int = 500): DataFrame = {
+      maxBucket: Int = 500,
+      maxBroadcastDocs: Long = 100000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val hashes = shingleHashes(df, idCol, textCol, shingle)
@@ -139,6 +149,7 @@ object Dedup {
         // On a self-similar corpus the candidate set is O(n²)-ish, so
         // stage 1 is what keeps the shuffle volume bounded.
         val estMargin = 2.0 * math.sqrt(j * (1 - j) / numHashes)
+        val nDocs = sigs.count() // cheap: sigs is eagerly checkpointed
         val sig1 = sigs.withColumnsRenamed(Map("id" -> "id1", "sig" -> "sig1"))
         val sig2 = sigs.withColumnsRenamed(Map("id" -> "id2", "sig" -> "sig2"))
         // codegen'd estimate: unrolled element comparisons (zip_with is
@@ -146,10 +157,9 @@ object Dedup {
         val matches = (0 until numHashes).map(i =>
           (element_at(col("sig1"), i + 1) === element_at(col("sig2"), i + 1))
             .cast("int")).reduce(_ + _)
-        // explicit broadcast: checkpointed frames lose size stats, so
-        // Catalyst would otherwise plan shuffle joins for a 5k-row side
-        val estimated = cand.join(broadcast(sig1), Seq("id1"))
-          .join(broadcast(sig2), Seq("id2"))
+        val estimated = cand
+          .join(maybeBroadcast(sig1, nDocs, maxBroadcastDocs), Seq("id1"))
+          .join(maybeBroadcast(sig2, nDocs, maxBroadcastDocs), Seq("id2"))
           .withColumn("est", matches.cast("double") / numHashes)
           .filter(col("est") >= j - estMargin)
           .select("id1", "id2")
@@ -157,13 +167,20 @@ object Dedup {
         // exact shingle sets only for the surviving docs (semi join),
         // reusing the codegen'd hash rows — Jaccard over 64-bit shingle
         // hashes is exact modulo negligible collision probability
+        val nSurvivorPairs = estimated.count() // cheap: checkpointed
         val survivorIds = estimated.select(col("id1").as("id"))
           .union(estimated.select(col("id2").as("id"))).distinct()
         val sh = hashes.join(survivorIds, Seq("id"), "left_semi")
           .groupBy(col("id")).agg(collect_set(col("h")).as("shingles"))
+        // ≤ 2 distinct docs per surviving pair bounds the sh row count
+        val shSmall = 2 * nSurvivorPairs
         estimated
-          .join(broadcast(sh.withColumnsRenamed(Map("id" -> "id1", "shingles" -> "sh1"))), Seq("id1"))
-          .join(broadcast(sh.withColumnsRenamed(Map("id" -> "id2", "shingles" -> "sh2"))), Seq("id2"))
+          .join(maybeBroadcast(
+            sh.withColumnsRenamed(Map("id" -> "id1", "shingles" -> "sh1")),
+            shSmall, maxBroadcastDocs), Seq("id1"))
+          .join(maybeBroadcast(
+            sh.withColumnsRenamed(Map("id" -> "id2", "shingles" -> "sh2")),
+            shSmall, maxBroadcastDocs), Seq("id2"))
           .withColumn("jaccard",
             size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
               size(array_union(col("sh1"), col("sh2"))))
@@ -240,9 +257,13 @@ object Dedup {
     val common = a.join(b, Seq("h"))
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
+    // no broadcast hint on `sizes`: it has one row PER DOCUMENT, so a
+    // forced broadcast is a guaranteed driver OOM at the 100 TB design
+    // point. `sizes` comes out of a shuffle, so AQE has exact runtime
+    // stats and picks broadcast-hash itself whenever it actually fits.
     common
-      .join(broadcast(sizes.withColumnsRenamed(Map("id" -> "id1", "sz" -> "sz1"))), Seq("id1"))
-      .join(broadcast(sizes.withColumnsRenamed(Map("id" -> "id2", "sz" -> "sz2"))), Seq("id2"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id1", "sz" -> "sz1")), Seq("id1"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id2", "sz" -> "sz2")), Seq("id2"))
       .withColumn("jaccard",
         col("c").cast("double") / (col("sz1") + col("sz2") - col("c")))
       .filter(col("jaccard") >= minJaccard)

@@ -65,31 +65,41 @@ object QueryGovernance {
     "RETURN", "WITH", "WHERE", "BY", "AS", "DISTINCT", "AND", "OR",
     "XOR", "NOT", "IN", "WHEN", "THEN", "ELSE", "CASE", "CONTAINS",
     "STARTS", "ENDS", "OPTIONAL", "UNWIND", "SKIP", "LIMIT")
-  private val exprContextChars = ".$,{(=<>+-*/|[:".toSet
+  // NOTE: '{' is deliberately NOT expression context — `CALL { CREATE … }`
+  // must classify Write; map keys (`{set: 1}`) are caught by the
+  // trailing-colon rule below instead.
+  private val exprContextChars = ".$,(=<>+-*/|[:".toSet
 
   /** True iff any of `kws` occurs at a position where a clause can
     * begin: start of query, or after a pattern/expression terminator —
     * never right after '.', '$', 'AS', 'RETURN', a comma, an operator,
     * or as a map key (`{set: 1}`). Heuristic (the reference classifies
     * with regexes too, cypher_analyzer.py:140-247); the conservative
-    * direction is preserved for genuine clause positions. */
+    * direction is preserved for genuine clause positions: the prevWord
+    * rule only applies when that word itself sat in a genuine (non
+    * '.'/'$'-prefixed) position, so a property named `not`/`in`/`case`
+    * directly before a write clause (`WHERE c.not DELETE c`) cannot
+    * suppress the write classification. */
   private def hasClauseKeyword(cleaned: String, kws: Set[String]): Boolean = {
     val word = "[A-Za-z_][A-Za-z_0-9]*".r
     var prevWord: String = null
+    var prevWordGenuine = false // prev word not itself '.'/'$'-prefixed
     var prevEnd = -1
     for (m <- word.findAllMatchIn(cleaned)) {
       val tok = m.matched.toUpperCase
+      val between = cleaned.substring(math.max(prevEnd, 0), m.start)
+      val sigChars = between.filterNot(_.isWhitespace)
       if (kws.contains(tok)) {
-        val between = cleaned.substring(math.max(prevEnd, 0), m.start)
-        val sigChars = between.filterNot(_.isWhitespace)
         val after = cleaned.drop(m.end).dropWhile(_.isWhitespace)
         val inExprContext =
           sigChars.lastOption.exists(exprContextChars) ||
-            (sigChars.isEmpty && prevWord != null && exprContextWords(prevWord)) ||
+            (sigChars.isEmpty && prevWord != null && prevWordGenuine &&
+              exprContextWords(prevWord)) ||
             after.headOption.contains(':') // map key {set: 1}
         if (!inExprContext) return true
       }
       prevWord = tok
+      prevWordGenuine = !sigChars.lastOption.exists(c => c == '.' || c == '$')
       prevEnd = m.end
     }
     false

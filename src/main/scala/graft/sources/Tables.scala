@@ -19,13 +19,18 @@ object Tables {
   // query touches 5+ tables. A DataFrame is an immutable logical plan,
   // so reuse per (session, path) is safe; the underlying testdata is
   // static (a live deployment would swap this for catalog tables whose
-  // file index Spark already caches).
+  // file index Spark already caches). Entries whose session has been
+  // stopped are purged on every access, so repeated session creation
+  // (tests) cannot accumulate dead sessions/plans; callers that rewrite
+  // files under a reused path must invalidate().
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    cache.keySet.removeIf(_._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       k => k._1.read.parquet(k._2))
+  }
 
   /** Drop cached plans (tests that rewrite files under a reused dir). */
   def invalidate(): Unit = cache.clear()

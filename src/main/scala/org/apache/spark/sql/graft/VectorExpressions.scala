@@ -17,8 +17,10 @@ import org.apache.spark.sql.types._
   * results stay bit-identical to the fold forms (and to the DuckDB
   * oracle's `list_reduce` with a 0.0 seed).
   *
-  * Element null handling: a null element contributes 0.0 (the corpora
-  * these serve never contain null elements; 0.0 keeps the loop
+  * Null policy: a length MISMATCH between the two vectors yields a
+  * null result (visible, like the fold forms' null-poisoning — never a
+  * silently truncated similarity). A null ELEMENT contributes 0.0 (the
+  * corpora these serve never contain null elements; 0.0 keeps the loop
   * branch-light instead of null-poisoning the whole result).
   */
 object VectorExpressions {
@@ -38,16 +40,22 @@ object VectorExpressions {
       case _ => arr.getDouble(i)
     }
 
-  /** Σ aᵢ·bᵢ — strict sequential double accumulation. */
+  /** Σ aᵢ·bᵢ — strict sequential double accumulation.
+    *
+    * Length mismatch ⇒ null (a malformed embedding must surface as a
+    * visible null, like the aggregate(zip_with(...)) fold form it
+    * replaces, not as a plausible-but-wrong truncated similarity). */
   final case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(vecType, vecType)
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // length mismatch ⇒ null
     override def prettyName: String = "vec_dot"
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -63,15 +71,19 @@ object VectorExpressions {
         val n = ctx.freshName("n"); val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-            $acc += ${elemAccessor(left.dataType, a, i)} *
-              ${elemAccessor(right.dataType, b, i)};
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+              $acc += ${elemAccessor(left.dataType, a, i)} *
+                ${elemAccessor(right.dataType, b, i)};
+            }
           }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
         """
       })
 
