@@ -57,8 +57,9 @@ object CurationPipeline {
     // dedup) four more consumers — truncate lineage once so the HOF
     // scoring isn't re-executed per consumer (same policy as the
     // minhash signature table; on a cluster this would be a persisted
-    // intermediate)
-    val annotated = annotate(docs, idCol, textCol).localCheckpoint(true)
+    // intermediate). LAZY checkpoint: materializes inside the single
+    // consuming action instead of a blocking driver job per stage.
+    val annotated = annotate(docs, idCol, textCol).localCheckpoint(false)
 
     // null-safe: a null text yields null predicates, and both
     // filter(cond) and filter(!cond) drop null rows — coalesce so every
@@ -71,7 +72,7 @@ object CurationPipeline {
       .withColumn("drop_reason", lit("quality"))
 
     val exactKept = Dedup.exactDedup(qualityFiltered, idCol, Seq(textCol))
-      .localCheckpoint(true) // feeds minhash + kept/dropped joins
+      .localCheckpoint(false) // feeds minhash + kept/dropped joins
     val exactDropped = qualityFiltered
       .join(exactKept.select(col(idCol)), Seq(idCol), "left_anti")
       .withColumn("drop_reason", lit("exact_dup"))

@@ -20,11 +20,23 @@ import graft.functions.TextFunctions._
   *    from equi-joins on bucket keys (shuffles partitioned by bucket);
   *  - signatures are computed ONCE — explode → partial-aggregated
   *    groupBy (map-side combine) — and the signature table's lineage is
-  *    truncated (`localCheckpoint`) before it fans out into the band
-  *    explode and both sides of the candidate join; without that every
-  *    branch would recompute the k-hash signature expression (measured
-  *    60× slowdown at k=64). On a cluster the signature table would be
-  *    persisted/bucketed by doc id for reuse across pipeline runs;
+  *    truncated (LAZY `localCheckpoint`) before it fans out into the
+  *    band explode and both sides of the candidate join; without that
+  *    every branch would recompute the k-hash signature expression
+  *    (measured 60× slowdown at k=64). Lazy (not eager) checkpointing
+  *    matters: eager runs a blocking driver job per intermediate —
+  *    five serialized jobs per pipeline, measured as 2-4 s of
+  *    "construction" time at sf0.1 — while lazy materializes each
+  *    intermediate once inside the single consuming action and reuses
+  *    the persisted blocks across branches. On a cluster the signature
+  *    table would be persisted/bucketed by doc id for reuse across
+  *    pipeline runs;
+  *  - join strategy is left to AQE: the per-document side tables
+  *    (signatures, shingle sets, sizes) come out of shuffles, so AQE
+  *    has exact runtime sizes and picks broadcast-hash exactly when a
+  *    side actually fits — a static hint would either force a driver
+  *    OOM at the 100 TB design point or (threshold-guarded) need an
+  *    eager count(), reintroducing the blocking jobs;
   *  - skewed buckets (a shingle-free short doc, a zero vector) are
   *    capped via `maxBucket` (log-and-drop, the standard web-dedup
   *    trade); AQE skew-join splitting handles the moderate skew below
@@ -87,7 +99,7 @@ object Dedup {
           col("w"))
         .select(col("id"),
           xxhash64(concat_ws(" ", slice(col("w"), col("i"), lit(n)))).as("h"))
-  }).localCheckpoint(true)
+  }).localCheckpoint(false)
 
   /** MinHash signatures as one exploded aggregation: k min-hashes per
     * doc in a single shuffle with map-side partial mins. Each shingle
@@ -99,27 +111,17 @@ object Dedup {
     hashes.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
   }
 
   /** MinHash+LSH near-duplicate candidate pairs (id1 < id2), optionally
     * verified with exact Jaccard over the shingle sets. `bands` must
     * divide `numHashes`; collision probability ≈ 1-(1-j^r)^b. */
-  /** Broadcast a per-document side table only when it is provably
-    * small — a checkpointed frame has no size stats, so an unhinted
-    * plan falls back to shuffle joins (measured slowdown), but an
-    * unconditional hint is a driver OOM at the 100 TB design point.
-    * The count is cheap: every caller passes an eagerly-checkpointed
-    * frame. Above the cap, AQE's runtime shuffle stats decide. */
-  private def maybeBroadcast(df: DataFrame, rows: Long, maxRows: Long): DataFrame =
-    if (rows <= maxRows) broadcast(df) else df
-
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingle: ShingleMode = CharGrams(5), numHashes: Int = 64, bands: Int = 16,
       minJaccard: Option[Double] = None,
-      maxBucket: Int = 500,
-      maxBroadcastDocs: Long = 100000L): DataFrame = {
+      maxBucket: Int = 500): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val hashes = shingleHashes(df, idCol, textCol, shingle)
@@ -149,7 +151,6 @@ object Dedup {
         // On a self-similar corpus the candidate set is O(n²)-ish, so
         // stage 1 is what keeps the shuffle volume bounded.
         val estMargin = 2.0 * math.sqrt(j * (1 - j) / numHashes)
-        val nDocs = sigs.count() // cheap: sigs is eagerly checkpointed
         val sig1 = sigs.withColumnsRenamed(Map("id" -> "id1", "sig" -> "sig1"))
         val sig2 = sigs.withColumnsRenamed(Map("id" -> "id2", "sig" -> "sig2"))
         // codegen'd estimate: unrolled element comparisons (zip_with is
@@ -157,30 +158,24 @@ object Dedup {
         val matches = (0 until numHashes).map(i =>
           (element_at(col("sig1"), i + 1) === element_at(col("sig2"), i + 1))
             .cast("int")).reduce(_ + _)
+        // join strategy: AQE (see object scaladoc) — no static hints
         val estimated = cand
-          .join(maybeBroadcast(sig1, nDocs, maxBroadcastDocs), Seq("id1"))
-          .join(maybeBroadcast(sig2, nDocs, maxBroadcastDocs), Seq("id2"))
+          .join(sig1, Seq("id1"))
+          .join(sig2, Seq("id2"))
           .withColumn("est", matches.cast("double") / numHashes)
           .filter(col("est") >= j - estMargin)
           .select("id1", "id2")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         // exact shingle sets only for the surviving docs (semi join),
         // reusing the codegen'd hash rows — Jaccard over 64-bit shingle
         // hashes is exact modulo negligible collision probability
-        val nSurvivorPairs = estimated.count() // cheap: checkpointed
         val survivorIds = estimated.select(col("id1").as("id"))
           .union(estimated.select(col("id2").as("id"))).distinct()
         val sh = hashes.join(survivorIds, Seq("id"), "left_semi")
           .groupBy(col("id")).agg(collect_set(col("h")).as("shingles"))
-        // ≤ 2 distinct docs per surviving pair bounds the sh row count
-        val shSmall = 2 * nSurvivorPairs
         estimated
-          .join(maybeBroadcast(
-            sh.withColumnsRenamed(Map("id" -> "id1", "shingles" -> "sh1")),
-            shSmall, maxBroadcastDocs), Seq("id1"))
-          .join(maybeBroadcast(
-            sh.withColumnsRenamed(Map("id" -> "id2", "shingles" -> "sh2")),
-            shSmall, maxBroadcastDocs), Seq("id2"))
+          .join(sh.withColumnsRenamed(Map("id" -> "id1", "shingles" -> "sh1")), Seq("id1"))
+          .join(sh.withColumnsRenamed(Map("id" -> "id2", "shingles" -> "sh2")), Seq("id2"))
           .withColumn("jaccard",
             size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
               size(array_union(col("sh1"), col("sh2"))))
@@ -203,7 +198,7 @@ object Dedup {
     val sim = (0 until 64).map(i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
-    agg.select(col("id"), sim.as("sim")).localCheckpoint(true)
+    agg.select(col("id"), sim.as("sim")).localCheckpoint(false)
   }
 
   /** SimHash near-duplicate pairs with hamming ≤ maxHamming (≤ 15 for
@@ -250,7 +245,7 @@ object Dedup {
       shingle: ShingleMode = WordGrams(2), minJaccard: Double = 0.5): DataFrame = {
     // distinct (id, shingle-hash): Jaccard is over shingle SETS
     val sh = shingleHashes(df, idCol, textCol, shingle).distinct()
-      .localCheckpoint(true) // feeds sizes + both join sides
+      .localCheckpoint(false) // feeds sizes + both join sides
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = sh.select(col("h"), col("id").as("id1"))
     val b = sh.select(col("h"), col("id").as("id2"))
@@ -282,7 +277,7 @@ object Dedup {
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", VectorFunctions.lshBucket(col("v"), dim, nPlanes))
       .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val a = withBucket.select(col("bucket"), col("id").as("id1"),
       col("v").as("v1"), col("nrm").as("n1"))
     val b = withBucket.select(col("bucket"), col("id").as("id2"),
