@@ -48,18 +48,18 @@ object CurationPipeline {
     * `drop_reason` audit column on the rejected rows (kept separately
     * via [[curateWithAudit]]). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): DataFrame =
+      cfg: Config = Config())(implicit ctx: PipelineContext): DataFrame =
     curateWithAudit(docs, idCol, textCol, cfg)._1
 
   def curateWithAudit(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config): (DataFrame, DataFrame) = {
+      cfg: Config)(implicit ctx: PipelineContext): (DataFrame, DataFrame) = {
     // annotation fans into both filter branches and (through exact
-    // dedup) four more consumers — truncate lineage once so the HOF
-    // scoring isn't re-executed per consumer (same policy as the
-    // minhash signature table; on a cluster this would be a persisted
-    // intermediate). LAZY checkpoint: materializes inside the single
-    // consuming action instead of a blocking driver job per stage.
-    val annotated = annotate(docs, idCol, textCol).localCheckpoint(false)
+    // dedup) four more consumers — stage it once so the HOF scoring
+    // isn't re-executed per consumer (same policy as the minhash
+    // signature table). The context owner frees the blocks after the
+    // consuming action; on a cluster this would be a persisted
+    // intermediate.
+    val annotated = ctx.stage(annotate(docs, idCol, textCol))
 
     // null-safe: a null text yields null predicates, and both
     // filter(cond) and filter(!cond) drop null rows — coalesce so every
@@ -71,8 +71,8 @@ object CurationPipeline {
     val qualityDropped = annotated.filter(!passes)
       .withColumn("drop_reason", lit("quality"))
 
-    val exactKept = Dedup.exactDedup(qualityFiltered, idCol, Seq(textCol))
-      .localCheckpoint(false) // feeds minhash + kept/dropped joins
+    val exactKept = ctx.stage( // feeds minhash + kept/dropped joins
+      Dedup.exactDedup(qualityFiltered, idCol, Seq(textCol)))
     val exactDropped = qualityFiltered
       .join(exactKept.select(col(idCol)), Seq(idCol), "left_anti")
       .withColumn("drop_reason", lit("exact_dup"))

@@ -10,8 +10,9 @@ import graft.functions.TextFunctions._
   *  - exact: hash-groupBy (one shuffle on the content hash);
   *  - MinHash+LSH: shingle → k-perm signature → band buckets →
   *    same-bucket candidate join → optional exact-Jaccard verify;
-  *  - SimHash: 64-bit signature → 4×16-bit chunk buckets (pigeonhole:
-  *    hamming ≤ 3 ⇒ at least one identical chunk) → verify hamming;
+  *  - SimHash: 64-bit signature → (maxHamming+1) chunk buckets
+  *    (pigeonhole: hamming ≤ maxHamming ⇒ at least one identical
+  *    chunk, so signature-space recall is 1) → verify hamming;
   *  - n-gram Jaccard: exact set similarity, LSH-bounded candidates;
   *  - embedding cosine: sign-bit LSH buckets → cosine verify.
   *
@@ -19,18 +20,19 @@ import graft.functions.TextFunctions._
   *  - no operator materializes the O(n²) pair space — candidates come
   *    from equi-joins on bucket keys (shuffles partitioned by bucket);
   *  - signatures are computed ONCE — explode → partial-aggregated
-  *    groupBy (map-side combine) — and the signature table's lineage is
-  *    truncated (LAZY `localCheckpoint`) before it fans out into the
+  *    groupBy (map-side combine) — and the signature table is staged
+  *    via the caller's [[PipelineContext]] before it fans out into the
   *    band explode and both sides of the candidate join; without that
   *    every branch would recompute the k-hash signature expression
-  *    (measured 60× slowdown at k=64). Lazy (not eager) checkpointing
-  *    matters: eager runs a blocking driver job per intermediate —
-  *    five serialized jobs per pipeline, measured as 2-4 s of
-  *    "construction" time at sf0.1 — while lazy materializes each
-  *    intermediate once inside the single consuming action and reuses
-  *    the persisted blocks across branches. On a cluster the signature
-  *    table would be persisted/bucketed by doc id for reuse across
-  *    pipeline runs;
+  *    (measured 60× slowdown at k=64). Staging is a LAZY
+  *    `localCheckpoint` owned by the [[PipelineContext]]: columnar
+  *    `persist()` measured 2-3× slower end-to-end on these pipelines
+  *    (round-4 profile: t13 8.6 s persisted vs 4.4 s checkpointed),
+  *    while the context tracks each checkpoint's backing RDD and frees
+  *    its blocks after the consuming action, so a long-lived serving
+  *    driver retains nothing between queries. On a cluster the
+  *    signature table would be persisted/bucketed by doc id for reuse
+  *    across pipeline runs;
   *  - join strategy is left to AQE: the per-document side tables
   *    (signatures, shingle sets, sizes) come out of shuffles, so AQE
   *    has exact runtime sizes and picks broadcast-hash exactly when a
@@ -81,7 +83,7 @@ object Dedup {
     * the set, and the Jaccard stage collects sets itself. */
   private def shingleHashes(
       df: DataFrame, idCol: String, textCol: String,
-      mode: ShingleMode): DataFrame = (mode match {
+      mode: ShingleMode)(implicit ctx: PipelineContext): DataFrame = ctx.stage(mode match {
     case CharGrams(n) =>
       df.select(col(idCol).as("id"), lower(trim(col(textCol))).as("t"))
         .filter(length(col("t")) >= n)
@@ -99,19 +101,19 @@ object Dedup {
           col("w"))
         .select(col("id"),
           xxhash64(concat_ws(" ", slice(col("w"), col("i"), lit(n)))).as("h"))
-  }).localCheckpoint(false)
+  })
 
   /** MinHash signatures as one exploded aggregation: k min-hashes per
     * doc in a single shuffle with map-side partial mins. Each shingle
     * is hashed ONCE to a long; the k permutations re-hash the
     * fixed-width long (seeded xxhash64) — string traversal does not
     * multiply by k. */
-  private def minhashSigs(hashes: DataFrame, numHashes: Int): DataFrame = {
+  private def minhashSigs(hashes: DataFrame, numHashes: Int)(
+      implicit ctx: PipelineContext): DataFrame = {
     val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    hashes.groupBy(col("id"))
+    ctx.stage(hashes.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-      .localCheckpoint(false)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig")))
   }
 
   /** MinHash+LSH near-duplicate candidate pairs (id1 < id2), optionally
@@ -121,7 +123,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingle: ShingleMode = CharGrams(5), numHashes: Int = 64, bands: Int = 16,
       minJaccard: Option[Double] = None,
-      maxBucket: Int = 500): DataFrame = {
+      maxBucket: Int = 500)(implicit ctx: PipelineContext): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val hashes = shingleHashes(df, idCol, textCol, shingle)
@@ -159,13 +161,12 @@ object Dedup {
           (element_at(col("sig1"), i + 1) === element_at(col("sig2"), i + 1))
             .cast("int")).reduce(_ + _)
         // join strategy: AQE (see object scaladoc) — no static hints
-        val estimated = cand
+        val estimated = ctx.stage(cand
           .join(sig1, Seq("id1"))
           .join(sig2, Seq("id2"))
           .withColumn("est", matches.cast("double") / numHashes)
           .filter(col("est") >= j - estMargin)
-          .select("id1", "id2")
-          .localCheckpoint(false)
+          .select("id1", "id2"))
         // exact shingle sets only for the surviving docs (semi join),
         // reusing the codegen'd hash rows — Jaccard over 64-bit shingle
         // hashes is exact modulo negligible collision probability
@@ -187,7 +188,8 @@ object Dedup {
   /** SimHash-64 per doc via one exploded aggregation: per-bit ±1 sums
     * with map-side combine, then bits assembled from the sign. */
   private def simhashSigs(
-      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String)(
+      implicit ctx: PipelineContext): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
       .select(col("id"), explode(col("t")).as("tok"))
@@ -198,19 +200,33 @@ object Dedup {
     val sim = (0 until 64).map(i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
-    agg.select(col("id"), sim.as("sim")).localCheckpoint(false)
+    ctx.stage(agg.select(col("id"), sim.as("sim")))
   }
 
-  /** SimHash near-duplicate pairs with hamming ≤ maxHamming (≤ 15 for
-    * guaranteed recall with 4 chunks; default 3). */
+  /** SimHash near-duplicate pairs with hamming ≤ maxHamming (default 3).
+    *
+    * Bucketing uses `maxHamming + 1` chunks: by pigeonhole, a pair
+    * differing in ≤ maxHamming bits has at least one chunk with zero
+    * differing bits, so recall over the signature space is exactly 1.
+    * (The round-3 version fixed 4 chunks, which guarantees only
+    * hamming ≤ 3 — a 6-bit-diff pair can land one diff in each of 4
+    * chunks and be silently missed.) More chunks ⇒ narrower chunks ⇒
+    * more candidate collisions — the standard recall/cost trade. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3)(implicit ctx: PipelineContext): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32), got $maxHamming")
+    val nChunks = maxHamming + 1
+    // chunk i covers bits [i*64/n, (i+1)*64/n) — widths differ by ≤1
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
     val sigs = simhashSigs(df, idCol, textCol)
     val chunked = sigs.select(col("id"), col("sim"),
-      explode(array((0 until 4).map(i =>
+      explode(array((0 until nChunks).map { i =>
+        val lo = bounds(i); val w = bounds(i + 1) - lo
         struct(lit(i).as("ci"),
-          shiftright(col("sim"), i * 16).bitwiseAND(0xFFFFL).as("cv"))): _*)).as("ch"))
+          shiftright(col("sim"), lo).bitwiseAND((1L << w) - 1L).as("cv"))
+      }: _*)).as("ch"))
       .select(col("id"), col("sim"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
     val a = chunked.select(col("ci"), col("cv"), col("id").as("id1"), col("sim").as("sim1"))
     val b = chunked.select(col("ci"), col("cv"), col("id").as("id2"), col("sim").as("sim2"))
@@ -228,7 +244,8 @@ object Dedup {
     * [[jaccardPairsExact]] when the output must be deterministic. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingle: ShingleMode = CharGrams(3), minJaccard: Double = 0.5): DataFrame =
+      shingle: ShingleMode = CharGrams(3), minJaccard: Double = 0.5)(
+      implicit ctx: PipelineContext): DataFrame =
     minhashPairs(df, idCol, textCol, shingle,
       numHashes = 64, bands = 32, minJaccard = Some(minJaccard))
 
@@ -242,10 +259,11 @@ object Dedup {
     * shingles, which composes here as a filter on the exploded table. */
   def jaccardPairsExact(
       df: DataFrame, idCol: String, textCol: String,
-      shingle: ShingleMode = WordGrams(2), minJaccard: Double = 0.5): DataFrame = {
-    // distinct (id, shingle-hash): Jaccard is over shingle SETS
-    val sh = shingleHashes(df, idCol, textCol, shingle).distinct()
-      .localCheckpoint(false) // feeds sizes + both join sides
+      shingle: ShingleMode = WordGrams(2), minJaccard: Double = 0.5)(
+      implicit ctx: PipelineContext): DataFrame = {
+    // distinct (id, shingle-hash): Jaccard is over shingle SETS;
+    // staged — feeds sizes + both join sides
+    val sh = ctx.stage(shingleHashes(df, idCol, textCol, shingle).distinct())
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = sh.select(col("h"), col("id").as("id1"))
     val b = sh.select(col("h"), col("id").as("id2"))
@@ -270,14 +288,14 @@ object Dedup {
     * high for the ≥0.95 regime dedup cares about). */
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      minCosine: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+      minCosine: Double = 0.95, nPlanes: Int = 8)(
+      implicit ctx: PipelineContext): DataFrame = {
     import graft.functions.VectorFunctions
     // bucket AND norm computed once per vector; the candidate join then
     // evaluates a single codegen'd dot per pair
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withBucket = ctx.stage(df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", VectorFunctions.lshBucket(col("v"), dim, nPlanes))
-      .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
-      .localCheckpoint(false)
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v"))))
     val a = withBucket.select(col("bucket"), col("id").as("id1"),
       col("v").as("v1"), col("nrm").as("n1"))
     val b = withBucket.select(col("bucket"), col("id").as("id2"),

@@ -72,25 +72,31 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** MinHash+LSH near-dup pairs with Jaccard verify (rows-only gate —
-    * LSH banding has no SQL oracle; invariants unit-tested). */
+  /** MinHash+LSH near-dup pairs with Jaccard verify. Gate queries
+    * execute inside a [[PipelineContext]] so staged intermediates are
+    * freed before the driver's next query (round-3 finding: leaked
+    * blocks degraded later in-suite queries 5-9×). */
   def t05MinhashPairs(spark: SparkSession, dir: String): DataFrame =
     // Word bigram shingles: the synthetic corpus draws from a ~40-word
     // vocabulary, so char n-grams saturate (random-pair Jaccard ≈0.27,
     // whale LSH buckets) while word bigrams stay discriminative
     // (random-pair ≈0.03) — candidates collapse to the genuinely
     // near-duplicate pairs.
-    Dedup.minhashPairs(
-      Tables.documents(spark, dir), "doc_id", "text",
-      shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
-      minJaccard = Some(0.4))
-      .orderBy(col("id1"), col("id2"))
+    PipelineContext.materialize { implicit ctx =>
+      Dedup.minhashPairs(
+        Tables.documents(spark, dir), "doc_id", "text",
+        shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+        minJaccard = Some(0.4))
+        .orderBy(col("id1"), col("id2"))
+    }
 
-  /** SimHash near-dup pairs, hamming ≤ 6 (rows-only gate). */
+  /** SimHash near-dup pairs, hamming ≤ 6 (7 pigeonhole chunks). */
   def t06SimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
-      maxHamming = 6)
-      .orderBy(col("id1"), col("id2"))
+    PipelineContext.materialize { implicit ctx =>
+      Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 6)
+        .orderBy(col("id1"), col("id2"))
+    }
 
   /** Language-ID + quality scoring over the corpus (rows-only gate;
     * determinism + range invariants unit-tested). */
@@ -123,9 +129,11 @@ object PipelineQueries {
     // testdata embeddings are i.i.d. random (max pairwise cosine ≈0.51)
     // — threshold set low so the operator's output is non-vacuous here;
     // real dedup uses ≥0.9.
-    Dedup.embeddingPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      dim = 64, minCosine = 0.35, nPlanes = 4)
-      .orderBy(col("id1"), col("id2"))
+    PipelineContext.materialize { implicit ctx =>
+      Dedup.embeddingPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        dim = 64, minCosine = 0.35, nPlanes = 4)
+        .orderBy(col("id1"), col("id2"))
+    }
 
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
     * decode-stub features → per-type accounting (rows-only gate; the
@@ -164,17 +172,18 @@ object PipelineQueries {
 
   /** Full curation pipeline accounting: kept + per-reason drop counts
     * (rows-only gate; stage invariants unit-tested). */
-  def t13Curation(spark: SparkSession, dir: String): DataFrame = {
-    val (kept, dropped) = CurationPipeline.curateWithAudit(
-      Tables.documents(spark, dir), "doc_id", "text",
-      CurationPipeline.Config())
-    kept.select(lit("kept").as("bucket")).groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"))
-      .unionByName(
-        dropped.groupBy(col("drop_reason").as("bucket"))
-          .agg(count(lit(1)).as("n")))
-      .orderBy(col("bucket"))
-  }
+  def t13Curation(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val (kept, dropped) = CurationPipeline.curateWithAudit(
+        Tables.documents(spark, dir), "doc_id", "text",
+        CurationPipeline.Config())
+      kept.select(lit("kept").as("bucket")).groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .unionByName(
+          dropped.groupBy(col("drop_reason").as("bucket"))
+            .agg(count(lit(1)).as("n")))
+        .orderBy(col("bucket"))
+    }
 
   /** JSON property extraction (§2.8 JSON row): the events table's
     * `props` column is a JSON string — parse, extract, aggregate. */

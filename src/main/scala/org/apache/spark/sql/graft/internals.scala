@@ -20,3 +20,18 @@ object ColumnInternals {
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }
+
+/** Package-local shim: the block-backed RDD behind a
+  * `localCheckpoint`ed Dataset (its analyzed plan is a `LogicalRDD`,
+  * private[sql]). graft's PipelineContext needs the handle so a
+  * long-lived serving driver can FREE the checkpoint blocks after the
+  * pipeline's consuming action — `Dataset.unpersist` does not reach
+  * them, and leaking them degraded later queries 5-9× (round-3
+  * profile). No Spark behavior is modified. */
+object DatasetInternals {
+  def checkpointRdd(df: org.apache.spark.sql.Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.CurationPipeline
+import graft.operators.{CurationPipeline, PipelineContext}
 import graft.serve.QueryTimeout
 import graft.sources.Tables
 
@@ -10,13 +10,15 @@ class CurationSpec extends SparkTestBase {
 
   test("curation partitions the corpus: kept + dropped = input") {
     val docs = Tables.documents(spark, sfDir)
-    val (kept, dropped) = CurationPipeline.curateWithAudit(
-      docs, "doc_id", "text", CurationPipeline.Config())
-    assert(kept.count() + dropped.count() === docs.count())
-    assert(kept.columns.contains("quality") && kept.columns.contains("lang_pred"))
-    val reasons = dropped.select("drop_reason").distinct()
-      .as[String].collect().toSet
-    assert(reasons.subsetOf(Set("quality", "exact_dup", "near_dup")))
+    PipelineContext.run { implicit ctx =>
+      val (kept, dropped) = CurationPipeline.curateWithAudit(
+        docs, "doc_id", "text", CurationPipeline.Config())
+      assert(kept.count() + dropped.count() === docs.count())
+      assert(kept.columns.contains("quality") && kept.columns.contains("lang_pred"))
+      val reasons = dropped.select("drop_reason").distinct()
+        .as[String].collect().toSet
+      assert(reasons.subsetOf(Set("quality", "exact_dup", "near_dup")))
+    }
   }
 
   test("near-dup stage drops the higher id of each planted pair") {
@@ -25,9 +27,11 @@ class CurationSpec extends SparkTestBase {
       (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
       (3L, "completely different text about query engines and columnar scans"))
       .toDF("doc_id", "text")
-    val kept = CurationPipeline.curate(docs, "doc_id", "text",
-      CurationPipeline.Config(minTokens = 5, minQuality = 0.0, nearDupJaccard = 0.5))
-    val ids = kept.select("doc_id").as[Long].collect().sorted
+    val ids = PipelineContext.run { implicit ctx =>
+      CurationPipeline.curate(docs, "doc_id", "text",
+        CurationPipeline.Config(minTokens = 5, minQuality = 0.0, nearDupJaccard = 0.5))
+        .select("doc_id").as[Long].collect().sorted
+    }
     assert(ids.toSeq === Seq(1L, 3L)) // 2 dropped as near-dup of 1
   }
 
@@ -37,10 +41,12 @@ class CurationSpec extends SparkTestBase {
       (2L, "the same exact text appears twice in this corpus right here"),
       (3L, "another unrelated document that talks about something else entirely"))
       .toDF("doc_id", "text")
-    val (kept, dropped) = CurationPipeline.curateWithAudit(docs, "doc_id", "text",
-      CurationPipeline.Config(minTokens = 5, minQuality = 0.0))
-    assert(kept.count() === 2)
-    assert(dropped.filter(col("drop_reason") === "exact_dup").count() === 1)
+    PipelineContext.run { implicit ctx =>
+      val (kept, dropped) = CurationPipeline.curateWithAudit(docs, "doc_id", "text",
+        CurationPipeline.Config(minTokens = 5, minQuality = 0.0))
+      assert(kept.count() === 2)
+      assert(dropped.filter(col("drop_reason") === "exact_dup").count() === 1)
+    }
   }
 
   test("timeout: fast query completes, slow query cancels") {

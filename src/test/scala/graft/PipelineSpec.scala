@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, PipelineContext, Similarity}
 import graft.sources.Tables
 
 /** Training-pipeline operators: invariants the DuckDB gate can't
@@ -29,8 +29,10 @@ class PipelineSpec extends SparkTestBase {
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
       (2L, "the quick brown fox jumps over the lazy cat tonight"),
       (3L, "completely unrelated text about spark query engines")).toDF("id", "t")
-    val pairs = Dedup.minhashPairs(df, "id", "t", shingle = Dedup.CharGrams(4),
-      numHashes = 64, bands = 16, minJaccard = Some(0.3)).collect()
+    val pairs = PipelineContext.run { implicit ctx =>
+      Dedup.minhashPairs(df, "id", "t", shingle = Dedup.CharGrams(4),
+        numHashes = 64, bands = 16, minJaccard = Some(0.3)).collect()
+    }
     val ids = pairs.map(r => (r.getLong(1), r.getLong(0))) // (id1,id2) sorted cols
     assert(pairs.exists(r => r.getAs[Long]("id1") === 1L && r.getAs[Long]("id2") === 2L))
     assert(!pairs.exists(r => r.getAs[Long]("id2") === 3L || r.getAs[Long]("id1") === 3L))
@@ -39,7 +41,9 @@ class PipelineSpec extends SparkTestBase {
   test("simhash: identical texts collide, hamming symmetric bound") {
     val df = Seq((1L, "spark engine for big data"), (2L, "spark engine for big data"),
       (3L, "something else entirely different here")).toDF("id", "t")
-    val pairs = Dedup.simhashPairs(df, "id", "t", maxHamming = 0).collect()
+    val pairs = PipelineContext.run { implicit ctx =>
+      Dedup.simhashPairs(df, "id", "t", maxHamming = 0).collect()
+    }
     assert(pairs.length === 1)
     assert(pairs(0).getAs[Long]("hamming") === 0L)
   }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.fixtures.AccountingFixture
-import graft.operators.{CurationPipeline, PipelineQueries}
+import graft.operators.{CurationPipeline, PipelineContext, PipelineQueries}
 import graft.query.cypher.{CypherCompiler, CypherParser}
 import graft.serve.QueryGovernance
 
@@ -77,11 +77,13 @@ class ReviewRegressionSpec extends SparkTestBase {
   test("curation audit accounts for null-text rows") {
     val docs = Seq((1L, "a fine document with enough healthy tokens to pass checks today ok"),
       (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
-    val (kept, dropped) = CurationPipeline.curateWithAudit(docs, "doc_id", "text",
-      CurationPipeline.Config(minTokens = 3, minQuality = 0.0))
-    assert(kept.count() + dropped.count() === 2)
-    assert(dropped.filter(col("doc_id") === 2L)
-      .collect()(0).getAs[String]("drop_reason") === "quality")
+    PipelineContext.run { implicit ctx =>
+      val (kept, dropped) = CurationPipeline.curateWithAudit(docs, "doc_id", "text",
+        CurationPipeline.Config(minTokens = 3, minQuality = 0.0))
+      assert(kept.count() + dropped.count() === 2)
+      assert(dropped.filter(col("doc_id") === 2L)
+        .collect()(0).getAs[String]("drop_reason") === "quality")
+    }
   }
 
   test("governance over-length query returns Left, not an exception") {

@@ -55,14 +55,22 @@ class Round3RegressionSpec extends SparkTestBase {
   // -- jaccardPairsExact: no forced broadcast (low finding) ------------
 
   test("jaccardPairsExact still finds the planted near-dup pairs without broadcast hints") {
-    import graft.operators.Dedup
+    import graft.operators.{Dedup, PipelineContext}
     val docs = graft.sources.Tables.documents(spark, sfDir)
-    val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text",
-      Dedup.WordGrams(2), minJaccard = 0.4)
-    assert(pairs.count() > 0)
-    // plan must not contain a broadcast hint on the sizes side; AQE may
-    // still CHOOSE broadcast at runtime, which is the point
-    val plan = pairs.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("ResolvedHint"), "no static broadcast hint expected")
+    PipelineContext.run { implicit ctx =>
+      val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+        Dedup.WordGrams(2), minJaccard = 0.4)
+      assert(pairs.count() > 0)
+      // No static broadcast hint; AQE may still CHOOSE broadcast at
+      // runtime, which is the point. ResolvedHint nodes are erased by
+      // the optimizer (EliminateResolvedHint), so assert on the
+      // ANALYZED plan, where a broadcast() call would still be visible
+      // — the old optimizedPlan check was vacuously true.
+      val analyzed = pairs.queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"), "no static broadcast hint expected")
+      val optimized = pairs.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("strategy=broadcast"),
+        "no broadcast join strategy hint expected in the optimized plan")
+    }
   }
 }
