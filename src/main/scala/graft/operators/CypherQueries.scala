@@ -56,12 +56,51 @@ object CypherQueries {
          RETURN n.name AS nation, customers
          ORDER BY nation""")
 
+  /** Any-rel pattern — the exact shape the reference's financial agent
+    * emits (robosystems/operations/agents/financial.py:411-412:
+    * `MATCH (e:Entity)-[r]->(n) RETURN type(r), count(*)`), over the
+    * TPC-H graph's Customer as the anchor label. */
+  def c06AnyRel(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (c:Customer)-[r]->(n)
+         RETURN type(r) AS rel_type, count(*) AS cnt
+         ORDER BY rel_type""")
+
+  /** Label-less node scan — metrics_service.py:262
+    * (`MATCH (n) RETURN label(n), count(n)`). */
+  def c07AnyNode(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (n)
+         RETURN label(n) AS label, count(n) AS cnt
+         ORDER BY label""")
+
+  /** Undirected relationship — both orientations unioned; each
+    * (customer, nation) pair appears once per matching orientation
+    * (here only Customer->Nation exists, so once). */
+  def c08Undirected(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (n:Nation)-[:CUSTOMER_IN_NATION]-(c:Customer)
+         RETURN n.name AS nation, count(c) AS customers
+         ORDER BY nation""")
+
+  /** Fully-anonymous any-rel scan — metrics_service.py:274
+    * (`MATCH ()-[r]->() RETURN DISTINCT LABEL(r)`). */
+  def c09RelTypes(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH ()-[r]->()
+         RETURN DISTINCT label(r) AS rel_type
+         ORDER BY rel_type""")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_cypher_multihop" -> c01MultiHop _,
     "c02_cypher_optional" -> c02Optional _,
     "c03_cypher_predicates" -> c03Predicates _,
     "c04_cypher_caseagg" -> c04CaseAgg _,
     "c05_cypher_with_having" -> c05WithHaving _,
+    "c06_cypher_anyrel" -> c06AnyRel _,
+    "c07_cypher_anynode" -> c07AnyNode _,
+    "c08_cypher_undirected" -> c08Undirected _,
+    "c09_cypher_reltypes" -> c09RelTypes _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -96,5 +135,36 @@ object CypherQueries {
       """SELECT n_name AS nation, count(c_custkey) AS customers
          FROM nation JOIN customer ON c_nationkey = n_nationkey
          GROUP BY 1 HAVING count(c_custkey) > 30 ORDER BY 1""",
+    "c06_cypher_anyrel" ->
+      """SELECT rel_type, cnt FROM (
+           SELECT 'CUSTOMER_IN_NATION' AS rel_type, count(*) AS cnt
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           UNION ALL
+           SELECT 'CUSTOMER_PLACED_ORDER' AS rel_type, count(*) AS cnt
+           FROM orders JOIN customer ON o_custkey = c_custkey
+         ) ORDER BY rel_type""",
+    "c07_cypher_anynode" ->
+      """SELECT label, cnt FROM (
+           SELECT 'Customer' AS label, count(*) AS cnt FROM customer
+           UNION ALL SELECT 'Nation', count(*) FROM nation
+           UNION ALL SELECT 'Order', count(*) FROM orders
+           UNION ALL SELECT 'Region', count(*) FROM region
+           UNION ALL SELECT 'Supplier', count(*) FROM supplier
+         ) ORDER BY label""",
+    "c08_cypher_undirected" ->
+      """SELECT n_name AS nation, count(c_custkey) AS customers
+         FROM nation JOIN customer ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "c09_cypher_reltypes" ->
+      """SELECT DISTINCT rel_type FROM (
+           SELECT 'CUSTOMER_IN_NATION' AS rel_type FROM customer
+             JOIN nation ON c_nationkey = n_nationkey
+           UNION ALL SELECT 'CUSTOMER_PLACED_ORDER' FROM orders
+             JOIN customer ON o_custkey = c_custkey
+           UNION ALL SELECT 'NATION_IN_REGION' FROM nation
+             JOIN region ON n_regionkey = r_regionkey
+           UNION ALL SELECT 'SUPPLIER_IN_NATION' FROM supplier
+             JOIN nation ON s_nationkey = n_nationkey
+         ) ORDER BY rel_type""",
   )
 }

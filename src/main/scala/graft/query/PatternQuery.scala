@@ -40,7 +40,8 @@ final class PatternQuery private (
     require(!boundVars.contains(v), s"variable $v already bound")
 
   private def pkCol(v: String): String =
-    s"${v}__${store.schema.node(nodeVars(v)).primaryKey}"
+    if (nodeVars(v) == PatternQuery.AnyLabel) s"${v}____pk"
+    else s"${v}__${store.schema.node(nodeVars(v)).primaryKey}"
 
   /** Additional disconnected `MATCH` — an explicit cartesian product
     * (custom_graph_demo/05:99-103; Spark requires explicit crossJoin). */
@@ -130,6 +131,79 @@ final class PatternQuery private (
       frame.join(filtered, col(pkCol(from)) === col(firstKey), "left"),
       nodeVars ++ newVars,
       boundVars ++ newVars.keySet ++ hops.map(_._2))
+  }
+
+  /** Generalized hop for the pattern forms that have no single rel
+    * table: untyped `-[r]->`, undirected `-[:R]-`, and label-less far
+    * nodes — the shapes the reference's agents and metrics emit
+    * (financial.py:411-412 `MATCH (e)-[r]->(n) RETURN type(r)`,
+    * metrics_service.py:274 `MATCH ()-[r]->()`).
+    *
+    * Compiles as a UNION of per-(relType, orientation) branches, each a
+    * typed equi-join tagged with literal `relVar__rel_type` /
+    * `relVar__near_label` columns. Candidate branches are pruned by the
+    * SCHEMA (near-endpoint label must match the bound var's label;
+    * primary keys are only unique per label, so any-label near sides
+    * also join on the tag column). The union is linear in the number of
+    * rel TYPES, not rows; per-branch filters/broadcasts still apply, so
+    * this scales like N typed hops, and Catalyst prunes never-matching
+    * branches via the literal equality. The far node exposes full
+    * columns when `toLabel` narrows it; otherwise only
+    * `v____label`/`v____pk` ([[PatternQuery.AnyLabel]]). Rel property
+    * columns are not exposed through union hops (only `type(r)`);
+    * `relTypes = None` means all schema types, `dirOut`/`dirIn` select
+    * orientations (both = undirected). */
+  def unionHop(from: String, v: String, relVar: String,
+      relTypes: Option[Seq[String]], dirOut: Boolean, dirIn: Boolean,
+      toLabel: Option[String] = None): PatternQuery = {
+    requireBound(from); requireFresh(v)
+    require(dirOut || dirIn, "hop needs at least one orientation")
+    require(!boundVars.contains(relVar), s"rel variable $relVar already bound")
+    val fromLabel = nodeVars(from)
+    val rels = relTypes.fold(store.schema.rels.toSeq)(ts => ts.map(store.schema.rel))
+    // (relDef, forward?) branches consistent with the endpoint labels
+    val candidates = for {
+      r <- rels
+      forward <- Seq(true, false)
+      if (if (forward) dirOut else dirIn)
+      (nearL, farL) = if (forward) (r.from, r.to) else (r.to, r.from)
+      if fromLabel == PatternQuery.AnyLabel || nearL == fromLabel
+      if toLabel.forall(_ == farL)
+    } yield (r, forward)
+    require(candidates.nonEmpty,
+      s"no relationship type connects ($fromLabel)${if (dirIn) "<" else ""}-" +
+        s"${relTypes.fold("")(_.mkString("[:", "|", "]"))}-${if (dirOut) ">" else ""}" +
+        s"(${toLabel.getOrElse("")}) in schema ${store.schema.name}")
+    val branches = candidates.map { case (r, forward) =>
+      val (nearL, farL) = if (forward) (r.from, r.to) else (r.to, r.from)
+      val rel = store.rel(r.name).select(
+        lit(r.name).as(s"${relVar}__rel_type"),
+        lit(nearL).as(s"${relVar}__near_label"),
+        col(if (forward) "src" else "dst").as(s"${relVar}__near"),
+        col(if (forward) "dst" else "src").as(s"${relVar}__far"))
+      toLabel match {
+        case Some(l) =>
+          val toPk = s"${v}__${store.schema.node(l).primaryKey}"
+          rel.join(namespaced(store.node(l), v),
+            col(s"${relVar}__far") === col(toPk))
+        case None =>
+          val farPk = store.schema.node(farL).primaryKey
+          rel.join(
+            store.node(farL).select(
+              lit(farL).as(s"${v}____label"),
+              col(farPk).cast("string").as(s"${v}____pk")),
+            col(s"${relVar}__far") === col(s"${v}____pk"))
+      }
+    }
+    val unioned = branches.reduce(_ unionByName _)
+    val joinCond =
+      if (fromLabel == PatternQuery.AnyLabel)
+        col(pkCol(from)) === col(s"${relVar}__near") &&
+          col(s"${from}____label") === col(s"${relVar}__near_label")
+      else col(pkCol(from)) === col(s"${relVar}__near")
+    new PatternQuery(store, frame.join(unioned, joinCond),
+      nodeVars + (v -> toLabel.getOrElse(PatternQuery.AnyLabel)),
+      boundVars + v + relVar)
   }
 
   /** Close a cycle: `(from)-[:relType]->(to)` where BOTH endpoints are
@@ -224,6 +298,25 @@ final class PatternQuery private (
 }
 
 object PatternQuery {
+
+  /** Sentinel "label" for label-less variables: backed by the union of
+    * every node table projected to `(__label, __pk)` — enough for
+    * `label(n)`, `id(n)`, `count(n)` and any-rel hops, which is the
+    * surface the reference's label-less queries use
+    * (metrics_service.py:262). Property access needs a real label. */
+  val AnyLabel = "*"
+
+  /** Label-less `MATCH (v)` — union of all node tables, pk + label
+    * columns only. Each parquet scan reads just the pk column, so the
+    * anchor costs one pruned scan per label, not a full materialize. */
+  def matchAnyNode(store: GraphSource, v: String): PatternQuery = {
+    val df = store.schema.nodes.map { n =>
+      store.node(n.name).select(
+        lit(n.name).as(s"${v}____label"),
+        col(n.primaryKey).cast("string").as(s"${v}____pk"))
+    }.reduce(_ unionByName _)
+    new PatternQuery(store, df, Map(v -> AnyLabel), Set(v))
+  }
 
   /** MATCH (v:label) — anchor of a pattern. */
   def matchNode(store: GraphSource, v: String, label: String): PatternQuery = {

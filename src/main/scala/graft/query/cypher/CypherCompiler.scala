@@ -72,6 +72,16 @@ final class CypherCompiler(
   /** relationship variable → declared type (for `type(r)`). */
   private val relVarTypes = scala.collection.mutable.Map.empty[String, String]
 
+  /** rel variables bound by union hops (untyped `-[r]->`): `type(r)`
+    * reads the branch-tagged `r__rel_type` column, not a literal. */
+  private val untypedRelVars = scala.collection.mutable.Set.empty[String]
+
+  /** Primary-key column for a node var — label-less vars carry the
+    * synthetic `__pk` (see [[PatternQuery.AnyLabel]]). */
+  private def pkColName(v: String, vars: Map[String, String]): String =
+    if (vars(v) == PatternQuery.AnyLabel) s"${v}____pk"
+    else s"${v}__${source.schema.node(vars(v)).primaryKey}"
+
   def compile(q: Query): DataFrame = {
     var pq: PatternQuery = null
     var postFilters = Vector.empty[Expr]
@@ -186,9 +196,15 @@ final class CypherCompiler(
     val headVar = path.head.variable.getOrElse(fresh("n"))
     var pq = start match {
       case null =>
-        val label = path.head.label.getOrElse(
-          throw new IllegalArgumentException(s"first node ($headVar) needs a label"))
-        PatternQuery.matchNode(source, headVar, label)
+        path.head.label match {
+          case Some(label) => PatternQuery.matchNode(source, headVar, label)
+          case None =>
+            // label-less MATCH (n): union of node tables, pk+label only
+            // (metrics_service.py:262)
+            require(path.head.props.isEmpty,
+              "property map on a label-less node is not supported — add a label")
+            PatternQuery.matchAnyNode(source, headVar)
+        }
       case prev if prev.variables.contains(headVar) => prev
       case prev =>
         val label = path.head.label.getOrElse(
@@ -200,36 +216,64 @@ final class CypherCompiler(
     }
     var fromVar = headVar
     path.hops.foreach { case (rel, node) =>
-      require(!rel.undirected,
-        "undirected relationship patterns (a)-[:R]-(b) are not supported — " +
-          "write the direction explicitly or UNION both directions")
-      val relType = rel.relType.getOrElse(
-        throw new IllegalArgumentException("untyped relationships are not supported"))
-      val toVar = node.variable.getOrElse(fresh("n"))
-      val rv = rel.variable.getOrElse(fresh("r"))
-      relVarTypes.update(rv, relType)
-      pq =
-        if (pq.variables.contains(toVar)) {
-          // cycle closure: both endpoints bound — join the rel table only
-          require(rel.varLength.isEmpty,
-            s"cyclic pattern on $toVar supports plain inner hops only")
-          val (src, dst) = if (rel.rightward) (fromVar, toVar) else (toVar, fromVar)
-          pq.closeHop(relType, src, dst, rv)
-        } else rel.varLength match {
-          case Some((lo, hi)) => pq.outVar(relType, fromVar, toVar, lo, hi, rel.rightward)
-          case None =>
-            if (rel.rightward) pq.out(relType, fromVar, toVar, optional = false, rv)
-            else pq.in(relType, fromVar, toVar, optional = false, rv)
+      // Untyped and/or undirected relationships compile via the
+      // union-of-branches hop (financial.py:411-412,
+      // metrics_service.py:274); typed+directed hops keep the single
+      // rel-table fast path below.
+      if (rel.relType.isEmpty || rel.undirected) {
+        val toVar = node.variable.getOrElse(fresh("n"))
+        val rv = rel.variable.getOrElse(fresh("r"))
+        require(rel.varLength.isEmpty,
+          "variable-length hops need a typed, directed relationship")
+        require(!pq.variables.contains(toVar),
+          s"cyclic union-hop patterns (rebinding $toVar) are not supported")
+        require(node.props.isEmpty || node.label.nonEmpty,
+          "property map on a label-less node is not supported — add a label")
+        rel.relType match {
+          case Some(t) => relVarTypes.update(rv, t)
+          case None => untypedRelVars += rv
         }
-      node.label.foreach { l =>
-        val declared = pq.variables(toVar)
-        require(declared == l,
-          s"pattern label $l does not match schema endpoint $declared for $toVar")
+        val (dirOut, dirIn) =
+          if (rel.undirected) (true, true)
+          else if (rel.rightward) (true, false) else (false, true)
+        pq = pq.unionHop(fromVar, toVar, rv, rel.relType.map(Seq(_)),
+          dirOut, dirIn, node.label)
+        node.props.foreach { case (k, v) => addFilter(Bin("=", Prop(toVar, k), v)) }
+        fromVar = toVar
+      } else compileTypedHop(pq, rel, node, fromVar, addFilter) match {
+        case (pq2, toVar) => pq = pq2; fromVar = toVar
       }
-      node.props.foreach { case (k, v) => addFilter(Bin("=", Prop(toVar, k), v)) }
-      fromVar = toVar
     }
     pq
+  }
+
+  private def compileTypedHop(
+      pq0: PatternQuery, rel: RelPat, node: NodePat, fromVar: String,
+      addFilter: Expr => Unit): (PatternQuery, String) = {
+    val relType = rel.relType.get
+    val toVar = node.variable.getOrElse(fresh("n"))
+    val rv = rel.variable.getOrElse(fresh("r"))
+    relVarTypes.update(rv, relType)
+    val pq =
+      if (pq0.variables.contains(toVar)) {
+        // cycle closure: both endpoints bound — join the rel table only
+        require(rel.varLength.isEmpty,
+          s"cyclic pattern on $toVar supports plain inner hops only")
+        val (src, dst) = if (rel.rightward) (fromVar, toVar) else (toVar, fromVar)
+        pq0.closeHop(relType, src, dst, rv)
+      } else rel.varLength match {
+        case Some((lo, hi)) => pq0.outVar(relType, fromVar, toVar, lo, hi, rel.rightward)
+        case None =>
+          if (rel.rightward) pq0.out(relType, fromVar, toVar, optional = false, rv)
+          else pq0.in(relType, fromVar, toVar, optional = false, rv)
+      }
+    node.label.foreach { l =>
+      val declared = pq.variables(toVar)
+      require(declared == l,
+        s"pattern label $l does not match schema endpoint $declared for $toVar")
+    }
+    node.props.foreach { case (k, v) => addFilter(Bin("=", Prop(toVar, k), v)) }
+    (pq, toVar)
   }
 
   // ---- projection with implicit grouping ---------------------------------
@@ -367,9 +411,12 @@ final class CypherCompiler(
     case Not(x) => !toColumn(x, vars)
     case IsNull(x, neg) =>
       val c = x match {
-        // `n IS NULL` on a node/rel var: test its key column
-        case VarRef(v) if vars.contains(v) =>
-          col(s"${v}__${source.schema.node(vars(v)).primaryKey}")
+        // `n IS NULL` on a node var: test its key column
+        case VarRef(v) if vars.contains(v) => col(pkColName(v, vars))
+        // `r IS NULL` on a relationship var: test its src/near column
+        // (null exactly when the optional hop found no match)
+        case VarRef(v) if relVarTypes.contains(v) => col(s"${v}__src")
+        case VarRef(v) if untypedRelVars.contains(v) => col(s"${v}__near")
         case other => toColumn(other, vars)
       }
       if (neg) c.isNotNull else c.isNull
@@ -422,7 +469,7 @@ final class CypherCompiler(
       case "count" => args match {
         case Seq(Star) => count(lit(1))
         case Seq(VarRef(v)) if vars.contains(v) =>
-          val key = col(s"${v}__${source.schema.node(vars(v)).primaryKey}")
+          val key = col(pkColName(v, vars))
           if (distinct) count_distinct(key) else count(key)
         case Seq(x) =>
           if (distinct) count_distinct(toColumn(x, vars)) else count(toColumn(x, vars))
@@ -459,23 +506,34 @@ final class CypherCompiler(
       case "split" => split(a(0), argString(args(1)))
       // graph introspection (§2.3 last row)
       case "id" => args.head match {
-        case VarRef(v) if vars.contains(v) =>
-          col(s"${v}__${source.schema.node(vars(v)).primaryKey}")
+        case VarRef(v) if vars.contains(v) => col(pkColName(v, vars))
         case _ => throw new IllegalArgumentException("id() needs a node variable")
       }
       case "labels" => args.head match {
+        case VarRef(v) if vars.get(v).contains(PatternQuery.AnyLabel) =>
+          array(col(s"${v}____label"))
         case VarRef(v) if vars.contains(v) => array(lit(vars(v)))
         case _ => throw new IllegalArgumentException("labels() needs a node variable")
       }
       case "label" => args.head match {
+        case VarRef(v) if vars.get(v).contains(PatternQuery.AnyLabel) =>
+          col(s"${v}____label")
         case VarRef(v) if vars.contains(v) => lit(vars(v))
-        case _ => throw new IllegalArgumentException("label() needs a node variable")
+        // LABEL(r) on a relationship var is the reference's spelling of
+        // type(r) (metrics_service.py:274)
+        case VarRef(v) if relVarTypes.contains(v) => lit(relVarTypes(v))
+        case VarRef(v) if untypedRelVars.contains(v) => col(s"${v}__rel_type")
+        case _ => throw new IllegalArgumentException("label() needs a node or relationship variable")
       }
       case "type" => args.head match {
         case VarRef(v) if relVarTypes.contains(v) => lit(relVarTypes(v))
+        case VarRef(v) if untypedRelVars.contains(v) => col(s"${v}__rel_type")
         case _ => throw new IllegalArgumentException("type() needs a relationship variable")
       }
       case "keys" => args.head match {
+        case VarRef(v) if vars.get(v).contains(PatternQuery.AnyLabel) =>
+          throw new IllegalArgumentException(
+            "keys() needs a labeled node variable — label-less vars expose id/label only")
         case VarRef(v) if vars.contains(v) =>
           array(source.schema.node(vars(v)).properties.map(p => lit(p.name)): _*)
         case _ => throw new IllegalArgumentException("keys() needs a node variable")

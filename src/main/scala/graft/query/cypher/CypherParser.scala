@@ -146,7 +146,7 @@ object CypherParser extends RegexParsers {
       ("-" ~> relBody <~ "->") ~ nodePat ^^ {
         case (v, t, vl) ~ n => (RelPat(v, t, rightward = true, vl), n)
       } |
-      ("-" ~> relBody <~ "-") ~ nodePat ^^ { // undirected: compiler rejects
+      ("-" ~> relBody <~ "-") ~ nodePat ^^ { // undirected: union of orientations
         case (v, t, vl) ~ n => (RelPat(v, t, rightward = true, vl, undirected = true), n)
       }
 

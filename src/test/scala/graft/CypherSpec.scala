@@ -122,6 +122,76 @@ class CypherSpec extends SparkTestBase {
     assert(df.collect().map(_.getString(0)).toSeq === Seq("ENTITY_HAS_TRANSACTION"))
   }
 
+  test("untyped relationship hop: per-type counts match typed queries (financial agent shape)") {
+    val counts = run(
+      """MATCH (e:Entity)-[r]->(n)
+         RETURN type(r) AS rel_type, count(*) AS cnt
+         ORDER BY rel_type""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val typed = run(
+      """MATCH (e:Entity)-[:ENTITY_HAS_TRANSACTION]->(t:Transaction)
+         RETURN count(*) AS cnt""").collect()(0).getLong(0)
+    assert(counts("ENTITY_HAS_TRANSACTION") === typed)
+    // never-materialized rel types join empty and emit no group
+    assert(counts.values.forall(_ > 0))
+  }
+
+  test("label-less MATCH (n): per-label counts via node-table union (metrics shape)") {
+    val counts = run(
+      """MATCH (n) RETURN label(n) AS lbl, count(n) AS cnt ORDER BY lbl""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val entities = run("MATCH (e:Entity) RETURN count(e) AS c").collect()(0).getLong(0)
+    val txns = run("MATCH (t:Transaction) RETURN count(t) AS c").collect()(0).getLong(0)
+    assert(counts("Entity") === entities)
+    assert(counts("Transaction") === txns)
+    assert(counts.values.forall(_ > 0))
+  }
+
+  test("undirected typed hop equals the schema-consistent orientation") {
+    val directed = run(
+      """MATCH (e:Entity)-[:ENTITY_HAS_TRANSACTION]->(t:Transaction)
+         RETURN count(*) AS c""").collect()(0).getLong(0)
+    val undirected = run(
+      """MATCH (t:Transaction)-[:ENTITY_HAS_TRANSACTION]-(e:Entity)
+         RETURN count(*) AS c""").collect()(0).getLong(0)
+    assert(directed > 0 && undirected === directed)
+  }
+
+  test("undirected self-typed hop yields both bindings per edge") {
+    import spark.implicits._
+    store.ingestNodes("Entity",
+      Seq(("ent2", "Acme Subsidiary")).toDF("identifier", "name"), Some("cy3"))
+    store.ingestRels("ENTITY_OWNS_ENTITY",
+      Seq(("ent1", "ent2")).toDF("src", "dst"), Some("cy3"))
+    val rows = run(
+      """MATCH (a:Entity)-[:ENTITY_OWNS_ENTITY]-(b:Entity)
+         RETURN a.identifier AS a, b.identifier AS b ORDER BY a""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("ent1", "ent2"), ("ent2", "ent1")))
+  }
+
+  test("anonymous any-rel scan lists materialized rel types (metrics shape)") {
+    val types = run(
+      """MATCH ()-[r]->() RETURN DISTINCT label(r) AS rel_type ORDER BY rel_type""")
+      .collect().map(_.getString(0)).toSet
+    assert(types.contains("ENTITY_HAS_TRANSACTION"))
+    assert(types.contains("TRANSACTION_HAS_LINE_ITEM"))
+  }
+
+  test("rel variable IS NULL distinguishes unmatched optional hops") {
+    val rows = run(
+      """MATCH (e:Entity)
+         OPTIONAL MATCH (e)-[r:ENTITY_HAS_TRANSACTION]->(t:Transaction)
+         WHERE t.amount > 999999999.0
+         RETURN e.identifier AS id,
+                sum(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS unmatched,
+                count(t) AS matched
+         ORDER BY id""").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getAs[Long]("unmatched") === 1L && r.getAs[Long]("matched") === 0L))
+  }
+
   test("SKIP/LIMIT paging is deterministic under ORDER BY") {
     val page1 = run(
       "MATCH (t:Transaction) RETURN t.identifier AS id ORDER BY id LIMIT 3")

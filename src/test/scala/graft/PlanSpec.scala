@@ -65,6 +65,29 @@ class PlanSpec extends SparkTestBase {
       s"filter not pushed:\n$plan")
   }
 
+  test("label-less MATCH (n) count scans only the pk column per node table") {
+    val df = new CypherCompiler(new TpchGraph(spark, sfDir)).run(
+      "MATCH (n) RETURN label(n) AS lbl, count(n) AS cnt")
+    val plan = planOf(df)
+    // 5 node tables → 5 scans, each pruned to its single key column
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach { rs =>
+      assert(rs.count(_ == ',') == 0, s"unpruned any-node scan: $rs")
+    }
+    assert(!plan.contains("c_mktsegment") && !plan.contains("o_totalprice"),
+      "any-node union must not read property columns")
+  }
+
+  test("untyped-rel hop stays a union of typed equi-joins (no cartesian)") {
+    val df = new CypherCompiler(new TpchGraph(spark, sfDir)).run(
+      "MATCH (c:Customer)-[r]->(n) RETURN type(r) AS t, count(*) AS cnt")
+    val plan = planOf(df)
+    assert(plan.contains("Union"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"union hop degenerated to a cross product:\n$plan")
+  }
+
   test("semi/anti joins plan as joins, not subquery re-scans") {
     val semi = planOf(RelationalQueries.q07SemiJoin(spark, sfDir))
     assert(semi.contains("LeftSemi"))
