@@ -113,6 +113,14 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(t, acc))
 
+  /** Engine-portable rolling fingerprint: an md5 fold over tokens.
+    * Same order-sensitivity as [[fingerprint]] but reproducible in any
+    * engine with md5 (DuckDB: `list_reduce` with the same seed), so it
+    * can sit under a differential oracle. Prefer [[fingerprint]] in hot
+    * paths — xxhash64 avoids the per-token hex-string materialization. */
+  def fingerprintPortable(c: Column): Column =
+    aggregate(tokens(c), lit("fp0"), (acc, t) => md5(concat(acc, t)))
+
   /** MinHash signature: k independent permutations approximated by
     * seeded xxhash64 over the shingle set; element i = min over
     * shingles of hash(shingle, seed=i). */

@@ -84,6 +84,77 @@ class PipelineSpec extends SparkTestBase {
     assert(bfTop1.subsetOf(lsh.toSet))
   }
 
+  test("simhash pairs EQUAL brute-force hamming pairs (pigeonhole recall = 1)") {
+    // the gate (t06) can't be DuckDB-oracled (seeded xxhash64 sigs) —
+    // this is its ground truth: chunk-bucketed candidates + verify must
+    // reproduce the full quadratic hamming scan exactly
+    val maxH = 6
+    val lsh = PipelineContext.run { implicit ctx =>
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = maxH)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    }
+    val exact = PipelineContext.run { implicit ctx =>
+      val sigs = ctx.stage(docs.select(col("doc_id").as("id"),
+        TF.simhash64(TF.tokens(col("text"))).as("sim")))
+      val a = sigs.select(col("id").as("id1"), col("sim").as("s1"))
+      val b = sigs.select(col("id").as("id2"), col("sim").as("s2"))
+      a.crossJoin(b).filter(col("id1") < col("id2"))
+        .filter(TF.hamming64(col("s1"), col("s2")) <= maxH)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    }
+    assert(lsh === exact)
+    assert(exact.nonEmpty) // non-vacuous: the corpus has close pairs
+  }
+
+  test("LSH ANN recall vs exact top-k meets threshold") {
+    val q = emb.filter(col("vec_id") < 10)
+    // top-6 minus the self-match (always rank 1, cosine 1) = exact
+    // non-self top-5
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 6)
+      .filter(col("id") =!= col("qid"))
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, dim = 64, nPlanes = 8,
+      excludeSelf = true)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    // deterministic given the fixed corpus + seeded planes (measured
+    // 0.14 here). i.i.d. random embeddings are the worst case for
+    // sign-LSH — top-5 "neighbors" have cosine ≈ 0.3-0.5, right at the
+    // bucket boundaries; real embedding corpora cluster, which is what
+    // the bucket join exploits. The floor pins that candidates remain
+    // correlated with the exact ranking rather than random (random
+    // 5-of-499 selection would land ≈ 0.01).
+    assert(recall >= 0.1, s"LSH recall $recall below floor")
+  }
+
+  test("embedding near-dup pairs: subset of exact pairs, precision 1") {
+    val thr = 0.35
+    val pairs = PipelineContext.run { implicit ctx =>
+      Dedup.embeddingPairs(emb, "vec_id", "embedding",
+        dim = 64, minCosine = thr, nPlanes = 4)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    }
+    val exact = {
+      val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+      a.crossJoin(b).filter(col("id1") < col("id2"))
+        .filter(VF.cosine(col("v1"), col("v2")) >= thr)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    }
+    assert(pairs.nonEmpty)
+    assert(pairs.subsetOf(exact), "bucket-join emitted a below-threshold pair")
+  }
+
+  test("portable fingerprint: order-sensitive, deterministic, md5-shaped") {
+    val fp = Seq("a b c", "c b a", "a b c").toDF("t")
+      .select(TF.fingerprintPortable(col("t")).as("f")).collect().map(_.getString(0))
+    assert(fp(0) === fp(2))
+    assert(fp(0) !== fp(1))
+    assert(fp.forall(_.matches("[0-9a-f]{32}")))
+  }
+
   test("langId deterministic and in range") {
     val a = docs.select(TF.langId(col("text")).as("l")).collect().map(_.getString(0))
     val b = docs.select(TF.langId(col("text")).as("l")).collect().map(_.getString(0))
