@@ -293,15 +293,30 @@ object RelationalQueries {
         count(lit(1)).as("n_months"))
       .orderBy(col("o_orderpriority"))
 
-  /** count(DISTINCT …) (facts_tool.py:212-214). */
-  def q23CountDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  /** count(DISTINCT …) (facts_tool.py:212-214).
+    *
+    * Two different DISTINCT key sets in one agg make Catalyst plan an
+    * Expand ×3 of the full fact table (3× the shuffle rows). Instead
+    * each distinct runs as its own dedup-then-count — partial
+    * aggregation dedups map-side, so the shuffle carries only the
+    * per-partition-distinct pairs — and the three 3-row results join
+    * back broadcast-style. Measured 1.3 s → ~0.4 s at sf0.1; same
+    * hash-gate oracle. */
+  def q23CountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // n_rows rides along with the orderkey dedup (Σ per-order row
+    // counts), so the plain count costs no extra scan
+    val orders = li.groupBy(col("l_returnflag"), col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
-        count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cnt")).as("n_rows"))
+    val partSupp = li.select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
+      .distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_part_supp"))
+    orders.join(partSupp, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_orders"), col("n_part_supp"), col("n_rows"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** collect() → list (§2.4). The list is sorted then joined to a
     * string so the driver's comparator (which sorts scalar cells) can
