@@ -63,4 +63,86 @@ object ResultStreamer {
     chunks ++ Iterator.single(
       s"""event: done\ndata: {"rows":$sent}\n\n""")
   }
+
+  private def ev(name: String, payload: String): String =
+    s"event: $name\ndata: $payload\n\n"
+
+  /** SSE lifecycle events for a QUEUED execution — the reference
+    * streams queued/running/progress operation events before the data
+    * phase (routers/graphs/query/streaming.py:455,
+    * middleware/sse/operation_manager.py); this walks the same protocol
+    * off [[QueryQueue]] status:
+    *
+    * `queued` → `running` → `progress`(periodic while executing) →
+    * `data`×N → `done`, with terminal `error` / `cancelled` variants.
+    *
+    * Events are produced lazily as the consumer pulls — the status
+    * phase polls the queue (as the reference polls its operation
+    * store), so a long-running query yields heartbeat `progress`
+    * events instead of silence. A DataFrame result streams through
+    * [[sseEvents]]; the action runs in the consumer's thread. */
+  def sseQueuedEvents(queue: QueryQueue, id: Long,
+      chunkSize: Int = DefaultChunkSize, pollMs: Long = 5,
+      progressEveryMs: Long = 1000, timeoutMs: Long = 30000): Iterator[String] = {
+    val head = Iterator.single(ev("queued", s"""{"id":$id}"""))
+    val lifecycle: Iterator[String] = new Iterator[String] {
+      private val start = System.currentTimeMillis()
+      private var runningEmitted = false
+      private var lastProgress = start
+      private var pending: String = null
+      private var tail: Iterator[String] = null
+
+      private def dataEvents(): Iterator[String] = queue.resultOf(id) match {
+        case Some(df: DataFrame) => sseEvents(df, chunkSize)
+        case Some(other) =>
+          Iterator(ev("data", s"[${jsonValue(other)}]"),
+            ev("done", """{"rows":1}"""))
+        case None => Iterator.single(ev("done", """{"rows":0}"""))
+      }
+
+      /** Poll until one event is pending or the terminal tail is set. */
+      private def poll(): Unit =
+        while (pending == null && tail == null) {
+          val now = System.currentTimeMillis()
+          if (now - start > timeoutMs) {
+            tail = Iterator.single(ev("error", """{"error":"timeout"}"""))
+          } else queue.statusOf(id) match {
+            case Some(queue.Status.Running) =>
+              if (!runningEmitted) {
+                runningEmitted = true
+                pending = ev("running", s"""{"id":$id}""")
+              } else if (now - lastProgress >= progressEveryMs) {
+                lastProgress = now
+                pending = ev("progress",
+                  s"""{"id":$id,"elapsed_ms":${now - start}}""")
+              } else Thread.sleep(pollMs)
+            case Some(queue.Status.Completed) =>
+              if (!runningEmitted) {
+                // a fast query can jump Queued→Completed between polls;
+                // the protocol still reports that it ran
+                runningEmitted = true
+                pending = ev("running", s"""{"id":$id}""")
+              } else tail = dataEvents()
+            case Some(queue.Status.Failed) =>
+              val msg = queue.errorOf(id).map(_.getMessage).getOrElse("unknown")
+              tail = Iterator.single(ev("error", s"""{"error":${jsonValue(msg)}}"""))
+            case Some(queue.Status.Cancelled) =>
+              tail = Iterator.single(ev("cancelled", s"""{"id":$id}"""))
+            case Some(queue.Status.Queued) | None => Thread.sleep(pollMs)
+          }
+        }
+
+      def hasNext: Boolean = {
+        if (pending != null) return true
+        if (tail == null) poll()
+        pending != null || tail.hasNext
+      }
+      def next(): String = {
+        if (!hasNext) throw new NoSuchElementException("event stream exhausted")
+        if (pending != null) { val e = pending; pending = null; e }
+        else tail.next()
+      }
+    }
+    head ++ lifecycle
+  }
 }

@@ -84,4 +84,44 @@ class ServeSpec extends SparkTestBase {
     assert(sse.size === 4) // 3 data + done
     assert(sse.last.contains("\"rows\":25"))
   }
+
+  test("queued execution streams queued/running/progress/data/done events") {
+    val q = new QueryQueue(maxConcurrent = 1)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      q.submit("blocker") { gate.await(); 0 } // hold the single worker
+      Thread.sleep(50)
+      val id = q.submit("u") {
+        Thread.sleep(200) // long enough for >1 progress heartbeat
+        Tables.nation(spark, sfDir)
+      }.toOption.get
+      // release the worker shortly after the stream starts polling
+      new Thread(() => { Thread.sleep(100); gate.countDown() }).start()
+      val events = ResultStreamer.sseQueuedEvents(q, id,
+        chunkSize = 10, pollMs = 2, progressEveryMs = 50).toSeq
+      val names = events.map(_.linesIterator.next().stripPrefix("event: "))
+      assert(names.head === "queued")
+      assert(names.contains("running"))
+      assert(names.contains("progress"), s"no progress heartbeat in $names")
+      // protocol order: queued < running < progress < first data < done
+      assert(names.indexOf("running") > names.indexOf("queued"))
+      assert(names.indexOf("progress") > names.indexOf("running"))
+      assert(names.indexOf("data") > names.indexOf("progress"))
+      assert(names.last === "done")
+      assert(events.last.contains("\"rows\":25"))
+    } finally q.shutdown()
+  }
+
+  test("queued execution surfaces failure as an error event") {
+    val q = new QueryQueue(maxConcurrent = 1)
+    try {
+      val id = q.submit("u") { throw new RuntimeException("boom") }.toOption.get
+      q.await(id)
+      val events = ResultStreamer.sseQueuedEvents(q, id, pollMs = 2).toSeq
+      val names = events.map(_.linesIterator.next().stripPrefix("event: "))
+      assert(names.head === "queued")
+      assert(names.last === "error")
+      assert(events.last.contains("boom"))
+    } finally q.shutdown()
+  }
 }
