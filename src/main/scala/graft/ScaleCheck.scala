@@ -10,29 +10,41 @@ import org.apache.spark.sql.functions._
   * that the plans are shuffle/partition-sound; super-linear growth
   * would flag a plan that won't survive 100 TB.
   *
+  * Facts (lineitem/orders/customer/part/supplier/events) scale with
+  * disjoint key spaces so join matches stay copy-local and DISTINCT
+  * cardinalities actually grow; nation/region stay 1× (real scale-ups
+  * grow facts, not countries).
+  *
+  * Emits one JSON line per k with raw per-query seconds — consumed by
+  * `scripts/scale_duel.py`, which times DuckDB on the SAME synthesized
+  * parquet and records the engine/oracle ratio in SCALING.md.
+  *
   * Usage: runMain graft.ScaleCheck [maxK] (writes /tmp/graft_scale). */
 object ScaleCheck {
 
   def synthesize(spark: SparkSession, srcDir: String, destDir: String, k: Int): Unit = {
-    def scaleTable(name: String, keyCols: Seq[String], rowsPerKeySpace: Long): Unit = {
+    // key spaces chosen beyond the sf0.1 max key values
+    val shift = 10000000L
+    def scaleTable(name: String, keyCols: Seq[String]): Unit = {
       val base = spark.read.parquet(s"$srcDir/$name.parquet")
       val copies = (0 until k).map { i =>
         keyCols.foldLeft(base) { (df, c) =>
-          df.withColumn(c, col(c) + lit(i * rowsPerKeySpace))
+          df.withColumn(c, col(c) + lit(i * shift))
         }
       }
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$destDir/$name.parquet")
     }
-    // key spaces chosen beyond the sf0.1 max key values
-    scaleTable("lineitem", Seq("l_orderkey"), 10000000L)
-    scaleTable("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
-    scaleTable("customer", Seq("c_custkey"), 10000000L)
-    Seq("region", "nation", "supplier", "part", "events", "documents", "embeddings")
-      .foreach { t =>
-        spark.read.parquet(s"$srcDir/$t.parquet")
-          .write.mode("overwrite").parquet(s"$destDir/$t.parquet")
-      }
+    scaleTable("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    scaleTable("orders", Seq("o_orderkey", "o_custkey"))
+    scaleTable("customer", Seq("c_custkey"))
+    scaleTable("part", Seq("p_partkey"))
+    scaleTable("supplier", Seq("s_suppkey"))
+    scaleTable("events", Seq("event_id", "user_id"))
+    Seq("region", "nation", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$destDir/$t.parquet")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -50,7 +62,8 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("ERROR")
 
     val shapes = Seq("q01_pricing_summary", "q03_join_topk",
-      "q04_multihop_agg", "q12_window_dedup", "t12_sessionize")
+      "q04_multihop_agg", "q12_window_dedup", "q23_count_distinct",
+      "t12_sessionize")
 
     val ks = Seq(1, 4, maxK).distinct.filter(_ <= maxK)
     val results = ks.map { k =>
@@ -67,6 +80,9 @@ object ScaleCheck {
           .write.mode("overwrite").format("noop").save()
         q -> (System.nanoTime() - t0) / 1e9
       }
+      // machine-readable line for scripts/scale_duel.py
+      println(s"""SCALEJSON {"k":$k,"dir":"$dir","times":{""" +
+        times.map { case (q, t) => s""""$q":$t""" }.mkString(",") + "}}")
       k -> times
     }
 
