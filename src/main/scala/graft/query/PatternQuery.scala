@@ -262,6 +262,70 @@ final class PatternQuery private (
       nodeVars + (v -> targetLabel), boundVars + v)
   }
 
+  /** Bounded var-length path over ANY relationship type
+    * `-[*min..max]->`: reachability on the union of all rel tables.
+    * Because primary keys are only unique per label, edges carry their
+    * endpoint LABELS — (src_label, src, dst_label, dst) — and chain
+    * hops join on the (label, key) pair, so a Nation key can never
+    * continue through a Region edge. The far node is label-less
+    * ([[PatternQuery.AnyLabel]]) unless `toLabel` narrows it. Same 1..5
+    * bound as the typed expansion (reference validator,
+    * query_validator.py:416-429). */
+  def outVarAny(from: String, v: String, minHops: Int, maxHops: Int,
+      rightward: Boolean = true, toLabel: Option[String] = None): PatternQuery = {
+    require(minHops >= 1 && maxHops >= minHops && maxHops <= 5,
+      "variable-length paths are bounded to 1..5 hops")
+    requireBound(from); requireFresh(v)
+    val fromLabel = nodeVars(from)
+    val edges = store.schema.rels.map { r =>
+      val (sl, s, dl, d) =
+        if (rightward) (r.from, "src", r.to, "dst")
+        else (r.to, "dst", r.from, "src")
+      store.rel(r.name).select(
+        lit(sl).as("sl"), col(s).cast("string").as("s"),
+        lit(dl).as("dl"), col(d).cast("string").as("d"))
+    }.reduce(_ unionByName _)
+    // anchor the expansion on the bound label so the path frontier
+    // never carries unreachable branches
+    val e0 =
+      if (fromLabel == PatternQuery.AnyLabel) edges
+      else edges.filter(col("sl") === lit(fromLabel))
+    var paths = e0
+    var acc: DataFrame = if (minHops == 1) e0 else null
+    for (k <- 2 to maxHops) {
+      paths = paths.as("a")
+        .join(edges.as("b"),
+          col("a.dl") === col("b.sl") && col("a.d") === col("b.s"))
+        .select(col("a.sl").as("sl"), col("a.s").as("s"),
+          col("b.dl").as("dl"), col("b.d").as("d"))
+      if (k >= minHops) acc = if (acc == null) paths else acc.unionByName(paths)
+    }
+    val narrowed = toLabel.fold(acc)(l => acc.filter(col("dl") === lit(l)))
+    val reach = narrowed.distinct()
+      .select(col("sl").as("__v_sl"), col("s").as("__v_s"),
+        col("dl").as("__v_dl"), col("d").as("__v_d"))
+    val fromCond =
+      if (fromLabel == PatternQuery.AnyLabel)
+        col(pkCol(from)) === col("__v_s") &&
+          col(s"${from}____label") === col("__v_sl")
+      else col(pkCol(from)).cast("string") === col("__v_s")
+    val joined = frame.join(reach, fromCond)
+    val next = toLabel match {
+      case Some(l) =>
+        val pk = store.schema.node(l).primaryKey
+        joined.join(namespaced(store.node(l), v),
+          col("__v_d") === col(s"${v}__$pk").cast("string"))
+          .drop("__v_sl", "__v_s", "__v_dl", "__v_d")
+      case None =>
+        joined
+          .withColumn(s"${v}____label", col("__v_dl"))
+          .withColumn(s"${v}____pk", col("__v_d"))
+          .drop("__v_sl", "__v_s", "__v_dl", "__v_d")
+    }
+    new PatternQuery(store, next,
+      nodeVars + (v -> toLabel.getOrElse(PatternQuery.AnyLabel)), boundVars + v)
+  }
+
   /** WHERE over any bound variables' properties (use [[PatternQuery.p]]). */
   def where(cond: Column): PatternQuery =
     new PatternQuery(store, frame.filter(cond), nodeVars, boundVars)

@@ -47,7 +47,10 @@ object CypherAst {
       ret: ReturnClause,
       orderBy: Seq[OrderItem],
       skip: Option[Long],
-      limit: Option[Long])
+      limit: Option[Long],
+      /** UNWIND <listExpr> AS <var> clauses (after MATCHes, before
+        * WITH/RETURN) — each explodes the list into rows. */
+      unwinds: Seq[(Expr, String)] = Seq.empty)
 
   /** One or more single queries combined with UNION ALL / UNION
     * (example_queries_tool.py:82 — per-label count branches). */

@@ -99,8 +99,19 @@ final class CypherCompiler(
     }
     postFilters.foreach { f => pq = pq.where(toColumn(f, pq.variables)) }
 
-    var frame = pq.df
-    var vars = pq.variables
+    // MATCH-less UNWIND queries anchor on a one-row frame
+    var frame =
+      if (pq != null) pq.df
+      else org.apache.spark.sql.SparkSession.active.range(1).drop("id")
+    var vars = if (pq != null) pq.variables else Map.empty[String, String]
+
+    // UNWIND list AS x — explode; empty/null lists yield no rows
+    // (openCypher semantics, which is exactly explode's)
+    q.unwinds.foreach { case (e, v) =>
+      require(!vars.contains(v) && !frame.columns.contains(v),
+        s"UNWIND rebinds $v")
+      frame = frame.withColumn(v, explode(toColumn(e, vars)))
+    }
 
     // WITH pipeline stages
     q.withClauses.foreach { w =>
@@ -222,22 +233,30 @@ final class CypherCompiler(
       // rel-table fast path below.
       if (rel.relType.isEmpty || rel.undirected) {
         val toVar = node.variable.getOrElse(fresh("n"))
-        val rv = rel.variable.getOrElse(fresh("r"))
-        require(rel.varLength.isEmpty,
-          "variable-length hops need a typed, directed relationship")
         require(!pq.variables.contains(toVar),
           s"cyclic union-hop patterns (rebinding $toVar) are not supported")
         require(node.props.isEmpty || node.label.nonEmpty,
           "property map on a label-less node is not supported — add a label")
-        rel.relType match {
-          case Some(t) => relVarTypes.update(rv, t)
-          case None => untypedRelVars += rv
+        rel.varLength match {
+          case Some((lo, hi)) =>
+            // heterogeneous bounded path -[*min..max]-> : reachability
+            // over the label-tagged union edge set
+            require(rel.relType.isEmpty && !rel.undirected,
+              "variable-length hops are -[*min..max]-> (any type, directed) " +
+                "or single typed hops — typed/undirected var-length is not supported")
+            pq = pq.outVarAny(fromVar, toVar, lo, hi, rel.rightward, node.label)
+          case None =>
+            val rv = rel.variable.getOrElse(fresh("r"))
+            rel.relType match {
+              case Some(t) => relVarTypes.update(rv, t)
+              case None => untypedRelVars += rv
+            }
+            val (dirOut, dirIn) =
+              if (rel.undirected) (true, true)
+              else if (rel.rightward) (true, false) else (false, true)
+            pq = pq.unionHop(fromVar, toVar, rv, rel.relType.map(Seq(_)),
+              dirOut, dirIn, node.label)
         }
-        val (dirOut, dirIn) =
-          if (rel.undirected) (true, true)
-          else if (rel.rightward) (true, false) else (false, true)
-        pq = pq.unionHop(fromVar, toVar, rv, rel.relType.map(Seq(_)),
-          dirOut, dirIn, node.label)
         node.props.foreach { case (k, v) => addFilter(Bin("=", Prop(toVar, k), v)) }
         fromVar = toVar
       } else compileTypedHop(pq, rel, node, fromVar, addFilter) match {

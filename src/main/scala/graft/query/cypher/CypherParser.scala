@@ -180,17 +180,20 @@ object CypherParser extends RegexParsers {
       case e ~ d => OrderItem(e, d.contains("DESC"))
     }
 
+  private lazy val unwindClause: Parser[(Expr, String)] =
+    kw("UNWIND") ~> expr ~ (kw("AS") ~> ident) ^^ { case e ~ v => (e, v) }
+
   private lazy val query: Parser[Query] =
-    rep1(matchClause) ~ rep((withClause ~ rep(matchClause)) ^? (
+    rep(matchClause) ~ rep(unwindClause) ~ rep((withClause ~ rep(matchClause)) ^? (
       { case w ~ Nil => w },
       _ => "MATCH after WITH is not supported in this subset"
     )) ~ returnClause ~
       opt(kw("ORDER") ~ kw("BY") ~> rep1sep(orderItem, ",")) ~
-      opt(kw("SKIP") ~> "\\d+".r) ~ opt(kw("LIMIT") ~> "\\d+".r) ^^ {
-      case ms ~ ws ~ ret ~ ob ~ skip ~ limit =>
+      opt(kw("SKIP") ~> "\\d+".r) ~ opt(kw("LIMIT") ~> "\\d+".r) ^? ({
+      case ms ~ us ~ ws ~ ret ~ ob ~ skip ~ limit if ms.nonEmpty || us.nonEmpty =>
         Query(ms, ws, ret, ob.getOrElse(Seq.empty),
-          skip.map(_.toLong), limit.map(_.toLong))
-    }
+          skip.map(_.toLong), limit.map(_.toLong), us)
+    }, _ => "query needs at least one MATCH or UNWIND clause")
 
   private lazy val unionQuery: Parser[UnionQuery] =
     query ~ rep(kw("UNION") ~ opt(kw("ALL")) ~ query) ^^ {

@@ -13,6 +13,11 @@ import graft.storage.GraphStore
   * so they act on the result frame. */
 object FactGrid {
 
+  /** Cap for implicit pivot-column discovery; beyond this the caller
+    * must pass `periodCols` (grids wider than this are not a
+    * presentation artifact, they're a data problem). */
+  val MaxDiscoveredPeriods = 256
+
   def apply(
       store: GraphStore,
       entityId: Option[String] = None,
@@ -29,10 +34,22 @@ object FactGrid {
       .filter(col("period_end").isNotNull)
       .select("element_id", "element_name", "period_end", "numeric_value")
 
+    // Pivot columns are driver-side by nature (a pivot needs its column
+    // set before planning). Discovery is capped: a fact table with more
+    // distinct periods than any presentable grid (reports carry tens of
+    // periods, not thousands) must pass explicit `periodCols` — an
+    // uncapped collect over a corrupt/unbounded period domain would OOM
+    // the driver at scale.
     val periods: Seq[String] =
       if (periodCols.nonEmpty) periodCols
-      else facts.select("period_end").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
+      else {
+        val discovered = facts.select("period_end").distinct()
+          .limit(MaxDiscoveredPeriods + 1)
+          .collect().map(_.getString(0)).sorted.toSeq
+        require(discovered.size <= MaxDiscoveredPeriods,
+          s"more than $MaxDiscoveredPeriods distinct periods — pass periodCols explicitly")
+        discovered
+      }
 
     val pivoted = facts
       .groupBy(col("element_id"), col("element_name"))

@@ -192,6 +192,33 @@ class CypherSpec extends SparkTestBase {
       r.getAs[Long]("unmatched") === 1L && r.getAs[Long]("matched") === 0L))
   }
 
+  test("UNWIND explodes literal lists and parameters; empty list yields no rows") {
+    val lit = run("UNWIND [3, 1, 2] AS x RETURN x ORDER BY x")
+      .collect().map(_.getLong(0))
+    assert(lit.toSeq === Seq(1L, 2L, 3L))
+    val param = run(
+      """MATCH (e:Entity {identifier: 'ent1'})
+         UNWIND $tags AS tag
+         RETURN e.identifier AS id, tag ORDER BY tag""",
+      Map("tags" -> Seq("a", "b")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(param.toSeq === Seq(("ent1", "a"), ("ent1", "b")))
+    assert(run("UNWIND [] AS x RETURN x").collect().isEmpty)
+  }
+
+  test("heterogeneous var-length path -[*1..2]-> reaches typed-path labels") {
+    val counts = run(
+      """MATCH (e:Entity {identifier: 'ent1'})-[*1..2]->(n)
+         RETURN label(n) AS lbl, count(*) AS cnt ORDER BY lbl""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val txns = run(
+      """MATCH (e:Entity {identifier: 'ent1'})-[:ENTITY_HAS_TRANSACTION]->(t:Transaction)
+         RETURN count(*) AS c""").collect()(0).getLong(0)
+    // 1 hop reaches Transaction; 2 hops reach LineItem through them
+    assert(counts("Transaction") === txns)
+    assert(counts.contains("LineItem"))
+  }
+
   test("SKIP/LIMIT paging is deterministic under ORDER BY") {
     val page1 = run(
       "MATCH (t:Transaction) RETURN t.identifier AS id ORDER BY id LIMIT 3")

@@ -46,12 +46,17 @@ class Round2RegressionSpec extends SparkTestBase {
     assert(viaVar.collect().toSeq === viaHop.collect().toSeq)
   }
 
-  test("undirected relationship pattern is rejected loudly") {
-    val e = intercept[IllegalArgumentException] {
-      new CypherCompiler(graph).run(
-        "MATCH (c:Customer)-[:CUSTOMER_PLACED_ORDER]-(o:Order) RETURN count(o) AS n")
-    }
-    assert(e.getMessage.contains("undirected"))
+  test("undirected relationship pattern compiles as the union of orientations") {
+    // round 4 upgraded the round-2 loud rejection to real support:
+    // (c:Customer)-[:CUSTOMER_PLACED_ORDER]-(o:Order) has exactly one
+    // schema-consistent orientation, so it equals the directed form
+    val undirected = new CypherCompiler(graph).run(
+      "MATCH (c:Customer)-[:CUSTOMER_PLACED_ORDER]-(o:Order) RETURN count(o) AS n")
+      .collect()(0).getLong(0)
+    val directed = new CypherCompiler(graph).run(
+      "MATCH (c:Customer)-[:CUSTOMER_PLACED_ORDER]->(o:Order) RETURN count(o) AS n")
+      .collect()(0).getLong(0)
+    assert(undirected === directed && directed > 0)
   }
 
   test("undirected OPTIONAL MATCH is rejected loudly") {
