@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{ColumnInternals, SketchExpressions}
+
+/** Column wrappers for the native sketch expressions
+  * (org.apache.spark.sql.graft.SketchExpressions) — one expression per
+  * sketch instead of k aggregate columns, so Catalyst planning cost no
+  * longer scales with signature width (measured ~2.5 s of driver
+  * planning per minhash pipeline call in the k-column form). */
+object SketchFunctions {
+
+  /** MinHash signature aggregate over 64-bit shingle hashes: one
+    * array<long> column, element i = min of XXH64(h, seed=i). */
+  def minhashSig(hashCol: Column, k: Int): Column =
+    ColumnInternals.column(SketchExpressions.MinHashSigAgg(
+      ColumnInternals.expression(hashCol), k).toAggregateExpression())
+
+  /** SimHash-64 aggregate over per-token 64-bit hashes. */
+  def simhashSig(tokenHashCol: Column): Column =
+    ColumnInternals.column(SketchExpressions.SimHashSigAgg(
+      ColumnInternals.expression(tokenHashCol)).toAggregateExpression())
+
+  /** Matching-component count between two signatures (the Jaccard
+    * estimate numerator), codegen'd. */
+  def matchCount(a: Column, b: Column): Column =
+    ColumnInternals.column(SketchExpressions.LongArrayMatchCount(
+      ColumnInternals.expression(a), ColumnInternals.expression(b)))
+}

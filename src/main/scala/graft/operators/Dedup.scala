@@ -106,15 +106,15 @@ object Dedup {
   /** MinHash signatures as one exploded aggregation: k min-hashes per
     * doc in a single shuffle with map-side partial mins. Each shingle
     * is hashed ONCE to a long; the k permutations re-hash the
-    * fixed-width long (seeded xxhash64) — string traversal does not
-    * multiply by k. */
+    * fixed-width long (seeded XXH64) — string traversal does not
+    * multiply by k. The signature is ONE native aggregate column
+    * ([[graft.functions.SketchFunctions.minhashSig]]): the previous
+    * k-column `min(xxhash64(h, i))` form made Catalyst planning scale
+    * with k (~2.5 s driver time per pipeline call at k=64). */
   private def minhashSigs(hashes: DataFrame, numHashes: Int)(
-      implicit ctx: PipelineContext): DataFrame = {
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+      implicit ctx: PipelineContext): DataFrame =
     ctx.stage(hashes.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig")))
-  }
+      .agg(graft.functions.SketchFunctions.minhashSig(col("h"), numHashes).as("sig")))
 
   /** MinHash+LSH near-duplicate candidate pairs (id1 < id2), optionally
     * verified with exact Jaccard over the shingle sets. `bands` must
@@ -155,11 +155,11 @@ object Dedup {
         val estMargin = 2.0 * math.sqrt(j * (1 - j) / numHashes)
         val sig1 = sigs.withColumnsRenamed(Map("id" -> "id1", "sig" -> "sig1"))
         val sig2 = sigs.withColumnsRenamed(Map("id" -> "id2", "sig" -> "sig2"))
-        // codegen'd estimate: unrolled element comparisons (zip_with is
-        // an interpreted higher-order function — measured 5× slower)
-        val matches = (0 until numHashes).map(i =>
-          (element_at(col("sig1"), i + 1) === element_at(col("sig2"), i + 1))
-            .cast("int")).reduce(_ + _)
+        // codegen'd estimate: one native loop expression (zip_with is
+        // interpreted — measured 5× slower; the unrolled element_at
+        // chain planned in O(k) optimizer width)
+        val matches = graft.functions.SketchFunctions.matchCount(
+          col("sig1"), col("sig2"))
         // join strategy: AQE (see object scaladoc) — no static hints
         val estimated = ctx.stage(cand
           .join(sig1, Seq("id1"))
@@ -186,7 +186,9 @@ object Dedup {
   }
 
   /** SimHash-64 per doc via one exploded aggregation: per-bit ±1 sums
-    * with map-side combine, then bits assembled from the sign. */
+    * with map-side combine, then bits assembled from the sign — all
+    * inside ONE native aggregate column (the 64-sum form paid O(64)
+    * planning width per call; same token hashes, same signatures). */
   private def simhashSigs(
       df: DataFrame, idCol: String, textCol: String)(
       implicit ctx: PipelineContext): DataFrame = {
@@ -194,13 +196,9 @@ object Dedup {
       .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
       .select(col("id"), explode(col("t")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val sums = (0 until 64).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(1L) * 2L - 1L).as(s"b$i"))
-    val agg = exploded.groupBy(col("id")).agg(sums.head, sums.tail: _*)
-    val sim = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    ctx.stage(agg.select(col("id"), sim.as("sim")))
+    // narrow (id, long) frame: columnar persist beats checkpoint here
+    ctx.stagePersist(exploded.groupBy(col("id"))
+      .agg(graft.functions.SketchFunctions.simhashSig(col("h")).as("sim")))
   }
 
   /** SimHash near-duplicate pairs with hamming ≤ maxHamming (default 3).

@@ -10,28 +10,25 @@ import scala.collection.mutable.ArrayBuffer
   * The dedup/curation pipelines compute tables (shingle hashes, minhash
   * signatures, annotations) that fan out into several DAG branches; each
   * must be materialized once or every branch recomputes it (measured
-  * 60× at k=64 signatures). Two staging mechanisms were measured at
-  * sf0.1 (round-4 profile):
+  * 60× at k=64 signatures). Two staging mechanisms, both owned and
+  * freed by this context (round-3 finding: leaked checkpoint blocks
+  * degraded later queries in a long-lived session 5-9×; round-4
+  * profile: `Dataset.unpersist` does not reach a checkpoint's RDD):
   *
-  *  - `persist()` (columnar InMemoryRelation): t05 4.7 s / t13 8.6 s —
-  *    2-3× slower than checkpoint staging, whether materialized lazily
-  *    or eagerly (the cached-subplan execution path, not duplicated
-  *    work, is the cost);
-  *  - LAZY `localCheckpoint` (row-based block storage): t05 1.6 s /
-  *    t13 3.9 s in-suite — the fast path, but the blocks historically
-  *    leaked: `Dataset.unpersist` does not reach a checkpoint's RDD, so
-  *    a long-lived session degraded later queries 5-9× (round-3
-  *    finding: t08 2.17 s in-suite vs 0.40 s isolated).
+  *  - [[stage]] — LAZY `localCheckpoint` (row-based block storage).
+  *    Faster end-to-end for the wide minhash pipelines (t05 2.0 s vs
+  *    2.9 s persisted, t13 3.5 s vs 6.3 s at sf0.1) but plans the
+  *    subtree eagerly at construction;
+  *  - [[stagePersist]] — columnar `persist()`. No construction-time
+  *    planning and faster for NARROW frames (t06's (id, long) table:
+  *    1.1 s vs 1.6 s checkpointed), slower for array-heavy ones
+  *    (columnar encode of 64-long signature arrays).
   *
-  * This class keeps the fast path and fixes the leak: [[stage]] returns
-  * the lazily-checkpointed frame AND records the checkpoint's
-  * block-backed RDD; the pipeline's owner — [[PipelineContext.run]] —
-  * frees every tracked RDD after the consuming action, so a long-lived
-  * driver (the serving lifecycle in `graft.serve`) retains zero blocks
-  * between queries. On a real cluster the same handles would be
-  * persisted/bucketed tables with explicit lifecycle. */
+  * On a real cluster the same handles would be persisted/bucketed
+  * tables with explicit lifecycle. */
 final class PipelineContext {
   private val staged = ArrayBuffer.empty[RDD[_]]
+  private val persisted = ArrayBuffer.empty[DataFrame]
 
   /** Lazily localCheckpoint `df` and remember the backing RDD for
     * [[release]]. Call on any intermediate that feeds >1 consumer.
@@ -43,10 +40,21 @@ final class PipelineContext {
     cp
   }
 
-  /** Free every staged checkpoint's blocks (non-blocking). Run this
-    * only AFTER the consuming action — the checkpointed plans have no
+  /** Persist `df` (columnar cache) and remember the handle for
+    * [[release]]. Prefer for narrow intermediates; see class doc. */
+  def stagePersist(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    synchronized { persisted += p }
+    p
+  }
+
+  /** Free every staged intermediate's blocks (non-blocking). Run this
+    * only AFTER the consuming action — checkpointed plans have no
     * lineage to recompute from, so any later action on them would fail. */
-  def release(): Unit = synchronized { staged.foreach(_.unpersist(false)); staged.clear() }
+  def release(): Unit = synchronized {
+    staged.foreach(_.unpersist(false)); staged.clear()
+    persisted.foreach(_.unpersist(false)); persisted.clear()
+  }
 }
 
 object PipelineContext {

@@ -1,0 +1,205 @@
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst forms of the dedup sketches.
+  *
+  * The column-expression versions (k separate `min(xxhash64(h, i))`
+  * aggregate columns, a 64-term `element_at` comparison chain) are
+  * correct but QUADRATICALLY expensive to PLAN: Catalyst canonicalizes
+  * and folds each of the k columns through every optimizer rule, and
+  * the round-3/4 profiles measured ~2.5 s of serialized driver planning
+  * per minhash pipeline call — more than the query's own execution at
+  * sf0.1. These collapse the sketch to ONE expression each, so plan
+  * width no longer scales with k. Execution work is identical (same
+  * per-row hash count); the aggregate also dodges the k-column
+  * row-buffer round trip.
+  */
+object SketchExpressions {
+
+  /** MinHash signature as one aggregate column: element i of the
+    * result = min over input rows of XXH64(hash, seed = i). Input rows
+    * are the (already 64-bit) shingle hashes of one document.
+    *
+    * Seeded-rehash permutation approximation — same construction as
+    * the k-column form; the exact seeding scheme is free to differ
+    * because every consumer either estimates (banding, estimate
+    * prefilter) or verifies with exact Jaccard. */
+  final case class MinHashSigAgg(
+      child: Expression,
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "minhash_sig"
+    override def children: Seq[Expression] = Seq(child)
+
+    override def createAggregationBuffer(): Array[Long] =
+      Array.fill(k)(Long.MaxValue)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        var i = 0
+        while (i < k) {
+          val m = XXH64.hashLong(h, i)
+          if (m < buf(i)) buf(i) = m
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 * k)
+      var i = 0
+      while (i < k) { bb.putLong(buf(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      Array.fill(k)(bb.getLong())
+    }
+
+    override def withNewMutableAggBufferOffset(n: Int): MinHashSigAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): MinHashSigAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): MinHashSigAgg =
+      copy(child = newChildren.head)
+  }
+
+  /** SimHash-64 as one aggregate column over exploded tokens: bit i of
+    * the result is the sign of Σ (2·bit_i(xxhash64(token)) − 1).
+    * Replaces 64 per-row bit-extract expressions + 64 sum columns. */
+  final case class SimHashSigAgg(
+      child: Expression,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Int]] with ExpectsInputTypes {
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def prettyName: String = "simhash_sig"
+    override def children: Seq[Expression] = Seq(child)
+
+    override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+    override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        var i = 0
+        while (i < 64) {
+          buf(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Int]): Any = {
+      var sig = 0L
+      var i = 0
+      while (i < 64) { if (buf(i) > 0) sig |= (1L << i); i += 1 }
+      sig
+    }
+
+    override def serialize(buf: Array[Int]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 * 64)
+      var i = 0
+      while (i < 64) { bb.putInt(buf(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Int] = {
+      val bb = ByteBuffer.wrap(bytes)
+      Array.fill(64)(bb.getInt())
+    }
+
+    override def withNewMutableAggBufferOffset(n: Int): SimHashSigAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): SimHashSigAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): SimHashSigAgg =
+      copy(child = newChildren.head)
+  }
+
+  /** Count of positions where two long arrays hold equal values —
+    * the MinHash Jaccard estimate's numerator, as one codegen'd loop
+    * instead of k `element_at` equality terms. Null on length
+    * mismatch (malformed signatures must surface). */
+  final case class LongArrayMatchCount(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "array_match_count"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      var c = 0
+      var i = 0
+      while (i < n) {
+        if (x.getLong(i) == y.getLong(i)) c += 1
+        i += 1
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        s"""
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $c = 0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.getLong($i) == $b.getLong($i)) $c++;
+          }
+          ${ev.value} = $c;
+        }
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): LongArrayMatchCount =
+      copy(left = newLeft, right = newRight)
+  }
+}
