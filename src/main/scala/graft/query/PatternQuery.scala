@@ -382,6 +382,24 @@ object PatternQuery {
     new PatternQuery(store, df, Map(v -> AnyLabel), Set(v))
   }
 
+  /** Anchor directly on the union of all relationship tables —
+    * the `MATCH ()-[r]->()` metrics shape (metrics_service.py:274)
+    * where BOTH endpoints are anonymous and unused. Skips the two
+    * node-table joins entirely: graph stores enforce endpoint
+    * integrity at COPY time (GraphStore ingest conforms to the schema),
+    * so an existence join against the node union adds scans without
+    * changing the result. Each branch reads only its rel table's
+    * src/dst columns plus literal tags. */
+  def matchAnyRelOnly(store: GraphSource, relVar: String): PatternQuery = {
+    val df = store.schema.rels.map { r =>
+      store.rel(r.name).select(
+        lit(r.name).as(s"${relVar}__rel_type"),
+        col("src").cast("string").as(s"${relVar}__src"),
+        col("dst").cast("string").as(s"${relVar}__dst"))
+    }.reduce(_ unionByName _)
+    new PatternQuery(store, df, Map.empty, Set(relVar))
+  }
+
   /** MATCH (v:label) — anchor of a pattern. */
   def matchNode(store: GraphSource, v: String, label: String): PatternQuery = {
     val df = store.node(label)

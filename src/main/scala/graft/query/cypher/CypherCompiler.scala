@@ -204,6 +204,20 @@ final class CypherCompiler(
   private def compilePath(
       start: PatternQuery, path: PathPat,
       addFilter: Expr => Unit): PatternQuery = {
+    // `MATCH ()-[r]->()` with both endpoints anonymous and unused —
+    // the metrics rel-scan shape (metrics_service.py:274) — anchors on
+    // the rel-table union alone; the node joins would add a scan per
+    // label without changing the result (ingest enforces endpoints)
+    path match {
+      case PathPat(NodePat(None, None, Seq()),
+          Seq((rel, NodePat(None, None, Seq()))))
+          if start == null && rel.relType.isEmpty && !rel.undirected &&
+            rel.varLength.isEmpty =>
+        val rv = rel.variable.getOrElse(fresh("r"))
+        untypedRelVars += rv
+        return PatternQuery.matchAnyRelOnly(source, rv)
+      case _ => ()
+    }
     val headVar = path.head.variable.getOrElse(fresh("n"))
     var pq = start match {
       case null =>

@@ -88,6 +88,14 @@ class PlanSpec extends SparkTestBase {
       s"union hop degenerated to a cross product:\n$plan")
   }
 
+  test("anonymous rel scan ()-[r]->() plans as a join-free rel-table union") {
+    val df = new CypherCompiler(new TpchGraph(spark, sfDir)).run(
+      "MATCH ()-[r]->() RETURN label(r) AS t, count(*) AS n")
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"metrics rel scan should not join:\n$plan")
+    assert(plan.contains("Union"))
+  }
+
   test("semi/anti joins plan as joins, not subquery re-scans") {
     val semi = planOf(RelationalQueries.q07SemiJoin(spark, sfDir))
     assert(semi.contains("LeftSemi"))
