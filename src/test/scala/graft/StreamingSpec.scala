@@ -30,6 +30,35 @@ class StreamingSpec extends SparkTestBase {
       === Array("e1", "e2", "e3"))
   }
 
+  test("flatMapGroupsWithState sessionizer: in-batch gap closure + watermark timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val sessions = SessionStream.sessionize(
+      mem.toDF().toDF("user_id", "ts"), gapMs = 10000L, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 3's two events are 50 s apart IN ONE BATCH: first session
+      // closes immediately; user 1's two events chain into one open one
+      mem.addData((1L, t(0)), (1L, t(5)), (3L, t(0)), (3L, t(50)))
+      q.processAllAvailable()
+      // advance the watermark past user 1's last-event + gap (15 s):
+      // batch N computes timeouts against the watermark from batch N-1,
+      // so one more batch is needed after the advancing one
+      mem.addData((2L, t(100)))
+      q.processAllAvailable()
+      mem.addData((2L, t(101)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+      assert(rows.contains((3L, 1L)), s"in-batch gap closure missing: $rows")
+      assert(rows.contains((1L, 2L)), s"watermark timeout session missing: $rows")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a file event stream") {
     val tmp = Files.createTempDirectory("graft-events").toString
     val src = graft.sources.Tables.events(spark, sfDir).limit(500)
