@@ -1,11 +1,24 @@
 package graft.storage
 
+import java.nio.file.{Files, Path, Paths}
+import java.security.{MessageDigest, SecureRandom}
+import javax.crypto.{Cipher, SecretKeyFactory}
+import javax.crypto.spec.{GCMParameterSpec, PBEKeySpec, SecretKeySpec}
+
 import org.apache.spark.sql.SaveMode
 
 /** Full-graph export/import (robosystems/operations/lbug/
   * backup_manager.py full-DB `.lbug` export; backup.py:467). Spark
   * shape: one parquet dataset per table under a destination root —
-  * restorable into a fresh GraphStore, portable to object storage. */
+  * restorable into a fresh GraphStore, portable to object storage.
+  *
+  * Encrypted variant (backup_manager.py's encrypted backups):
+  * AES-256-GCM per data file with a PBKDF2-derived key, plus a
+  * manifest of ciphertext SHA-256s — wrong password and bit-rot both
+  * fail loudly (GCM tag / digest mismatch), never as silent garbage
+  * rows. Files are encrypted in an executor-side pass (`parallelize`
+  * over the file list), so the work distributes wherever the backup
+  * root is shared storage. */
 object GraphBackup {
 
   /** Export every materialized table; returns (table, rows) pairs. */
@@ -49,5 +62,109 @@ object GraphBackup {
       else None
     }
     nodes ++ rels
+  }
+
+  // ---- encrypted variant ---------------------------------------------------
+
+  private val PbkdfIterations = 65536
+  private val GcmTagBits = 128
+  private val IvBytes = 12
+
+  private def deriveKey(password: String, salt: Array[Byte]): Array[Byte] =
+    SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(new PBEKeySpec(password.toCharArray, salt, PbkdfIterations, 256))
+      .getEncoded
+
+  private def cipher(mode: Int, key: Array[Byte], iv: Array[Byte]): Cipher = {
+    val c = Cipher.getInstance("AES/GCM/NoPadding")
+    c.init(mode, new SecretKeySpec(key, "AES"), new GCMParameterSpec(GcmTagBits, iv))
+    c
+  }
+
+  private def sha256(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  private def dataFiles(root: Path): Seq[Path] = {
+    val s = Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_")
+          && !p.getFileName.toString.startsWith("."))
+        .toSeq
+    } finally s.close()
+  }
+
+  /** Export then encrypt every data file in place (`<file>.enc`,
+    * IV-prefixed AES-GCM) and write `manifest.json` carrying the KDF
+    * salt and each ciphertext's SHA-256. */
+  def exportGraphEncrypted(
+      store: GraphStore, destRoot: String, password: String): Seq[(String, Long)] = {
+    val counts = exportGraph(store, destRoot)
+    val salt = new Array[Byte](16)
+    new SecureRandom().nextBytes(salt)
+    val key = deriveKey(password, salt)
+    val root = Paths.get(destRoot)
+    val files = dataFiles(root).map(_.toString)
+    // executor-side pass: each file is read, sealed, rewritten as .enc
+    val digests = store.spark.sparkContext
+      .parallelize(files, math.max(1, files.size)).map { f =>
+        val p = Paths.get(f)
+        val plain = Files.readAllBytes(p)
+        val iv = new Array[Byte](IvBytes)
+        new SecureRandom().nextBytes(iv)
+        val sealed0 = cipher(Cipher.ENCRYPT_MODE, key, iv).doFinal(plain)
+        val out = iv ++ sealed0
+        Files.write(Paths.get(f + ".enc"), out)
+        Files.delete(p)
+        (f + ".enc", sha256(out))
+      }.collect().toSeq
+    val manifest = digests.map { case (f, d) =>
+      s"""    {"file": "${root.relativize(Paths.get(f))}", "sha256": "$d"}"""
+    }.mkString(
+      s"""{\n  "salt": "${sha256Hex(salt)}",\n  "files": [\n""", ",\n", "\n  ]\n}\n")
+    Files.write(root.resolve("manifest.json"), manifest.getBytes("UTF-8"))
+    Files.write(root.resolve("manifest.salt"), salt)
+    counts
+  }
+
+  private def sha256Hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"$b%02x").mkString
+
+  /** Decrypt an encrypted export (in place: `.enc` → plain) after
+    * verifying every ciphertext digest against the manifest, then
+    * import. Wrong password surfaces as a GCM tag failure; a modified
+    * or truncated file as a digest mismatch BEFORE any decryption. */
+  def importGraphEncrypted(
+      store: GraphStore, srcRoot: String, password: String): Seq[(String, Long)] = {
+    val root = Paths.get(srcRoot)
+    val salt = Files.readAllBytes(root.resolve("manifest.salt"))
+    val manifest = new String(
+      Files.readAllBytes(root.resolve("manifest.json")), "UTF-8")
+    val expected = """"file": "([^"]+)", "sha256": "([0-9a-f]+)"""".r
+      .findAllMatchIn(manifest).map(m => m.group(1) -> m.group(2)).toMap
+    val key = deriveKey(password, salt)
+    val files = dataFiles(root)
+      .filter(_.getFileName.toString.endsWith(".enc")).map(_.toString)
+    val rootStr = root.toString // Path is not serializable; rebuild per task
+    store.spark.sparkContext
+      .parallelize(files, math.max(1, files.size)).foreach { f =>
+        val p = Paths.get(f)
+        val rel = Paths.get(rootStr).relativize(p).toString
+        val sealed0 = Files.readAllBytes(p)
+        val want = expected.getOrElse(rel,
+          throw new IllegalStateException(s"backup file not in manifest: $rel"))
+        val got = sha256(sealed0)
+        if (got != want)
+          throw new IllegalStateException(
+            s"backup integrity failure for $rel: digest $got != manifest $want")
+        val iv = sealed0.take(IvBytes)
+        val plain = cipher(Cipher.DECRYPT_MODE, key, iv)
+          .doFinal(sealed0.drop(IvBytes)) // throws AEADBadTagException on wrong key
+        Files.write(Paths.get(f.stripSuffix(".enc")), plain)
+        Files.delete(p)
+      }
+    importGraph(store, srcRoot)
   }
 }

@@ -68,6 +68,53 @@ class StorageOpsSpec extends SparkTestBase {
     assert(restored.node("Transaction").count() === store.node("Transaction").count())
   }
 
+  test("encrypted backup round-trips; wrong password and tampering fail loudly") {
+    val dest = Files.createTempDirectory("graft-backup-enc").toString
+    val exported = GraphBackup.exportGraphEncrypted(store, dest, "s3cret").toMap
+    assert(exported("nodes/Element") === 18L)
+    // nothing readable as plain parquet; manifest + .enc files only
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dest))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.getFileName.toString).toSeq
+    } finally files.close()
+    assert(names.exists(_.endsWith(".enc")))
+    assert(!names.exists(n => n.endsWith(".parquet") && !n.endsWith(".parquet.enc")))
+    assert(names.contains("manifest.json"))
+
+    // wrong password → GCM tag failure, surfaced before any ingest
+    val restoredBad = new GraphStore(spark, root, "ops-enc-bad", RoboledgerSchema.schema)
+    val e = intercept[org.apache.spark.SparkException] {
+      GraphBackup.importGraphEncrypted(restoredBad, dest, "wrong")
+    }
+    assert(e.getMessage != null)
+
+    // right password → full round trip
+    val restored = new GraphStore(spark, root, "ops-enc", RoboledgerSchema.schema)
+    val imported = GraphBackup.importGraphEncrypted(restored, dest, "s3cret").toMap
+    assert(imported("nodes/Element") === 18L)
+    assert(restored.node("Transaction").count() === store.node("Transaction").count())
+
+    // tampering: flip a byte in one .enc of a fresh export → digest check trips
+    val dest2 = Files.createTempDirectory("graft-backup-enc2").toString
+    GraphBackup.exportGraphEncrypted(store, dest2, "s3cret")
+    val walk2 = java.nio.file.Files.walk(java.nio.file.Paths.get(dest2))
+    val victim = try {
+      import scala.jdk.CollectionConverters._
+      walk2.iterator().asScala.find(_.toString.endsWith(".enc")).get
+    } finally walk2.close()
+    val bytes = java.nio.file.Files.readAllBytes(victim)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x1).toByte
+    java.nio.file.Files.write(victim, bytes)
+    val restored2 = new GraphStore(spark, root, "ops-enc2", RoboledgerSchema.schema)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      GraphBackup.importGraphEncrypted(restored2, dest2, "s3cret")
+    }
+    assert(e2.getMessage.contains("integrity") ||
+      Option(e2.getCause).exists(_.getMessage.contains("integrity")))
+  }
+
   test("transaction saga rolls back every table on failure") {
     val before = (store.node("Process").count(), store.rel("ENTITY_HAS_TRANSACTION").count())
     val attempt = scala.util.Try {
