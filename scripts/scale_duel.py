@@ -19,11 +19,6 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# oracle SQL per gate query, read from the Verify dump contract
-ORACLE = {
-    "q01_pricing_summary": None,  # filled from oracle_sql.json below
-}
-
 
 def load_oracles(path):
     with open(path) as f:
@@ -94,8 +89,13 @@ def main():
         f"{k}x spark / duck / ratio" for k in ks) + " |")
     print("|---|" + "---|" * len(ks))
     for q in header:
+        if q not in table:  # shape without an oracle: nothing to compare
+            continue
         cells = []
         for k in ks:
+            if k not in table[q]:
+                cells.append("-")
+                continue
             s, dsec = table[q][k]
             cells.append(f"{s:.2f} / {dsec:.2f} / {s / dsec:.1f}x")
         print(f"| {q} | " + " | ".join(cells) + " |")

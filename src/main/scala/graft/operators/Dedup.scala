@@ -83,7 +83,7 @@ object Dedup {
     * the set, and the Jaccard stage collects sets itself. */
   private def shingleHashes(
       df: DataFrame, idCol: String, textCol: String,
-      mode: ShingleMode)(implicit ctx: PipelineContext): DataFrame = ctx.stage(mode match {
+      mode: ShingleMode): DataFrame = (mode match {
     case CharGrams(n) =>
       df.select(col(idCol).as("id"), lower(trim(col(textCol))).as("t"))
         .filter(length(col("t")) >= n)
@@ -126,7 +126,11 @@ object Dedup {
       maxBucket: Int = 500)(implicit ctx: PipelineContext): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val hashes = shingleHashes(df, idCol, textCol, shingle)
+    // staged here, not inside shingleHashes: THIS caller fans the hash
+    // table into sigs + the exact-verify stage; single-consumer callers
+    // (jaccardPairsExact stages its own distinct) must not pay a
+    // second block copy
+    val hashes = ctx.stage(shingleHashes(df, idCol, textCol, shingle))
     val sigs = minhashSigs(hashes, numHashes)
     val banded = sigs.select(
       col("id"),
@@ -222,8 +226,13 @@ object Dedup {
     val chunked = sigs.select(col("id"), col("sim"),
       explode(array((0 until nChunks).map { i =>
         val lo = bounds(i); val w = bounds(i + 1) - lo
+        // JVM long shifts are mod-64: (1L << 64) - 1 == 0, which would
+        // collapse the nChunks=1 (maxHamming=0) case into ONE global
+        // bucket — an uncapped O(n²) self-join. Full-width chunk ⇒
+        // full-signature mask (exact-signature join).
+        val mask = if (w >= 64) -1L else (1L << w) - 1L
         struct(lit(i).as("ci"),
-          shiftright(col("sim"), lo).bitwiseAND((1L << w) - 1L).as("cv"))
+          shiftright(col("sim"), lo).bitwiseAND(mask).as("cv"))
       }: _*)).as("ch"))
       .select(col("id"), col("sim"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
     val a = chunked.select(col("ci"), col("cv"), col("id").as("id1"), col("sim").as("sim1"))

@@ -305,12 +305,16 @@ object RelationalQueries {
   def q23CountDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     // n_rows rides along with the orderkey dedup (Σ per-order row
-    // counts), so the plain count costs no extra scan
+    // counts), so the plain count costs no extra scan. NULL semantics
+    // match countDistinct: count(l_orderkey) skips the null-key group
+    // (whose rows still land in n_rows), and null part/supp rows are
+    // filtered like count(DISTINCT a, b) drops any-null tuples.
     val orders = li.groupBy(col("l_returnflag"), col("l_orderkey"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_orders"), sum(col("cnt")).as("n_rows"))
+      .agg(count(col("l_orderkey")).as("n_orders"), sum(col("cnt")).as("n_rows"))
     val partSupp = li.select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
+      .filter(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
       .distinct()
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_part_supp"))
     orders.join(partSupp, Seq("l_returnflag"))

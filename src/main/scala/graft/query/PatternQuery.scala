@@ -176,16 +176,20 @@ final class PatternQuery private (
         s"(${toLabel.getOrElse("")}) in schema ${store.schema.name}")
     val branches = candidates.map { case (r, forward) =>
       val (nearL, farL) = if (forward) (r.from, r.to) else (r.to, r.from)
+      // src/dst cast to string: key columns join against string-typed
+      // synthetic pks (`__pk`) and possibly non-string node pks — a
+      // numeric-vs-string equality would coerce BOTH sides to double
+      // and silently lose exactness for 64-bit ids above 2^53
       val rel = store.rel(r.name).select(
         lit(r.name).as(s"${relVar}__rel_type"),
         lit(nearL).as(s"${relVar}__near_label"),
-        col(if (forward) "src" else "dst").as(s"${relVar}__near"),
-        col(if (forward) "dst" else "src").as(s"${relVar}__far"))
+        col(if (forward) "src" else "dst").cast("string").as(s"${relVar}__near"),
+        col(if (forward) "dst" else "src").cast("string").as(s"${relVar}__far"))
       toLabel match {
         case Some(l) =>
           val toPk = s"${v}__${store.schema.node(l).primaryKey}"
           rel.join(namespaced(store.node(l), v),
-            col(s"${relVar}__far") === col(toPk))
+            col(s"${relVar}__far") === col(toPk).cast("string"))
         case None =>
           val farPk = store.schema.node(farL).primaryKey
           rel.join(
@@ -200,7 +204,7 @@ final class PatternQuery private (
       if (fromLabel == PatternQuery.AnyLabel)
         col(pkCol(from)) === col(s"${relVar}__near") &&
           col(s"${from}____label") === col(s"${relVar}__near_label")
-      else col(pkCol(from)) === col(s"${relVar}__near")
+      else col(pkCol(from)).cast("string") === col(s"${relVar}__near")
     new PatternQuery(store, frame.join(unioned, joinCond),
       nodeVars + (v -> toLabel.getOrElse(PatternQuery.AnyLabel)),
       boundVars + v + relVar)

@@ -100,11 +100,15 @@ object ResultStreamer {
         case None => Iterator.single(ev("done", """{"rows":0}"""))
       }
 
-      /** Poll until one event is pending or the terminal tail is set. */
+      /** Poll until one event is pending or the terminal tail is set.
+        * The timeout guards the QUEUED/unknown phase only — once the
+        * query is Running, progress heartbeats prove liveness and a
+        * legitimately long execution must not be cut into an error
+        * while it keeps consuming resources. */
       private def poll(): Unit =
         while (pending == null && tail == null) {
           val now = System.currentTimeMillis()
-          if (now - start > timeoutMs) {
+          if (!runningEmitted && now - start > timeoutMs) {
             tail = Iterator.single(ev("error", """{"error":"timeout"}"""))
           } else queue.statusOf(id) match {
             case Some(queue.Status.Running) =>

@@ -132,12 +132,17 @@ object GraphBackup {
   private def sha256Hex(bytes: Array[Byte]): String =
     bytes.map(b => f"$b%02x").mkString
 
-  /** Decrypt an encrypted export (in place: `.enc` → plain) after
-    * verifying every ciphertext digest against the manifest, then
-    * import. Wrong password surfaces as a GCM tag failure; a modified
-    * or truncated file as a digest mismatch BEFORE any decryption. */
+  /** Verify every ciphertext digest against the manifest, then decrypt
+    * into `workDir` (a scratch restore area — NEVER the backup itself:
+    * decrypting in place would silently convert the at-rest encrypted
+    * archive to plaintext on its own read path) and import from there.
+    * The source archive is read-only throughout, so a wrong password
+    * (GCM tag failure) or a tampered file (digest mismatch, caught
+    * before that file is decrypted) leaves it fully intact and
+    * manifest-consistent. `workDir` is deleted after import. */
   def importGraphEncrypted(
-      store: GraphStore, srcRoot: String, password: String): Seq[(String, Long)] = {
+      store: GraphStore, srcRoot: String, password: String,
+      workDir: Option[String] = None): Seq[(String, Long)] = {
     val root = Paths.get(srcRoot)
     val salt = Files.readAllBytes(root.resolve("manifest.salt"))
     val manifest = new String(
@@ -147,24 +152,39 @@ object GraphBackup {
     val key = deriveKey(password, salt)
     val files = dataFiles(root)
       .filter(_.getFileName.toString.endsWith(".enc")).map(_.toString)
-    val rootStr = root.toString // Path is not serializable; rebuild per task
+    // verify the whole manifest BEFORE decrypting anything: a tampered
+    // archive must fail with zero plaintext written
+    files.foreach { f =>
+      val rel = root.relativize(Paths.get(f)).toString
+      val want = expected.getOrElse(rel,
+        throw new IllegalStateException(s"backup file not in manifest: $rel"))
+      val got = sha256(Files.readAllBytes(Paths.get(f)))
+      if (got != want)
+        throw new IllegalStateException(
+          s"backup integrity failure for $rel: digest $got != manifest $want")
+    }
+    val work = Paths.get(workDir.getOrElse(
+      Files.createTempDirectory("graft-restore").toString))
+    val (rootStr, workStr) = (root.toString, work.toString)
     store.spark.sparkContext
       .parallelize(files, math.max(1, files.size)).foreach { f =>
         val p = Paths.get(f)
-        val rel = Paths.get(rootStr).relativize(p).toString
+        val rel = Paths.get(rootStr).relativize(p).toString.stripSuffix(".enc")
         val sealed0 = Files.readAllBytes(p)
-        val want = expected.getOrElse(rel,
-          throw new IllegalStateException(s"backup file not in manifest: $rel"))
-        val got = sha256(sealed0)
-        if (got != want)
-          throw new IllegalStateException(
-            s"backup integrity failure for $rel: digest $got != manifest $want")
         val iv = sealed0.take(IvBytes)
         val plain = cipher(Cipher.DECRYPT_MODE, key, iv)
           .doFinal(sealed0.drop(IvBytes)) // throws AEADBadTagException on wrong key
-        Files.write(Paths.get(f.stripSuffix(".enc")), plain)
-        Files.delete(p)
+        val out = Paths.get(workStr).resolve(rel)
+        Files.createDirectories(out.getParent)
+        Files.write(out, plain)
       }
-    importGraph(store, srcRoot)
+    try importGraph(store, workStr)
+    finally {
+      val s = Files.walk(work)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      } finally s.close()
+    }
   }
 }

@@ -52,8 +52,18 @@ object SessionStream {
             var acc = state.getOption
             times.foreach { t =>
               acc match {
-                case Some(a) if t - a.lastMs <= gapMs =>
-                  acc = Some(a.copy(lastMs = t, n = a.n + 1))
+                // within gap of the open session's span (a LATE event
+                // from an earlier batch may sit before startMs — it
+                // extends the span backward, never regresses lastMs)
+                case Some(a) if t >= a.startMs - gapMs && t <= a.lastMs + gapMs =>
+                  acc = Some(SessionAcc(
+                    math.min(a.startMs, t), math.max(a.lastMs, t), a.n + 1))
+                // far in the past: a late fragment of an already-closed
+                // session — emit standalone rather than corrupting the
+                // open one (the batch form would have merged it; a
+                // stream cannot reopen emitted output)
+                case Some(a) if t < a.startMs - gapMs =>
+                  closed += UserSession(user, new Timestamp(t), new Timestamp(t), 1)
                 case Some(a) =>
                   closed += UserSession(user,
                     new Timestamp(a.startMs), new Timestamp(a.lastMs), a.n)

@@ -90,11 +90,24 @@ class StorageOpsSpec extends SparkTestBase {
     }
     assert(e.getMessage != null)
 
-    // right password → full round trip
+    // right password → full round trip; the archive stays SEALED
     val restored = new GraphStore(spark, root, "ops-enc", RoboledgerSchema.schema)
     val imported = GraphBackup.importGraphEncrypted(restored, dest, "s3cret").toMap
     assert(imported("nodes/Element") === 18L)
     assert(restored.node("Transaction").count() === store.node("Transaction").count())
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(dest))
+    val namesAfter = try {
+      import scala.jdk.CollectionConverters._
+      after.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.getFileName.toString).toSeq
+    } finally after.close()
+    assert(namesAfter.exists(_.endsWith(".enc")) &&
+      !namesAfter.exists(n => n.endsWith(".parquet") && !n.endsWith(".parquet.enc")),
+      s"restore must not decrypt the archive in place: $namesAfter")
+    // restorable again (idempotent read path)
+    val again = new GraphStore(spark, root, "ops-enc-again", RoboledgerSchema.schema)
+    assert(GraphBackup.importGraphEncrypted(again, dest, "s3cret")
+      .toMap.apply("nodes/Element") === 18L)
 
     // tampering: flip a byte in one .enc of a fresh export → digest check trips
     val dest2 = Files.createTempDirectory("graft-backup-enc2").toString
@@ -108,11 +121,12 @@ class StorageOpsSpec extends SparkTestBase {
     bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x1).toByte
     java.nio.file.Files.write(victim, bytes)
     val restored2 = new GraphStore(spark, root, "ops-enc2", RoboledgerSchema.schema)
-    val e2 = intercept[org.apache.spark.SparkException] {
+    // digest verification is an up-front pass: fails on the DRIVER with
+    // zero plaintext written
+    val e2 = intercept[IllegalStateException] {
       GraphBackup.importGraphEncrypted(restored2, dest2, "s3cret")
     }
-    assert(e2.getMessage.contains("integrity") ||
-      Option(e2.getCause).exists(_.getMessage.contains("integrity")))
+    assert(e2.getMessage.contains("integrity"))
   }
 
   test("transaction saga rolls back every table on failure") {

@@ -59,6 +59,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizer: late cross-batch event cannot regress or corrupt the open session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val sessions = SessionStream.sessionize(
+      mem.toDF().toDF("user_id", "ts"), gapMs = 10000L, watermark = "2 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, t(100)))
+      q.processAllAvailable()
+      // 60 s late, far outside the open session's gap: must emit as a
+      // standalone fragment, NOT merge backward (the pre-fix bug made
+      // -60 <= gap pass and dragged lastMs to 40)
+      mem.addData((1L, t(40)))
+      q.processAllAvailable()
+      mem.addData((9L, t(235)))
+      q.processAllAvailable()
+      mem.addData((9L, t(236)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_late")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      val u1 = rows.filter(_._1 == 1L).sortBy(_._2.getTime)
+      assert(u1.map(r => (r._2, r._3, r._4)).toSeq ===
+        Seq((t(40), t(40), 1L), (t(100), t(100), 1L)), s"got ${u1.toSeq}")
+      assert(rows.forall(r => !r._3.before(r._2)), "session_end must be >= start")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a file event stream") {
     val tmp = Files.createTempDirectory("graft-events").toString
     val src = graft.sources.Tables.events(spark, sfDir).limit(500)
