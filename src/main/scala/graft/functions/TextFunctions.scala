@@ -64,6 +64,19 @@ object TextFunctions {
   /** The languages [[langIdTokens]] scores, sorted (tie-break order). */
   val langIdLanguages: Seq[String] = stopwords.keys.toSeq.sorted
 
+  /** All [[langIdLanguages]] stopword ratios in ONE pass over the token
+    * array (native expression; element i aligns with langIdLanguages).
+    * Each token costs one hash probe against a combined
+    * token→language-bitmask map — the per-language `filter` HOF form
+    * re-scans the array per language with a linear `array_contains`
+    * per token, and was the annotate stage's dominant cost. Same
+    * arithmetic (hits / totalTokens, 0.0 on empty/null). */
+  def stopwordRatiosAll(t: Column): Column =
+    org.apache.spark.sql.graft.ColumnInternals.column(
+      org.apache.spark.sql.graft.SketchExpressions.StopwordRatios(
+        org.apache.spark.sql.graft.ColumnInternals.expression(t),
+        langIdLanguages.map(stopwords(_))))
+
   /** N-gram/stopword-heuristic language ID: highest stopword-hit ratio
     * wins; deterministic tie-break by language code. Returns a language
     * code column ("und" when nothing matches). */

@@ -20,17 +20,20 @@ object CurationPipeline {
       shingle: Dedup.ShingleMode = Dedup.WordGrams(2))
 
   /** Stage 1: per-document annotations — one tokenization feeds every
-    * score, and each per-language stopword ratio is staged as a REAL
-    * column so the interpreted `filter` HOF runs once per language per
-    * row (inlining them into langId's argmax tree re-evaluates each
-    * ratio ~3×; per-score tokenization was the original t13 hot spot). */
+    * score, all language ratios come from ONE native pass over the
+    * token array ([[TextFunctions.stopwordRatiosAll]]), and each ratio
+    * is staged as a REAL column so langId's argmax tree doesn't
+    * re-evaluate it ~3× (per-language interpreted `filter` HOFs were
+    * the original t07/t13 hot spot). */
   def annotate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val langs = TextFunctions.langIdLanguages
     val ratioCols = langs.map(l => s"__r_$l")
-    langs.zip(ratioCols)
-      .foldLeft(docs.withColumn("__t", TextFunctions.tokens(col(textCol)))) {
-        case (df, (l, rc)) =>
-          df.withColumn(rc, TextFunctions.stopwordRatioTokens(col("__t"), l))
+    langs.zipWithIndex
+      .foldLeft(docs
+        .withColumn("__t", TextFunctions.tokens(col(textCol)))
+        .withColumn("__r", TextFunctions.stopwordRatiosAll(col("__t")))) {
+        case (df, (l, i)) =>
+          df.withColumn(s"__r_$l", element_at(col("__r"), i + 1))
       }
       .withColumn("n_tokens", size(col("__t")))
       .withColumn("lang_pred",
@@ -41,7 +44,7 @@ object CurationPipeline {
         col(textCol), col("__t"), col("__r_en")))
       .withColumn("fingerprint",
         aggregate(col("__t"), lit(0L), (acc, t) => xxhash64(t, acc)))
-      .drop("__t" +: ratioCols: _*)
+      .drop("__t" +: "__r" +: ratioCols: _*)
   }
 
   /** Full pipeline; returns the curated corpus with annotations and a

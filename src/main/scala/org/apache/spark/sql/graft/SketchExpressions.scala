@@ -155,6 +155,73 @@ object SketchExpressions {
       copy(child = newChildren.head)
   }
 
+  /** Per-language stopword-hit ratios in ONE pass: for a token array,
+    * returns array<double> with element i = (#tokens in language i's
+    * stopword set) / #tokens (0.0 for empty/null input — the fold
+    * forms' convention). Each token costs ONE hash lookup against a
+    * combined token→language-bitmask map, replacing k interpreted
+    * `filter(array_contains(...))` HOF scans whose membership test was
+    * itself a linear array probe (measured as the annotate stage's
+    * dominant cost). `langSets` is ordered; the output matches it. */
+  final case class StopwordRatios(
+      child: Expression, langSets: Seq[Seq[String]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "stopword_ratios"
+
+    @transient private lazy val nLangs = langSets.size
+    /** token → bitmask of languages whose stopword set contains it. */
+    @transient private lazy val masks: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+      val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+      langSets.zipWithIndex.foreach { case (words, i) =>
+        words.foreach { w =>
+          val k = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+          val prev = m.get(k)
+          m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+        }
+      }
+      m
+    }
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      val counts = new Array[Int](nLangs)
+      var n = 0
+      if (v != null) {
+        val arr = v.asInstanceOf[ArrayData]
+        n = arr.numElements()
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i)) {
+            val mask = masks.get(arr.getUTF8String(i))
+            if (mask != null) {
+              var bits = mask.intValue()
+              while (bits != 0) {
+                val b = java.lang.Integer.numberOfTrailingZeros(bits)
+                counts(b) += 1
+                bits &= bits - 1
+              }
+            }
+          }
+          i += 1
+        }
+      }
+      val out = new Array[Double](nLangs)
+      if (n > 0) {
+        var i = 0
+        while (i < nLangs) { out(i) = counts(i).toDouble / n; i += 1 }
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): StopwordRatios =
+      copy(child = newChild)
+  }
+
   /** Count of positions where two long arrays hold equal values —
     * the MinHash Jaccard estimate's numerator, as one codegen'd loop
     * instead of k `element_at` equality terms. Null on length
