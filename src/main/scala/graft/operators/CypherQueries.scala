@@ -91,6 +91,23 @@ object CypherQueries {
          RETURN DISTINCT label(r) AS rel_type
          ORDER BY rel_type""")
 
+  /** UNWIND under the differential gate: list explode cross-joined
+    * with a MATCH, implicit grouping over both. */
+  def c10Unwind(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (c:Customer)
+         UNWIND [1, 2] AS bucket
+         RETURN c.mktsegment AS seg, bucket, count(*) AS n
+         ORDER BY seg, bucket""")
+
+  /** Any-type bounded var-length: reachability from Region through 1-2
+    * hops of ANY relationship (inbound), label-tagged endpoints. */
+  def c11VarAny(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (r:Region)<-[*1..2]-(n)
+         RETURN label(n) AS lbl, count(*) AS cnt
+         ORDER BY lbl""")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_cypher_multihop" -> c01MultiHop _,
     "c02_cypher_optional" -> c02Optional _,
@@ -101,6 +118,8 @@ object CypherQueries {
     "c07_cypher_anynode" -> c07AnyNode _,
     "c08_cypher_undirected" -> c08Undirected _,
     "c09_cypher_reltypes" -> c09RelTypes _,
+    "c10_cypher_unwind" -> c10Unwind _,
+    "c11_cypher_varany" -> c11VarAny _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -155,6 +174,26 @@ object CypherQueries {
       """SELECT n_name AS nation, count(c_custkey) AS customers
          FROM nation JOIN customer ON c_nationkey = n_nationkey
          GROUP BY 1 ORDER BY 1""",
+    "c10_cypher_unwind" ->
+      """SELECT c_mktsegment AS seg, bucket, count(*) AS n
+         FROM customer CROSS JOIN (SELECT unnest([1, 2]::BIGINT[]) AS bucket)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "c11_cypher_varany" ->
+      """SELECT lbl, cnt FROM (
+           SELECT 'Nation' AS lbl, count(*) AS cnt FROM (
+             SELECT DISTINCT n_nationkey, n_regionkey FROM nation
+               JOIN region ON n_regionkey = r_regionkey)
+           UNION ALL
+           SELECT 'Customer', count(*) FROM (
+             SELECT DISTINCT c_custkey, n_regionkey FROM customer
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey)
+           UNION ALL
+           SELECT 'Supplier', count(*) FROM (
+             SELECT DISTINCT s_suppkey, n_regionkey FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey)
+         ) ORDER BY lbl""",
     "c09_cypher_reltypes" ->
       """SELECT DISTINCT rel_type FROM (
            SELECT 'CUSTOMER_IN_NATION' AS rel_type FROM customer
