@@ -60,4 +60,16 @@ object IngestStream {
   /** Open the events table shape as a file-source stream. */
   def eventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+
+  /** Streaming exact dedup: first occurrence of each key wins, with
+    * state bounded by the watermark (`dropDuplicatesWithinWatermark` —
+    * keys older than the watermark are forgotten, so replayed/late
+    * duplicates inside the window are dropped while state stays
+    * O(keys per window), never O(stream)). The streaming face of
+    * `Dedup.exactDedup` for at-least-once ingest feeds. */
+  def dedupStream(
+      events: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

@@ -91,6 +91,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-window duplicates across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val deduped = IngestStream.dedupStream(
+      mem.toDF().toDF("event_id", "ts"), Seq("event_id"), "ts", "1 minute")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, t(0)), (2L, t(1)), (1L, t(2))) // in-batch dup
+      q.processAllAvailable()
+      mem.addData((2L, t(3)), (3L, t(4))) // cross-batch dup within window
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a file event stream") {
     val tmp = Files.createTempDirectory("graft-events").toString
     val src = graft.sources.Tables.events(spark, sfDir).limit(500)
