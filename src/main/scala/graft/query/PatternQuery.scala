@@ -396,10 +396,12 @@ object PatternQuery {
     * src/dst columns plus literal tags. */
   def matchAnyRelOnly(store: GraphSource, relVar: String): PatternQuery = {
     val df = store.schema.rels.map { r =>
+      // near/far naming matches unionHop so rel-var expressions
+      // (`r IS NULL` resolves through `__near`) work on both shapes
       store.rel(r.name).select(
         lit(r.name).as(s"${relVar}__rel_type"),
-        col("src").cast("string").as(s"${relVar}__src"),
-        col("dst").cast("string").as(s"${relVar}__dst"))
+        col("src").cast("string").as(s"${relVar}__near"),
+        col("dst").cast("string").as(s"${relVar}__far"))
     }.reduce(_ unionByName _)
     new PatternQuery(store, df, Map.empty, Set(relVar))
   }

@@ -132,6 +132,12 @@ object ResultStreamer {
               tail = Iterator.single(ev("error", s"""{"error":${jsonValue(msg)}}"""))
             case Some(queue.Status.Cancelled) =>
               tail = Iterator.single(ev("cancelled", s"""{"id":$id}"""))
+            case None if runningEmitted =>
+              // the queue's finished-entry retention evicted this id
+              // before the consumer pulled its result — without a
+              // terminal event here the poll loop would spin forever
+              tail = Iterator.single(
+                ev("error", """{"error":"result evicted before it was consumed"}"""))
             case Some(queue.Status.Queued) | None => Thread.sleep(pollMs)
           }
         }

@@ -81,9 +81,11 @@ object GraphBackup {
     c
   }
 
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"$b%02x").mkString
+
   private def sha256(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("SHA-256").digest(bytes)
-      .map(b => f"$b%02x").mkString
+    hex(MessageDigest.getInstance("SHA-256").digest(bytes))
 
   private def dataFiles(root: Path): Seq[Path] = {
     val s = Files.walk(root)
@@ -107,7 +109,12 @@ object GraphBackup {
     val key = deriveKey(password, salt)
     val root = Paths.get(destRoot)
     val files = dataFiles(root).map(_.toString)
-    // executor-side pass: each file is read, sealed, rewritten as .enc
+    // Executor-side pass, RETRY-SAFE: tasks only ADD files (tmp write +
+    // atomic move — a retried attempt re-reads the intact plaintext and
+    // replaces the partial .enc); the destructive step (plaintext
+    // delete) happens on the driver only after every seal succeeded AND
+    // the manifest is durable. Caveat: task speculation could race two
+    // IVs for one file — run backup jobs unspeculated (default here).
     val digests = store.spark.sparkContext
       .parallelize(files, math.max(1, files.size)).map { f =>
         val p = Paths.get(f)
@@ -116,21 +123,22 @@ object GraphBackup {
         new SecureRandom().nextBytes(iv)
         val sealed0 = cipher(Cipher.ENCRYPT_MODE, key, iv).doFinal(plain)
         val out = iv ++ sealed0
-        Files.write(Paths.get(f + ".enc"), out)
-        Files.delete(p)
+        val tmp = Paths.get(f + ".enc.tmp")
+        Files.write(tmp, out)
+        Files.move(tmp, Paths.get(f + ".enc"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         (f + ".enc", sha256(out))
       }.collect().toSeq
     val manifest = digests.map { case (f, d) =>
       s"""    {"file": "${root.relativize(Paths.get(f))}", "sha256": "$d"}"""
     }.mkString(
-      s"""{\n  "salt": "${sha256Hex(salt)}",\n  "files": [\n""", ",\n", "\n  ]\n}\n")
+      s"""{\n  "salt": "${hex(salt)}",\n  "files": [\n""", ",\n", "\n  ]\n}\n")
     Files.write(root.resolve("manifest.json"), manifest.getBytes("UTF-8"))
     Files.write(root.resolve("manifest.salt"), salt)
+    files.foreach(f => Files.delete(Paths.get(f))) // plaintexts, post-manifest
     counts
   }
-
-  private def sha256Hex(bytes: Array[Byte]): String =
-    bytes.map(b => f"$b%02x").mkString
 
   /** Verify every ciphertext digest against the manifest, then decrypt
     * into `workDir` (a scratch restore area — NEVER the backup itself:
@@ -152,8 +160,16 @@ object GraphBackup {
     val key = deriveKey(password, salt)
     val files = dataFiles(root)
       .filter(_.getFileName.toString.endsWith(".enc")).map(_.toString)
-    // verify the whole manifest BEFORE decrypting anything: a tampered
-    // archive must fail with zero plaintext written
+    // verify the whole manifest BEFORE decrypting anything — BOTH ways:
+    // every on-disk file must match its digest, and every manifest
+    // entry must still exist (a deleted part-file would otherwise
+    // restore a silently partial graph)
+    val onDisk = files.map(f => root.relativize(Paths.get(f)).toString).toSet
+    val missing = expected.keySet -- onDisk
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"backup integrity failure: manifest files missing from archive: " +
+          missing.toSeq.sorted.mkString(", "))
     files.foreach { f =>
       val rel = root.relativize(Paths.get(f)).toString
       val want = expected.getOrElse(rel,
@@ -166,20 +182,23 @@ object GraphBackup {
     val work = Paths.get(workDir.getOrElse(
       Files.createTempDirectory("graft-restore").toString))
     val (rootStr, workStr) = (root.toString, work.toString)
-    store.spark.sparkContext
-      .parallelize(files, math.max(1, files.size)).foreach { f =>
-        val p = Paths.get(f)
-        val rel = Paths.get(rootStr).relativize(p).toString.stripSuffix(".enc")
-        val sealed0 = Files.readAllBytes(p)
-        val iv = sealed0.take(IvBytes)
-        val plain = cipher(Cipher.DECRYPT_MODE, key, iv)
-          .doFinal(sealed0.drop(IvBytes)) // throws AEADBadTagException on wrong key
-        val out = Paths.get(workStr).resolve(rel)
-        Files.createDirectories(out.getParent)
-        Files.write(out, plain)
-      }
-    try importGraph(store, workStr)
-    finally {
+    try {
+      store.spark.sparkContext
+        .parallelize(files, math.max(1, files.size)).foreach { f =>
+          val p = Paths.get(f)
+          val rel = Paths.get(rootStr).relativize(p).toString.stripSuffix(".enc")
+          val sealed0 = Files.readAllBytes(p)
+          val iv = sealed0.take(IvBytes)
+          val plain = cipher(Cipher.DECRYPT_MODE, key, iv)
+            .doFinal(sealed0.drop(IvBytes)) // throws AEADBadTagException on wrong key
+          val out = Paths.get(workStr).resolve(rel)
+          Files.createDirectories(out.getParent)
+          Files.write(out, plain)
+        }
+      importGraph(store, workStr)
+    } finally {
+      // scratch plaintext is removed on BOTH success and decrypt
+      // failure (a wrong password must not leak partial plaintext)
       val s = Files.walk(work)
       try {
         import scala.jdk.CollectionConverters._

@@ -24,12 +24,16 @@ object SessionStream {
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long)
 
-  /** `events` must carry `user_id` (integral) and `ts` (timestamp);
-    * may be a streaming or batch frame (batch emits only in-batch
-    * closures — no watermark to close tails). */
+  /** `events` must carry `user_id` (integral) and `ts` (timestamp) and
+    * must be a STREAMING frame: batch plans eliminate the watermark
+    * node, which this state machine needs for both its timeout and its
+    * timeout-timestamp floor — batch sessionization is the
+    * lag+running-sum form (the t12 gate). */
   def sessionize(
       events: DataFrame, gapMs: Long,
       watermark: String = "1 hour"): Dataset[UserSession] = {
+    require(events.isStreaming,
+      "sessionize needs a streaming frame; use the batch window form for batch data")
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -47,38 +51,42 @@ object SessionStream {
             Iterator.single(
               UserSession(user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n))
           } else {
+            // 1) gap-split this batch's sorted times into fragments, so
+            //    several late events within gap of EACH OTHER form one
+            //    session, not singletons; 2) order-merge the open state
+            //    interval in (a late event near the open span extends
+            //    it, never regresses lastMs); 3) everything before the
+            //    latest interval is final. Late fragments of sessions
+            //    already emitted re-emit as separate rows — an append
+            //    stream cannot retract, the documented trade.
             val times = it.map(_._2.getTime).toArray.sorted
-            val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-            var acc = state.getOption
+            val frags = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
             times.foreach { t =>
-              acc match {
-                // within gap of the open session's span (a LATE event
-                // from an earlier batch may sit before startMs — it
-                // extends the span backward, never regresses lastMs)
-                case Some(a) if t >= a.startMs - gapMs && t <= a.lastMs + gapMs =>
-                  acc = Some(SessionAcc(
-                    math.min(a.startMs, t), math.max(a.lastMs, t), a.n + 1))
-                // far in the past: a late fragment of an already-closed
-                // session — emit standalone rather than corrupting the
-                // open one (the batch form would have merged it; a
-                // stream cannot reopen emitted output)
-                case Some(a) if t < a.startMs - gapMs =>
-                  closed += UserSession(user, new Timestamp(t), new Timestamp(t), 1)
-                case Some(a) =>
-                  closed += UserSession(user,
-                    new Timestamp(a.startMs), new Timestamp(a.lastMs), a.n)
-                  acc = Some(SessionAcc(t, t, 1))
-                case None => acc = Some(SessionAcc(t, t, 1))
-              }
+              if (frags.nonEmpty && t - frags.last.lastMs <= gapMs)
+                frags(frags.size - 1) =
+                  frags.last.copy(lastMs = t, n = frags.last.n + 1)
+              else frags += SessionAcc(t, t, 1)
             }
-            acc.foreach { a =>
-              state.update(a)
+            val merged = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
+            (state.getOption.toSeq ++ frags).sortBy(_.startMs).foreach { f =>
+              if (merged.nonEmpty && f.startMs - merged.last.lastMs <= gapMs)
+                merged(merged.size - 1) = SessionAcc(
+                  merged.last.startMs,
+                  math.max(merged.last.lastMs, f.lastMs),
+                  merged.last.n + f.n)
+              else merged += f
+            }
+            if (merged.isEmpty) Iterator.empty
+            else {
+              val open = merged.last
+              state.update(open)
               // the timeout must sit strictly above the current
               // watermark or Spark rejects it (late-but-kept events)
               val wm = state.getCurrentWatermarkMs()
-              state.setTimeoutTimestamp(math.max(a.lastMs + gapMs, wm + 1))
+              state.setTimeoutTimestamp(math.max(open.lastMs + gapMs, wm + 1))
+              merged.init.iterator.map(a =>
+                UserSession(user, new Timestamp(a.startMs), new Timestamp(a.lastMs), a.n))
             }
-            closed.iterator
           }
       }
   }

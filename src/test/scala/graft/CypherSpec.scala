@@ -176,6 +176,10 @@ class CypherSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSet
     assert(types.contains("ENTITY_HAS_TRANSACTION"))
     assert(types.contains("TRANSACTION_HAS_LINE_ITEM"))
+    // rel-var predicates resolve on the join-free fast path too
+    val n = run("MATCH ()-[r]->() WHERE r IS NOT NULL RETURN count(*) AS n")
+      .collect()(0).getLong(0)
+    assert(n > 0)
   }
 
   test("rel variable IS NULL distinguishes unmatched optional hops") {

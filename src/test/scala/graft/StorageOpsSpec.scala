@@ -127,6 +127,16 @@ class StorageOpsSpec extends SparkTestBase {
       GraphBackup.importGraphEncrypted(restored2, dest2, "s3cret")
     }
     assert(e2.getMessage.contains("integrity"))
+
+    // deleting an archived file must fail the manifest completeness
+    // check, not restore a silently partial graph
+    java.nio.file.Files.delete(victim)
+    val e3 = intercept[IllegalStateException] {
+      GraphBackup.importGraphEncrypted(
+        new GraphStore(spark, root, "ops-enc3", RoboledgerSchema.schema),
+        dest2, "s3cret")
+    }
+    assert(e3.getMessage.contains("missing"))
   }
 
   test("transaction saga rolls back every table on failure") {

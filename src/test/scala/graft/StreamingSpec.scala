@@ -91,6 +91,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizer: late events near each other merge into ONE fragment") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val sessions = SessionStream.sessionize(
+      mem.toDF().toDF("user_id", "ts"), gapMs = 10000L, watermark = "3 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_frag")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, t(100)))
+      q.processAllAvailable()
+      // two late events 5 s apart: one (40-45, n=2) fragment, not two
+      // singletons (the pre-fix per-event loop emitted each alone)
+      mem.addData((1L, t(40)), (1L, t(45)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_frag")
+        .select("session_start", "session_end", "n_events")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSeq
+      assert(rows === Seq((t(40), t(45), 2L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("sessionize rejects batch frames loudly") {
+    import spark.implicits._
+    val batch = Seq((1L, new java.sql.Timestamp(0L))).toDF("user_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.SessionStream.sessionize(batch, gapMs = 1000L)
+    }
+    assert(e.getMessage.contains("streaming"))
+  }
+
   test("streaming dedup drops in-window duplicates across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
