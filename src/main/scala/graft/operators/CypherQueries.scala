@@ -108,6 +108,20 @@ object CypherQueries {
          RETURN label(n) AS lbl, count(*) AS cnt
          ORDER BY lbl""")
 
+  /** Statistical aggregates (facts_tool.py analysis surface): sample
+    * stddev per group, integer-rounded so the differential is robust to
+    * last-ulp algorithm differences. percentileCont is spec-gated
+    * instead (CypherSpec): interpolated quantiles land on either side
+    * of a rounding boundary across engines (`a+(b-a)·f` vs `(a+b)/2`
+    * differ in the last ulp), so no rounding makes them hash-stable. */
+  def c12Stats(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (c:Customer)-[:CUSTOMER_PLACED_ORDER]->(o:Order)
+         RETURN c.mktsegment AS seg,
+                toInteger(round(STDEV(o.totalprice), 0)) AS sd,
+                count(*) AS n
+         ORDER BY seg""")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_cypher_multihop" -> c01MultiHop _,
     "c02_cypher_optional" -> c02Optional _,
@@ -120,6 +134,7 @@ object CypherQueries {
     "c09_cypher_reltypes" -> c09RelTypes _,
     "c10_cypher_unwind" -> c10Unwind _,
     "c11_cypher_varany" -> c11VarAny _,
+    "c12_cypher_stats" -> c12Stats _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -173,6 +188,12 @@ object CypherQueries {
     "c08_cypher_undirected" ->
       """SELECT n_name AS nation, count(c_custkey) AS customers
          FROM nation JOIN customer ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "c12_cypher_stats" ->
+      """SELECT c_mktsegment AS seg,
+         CAST(round(stddev_samp(o_totalprice), 0) AS BIGINT) AS sd,
+         count(*) AS n
+         FROM customer JOIN orders ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
     "c10_cypher_unwind" ->
       """SELECT c_mktsegment AS seg, bucket, count(*) AS n

@@ -515,6 +515,22 @@ final class CypherCompiler(
         if (name == "min") min(a(0)) else max(a(0))
       case "collect" =>
         if (distinct) collect_set(a(0)) else collect_list(a(0))
+      // Kuzu-style statistical aggregates (facts_tool.py's analysis
+      // surface). These were in the aggregate-DETECTION set but not
+      // compiled — an accepted-then-thrown gap.
+      case "stdev" => stddev_samp(a(0))
+      case "stdevp" => stddev_pop(a(0))
+      case "percentilecont" => args match {
+        case Seq(x, Lit(p)) =>
+          percentile(toColumn(x, vars), lit(p match {
+            case d: Double => d
+            case l: Long => l.toDouble
+            case other => throw new IllegalArgumentException(
+              s"percentileCont fraction must be numeric, got $other")
+          }))
+        case _ => throw new IllegalArgumentException(
+          "percentileCont(expr, fraction) needs a literal fraction")
+      }
       // scalar functions from the §2.8 exercised surface
       case "substring" =>
         // The reference engine (Kuzu-style) uses SQL 1-based substring

@@ -223,6 +223,19 @@ class CypherSpec extends SparkTestBase {
     assert(counts.contains("LineItem"))
   }
 
+  test("statistical aggregates: STDEV and percentileCont compile and agree with DataFrame forms") {
+    import org.apache.spark.sql.functions._
+    val got = run(
+      """MATCH (t:Transaction)
+         RETURN round(STDEV(t.amount), 4) AS sd,
+                round(percentileCont(t.amount, 0.5), 4) AS med""").collect()(0)
+    val exp = store.node("Transaction").agg(
+      round(stddev_samp(col("amount")), 4).as("sd"),
+      round(percentile(col("amount"), lit(0.5)), 4).as("med")).collect()(0)
+    assert(got.getDouble(0) === exp.getDouble(0))
+    assert(got.getDouble(1) === exp.getDouble(1))
+  }
+
   test("SKIP/LIMIT paging is deterministic under ORDER BY") {
     val page1 = run(
       "MATCH (t:Transaction) RETURN t.identifier AS id ORDER BY id LIMIT 3")
