@@ -17,7 +17,9 @@ object GraphQueries {
     * RETURN r.name, count(o), sum(o.totalprice) — implicit grouping. */
   def g01MultiHop(spark: SparkSession, dir: String): DataFrame =
     PatternQuery.matchNode(new TpchGraph(spark, dir), "c", "Customer")
-      .out("CUSTOMER_IN_NATION", "c", "n")
+      // n is pure pass-through (no property touched) -> its node join
+      // is elided under TpchGraph's declared FK integrity
+      .out("CUSTOMER_IN_NATION", "c", "n", farProps = Some(Set.empty))
       .out("NATION_IN_REGION", "n", "r")
       .out("CUSTOMER_PLACED_ORDER", "c", "o")
       .returning(
@@ -30,7 +32,10 @@ object GraphQueries {
     * matches (zero for order-less customers). */
   def g02OptionalMatch(spark: SparkSession, dir: String): DataFrame =
     PatternQuery.matchNode(new TpchGraph(spark, dir), "c", "Customer")
-      .out("CUSTOMER_PLACED_ORDER", "c", "o", optional = true)
+      // only o's key is counted -> the Order node join is elided; the
+      // left join hits the single rel projection of orders
+      .out("CUSTOMER_PLACED_ORDER", "c", "o", optional = true,
+        farProps = Some(Set("identifier")))
       .returning(
         "identifier" -> p("c.identifier"),
         "order_cnt" -> count(p("o.identifier")))

@@ -56,36 +56,66 @@ final class PatternQuery private (
     * left row; the hop's columns become null). `relVar` exposes the
     * relationship's own properties as `relVar__prop`. */
   def out(relType: String, from: String, v: String,
-      optional: Boolean = false, relVar: String = null): PatternQuery =
-    hop(relType, from, v, forward = true, optional, Option(relVar))
+      optional: Boolean = false, relVar: String = null,
+      farProps: Option[Set[String]] = None): PatternQuery =
+    hop(relType, from, v, forward = true, optional, Option(relVar), farProps)
 
   /** `(from)<-[:relType]-(v)` reversed hop. */
   def in(relType: String, from: String, v: String,
-      optional: Boolean = false, relVar: String = null): PatternQuery =
-    hop(relType, from, v, forward = false, optional, Option(relVar))
+      optional: Boolean = false, relVar: String = null,
+      farProps: Option[Set[String]] = None): PatternQuery =
+    hop(relType, from, v, forward = false, optional, Option(relVar), farProps)
 
-  private def hop(relType: String, from: String, v: String,
-      forward: Boolean, optional: Boolean, relVar: Option[String]): PatternQuery = {
-    requireBound(from); requireFresh(v)
+  /** The single-frame right side of a hop: the rel table alone when the
+    * far node's join is elidable (FK integrity + only the pk referenced
+    * — the join can neither drop nor duplicate rows, so it's pure
+    * cost), the source's fused rel⋈dst-node frame when the rel derives
+    * from the dst node's own storage rows (one scan instead of two),
+    * or the classic rel ⋈ node join. `farProps = None` means "unknown
+    * usage" and always takes the full join. */
+  private def hopRight(relType: String, v: String, rv: String,
+      forward: Boolean, farProps: Option[Set[String]]): (DataFrame, String) = {
     val relDef = store.schema.rel(relType)
     val targetLabel = if (forward) relDef.to else relDef.from
-    val rv = relVar.getOrElse(s"__r_${relType}_$v")
-    val relDf = namespaced(store.rel(relType), rv)
-    val nodeDf = namespaced(store.node(targetLabel), v)
-    val (nearKey, farKey) =
-      if (forward) (s"${rv}__src", s"${rv}__dst") else (s"${rv}__dst", s"${rv}__src")
-    val fromPk = pkCol(from)
-    val toPk = s"${v}__${store.schema.node(targetLabel).primaryKey}"
-    val next =
-      if (optional) {
-        // Pre-join rel⋈node, then one left join so the whole optional
-        // subtree nulls out together (fact_query.py:53-55).
-        val right = relDf.join(nodeDf, col(farKey) === col(toPk))
-        frame.join(right, col(fromPk) === col(nearKey), "left")
-      } else {
-        frame.join(relDf, col(fromPk) === col(nearKey))
-          .join(nodeDf, col(farKey) === col(toPk))
+    val targetDef = store.schema.node(targetLabel)
+    val toPk = s"${v}__${targetDef.primaryKey}"
+    val farRaw = if (forward) "dst" else "src"
+    val pkOnly = store.referentialIntegrity &&
+      farProps.exists(_.subsetOf(Set(targetDef.primaryKey)))
+    val right =
+      if (pkOnly) {
+        val pkType = targetDef.properties.find(_.isPrimaryKey).get.tpe.spark
+        namespaced(
+          store.rel(relType).withColumn(s"__elided_pk", col(farRaw).cast(pkType)), rv)
+          .withColumnRenamed(s"${rv}____elided_pk", toPk)
+      } else store.relWithDstNode(relType) match {
+        case Some(fused) if forward =>
+          val nodeCols = targetDef.properties.map(_.name)
+          fused.select(
+            col("src").as(s"${rv}__src") +: col("dst").as(s"${rv}__dst") +:
+              nodeCols.map(c => col(c).as(s"${v}__$c")): _*)
+        case _ =>
+          val relDf = namespaced(store.rel(relType), rv)
+          val farKey = s"${rv}__$farRaw"
+          relDf.join(namespaced(store.node(targetLabel), v),
+            col(farKey) === col(toPk))
       }
+    (right, targetLabel)
+  }
+
+  private def hop(relType: String, from: String, v: String,
+      forward: Boolean, optional: Boolean, relVar: Option[String],
+      farProps: Option[Set[String]]): PatternQuery = {
+    requireBound(from); requireFresh(v)
+    val rv = relVar.getOrElse(s"__r_${relType}_$v")
+    val nearKey = if (forward) s"${rv}__src" else s"${rv}__dst"
+    val fromPk = pkCol(from)
+    // The right side is pre-assembled as ONE frame, so OPTIONAL MATCH
+    // is a single left join and the whole subtree nulls out together
+    // (fact_query.py:53-55).
+    val (right, targetLabel) = hopRight(relType, v, rv, forward, farProps)
+    val next = frame.join(right, col(fromPk) === col(nearKey),
+      if (optional) "left" else "inner")
     new PatternQuery(store, next, nodeVars + (v -> targetLabel), boundVars + v + rv)
   }
 
@@ -100,7 +130,8 @@ final class PatternQuery private (
   def optionalPath(
       from: String,
       hops: Seq[(String, String, String, Boolean)],
-      pathFilter: Option[Column] = None): PatternQuery = {
+      pathFilter: Option[Column] = None,
+      farProps: String => Option[Set[String]] = _ => None): PatternQuery = {
     requireBound(from)
     require(hops.nonEmpty, "optional path needs at least one hop")
     var curLabel = nodeVars(from)
@@ -109,14 +140,8 @@ final class PatternQuery private (
     var firstKey: String = null
     hops.foreach { case (relType, rv, v, rightward) =>
       requireFresh(v); require(!boundVars.contains(rv), s"rel var $rv bound")
-      val relDef = store.schema.rel(relType)
-      val targetLabel = if (rightward) relDef.to else relDef.from
-      val relDf = namespaced(store.rel(relType), rv)
-      val nodeDf = namespaced(store.node(targetLabel), v)
-      val (nearKey, farKey) =
-        if (rightward) (s"${rv}__src", s"${rv}__dst") else (s"${rv}__dst", s"${rv}__src")
-      val toPk = s"${v}__${store.schema.node(targetLabel).primaryKey}"
-      val hopDf = relDf.join(nodeDf, col(farKey) === col(toPk))
+      val nearKey = if (rightward) s"${rv}__src" else s"${rv}__dst"
+      val (hopDf, targetLabel) = hopRight(relType, v, rv, rightward, farProps(v))
       if (subtree == null) { subtree = hopDf; firstKey = nearKey }
       else {
         val prevVar = hops(hops.indexWhere(_._3 == v) - 1)._3
@@ -155,7 +180,8 @@ final class PatternQuery private (
     * orientations (both = undirected). */
   def unionHop(from: String, v: String, relVar: String,
       relTypes: Option[Seq[String]], dirOut: Boolean, dirIn: Boolean,
-      toLabel: Option[String] = None): PatternQuery = {
+      toLabel: Option[String] = None,
+      farProps: Option[Set[String]] = None): PatternQuery = {
     requireBound(from); requireFresh(v)
     require(dirOut || dirIn, "hop needs at least one orientation")
     require(!boundVars.contains(relVar), s"rel variable $relVar already bound")
@@ -185,11 +211,27 @@ final class PatternQuery private (
         lit(nearL).as(s"${relVar}__near_label"),
         col(if (forward) "src" else "dst").cast("string").as(s"${relVar}__near"),
         col(if (forward) "dst" else "src").cast("string").as(s"${relVar}__far"))
+      // With declared FK integrity and only key/label access on the far
+      // node, the per-branch node join is elidable: the key IS the rel's
+      // far column and the label is the branch literal (e.g. the agent
+      // shape `MATCH (e:Entity)-[r]->(n) RETURN type(r), count(*)` needs
+      // no node scans at all).
+      val farPkOnly = store.referentialIntegrity && farProps.exists(ps =>
+        ps.subsetOf(toLabel.map(l => Set(store.schema.node(l).primaryKey))
+          .getOrElse(Set.empty)))
       toLabel match {
+        case Some(l) if farPkOnly =>
+          val d = store.schema.node(l)
+          rel.withColumn(s"${v}__${d.primaryKey}",
+            col(s"${relVar}__far").cast(
+              d.properties.find(_.isPrimaryKey).get.tpe.spark))
         case Some(l) =>
           val toPk = s"${v}__${store.schema.node(l).primaryKey}"
           rel.join(namespaced(store.node(l), v),
             col(s"${relVar}__far") === col(toPk).cast("string"))
+        case None if farPkOnly =>
+          rel.withColumn(s"${v}____label", lit(farL))
+            .withColumn(s"${v}____pk", col(s"${relVar}__far"))
         case None =>
           val farPk = store.schema.node(farL).primaryKey
           rel.join(

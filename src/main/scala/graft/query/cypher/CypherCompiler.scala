@@ -82,17 +82,75 @@ final class CypherCompiler(
     if (vars(v) == PatternQuery.AnyLabel) s"${v}____pk"
     else s"${v}__${source.schema.node(vars(v)).primaryKey}"
 
+  /** Query-wide property usage per variable, driving far-node join
+    * elision (PatternQuery.hopRight): `None` = the var is carried whole
+    * somewhere (bare VarRef in a projection or general expression) so
+    * every column is needed; `Some(props)` = only those properties are
+    * touched. Key-only accessors — count(v), id(v), v IS [NOT] NULL —
+    * and statically-answered ones — label(s)(v), keys(v), type(r) —
+    * reference no property column at all. */
+  private final class PropUsage {
+    private val props = scala.collection.mutable.Map.empty[String, Set[String]]
+    private val whole = scala.collection.mutable.Set.empty[String]
+    def addProp(v: String, p: String): Unit =
+      props.update(v, props.getOrElse(v, Set.empty) + p)
+    def addWhole(v: String): Unit = { whole += v; () }
+    def propsFor(v: String): Option[Set[String]] =
+      if (whole.contains(v)) None else Some(props.getOrElse(v, Set.empty))
+  }
+
+  private def walkUsage(e: Expr, u: PropUsage): Unit = e match {
+    case Prop(v, p) => u.addProp(v, p)
+    case VarRef(v) => u.addWhole(v)
+    case FnCall(n, Seq(VarRef(_)), _)
+        if Set("count", "id", "label", "labels", "keys", "type").contains(n) => ()
+    case FnCall(_, args, _) => args.foreach(walkUsage(_, u))
+    case IsNull(VarRef(_), _) => ()
+    case IsNull(x, _) => walkUsage(x, u)
+    case Bin(_, l, r) => walkUsage(l, u); walkUsage(r, u)
+    case Not(x) => walkUsage(x, u)
+    case In(x, l) => walkUsage(x, u); walkUsage(l, u)
+    case ListLit(items) => items.foreach(walkUsage(_, u))
+    case CaseWhen(whens, o) =>
+      whens.foreach { case (c, v) => walkUsage(c, u); walkUsage(v, u) }
+      o.foreach(walkUsage(_, u))
+    case _ => ()
+  }
+
+  private def analyzeUsage(q: Query): PropUsage = {
+    val u = new PropUsage
+    def walkNode(n: NodePat): Unit = n.props.foreach { case (k, ve) =>
+      n.variable.foreach(u.addProp(_, k)); walkUsage(ve, u)
+    }
+    q.matches.foreach { m =>
+      m.paths.foreach { p =>
+        walkNode(p.head)
+        p.hops.foreach { case (_, n) => walkNode(n) }
+      }
+      m.where.foreach(walkUsage(_, u))
+    }
+    q.unwinds.foreach { case (e, _) => walkUsage(e, u) }
+    q.withClauses.foreach { w =>
+      w.items.foreach(i => walkUsage(i.expr, u))
+      w.where.foreach(walkUsage(_, u))
+    }
+    q.ret.items.foreach(i => walkUsage(i.expr, u))
+    q.orderBy.foreach(o => walkUsage(o.expr, u))
+    u
+  }
+
   def compile(q: Query): DataFrame = {
     var pq: PatternQuery = null
     var postFilters = Vector.empty[Expr]
+    val usage = analyzeUsage(q)
 
     q.matches.foreach { m =>
       if (m.optional) {
         require(m.paths.length == 1, "OPTIONAL MATCH supports one path per clause")
-        pq = compileOptionalPath(pq, m.paths.head, m.where)
+        pq = compileOptionalPath(pq, m.paths.head, m.where, usage)
       } else {
         m.paths.foreach { path =>
-          pq = compilePath(pq, path, (c: Expr) => postFilters :+= c)
+          pq = compilePath(pq, path, (c: Expr) => postFilters :+= c, usage)
         }
         m.where.foreach { w => pq = pq.where(toColumn(w, pq.variables)) }
       }
@@ -135,8 +193,20 @@ final class CypherCompiler(
     * BEFORE the left join (post-join filtering would drop unmatched
     * left rows, violating Cypher's left-preservation). The predicate
     * may reference only the path's newly-bound variables. */
+  /** Far-node property demand for a hop's target node: an anonymous
+    * node is only reachable through its inline property map; a named
+    * one adds every query-wide reference. */
+  private def farPropsFor(node: NodePat, usage: PropUsage): Option[Set[String]] = {
+    val inline = node.props.map(_._1).toSet
+    node.variable match {
+      case None => Some(inline)
+      case Some(v) => usage.propsFor(v).map(_ ++ inline)
+    }
+  }
+
   private def compileOptionalPath(
-      start: PatternQuery, path: PathPat, where: Option[Expr]): PatternQuery = {
+      start: PatternQuery, path: PathPat, where: Option[Expr],
+      usage: PropUsage): PatternQuery = {
     require(start != null, "OPTIONAL MATCH cannot be the first clause")
     val headVar = path.head.variable.getOrElse(
       throw new IllegalArgumentException("OPTIONAL MATCH path needs a bound head variable"))
@@ -148,6 +218,7 @@ final class CypherCompiler(
     // pair each hop with its ASSIGNED node variable so inline property
     // maps on anonymous nodes still filter (a node.variable-keyed
     // lookup would silently drop them)
+    val hopFarProps = scala.collection.mutable.Map.empty[String, Option[Set[String]]]
     val hopSpecsWithProps = path.hops.map { case (rel, node) =>
       require(!rel.undirected,
         "undirected relationship patterns (a)-[:R]-(b) are not supported — " +
@@ -160,6 +231,7 @@ final class CypherCompiler(
         s"cyclic OPTIONAL MATCH (rebinding $toVar) is not supported")
       val rv = rel.variable.getOrElse(fresh("r"))
       relVarTypes.update(rv, relType)
+      hopFarProps.update(toVar, farPropsFor(node, usage))
       fromLabel = if (rel.rightward) source.schema.rel(relType).to
                   else source.schema.rel(relType).from
       ((relType, rv, toVar, rel.rightward, fromLabel), node.props.map {
@@ -183,7 +255,7 @@ final class CypherCompiler(
       .map(toColumn(_, varsForExpr))
       .reduceOption(_ && _)
     start.optionalPath(headVar, hopSpecs.map(sp => (sp._1, sp._2, sp._3, sp._4)),
-      filterCol)
+      filterCol, v => hopFarProps.getOrElse(v, None))
   }
 
   private def referencedVars(e: Expr): Set[String] = e match {
@@ -203,7 +275,7 @@ final class CypherCompiler(
 
   private def compilePath(
       start: PatternQuery, path: PathPat,
-      addFilter: Expr => Unit): PatternQuery = {
+      addFilter: Expr => Unit, usage: PropUsage): PatternQuery = {
     // `MATCH ()-[r]->()` with both endpoints anonymous and unused —
     // the metrics rel-scan shape (metrics_service.py:274) — anchors on
     // the rel-table union alone; the node joins would add a scan per
@@ -269,11 +341,11 @@ final class CypherCompiler(
               if (rel.undirected) (true, true)
               else if (rel.rightward) (true, false) else (false, true)
             pq = pq.unionHop(fromVar, toVar, rv, rel.relType.map(Seq(_)),
-              dirOut, dirIn, node.label)
+              dirOut, dirIn, node.label, farPropsFor(node, usage))
         }
         node.props.foreach { case (k, v) => addFilter(Bin("=", Prop(toVar, k), v)) }
         fromVar = toVar
-      } else compileTypedHop(pq, rel, node, fromVar, addFilter) match {
+      } else compileTypedHop(pq, rel, node, fromVar, addFilter, usage) match {
         case (pq2, toVar) => pq = pq2; fromVar = toVar
       }
     }
@@ -282,7 +354,7 @@ final class CypherCompiler(
 
   private def compileTypedHop(
       pq0: PatternQuery, rel: RelPat, node: NodePat, fromVar: String,
-      addFilter: Expr => Unit): (PatternQuery, String) = {
+      addFilter: Expr => Unit, usage: PropUsage): (PatternQuery, String) = {
     val relType = rel.relType.get
     val toVar = node.variable.getOrElse(fresh("n"))
     val rv = rel.variable.getOrElse(fresh("r"))
@@ -297,8 +369,9 @@ final class CypherCompiler(
       } else rel.varLength match {
         case Some((lo, hi)) => pq0.outVar(relType, fromVar, toVar, lo, hi, rel.rightward)
         case None =>
-          if (rel.rightward) pq0.out(relType, fromVar, toVar, optional = false, rv)
-          else pq0.in(relType, fromVar, toVar, optional = false, rv)
+          val fp = farPropsFor(node, usage)
+          if (rel.rightward) pq0.out(relType, fromVar, toVar, optional = false, rv, fp)
+          else pq0.in(relType, fromVar, toVar, optional = false, rv, fp)
       }
     node.label.foreach { l =>
       val declared = pq.variables(toVar)

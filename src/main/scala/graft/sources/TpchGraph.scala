@@ -53,6 +53,24 @@ final class TpchGraph(spark: SparkSession, dir: String) extends GraphSource {
     case other => throw new NoSuchElementException(s"node table $other")
   }
 
+  /** Every rel table below is a projection of a table whose FK columns
+    * reference existing unique pks (TPC-H integrity), so far-node joins
+    * on key-only access are elidable. */
+  override def referentialIntegrity: Boolean = true
+
+  /** CUSTOMER_PLACED_ORDER derives from the `orders` table — the same
+    * rows that back the Order node — so the rel⋈Order join is an
+    * identity self-join on the unique orderkey and can be served from
+    * ONE scan carrying both the edge and the node properties. */
+  override def relWithDstNode(tpe: String): Option[DataFrame] = tpe match {
+    case "CUSTOMER_PLACED_ORDER" => Some(Tables.orders(spark, dir)
+      .select(s("o_custkey").as("src"), s("o_orderkey").as("dst"),
+        s("o_orderkey").as("identifier"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("totalprice"), col("o_orderdate").as("orderdate"),
+        col("o_orderpriority").as("priority")))
+    case _ => None
+  }
+
   def rel(tpe: String): DataFrame = tpe match {
     case "NATION_IN_REGION" => Tables.nation(spark, dir)
       .select(s("n_nationkey").as("src"), s("n_regionkey").as("dst"))
