@@ -123,8 +123,14 @@ object TextFunctions {
   /** Rolling hash over tokens (Karp-Rabin-style document fingerprint):
     * an xxhash64 chain — order-sensitive, deterministic, and free of
     * the 64-bit multiply that ANSI mode rejects on overflow. */
-  def fingerprint(c: Column): Column =
-    aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(t, acc))
+  def fingerprint(c: Column): Column = fingerprintTokens(tokens(c))
+
+  /** [[fingerprint]] over an already-tokenized column (the annotate
+    * stage computes tokens once and feeds every score from them). */
+  def fingerprintTokens(t: Column): Column =
+    org.apache.spark.sql.graft.ColumnInternals.column(
+      org.apache.spark.sql.graft.SketchExpressions.ChainHash64(
+        org.apache.spark.sql.graft.ColumnInternals.expression(t)))
 
   /** Engine-portable rolling fingerprint: an md5 fold over tokens.
     * Same order-sensitivity as [[fingerprint]] but reproducible in any
@@ -132,7 +138,9 @@ object TextFunctions {
     * can sit under a differential oracle. Prefer [[fingerprint]] in hot
     * paths — xxhash64 avoids the per-token hex-string materialization. */
   def fingerprintPortable(c: Column): Column =
-    aggregate(tokens(c), lit("fp0"), (acc, t) => md5(concat(acc, t)))
+    org.apache.spark.sql.graft.ColumnInternals.column(
+      org.apache.spark.sql.graft.SketchExpressions.Md5Fold(
+        org.apache.spark.sql.graft.ColumnInternals.expression(tokens(c)), "fp0"))
 
   /** MinHash signature: k independent permutations approximated by
     * seeded xxhash64 over the shingle set; element i = min over

@@ -42,8 +42,7 @@ object CurationPipeline {
         }))
       .withColumn("quality", TextFunctions.qualityScoreWithSw(
         col(textCol), col("__t"), col("__r_en")))
-      .withColumn("fingerprint",
-        aggregate(col("__t"), lit(0L), (acc, t) => xxhash64(t, acc)))
+      .withColumn("fingerprint", TextFunctions.fingerprintTokens(col("__t")))
       .drop("__t" +: "__r" +: ratioCols: _*)
   }
 
@@ -80,10 +79,13 @@ object CurationPipeline {
       .join(exactKept.select(col(idCol)), Seq(idCol), "left_anti")
       .withColumn("drop_reason", lit("exact_dup"))
 
-    // near-dedup: of each near-dup pair keep the smaller id
+    // near-dedup: of each near-dup pair keep the smaller id. The drop
+    // set is staged: it sits on top of the whole minhash-verify subtree
+    // and feeds BOTH the kept anti-join and the audit semi-join —
+    // unstaged, the verify joins would execute once per consumer.
     val pairs = Dedup.minhashPairs(exactKept, idCol, textCol,
       shingle = cfg.shingle, minJaccard = Some(cfg.nearDupJaccard))
-    val toDrop = pairs.select(col("id2").as(idCol)).distinct()
+    val toDrop = ctx.stage(pairs.select(col("id2").as(idCol)).distinct())
     val kept = exactKept.join(toDrop, Seq(idCol), "left_anti")
     val nearDropped = exactKept.join(toDrop, Seq(idCol), "left_semi")
       .withColumn("drop_reason", lit("near_dup"))

@@ -222,6 +222,96 @@ object SketchExpressions {
       copy(child = newChild)
   }
 
+  /** Rolling xxhash64 fold over a string array — the chain
+    * `aggregate(arr, 0L, (acc, t) => xxhash64(t, acc))` as ONE native
+    * expression. The HOF form interprets the lambda per element
+    * (measured ~10× slower than compiled loops on token arrays); this
+    * keeps the per-token work in one compiled loop per row. Bit-exact
+    * with the HOF: each step folds through XxHash64Function exactly as
+    * the two-child xxhash64(t, acc) does (t at seed 42, then acc at the
+    * intermediate hash), and null elements skip the string step just
+    * like a null child of xxhash64. Null array → null. */
+  final case class ChainHash64(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "chain_hash64"
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return null
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val h =
+          if (arr.isNullAt(i)) 42L
+          else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(arr.getUTF8String(i), StringType, 42L)
+        acc = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(acc, LongType, h)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ChainHash64 =
+      copy(child = newChild)
+  }
+
+  /** Rolling md5-hex fold over a string array — the engine-portable
+    * `aggregate(arr, 'seed', (acc, t) => md5(concat(acc, t)))` chain as
+    * one native expression (DuckDB replicates it with list_reduce, so
+    * it can sit under the differential oracle). Bit-exact with the HOF:
+    * each step digests the concatenated UTF-8 bytes and re-hexes; a
+    * null element nulls the whole fold (concat's null propagation).
+    * Null array → null. */
+  final case class Md5Fold(child: Expression, seed: String)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "md5_fold"
+
+    @transient private lazy val hexDigits = "0123456789abcdef".toCharArray
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return null
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var acc = seed.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        md.reset()
+        md.update(acc)
+        md.update(arr.getUTF8String(i).getBytes)
+        val digest = md.digest()
+        val hex = new Array[Byte](32)
+        var j = 0
+        while (j < 16) {
+          hex(2 * j) = hexDigits((digest(j) >> 4) & 0xf).toByte
+          hex(2 * j + 1) = hexDigits(digest(j) & 0xf).toByte
+          j += 1
+        }
+        acc = hex
+        i += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(acc)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Md5Fold =
+      copy(child = newChild)
+  }
+
   /** Count of positions where two long arrays hold equal values —
     * the MinHash Jaccard estimate's numerator, as one codegen'd loop
     * instead of k `element_at` equality terms. Null on length
