@@ -138,15 +138,21 @@ object Dedup {
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // Cap degenerate buckets (see scaladoc): count per bucket, drop huge.
-    val sized = banded.withColumn("bn",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("bn") <= maxBucket)
-    val a = sized.select(col("band"), col("bh"), col("id").as("id1"))
-    val b = sized.select(col("band"), col("bh"), col("id").as("id2"))
-    val cand = a.join(b, Seq("band", "bh"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    // Bucket cap + pair generation in ONE aggregation: the ids of each
+    // (band, bucket) collect into a sorted array — bounded by the cap,
+    // so no whale arrays — and pairs explode positionally (id2 drawn
+    // from the suffix after id1, so each unordered pair appears once
+    // with id1 < id2). Replaces the window-count cap plus bucket
+    // self-join: one shuffle and a partition sort fewer, and degenerate
+    // buckets are dropped before any pair materializes.
+    val buckets = banded.groupBy(col("band"), col("bh"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val cand = buckets
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+      .select(col("id1"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id2"))
+      .distinct()
     minJaccard match {
       case None => cand
       case Some(j) =>
