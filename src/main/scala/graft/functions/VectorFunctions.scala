@@ -48,6 +48,13 @@ object VectorFunctions {
       }),
       lit(0.0), (acc, v) => acc + v))
 
+  /** IVF assign/probe: indices of the `nProbe` nearest (by dot, i.e.
+    * cosine for unit-norm centroids) centroids, most-similar first. */
+  def nearestCentroids(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    org.apache.spark.sql.graft.ColumnInternals.column(
+      org.apache.spark.sql.graft.VectorExpressions.NearestCentroids(
+        org.apache.spark.sql.graft.ColumnInternals.expression(v), centroids, nProbe))
+
   /** Sign-bit LSH bucket from `nPlanes` fixed pseudo-random hyperplanes
     * (seeded, generated once on the driver — deterministic across
     * runs). Near vectors collide with high probability; used to

@@ -72,6 +72,22 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF-flat ANN under the exact-top-k oracle: with nProbe =
+    * nCentroids every cell is probed, so the output is row-identical to
+    * the brute-force top-k — a true differential for the IVF machinery
+    * (train → assign → cell join → rerank). The recall/cost trade at
+    * nProbe < nCentroids is spec-asserted against brute force
+    * (PipelineSpec), like t09's LSH path. */
+  def t15IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 16, excludeSelf = true,
+      roundBeforeRank = true)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** MinHash+LSH near-dup pairs with Jaccard verify. Gate queries
     * execute inside a [[PipelineContext]] so staged intermediates are
     * freed before the driver's next query (round-3 finding: leaked
@@ -245,6 +261,7 @@ object PipelineQueries {
     "t10_embedding_dedup" -> t10EmbeddingDedup _,
     "t11_media_features" -> t11MediaFeatures _,
     "t12_sessionize" -> t12Sessionize _,
+    "t15_ivf_ann" -> t15IvfAnn _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -279,6 +296,31 @@ object PipelineQueries {
                FROM embeddings)
          GROUP BY 1 ORDER BY 1""",
     "t04_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                    WHERE vec_id < 3),
+         scored AS (
+           SELECT q.qid, e.vec_id AS id,
+             round(
+               list_reduce(list_prepend(0.0,
+                 list_transform(list_zip(e.embedding, q.qv),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                 (a, b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(q.qv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, b) -> a + b))), 6) AS cosine
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+           FROM scored)
+         SELECT qid, id, cosine, rank FROM ranked WHERE rank <= 5
+         ORDER BY qid, rank""",
+    "t15_ivf_ann" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
                     WHERE vec_id < 3),
          scored AS (

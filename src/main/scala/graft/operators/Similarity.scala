@@ -37,6 +37,98 @@ object Similarity {
       .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Train IVF centroids: Lloyd's k-means on a bounded, deterministic
+    * sample (id-ordered limit — at 100 TB swap in TABLESAMPLE; FAISS
+    * trains IVF on a sample the same way). The sample is driver-small
+    * by construction (sampleN × dim doubles), the iterations run on the
+    * driver in microseconds at that size, and only the k×dim centroid
+    * matrix ships back into the plan as a literal — the corpus itself
+    * is never collected. Centroids are L2-normalized so dot order =
+    * cosine order in the assign/probe expression. Empty clusters
+    * re-seed deterministically from the sample. */
+  def ivfTrain(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 8, sampleN: Int = 2048): Seq[Seq[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nCentroids,
+      s"sample (${sample.length}) smaller than nCentroids ($nCentroids)")
+    val dim = sample.head.length
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    // deterministic init: evenly-strided sample points
+    var cents = (0 until nCentroids)
+      .map(i => normalize(sample(i * sample.length / nCentroids))).toArray
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(nCentroids, dim)(0.0)
+      val counts = new Array[Int](nCentroids)
+      sample.foreach { v =>
+        var best = 0; var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < nCentroids) {
+          var s = 0.0; var i = 0
+          while (i < dim) { s += v(i) * cents(c)(i); i += 1 }
+          if (s > bestS) { best = c; bestS = s }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = (0 until nCentroids).map { c =>
+        if (counts(c) == 0) normalize(sample(c % sample.length)) // re-seed
+        else normalize(sums(c))
+      }.toArray
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** IVF-flat ANN — the classic inverted-file scale path: assign every
+    * corpus vector to its nearest trained centroid (one narrow pass, no
+    * shuffle), probe each query's `nProbe` nearest cells, join on the
+    * cell id, and rerank candidates with exact cosine. Cost per query ≈
+    * nProbe/nCentroids of the corpus instead of all of it; recall < 1
+    * by construction (a true neighbor can live in an unprobed cell) —
+    * raise nProbe to trade cost back for recall. The cell equi-join is
+    * the same shape as [[lshTopK]]'s bucket join, so the same
+    * partitioning/AQE reasoning applies at 100 TB; the corpus side
+    * would be written bucketed by cell (the literal "inverted file"). */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      excludeSelf: Boolean = false,
+      centroids: Option[Seq[Seq[Double]]] = None,
+      roundBeforeRank: Boolean = false): DataFrame = {
+    val cents = centroids.getOrElse(
+      ivfTrain(corpus, idCol, vecCol, nCentroids))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell",
+        element_at(nearestCentroids(col("v"), cents, 1), 1))
+      .withColumn("nv", l2Norm(col("v")))
+    val probes = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+      .withColumn("nq", l2Norm(col("qv")))
+      .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nProbe)))
+    val candRaw = c.join(probes, Seq("cell"))
+    // roundBeforeRank mirrors the brute-force gate's convention (round
+    // to 6 digits, THEN rank with id tie-break) so a full-probe IVF is
+    // row-identical to the exact top-k and can sit under its oracle
+    val rawCos = cosinePre(dot(col("v"), col("qv")), col("nv"), col("nq"))
+    val cand = (if (excludeSelf) candRaw.filter(col("id") =!= col("qid")) else candRaw)
+      .withColumn("cosine", if (roundBeforeRank) round(rawCos, 6) else rawCos)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
+    val ranked = cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    if (roundBeforeRank)
+      ranked.select(col("qid"), col("id"), col("cosine"), col("rank"))
+    else
+      ranked.select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: candidates from matching sign-bit buckets, with
     * multi-probe (flip 1 bit) to recover near-boundary neighbors, then
     * exact cosine rerank within candidates. */

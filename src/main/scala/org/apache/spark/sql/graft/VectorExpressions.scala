@@ -40,6 +40,72 @@ object VectorExpressions {
       case _ => arr.getDouble(i)
     }
 
+  /** Indices of the `nProbe` centroids with the largest dot product
+    * against the input vector, most-similar first — the IVF assign /
+    * probe step as ONE expression. The centroid matrix rides along as a
+    * literal (trained driver-side on a sample, k×dim doubles — tiny),
+    * so assignment is a tight k×dim loop per row with no join and no
+    * per-row allocation beyond the selection arrays. Centroids are
+    * expected unit-norm, making dot order = cosine order. Ties break on
+    * the lower centroid index; null vector ⇒ null. */
+  final case class NearestCentroids(
+      child: Expression, centroids: Seq[Seq[Double]], nProbe: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+      with ExpectsInputTypes {
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe must be in [1, ${centroids.size}], got $nProbe")
+    override def inputTypes: Seq[AbstractDataType] = Seq(vecType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "nearest_centroids"
+
+    @transient private lazy val mat: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return null
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val k = mat.length
+      val scores = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cent = mat(c)
+        val d = math.min(n, cent.length)
+        var s = 0.0
+        var i = 0
+        while (i < d) {
+          s += elemAt(child.dataType, arr, i) * cent(i)
+          i += 1
+        }
+        scores(c) = s
+        c += 1
+      }
+      // selection by repeated max — nProbe is tiny (≤ k ≤ dozens)
+      val out = new Array[Int](nProbe)
+      val taken = new Array[Boolean](k)
+      var p = 0
+      while (p < nProbe) {
+        var best = -1
+        var bestS = Double.NegativeInfinity
+        var j = 0
+        while (j < k) {
+          if (!taken(j) && scores(j) > bestS) { best = j; bestS = scores(j) }
+          j += 1
+        }
+        taken(best) = true
+        out(p) = best
+        p += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+      copy(child = newChild)
+  }
+
   /** Σ aᵢ·bᵢ — strict sequential double accumulation.
     *
     * Length mismatch ⇒ null (a malformed embedding must surface as a

