@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE local session recipe shared by every driver-facing main
+  * (Bench, Verify, ScaleCheck) and dev tool (Profile, Explain,
+  * PipelineProfile) — the config a plan is explained under must be the
+  * config it benchmarks under, or the printed plan lies about AQE's
+  * broadcast/coalescing decisions. Settings of note:
+  *
+  *  - `shuffle.partitions` = cpu count, not the 200 default (local
+  *    mode; on a cluster this scales with executor cores);
+  *  - `nanosAsLong`: events.parquet carries TIMESTAMP(NANOS);
+  *  - ObjectHashAggregate fallback raised so the sketch aggregates
+  *    (minhash/simhash signatures) don't fall back to sort-based agg
+  *    at gate-data sizes;
+  *  - AQE on (overridable via SPARK_GRAFT_AQE) + partition coalescing:
+  *    measured 2× end-to-end at sf0.1;
+  *  - 64 MB broadcast threshold: dimension tables up to customer-size
+  *    broadcast at test scale.
+  */
+object SparkBoot {
+  def session(cpus: Int, logLevel: String = "ERROR"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    spark
+  }
+
+  /** cpu count from SPARK_GRAFT_CPUS (driver contract), default 32. */
+  def cpusFromEnv: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+}

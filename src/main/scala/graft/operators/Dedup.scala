@@ -138,16 +138,22 @@ object Dedup {
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // Bucket cap + pair generation in ONE aggregation: the ids of each
-    // (band, bucket) collect into a sorted array — bounded by the cap,
-    // so no whale arrays — and pairs explode positionally (id2 drawn
-    // from the suffix after id1, so each unordered pair appears once
-    // with id1 < id2). Replaces the window-count cap plus bucket
-    // self-join: one shuffle and a partition sort fewer, and degenerate
-    // buckets are dropped before any pair materializes.
-    val buckets = banded.groupBy(col("band"), col("bh"))
+    // Bucket cap, then pair generation from per-bucket id arrays. The
+    // cap must apply BEFORE any array materializes — a degenerate
+    // bucket (millions of boilerplate docs sharing one band signature)
+    // inside a collect_list buffer would be an unspillable whale array
+    // — so sizes come from a window count (sort-based, spillable) and
+    // only surviving buckets aggregate. The groupBy keys equal the
+    // window partition keys, so the aggregation reuses the window's
+    // hash partitioning: no second shuffle. Pairs then explode
+    // positionally from the sorted array (id2 drawn from the suffix
+    // after id1 — each unordered pair once, id1 < id2), replacing the
+    // bucket self-join of the earlier form.
+    val sized = banded.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bn").between(2, maxBucket))
+    val buckets = sized.groupBy(col("band"), col("bh"))
       .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
     val cand = buckets
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
       .select(col("id1"),

@@ -89,7 +89,10 @@ final class PatternQuery private (
           store.rel(relType).withColumn(s"__elided_pk", col(farRaw).cast(pkType)), rv)
           .withColumnRenamed(s"${rv}____elided_pk", toPk)
       } else store.relWithDstNode(relType) match {
-        case Some(fused) if forward =>
+        // fused frames carry src/dst + dst-NODE properties only, so a
+        // rel type with its own property columns must keep the join
+        // path or `rv__prop` references would silently vanish
+        case Some(fused) if forward && relDef.properties.isEmpty =>
           val nodeCols = targetDef.properties.map(_.name)
           fused.select(
             col("src").as(s"${rv}__src") +: col("dst").as(s"${rv}__dst") +:

@@ -27,9 +27,11 @@ trait GraphSource {
     * derive from the SAME storage rows as their destination node (e.g.
     * an order row carries both the FK edge and the node properties).
     * Contract: columns `src`, `dst`, plus every property column of the
-    * dst node label (dst equals the node's pk value). The planner joins
-    * this single frame instead of rel ⋈ node — one scan and one join
-    * instead of two of each, with Catalyst pruning unused node props
-    * from the scan. */
+    * dst node label (dst equals the node's pk value) — and the rel type
+    * must declare NO property columns of its own (the planner falls
+    * back to the join path otherwise, since a fused frame has nowhere
+    * to carry them). The planner joins this single frame instead of
+    * rel ⋈ node — one scan and one join instead of two of each, with
+    * Catalyst pruning unused node props from the scan. */
   def relWithDstNode(tpe: String): Option[DataFrame] = None
 }

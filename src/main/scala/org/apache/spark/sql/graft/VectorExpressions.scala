@@ -73,17 +73,23 @@ object VectorExpressions {
       var c = 0
       while (c < k) {
         val cent = mat(c)
-        val d = math.min(n, cent.length)
+        // dimension mismatch ⇒ null, matching VecDot's policy: a
+        // malformed embedding must surface, not silently assign to an
+        // arbitrary cell from a truncated dot product
+        if (n != cent.length) return null
         var s = 0.0
         var i = 0
-        while (i < d) {
+        while (i < n) {
           s += elemAt(child.dataType, arr, i) * cent(i)
           i += 1
         }
         scores(c) = s
         c += 1
       }
-      // selection by repeated max — nProbe is tiny (≤ k ≤ dozens)
+      // selection by repeated max — nProbe is tiny (≤ k ≤ dozens).
+      // `>=` on the first untaken index keeps `best` valid even when
+      // every score is NaN (a NaN component poisons all dots); such
+      // rows fall into a deterministic cell instead of crashing.
       val out = new Array[Int](nProbe)
       val taken = new Array[Boolean](k)
       var p = 0
@@ -92,7 +98,9 @@ object VectorExpressions {
         var bestS = Double.NegativeInfinity
         var j = 0
         while (j < k) {
-          if (!taken(j) && scores(j) > bestS) { best = j; bestS = scores(j) }
+          if (!taken(j) && (best < 0 || scores(j) > bestS)) {
+            best = j; bestS = scores(j)
+          }
           j += 1
         }
         taken(best) = true

@@ -103,8 +103,17 @@ class PipelineSpec extends SparkTestBase {
       .select("qid", "id").as[(Long, Long)].collect().toSet
     val recall = exactIds.count(part.contains).toDouble / exactIds.size
     assert(recall >= 0.4, s"nProbe=8/16 recall $recall below floor")
-    // cost actually shrank: candidate set is a strict subset of corpus
-    assert(part.size <= exactIds.size)
+    // cost actually shrank: the probed candidate volume (corpus rows in
+    // the queries' probed cells) is a real fraction of the full n×q
+    // scan brute force pays — the property nProbe < nCentroids buys
+    val assigned = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("cell", element_at(VF.nearestCentroids(col("v"), cents, 1), 1))
+    val probed = q.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("cell", explode(VF.nearestCentroids(col("qv"), cents, 8)))
+      .join(assigned, Seq("cell")).count()
+    val fullScan = emb.count() * q.count()
+    assert(probed < fullScan * 3 / 4,
+      s"partial probe scanned $probed of $fullScan candidate pairs")
   }
 
   test("LSH ANN is a subset-rank of brute force (recall sanity)") {
