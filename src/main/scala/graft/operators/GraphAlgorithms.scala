@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.storage.GraphSource
+
+/** Iterative graph algorithms over a [[GraphSource]]'s label-tagged
+  * union edge set — the BFS frontier-expansion pattern Spark-native
+  * graph processing is built on (each iteration is one distributed
+  * join + anti-join; the driver only steers the bounded loop).
+  *
+  * Reference surface: the validator accepts `shortestPath(...)` with
+  * ≤5 hops (robosystems/middleware/mcp/query_validator.py:416-429) and
+  * the governance layer prices it; the agents never emit the Cypher
+  * text form, so the TEXT form stays priced-not-parsed
+  * (serve/QueryGovernance) while the algorithm itself is a first-class
+  * operator here. */
+object GraphAlgorithms {
+
+  /** All-pairs bounded shortest path lengths: one row per (srcLabel,
+    * src, dstLabel, dst) reachable in ≤ maxHops directed hops, with the
+    * MINIMUM hop count. Primary keys are only unique per label, so
+    * edges carry endpoint labels and every join matches on the
+    * (label, key) pair (same contract as PatternQuery.outVarAny).
+    *
+    * BFS gives min-distance by construction: a pair enters `seen` at
+    * the first depth it appears, and the anti-join bars any longer
+    * rediscovery. Each frontier is staged (checkpoint) so iteration k's
+    * plan doesn't re-derive iterations 1..k-1 — the standard iterative-
+    * algorithm lineage guard; at 100 TB these become persisted
+    * frontier tables. Frontiers only shrink (visited pairs leave), so
+    * the loop's per-iteration cost is monotone non-increasing. */
+  def shortestPaths(store: GraphSource, maxHops: Int = 5)(
+      implicit ctx: PipelineContext): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 5,
+      "bounded to 1..5 hops (reference validator, query_validator.py:416-429)")
+    val edges = ctx.stage(store.schema.rels.map { r =>
+      store.rel(r.name).select(
+        lit(r.from).as("sl"), col("src").cast("string").as("s"),
+        lit(r.to).as("dl"), col("dst").cast("string").as("d"))
+    }.reduce(_ unionByName _).distinct())
+
+    // per-depth frontiers, each staged once; `seen` is their UNION of
+    // checkpoint leaves (cheap to plan, no re-staging of old depths)
+    var frontiers = List(ctx.stage(edges.withColumn("dist", lit(1))))
+    (2 to maxHops).foreach { k =>
+      val seen = frontiers.reduce(_ unionByName _)
+      val expanded = frontiers.head.as("a")
+        .join(edges.as("b"),
+          col("a.dl") === col("b.sl") && col("a.d") === col("b.s"))
+        .select(col("a.sl").as("sl"), col("a.s").as("s"),
+          col("b.dl").as("dl"), col("b.d").as("d"))
+        .distinct()
+      val fresh = ctx.stage(expanded
+        .join(seen, Seq("sl", "s", "dl", "d"), "left_anti")
+        .withColumn("dist", lit(k)))
+      frontiers ::= fresh
+    }
+    frontiers.reduce(_ unionByName _)
+      .select(col("sl").as("src_label"), col("s").as("src"),
+        col("dl").as("dst_label"), col("d").as("dst"), col("dist"))
+  }
+}

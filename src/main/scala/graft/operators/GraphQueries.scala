@@ -75,12 +75,24 @@ object GraphQueries {
         "total" -> round(sum(p("o.totalprice")), 2))
       .orderBy(col("mktsegment"))
 
+  /** Bounded BFS shortest-path length distribution over the whole
+    * graph (GraphAlgorithms.shortestPaths) — oracled by a DuckDB
+    * recursive CTE over the same FK-derived edge set. */
+  def g06ShortestPaths(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      GraphAlgorithms.shortestPaths(new TpchGraph(spark, dir), maxHops = 5)
+        .groupBy(col("src_label"), col("dst_label"), col("dist"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("src_label"), col("dst_label"), col("dist"))
+    }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_graph_multihop" -> g01MultiHop _,
     "g02_graph_optional" -> g02OptionalMatch _,
     "g03_graph_distinct" -> g03Distinct _,
     "g04_graph_selfpairs" -> g04SelfPairs _,
     "g05_graph_caseagg" -> g05CaseAgg _,
+    "g06_shortest_paths" -> g06ShortestPaths _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -108,6 +120,31 @@ object GraphQueries {
          JOIN nation n2 ON n2.n_regionkey = r_regionkey
          WHERE n1.n_name < n2.n_name
          ORDER BY 1, 2, 3""",
+    "g06_shortest_paths" ->
+      """WITH RECURSIVE edges AS (
+           SELECT DISTINCT * FROM (
+             SELECT 'Nation' AS sl, CAST(n_nationkey AS VARCHAR) AS s,
+                    'Region' AS dl, CAST(n_regionkey AS VARCHAR) AS d FROM nation
+             UNION ALL
+             SELECT 'Customer', CAST(c_custkey AS VARCHAR),
+                    'Nation', CAST(c_nationkey AS VARCHAR) FROM customer
+             UNION ALL
+             SELECT 'Supplier', CAST(s_suppkey AS VARCHAR),
+                    'Nation', CAST(s_nationkey AS VARCHAR) FROM supplier
+             UNION ALL
+             SELECT 'Customer', CAST(o_custkey AS VARCHAR),
+                    'Order', CAST(o_orderkey AS VARCHAR) FROM orders)
+         ), walk AS (
+           SELECT sl, s, dl, d, 1 AS dist FROM edges
+           UNION
+           SELECT w.sl, w.s, e.dl, e.d, w.dist + 1
+           FROM walk w JOIN edges e ON w.dl = e.sl AND w.d = e.s
+           WHERE w.dist < 5
+         ), shortest AS (
+           SELECT sl, s, dl, d, min(dist) AS dist
+           FROM walk GROUP BY 1, 2, 3, 4)
+         SELECT sl AS src_label, dl AS dst_label, dist, count(*) AS n
+         FROM shortest GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "g05_graph_caseagg" ->
       """SELECT c_mktsegment AS mktsegment,
          count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished,
