@@ -9,13 +9,16 @@ import org.apache.spark.sql.types._
   * stages (decode → feature-extract → frame-sample) as real Spark
   * plans.
   *
-  * The actual byte decoding is STUBBED (this container has no image/
-  * audio codecs): [[decodeFeaturesStub]] derives a deterministic fake
-  * feature vector from the bytes. Everything around it — schema, batch
-  * shape, partitioning, the explode-based frame sampler — is the real
-  * pipeline; swap the stub for a `mapPartitions` (JVM codec) or
-  * `mapInPandas`/`mapInArrow` (Python codec) stage with the same
-  * (bytes → Array[Float]) contract and nothing else changes. */
+  * Decoding: [[decodeFeaturesJvm]] is a REAL `mapPartitions` decode
+  * stage for the formats the JDK ships codecs for — PNG/JPEG/BMP/GIF
+  * via `javax.imageio` (features = side×side grayscale thumbnail
+  * luminances, the aHash-style image fingerprint) and PCM WAV via
+  * `javax.sound.sampled` (features = per-segment RMS energy).
+  * Undecodable payloads surface as null features, never a crash of the
+  * task. [[decodeFeaturesStub]] remains for formats with no JVM codec
+  * (video containers, MP3) — swap in a `mapInArrow` stage batching to a
+  * Python worker with the same (bytes → Array[Float]) contract and
+  * nothing else in the plan changes. */
 object Multimodal {
 
   /** Canonical media table schema: opaque payload + typed metadata. */
@@ -53,6 +56,161 @@ object Multimodal {
   def decodeFeaturesStub(dim: Int)(bytesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(bytesCol, i), lit(2000L)).cast("double") / 1000.0) - 1.0)
+
+  /** Synthetic media with REAL encoded payloads (deterministic from the
+    * id): image rows carry an actual PNG (8×8 two-tone pattern), audio
+    * rows an actual PCM WAV (square wave, amplitude keyed to the id),
+    * video rows an opaque payload (no JVM codec — the stub/Arrow
+    * path). Encoding runs inside mapPartitions on executors — the
+    * driver never holds the corpus. */
+  def syntheticMediaReal(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val tpe = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val bytes: Array[Byte] = tpe match {
+          case "image" =>
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val on = ((x + y + id) % 3) == 0
+                img.setRGB(x, y, if (on) 0xffffff else 0x202020)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          case "audio" =>
+            val nSamples = 400
+            val amp = (8000 + (id % 8) * 3000).toInt
+            val raw = new Array[Byte](2 * nSamples)
+            var i = 0
+            while (i < nSamples) {
+              val v = (if ((i / 4) % 2 == 0) amp else -amp).toShort
+              raw(2 * i) = (v & 0xff).toByte
+              raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(raw), fmt, nSamples.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            bos.toByteArray
+          case _ =>
+            java.security.MessageDigest.getInstance("SHA-256")
+              .digest(id.toString.getBytes)
+        }
+        (id, tpe, bytes)
+      }
+    }.toDF("media_id", "media_type", "bytes")
+  }
+
+  /** Row of the decoded-features frame (mapPartitions output). */
+  final case class MediaFeatures(
+      media_id: Long, media_type: String, features: Array[Float])
+
+  /** REAL decode → feature-extract for JDK-codec formats, as the
+    * `mapPartitions` stage the class doc promises: images decode with
+    * `ImageIO` and reduce to a side×side grayscale thumbnail of
+    * luminances in [0,1] (the perceptual aHash layout — near-dup images
+    * land near each other in cosine space); audio decodes with
+    * `javax.sound.sampled` and reduces to per-segment RMS energy.
+    * Partition-local work only — codecs run inside the task, bytes
+    * never leave the executor, nulls mark undecodable payloads. */
+  def decodeFeaturesJvm(
+      df: DataFrame, side: Int = 8, audioBins: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media_type").cast("string"),
+      col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, tpe, bytes) =>
+          val feats = tpe match {
+            case "image" => imageFeatures(bytes, side)
+            case "audio" => audioFeatures(bytes, audioBins)
+            case _ => null // no JVM codec (video): stub/Arrow stage territory
+          }
+          MediaFeatures(id, tpe, feats)
+        }
+      }
+      .toDF()
+  }
+
+  /** side×side grayscale luminance thumbnail in [0,1], row-major; null
+    * when ImageIO has no codec for (or cannot parse) the payload. */
+  private[operators] def imageFeatures(bytes: Array[Byte], side: Int): Array[Float] = {
+    if (bytes == null) return null
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return null
+      val scaled = new java.awt.image.BufferedImage(
+        side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try g.drawImage(img, 0, 0, side, side, null) finally g.dispose()
+      val out = new Array[Float](side * side)
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          val rgb = scaled.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          out(y * side + x) = (lum / 255.0).toFloat
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } catch { case _: Exception => null }
+  }
+
+  /** Per-segment RMS energy over `bins` equal time slices of a PCM WAV
+    * payload (16-bit signed, any channel count — channels average);
+    * null when the payload is not a parseable audio stream. */
+  private[operators] def audioFeatures(bytes: Array[Byte], bins: Int): Array[Float] = {
+    if (bytes == null) return null
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) return null
+        val raw = ais.readAllBytes()
+        val bigEndian = fmt.isBigEndian
+        val nSamples = raw.length / 2
+        if (nSamples == 0) return null
+        val out = new Array[Float](bins)
+        val perBin = math.max(1, nSamples / bins)
+        var b = 0
+        while (b < bins) {
+          val from = b * perBin
+          val to = if (b == bins - 1) nSamples else math.min(nSamples, from + perBin)
+          var sum = 0.0
+          var i = from
+          while (i < to) {
+            val lo = raw(2 * i) & 0xff; val hi = raw(2 * i + 1) & 0xff
+            val s = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort
+            val v = s / 32768.0
+            sum += v * v
+            i += 1
+          }
+          out(b) = (if (to > from) math.sqrt(sum / (to - from)) else 0.0).toFloat
+          b += 1
+        }
+        out
+      } finally ais.close()
+    } catch { case _: Exception => null }
+  }
 
   /** Resize plumbing: metadata transform only (the byte transform is
     * part of the stubbed codec stage). */

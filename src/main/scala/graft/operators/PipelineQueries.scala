@@ -193,6 +193,24 @@ object PipelineQueries {
       .orderBy(col("media_type"))
   }
 
+  /** REAL media decode end-to-end: synthesize actual PNG/WAV payloads
+    * on executors, decode them with the JDK codecs
+    * ([[Multimodal.decodeFeaturesJvm]]), and aggregate decoded feature
+    * stats per type. no_oracle: no SQL engine replicates ImageIO/
+    * javax.sound byte decoding — PipelineSpec pins the decoded values
+    * on known payloads (two-tone PNG → exact luminances, square wave →
+    * RMS bins); this gate checks determinism/rows via the driver. */
+  def t16MediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMediaReal(spark, 120)
+    Multimodal.decodeFeaturesJvm(media, side = 4, audioBins = 8)
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("features")).as("n_decoded"),
+        round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
+      .orderBy(col("media_type"))
+  }
+
   /** Sessionization over the events table: 30-minute-gap sessions via
     * lag + running sum (the §2.9 streaming-extension semantics in batch
     * form — same windows Structured Streaming would maintain). */
@@ -262,6 +280,7 @@ object PipelineQueries {
     "t11_media_features" -> t11MediaFeatures _,
     "t12_sessionize" -> t12Sessionize _,
     "t15_ivf_ann" -> t15IvfAnn _,
+    "t16_media_decode" -> t16MediaDecode _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles

@@ -249,4 +249,46 @@ class PipelineSpec extends SparkTestBase {
     assert(f0.forall(v => v >= -1.0 && v <= 1.0))
     assert(feats.rdd.getNumPartitions === 4)
   }
+
+  test("multimodal: JDK codecs decode real PNG and WAV payloads") {
+    // a real 4×4 PNG: left half black, right half white
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+    val png = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", png)
+    // a real PCM WAV: silence then a full-scale square wave
+    val samples = new Array[Byte](2 * 800)
+    for (i <- 400 until 800) {
+      val v: Short = if (i % 2 == 0) 32000 else -32000
+      samples(2 * i) = (v & 0xff).toByte
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val wav = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, 800),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wav)
+
+    val rows = Seq(
+      (1L, "image", png.toByteArray),
+      (2L, "audio", wav.toByteArray),
+      (3L, "image", Array[Byte](1, 2, 3)), // undecodable
+      (4L, "video", png.toByteArray)) // no JVM codec path
+    val df = spark.createDataFrame(rows).toDF("media_id", "media_type", "bytes")
+    val out = Multimodal.decodeFeaturesJvm(df, side = 2, audioBins = 2)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Float](2)).map(_.toArray)).toMap
+    // image: 2×2 thumbnail, left column dark, right column bright
+    val imgF = out(1L).get
+    assert(imgF.length === 4)
+    assert(imgF(0) < 0.3 && imgF(1) > 0.7 && imgF(2) < 0.3 && imgF(3) > 0.7)
+    // audio: first half silent, second half loud
+    val audF = out(2L).get
+    assert(audF.length === 2)
+    assert(audF(0) < 0.05 && audF(1) > 0.5)
+    assert(out(3L).isEmpty && out(4L).isEmpty)
+  }
 }
