@@ -37,6 +37,32 @@ object TextFunctions {
       i => concat_ws(" ", slice(t, i + 1, lit(n)))))
   }
 
+  /** Repetitiveness: 1 − (#distinct word bigrams / #word bigrams) —
+    * 0 for fully novel text, → 1 for looping boilerplate. The standard
+    * cheap quality signal for filtering templated/generated spam from
+    * training corpora; engine-portable arithmetic (list_distinct). */
+  def repetitionScore(c: Column): Column = {
+    val grams = {
+      val t = tokens(c)
+      transform(sequence(lit(1), greatest(size(t) - 1, lit(0))),
+        i => concat_ws(" ", slice(t, i, lit(2))))
+    }
+    when(size(grams) > 0,
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** PII redaction: emails then phone-number runs replaced with typed
+    * placeholder tags. Patterns are RE2-safe (no backreferences or
+    * lookaround) so any RE2-based engine — and the DuckDB oracle —
+    * applies them identically. Order matters: emails first, or a
+    * phone-like digit run inside an address would split it. */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(email, "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]", "<PHONE>")
+  }
+
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
       "it", "that", "for", "on", "with", "as", "at", "by", "be"),

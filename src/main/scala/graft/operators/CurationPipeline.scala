@@ -19,6 +19,28 @@ object CurationPipeline {
       nearDupJaccard: Double = 0.5,
       shingle: Dedup.ShingleMode = Dedup.WordGrams(2))
 
+  /** Split documents into overlapping token-window chunks — the
+    * context-length shaping stage of a training pipeline (long docs →
+    * model-sized pieces, `overlap` tokens of continuity between
+    * neighbors). One narrow explode per doc, no shuffle; chunk windows
+    * are engine-portable list slices, so the t17 gate hash-compares
+    * actual chunk text against DuckDB. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__w"))
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(1), greatest(org.apache.spark.sql.functions.size(col("__w")), lit(1)),
+          lit(step))).as(Seq("chunk_idx", "__s")))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", slice(col("__w"), col("__s"), lit(size))).as("chunk_text"),
+        org.apache.spark.sql.functions.size(
+          slice(col("__w"), col("__s"), lit(size))).as("chunk_tokens"))
+  }
+
   /** Stage 1: per-document annotations — one tokenization feeds every
     * score, all language ratios come from ONE native pass over the
     * token array ([[TextFunctions.stopwordRatiosAll]]), and each ratio

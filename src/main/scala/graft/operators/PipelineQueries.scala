@@ -211,6 +211,37 @@ object PipelineQueries {
       .orderBy(col("media_type"))
   }
 
+  /** Token-window chunking with overlap (context-length shaping).
+    * Oracle-backed: chunk text itself hash-compares against DuckDB list
+    * slices — content equality, not just counts. */
+  def t17Chunking(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.chunk(
+      Tables.documents(spark, dir).filter(col("doc_id") < 20),
+      "doc_id", "text", size = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** PII redaction over documents with deterministic synthetic PII
+    * appended (the corpus itself is PII-free word salad) — both engines
+    * build the identical input string, then apply the same RE2-safe
+    * patterns. Oracle-backed end to end. */
+  def t18Redaction(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id") < 30)
+      .select(col("doc_id"),
+        TextFunctions.redactPii(concat(
+          col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1 (555) 010-"),
+          col("doc_id").cast("string"))).as("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** Repetition scoring per language (templated-spam signal).
+    * Oracle-backed: distinct-bigram arithmetic is engine-portable. */
+  def t19Repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextFunctions.repetitionScore(col("text")).as("rep"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("rep")), 6).as("avg_rep"))
+      .orderBy(col("lang"))
+
   /** Sessionization over the events table: 30-minute-gap sessions via
     * lag + running sum (the §2.9 streaming-extension semantics in batch
     * form — same windows Structured Streaming would maintain). */
@@ -281,12 +312,49 @@ object PipelineQueries {
     "t12_sessionize" -> t12Sessionize _,
     "t15_ivf_ann" -> t15IvfAnn _,
     "t16_media_decode" -> t16MediaDecode _,
+    "t17_chunking" -> t17Chunking _,
+    "t18_redaction" -> t18Redaction _,
+    "t19_repetition" -> t19Repetition _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
     * reproduce the same sequential double folds (list_reduce with a 0.0
     * seed) so sums match bit-for-bit before rounding. */
   val oracle: Map[String, String] = Map(
+    "t17_chunking" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents WHERE doc_id < 20),
+         chunks AS (
+           SELECT doc_id,
+             [{'s': s, 'txt': array_to_string(list_slice(w, s, s + 31), ' '),
+               'n': len(list_slice(w, s, s + 31))}
+              for s in range(1, greatest(len(w), 1) + 1, 24)] AS cs
+           FROM toks)
+         SELECT doc_id, CAST((u.cs.s - 1) / 24 AS INTEGER) AS chunk_idx,
+           u.cs.txt AS chunk_text, u.cs.n AS chunk_tokens
+         FROM (SELECT doc_id, unnest(cs) AS cs FROM chunks) u(doc_id, cs)
+         ORDER BY doc_id, chunk_idx""",
+    "t18_redaction" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+                 '@mail.example.com or +1 (555) 010-' || CAST(doc_id AS VARCHAR),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+         FROM documents WHERE doc_id < 30 ORDER BY doc_id""",
+    "t19_repetition" ->
+      """WITH grams AS (
+           SELECT lang,
+             [w[i] || ' ' || w[i+1] for i in range(1, greatest(len(w) - 1, 0) + 1)] AS g
+           FROM (SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS w
+                 FROM documents))
+         SELECT lang, count(*) AS n_docs,
+           round(avg(CASE WHEN len(g) > 0
+             THEN round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6)
+             ELSE 0.0 END), 6) AS avg_rep
+         FROM grams GROUP BY 1 ORDER BY 1""",
     "t14_json_props" ->
       """SELECT event_type,
          count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
