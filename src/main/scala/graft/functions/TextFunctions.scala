@@ -41,16 +41,10 @@ object TextFunctions {
     * 0 for fully novel text, → 1 for looping boilerplate. The standard
     * cheap quality signal for filtering templated/generated spam from
     * training corpora; engine-portable arithmetic (list_distinct). */
-  def repetitionScore(c: Column): Column = {
-    val grams = {
-      val t = tokens(c)
-      transform(sequence(lit(1), greatest(size(t) - 1, lit(0))),
-        i => concat_ws(" ", slice(t, i, lit(2))))
-    }
-    when(size(grams) > 0,
-      round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
-      .otherwise(lit(0.0))
-  }
+  def repetitionScore(c: Column): Column =
+    round(org.apache.spark.sql.graft.ColumnInternals.column(
+      org.apache.spark.sql.graft.SketchExpressions.BigramRepetition(
+        org.apache.spark.sql.graft.ColumnInternals.expression(tokens(c)))), 6)
 
   /** PII redaction: emails then phone-number runs replaced with typed
     * placeholder tags. Patterns are RE2-safe (no backreferences or

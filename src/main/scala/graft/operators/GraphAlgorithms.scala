@@ -43,18 +43,28 @@ object GraphAlgorithms {
     // per-depth frontiers, each staged once; `seen` is their UNION of
     // checkpoint leaves (cheap to plan, no re-staging of old depths)
     var frontiers = List(ctx.stage(edges.withColumn("dist", lit(1))))
+    var exhausted = false
     (2 to maxHops).foreach { k =>
-      val seen = frontiers.reduce(_ unionByName _)
-      val expanded = frontiers.head.as("a")
-        .join(edges.as("b"),
-          col("a.dl") === col("b.sl") && col("a.d") === col("b.s"))
-        .select(col("a.sl").as("sl"), col("a.s").as("s"),
-          col("b.dl").as("dl"), col("b.d").as("d"))
-        .distinct()
-      val fresh = ctx.stage(expanded
-        .join(seen, Seq("sl", "s", "dl", "d"), "left_anti")
-        .withColumn("dist", lit(k)))
-      frontiers ::= fresh
+      if (!exhausted) {
+        // early exit: once a frontier is empty no deeper one can exist,
+        // and the emptiness probe is a cheap local-block check on the
+        // just-staged frontier — without it the loop pays the full
+        // join+stage cost for provably-empty depths
+        if (frontiers.head.isEmpty) exhausted = true
+        else {
+          val seen = frontiers.reduce(_ unionByName _)
+          val expanded = frontiers.head.as("a")
+            .join(edges.as("b"),
+              col("a.dl") === col("b.sl") && col("a.d") === col("b.s"))
+            .select(col("a.sl").as("sl"), col("a.s").as("s"),
+              col("b.dl").as("dl"), col("b.d").as("d"))
+            .distinct()
+          val fresh = ctx.stage(expanded
+            .join(seen, Seq("sl", "s", "dl", "d"), "left_anti")
+            .withColumn("dist", lit(k)))
+          frontiers ::= fresh
+        }
+      }
     }
     frontiers.reduce(_ unionByName _)
       .select(col("sl").as("src_label"), col("s").as("src"),
