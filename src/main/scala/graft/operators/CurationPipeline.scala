@@ -30,10 +30,15 @@ object CurationPipeline {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")
     val step = size - overlap
+    // window starts run to n - overlap, not n: a start past that point
+    // yields a chunk fully CONTAINED in its predecessor (pure
+    // duplication — the thing the pipeline exists to remove); the
+    // greatest(…, 1) keeps one chunk for docs shorter than the overlap
     docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__w"))
       .select(col(idCol), col("__w"),
-        posexplode(sequence(lit(1), greatest(org.apache.spark.sql.functions.size(col("__w")), lit(1)),
+        posexplode(sequence(lit(1),
+          greatest(org.apache.spark.sql.functions.size(col("__w")) - overlap, lit(1)),
           lit(step))).as(Seq("chunk_idx", "__s")))
       .select(col(idCol), col("chunk_idx"),
         concat_ws(" ", slice(col("__w"), col("__s"), lit(size))).as("chunk_text"),

@@ -28,21 +28,26 @@ object GraphAlgorithms {
     * rediscovery. Each frontier is staged (checkpoint) so iteration k's
     * plan doesn't re-derive iterations 1..k-1 — the standard iterative-
     * algorithm lineage guard; at 100 TB these become persisted
-    * frontier tables. Frontiers only shrink (visited pairs leave), so
-    * the loop's per-iteration cost is monotone non-increasing. */
+    * frontier tables. (Frontier SIZE is graph-dependent: it shrinks on
+    * funnel-shaped FK DAGs like TPC-H but grows under fan-out — the
+    * anti-join only bounds rediscovery, not expansion.) */
   def shortestPaths(store: GraphSource, maxHops: Int = 5)(
       implicit ctx: PipelineContext): DataFrame = {
     require(maxHops >= 1 && maxHops <= 5,
       "bounded to 1..5 hops (reference validator, query_validator.py:416-429)")
+    require(store.schema.rels.nonEmpty,
+      s"graph ${store.schema.name} declares no relationship types — nothing to traverse")
     val edges = ctx.stage(store.schema.rels.map { r =>
       store.rel(r.name).select(
         lit(r.from).as("sl"), col("src").cast("string").as("s"),
         lit(r.to).as("dl"), col("dst").cast("string").as("d"))
     }.reduce(_ unionByName _).distinct())
 
-    // per-depth frontiers, each staged once; `seen` is their UNION of
-    // checkpoint leaves (cheap to plan, no re-staging of old depths)
-    var frontiers = List(ctx.stage(edges.withColumn("dist", lit(1))))
+    // per-depth frontiers; `seen` is their UNION of checkpoint leaves
+    // (cheap to plan, no re-staging of old depths). Depth 1 is the
+    // edge checkpoint itself plus a literal column — re-staging it
+    // would materialize a byte-identical second copy of the edge set.
+    var frontiers = List(edges.withColumn("dist", lit(1)))
     var exhausted = false
     (2 to maxHops).foreach { k =>
       if (!exhausted) {

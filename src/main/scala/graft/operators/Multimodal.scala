@@ -48,11 +48,12 @@ object Multimodal {
         lit("synthetic").as("format")).as("meta"))
   }
 
-  /** ??? — real decode goes here. STUB: deterministic pseudo-features
-    * from the payload hash, `dim` floats in [-1, 1]. Real impl: a
-    * `mapPartitions` stage holding a per-partition codec handle (JVM),
-    * or `mapInArrow` batching ~1k rows to a Python worker; identical
-    * (bytes → Array[Float]) contract, same downstream plan. */
+  /** STUB decode for formats with no JVM codec (video containers,
+    * MP3): deterministic pseudo-features from the payload hash, `dim`
+    * floats in [-1, 1]. JDK-codec formats use [[decodeFeaturesJvm]];
+    * the real swap-in here is a `mapInArrow` stage batching ~1k rows to
+    * a Python worker — identical (bytes → Array[Float]) contract, same
+    * downstream plan. */
   def decodeFeaturesStub(dim: Int)(bytesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(bytesCol, i), lit(2000L)).cast("double") / 1000.0) - 1.0)
@@ -85,7 +86,9 @@ object Multimodal {
               y += 1
             }
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
+            if (!javax.imageio.ImageIO.write(img, "png", bos))
+              throw new IllegalStateException(
+                "no PNG ImageWriter on this JVM — cannot synthesize image payloads")
             bos.toByteArray
           case "audio" =>
             val nSamples = 400
@@ -175,8 +178,9 @@ object Multimodal {
   }
 
   /** Per-segment RMS energy over `bins` equal time slices of a PCM WAV
-    * payload (16-bit signed, any channel count — channels average);
-    * null when the payload is not a parseable audio stream. */
+    * payload (16-bit signed, any channel count
+    * (channels averaged per frame); null when the payload is not a
+    * parseable audio stream. */
   private[operators] def audioFeatures(bytes: Array[Byte], bins: Int): Array[Float] = {
     if (bytes == null) return null
     try {
@@ -185,24 +189,34 @@ object Multimodal {
       try {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16) return null
+        val channels = math.max(1, fmt.getChannels)
         val raw = ais.readAllBytes()
         val bigEndian = fmt.isBigEndian
-        val nSamples = raw.length / 2
-        if (nSamples == 0) return null
+        // bin on FRAME boundaries (one frame = all channels' samples at
+        // one instant), averaging channels — slicing the interleaved
+        // stream directly would split frames mid-channel and drift the
+        // bin time boundaries on multi-channel input
+        val nFrames = raw.length / (2 * channels)
+        if (nFrames == 0) return null
+        def sampleAt(idx: Int): Double = {
+          val lo = raw(2 * idx) & 0xff; val hi = raw(2 * idx + 1) & 0xff
+          (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort / 32768.0
+        }
         val out = new Array[Float](bins)
-        val perBin = math.max(1, nSamples / bins)
+        val perBin = math.max(1, nFrames / bins)
         var b = 0
         while (b < bins) {
           val from = b * perBin
-          val to = if (b == bins - 1) nSamples else math.min(nSamples, from + perBin)
+          val to = if (b == bins - 1) nFrames else math.min(nFrames, from + perBin)
           var sum = 0.0
-          var i = from
-          while (i < to) {
-            val lo = raw(2 * i) & 0xff; val hi = raw(2 * i + 1) & 0xff
-            val s = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort
-            val v = s / 32768.0
+          var f = from
+          while (f < to) {
+            var c = 0
+            var frame = 0.0
+            while (c < channels) { frame += sampleAt(f * channels + c); c += 1 }
+            val v = frame / channels
             sum += v * v
-            i += 1
+            f += 1
           }
           out(b) = (if (to > from) math.sqrt(sum / (to - from)) else 0.0).toFloat
           b += 1

@@ -329,7 +329,7 @@ object PipelineQueries {
            SELECT doc_id,
              [{'s': s, 'txt': array_to_string(list_slice(w, s, s + 31), ' '),
                'n': len(list_slice(w, s, s + 31))}
-              for s in range(1, greatest(len(w), 1) + 1, 24)] AS cs
+              for s in range(1, greatest(len(w) - 8, 1) + 1, 24)] AS cs
            FROM toks)
          SELECT doc_id, CAST((u.cs.s - 1) / 24 AS INTEGER) AS chunk_idx,
            u.cs.txt AS chunk_text, u.cs.n AS chunk_tokens

@@ -335,11 +335,13 @@ object SketchExpressions {
       val n = arr.numElements()
       if (n < 2) return 0.0
       val seen = new java.util.HashSet[String](n * 2)
-      var i = 0
-      while (i < n - 1) {
-        val a = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
-        val b = if (arr.isNullAt(i + 1)) null else arr.getUTF8String(i + 1).toString
-        seen.add(a + " " + b)
+      // each element converts from UTF8String ONCE (carried as `prev`)
+      var prev = if (arr.isNullAt(0)) null else arr.getUTF8String(0).toString
+      var i = 1
+      while (i < n) {
+        val cur = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
+        seen.add(prev + " " + cur)
+        prev = cur
         i += 1
       }
       1.0 - seen.size.toDouble / (n - 1)
