@@ -102,4 +102,56 @@ class PlanSpec extends SparkTestBase {
     val anti = planOf(RelationalQueries.q06AntiJoin(spark, sfDir))
     assert(anti.contains("LeftAnti"))
   }
+
+  test("fused rel scan: (c)-[:PLACED]->(o) reads the orders parquet ONCE") {
+    // CUSTOMER_PLACED_ORDER derives from the same rows as the Order
+    // node; without the fused frame the plan scans orders twice and
+    // joins them back together on their own unique key
+    val df = new CypherCompiler(new TpchGraph(spark, sfDir)).run(
+      """MATCH (c:Customer)-[:CUSTOMER_PLACED_ORDER]->(o:Order)
+         RETURN c.mktsegment AS seg, round(sum(o.totalprice), 2) AS spend
+         ORDER BY seg""")
+    val plan = planOf(df)
+    val ordersScans = plan.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders"))
+    assert(ordersScans === 1, s"expected 1 orders scan, got $ordersScans:\n$plan")
+  }
+
+  test("FK join elision: key-only far node joins disappear from the plan") {
+    // c02 shape: count(o) touches only o's key, so the Order node join
+    // is elided entirely — ONE join (customer x rel), two scans total
+    val df = new CypherCompiler(new TpchGraph(spark, sfDir)).run(
+      """MATCH (c:Customer)
+         OPTIONAL MATCH (c)-[:CUSTOMER_PLACED_ORDER]->(o:Order)
+         RETURN c.identifier AS identifier, count(o) AS order_cnt
+         ORDER BY identifier""")
+    val plan = planOf(df)
+    val scans = plan.linesIterator.count(_.contains("Location:"))
+    assert(scans === 2, s"expected 2 scans (customer + orders rel), got $scans:\n$plan")
+    // pass-through node in a chain: Nation scanned only for its rel
+    // table (derived from customer/nation), never as a node join
+    val chain = new CypherCompiler(new TpchGraph(spark, sfDir)).run(
+      """MATCH (c:Customer)-[:CUSTOMER_IN_NATION]->(n:Nation)
+               -[:NATION_IN_REGION]->(r:Region)
+         RETURN r.name AS region, count(c) AS customers
+         ORDER BY region""")
+    val chainPlan = planOf(chain)
+    // customer (anchor) + customer-rel + nation-rel + region = 4 scans;
+    // an un-elided Nation node join would make it 5
+    val chainScans = chainPlan.linesIterator.count(_.contains("Location:"))
+    assert(chainScans <= 4, s"Nation node join not elided ($chainScans scans):\n$chainPlan")
+  }
+
+  test("any-rel hop with unused far node plans zero node-table scans beyond the anchor") {
+    val df = new CypherCompiler(new TpchGraph(spark, sfDir)).run(
+      """MATCH (c:Customer)-[r]->(n)
+         RETURN type(r) AS rel_type, count(*) AS cnt
+         ORDER BY rel_type""")
+    val plan = planOf(df)
+    // branches: CUSTOMER_IN_NATION (customer parquet) + PLACED_ORDER
+    // (orders parquet) + the customer anchor = 3 scans; far-node joins
+    // (nation, orders-as-node) would add two more
+    val scans = plan.linesIterator.count(_.contains("Location:"))
+    assert(scans <= 3, s"far node joins not elided ($scans scans):\n$plan")
+  }
 }
