@@ -451,6 +451,19 @@ object PatternQuery {
     new PatternQuery(store, df, Map.empty, Set(relVar))
   }
 
+  /** Anchor on ONE typed relationship table — the
+    * `MATCH ()-[r:T]->()` template shape (per-type counts) — with no
+    * node joins: graph-store ingest conforms endpoints, so the node
+    * scans would add cost without changing the count. Columns are
+    * `rv__src`/`rv__dst` (+ rel props), matching a typed hop's rel
+    * namespace. */
+  def matchRelOnly(store: GraphSource, relVar: String, relType: String): PatternQuery = {
+    val df = store.rel(relType)
+    new PatternQuery(store,
+      df.select(df.columns.map(c => col(c).as(s"${relVar}__$c")).toIndexedSeq: _*),
+      Map.empty, Set(relVar))
+  }
+
   /** MATCH (v:label) — anchor of a pattern. */
   def matchNode(store: GraphSource, v: String, label: String): PatternQuery = {
     val df = store.node(label)

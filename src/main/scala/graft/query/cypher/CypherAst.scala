@@ -18,6 +18,8 @@ object CypherAst {
   final case class Not(e: Expr) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
   final case class In(e: Expr, list: Expr) extends Expr
+  /** 0-based list index `expr[i]` (openCypher: negative = from end). */
+  final case class Subscript(e: Expr, idx: Expr) extends Expr
   final case class CaseWhen(whens: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
 
   // ---- patterns ----------------------------------------------------------

@@ -110,6 +110,7 @@ final class CypherCompiler(
     case Bin(_, l, r) => walkUsage(l, u); walkUsage(r, u)
     case Not(x) => walkUsage(x, u)
     case In(x, l) => walkUsage(x, u); walkUsage(l, u)
+    case Subscript(x, i) => walkUsage(x, u); walkUsage(i, u)
     case ListLit(items) => items.foreach(walkUsage(_, u))
     case CaseWhen(whens, o) =>
       whens.foreach { case (c, v) => walkUsage(c, u); walkUsage(v, u) }
@@ -265,6 +266,7 @@ final class CypherCompiler(
     case Not(x) => referencedVars(x)
     case IsNull(x, _) => referencedVars(x)
     case In(x, l) => referencedVars(x) ++ referencedVars(l)
+    case Subscript(x, i) => referencedVars(x) ++ referencedVars(i)
     case FnCall(_, args, _) => args.flatMap(referencedVars).toSet
     case ListLit(items) => items.flatMap(referencedVars).toSet
     case CaseWhen(whens, o) =>
@@ -283,11 +285,18 @@ final class CypherCompiler(
     path match {
       case PathPat(NodePat(None, None, Seq()),
           Seq((rel, NodePat(None, None, Seq()))))
-          if start == null && rel.relType.isEmpty && !rel.undirected &&
-            rel.varLength.isEmpty =>
+          if start == null && !rel.undirected && rel.varLength.isEmpty =>
         val rv = rel.variable.getOrElse(fresh("r"))
-        untypedRelVars += rv
-        return PatternQuery.matchAnyRelOnly(source, rv)
+        rel.relType match {
+          case None =>
+            untypedRelVars += rv
+            return PatternQuery.matchAnyRelOnly(source, rv)
+          case Some(t) =>
+            // typed rel-scan `()-[r:T]->()` (data_tools.py's per-type
+            // count template): one rel-table scan, no node anchors
+            relVarTypes.update(rv, t)
+            return PatternQuery.matchRelOnly(source, rv, t)
+        }
       case _ => ()
     }
     val headVar = path.head.variable.getOrElse(fresh("n"))
@@ -418,6 +427,7 @@ final class CypherCompiler(
     case Not(x) => isAggExpr(x)
     case IsNull(x, _) => isAggExpr(x)
     case In(x, l) => isAggExpr(x) || isAggExpr(l)
+    case Subscript(x, i) => isAggExpr(x) || isAggExpr(i)
     case CaseWhen(whens, o) =>
       whens.exists { case (c, v) => isAggExpr(c) || isAggExpr(v) } ||
         o.exists(isAggExpr)
@@ -536,6 +546,13 @@ final class CypherCompiler(
         case other => toColumn(x, vars) === lit(other)
       }
     case In(x, other) => array_contains(toColumn(other, vars), toColumn(x, vars))
+    case Subscript(x, i) =>
+      // openCypher subscripts are 0-based, negative = from the end;
+      // element_at is 1-based for non-negative and already end-relative
+      // for negatives — shift only the non-negative side
+      val base = toColumn(x, vars)
+      val idx = toColumn(i, vars)
+      element_at(base, when(idx >= 0, idx + 1).otherwise(idx).cast("int"))
     case CaseWhen(whens, otherwise) =>
       val base = whens.tail.foldLeft(
         when(toColumn(whens.head._1, vars), toColumn(whens.head._2, vars))) {
@@ -577,6 +594,14 @@ final class CypherCompiler(
         case Seq(VarRef(v)) if vars.contains(v) =>
           val key = col(pkColName(v, vars))
           if (distinct) count_distinct(key) else count(key)
+        // count(r) over a relationship var counts its endpoint tuple
+        // (metrics_service.py's `RETURN count(r) as count` shapes)
+        case Seq(VarRef(v)) if relVarTypes.contains(v) =>
+          if (distinct) count_distinct(col(s"${v}__src"), col(s"${v}__dst"))
+          else count(col(s"${v}__src"))
+        case Seq(VarRef(v)) if untypedRelVars.contains(v) =>
+          if (distinct) count_distinct(col(s"${v}__near"), col(s"${v}__far"))
+          else count(col(s"${v}__near"))
         case Seq(x) =>
           if (distinct) count_distinct(toColumn(x, vars)) else count(toColumn(x, vars))
       }
@@ -691,6 +716,7 @@ final class CypherCompiler(
     case Not(x) => s"NOT ${pretty(x)}"
     case IsNull(x, neg) => s"${pretty(x)} IS ${if (neg) "NOT " else ""}NULL"
     case In(x, l) => s"${pretty(x)} IN ${pretty(l)}"
+    case Subscript(x, i) => s"${pretty(x)}[${pretty(i)}]"
     case ListLit(items) => items.map(pretty).mkString("[", ", ", "]")
     case CaseWhen(_, _) => "case"
   }

@@ -18,6 +18,10 @@ object CypherParser extends RegexParsers {
   private def kw(s: String): Parser[String] = ("(?i)\\b" + s + "\\b").r ^^ (_.toUpperCase)
 
   private val ident: Parser[String] = "[A-Za-z_][A-Za-z0-9_]*".r
+  /** Backtick-quoted identifier — the form the reference's metrics
+    * templates emit for labels/rel types (`{label}` filled in). */
+  private val btIdent: Parser[String] = "`[^`]+`".r ^^ (s => s.substring(1, s.length - 1))
+  private val anyIdent: Parser[String] = ident | btIdent
   private val number: Parser[Lit] =
     "-?\\d+\\.\\d+".r ^^ (s => Lit(s.toDouble)) |
       "-?\\d+".r ^^ (s => Lit(s.toLong))
@@ -86,7 +90,14 @@ object CypherParser extends RegexParsers {
     }
 
   private lazy val unaryExpr: Parser[Expr] =
-    "-" ~> atom ^^ (e => Bin("-", Lit(0L), e)) | atom
+    "-" ~> postfixExpr ^^ (e => Bin("-", Lit(0L), e)) | postfixExpr
+
+  /** Postfix 0-based subscript: labels(m)[0], list[2] (metrics_service
+    * emits the labels(...)[0] form). */
+  private lazy val postfixExpr: Parser[Expr] =
+    atom ~ rep("[" ~> expr <~ "]") ^^ {
+      case e ~ idxs => idxs.foldLeft(e)(Subscript.apply)
+    }
 
   private lazy val caseExpr: Parser[Expr] =
     kw("CASE") ~> rep1(kw("WHEN") ~> expr ~ (kw("THEN") ~> expr)) ~
@@ -107,7 +118,7 @@ object CypherParser extends RegexParsers {
       kw("FALSE") ^^^ Lit(false) |
       fnCall |
       "$" ~> ident ^^ Param.apply |
-      ident ~ ("." ~> ident) ^^ { case v ~ p => Prop(v, p) } |
+      ident ~ ("." ~> anyIdent) ^^ { case v ~ p => Prop(v, p) } |
       stringLit | number |
       "[" ~> repsep(expr, ",") <~ "]" ^^ ListLit.apply |
       "(" ~> expr <~ ")" |
@@ -119,7 +130,7 @@ object CypherParser extends RegexParsers {
     "{" ~> repsep(ident ~ (":" ~> expr) ^^ { case k ~ v => (k, v) }, ",") <~ "}"
 
   private lazy val nodePat: Parser[NodePat] =
-    "(" ~> opt(ident) ~ opt(":" ~> ident) ~ opt(mapProps) <~ ")" ^^ {
+    "(" ~> opt(ident) ~ opt(":" ~> anyIdent) ~ opt(mapProps) <~ ")" ^^ {
       case v ~ l ~ m => NodePat(v, l, m.getOrElse(Seq.empty))
     }
 
@@ -134,7 +145,7 @@ object CypherParser extends RegexParsers {
     }
 
   private lazy val relBody: Parser[(Option[String], Option[String], Option[(Int, Int)])] =
-    opt("[" ~> opt(ident) ~ opt(":" ~> ident) ~ opt(varLen) <~ "]") ^^ {
+    opt("[" ~> opt(ident) ~ opt(":" ~> anyIdent) ~ opt(varLen) <~ "]") ^^ {
       case Some(v ~ t ~ vl) => (v, t, vl)
       case None => (None, None, None)
     }
