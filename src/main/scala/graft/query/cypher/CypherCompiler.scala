@@ -141,6 +141,10 @@ final class CypherCompiler(
   }
 
   def compile(q: Query): DataFrame = {
+    // per-single-query state: a UNION's branches (and repeated run()
+    // calls) must not see a sibling's rel vars
+    relVarTypes.clear()
+    untypedRelVars.clear()
     var pq: PatternQuery = null
     var postFilters = Vector.empty[Expr]
     val usage = analyzeUsage(q)
@@ -177,6 +181,11 @@ final class CypherCompiler(
       val (f2, v2) = project(frame, vars, w.items, distinct = false,
         sortBy = Seq.empty, keepNamespaces = true)
       frame = f2; vars = v2
+      // a WITH output alias shadows any rel var of the same name — the
+      // rel's columns are gone from the frame, so the registries must
+      // forget it or count(x)/type(x) would reference dropped columns
+      val outNames = w.items.map(i => i.alias.getOrElse(pretty(i.expr)))
+      outNames.foreach { n => relVarTypes.remove(n); untypedRelVars.remove(n) }
       w.where.foreach { cond => frame = frame.filter(toColumn(cond, vars)) }
     }
 
@@ -283,9 +292,15 @@ final class CypherCompiler(
     // the rel-table union alone; the node joins would add a scan per
     // label without changing the result (ingest enforces endpoints)
     path match {
+      // Join-free rel scans are an ELISION of the endpoint joins, so
+      // they are gated on declared FK integrity like every other
+      // elision: on a store that can hold dangling endpoints the node
+      // joins are load-bearing filters, and the pattern falls through
+      // to the anchored compile below.
       case PathPat(NodePat(None, None, Seq()),
           Seq((rel, NodePat(None, None, Seq()))))
-          if start == null && !rel.undirected && rel.varLength.isEmpty =>
+          if start == null && !rel.undirected && rel.varLength.isEmpty &&
+            source.referentialIntegrity =>
         val rv = rel.variable.getOrElse(fresh("r"))
         rel.relType match {
           case None =>
@@ -516,8 +531,10 @@ final class CypherCompiler(
 
   private[cypher] def toColumn(e: Expr, vars: Map[String, String]): Column = e match {
     case Prop(v, name) =>
-      if (vars.contains(v)) col(s"${v}__$name")
-      else col(s"${v}__$name") // rel vars / carried columns share the scheme
+      // backtick-quoted so property names containing dots (newly
+      // parseable via backtick identifiers) resolve as literal column
+      // names, not struct-field paths
+      bcol(s"${v}__$name")
     case VarRef(n) => col(n) // bare alias from a WITH stage
     case Param(n) => litColumn(params.getOrElse(n,
       throw new IllegalArgumentException(s"missing parameter $$$n")))
@@ -595,12 +612,20 @@ final class CypherCompiler(
           val key = col(pkColName(v, vars))
           if (distinct) count_distinct(key) else count(key)
         // count(r) over a relationship var counts its endpoint tuple
-        // (metrics_service.py's `RETURN count(r) as count` shapes)
+        // (metrics_service.py's `RETURN count(r) as count` shapes).
+        // Relationship identity in this engine IS the (type, src, dst)
+        // triple — ingest dedups rel rows on the endpoint pair
+        // (GraphStore.ingestRels), so there are no parallel edges of
+        // one type and DISTINCT over the triple equals openCypher's
+        // per-relationship identity. Untyped vars add the branch-tag
+        // column: per-label keys collide across labels, and the same
+        // string pair in two rel types is two relationships.
         case Seq(VarRef(v)) if relVarTypes.contains(v) =>
           if (distinct) count_distinct(col(s"${v}__src"), col(s"${v}__dst"))
           else count(col(s"${v}__src"))
         case Seq(VarRef(v)) if untypedRelVars.contains(v) =>
-          if (distinct) count_distinct(col(s"${v}__near"), col(s"${v}__far"))
+          if (distinct)
+            count_distinct(col(s"${v}__rel_type"), col(s"${v}__near"), col(s"${v}__far"))
           else count(col(s"${v}__near"))
         case Seq(x) =>
           if (distinct) count_distinct(toColumn(x, vars)) else count(toColumn(x, vars))

@@ -20,7 +20,8 @@ object CypherParser extends RegexParsers {
   private val ident: Parser[String] = "[A-Za-z_][A-Za-z0-9_]*".r
   /** Backtick-quoted identifier — the form the reference's metrics
     * templates emit for labels/rel types (`{label}` filled in). */
-  private val btIdent: Parser[String] = "`[^`]+`".r ^^ (s => s.substring(1, s.length - 1))
+  private val btIdent: Parser[String] =
+    "`(?:[^`]|``)+`".r ^^ (s => s.substring(1, s.length - 1).replace("``", "`"))
   private val anyIdent: Parser[String] = ident | btIdent
   private val number: Parser[Lit] =
     "-?\\d+\\.\\d+".r ^^ (s => Lit(s.toDouble)) |

@@ -82,11 +82,9 @@ class MetricsCorpusSpec extends SparkTestBase {
   }
 
   test("subscript semantics: 0-based, negative from the end") {
-    val row = spark.sql(
-      "SELECT 1").sparkSession.range(1).toDF()
-    val df = run(
+    val row = run(
       """MATCH (e:Entity) WITH collect(e.identifier) AS ids
          RETURN ids[0] AS first_id, ids[-1] AS last_id""").collect()(0)
-    assert(df.getString(0) != null && df.getString(1) != null)
+    assert(row.getString(0) != null && row.getString(1) != null)
   }
 }
