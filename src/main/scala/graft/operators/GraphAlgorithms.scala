@@ -75,4 +75,25 @@ object GraphAlgorithms {
       .select(col("sl").as("src_label"), col("s").as("src"),
         col("dl").as("dst_label"), col("d").as("dst"), col("dist"))
   }
+
+  /** Per-relationship-type degree statistics — the graph-metrics
+    * surface (metrics_service.py's node/rel estimates): for each rel
+    * type, the number of distinct sources, distinct destinations, and
+    * the max/avg out-degree. One scan + one aggregation per rel table,
+    * unioned; no joins. */
+  def degreeStats(store: GraphSource): DataFrame =
+    store.schema.rels.map { r =>
+      store.rel(r.name)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .agg(
+          count(lit(1)).as("n_src"),
+          sum(col("deg")).as("n_edges"),
+          max(col("deg")).as("max_out_degree"),
+          round(avg(col("deg")), 4).as("avg_out_degree"))
+        .select(lit(r.name).as("rel_type"),
+          lit(r.from).as("src_label"), lit(r.to).as("dst_label"),
+          col("n_src"), col("n_edges"), col("max_out_degree"),
+          col("avg_out_degree"))
+    }.reduce(_ unionByName _)
 }

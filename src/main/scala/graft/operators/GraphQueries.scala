@@ -86,6 +86,11 @@ object GraphQueries {
         .orderBy(col("src_label"), col("dst_label"), col("dist"))
     }
 
+  /** Degree statistics per relationship type (metrics surface). */
+  def g07DegreeStats(spark: SparkSession, dir: String): DataFrame =
+    GraphAlgorithms.degreeStats(new TpchGraph(spark, dir))
+      .orderBy(col("rel_type"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_graph_multihop" -> g01MultiHop _,
     "g02_graph_optional" -> g02OptionalMatch _,
@@ -93,6 +98,7 @@ object GraphQueries {
     "g04_graph_selfpairs" -> g04SelfPairs _,
     "g05_graph_caseagg" -> g05CaseAgg _,
     "g06_shortest_paths" -> g06ShortestPaths _,
+    "g07_degree_stats" -> g07DegreeStats _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -120,6 +126,27 @@ object GraphQueries {
          JOIN nation n2 ON n2.n_regionkey = r_regionkey
          WHERE n1.n_name < n2.n_name
          ORDER BY 1, 2, 3""",
+    "g07_degree_stats" ->
+      """WITH deg AS (
+           SELECT 'CUSTOMER_IN_NATION' AS rel_type, 'Customer' AS src_label,
+                  'Nation' AS dst_label, CAST(c_custkey AS VARCHAR) AS src
+           FROM customer
+           UNION ALL
+           SELECT 'CUSTOMER_PLACED_ORDER', 'Customer', 'Order',
+                  CAST(o_custkey AS VARCHAR) FROM orders
+           UNION ALL
+           SELECT 'NATION_IN_REGION', 'Nation', 'Region',
+                  CAST(n_nationkey AS VARCHAR) FROM nation
+           UNION ALL
+           SELECT 'SUPPLIER_IN_NATION', 'Supplier', 'Nation',
+                  CAST(s_suppkey AS VARCHAR) FROM supplier
+         ), per_src AS (
+           SELECT rel_type, src_label, dst_label, src, count(*) AS d
+           FROM deg GROUP BY 1, 2, 3, 4)
+         SELECT rel_type, src_label, dst_label,
+           count(*) AS n_src, CAST(sum(d) AS BIGINT) AS n_edges,
+           max(d) AS max_out_degree, round(avg(d), 4) AS avg_out_degree
+         FROM per_src GROUP BY 1, 2, 3 ORDER BY rel_type""",
     "g06_shortest_paths" ->
       """WITH RECURSIVE edges AS (
            SELECT DISTINCT * FROM (
