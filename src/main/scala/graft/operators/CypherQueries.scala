@@ -122,6 +122,43 @@ object CypherQueries {
                 count(*) AS n
          ORDER BY seg""")
 
+  /** EXISTS / NOT EXISTS pattern predicates — facts_tool.py's
+    * dimension-filter shape (`AND NOT EXISTS((f)-[:FACT_HAS_DIMENSION]
+    * ->())`) — both polarities as semi/anti joins in one UNION (the
+    * testdata gives every customer orders, so the two branches keep
+    * the row count nonzero and still pin the anti side's zero). */
+  def c13Exists(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (c:Customer)
+         WHERE EXISTS((c)-[:CUSTOMER_PLACED_ORDER]->(o:Order))
+               AND c.acctbal > 0
+         RETURN 'with_orders' AS grp, count(c) AS cnt
+         UNION ALL
+         MATCH (c:Customer)
+         WHERE NOT EXISTS((c)-[:CUSTOMER_PLACED_ORDER]->(o:Order))
+               AND c.acctbal > 0
+         RETURN 'without_orders' AS grp, count(c) AS cnt
+         ORDER BY grp""")
+
+  /** MATCH after WITH — save_view.py's count-then-rematch statement
+    * shape: aggregate, then open a new pattern segment whose result
+    * cross-joins the carried scalar. */
+  def c14Rematch(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (c:Customer) WITH count(c) AS total_customers
+         MATCH (r:Region)
+         RETURN r.name AS region, total_customers
+         ORDER BY region""")
+
+  /** ILIKE + parameterized LIMIT (custom_graph_demo README;
+    * agents/context.py `RETURN n LIMIT $limit`). */
+  def c15IlikeParamLimit(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (c:Customer) WHERE c.mktsegment ILIKE '%build%'
+         RETURN c.identifier AS cust
+         ORDER BY cust LIMIT $lim""",
+      Map("lim" -> 10))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_cypher_multihop" -> c01MultiHop _,
     "c02_cypher_optional" -> c02Optional _,
@@ -135,6 +172,9 @@ object CypherQueries {
     "c10_cypher_unwind" -> c10Unwind _,
     "c11_cypher_varany" -> c11VarAny _,
     "c12_cypher_stats" -> c12Stats _,
+    "c13_cypher_exists" -> c13Exists _,
+    "c14_cypher_rematch" -> c14Rematch _,
+    "c15_cypher_ilike" -> c15IlikeParamLimit _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -226,5 +266,25 @@ object CypherQueries {
            UNION ALL SELECT 'SUPPLIER_IN_NATION' FROM supplier
              JOIN nation ON s_nationkey = n_nationkey
          ) ORDER BY rel_type""",
+    "c13_cypher_exists" ->
+      // GROUP BY the literal tag: Cypher's implicit grouping treats
+      // every non-aggregate RETURN item as a key, so an empty branch
+      // yields ZERO rows (not a 0-count row) — the SQL must match
+      """SELECT 'with_orders' AS grp, count(*) AS cnt FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           AND c_acctbal > 0 GROUP BY 1
+         UNION ALL
+         SELECT 'without_orders' AS grp, count(*) AS cnt FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           AND c_acctbal > 0 GROUP BY 1
+         ORDER BY grp""",
+    "c14_cypher_rematch" ->
+      """SELECT r_name AS region,
+         (SELECT count(*) FROM customer) AS total_customers
+         FROM region ORDER BY 1""",
+    "c15_cypher_ilike" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS cust
+         FROM customer WHERE c_mktsegment ILIKE '%build%'
+         ORDER BY 1 LIMIT 10""",
   )
 }

@@ -375,6 +375,24 @@ final class PatternQuery private (
       nodeVars + (v -> toLabel.getOrElse(PatternQuery.AnyLabel)), boundVars + v)
   }
 
+  /** `[NOT] EXISTS((v)-[:R]->())` — left-semi (anti when `negated`)
+    * join of the frame against the relationship table's near-endpoint
+    * keys (facts_tool.py's dimension-filter predicate). Adds no
+    * columns and never duplicates rows — exactly the pattern-predicate
+    * semantics; at scale this is one key-projected scan of the rel
+    * table, broadcast when small. */
+  def existsHop(relType: String, from: String, forward: Boolean,
+      negated: Boolean): PatternQuery = {
+    requireBound(from)
+    val key = if (forward) "src" else "dst"
+    val relKeys = store.rel(relType)
+      .select(col(key).cast("string").as("__exists_key"))
+    new PatternQuery(store,
+      frame.join(relKeys, col(pkCol(from)).cast("string") === col("__exists_key"),
+        if (negated) "left_anti" else "left_semi"),
+      nodeVars, boundVars)
+  }
+
   /** WHERE over any bound variables' properties (use [[PatternQuery.p]]). */
   def where(cond: Column): PatternQuery =
     new PatternQuery(store, frame.filter(cond), nodeVars, boundVars)
@@ -463,6 +481,15 @@ object PatternQuery {
       df.select(df.columns.map(c => col(c).as(s"${relVar}__$c")).toIndexedSeq: _*),
       Map.empty, Set(relVar))
   }
+
+  /** Re-open a CLOSED pipeline frame (a WITH stage's output, columns
+    * already `var__prop`-namespaced for carried node vars) as a pattern
+    * segment, so MATCH after WITH can keep joining — openCypher's
+    * post-barrier scope. `bound` must include every alias name in the
+    * frame so rebinding collisions fail loudly. */
+  def fromFrame(store: GraphSource, frame: DataFrame,
+      nodeVars: Map[String, String], bound: Set[String]): PatternQuery =
+    new PatternQuery(store, frame, nodeVars, bound ++ nodeVars.keySet)
 
   /** MATCH (v:label) — anchor of a pattern. */
   def matchNode(store: GraphSource, v: String, label: String): PatternQuery = {

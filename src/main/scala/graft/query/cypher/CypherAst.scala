@@ -2,7 +2,8 @@ package graft.query.cypher
 
 /** AST for the Cypher subset the reference platform actually emits
   * (SURVEY.md §2 corpus: trial_balance.py, fact_query.py, the MCP
-  * tools, and the three demo example sets). */
+  * tools, the connection/provider services' write statements, and the
+  * three demo example sets). */
 object CypherAst {
 
   // ---- expressions -------------------------------------------------------
@@ -12,6 +13,10 @@ object CypherAst {
   final case class Param(name: String) extends Expr
   final case class Lit(value: Any) extends Expr
   final case class ListLit(items: Seq[Expr]) extends Expr
+  /** `{k: expr, …}` map literal (element_mapping.py's
+    * `collect({identifier: a.identifier, …})`) — compiles to a
+    * named struct. */
+  final case class MapLit(items: Seq[(String, Expr)]) extends Expr
   final case class FnCall(name: String, args: Seq[Expr], distinct: Boolean = false) extends Expr
   case object Star extends Expr // count(*)
   final case class Bin(op: String, l: Expr, r: Expr) extends Expr
@@ -21,38 +26,57 @@ object CypherAst {
   /** 0-based list index `expr[i]` (openCypher: negative = from end). */
   final case class Subscript(e: Expr, idx: Expr) extends Expr
   final case class CaseWhen(whens: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
+  /** `EXISTS((f)-[:R]->())` pattern predicate (facts_tool.py's
+    * dimension filter) — compiles to a semi join (anti under NOT). */
+  final case class ExistsPat(path: PathPat) extends Expr
 
   // ---- patterns ----------------------------------------------------------
   final case class NodePat(
       variable: Option[String], label: Option[String],
       props: Seq[(String, Expr)])
   /** dir: true = `-[..]->`, false = `<-[..]-`. `undirected` marks
-    * `-[..]-` (no arrowhead); the compiler rejects it loudly rather
-    * than silently picking a direction. */
+    * `-[..]-` (no arrowhead); the compiler unions both orientations. */
   final case class RelPat(
       variable: Option[String], relType: Option[String], rightward: Boolean,
-      varLength: Option[(Int, Int)], undirected: Boolean = false)
+      varLength: Option[(Int, Int)], undirected: Boolean = false,
+      /** inline property map — CREATE-only surface; reads reject it. */
+      props: Seq[(String, Expr)] = Seq.empty)
   final case class PathPat(head: NodePat, hops: Seq[(RelPat, NodePat)])
 
-  // ---- clauses -----------------------------------------------------------
+  // ---- reading clauses (any order, processed left to right) --------------
+  sealed trait ReadClause
   final case class MatchClause(
-      paths: Seq[PathPat], optional: Boolean, where: Option[Expr])
-  final case class ProjectionItem(expr: Expr, alias: Option[String])
+      paths: Seq[PathPat], optional: Boolean, where: Option[Expr]) extends ReadClause
   final case class WithClause(
-      items: Seq[ProjectionItem], where: Option[Expr])
+      items: Seq[ProjectionItem], where: Option[Expr]) extends ReadClause
+  /** UNWIND <listExpr> AS <var> — explodes the list into rows. */
+  final case class UnwindClause(expr: Expr, variable: String) extends ReadClause
+
+  final case class ProjectionItem(expr: Expr, alias: Option[String])
   final case class ReturnClause(items: Seq[ProjectionItem], distinct: Boolean)
   final case class OrderItem(expr: Expr, desc: Boolean)
 
+  // ---- writing clauses (connection_service / sec_provider / save_view /
+  // plaid+qb processors: MATCH … SET/REMOVE/DELETE/CREATE [RETURN …]) ------
+  sealed trait WriteClause
+  final case class SetClause(items: Seq[(Prop, Expr)]) extends WriteClause
+  final case class RemoveClause(targets: Seq[Prop]) extends WriteClause
+  final case class DeleteClause(vars: Seq[String], detach: Boolean) extends WriteClause
+  final case class CreateClause(paths: Seq[PathPat]) extends WriteClause
+
+  /** One single query: reading clauses in source order, optional write
+    * clauses, then RETURN (optional only when writes are present).
+    * skip/limit are expressions so `LIMIT $param` binds at compile. */
   final case class Query(
-      matches: Seq[MatchClause],
-      withClauses: Seq[WithClause],
-      ret: ReturnClause,
+      clauses: Seq[ReadClause],
+      writes: Seq[WriteClause],
+      ret: Option[ReturnClause],
       orderBy: Seq[OrderItem],
-      skip: Option[Long],
-      limit: Option[Long],
-      /** UNWIND <listExpr> AS <var> clauses (after MATCHes, before
-        * WITH/RETURN) — each explodes the list into rows. */
-      unwinds: Seq[(Expr, String)] = Seq.empty)
+      skip: Option[Expr],
+      limit: Option[Expr]) {
+    /** MATCH clauses in order (governance/telemetry convenience). */
+    def matches: Seq[MatchClause] = clauses.collect { case m: MatchClause => m }
+  }
 
   /** One or more single queries combined with UNION ALL / UNION
     * (example_queries_tool.py:82 — per-label count branches). */

@@ -18,11 +18,24 @@ import CypherAst._
   *    aggregate function makes all non-aggregate items grouping keys;
   *  - a bare node variable carried through WITH keeps all its columns
   *    (grouping by node identity = grouping by its column tuple);
+  *  - MATCH after WITH opens a NEW pattern segment — openCypher scope:
+  *    only the WITH items survive the barrier, so fresh pattern vars
+  *    (even names reused from before the WITH) anchor new scans and
+  *    combine with the carried frame as a cross join; Catalyst folds
+  *    the cross join + any correlated equality filter into a hash join
+  *    (save_view.py's count-then-rematch statement);
+  *  - `EXISTS((v)-[:R]->())` / NOT EXISTS → left-semi / left-anti join
+  *    on the relationship table (facts_tool.py's dimension filter);
   *  - `substring` is 1-based (the reference's Kuzu-style engine uses
   *    SQL semantics; accounting_demo relies on it);
-  *  - `$param` placeholders bound from a Scala map;
+  *  - `$param` placeholders bound from a Scala map (including
+  *    `LIMIT $n` / `SKIP $n`);
   *  - ORDER BY may reference RETURN aliases or pre-projection
   *    expressions (resolved AST-equal items map to their alias).
+  *
+  * Write clauses (SET/REMOVE/DELETE/CREATE) are not compiled here —
+  * [[CypherWriter]] executes them against a writable store; `run` on a
+  * write statement throws with that pointer.
   */
 final class CypherCompiler(
     source: GraphSource,
@@ -34,6 +47,10 @@ final class CypherCompiler(
   def run(text: String): DataFrame =
     CypherParser.parseQuery(text) match {
       case Left(err) => throw new IllegalArgumentException(err)
+      case Right(UnionQuery(branches, _)) if branches.exists(_.writes.nonEmpty) =>
+        throw new IllegalArgumentException(
+          "write clauses (SET/REMOVE/DELETE/CREATE) execute via CypherWriter " +
+            "against a writable GraphStore, not the read-only compiler")
       case Right(UnionQuery(Seq(q), _)) => compile(q)
       case Right(UnionQuery(branches, distinct)) =>
         // §2.7: UNION [ALL] of branch results by column name. Trailing
@@ -58,9 +75,23 @@ final class CypherCompiler(
                 s"ORDER BY after UNION may reference result aliases only, got $other")
             }
           }: _*)
-        val skipped = last.skip.fold(sorted)(n => sorted.offset(n.toInt))
-        last.limit.fold(skipped)(n => skipped.limit(n.toInt))
+        val skipped = last.skip.fold(sorted)(e => sorted.offset(limitValue(e, "SKIP")))
+        last.limit.fold(skipped)(e => skipped.limit(limitValue(e, "LIMIT")))
     }
+
+  /** SKIP/LIMIT operand: integer literal or integral `$param`. */
+  private def limitValue(e: Expr, what: String): Int = e match {
+    case Lit(n: Long) => n.toInt
+    case Param(n) => params.getOrElse(n,
+      throw new IllegalArgumentException(s"missing parameter $$$n")) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what parameter $$$n must be integral, got $other")
+    }
+    case other =>
+      throw new IllegalArgumentException(s"$what needs an integer or $$param, got $other")
+  }
 
   // ---- pattern assembly --------------------------------------------------
 
@@ -112,9 +143,11 @@ final class CypherCompiler(
     case In(x, l) => walkUsage(x, u); walkUsage(l, u)
     case Subscript(x, i) => walkUsage(x, u); walkUsage(i, u)
     case ListLit(items) => items.foreach(walkUsage(_, u))
+    case MapLit(items) => items.foreach { case (_, v) => walkUsage(v, u) }
     case CaseWhen(whens, o) =>
       whens.foreach { case (c, v) => walkUsage(c, u); walkUsage(v, u) }
       o.foreach(walkUsage(_, u))
+    case ExistsPat(_) => () // key-only: compiles to a semi join on keys
     case _ => ()
   }
 
@@ -123,79 +156,223 @@ final class CypherCompiler(
     def walkNode(n: NodePat): Unit = n.props.foreach { case (k, ve) =>
       n.variable.foreach(u.addProp(_, k)); walkUsage(ve, u)
     }
-    q.matches.foreach { m =>
-      m.paths.foreach { p =>
-        walkNode(p.head)
-        p.hops.foreach { case (_, n) => walkNode(n) }
+    def walkPath(p: PathPat): Unit = {
+      walkNode(p.head)
+      p.hops.foreach { case (_, n) => walkNode(n) }
+    }
+    q.clauses.foreach {
+      case m: MatchClause =>
+        m.paths.foreach(walkPath)
+        m.where.foreach(walkUsage(_, u))
+      case w: WithClause =>
+        w.items.foreach(i => walkUsage(i.expr, u))
+        w.where.foreach(walkUsage(_, u))
+      case UnwindClause(e, _) => walkUsage(e, u)
+    }
+    q.writes.foreach {
+      case SetClause(items) => items.foreach { case (p, e) =>
+        u.addWhole(p.variable); walkUsage(e, u)
       }
-      m.where.foreach(walkUsage(_, u))
+      case RemoveClause(ts) => ts.foreach(p => u.addWhole(p.variable))
+      case DeleteClause(vs, _) => vs.foreach(u.addWhole)
+      case CreateClause(paths) => paths.foreach(walkPath)
     }
-    q.unwinds.foreach { case (e, _) => walkUsage(e, u) }
-    q.withClauses.foreach { w =>
-      w.items.foreach(i => walkUsage(i.expr, u))
-      w.where.foreach(walkUsage(_, u))
-    }
-    q.ret.items.foreach(i => walkUsage(i.expr, u))
+    q.ret.foreach(_.items.foreach(i => walkUsage(i.expr, u)))
     q.orderBy.foreach(o => walkUsage(o.expr, u))
     u
   }
 
   def compile(q: Query): DataFrame = {
+    require(q.writes.isEmpty,
+      "write clauses execute via CypherWriter, not the read-only compiler")
+    val ret = q.ret.getOrElse(
+      throw new IllegalArgumentException("read query needs a RETURN clause"))
+    val (frame, vars) = compileReads(q)
+    val (out, _) = project(frame, vars, ret.items, ret.distinct, q.orderBy,
+      keepNamespaces = false)
+    var res = out
+    q.skip.foreach(e => res = res.offset(limitValue(e, "SKIP")))
+    q.limit.foreach(e => res = res.limit(limitValue(e, "LIMIT")))
+    res
+  }
+
+  /** Runs the reading clauses left to right and returns the final
+    * (frame, node-var → label) state — shared by `compile` (RETURN) and
+    * [[CypherWriter]] (write clauses evaluate against this frame). */
+  private[cypher] def compileReads(q: Query): (DataFrame, Map[String, String]) = {
     // per-single-query state: a UNION's branches (and repeated run()
     // calls) must not see a sibling's rel vars
     relVarTypes.clear()
     untypedRelVars.clear()
-    var pq: PatternQuery = null
-    var postFilters = Vector.empty[Expr]
     val usage = analyzeUsage(q)
 
-    q.matches.foreach { m =>
-      if (m.optional) {
-        require(m.paths.length == 1, "OPTIONAL MATCH supports one path per clause")
-        pq = compileOptionalPath(pq, m.paths.head, m.where, usage)
-      } else {
-        m.paths.foreach { path =>
-          pq = compilePath(pq, path, (c: Expr) => postFilters :+= c, usage)
-        }
-        m.where.foreach { w => pq = pq.where(toColumn(w, pq.variables)) }
+    // The pipeline alternates between an OPEN pattern segment (pq:
+    // joins accumulate) and a CLOSED frame (after WITH/UNWIND). A MATCH
+    // on a closed frame re-opens it as a segment (carried node vars
+    // stay joinable); fresh anchors inside a segment cross join.
+    var pq: PatternQuery = null
+    var frame: DataFrame = null
+    var vars = Map.empty[String, String]   // vars in the closed frame
+    var bound = Set.empty[String]          // all names in the closed frame
+    var deferred = Vector.empty[Expr]      // filters applied at segment close
+
+    def closeSegment(): Unit = {
+      if (pq != null) {
+        vars = vars ++ pq.variables
+        frame = pq.df
+        bound = bound ++ pq.variables.keySet
+        pq = null
+      }
+      if (deferred.nonEmpty) {
+        require(frame != null, "dangling filters without a frame")
+        deferred.foreach(d => frame = frame.filter(toColumn(d, vars)))
+        deferred = Vector.empty
       }
     }
-    postFilters.foreach { f => pq = pq.where(toColumn(f, pq.variables)) }
 
-    // MATCH-less UNWIND queries anchor on a one-row frame
-    var frame =
-      if (pq != null) pq.df
-      else org.apache.spark.sql.SparkSession.active.range(1).drop("id")
-    var vars = if (pq != null) pq.variables else Map.empty[String, String]
-
-    // UNWIND list AS x — explode; empty/null lists yield no rows
-    // (openCypher semantics, which is exactly explode's)
-    q.unwinds.foreach { case (e, v) =>
-      require(!vars.contains(v) && !frame.columns.contains(v),
-        s"UNWIND rebinds $v")
-      frame = frame.withColumn(v, explode(toColumn(e, vars)))
+    def reopenSegment(): Unit = {
+      if (pq == null && frame != null) {
+        pq = PatternQuery.fromFrame(source, frame, vars, bound)
+        frame = null; vars = Map.empty; bound = Set.empty
+      }
     }
 
-    // WITH pipeline stages
-    q.withClauses.foreach { w =>
-      val (f2, v2) = project(frame, vars, w.items, distinct = false,
-        sortBy = Seq.empty, keepNamespaces = true)
-      frame = f2; vars = v2
-      // a WITH output alias shadows any rel var of the same name — the
-      // rel's columns are gone from the frame, so the registries must
-      // forget it or count(x)/type(x) would reference dropped columns
-      val outNames = w.items.map(i => i.alias.getOrElse(pretty(i.expr)))
-      outNames.foreach { n => relVarTypes.remove(n); untypedRelVars.remove(n) }
-      w.where.foreach { cond => frame = frame.filter(toColumn(cond, vars)) }
-    }
+    q.clauses.foreach {
+      case m: MatchClause if m.optional =>
+        require(m.paths.length == 1, "OPTIONAL MATCH supports one path per clause")
+        reopenSegment()
+        pq = compileOptionalPath(pq, m.paths.head, m.where, usage)
 
-    // RETURN (+ ORDER BY resolved against pre-projection context)
-    val (out, _) = project(frame, vars, q.ret.items, q.ret.distinct, q.orderBy,
-      keepNamespaces = false)
-    var res = out
-    q.skip.foreach(n => res = res.offset(n.toInt))
-    q.limit.foreach(n => res = res.limit(n.toInt))
-    res
+      case m: MatchClause =>
+        reopenSegment()
+        m.paths.foreach { path =>
+          pq = compilePath(pq, path, (c: Expr) => deferred :+= c, usage)
+        }
+        m.where.foreach { w =>
+          // EXISTS pattern predicates peel off as semi/anti joins; the
+          // residue (and anything referencing closed-frame aliases)
+          // filters the frame at segment close
+          val (existsParts, residue) = splitExists(w)
+          existsParts.foreach { case (path, negated) =>
+            pq = applyExists(pq, path, negated, usage)
+          }
+          residue.foreach { r =>
+            if (referencedVars(r).subsetOf(pq.variables.keySet ++ relVarTypes.keySet ++
+                untypedRelVars))
+              pq = pq.where(toColumn(r, pq.variables))
+            else deferred :+= r
+          }
+        }
+
+      case w: WithClause =>
+        closeSegment()
+        require(frame != null, "WITH needs a preceding MATCH/UNWIND")
+        val (f2, v2) = project(frame, vars, w.items, distinct = false,
+          sortBy = Seq.empty, keepNamespaces = true)
+        frame = f2; vars = v2
+        // a WITH output alias shadows any rel var of the same name — the
+        // rel's columns are gone from the frame, so the registries must
+        // forget it or count(x)/type(x) would reference dropped columns
+        val outNames = w.items.map(i => i.alias.getOrElse(pretty(i.expr)))
+        outNames.foreach { n => relVarTypes.remove(n); untypedRelVars.remove(n) }
+        bound = vars.keySet ++ outNames
+        w.where.foreach { cond => frame = frame.filter(toColumn(cond, vars)) }
+
+      case UnwindClause(e, v) =>
+        closeSegment()
+        // MATCH-less UNWIND queries anchor on a one-row frame
+        if (frame == null) {
+          frame = org.apache.spark.sql.SparkSession.active.range(1).drop("id")
+        }
+        // UNWIND list AS x — explode; empty/null lists yield no rows
+        // (openCypher semantics, which is exactly explode's)
+        require(!vars.contains(v) && !frame.columns.contains(v),
+          s"UNWIND rebinds $v")
+        frame = frame.withColumn(v, explode(toColumn(e, vars)))
+        bound = bound + v
+    }
+    closeSegment()
+    require(frame != null, "query needs at least one MATCH or UNWIND clause")
+    (frame, vars)
+  }
+
+  /** Split a WHERE into (EXISTS-pattern conjuncts, residual conjuncts).
+    * EXISTS under anything but a top-level [NOT] conjunct is rejected
+    * in toColumn with guidance. */
+  private def splitExists(e: Expr): (Seq[(PathPat, Boolean)], Option[Expr]) = {
+    def conjuncts(x: Expr): Seq[Expr] = x match {
+      case Bin("AND", l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val parts = conjuncts(e)
+    val exists = parts.collect {
+      case ExistsPat(p) => (p, false)
+      case Not(ExistsPat(p)) => (p, true)
+    }
+    val residue = parts.filter {
+      case ExistsPat(_) | Not(ExistsPat(_)) => false
+      case _ => true
+    }
+    (exists, residue.reduceOption((a, b) => Bin("AND", a, b)))
+  }
+
+  /** `[NOT] EXISTS((v)-[:R]->(far))` → left-semi/anti join. The bound
+    * endpoint may be on either side; the far endpoint must be
+    * anonymous or schema-consistent and property-free (the reference's
+    * only emitted shape, facts_tool.py). */
+  private def applyExists(
+      pq: PatternQuery, path: PathPat, negated: Boolean,
+      usage: PropUsage): PatternQuery = {
+    require(pq != null, "EXISTS needs a preceding MATCH")
+    require(path.hops.length == 1,
+      "EXISTS pattern predicates support a single hop")
+    val (rel, far) = path.hops.head
+    require(!rel.undirected && rel.varLength.isEmpty,
+      "EXISTS pattern predicates are typed, directed, single hops")
+    val relType = rel.relType.getOrElse(throw new IllegalArgumentException(
+      "EXISTS pattern predicates need a relationship type"))
+    require(far.props.isEmpty && path.head.props.isEmpty,
+      "property maps inside EXISTS patterns are not supported — " +
+        "rewrite as a separate MATCH + WHERE")
+    val headVar = path.head.variable
+    val farVar = far.variable
+    // the bound endpoint anchors the join; exactly one side must be bound
+    val (anchor, forward) = (headVar, farVar) match {
+      case (Some(h), _) if pq.variables.contains(h) => (h, rel.rightward)
+      case (_, Some(f)) if pq.variables.contains(f) => (f, !rel.rightward)
+      case _ => throw new IllegalArgumentException(
+        "EXISTS pattern needs one endpoint bound by the enclosing MATCH")
+    }
+    // schema validation of the declared labels (loud, not silent-empty)
+    val d = source.schema.rel(relType)
+    val (nearL, farL) = if (forward) (d.from, d.to) else (d.to, d.from)
+    require(pq.variables(anchor) == PatternQuery.AnyLabel ||
+      pq.variables(anchor) == nearL,
+      s"EXISTS endpoint $anchor:${pq.variables(anchor)} does not match " +
+        s"$relType's ${if (forward) "source" else "target"} label $nearL")
+    val farPat = if (forward) path.hops.head._2 else path.head
+    farPat.label.foreach(l => require(l == farL,
+      s"EXISTS far label $l does not match schema endpoint $farL"))
+    pq.existsHop(relType, anchor, forward, negated)
+  }
+
+  private def referencedVars(e: Expr): Set[String] = e match {
+    case Prop(v, _) => Set(v)
+    case VarRef(v) => Set(v)
+    case Bin(_, l, r) => referencedVars(l) ++ referencedVars(r)
+    case Not(x) => referencedVars(x)
+    case IsNull(x, _) => referencedVars(x)
+    case In(x, l) => referencedVars(x) ++ referencedVars(l)
+    case Subscript(x, i) => referencedVars(x) ++ referencedVars(i)
+    case FnCall(_, args, _) => args.flatMap(referencedVars).toSet
+    case ListLit(items) => items.flatMap(referencedVars).toSet
+    case MapLit(items) => items.flatMap { case (_, v) => referencedVars(v) }.toSet
+    case CaseWhen(whens, o) =>
+      whens.flatMap { case (c, v) => referencedVars(c) ++ referencedVars(v) }.toSet ++
+        o.toSeq.flatMap(referencedVars)
+    case ExistsPat(p) =>
+      (p.head.variable ++ p.hops.flatMap { case (r, n) => r.variable ++ n.variable }).toSet
+    case _ => Set.empty
   }
 
   /** OPTIONAL MATCH: whole-path left join via PatternQuery.optionalPath
@@ -231,10 +408,11 @@ final class CypherCompiler(
     val hopFarProps = scala.collection.mutable.Map.empty[String, Option[Set[String]]]
     val hopSpecsWithProps = path.hops.map { case (rel, node) =>
       require(!rel.undirected,
-        "undirected relationship patterns (a)-[:R]-(b) are not supported — " +
-          "write the direction explicitly or UNION both directions")
+        "undirected relationship patterns (a)-[:R]-(b) are not supported " +
+          "in OPTIONAL MATCH — write the direction explicitly")
       val relType = rel.relType.getOrElse(
-        throw new IllegalArgumentException("untyped relationships are not supported"))
+        throw new IllegalArgumentException(
+          "untyped relationships are not supported in OPTIONAL MATCH"))
       require(rel.varLength.isEmpty, "variable-length OPTIONAL MATCH is not supported")
       val toVar = node.variable.getOrElse(fresh("n"))
       require(!start.variables.contains(toVar),
@@ -266,22 +444,6 @@ final class CypherCompiler(
       .reduceOption(_ && _)
     start.optionalPath(headVar, hopSpecs.map(sp => (sp._1, sp._2, sp._3, sp._4)),
       filterCol, v => hopFarProps.getOrElse(v, None))
-  }
-
-  private def referencedVars(e: Expr): Set[String] = e match {
-    case Prop(v, _) => Set(v)
-    case VarRef(v) => Set(v)
-    case Bin(_, l, r) => referencedVars(l) ++ referencedVars(r)
-    case Not(x) => referencedVars(x)
-    case IsNull(x, _) => referencedVars(x)
-    case In(x, l) => referencedVars(x) ++ referencedVars(l)
-    case Subscript(x, i) => referencedVars(x) ++ referencedVars(i)
-    case FnCall(_, args, _) => args.flatMap(referencedVars).toSet
-    case ListLit(items) => items.flatMap(referencedVars).toSet
-    case CaseWhen(whens, o) =>
-      whens.flatMap { case (c, v) => referencedVars(c) ++ referencedVars(v) }.toSet ++
-        o.toSeq.flatMap(referencedVars)
-    case _ => Set.empty
   }
 
   private def compilePath(
@@ -337,6 +499,9 @@ final class CypherCompiler(
     }
     var fromVar = headVar
     path.hops.foreach { case (rel, node) =>
+      require(rel.props.isEmpty,
+        "relationship property maps are write-only syntax (CREATE); " +
+          "filter rel properties with WHERE r.prop = …")
       // Untyped and/or undirected relationships compile via the
       // union-of-branches hop (financial.py:411-412,
       // metrics_service.py:274); typed+directed hops keep the single
@@ -443,13 +608,14 @@ final class CypherCompiler(
     case IsNull(x, _) => isAggExpr(x)
     case In(x, l) => isAggExpr(x) || isAggExpr(l)
     case Subscript(x, i) => isAggExpr(x) || isAggExpr(i)
+    case MapLit(items) => items.exists { case (_, v) => isAggExpr(v) }
     case CaseWhen(whens, o) =>
       whens.exists { case (c, v) => isAggExpr(c) || isAggExpr(v) } ||
         o.exists(isAggExpr)
     case _ => false
   }
 
-  private def project(
+  private[cypher] def project(
       frame: DataFrame, vars: Map[String, String],
       items: Seq[ProjectionItem], distinct: Boolean,
       sortBy: Seq[OrderItem], keepNamespaces: Boolean): (DataFrame, Map[String, String]) = {
@@ -540,6 +706,10 @@ final class CypherCompiler(
       throw new IllegalArgumentException(s"missing parameter $$$n")))
     case Lit(v) => lit(v)
     case ListLit(items) => array(items.map(toColumn(_, vars)): _*)
+    case MapLit(items) =>
+      // named struct — keeps key order and per-key types (a Spark map
+      // would force one value type); collect({…}) works unchanged
+      struct(items.map { case (k, v) => toColumn(v, vars).as(k) }: _*)
     case Star => lit(1)
     case Not(x) => !toColumn(x, vars)
     case IsNull(x, neg) =>
@@ -576,6 +746,20 @@ final class CypherCompiler(
         case (acc, (c, v)) => acc.when(toColumn(c, vars), toColumn(v, vars))
       }
       otherwise.fold(base)(o => base.otherwise(toColumn(o, vars)))
+    case ExistsPat(_) =>
+      throw new IllegalArgumentException(
+        "EXISTS pattern predicates are supported as top-level WHERE " +
+          "conjuncts only (optionally under NOT) — not nested in OR/CASE")
+    case Bin("ILIKE", l, r) =>
+      // reference dialect: case-insensitive LIKE with SQL %/_ wildcards
+      val pat = r match {
+        case Lit(s: String) => s
+        case Param(n) => params.getOrElse(n, throw new IllegalArgumentException(
+          s"missing parameter $$$n")).toString
+        case other => throw new IllegalArgumentException(
+          s"ILIKE needs a literal or $$param pattern, got $other")
+      }
+      toColumn(l, vars).ilike(pat)
     case Bin(op, l, r) =>
       val (lc, rc) = (toColumn(l, vars), toColumn(r, vars))
       op match {
@@ -704,8 +888,16 @@ final class CypherCompiler(
       }
       case "keys" => args.head match {
         case VarRef(v) if vars.get(v).contains(PatternQuery.AnyLabel) =>
-          throw new IllegalArgumentException(
-            "keys() needs a labeled node variable — label-less vars expose id/label only")
+          // label-less var: resolve the property list from the label
+          // column — a schema-static CASE, no extra scan
+          // (routers/graphs/schema/utils.py's discovery query)
+          val lbl = col(s"${v}____label")
+          val nodes = source.schema.nodes
+          nodes.tail.foldLeft(
+            when(lbl === nodes.head.name,
+              array(nodes.head.properties.map(p => lit(p.name)): _*))) { (acc, n) =>
+            acc.when(lbl === n.name, array(n.properties.map(p => lit(p.name)): _*))
+          }
         case VarRef(v) if vars.contains(v) =>
           array(source.schema.node(vars(v)).properties.map(p => lit(p.name)): _*)
         case _ => throw new IllegalArgumentException("keys() needs a node variable")
@@ -743,6 +935,9 @@ final class CypherCompiler(
     case In(x, l) => s"${pretty(x)} IN ${pretty(l)}"
     case Subscript(x, i) => s"${pretty(x)}[${pretty(i)}]"
     case ListLit(items) => items.map(pretty).mkString("[", ", ", "]")
+    case MapLit(items) =>
+      items.map { case (k, v) => s"$k: ${pretty(v)}" }.mkString("{", ", ", "}")
+    case ExistsPat(_) => "exists(pattern)"
     case CaseWhen(_, _) => "case"
   }
 }

@@ -6,14 +6,18 @@ import CypherAst._
 /** Recursive-descent parser for the reference's exercised Cypher
   * subset (SURVEY.md §2.2-2.8): MATCH/OPTIONAL MATCH pattern chains,
   * WHERE predicates (comparisons, boolean composition, IS [NOT] NULL,
-  * CONTAINS/STARTS WITH/ENDS WITH, IN, CASE), WITH pipelines, RETURN
-  * [DISTINCT] with aggregates and aliases, ORDER BY/SKIP/LIMIT, and
+  * CONTAINS/STARTS WITH/ENDS WITH/ILIKE, IN, CASE, EXISTS(pattern)),
+  * UNWIND, WITH pipelines (MATCH may follow WITH), RETURN [DISTINCT]
+  * with aggregates and aliases, ORDER BY/SKIP/LIMIT (literal or
+  * `$param`), write statements (SET/REMOVE/DELETE/DETACH DELETE/
+  * CREATE, connection_service.py / sec_provider.py / save_view.py
+  * shapes), `//` and `/* */` comments, an optional trailing `;`, and
   * `$param` placeholders. Grammar scope is deliberately exactly the
   * §2 corpus — anything outside parses to a clear error. */
 object CypherParser extends RegexParsers {
 
   override val skipWhitespace = true
-  override val whiteSpace = "(\\s|//[^\n]*)+".r
+  override val whiteSpace = "(\\s|//[^\n]*|/\\*(?:[^*]|\\*(?!/))*\\*/)+".r
 
   private def kw(s: String): Parser[String] = ("(?i)\\b" + s + "\\b").r ^^ (_.toUpperCase)
 
@@ -72,6 +76,9 @@ object CypherParser extends RegexParsers {
         kw("STARTS") ~ kw("WITH") ~> addExpr ^^ { r => (e: Expr) => Bin("STARTS", e, r) } |
         kw("ENDS") ~ kw("WITH") ~> addExpr ^^ { r => (e: Expr) => Bin("ENDS", e, r) } |
         kw("CONTAINS") ~> addExpr ^^ { r => (e: Expr) => Bin("CONTAINS", e, r) } |
+        // ILIKE: the reference engine's case-insensitive LIKE with SQL
+        // %/_ wildcards (custom_graph_demo README emits it)
+        kw("ILIKE") ~> addExpr ^^ { r => (e: Expr) => Bin("ILIKE", e, r) } |
         kw("IN") ~> addExpr ^^ { r => (e: Expr) => In(e, r) } |
         ("<>" | "<=" | ">=" | "=" | "<" | ">") ~ addExpr ^^ {
           case op ~ r => (e: Expr) => Bin(op, e, r)
@@ -106,6 +113,12 @@ object CypherParser extends RegexParsers {
       case whens ~ other => CaseWhen(whens.map { case c ~ v => (c, v) }, other)
     }
 
+  /** `EXISTS((f)-[:R]->())` — pattern predicate, NOT the fnCall form
+    * (must be tried before fnCall or `exists(` would parse as a
+    * function of expression `(f)` and fail at the hop arrow). */
+  private lazy val existsPat: Parser[Expr] =
+    kw("EXISTS") ~> "(" ~> pathPat <~ ")" ^^ ExistsPat.apply
+
   private lazy val fnCall: Parser[Expr] =
     ident ~ ("(" ~> opt(kw("DISTINCT")) ~ repsep(expr | "*" ^^^ Star, ",") <~ ")") ^^ {
       case name ~ (distinct ~ args) =>
@@ -117,11 +130,13 @@ object CypherParser extends RegexParsers {
       kw("NULL") ^^^ Lit(null) |
       kw("TRUE") ^^^ Lit(true) |
       kw("FALSE") ^^^ Lit(false) |
+      existsPat |
       fnCall |
       "$" ~> ident ^^ Param.apply |
       ident ~ ("." ~> anyIdent) ^^ { case v ~ p => Prop(v, p) } |
       stringLit | number |
       "[" ~> repsep(expr, ",") <~ "]" ^^ ListLit.apply |
+      mapProps ^^ MapLit.apply |
       "(" ~> expr <~ ")" |
       ident ^^ VarRef.apply
 
@@ -145,31 +160,35 @@ object CypherParser extends RegexParsers {
         (l, hi.map(_.toInt).orElse(lo.map(_.toInt)).getOrElse(Int.MaxValue))
     }
 
-  private lazy val relBody: Parser[(Option[String], Option[String], Option[(Int, Int)])] =
-    opt("[" ~> opt(ident) ~ opt(":" ~> anyIdent) ~ opt(varLen) <~ "]") ^^ {
-      case Some(v ~ t ~ vl) => (v, t, vl)
-      case None => (None, None, None)
+  /** Rel body with optional property map (CREATE (a)-[r:T {k: v}]->(b)
+    * — write-only surface; the read compiler rejects non-empty maps). */
+  private lazy val relBody
+      : Parser[(Option[String], Option[String], Option[(Int, Int)], Seq[(String, Expr)])] =
+    opt("[" ~> opt(ident) ~ opt(":" ~> anyIdent) ~ opt(varLen) ~ opt(mapProps) <~ "]") ^^ {
+      case Some(v ~ t ~ vl ~ m) => (v, t, vl, m.getOrElse(Seq.empty))
+      case None => (None, None, None, Seq.empty)
     }
 
   private lazy val hop: Parser[(RelPat, NodePat)] =
     ("<-" ~> relBody <~ "-") ~ nodePat ^^ {
-      case (v, t, vl) ~ n => (RelPat(v, t, rightward = false, vl), n)
+      case (v, t, vl, m) ~ n => (RelPat(v, t, rightward = false, vl, props = m), n)
     } |
       ("-" ~> relBody <~ "->") ~ nodePat ^^ {
-        case (v, t, vl) ~ n => (RelPat(v, t, rightward = true, vl), n)
+        case (v, t, vl, m) ~ n => (RelPat(v, t, rightward = true, vl, props = m), n)
       } |
       ("-" ~> relBody <~ "-") ~ nodePat ^^ { // undirected: union of orientations
-        case (v, t, vl) ~ n => (RelPat(v, t, rightward = true, vl, undirected = true), n)
+        case (v, t, vl, m) ~ n =>
+          (RelPat(v, t, rightward = true, vl, undirected = true, props = m), n)
       }
 
   private lazy val pathPat: Parser[PathPat] =
     nodePat ~ rep(hop) ^^ { case h ~ hops => PathPat(h, hops) }
 
-  // ---- clauses -----------------------------------------------------------
+  // ---- reading clauses ----------------------------------------------------
 
   private lazy val whereClause: Parser[Expr] = kw("WHERE") ~> expr
 
-  private lazy val matchClause: Parser[MatchClause] =
+  private lazy val matchClause: Parser[ReadClause] =
     opt(kw("OPTIONAL")) ~ (kw("MATCH") ~> rep1sep(pathPat, ",")) ~ opt(whereClause) ^^ {
       case optional ~ paths ~ where => MatchClause(paths, optional.isDefined, where)
     }
@@ -177,10 +196,43 @@ object CypherParser extends RegexParsers {
   private lazy val projItem: Parser[ProjectionItem] =
     expr ~ opt(kw("AS") ~> ident) ^^ { case e ~ a => ProjectionItem(e, a) }
 
-  private lazy val withClause: Parser[WithClause] =
+  private lazy val withClause: Parser[ReadClause] =
     kw("WITH") ~> rep1sep(projItem, ",") ~ opt(whereClause) ^^ {
       case items ~ w => WithClause(items, w)
     }
+
+  private lazy val unwindClause: Parser[ReadClause] =
+    kw("UNWIND") ~> expr ~ (kw("AS") ~> ident) ^^ {
+      case e ~ v => UnwindClause(e, v)
+    }
+
+  private lazy val readClause: Parser[ReadClause] =
+    matchClause | unwindClause | withClause
+
+  // ---- writing clauses ----------------------------------------------------
+
+  private lazy val propRef: Parser[Prop] =
+    ident ~ ("." ~> anyIdent) ^^ { case v ~ p => Prop(v, p) }
+
+  private lazy val setClause: Parser[WriteClause] =
+    kw("SET") ~> rep1sep(propRef ~ ("=" ~> expr) ^^ { case p ~ e => (p, e) }, ",") ^^
+      SetClause.apply
+
+  private lazy val removeClause: Parser[WriteClause] =
+    kw("REMOVE") ~> rep1sep(propRef, ",") ^^ RemoveClause.apply
+
+  private lazy val deleteClause: Parser[WriteClause] =
+    opt(kw("DETACH")) ~ (kw("DELETE") ~> rep1sep(ident, ",")) ^^ {
+      case detach ~ vars => DeleteClause(vars, detach.isDefined)
+    }
+
+  private lazy val createClause: Parser[WriteClause] =
+    kw("CREATE") ~> rep1sep(pathPat, ",") ^^ CreateClause.apply
+
+  private lazy val writeClause: Parser[WriteClause] =
+    setClause | removeClause | deleteClause | createClause
+
+  // ---- query assembly -----------------------------------------------------
 
   private lazy val returnClause: Parser[ReturnClause] =
     kw("RETURN") ~> opt(kw("DISTINCT")) ~ rep1sep(projItem, ",") ^^ {
@@ -192,23 +244,23 @@ object CypherParser extends RegexParsers {
       case e ~ d => OrderItem(e, d.contains("DESC"))
     }
 
-  private lazy val unwindClause: Parser[(Expr, String)] =
-    kw("UNWIND") ~> expr ~ (kw("AS") ~> ident) ^^ { case e ~ v => (e, v) }
+  /** SKIP/LIMIT accept an integer literal or `$param`
+    * (`RETURN n LIMIT $limit` — agents/context.py, query.py models). */
+  private lazy val limitVal: Parser[Expr] =
+    "\\d+".r ^^ (s => Lit(s.toLong)) | "$" ~> ident ^^ Param.apply
 
   private lazy val query: Parser[Query] =
-    rep(matchClause) ~ rep(unwindClause) ~ rep((withClause ~ rep(matchClause)) ^? (
-      { case w ~ Nil => w },
-      _ => "MATCH after WITH is not supported in this subset"
-    )) ~ returnClause ~
+    rep(readClause) ~ rep(writeClause) ~ opt(returnClause) ~
       opt(kw("ORDER") ~ kw("BY") ~> rep1sep(orderItem, ",")) ~
-      opt(kw("SKIP") ~> "\\d+".r) ~ opt(kw("LIMIT") ~> "\\d+".r) ^? ({
-      case ms ~ us ~ ws ~ ret ~ ob ~ skip ~ limit if ms.nonEmpty || us.nonEmpty =>
-        Query(ms, ws, ret, ob.getOrElse(Seq.empty),
-          skip.map(_.toLong), limit.map(_.toLong), us)
-    }, _ => "query needs at least one MATCH or UNWIND clause")
+      opt(kw("SKIP") ~> limitVal) ~ opt(kw("LIMIT") ~> limitVal) ^? ({
+      case cs ~ ws ~ ret ~ ob ~ skip ~ limit
+          if (cs.nonEmpty || ws.nonEmpty) && (ret.nonEmpty || ws.nonEmpty) =>
+        Query(cs, ws, ret, ob.getOrElse(Seq.empty), skip, limit)
+    }, _ => "query needs at least one MATCH/UNWIND/CREATE clause, and " +
+      "RETURN is required unless a write clause is present")
 
   private lazy val unionQuery: Parser[UnionQuery] =
-    query ~ rep(kw("UNION") ~ opt(kw("ALL")) ~ query) ^^ {
+    query ~ rep(kw("UNION") ~ opt(kw("ALL")) ~ query) <~ opt(";") ^^ {
       case h ~ t =>
         val distinct = t.exists { case _ ~ all ~ _ => all.isEmpty }
         UnionQuery(h +: t.map { case _ ~ _ ~ q => q }, distinct)

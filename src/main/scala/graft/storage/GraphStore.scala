@@ -175,13 +175,19 @@ final class GraphStore(
     if (!exists(path)) return
     val kept = spark.read.parquet(path).filter(
       col(FileIdCol).isNull || col(FileIdCol) =!= fileId)
+    rewriteInPlace(path, kept)
+  }
+
+  /** Transactional-ish table rewrite: write `next` (which may READ
+    * `path` — the write lands in a temp dir first) then swap via
+    * rename-aside, so a failure at any step leaves either the old or
+    * the new table intact (never a partially-rewritten one); every
+    * File boolean is checked — silent rename/delete failures would
+    * corrupt the table. On Delta/Iceberg this whole method is one
+    * transactional DELETE/UPDATE WHERE. */
+  private def rewriteInPlace(path: String, next: DataFrame): Unit = {
     val tmp = s"$path.__tmp_${System.nanoTime()}"
-    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap via rename-aside so a failure at any step leaves either the
-    // old or the new table intact (never a partially-deleted one);
-    // every File boolean is checked — silent rename/delete failures
-    // would corrupt the table (on Delta this whole method is one
-    // transactional DELETE WHERE)
+    next.write.mode(SaveMode.Overwrite).parquet(tmp)
     val cur = new java.io.File(path)
     val old = new java.io.File(s"$path.__old_${System.nanoTime()}")
     if (!cur.renameTo(old))
@@ -195,6 +201,86 @@ final class GraphStore(
     }
     if (!rm(old))
       throw new java.io.IOException(s"rewrote $path but could not remove $old")
+  }
+
+  // ---- Cypher write-statement primitives (SET/REMOVE/DELETE) -------------
+
+  /** Apply per-key property assignments to a node table (the Cypher
+    * `MATCH … SET n.p = v` executor, connection_service.py /
+    * sec_provider.py shapes). `updates` carries one row per matched
+    * key: `__key` (string) plus one column per assigned property —
+    * values may differ per row. Keys not present keep their rows
+    * untouched; assigned columns are cast to the declared type.
+    * CALLERS must materialize `updates` (it usually derives from the
+    * very table being rewritten). Returns the matched-key count. */
+  def updateNodeProps(label: String, updates: DataFrame): Long = {
+    val d = schema.node(label)
+    val pk = d.primaryKey
+    val assigned = updates.columns.filter(_ != "__key")
+    val unknown = assigned.filterNot(d.structType.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"SET on undeclared properties of $label: ${unknown.mkString(", ")}")
+    require(!assigned.contains(pk), s"SET may not reassign the primary key $pk")
+    if (!exists(nodePath(label))) return 0L
+    // last-write-wins dedup keeps the rewrite deterministic when the
+    // match produced several rows per key
+    val u = dedup(updates, Seq("__key"))
+      .select(col("__key") +:
+        assigned.map(c => col(c).as(s"__set_$c")).toIndexedSeq: _*)
+      .withColumn("__matched", lit(true))
+    val cur = node(label)
+    val joined = cur.join(u, cur(pk).cast("string") === u("__key"), "left")
+    val outCols = cur.columns.map { c =>
+      if (assigned.contains(c)) {
+        val f = d.structType(c)
+        when(col("__matched"), col(s"__set_$c").cast(f.dataType))
+          .otherwise(cur(c)).as(c)
+      } else cur(c)
+    }
+    rewriteInPlace(nodePath(label), joined.select(outCols.toIndexedSeq: _*))
+    updates.select("__key").distinct().count()
+  }
+
+  /** Cypher `MATCH … [DETACH] DELETE n` executor: remove node rows by
+    * key. `detach` also removes every relationship row touching the
+    * keys (both directions, schema-driven); without it, remaining
+    * relationships fail loudly — openCypher's constraint. `keys` must
+    * be materialized by the caller. Returns deleted-node count. */
+  def deleteNodes(label: String, keys: DataFrame, detach: Boolean): Long = {
+    val pk = schema.node(label).primaryKey
+    val k = keys.select(col(keys.columns.head).cast("string").as("__key")).distinct()
+    val touching = schema.rels.filter(r => r.from == label || r.to == label)
+    if (!detach) {
+      touching.foreach { r =>
+        val endpoints = Seq(
+          if (r.from == label) Some("src") else None,
+          if (r.to == label) Some("dst") else None).flatten
+        endpoints.foreach { ep =>
+          val n = rel(r.name).join(k, col(ep).cast("string") === col("__key"),
+            "left_semi").limit(1)
+          if (!n.isEmpty)
+            throw new IllegalStateException(
+              s"cannot DELETE $label nodes still attached via ${r.name}.$ep — " +
+                "use DETACH DELETE")
+        }
+      }
+    } else {
+      touching.foreach { r =>
+        if (exists(relPath(r.name))) {
+          var kept = rel(r.name)
+          if (r.from == label)
+            kept = kept.join(k, kept("src").cast("string") === k("__key"), "left_anti")
+          if (r.to == label)
+            kept = kept.join(k, kept("dst").cast("string") === k("__key"), "left_anti")
+          rewriteInPlace(relPath(r.name), kept)
+        }
+      }
+    }
+    if (!exists(nodePath(label))) return 0L
+    val cur = node(label)
+    val kept = cur.join(k, cur(pk).cast("string") === k("__key"), "left_anti")
+    rewriteInPlace(nodePath(label), kept)
+    k.count()
   }
 
   /** Subgraph fork = path copy (operations/graph/subgraph_service.py;

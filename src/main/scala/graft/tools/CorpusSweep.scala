@@ -46,9 +46,12 @@ object CorpusSweep {
       } catch { case e: Throwable => failures += ((src, q, s"THROW ${e.getMessage}".take(90))) }
     }
     println(s"parsed: $ok / ${items.size}")
+    failures.groupBy(_._1).toSeq.sortBy(-_._2.size).foreach { case (src, fs) =>
+      println(s"FAILSRC ${fs.size} $src")
+    }
     failures.groupBy(_._3).toSeq.sortBy(-_._2.size).foreach { case (err, fs) =>
       println(s"\n=== ${fs.size} x $err")
-      fs.take(4).foreach { case (src, q, _) =>
+      fs.foreach { case (src, q, _) =>
         println(s"  [$src] ${q.replaceAll("\\s+", " ").take(150)}")
       }
     }

@@ -81,6 +81,65 @@ class MetricsCorpusSpec extends SparkTestBase {
     assert(anon.length === 5)
   }
 
+  test("schema discovery: WITH labels/keys then chained UNWINDs (schema/utils.py)") {
+    // routers/graphs/schema/utils.py — the exact emitted text
+    val rows = run(
+      """MATCH (n)
+         WITH labels(n) as labels, keys(n) as props
+         UNWIND labels as label
+         UNWIND props as prop
+         RETURN DISTINCT label, collect(DISTINCT prop) as properties""")
+      .collect()
+    val byLabel = rows.map(r => r.getString(0) ->
+      r.getSeq[String](1).toSet).toMap
+    assert(byLabel.contains("Entity") && byLabel.contains("Fact"))
+    assert(byLabel("Entity").contains("cik"))
+    assert(byLabel("Fact").contains("numeric_value"))
+  }
+
+  test("NOT EXISTS dimension filter (facts_tool.py) matches the anti-join") {
+    val undimmed = run(
+      """MATCH (f:Fact)-[:FACT_HAS_ELEMENT]->(e:Element)
+         WHERE f.numeric_value IS NOT NULL
+               AND NOT EXISTS((f)-[:FACT_HAS_DIMENSION]->())
+         RETURN count(f) AS n""").collect()(0).getLong(0)
+    val dimmed = run(
+      """MATCH (f:Fact)-[:FACT_HAS_ELEMENT]->(e:Element)
+         WHERE f.numeric_value IS NOT NULL
+               AND EXISTS((f)-[:FACT_HAS_DIMENSION]->())
+         RETURN count(f) AS n""").collect()(0).getLong(0)
+    val all = run(
+      """MATCH (f:Fact)-[:FACT_HAS_ELEMENT]->(e:Element)
+         WHERE f.numeric_value IS NOT NULL
+         RETURN count(f) AS n""").collect()(0).getLong(0)
+    assert(undimmed > 0 && dimmed > 0)
+    assert(undimmed + dimmed === all)
+  }
+
+  test("MATCH after WITH: count-then-rematch (save_view.py)") {
+    val row = run(
+      """MATCH (r:Report {identifier: 'rep_a_10k'})-[:REPORT_HAS_FACT]->(f:Fact)
+         WITH count(f) as fact_count
+         MATCH (r:Report {identifier: 'rep_a_10k'})
+         RETURN r.identifier AS rid, fact_count""").collect()
+    assert(row.length === 1)
+    assert(row(0).getString(0) === "rep_a_10k")
+    assert(row(0).getLong(1) === 100L) // 25 elements × 4 quarters
+  }
+
+  test("collect({…}) map literal (element_mapping.py shape)") {
+    val rows = run(
+      """MATCH (r:Report {identifier: 'rep_a_10k'})
+         OPTIONAL MATCH (r)-[:REPORT_HAS_FACT]->(f:Fact)
+         RETURN r.identifier AS rid,
+                collect({identifier: f.identifier, value: f.numeric_value}) as facts""")
+      .collect()
+    assert(rows.length === 1)
+    val facts = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(facts.length === 100)
+    assert(facts.head.schema.fieldNames.toSeq === Seq("identifier", "value"))
+  }
+
   test("subscript semantics: 0-based, negative from the end") {
     val row = run(
       """MATCH (e:Entity) WITH collect(e.identifier) AS ids

@@ -79,11 +79,15 @@ class Review3RegressionSpec extends SparkTestBase {
     assert(ids(0) === "txn510_d")
   }
 
-  test("MATCH after WITH returns Left, not an exception") {
+  test("MATCH after WITH parses (round-5 upgrade of the old Left-pin)") {
+    // this test originally pinned that MATCH-after-WITH fails as a
+    // graceful Left; the clause-ordering generalization (save_view.py's
+    // count-then-rematch statement) made it a supported segment, so the
+    // pin upgrades to: parses as one query with both clauses
     val r = CypherParser.parseQuery(
       "MATCH (a:Entity) WITH a MATCH (b:Transaction) RETURN a.identifier AS x")
-    assert(r.isLeft)
-    assert(r.left.exists(_.contains("parse error")))
+    assert(r.isRight)
+    assert(r.toOption.get.branches.head.matches.length === 2)
   }
 
   test("exact dedup content hash is column-boundary and null safe") {
