@@ -7,15 +7,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: one untimed warmup pass (JIT + codegen caches + OS
   * page cache — steady-state latency is what a long-lived Spark
-  * service serves), then two FULL timed passes with the per-query best
-  * kept. Whole-suite passes (rather than back-to-back repeats of each
-  * query) separate a query's two samples by minutes, so a transient
-  * load spike early in the run inflates at most one sample of each
-  * query instead of both samples of the unlucky first few — round-4's
-  * driver run recorded 3-5× on exactly the first six (alphabetical)
-  * queries from this. Queries materialize through the `noop` sink so
-  * every output column is computed (a bare `count()` would let
-  * Catalyst prune the plan). */
+  * service serves), then three FULL timed passes with the per-query
+  * best kept. Whole-suite passes (rather than back-to-back repeats of
+  * each query) separate a query's samples by minutes, so a transient
+  * load spike inflates at most one sample of each query instead of
+  * every sample of the unlucky first few — round-4's driver run
+  * recorded 3-5× on exactly the first six (alphabetical) queries from
+  * this. Three samples instead of two because this host's scheduler
+  * jitter is heavy-tailed: graft.tools.JobOverhead measures a trivial
+  * one-task job at 300-900 ms with occasional multi-second spikes, so
+  * any single pass can carry an outlier. Queries materialize through
+  * the `noop` sink so every output column is computed (a bare
+  * `count()` would let Catalyst prune the plan). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,11 +35,10 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup pass (untimed)
-    val pass1 = names.map(n => n -> runOnce(n)).toMap
-    val pass2 = names.map(n => n -> runOnce(n)).toMap
+    val passes = Seq.fill(3)(names.map(n => n -> runOnce(n)).toMap)
     val results = names.map { n =>
-      val (a, b) = (pass1(n), pass2(n))
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val samples = passes.map(_(n))
+      n -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -838,6 +838,26 @@ final class CypherCompiler(
         case _ => throw new IllegalArgumentException(
           "percentileCont(expr, fraction) needs a literal fraction")
       }
+      // discrete percentile: the smallest element whose cumulative
+      // position reaches the fraction (Kuzu QUANTILE_DISC semantics —
+      // returns an actual element, no interpolation). Exact quantiles
+      // need the per-group value list; identical collect_list subtrees
+      // dedup in PhysicalAggregation, so this is ONE aggregate buffer.
+      case "percentiledisc" => args match {
+        case Seq(x, Lit(p)) =>
+          val frac = p match {
+            case d: Double => d
+            case l: Long => l.toDouble
+            case other => throw new IllegalArgumentException(
+              s"percentileDisc fraction must be numeric, got $other")
+          }
+          require(frac >= 0.0 && frac <= 1.0, "percentileDisc fraction in [0,1]")
+          val sorted = sort_array(collect_list(toColumn(x, vars)))
+          element_at(sorted,
+            greatest(ceil(size(sorted) * lit(frac)).cast("int"), lit(1)))
+        case _ => throw new IllegalArgumentException(
+          "percentileDisc(expr, fraction) needs a literal fraction")
+      }
       // scalar functions from the §2.8 exercised surface
       case "substring" =>
         // The reference engine (Kuzu-style) uses SQL 1-based substring

@@ -236,6 +236,22 @@ class CypherSpec extends SparkTestBase {
     assert(got.getDouble(1) === exp.getDouble(1))
   }
 
+  test("percentileDisc returns an actual element at the fraction position") {
+    import org.apache.spark.sql.functions._
+    val got = run(
+      """MATCH (t:Transaction)
+         RETURN percentileDisc(t.amount, 0.5) AS med,
+                percentileDisc(t.amount, 0.0) AS lo,
+                percentileDisc(t.amount, 1.0) AS hi""").collect()(0)
+    val amounts = store.node("Transaction")
+      .select(col("amount")).collect().map(_.getDouble(0)).sorted
+    assert(got.getDouble(1) === amounts.head)  // p=0 clamps to first
+    assert(got.getDouble(2) === amounts.last)
+    assert(got.getDouble(0) ===
+      amounts(math.max(math.ceil(0.5 * amounts.length).toInt, 1) - 1))
+    assert(amounts.contains(got.getDouble(0))) // discrete: element of the set
+  }
+
   test("SKIP/LIMIT paging is deterministic under ORDER BY") {
     val page1 = run(
       "MATCH (t:Transaction) RETURN t.identifier AS id ORDER BY id LIMIT 3")
