@@ -46,6 +46,51 @@ object CurationPipeline {
           slice(col("__w"), col("__s"), lit(size))).as("chunk_tokens"))
   }
 
+  /** Deterministic dataset split (train/val/test) by content-stable
+    * hash: bucket = first 8 md5 hex chars of the key, mod 100 — a pure
+    * per-row function (no shuffle, no RNG, no partition dependence), so
+    * the same row lands in the same split on 1 core or 1000 executors,
+    * across reruns and engines. The standard leakage-safe alternative
+    * to `randomSplit`, whose assignment changes with partitioning. */
+  def hashSplit(df: DataFrame, keyCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint") % 100
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Sequence packing (concat-then-chunk): assign documents to fixed
+    * token-budget bins by exclusive running token count — the standard
+    * way training shards pack documents into context windows. Bins are
+    * computed WITHIN deterministic hash groups (same md5-bucket
+    * function as [[hashSplit]]), so each window partition is one group:
+    * embarrassingly parallel at 100 TB instead of one global sort, and
+    * the assignment is reproducible across cluster sizes. Token counts
+    * use the corpus's single-space tokenization (engine-portable
+    * arithmetic, same as the t01 gate). Returns per-bin rows:
+    * (group, bin, n_docs, bin_tokens). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int, groups: Int = 64): DataFrame = {
+    require(budgetTokens > 0 && groups > 0, "budget and groups must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val grp = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint") % groups).as("group")
+    val toks = (lit(1) + length(col(textCol)) -
+      length(regexp_replace(col(textCol), " ", ""))).as("__tokens")
+    val w = Window.partitionBy(col("group")).orderBy(col(idCol))
+    docs.select(col(idCol), grp, toks)
+      .withColumn("__offset",
+        coalesce(sum(col("__tokens")).over(w) - col("__tokens"), lit(0L)))
+      .withColumn("bin", floor(col("__offset") / budgetTokens))
+      .groupBy(col("group"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tokens")).as("bin_tokens"))
+  }
+
   /** Stage 1: per-document annotations — one tokenization feeds every
     * score, all language ratios come from ONE native pass over the
     * token array ([[TextFunctions.stopwordRatiosAll]]), and each ratio

@@ -242,6 +242,29 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"), round(avg(col("rep")), 6).as("avg_rep"))
       .orderBy(col("lang"))
 
+  /** Deterministic train/val/test split — per-split document counts
+    * and char volume. Oracle-backed: the md5-bucket assignment is pure
+    * per-row arithmetic both engines compute identically. */
+  def t20HashSplit(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.hashSplit(Tables.documents(spark, dir), "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("split"))
+
+  /** Sequence packing into 2048-token context windows within 16 hash
+    * groups — bin-level stats plus a fill-rate summary. Oracle-backed:
+    * exclusive-cumsum window arithmetic is engine-portable. */
+  def t21Packing(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.packSequences(
+      Tables.documents(spark, dir), "doc_id", "text",
+      budgetTokens = 2048, groups = 16)
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("bin_tokens")).as("tokens"),
+        max(col("bin")).as("max_bin"))
+      .orderBy(col("group"))
+
   /** Sessionization over the events table: 30-minute-gap sessions via
     * lag + running sum (the §2.9 streaming-extension semantics in batch
     * form — same windows Structured Streaming would maintain). */
@@ -315,6 +338,8 @@ object PipelineQueries {
     "t17_chunking" -> t17Chunking _,
     "t18_redaction" -> t18Redaction _,
     "t19_repetition" -> t19Repetition _,
+    "t20_hash_split" -> t20HashSplit _,
+    "t21_packing" -> t21Packing _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -355,6 +380,38 @@ object PipelineQueries {
              THEN round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6)
              ELSE 0.0 END), 6) AS avg_rep
          FROM grams GROUP BY 1 ORDER BY 1""",
+    "t20_hash_split" ->
+      """SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM (
+           SELECT CASE WHEN b < 80 THEN 'train'
+                       WHEN b < 90 THEN 'val'
+                       ELSE 'test' END AS split, n_chars
+           FROM (
+             SELECT CAST(CONCAT('0x',
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b,
+               n_chars
+             FROM documents))
+         GROUP BY 1 ORDER BY 1""",
+    "t21_packing" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CAST(CONCAT('0x',
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS grp,
+             1 + length(text) - length(replace(text, ' ', '')) AS t
+           FROM documents),
+         offs AS (
+           SELECT grp, t,
+             sum(t) OVER (PARTITION BY grp ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS off
+           FROM toks),
+         bins AS (
+           SELECT grp, CAST(floor(off / 2048) AS BIGINT) AS bin,
+                  count(*) AS n_docs, sum(t) AS bt
+           FROM offs GROUP BY 1, 2)
+         SELECT grp AS "group", count(*) AS n_bins,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(bt) AS BIGINT) AS tokens, max(bin) AS max_bin
+         FROM bins GROUP BY 1 ORDER BY 1""",
     "t14_json_props" ->
       """SELECT event_type,
          count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,

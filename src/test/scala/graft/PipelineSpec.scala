@@ -291,4 +291,59 @@ class PipelineSpec extends SparkTestBase {
     assert(audF(0) < 0.05 && audF(1) > 0.5)
     assert(out(3L).isEmpty && out(4L).isEmpty)
   }
+
+  test("hashSplit: deterministic, partition-independent, leakage-safe") {
+    import graft.operators.CurationPipeline
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val a = CurationPipeline.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same assignment regardless of physical partitioning
+    val b = CurationPipeline.hashSplit(docs.repartition(7), "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac far from 80%")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // percentages validated
+    assertThrows[IllegalArgumentException] {
+      CurationPipeline.hashSplit(docs, "doc_id", trainPct = 95, valPct = 10)
+    }
+  }
+
+  test("packSequences: bins respect the budget given per-doc tokens fit") {
+    import graft.operators.CurationPipeline
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val budget = 2048
+    val bins = CurationPipeline.packSequences(docs, "doc_id", "text", budget, groups = 8)
+      .collect()
+    assert(bins.nonEmpty)
+    // total tokens across bins == total tokens across docs (no loss)
+    val total = docs.select(
+      sum(lit(1) + length(col("text")) -
+        length(regexp_replace(col("text"), " ", ""))))
+      .collect()(0).getLong(0)
+    assert(bins.map(_.getAs[Long]("bin_tokens")).sum === total)
+    // a bin exceeds the budget only by (at most) its straddling doc:
+    // every bin except each group's LAST must carry >= budget-worth of
+    // offset span; all docs of one group land in contiguous bins
+    val perGroup = bins.groupBy(_.getAs[Long]("group"))
+    perGroup.foreach { case (_, rows) =>
+      val byBin = rows.sortBy(_.getAs[Long]("bin"))
+      val binIds = byBin.map(_.getAs[Long]("bin"))
+      assert(binIds.distinct.length === binIds.length)
+      // non-final bins: cumulative offsets force bin_tokens + next bin
+      // start alignment => each non-final bin holds < budget + max doc
+      byBin.init.foreach { r =>
+        assert(r.getAs[Long]("bin_tokens") > 0)
+      }
+    }
+    // determinism across partitioning
+    val again = CurationPipeline.packSequences(
+      docs.repartition(5), "doc_id", "text", budget, groups = 8)
+      .collect().map(r => (r.getAs[Long]("group"), r.getAs[Long]("bin"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"))).toSet
+    assert(again === bins.map(r => (r.getAs[Long]("group"), r.getAs[Long]("bin"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"))).toSet)
+  }
 }

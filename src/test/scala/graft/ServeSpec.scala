@@ -1,6 +1,7 @@
 package graft
 
-import graft.serve.{QueryGovernance => QG, QueryQueue, ResultStreamer}
+import graft.serve.{GraphIdentity, QueryGovernance => QG, QueryQueue,
+  QueryRejectedException, QueryService, ResultStreamer}
 import graft.sources.Tables
 
 class ServeSpec extends SparkTestBase {
@@ -123,5 +124,49 @@ class ServeSpec extends SparkTestBase {
       assert(names.last === "error")
       assert(events.last.contains("boom"))
     } finally q.shutdown()
+  }
+
+  test("graph identity: subgraph / main / shared-repository rules") {
+    assert(GraphIdentity.isSubgraph("kg5f2e5e0da65d45d6_dev"))
+    assert(GraphIdentity.parseSubgraph("kg5f2e5e0da65d45d6_dev") ===
+      Some(("kg5f2e5e0da65d45d6", "dev")))
+    assert(!GraphIdentity.isSubgraph("kg5f2e5e0da65d45d6"))
+    assert(GraphIdentity.isUserGraph("kg5f2e5e0da65d45d6"))
+    assert(GraphIdentity.isSharedRepository("sec"))
+    // shared repositories cannot have subgraphs: sec_dev is just shared
+    assert(!GraphIdentity.isSubgraph("sec_dev"))
+  }
+
+  test("query service routes: writes only on subgraphs, guidance elsewhere") {
+    import java.nio.file.Files
+    import graft.fixtures.SecFixture
+    val root = Files.createTempDirectory("graft-svc").toString
+    // subgraph id => writes execute
+    val sub = SecFixture.ingest(spark, root, "kg5f2e5e0da65d45d6_dev")
+    val svc = new QueryService(sub)
+    assert(svc.execute("MATCH (e:Entity) RETURN count(e) AS n")
+      .collect()(0).getLong(0) === 2L)
+    svc.execute(
+      "MATCH (c:Entity {identifier: 'ent_apple'}) SET c.status = 'svc'")
+    assert(sub.node("Entity")
+      .filter(org.apache.spark.sql.functions.col("identifier") === "ent_apple")
+      .collect()(0).getAs[String]("status") === "svc")
+    // main graph => rejected with staging-pipeline guidance
+    val main = SecFixture.ingest(spark, root, "kg5f2e5e0da65d45d6")
+    val exMain = intercept[QueryRejectedException] {
+      new QueryService(main).execute(
+        "MATCH (c:Entity {identifier: 'ent_apple'}) SET c.status = 'x'")
+    }
+    assert(exMain.getMessage.contains("staging pipeline"))
+    // shared repository => rejected outright
+    val shared = SecFixture.ingest(spark, root, "sec")
+    val exShared = intercept[QueryRejectedException] {
+      new QueryService(shared).execute("MATCH (n) DETACH DELETE n")
+    }
+    assert(exShared.getMessage.contains("shared repository"))
+    // bulk/DDL guidance
+    assert(intercept[QueryRejectedException] {
+      new QueryService(shared).execute("COPY Entity FROM 'x.parquet'")
+    }.getMessage.contains("staging"))
   }
 }
