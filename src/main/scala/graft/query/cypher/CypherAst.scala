@@ -63,6 +63,9 @@ object CypherAst {
   final case class RemoveClause(targets: Seq[Prop]) extends WriteClause
   final case class DeleteClause(vars: Seq[String], detach: Boolean) extends WriteClause
   final case class CreateClause(paths: Seq[PathPat]) extends WriteClause
+  /** `MERGE (v:L {key: v})` node upsert / `MERGE (a)-[:R]->(b)` rel
+    * upsert (plaid transactions.py, connection_service.py:227). */
+  final case class MergeClause(path: PathPat) extends WriteClause
 
   /** One single query: reading clauses in source order, optional write
     * clauses, then RETURN (optional only when writes are present).

@@ -176,6 +176,7 @@ final class CypherCompiler(
       case RemoveClause(ts) => ts.foreach(p => u.addWhole(p.variable))
       case DeleteClause(vs, _) => vs.foreach(u.addWhole)
       case CreateClause(paths) => paths.foreach(walkPath)
+      case MergeClause(path) => walkPath(path)
     }
     q.ret.foreach(_.items.foreach(i => walkUsage(i.expr, u)))
     q.orderBy.foreach(o => walkUsage(o.expr, u))
@@ -355,6 +356,10 @@ final class CypherCompiler(
       s"EXISTS far label $l does not match schema endpoint $farL"))
     pq.existsHop(relType, anchor, forward, negated)
   }
+
+  /** Variables an expression references (exposed for CypherWriter's
+    * RETURN resolution of CREATE/MERGE-bound vars). */
+  private[cypher] def referencedVarsOf(e: Expr): Set[String] = referencedVars(e)
 
   private def referencedVars(e: Expr): Set[String] = e match {
     case Prop(v, _) => Set(v)

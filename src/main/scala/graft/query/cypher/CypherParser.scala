@@ -229,8 +229,11 @@ object CypherParser extends RegexParsers {
   private lazy val createClause: Parser[WriteClause] =
     kw("CREATE") ~> rep1sep(pathPat, ",") ^^ CreateClause.apply
 
+  private lazy val mergeClause: Parser[WriteClause] =
+    kw("MERGE") ~> pathPat ^^ MergeClause.apply
+
   private lazy val writeClause: Parser[WriteClause] =
-    setClause | removeClause | deleteClause | createClause
+    setClause | removeClause | deleteClause | createClause | mergeClause
 
   // ---- query assembly -----------------------------------------------------
 

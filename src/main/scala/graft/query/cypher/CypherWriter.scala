@@ -9,11 +9,12 @@ import graft.storage.GraphStore
 import CypherAst._
 
 /** Executes Cypher WRITE statements — `MATCH … SET / REMOVE / DELETE /
-  * DETACH DELETE / CREATE … [RETURN …]` — against a writable
+  * DETACH DELETE / CREATE / MERGE … [RETURN …]` — against a writable
   * [[GraphStore]]. This is the text form of the reference's write path
-  * (connection_service.py SET/DETACH DELETE, sec_provider.py SET,
-  * save_view.py MATCH-anchored CREATE, plaid/qb processors' DELETE);
-  * the API-level equivalents live in views/SaveView.
+  * (connection_service.py SET/DETACH DELETE/MERGE-rel, sec_provider.py
+  * SET, save_view.py MATCH-anchored CREATE, plaid transactions.py
+  * MERGE-node-then-SET and DELETE); the API-level equivalents live in
+  * views/SaveView.
   *
   * Semantics and batching:
   *  - the reading clauses compile once through [[CypherCompiler]] and
@@ -27,15 +28,18 @@ import CypherAst._
   *  - CREATE inserts one node per matched row (strict ingest: duplicate
   *    keys fail) and one relationship per matched row between bound or
   *    just-created endpoints;
+  *  - MERGE on a node is the dup-tolerant COPY (anti-join insert of the
+  *    missing keys — the match map must include the primary key);
+  *    MERGE on a relationship inserts only pairs not already stored;
   *  - RETURN evaluates against the matched frame with SET assignments
-  *    applied (post-write values) — for DELETE, against the pre-delete
-  *    match (openCypher returns the deleted entities' snapshot);
+  *    applied; vars bound by CREATE/MERGE resolve by re-reading the
+  *    post-write node table (plaid's `MERGE … SET … RETURN t`); DELETE
+  *    returns the pre-delete snapshot (openCypher);
   *  - with no RETURN, a one-row write summary comes back
   *    (propertiesSet / nodesDeleted / nodesCreated / relsCreated).
   *
-  * The serving path still classifies and rejects write text on
-  * read-only replicas (QueryGovernance); this executor is the write-
-  * service entry point. */
+  * The serving path routes writes here on subgraphs only
+  * (serve/QueryService); read-only replicas keep rejecting write text. */
 final class CypherWriter(
     store: GraphStore,
     params: Map[String, Any] = Map.empty) {
@@ -57,8 +61,8 @@ final class CypherWriter(
     var relsCreated = 0L
 
     val result = PipelineContext.run { ctx =>
-      // CREATE with no reading clauses (tests/conftest-style seeds)
-      // anchors on a one-row frame
+      // CREATE/MERGE with no reading clauses (plaid upserts, conftest
+      // seeds) anchor on a one-row frame
       val (matched0, vars) =
         if (q.clauses.isEmpty) (spark.range(1).drop("id"), Map.empty[String, String])
         else compiler.compileReads(q)
@@ -68,35 +72,92 @@ final class CypherWriter(
 
       // SET/REMOVE assignments accumulate so RETURN sees updated values
       val overrides = scala.collection.mutable.Map.empty[(String, String), Column]
-      // statement-scoped: a node created by one CREATE clause is a
-      // legal endpoint in a LATER clause (save_view.py creates the
-      // fact, then its relationships)
-      val createdPk = scala.collection.mutable.Map.empty[String, Expr]
+      // statement-scoped registry of vars bound by CREATE/MERGE:
+      // var → (label, pk expression over the matched frame). A node
+      // created/merged by one clause is a legal endpoint or SET target
+      // in a LATER clause (save_view.py creates the fact, then its
+      // relationships; plaid merges the node, then SETs it).
+      val writeBound = scala.collection.mutable.Map.empty[String, (String, Expr)]
 
-      def nodeVarLabel(v: String): String = {
-        val l = vars.getOrElse(v, throw new IllegalArgumentException(
-          s"write target $v is not a bound node variable"))
-        require(l != PatternQuery.AnyLabel || vars.contains(v), s"unbound $v")
-        l
-      }
       def pkCol(v: String): Column =
         if (vars(v) == PatternQuery.AnyLabel) col(s"${v}____pk")
         else col(s"${v}__${store.schema.node(vars(v)).primaryKey}")
+
+      /** SET/DELETE target resolution: a match-bound node var or a
+        * CREATE/MERGE-bound one. Returns (label, string key column). */
+      def target(v: String): (String, Column) =
+        if (vars.contains(v)) (vars(v), pkCol(v).cast("string"))
+        else writeBound.get(v) match {
+          case Some((label, pkE)) => (label, compiler.toColumn(pkE, vars).cast("string"))
+          case None => throw new IllegalArgumentException(
+            s"write target $v is not a bound node variable")
+        }
 
       def applySet(items: Seq[(Prop, Expr)]): Unit = {
         // one rewrite per target label, all of that label's assignments
         // in a single pass
         items.groupBy(_._1.variable).foreach { case (v, as) =>
-          val label = nodeVarLabel(v)
+          val (label, key) = target(v)
           require(label != PatternQuery.AnyLabel,
             s"SET needs a labeled node variable, got label-less $v")
           val valueCols = as.map { case (p, e) =>
             overrides.update((v, p.name), compiler.toColumn(e, vars))
             compiler.toColumn(e, vars).as(p.name)
           }
-          val updates = matched.select(
-            (pkCol(v).cast("string").as("__key") +: valueCols): _*)
+          val updates = matched.select((key.as("__key") +: valueCols): _*)
           propertiesSet += store.updateNodeProps(label, updates) * as.size
+        }
+      }
+
+      /** Endpoint pk expression: write-bound registry first, then the
+        * matched frame's pk column. */
+      def nodePk(n: NodePat): Expr = {
+        val v = n.variable
+        v.flatMap(writeBound.get).map(_._2).getOrElse {
+          val bv = v.getOrElse(throw new IllegalArgumentException(
+            "relationship endpoints need variables"))
+          require(vars.contains(bv),
+            s"endpoint $bv is neither bound nor created/merged here")
+          Prop(bv, if (vars(bv) == PatternQuery.AnyLabel)
+            throw new IllegalArgumentException(
+              s"endpoint $bv needs a labeled variable")
+          else store.schema.node(vars(bv)).primaryKey)
+        }
+      }
+      def evalPk(n: NodePat): Column = nodePk(n) match {
+        case Prop(v, pn) if vars.contains(v) => col(s"${v}__$pn")
+        case e => compiler.toColumn(e, vars)
+      }
+
+      def createRel(rel: RelPat, from: NodePat, to: NodePat,
+          ignoreExisting: Boolean): Unit = {
+        val t = rel.relType.getOrElse(throw new IllegalArgumentException(
+          "CREATE/MERGE relationships need a type"))
+        require(!rel.undirected && rel.varLength.isEmpty,
+          "CREATE/MERGE relationships are typed, directed, single hops")
+        val (srcPat, dstPat) = if (rel.rightward) (from, to) else (to, from)
+        val relProps = rel.props.map { case (k, e) =>
+          compiler.toColumn(e, vars).as(k)
+        }
+        val pairs = matched.select(
+          (evalPk(srcPat).cast("string").as("from") +:
+            evalPk(dstPat).cast("string").as("to") +: relProps): _*)
+        relsCreated += store.ingestRels(t, pairs, ignoreExisting = ignoreExisting)
+      }
+
+      def createNode(n: NodePat, merge: Boolean): Unit = {
+        val label = n.label.getOrElse(throw new IllegalArgumentException(
+          s"${if (merge) "MERGE" else "CREATE"} node needs a label"))
+        val d = store.schema.node(label)
+        require(n.props.exists(_._1 == d.primaryKey),
+          s"${if (merge) "MERGE" else "CREATE"} (:$label {…}) must supply " +
+            s"the primary key ${d.primaryKey}")
+        val rows = matched.select(n.props.map { case (k, e) =>
+          compiler.toColumn(e, vars).as(k)
+        }: _*)
+        nodesCreated += store.ingestNodes(label, rows, ignoreErrors = merge)
+        n.variable.foreach { v =>
+          writeBound.update(v, (label, n.props.find(_._1 == d.primaryKey).get._2))
         }
       }
 
@@ -107,7 +168,9 @@ final class CypherWriter(
 
         case DeleteClause(vs, detach) =>
           vs.foreach { v =>
-            val label = nodeVarLabel(v)
+            require(vars.contains(v),
+              s"DELETE target $v is not a bound node variable")
+            val label = vars(v)
             if (label == PatternQuery.AnyLabel) {
               // label-less DELETE (test_client's MATCH (n) DELETE n):
               // group matched keys by their label column
@@ -131,71 +194,65 @@ final class CypherWriter(
         case CreateClause(paths) =>
           // two passes: nodes first (so rels can target just-created
           // pks), then relationships
-          def nodePk(n: NodePat): Expr = {
-            val v = n.variable
-            v.flatMap(createdPk.get).getOrElse {
-              val bv = v.getOrElse(throw new IllegalArgumentException(
-                "CREATE relationship endpoints need variables"))
-              require(vars.contains(bv),
-                s"CREATE endpoint $bv is neither bound nor created here")
-              // matched frame's pk column for the bound var
-              Prop(bv, if (vars(bv) == PatternQuery.AnyLabel)
-                throw new IllegalArgumentException(
-                  s"CREATE endpoint $bv needs a labeled variable")
-              else store.schema.node(vars(bv)).primaryKey)
-            }
-          }
           paths.foreach { p =>
             (p.head +: p.hops.map(_._2)).foreach { n =>
-              val isNew = n.variable.forall(v => !vars.contains(v)) && n.label.nonEmpty
-              if (isNew) {
-                val label = n.label.get
-                val d = store.schema.node(label)
-                require(n.props.exists(_._1 == d.primaryKey),
-                  s"CREATE (:$label {…}) must supply the primary key ${d.primaryKey}")
-                val rows = matched.select(n.props.map { case (k, e) =>
-                  compiler.toColumn(e, vars).as(k)
-                }: _*)
-                nodesCreated += store.ingestNodes(label, rows)
-                n.variable.foreach { v =>
-                  createdPk.update(v, n.props.find(_._1 == d.primaryKey).get._2)
-                }
-              }
+              val isNew = n.variable.forall(v =>
+                !vars.contains(v) && !writeBound.contains(v)) && n.label.nonEmpty
+              if (isNew) createNode(n, merge = false)
             }
           }
           paths.foreach { p =>
             var from = p.head
             p.hops.foreach { case (rel, to) =>
-              val t = rel.relType.getOrElse(throw new IllegalArgumentException(
-                "CREATE relationships need a type"))
-              require(!rel.undirected && rel.varLength.isEmpty,
-                "CREATE relationships are typed, directed, single hops")
-              val (srcPat, dstPat) = if (rel.rightward) (from, to) else (to, from)
-              def evalPk(n: NodePat): Column = nodePk(n) match {
-                case Prop(v, pn) if vars.contains(v) => col(s"${v}__$pn")
-                case e => compiler.toColumn(e, vars)
-              }
-              val relProps = rel.props.map { case (k, e) =>
-                compiler.toColumn(e, vars).as(k)
-              }
-              val pairs = matched.select(
-                (evalPk(srcPat).cast("string").as("from") +:
-                  evalPk(dstPat).cast("string").as("to") +: relProps): _*)
-              relsCreated += store.ingestRels(t, pairs)
+              createRel(rel, from, to, ignoreExisting = false)
               from = to
             }
           }
+
+        case MergeClause(path) =>
+          if (path.hops.isEmpty) {
+            // node upsert: insert only the missing keys (plaid's
+            // `MERGE (t:Transaction {identifier: $identifier})`)
+            createNode(path.head, merge = true)
+          } else {
+            // relationship upsert between bound/created endpoints
+            // (connection_service.py:227 `MERGE (c)-[:HAS_CONNECTION]->(conn)`)
+            require(path.hops.length == 1,
+              "MERGE supports one relationship hop")
+            val (rel, to) = path.hops.head
+            require(path.head.props.isEmpty && to.props.isEmpty,
+              "MERGE relationship endpoints must be bound variables, " +
+                "not inline property maps — MATCH them first")
+            createRel(rel, path.head, to, ignoreExisting = true)
+          }
       }
 
-      // RETURN: matched frame with SET values overlaid (deletes return
-      // the pre-delete snapshot)
+      // RETURN: matched frame with SET values overlaid; CREATE/MERGE
+      // vars resolve by re-reading the (post-write) node table
       q.ret match {
         case Some(ret) =>
           var frame = matched
-          overrides.foreach { case ((v, p), c) =>
-            frame = frame.withColumn(s"${v}__$p", c)
+          var projVars = vars
+          val needed = (ret.items.map(_.expr) ++ q.orderBy.map(_.expr))
+            .flatMap(compiler.referencedVarsOf).toSet
+          writeBound.foreach { case (v, (label, pkE)) =>
+            if (needed.contains(v) && !projVars.contains(v)) {
+              val d = store.schema.node(label)
+              val nodeDf = store.node(label)
+              val named = nodeDf.select(
+                nodeDf.columns.map(c => col(c).as(s"${v}__$c")).toIndexedSeq: _*)
+              frame = frame.join(named,
+                compiler.toColumn(pkE, vars).cast("string") ===
+                  col(s"${v}__${d.primaryKey}").cast("string"), "left")
+              projVars += (v -> label)
+            }
           }
-          val (out, _) = compiler.project(frame, vars, ret.items, ret.distinct,
+          overrides.foreach { case ((v, p), c) =>
+            // SET overlay applies to match-bound vars; write-bound vars
+            // were just re-read post-write, so they already carry it
+            if (vars.contains(v)) frame = frame.withColumn(s"${v}__$p", c)
+          }
+          val (out, _) = compiler.project(frame, projVars, ret.items, ret.distinct,
             q.orderBy, keepNamespaces = false)
           // materialize before releasing the checkpoint: the projection
           // must not re-read swapped source tables

@@ -37,7 +37,14 @@ final class QueryRejectedException(message: String)
   * staging pipeline for audit/rollback/validation, shared repositories
   * never accept writes; execute.py:265-333), bulk/admin/DDL rejected
   * with the staging-pipeline guidance. */
-final class QueryService(store: GraphStore) {
+final class QueryService(
+    store: GraphStore,
+    /** driver-local result cache; entries for this graph are
+      * invalidated after every successful write (the reference's
+      * cache tier does the same on its write path — a stale read
+      * after an acknowledged write is a correctness bug, not a
+      * performance one). */
+    cache: Option[ResultCache[_]] = None) {
   import QueryGovernance._
 
   def execute(text: String, params: Map[String, Any] = Map.empty): DataFrame =
@@ -45,9 +52,11 @@ final class QueryService(store: GraphStore) {
       case QueryKind.Read =>
         new CypherCompiler(store, params).run(text)
       case QueryKind.Write =>
-        if (GraphIdentity.isSubgraph(store.graphId))
-          new CypherWriter(store, params).execute(text)
-        else if (GraphIdentity.isSharedRepository(store.graphId))
+        if (GraphIdentity.isSubgraph(store.graphId)) {
+          val out = new CypherWriter(store, params).execute(text)
+          cache.foreach(_.invalidateGraph(store.graphId))
+          out
+        } else if (GraphIdentity.isSharedRepository(store.graphId))
           throw new QueryRejectedException(
             s"Write operations not allowed on shared repository '${store.graphId}'")
         else

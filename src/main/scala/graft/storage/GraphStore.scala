@@ -122,30 +122,42 @@ final class GraphStore(
     writeCounted(toWrite.repartition(col(pk)), nodePath(label))
   }
 
-  /** Persist → write → count from cache → unpersist: the pipeline runs
-    * once (a post-write recount would re-execute conform+dedup+anti-join
-    * — and an anti-join re-run would see the just-written keys). */
+  /** Persist → count → write → unpersist. The count comes FIRST: it
+    * materializes the cache while `path` is still unmutated, so even if
+    * blocks are evicted the recompute is correct; counting after the
+    * append is unsound — the conform+dedup+anti-join pipeline re-reads
+    * `path`, sees the just-written keys, and under-counts (observed:
+    * MERGE-rel reported 0 created while the row landed). */
   private def writeCounted(df: DataFrame, path: String): Long = {
     val cached = df.persist()
     try {
+      val n = cached.count()
       cached.write.mode(SaveMode.Append).parquet(path)
-      cached.count()
+      n
     } finally { cached.unpersist(); () }
   }
 
   /** Ingest relationship rows arriving with `from`/`to` columns,
-    * renamed to `src`/`dst` (manager.py:124-135), deduped on the pair. */
+    * renamed to `src`/`dst` (manager.py:124-135), deduped on the pair.
+    * `ignoreExisting = true` is the MERGE-relationship semantics:
+    * endpoint pairs already stored are silently skipped (anti-join,
+    * one shuffle — the same shape as the node ignore-errors COPY). */
   def ingestRels(
       tpe: String,
       df: DataFrame,
-      fileId: Option[String] = None): Long = {
+      fileId: Option[String] = None,
+      ignoreExisting: Boolean = false): Long = {
     val d = schema.rel(tpe)
     val renamed = df
       .withColumnsRenamed(Map("from" -> "src", "to" -> "dst"))
     val conformed = conform(renamed, d.structType)
       .withColumn(FileIdCol, lit(fileId.orNull).cast("string"))
     val deduped = dedup(conformed, Seq("src", "dst"))
-    writeCounted(deduped.repartition(col("src")), relPath(tpe))
+    val toWrite =
+      if (ignoreExisting && exists(relPath(tpe)))
+        deduped.join(rel(tpe).select("src", "dst"), Seq("src", "dst"), "left_anti")
+      else deduped
+    writeCounted(toWrite.repartition(col("src")), relPath(tpe))
   }
 
   /** Multi-file ingest with per-file provenance then global dedup

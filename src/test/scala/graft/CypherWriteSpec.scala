@@ -138,4 +138,45 @@ class CypherWriteSpec extends SparkTestBase {
       "MATCH (e:Entity) RETURN count(e) AS n").collect()
     assert(out(0).getLong(0) === 2L)
   }
+
+  test("MERGE node upsert then SET then RETURN (plaid transactions.py shape)") {
+    val st2 = store.fork("write-merge")
+    val w = new CypherWriter(st2, Map(
+      "identifier" -> "fact_merge_1", "amount" -> 77.5))
+    // first MERGE creates
+    val out1 = w.execute(
+      """MERGE (t:Fact {identifier: $identifier})
+         SET t.numeric_value = $amount, t.fact_type = 'Numeric'
+         RETURN t.identifier AS id, t.numeric_value AS v""").collect()
+    assert(out1.length === 1)
+    assert(out1(0).getString(0) === "fact_merge_1")
+    assert(out1(0).getDouble(1) === 77.5)
+    val before = st2.node("Fact").count()
+    // second MERGE matches (no duplicate), SET updates
+    val w2 = new CypherWriter(st2, Map(
+      "identifier" -> "fact_merge_1", "amount" -> 99.0))
+    val out2 = w2.execute(
+      """MERGE (t:Fact {identifier: $identifier})
+         SET t.numeric_value = $amount
+         RETURN t.identifier AS id, t.numeric_value AS v""").collect()
+    assert(out2(0).getDouble(1) === 99.0)
+    assert(st2.node("Fact").count() === before) // upsert, not insert
+  }
+
+  test("MERGE relationship between matched anchors is idempotent (connection_service shape)") {
+    val st2 = store.fork("write-merge-rel")
+    val w = new CypherWriter(st2, Map(
+      "entity_id" -> "ent_apple", "report_id" -> "rep_m_10k"))
+    val stmt =
+      """MATCH (c:Entity {identifier: $entity_id})
+         MATCH (r:Report {identifier: $report_id})
+         MERGE (c)-[:ENTITY_HAS_REPORT]->(r)"""
+    val s1 = w.execute(stmt).collect()(0)
+    assert(s1.getAs[Long]("relsCreated") === 1L)
+    val before = st2.rel("ENTITY_HAS_REPORT").count()
+    val s2 = new CypherWriter(st2, Map(
+      "entity_id" -> "ent_apple", "report_id" -> "rep_m_10k")).execute(stmt).collect()(0)
+    assert(s2.getAs[Long]("relsCreated") === 0L)
+    assert(st2.rel("ENTITY_HAS_REPORT").count() === before)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.serve.{GraphIdentity, QueryGovernance => QG, QueryQueue,
-  QueryRejectedException, QueryService, ResultStreamer}
+  QueryRejectedException, QueryService, ResultCache, ResultStreamer}
 import graft.sources.Tables
 
 class ServeSpec extends SparkTestBase {
@@ -168,5 +168,20 @@ class ServeSpec extends SparkTestBase {
     assert(intercept[QueryRejectedException] {
       new QueryService(shared).execute("COPY Entity FROM 'x.parquet'")
     }.getMessage.contains("staging"))
+  }
+
+  test("a write through the service invalidates the graph's cached results") {
+    import java.nio.file.Files
+    import graft.fixtures.SecFixture
+    val root = Files.createTempDirectory("graft-svc-cache").toString
+    val sub = SecFixture.ingest(spark, root, "kg00aa11bb22cc33dd_dev")
+    val cache = new ResultCache[String]()
+    val svc = new QueryService(sub, Some(cache))
+    val k = cache.key(sub.graphId, "MATCH (e:Entity) RETURN count(e) AS n")
+    cache.put(k, "cached-result")
+    assert(cache.get(k) === Some("cached-result"))
+    svc.execute(
+      "MATCH (c:Entity {identifier: 'ent_apple'}) SET c.status = 'dirty'")
+    assert(cache.get(k) === None, "stale entry must be gone after the write")
   }
 }
