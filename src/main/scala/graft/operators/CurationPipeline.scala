@@ -91,6 +91,39 @@ object CurationPipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("__tokens")).as("bin_tokens"))
   }
 
+  /** TF-IDF top terms per group (corpus vocabulary analysis): term
+    * frequency per (group, term), smoothed idf ln((N+1)/(df+1)) over
+    * document frequency, top-k per group. Ranking uses the INTEGER
+    * term frequency (portable across engines — libm `ln` may differ in
+    * the last ulp between JVMs and C engines, which would flip
+    * tie-breaks); the tf-idf score itself is reported rounded. Three
+    * bounded shuffles: explode→(group,term) agg, (doc,term) distinct →
+    * df agg, and the top-k window partitioned BY GROUP (never a global
+    * sort); N arrives as a broadcast one-row frame, not a driver
+    * collect. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(groupCol).as("grp"), col(idCol).as("doc"),
+      explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = words.groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = words.select(col("doc"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)), 6))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("tf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Stage 1: per-document annotations — one tokenization feeds every
     * score, all language ratios come from ONE native pass over the
     * token array ([[TextFunctions.stopwordRatiosAll]]), and each ratio

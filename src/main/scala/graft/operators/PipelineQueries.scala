@@ -265,6 +265,14 @@ object PipelineQueries {
         max(col("bin")).as("max_bin"))
       .orderBy(col("group"))
 
+  /** TF-IDF top terms per language — corpus vocabulary analysis.
+    * Oracle-backed: ranking is by integer term frequency (portable);
+    * the smoothed-idf score is reported rounded. */
+  def t22Tfidf(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.tfidfTopTerms(
+      Tables.documents(spark, dir), "doc_id", "text", "lang", k = 5)
+      .orderBy(col("grp"), col("rank"))
+
   /** Sessionization over the events table: 30-minute-gap sessions via
     * lag + running sum (the §2.9 streaming-extension semantics in batch
     * form — same windows Structured Streaming would maintain). */
@@ -340,6 +348,7 @@ object PipelineQueries {
     "t19_repetition" -> t19Repetition _,
     "t20_hash_split" -> t20HashSplit _,
     "t21_packing" -> t21Packing _,
+    "t22_tfidf" -> t22Tfidf _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -412,6 +421,23 @@ object PipelineQueries {
            CAST(sum(n_docs) AS BIGINT) AS n_docs,
            CAST(sum(bt) AS BIGINT) AS tokens, max(bin) AS max_bin
          FROM bins GROUP BY 1 ORDER BY 1""",
+    "t22_tfidf" ->
+      """WITH words AS (
+           SELECT lang AS grp, doc_id AS doc, u.term AS term
+           FROM documents, unnest(string_split(text, ' ')) AS u(term)
+           WHERE len(u.term) > 0),
+         tf AS (SELECT grp, term, count(*) AS tf FROM words GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM
+                  (SELECT DISTINCT doc, term FROM words) GROUP BY 1),
+         n AS (SELECT count(*) AS nn FROM documents),
+         scored AS (
+           SELECT grp, term, tf, df,
+             round(tf * ln((nn + 1.0) / (df + 1.0)), 6) AS tfidf,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY tf DESC, term ASC) AS rank
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         SELECT grp, rank, term, tf, df, tfidf
+         FROM scored WHERE rank <= 5 ORDER BY grp, rank""",
     "t14_json_props" ->
       """SELECT event_type,
          count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,

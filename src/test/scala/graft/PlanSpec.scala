@@ -154,4 +154,35 @@ class PlanSpec extends SparkTestBase {
     val scans = plan.linesIterator.count(_.contains("Location:"))
     assert(scans <= 3, s"far node joins not elided ($scans scans):\n$plan")
   }
+
+  test("EXISTS predicates plan semi/anti joins over key-only rel scans (c13)") {
+    val plan = planOf(graft.operators.CypherQueries.c13Exists(spark, sfDir))
+    assert(plan.contains("LeftSemi"), s"no semi join in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
+    // the rel-table side of each EXISTS reads ONLY the join key
+    val orderScans = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("o_custkey")).toSeq
+    assert(orderScans.nonEmpty)
+    assert(orderScans.forall(l => !l.contains("o_totalprice") && !l.contains("o_orderkey")),
+      s"EXISTS rel scan reads more than the key:\n${orderScans.mkString("\n")}")
+  }
+
+  test("hashSplit is a single pruned scan - no join, no pre-agg shuffle (t20)") {
+    val plan = planOf(graft.operators.PipelineQueries.t20HashSplit(spark, sfDir))
+    assert(!plan.contains("Join"), s"split must be narrow:\n$plan")
+    // each physical scan appears once in the tree and once as a
+    // "(n) Scan parquet" detail header — count the detail headers
+    val scans = plan.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*"""))
+    assert(scans === 1, s"expected one documents scan, got $scans")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"unpruned scan: $readSchema")
+  }
+
+  test("packSequences shuffles once on the group key, not globally (t21)") {
+    val plan = planOf(graft.operators.PipelineQueries.t21Packing(spark, sfDir))
+    // window partitioning by group: hashpartitioning on the md5 bucket,
+    // never a SinglePartition global sort
+    assert(!plan.contains("SinglePartition"), s"global window in:\n$plan")
+    assert(plan.contains("Window"), s"no window in:\n$plan")
+  }
 }
