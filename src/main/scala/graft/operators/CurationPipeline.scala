@@ -102,12 +102,14 @@ object CurationPipeline {
     * sort); N arrives as a broadcast one-row frame, not a driver
     * collect. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-      groupCol: String, k: Int): DataFrame = {
+      groupCol: String, k: Int)(implicit ctx: PipelineContext): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
-    val words = docs.select(col(groupCol).as("grp"), col(idCol).as("doc"),
+    // the exploded word table feeds BOTH the tf and df branches —
+    // stage it once or the scan+explode runs twice
+    val words = ctx.stage(docs.select(col(groupCol).as("grp"), col(idCol).as("doc"),
       explode(split(col(textCol), " ")).as("term"))
-      .filter(length(col("term")) > 0)
+      .filter(length(col("term")) > 0))
     val tf = words.groupBy(col("grp"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = words.select(col("doc"), col("term")).distinct()

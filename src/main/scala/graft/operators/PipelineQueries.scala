@@ -269,9 +269,11 @@ object PipelineQueries {
     * Oracle-backed: ranking is by integer term frequency (portable);
     * the smoothed-idf score is reported rounded. */
   def t22Tfidf(spark: SparkSession, dir: String): DataFrame =
-    CurationPipeline.tfidfTopTerms(
-      Tables.documents(spark, dir), "doc_id", "text", "lang", k = 5)
-      .orderBy(col("grp"), col("rank"))
+    PipelineContext.materialize { implicit ctx =>
+      CurationPipeline.tfidfTopTerms(
+        Tables.documents(spark, dir), "doc_id", "text", "lang", k = 5)
+        .orderBy(col("grp"), col("rank"))
+    }
 
   /** Sessionization over the events table: 30-minute-gap sessions via
     * lag + running sum (the §2.9 streaming-extension semantics in batch
