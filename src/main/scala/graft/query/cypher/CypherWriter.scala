@@ -173,17 +173,15 @@ final class CypherWriter(
             val label = vars(v)
             if (label == PatternQuery.AnyLabel) {
               // label-less DELETE (test_client's MATCH (n) DELETE n):
-              // group matched keys by their label column
-              val perLabel = matched
-                .select(col(s"${v}____label").as("__l"),
-                  col(s"${v}____pk").as("__key"))
-                .distinct().collect()
-                .groupBy(_.getString(0))
-              perLabel.foreach { case (l, rows) =>
-                val keys = spark.createDataFrame(
-                  java.util.Arrays.asList(rows.map(r => Row(r.getString(1))).toSeq: _*),
-                  StructType(Seq(StructField("__key", StringType))))
-                nodesDeleted += store.deleteNodes(l, keys, detach)
+              // one bounded pass per SCHEMA label over the (already
+              // checkpointed) matched frame — never a driver collect of
+              // the keys, which could be the whole graph
+              store.schema.nodes.foreach { nd =>
+                val keys = matched
+                  .filter(col(s"${v}____label") === nd.name)
+                  .select(col(s"${v}____pk").as("__key"))
+                if (!keys.isEmpty)
+                  nodesDeleted += store.deleteNodes(nd.name, keys, detach)
               }
             } else {
               val keys = matched.select(pkCol(v).cast("string").as("__key"))

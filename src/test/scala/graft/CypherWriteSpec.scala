@@ -179,4 +179,17 @@ class CypherWriteSpec extends SparkTestBase {
     assert(s2.getAs[Long]("relsCreated") === 0L)
     assert(st2.rel("ENTITY_HAS_REPORT").count() === before)
   }
+
+  test("label-less DETACH DELETE empties the graph (test_client's MATCH (n) DELETE n)") {
+    val st2 = store.fork("write-wipe")
+    val summary = new CypherWriter(st2)
+      .execute("MATCH (n) DETACH DELETE n").collect()(0)
+    assert(summary.getAs[Long]("nodesDeleted") > 0L)
+    st2.schema.nodes.foreach { nd =>
+      assert(st2.node(nd.name).isEmpty, s"${nd.name} not emptied")
+    }
+    st2.schema.rels.foreach { rd =>
+      assert(st2.rel(rd.name).isEmpty, s"${rd.name} rels not emptied")
+    }
+  }
 }
