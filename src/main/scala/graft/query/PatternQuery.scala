@@ -375,21 +375,40 @@ final class PatternQuery private (
       nodeVars + (v -> toLabel.getOrElse(PatternQuery.AnyLabel)), boundVars + v)
   }
 
-  /** `[NOT] EXISTS((v)-[:R]->())` — left-semi (anti when `negated`)
-    * join of the frame against the relationship table's near-endpoint
-    * keys (facts_tool.py's dimension-filter predicate). Adds no
-    * columns and never duplicates rows — exactly the pattern-predicate
-    * semantics; at scale this is one key-projected scan of the rel
-    * table, broadcast when small. */
+  /** `[NOT] EXISTS((v)-[:R]->(w?))` — left-semi (anti when `negated`)
+    * join of the frame against the relationship table's endpoint keys
+    * (facts_tool.py's dimension-filter predicate). Adds no columns and
+    * never duplicates rows — exactly the pattern-predicate semantics;
+    * at scale this is one key-projected scan of the rel table,
+    * broadcast when small.
+    *
+    * A label-less (AnyLabel) anchor also constrains its LABEL column
+    * against the rel type's schema endpoint — primary keys are only
+    * unique per label, so a bare key join would let a Supplier whose
+    * key string collides with a Customer key satisfy a customer-side
+    * EXISTS. When the pattern's far endpoint is ALSO a bound variable
+    * (`EXISTS((a)-[:R]->(b))` with both bound), `farBound` joins both
+    * keys so the predicate tests the specific pair, not "a has any R". */
   def existsHop(relType: String, from: String, forward: Boolean,
-      negated: Boolean): PatternQuery = {
+      negated: Boolean, farBound: Option[String] = None): PatternQuery = {
     requireBound(from)
-    val key = if (forward) "src" else "dst"
-    val relKeys = store.rel(relType)
-      .select(col(key).cast("string").as("__exists_key"))
+    val d = store.schema.rel(relType)
+    val (nearKey, farKey) = if (forward) ("src", "dst") else ("dst", "src")
+    val (nearLabel, farLabel) = if (forward) (d.from, d.to) else (d.to, d.from)
+    val relKeys = store.rel(relType).select(
+      col(nearKey).cast("string").as("__exists_near"),
+      col(farKey).cast("string").as("__exists_far"))
+    def anchorCond(v: String, keyCol: String, label: String) = {
+      val key = col(pkCol(v)).cast("string") === col(keyCol)
+      if (nodeVars(v) == PatternQuery.AnyLabel)
+        key && col(s"${v}____label") === lit(label)
+      else key
+    }
+    val cond = farBound.foldLeft(anchorCond(from, "__exists_near", nearLabel)) {
+      (c, fv) => requireBound(fv); c && anchorCond(fv, "__exists_far", farLabel)
+    }
     new PatternQuery(store,
-      frame.join(relKeys, col(pkCol(from)).cast("string") === col("__exists_key"),
-        if (negated) "left_anti" else "left_semi"),
+      frame.join(relKeys, cond, if (negated) "left_anti" else "left_semi"),
       nodeVars, boundVars)
   }
 

@@ -79,6 +79,9 @@ final class CypherCompiler(
         last.limit.fold(skipped)(e => skipped.limit(limitValue(e, "LIMIT")))
     }
 
+  /** SKIP/LIMIT operand for CypherWriter's RETURN paging. */
+  private[cypher] def limitValueOf(e: Expr, what: String): Int = limitValue(e, what)
+
   /** SKIP/LIMIT operand: integer literal or integral `$param`. */
   private def limitValue(e: Expr, what: String): Int = e match {
     case Lit(n: Long) => n.toInt
@@ -337,10 +340,13 @@ final class CypherCompiler(
         "rewrite as a separate MATCH + WHERE")
     val headVar = path.head.variable
     val farVar = far.variable
-    // the bound endpoint anchors the join; exactly one side must be bound
-    val (anchor, forward) = (headVar, farVar) match {
-      case (Some(h), _) if pq.variables.contains(h) => (h, rel.rightward)
-      case (_, Some(f)) if pq.variables.contains(f) => (f, !rel.rightward)
+    def bound(v: Option[String]) = v.filter(pq.variables.contains)
+    // the bound endpoint anchors the join; if BOTH endpoints are bound
+    // the far side joins too (the predicate tests the specific pair,
+    // not "anchor has any such relationship")
+    val (anchor, forward, farAnchor) = (bound(headVar), bound(farVar)) match {
+      case (Some(h), f) => (h, rel.rightward, f)
+      case (None, Some(f)) => (f, !rel.rightward, None)
       case _ => throw new IllegalArgumentException(
         "EXISTS pattern needs one endpoint bound by the enclosing MATCH")
     }
@@ -354,7 +360,13 @@ final class CypherCompiler(
     val farPat = if (forward) path.hops.head._2 else path.head
     farPat.label.foreach(l => require(l == farL,
       s"EXISTS far label $l does not match schema endpoint $farL"))
-    pq.existsHop(relType, anchor, forward, negated)
+    farAnchor.foreach { f =>
+      require(pq.variables(f) == PatternQuery.AnyLabel ||
+        pq.variables(f) == farL,
+        s"EXISTS endpoint $f:${pq.variables(f)} does not match " +
+          s"$relType's ${if (forward) "target" else "source"} label $farL")
+    }
+    pq.existsHop(relType, anchor, forward, negated, farAnchor)
   }
 
   /** Variables an expression references (exposed for CypherWriter's

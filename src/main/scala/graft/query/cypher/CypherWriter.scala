@@ -50,6 +50,9 @@ final class CypherWriter(
     CypherParser.parseQuery(text) match {
       case Left(err) => throw new IllegalArgumentException(err)
       case Right(UnionQuery(Seq(q), _)) if q.writes.nonEmpty => executeWrite(q)
+      case Right(UnionQuery(branches, _)) if branches.exists(_.writes.nonEmpty) =>
+        throw new IllegalArgumentException(
+          "UNION of write statements is not supported — run each statement separately")
       case Right(_) => compiler.run(text)
     }
 
@@ -70,8 +73,10 @@ final class CypherWriter(
       val matched = ctx.stage(matched0)
       matched.count() // forces the checkpoint before any table rewrite
 
-      // SET/REMOVE assignments accumulate so RETURN sees updated values
-      val overrides = scala.collection.mutable.Map.empty[(String, String), Column]
+      // openCypher: a later SET clause sees the earlier clauses' writes
+      // — `cur` is the matched frame with assignments applied so far,
+      // and every value expression evaluates against it
+      var cur = matched
       // statement-scoped registry of vars bound by CREATE/MERGE:
       // var → (label, pk expression over the matched frame). A node
       // created/merged by one clause is a legal endpoint or SET target
@@ -95,17 +100,23 @@ final class CypherWriter(
 
       def applySet(items: Seq[(Prop, Expr)]): Unit = {
         // one rewrite per target label, all of that label's assignments
-        // in a single pass
+        // in a single pass; values evaluate against `cur` so a later
+        // SET clause reads an earlier clause's writes
         items.groupBy(_._1.variable).foreach { case (v, as) =>
           val (label, key) = target(v)
           require(label != PatternQuery.AnyLabel,
             s"SET needs a labeled node variable, got label-less $v")
           val valueCols = as.map { case (p, e) =>
-            overrides.update((v, p.name), compiler.toColumn(e, vars))
             compiler.toColumn(e, vars).as(p.name)
           }
-          val updates = matched.select((key.as("__key") +: valueCols): _*)
+          val updates = cur.select((key.as("__key") +: valueCols): _*)
           propertiesSet += store.updateNodeProps(label, updates) * as.size
+          // fold the assignments into the running frame (match-bound
+          // vars have v__prop columns there; write-bound vars re-read
+          // post-write at RETURN time instead)
+          if (vars.contains(v)) as.foreach { case (p, e) =>
+            cur = cur.withColumn(s"${v}__${p.name}", compiler.toColumn(e, vars))
+          }
         }
       }
 
@@ -184,8 +195,11 @@ final class CypherWriter(
                   nodesDeleted += store.deleteNodes(nd.name, keys, detach)
               }
             } else {
+              // skip the table rewrites outright when nothing matched
+              // (the key frame is a cheap probe on the checkpoint)
               val keys = matched.select(pkCol(v).cast("string").as("__key"))
-              nodesDeleted += store.deleteNodes(label, keys, detach)
+              if (!keys.isEmpty)
+                nodesDeleted += store.deleteNodes(label, keys, detach)
             }
           }
 
@@ -194,9 +208,14 @@ final class CypherWriter(
           // pks), then relationships
           paths.foreach { p =>
             (p.head +: p.hops.map(_._2)).foreach { n =>
-              val isNew = n.variable.forall(v =>
-                !vars.contains(v) && !writeBound.contains(v)) && n.label.nonEmpty
-              if (isNew) createNode(n, merge = false)
+              val alreadyBound = n.variable.exists(v =>
+                vars.contains(v) || writeBound.contains(v))
+              if (alreadyBound)
+                require(n.label.isEmpty && n.props.isEmpty,
+                  s"CREATE cannot re-declare bound variable ${n.variable.get} " +
+                    "with a label/property map (openCypher rejects this); " +
+                    "bound endpoints are bare: CREATE (a)-[:R]->(b)")
+              else if (n.label.nonEmpty) createNode(n, merge = false)
             }
           }
           paths.foreach { p =>
@@ -229,7 +248,7 @@ final class CypherWriter(
       // vars resolve by re-reading the (post-write) node table
       q.ret match {
         case Some(ret) =>
-          var frame = matched
+          var frame = cur // matched + SET assignments applied in order
           var projVars = vars
           val needed = (ret.items.map(_.expr) ++ q.orderBy.map(_.expr))
             .flatMap(compiler.referencedVarsOf).toSet
@@ -245,13 +264,11 @@ final class CypherWriter(
               projVars += (v -> label)
             }
           }
-          overrides.foreach { case ((v, p), c) =>
-            // SET overlay applies to match-bound vars; write-bound vars
-            // were just re-read post-write, so they already carry it
-            if (vars.contains(v)) frame = frame.withColumn(s"${v}__$p", c)
-          }
-          val (out, _) = compiler.project(frame, projVars, ret.items, ret.distinct,
+          val (out0, _) = compiler.project(frame, projVars, ret.items, ret.distinct,
             q.orderBy, keepNamespaces = false)
+          var out = out0
+          q.skip.foreach(e => out = out.offset(compiler.limitValueOf(e, "SKIP")))
+          q.limit.foreach(e => out = out.limit(compiler.limitValueOf(e, "LIMIT")))
           // materialize before releasing the checkpoint: the projection
           // must not re-read swapped source tables
           spark.createDataFrame(
