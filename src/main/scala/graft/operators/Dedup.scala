@@ -219,42 +219,75 @@ object Dedup {
 
   /** SimHash near-duplicate pairs with hamming ≤ maxHamming (default 3).
     *
-    * Bucketing uses `maxHamming + 1` chunks: by pigeonhole, a pair
-    * differing in ≤ maxHamming bits has at least one chunk with zero
-    * differing bits, so recall over the signature space is exactly 1.
-    * (The round-3 version fixed 4 chunks, which guarantees only
-    * hamming ≤ 3 — a 6-bit-diff pair can land one diff in each of 4
-    * chunks and be silently missed.) More chunks ⇒ narrower chunks ⇒
-    * more candidate collisions — the standard recall/cost trade. */
+    * Bucketing uses CHUNK-PAIR keys over `maxHamming + 2` chunks: by
+    * pigeonhole, a pair differing in ≤ maxHamming bits dirties at most
+    * maxHamming chunks, leaving ≥ 2 clean chunks — so at least one
+    * (i,j) chunk PAIR is identical on both sides and signature-space
+    * recall stays exactly 1. The pair keys are what make this scale:
+    * single-chunk keys at maxHamming=6 are ~9 bits wide (≤512 distinct
+    * values — the bucket join admits O(n²/512) candidates at ANY corpus
+    * size), while C(8,2)=28 concatenated 16-bit pair keys grow the key
+    * space to ~65k per slot, shrinking per-bucket collision mass ~128×.
+    * The explode factor rises from maxHamming+1 to C(maxHamming+2,2) —
+    * rows are 4 narrow columns, a cheap trade for de-quadratified
+    * candidates.
+    *
+    * Candidate generation replicates [[minhashPairs]]' capped shape:
+    * bucket sizes come from a window count BEFORE any array
+    * materializes, degenerate buckets (> maxBucket boilerplate docs
+    * sharing 16 signature bits) are dropped — the standard web-dedup
+    * log-and-drop trade — and pairs posexplode positionally from the
+    * sorted per-bucket array (each unordered pair once, id1 < id2), so
+    * there is no bucket self-join at all. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3)(implicit ctx: PipelineContext): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 2000)(
+      implicit ctx: PipelineContext): DataFrame =
+    simhashCandidates(df, idCol, textCol, maxHamming, maxBucket)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+
+  /** The candidate stage of [[simhashPairs]] (pre-verify, may contain
+    * bucket-level duplicates) — exposed inside graft so scale tests can
+    * assert candidate volume grows sub-quadratically with the corpus. */
+  private[graft] def simhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, maxBucket: Int)(
+      implicit ctx: PipelineContext): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32), got $maxHamming")
-    val nChunks = maxHamming + 1
+    val nChunks = maxHamming + 2
     // chunk i covers bits [i*64/n, (i+1)*64/n) — widths differ by ≤1
+    // and are ≤ 32 (nChunks ≥ 2), so two chunk values pack losslessly
+    // into one long as (cvI << 32) | cvJ.
     val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
+    def chunkVal(i: Int): Column = {
+      val lo = bounds(i); val w = bounds(i + 1) - lo
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      shiftright(col("sim"), lo).bitwiseAND(mask)
+    }
+    val pairKeys = for {
+      i <- 0 until nChunks; j <- (i + 1) until nChunks
+    } yield struct(
+      lit(i * nChunks + j).as("ck"),
+      shiftleft(chunkVal(i), 32).bitwiseOR(chunkVal(j)).as("cv"))
     val sigs = simhashSigs(df, idCol, textCol)
     val chunked = sigs.select(col("id"), col("sim"),
-      explode(array((0 until nChunks).map { i =>
-        val lo = bounds(i); val w = bounds(i + 1) - lo
-        // JVM long shifts are mod-64: (1L << 64) - 1 == 0, which would
-        // collapse the nChunks=1 (maxHamming=0) case into ONE global
-        // bucket — an uncapped O(n²) self-join. Full-width chunk ⇒
-        // full-signature mask (exact-signature join).
-        val mask = if (w >= 64) -1L else (1L << w) - 1L
-        struct(lit(i).as("ci"),
-          shiftright(col("sim"), lo).bitwiseAND(mask).as("cv"))
-      }: _*)).as("ch"))
-      .select(col("id"), col("sim"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-    val a = chunked.select(col("ci"), col("cv"), col("id").as("id1"), col("sim").as("sim1"))
-    val b = chunked.select(col("ci"), col("cv"), col("id").as("id2"), col("sim").as("sim2"))
-    a.join(b, Seq("ci", "cv"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        hamming64(col("sim1"), col("sim2")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      explode(array(pairKeys: _*)).as("ch"))
+      .select(col("id"), col("sim"), col("ch.ck").as("ck"), col("ch.cv").as("cv"))
+    // cap before collect_list — the window count is sort-based and
+    // spillable; the groupBy reuses the window's hash partitioning
+    val sized = chunked.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy(col("ck"), col("cv"))))
+      .filter(col("bn").between(2, maxBucket))
+    val buckets = sized.groupBy(col("ck"), col("cv"))
+      .agg(array_sort(collect_list(struct(col("id"), col("sim")))).as("xs"))
+    buckets
+      .select(col("xs"), posexplode(col("xs")).as(Seq("i", "x1")))
+      .select(col("x1"),
+        explode(slice(col("xs"), col("i") + lit(2), size(col("xs")))).as("x2"))
+      .select(col("x1.id").as("id1"), col("x2.id").as("id2"),
+        hamming64(col("x1.sim"), col("x2.sim")).as("hamming"))
   }
 
   /** Exact n-gram Jaccard similarity pairs ≥ threshold; candidates
@@ -303,28 +336,67 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
-    * restricted to sign-bit LSH buckets (nPlanes small keeps recall
-    * high for the ≥0.95 regime dedup cares about). */
+    * restricted to BANDED sign-bit LSH buckets.
+    *
+    * A single table of 2^nPlanes buckets has FIXED key cardinality —
+    * candidate volume O(n²/2^p) is quadratic at any real corpus size
+    * (an LSH costume over an all-pairs join). Banding fixes both axes
+    * of the trade: `bands` independent hyperplane tables of `nPlanes`
+    * planes each (per-band seeds) give recall 1-(1-r^p)^b — r = 1-θ/π
+    * per plane — so p can be raised (more, smaller buckets ⇒
+    * sub-quadratic candidates) while b buys the recall back; exactly
+    * minhash banding's geometry with hyperplane signs as the hash. At
+    * defaults (b=4, p=8, cos ≥ 0.95 ⇒ r ≈ 0.90): recall ≈ 0.93 with
+    * 4×256 buckets; for 100 TB raise p with n (p ≈ log2(n/target
+    * bucket size)) and b to the recall budget.
+    *
+    * Degenerate buckets (many near-parallel vectors, or all-zero
+    * embeddings) are capped via a NARROW (band,bucket) count — the
+    * wide vector rows are never shuffled for sizing, only for the
+    * candidate join itself — then dropped (log-and-drop, as
+    * [[minhashPairs]]). The verify filter keeps precision at 1
+    * regardless of banding. */
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      minCosine: Double = 0.95, nPlanes: Int = 8)(
-      implicit ctx: PipelineContext): DataFrame = {
-    import graft.functions.VectorFunctions
-    // bucket AND norm computed once per vector; the candidate join then
-    // evaluates a single codegen'd dot per pair
-    val withBucket = ctx.stage(df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", VectorFunctions.lshBucket(col("v"), dim, nPlanes))
-      .withColumn("nrm", VectorFunctions.l2Norm(col("v"))))
-    val a = withBucket.select(col("bucket"), col("id").as("id1"),
-      col("v").as("v1"), col("nrm").as("n1"))
-    val b = withBucket.select(col("bucket"), col("id").as("id2"),
-      col("v").as("v2"), col("nrm").as("n2"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("cosine", VectorFunctions.cosinePre(
-        VectorFunctions.dot(col("v1"), col("v2")), col("n1"), col("n2")))
+      minCosine: Double = 0.95, nPlanes: Int = 8, bands: Int = 4,
+      maxBucket: Int = 2000)(
+      implicit ctx: PipelineContext): DataFrame =
+    embeddingCandidates(df, idCol, vecCol, dim, nPlanes, bands, maxBucket)
       .filter(col("cosine") >= minCosine)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
       .distinct()
+
+  /** The candidate stage of [[embeddingPairs]] (pre-threshold, scored,
+    * may contain per-band duplicates) — exposed inside graft for the
+    * candidate-volume scale tests. */
+  private[graft] def embeddingCandidates(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int, bands: Int, maxBucket: Int)(
+      implicit ctx: PipelineContext): DataFrame = {
+    import graft.functions.VectorFunctions
+    // buckets AND norm computed once per vector (the staged frame holds
+    // the b-bucket array, not b copies of the vector); the candidate
+    // join then evaluates a single codegen'd dot per pair
+    val withBucket = ctx.stage(df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bks", array((0 until bands).map(bd =>
+        VectorFunctions.lshBucket(col("v"), dim, nPlanes, seed = 42L + bd)): _*))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v"))))
+    val exploded = withBucket
+      .select(col("id"), col("v"), col("nrm"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+    val okBuckets = exploded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucket))
+      .select(col("band"), col("bucket"))
+    val capped = exploded.join(okBuckets, Seq("band", "bucket"), "left_semi")
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", VectorFunctions.cosinePre(
+        VectorFunctions.dot(col("v1"), col("v2")), col("n1"), col("n2")))
+      .select(col("id1"), col("id2"), col("cosine"))
   }
 }

@@ -129,27 +129,56 @@ object Similarity {
       ranked.select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
-  /** LSH-bucketed ANN: candidates from matching sign-bit buckets, with
-    * multi-probe (flip 1 bit) to recover near-boundary neighbors, then
-    * exact cosine rerank within candidates. */
+  /** LSH-bucketed ANN: candidates from matching BANDED sign-bit
+    * buckets, with multi-probe (flip 1 bit) within each band to recover
+    * near-boundary neighbors, then exact cosine rerank within
+    * candidates.
+    *
+    * Banding (b independent hyperplane tables of p planes, per-band
+    * seeds) is what makes the bucket space scale: a single 2^p table
+    * has fixed key cardinality — O(n/2^p) corpus rows per probe at ANY
+    * corpus size — while banding lets p grow with n (smaller buckets,
+    * sub-quadratic candidates) and b buy the recall back,
+    * 1-(1-r^p)^b per neighbor, like minhash banding. Degenerate corpus
+    * buckets are capped via a NARROW (band,bucket) count (vectors are
+    * not shuffled for sizing) and dropped — bounded candidates beat a
+    * whale bucket; raise maxBucket if recall matters more than tail
+    * latency. */
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, dim: Int, nPlanes: Int = 8,
+      k: Int, dim: Int, nPlanes: Int = 8, bands: Int = 4,
+      maxBucket: Int = 10000,
       excludeSelf: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
       .withColumn("nv", l2Norm(col("v")))
+      .select(col("id"), col("v"), col("nv"),
+        posexplode(array((0 until bands).map(bd =>
+          lshBucket(col("v"), dim, nPlanes, seed = 42L + bd)): _*))
+          .as(Seq("band", "bucket")))
+    val okBuckets = c.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val capped = c.join(okBuckets, Seq("band", "bucket"), "left_semi")
     val qBase = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
-      .withColumn("qbucket", lshBucket(col("qv"), dim, nPlanes))
       .withColumn("nq", l2Norm(col("qv")))
-    // multi-probe: the bucket itself plus each 1-bit flip
-    val probes = qBase.withColumn("bucket",
-      explode(array(
-        (col("qbucket") +: (0 until nPlanes).map(i =>
-          col("qbucket").bitwiseXOR(shiftleft(lit(1L), i)))): _*)))
-      .select(col("qid"), col("qv"), col("nq"), col("bucket"))
-    val candRaw = c.join(probes, Seq("bucket"))
+    // per band: the query's own bucket plus each 1-bit flip
+    val probes = qBase
+      .select(col("qid"), col("qv"), col("nq"),
+        posexplode(array((0 until bands).map(bd =>
+          lshBucket(col("qv"), dim, nPlanes, seed = 42L + bd)): _*))
+          .as(Seq("band", "qbucket")))
+      .withColumn("bucket",
+        explode(array(
+          (col("qbucket") +: (0 until nPlanes).map(i =>
+            col("qbucket").bitwiseXOR(shiftleft(lit(1L), i)))): _*)))
+      .select(col("qid"), col("qv"), col("nq"), col("band"), col("bucket"))
+    // a (qid,id) pair can collide in several bands — dedupe BEFORE
+    // ranking or one corpus id burns multiple ranks (duplicate rows
+    // carry identical vector payloads, so keeping any one is exact)
+    val candRaw = capped.join(probes, Seq("band", "bucket"))
+      .dropDuplicates("qid", "id")
     // self-exclusion must precede ranking or rank 1 is burned on the
     // query's own vector (rank gaps + k-1 usable neighbors)
     val cand = (if (excludeSelf) candRaw.filter(col("id") =!= col("qid")) else candRaw)
