@@ -150,32 +150,70 @@ object PipelineQueries {
       .select(col("doc_id"), TextFunctions.fingerprintPortable(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
-  /** LSH-bucketed ANN (the scale path). no_oracle: multi-probe bucket
-    * membership has recall < 1 by design, so no exact SQL reproduces
-    * the output; PipelineSpec asserts recall ≥ threshold against the
-    * exact brute-force top-k (t04, which IS oracle-backed). */
+  /** LSH-bucketed ANN (the scale path) as a RECALL gate. Multi-probe
+    * bucket membership has recall < 1 by design, so no SQL reproduces
+    * the raw top-k rows; instead the gate frame is the recall
+    * arithmetic itself: `n_queries` and `n_exact` are independently
+    * DuckDB-computable (exact non-self top-5 is SQL), `n_self_hits`
+    * pins the self-exclusion invariant at 0, and `recall_met` is
+    * Spark's honestly-computed recall-vs-exact ≥ 0.25 — the oracle
+    * states the requirement as TRUE, so a recall drop (or a self-hit)
+    * hash-mismatches the gate. The exact side Spark compares against is
+    * itself oracle-backed (t04's shape). */
   def t09LshAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.lshTopK(
-      emb, "vec_id", "embedding",
-      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
-      k = 5, dim = 64, nPlanes = 8, excludeSelf = true)
-      .orderBy(col("qid"), col("rank"))
+    val q = emb.filter(col("vec_id") < 10)
+    // exact non-self top-5 = top-6 minus the self-match (cosine 1.0 is
+    // always rank 1), same tie-break convention as the t04 oracle
+    val exact = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 6)
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
+    val lsh = Similarity.lshTopK(
+      emb, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 5, dim = 64, nPlanes = 8, bands = 4, excludeSelf = true)
+    val nQueries = q.agg(count(lit(1)).as("n_queries"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nSelf = lsh.filter(col("id") === col("qid"))
+      .agg(count(lit(1)).as("n_self_hits"))
+    val nHits = lsh.join(exact, Seq("qid", "id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    nQueries.crossJoin(nExact).crossJoin(nSelf).crossJoin(nHits)
+      .select(col("n_queries"), col("n_exact"), col("n_self_hits"),
+        (col("n_hits").cast("double") / col("n_exact") >= lit(0.25)).as("recall_met"))
   }
 
-  /** Embedding-cosine near-dup pairs. no_oracle: output = exact-cosine
-    * pairs ∩ sign-bucket collisions, and the bucket step (recall < 1 at
-    * this low threshold) is not SQL-expressible; PipelineSpec asserts
-    * the precision invariant (every emitted pair's exact cosine ≥
-    * threshold) and subset-of-exact against a brute-force pass. */
+  /** Embedding-cosine near-dup pairs as a PRECISION+RECALL gate. The
+    * banded-bucket step is not SQL-expressible, so the gate frame is
+    * the verification arithmetic: `n_exact` (all pairs with exact
+    * cosine ≥ threshold — the same strict left-to-right fold DuckDB
+    * replicates bit-for-bit), `n_false_pos` pinning the precision
+    * invariant at 0 (an emitted pair below threshold hash-mismatches),
+    * and `recall_met` = Spark's banded-LSH recall ≥ 0.3 with the oracle
+    * stating the requirement as TRUE.
+    *
+    * Testdata embeddings are i.i.d. random (max pairwise cosine ≈0.51)
+    * — threshold set low so the gate is non-vacuous; real dedup uses
+    * ≥0.9 where banded recall is far higher. */
   def t10EmbeddingDedup(spark: SparkSession, dir: String): DataFrame =
-    // testdata embeddings are i.i.d. random (max pairwise cosine ≈0.51)
-    // — threshold set low so the operator's output is non-vacuous here;
-    // real dedup uses ≥0.9.
     PipelineContext.materialize { implicit ctx =>
-      Dedup.embeddingPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        dim = 64, minCosine = 0.35, nPlanes = 4)
-        .orderBy(col("id1"), col("id2"))
+      val emb = Tables.embeddings(spark, dir)
+      val thr = 0.35
+      val pairs = ctx.stage(Dedup.embeddingPairs(emb, "vec_id", "embedding",
+        dim = 64, minCosine = thr, nPlanes = 4, bands = 4))
+      val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+      val exact = a.crossJoin(b).filter(col("id1") < col("id2"))
+        .withColumn("cosine", VectorFunctions.cosine(col("v1"), col("v2")))
+        .filter(col("cosine") >= thr)
+        .select(col("id1"), col("id2"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nFalse = pairs.join(exact, Seq("id1", "id2"), "left_anti")
+        .agg(count(lit(1)).as("n_false_pos"))
+      val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+      nExact.crossJoin(nFalse).crossJoin(nPairs)
+        .select(col("n_exact"), col("n_false_pos"),
+          (col("n_pairs").cast("double") / col("n_exact") >= lit(0.3)).as("recall_met"))
     }
 
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
@@ -632,5 +670,57 @@ object PipelineQueries {
          SELECT user_id, max(session_idx) AS n_sessions,
            round(avg(n_events), 4) AS avg_events_per_session
          FROM per_session GROUP BY 1 ORDER BY 1""",
+    // t09/t10 are RECALL/PRECISION gates: the counts are independently
+    // DuckDB-computed (exact top-k / exact threshold pairs, same strict
+    // fold order); the boolean is the REQUIREMENT the oracle states —
+    // Spark computes it honestly against its own oracle-backed exact
+    // side, so a recall regression or precision violation
+    // hash-mismatches the row.
+    "t09_lsh_ann" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                    WHERE vec_id < 10),
+         scored AS (
+           SELECT q.qid, e.vec_id AS id,
+             round(
+               list_reduce(list_prepend(0.0,
+                 list_transform(list_zip(e.embedding, q.qv),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                 (a, b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(q.qv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, b) -> a + b))), 6) AS cosine
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+           FROM scored)
+         SELECT (SELECT count(*) FROM q) AS n_queries,
+                (SELECT count(*) FROM ranked WHERE rank <= 5) AS n_exact,
+                CAST(0 AS BIGINT) AS n_self_hits,
+                TRUE AS recall_met""",
+    "t10_embedding_dedup" ->
+      """WITH pairs AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2,
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(a.embedding, b.embedding),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+               (p, c) -> p + c)
+             / (sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(a.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (p, c) -> p + c))
+              * sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (p, c) -> p + c))) AS cosine
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         SELECT (SELECT count(*) FROM pairs WHERE cosine >= 0.35) AS n_exact,
+                CAST(0 AS BIGINT) AS n_false_pos,
+                TRUE AS recall_met""",
   )
 }
