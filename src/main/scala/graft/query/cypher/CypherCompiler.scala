@@ -344,12 +344,13 @@ final class CypherCompiler(
     // the bound endpoint anchors the join; if BOTH endpoints are bound
     // the far side joins too (the predicate tests the specific pair,
     // not "anchor has any such relationship")
-    val (anchor, forward, farAnchor) = (bound(headVar), bound(farVar)) match {
-      case (Some(h), f) => (h, rel.rightward, f)
-      case (None, Some(f)) => (f, !rel.rightward, None)
-      case _ => throw new IllegalArgumentException(
-        "EXISTS pattern needs one endpoint bound by the enclosing MATCH")
-    }
+    val (anchor, forward, farAnchor, anchorIsHead) =
+      (bound(headVar), bound(farVar)) match {
+        case (Some(h), f) => (h, rel.rightward, f, true)
+        case (None, Some(f)) => (f, !rel.rightward, None, false)
+        case _ => throw new IllegalArgumentException(
+          "EXISTS pattern needs one endpoint bound by the enclosing MATCH")
+      }
     // schema validation of the declared labels (loud, not silent-empty)
     val d = source.schema.rel(relType)
     val (nearL, farL) = if (forward) (d.from, d.to) else (d.to, d.from)
@@ -357,7 +358,11 @@ final class CypherCompiler(
       pq.variables(anchor) == nearL,
       s"EXISTS endpoint $anchor:${pq.variables(anchor)} does not match " +
         s"$relType's ${if (forward) "source" else "target"} label $nearL")
-    val farPat = if (forward) path.hops.head._2 else path.head
+    // the far endpoint is whichever pattern node is NOT the anchor —
+    // selecting by arrow orientation instead would validate the anchor
+    // against the far schema label on leftward patterns (falsely
+    // rejecting valid queries) and never check the real far node
+    val farPat = if (anchorIsHead) path.hops.head._2 else path.head
     farPat.label.foreach(l => require(l == farL,
       s"EXISTS far label $l does not match schema endpoint $farL"))
     farAnchor.foreach { f =>

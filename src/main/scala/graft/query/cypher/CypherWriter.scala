@@ -42,7 +42,13 @@ import CypherAst._
   * (serve/QueryService); read-only replicas keep rejecting write text. */
 final class CypherWriter(
     store: GraphStore,
-    params: Map[String, Any] = Map.empty) {
+    params: Map[String, Any] = Map.empty,
+    /** RETURN results up to this many rows collect (one job, no FS
+      * round trip); larger results page through a staging parquet and
+      * come back lazy — `MATCH (n) SET … RETURN n` with no LIMIT can
+      * match the whole graph, and a full driver collect of it is an
+      * OOM at scale. */
+    returnCollectThreshold: Long = 100000L) {
 
   private val compiler = new CypherCompiler(store, params)
 
@@ -100,8 +106,13 @@ final class CypherWriter(
 
       def applySet(items: Seq[(Prop, Expr)]): Unit = {
         // one rewrite per target label, all of that label's assignments
-        // in a single pass; values evaluate against `cur` so a later
-        // SET clause reads an earlier clause's writes
+        // in a single pass. openCypher SET is SIMULTANEOUS within a
+        // clause: every value — persisted AND overlaid — evaluates
+        // against the pre-clause state, so `SET n.a = n.b, n.b = n.a`
+        // swaps in the table AND in RETURN (a sequential withColumn
+        // fold would return (b, b) while persisting the swap). Across
+        // clauses, a later SET still sees earlier writes via `cur`.
+        val pre = cur
         items.groupBy(_._1.variable).foreach { case (v, as) =>
           val (label, key) = target(v)
           require(label != PatternQuery.AnyLabel,
@@ -109,14 +120,24 @@ final class CypherWriter(
           val valueCols = as.map { case (p, e) =>
             compiler.toColumn(e, vars).as(p.name)
           }
-          val updates = cur.select((key.as("__key") +: valueCols): _*)
+          val updates = pre.select((key.as("__key") +: valueCols): _*)
           propertiesSet += store.updateNodeProps(label, updates) * as.size
-          // fold the assignments into the running frame (match-bound
-          // vars have v__prop columns there; write-bound vars re-read
-          // post-write at RETURN time instead)
-          if (vars.contains(v)) as.foreach { case (p, e) =>
-            cur = cur.withColumn(s"${v}__${p.name}", compiler.toColumn(e, vars))
-          }
+        }
+        // overlay for RETURN: ONE projection over the pre-clause frame
+        // with every match-bound assignment folded in (write-bound vars
+        // re-read post-write at RETURN time instead)
+        val assigns = items.collect {
+          case (p, e) if vars.contains(p.variable) =>
+            s"${p.variable}__${p.name}" -> compiler.toColumn(e, vars)
+        }.toMap
+        if (assigns.nonEmpty) {
+          val existing = pre.columns.toSet
+          val replaced = pre.columns.toIndexedSeq.map(c =>
+            assigns.get(c).map(_.as(c)).getOrElse(col(c)))
+          val appended = assigns.collect {
+            case (name, value) if !existing(name) => value.as(name)
+          }.toSeq
+          cur = pre.select(replaced ++ appended: _*)
         }
       }
 
@@ -163,6 +184,19 @@ final class CypherWriter(
         require(n.props.exists(_._1 == d.primaryKey),
           s"${if (merge) "MERGE" else "CREATE"} (:$label {…}) must supply " +
             s"the primary key ${d.primaryKey}")
+        if (merge) {
+          // openCypher MERGE matches the FULL map; on a key-unique
+          // store a non-key prop that differs would demand creating a
+          // duplicate key. Reject loudly rather than silently matching
+          // on the key alone (the reference's own MERGE forms are all
+          // key-only, e.g. plaid transactions.py).
+          val extra = n.props.map(_._1).filterNot(_ == d.primaryKey)
+          require(extra.isEmpty,
+            s"MERGE (:$label {…}) matches on the primary key only; " +
+              s"non-key properties (${extra.mkString(", ")}) in the match " +
+              "map would need openCypher full-map semantics a key-unique " +
+              s"store cannot honor — MERGE on ${d.primaryKey}, then SET them")
+        }
         val rows = matched.select(n.props.map { case (k, e) =>
           compiler.toColumn(e, vars).as(k)
         }: _*)
@@ -216,6 +250,13 @@ final class CypherWriter(
                     "with a label/property map (openCypher rejects this); " +
                     "bound endpoints are bare: CREATE (a)-[:R]->(b)")
               else if (n.label.nonEmpty) createNode(n, merge = false)
+              else
+                // a fresh unlabeled node can never be created (no table
+                // to land in) — fail loudly, never silently skip
+                throw new IllegalArgumentException(
+                  s"CREATE node ${n.variable.getOrElse("(anonymous)")} needs " +
+                    "a label (a bare variable is only legal for endpoints " +
+                    "already bound by MATCH or an earlier CREATE/MERGE)")
             }
           }
           paths.foreach { p =>
@@ -269,10 +310,33 @@ final class CypherWriter(
           var out = out0
           q.skip.foreach(e => out = out.offset(compiler.limitValueOf(e, "SKIP")))
           q.limit.foreach(e => out = out.limit(compiler.limitValueOf(e, "LIMIT")))
-          // materialize before releasing the checkpoint: the projection
-          // must not re-read swapped source tables
-          spark.createDataFrame(
-            java.util.Arrays.asList(out.collect(): _*), out.schema)
+          // The result must be snapshot-stable before the checkpoint is
+          // released — the lazy projection would re-read the very
+          // parquet the writes just swapped. Small results collect;
+          // above the threshold the projection is materialized to a
+          // result-staging parquet and returned as a LAZY frame over
+          // that immutable snapshot (a full-graph `SET … RETURN n` is
+          // a driver OOM if collected). Staging dirs live under the
+          // graph root; a serving deployment reaps them by TTL like
+          // any other result cache.
+          val n = out.count()
+          if (n <= returnCollectThreshold)
+            spark.createDataFrame(
+              java.util.Arrays.asList(out.collect(): _*), out.schema)
+          else {
+            val dir = s"${store.root}/${store.graphId}/.return_staging/" +
+              s"r_${System.nanoTime()}"
+            if (q.orderBy.nonEmpty) {
+              // parquet read-back does not preserve write order — stamp
+              // the sorted position and re-sort lazily on read
+              out.withColumn("__ord", monotonically_increasing_id())
+                .write.parquet(dir)
+              spark.read.parquet(dir).orderBy("__ord").drop("__ord")
+            } else {
+              out.write.parquet(dir)
+              spark.read.parquet(dir)
+            }
+          }
         case None =>
           import spark.implicits._
           Seq((propertiesSet, nodesDeleted, nodesCreated, relsCreated))

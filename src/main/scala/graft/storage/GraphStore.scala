@@ -241,6 +241,11 @@ final class GraphStore(
         assigned.map(c => col(c).as(s"__set_$c")).toIndexedSeq: _*)
       .withColumn("__matched", lit(true))
     val cur = node(label)
+    // matched = keys that actually hit a stored row (counted BEFORE the
+    // rewrite swaps the table). Counting distinct REQUESTED keys would
+    // overreport: keys absent from the table are not property sets.
+    val matched = cur.join(u, cur(pk).cast("string") === u("__key"), "left_semi")
+      .count()
     val joined = cur.join(u, cur(pk).cast("string") === u("__key"), "left")
     val outCols = cur.columns.map { c =>
       if (assigned.contains(c)) {
@@ -250,7 +255,7 @@ final class GraphStore(
       } else cur(c)
     }
     rewriteInPlace(nodePath(label), joined.select(outCols.toIndexedSeq: _*))
-    updates.select("__key").distinct().count()
+    matched
   }
 
   /** Cypher `MATCH … [DETACH] DELETE n` executor: remove node rows by
