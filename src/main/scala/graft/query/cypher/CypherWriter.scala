@@ -141,6 +141,34 @@ final class CypherWriter(
         }
       }
 
+      /** `SET n += map` (neo4j.py:340's bulk-load dialect) expands to
+        * per-key assignments, so openCypher's merge semantics fall out
+        * of applySet: null values remove the property, absent keys keep
+        * theirs. Keys must be statically known — a literal map or a
+        * `$param` holding one; the primary key is skipped (it is the
+        * row's identity, anchored by the MATCH/MERGE — neo4j.py's rows
+        * carry it redundantly), never reassigned. */
+      def expandSetMerge(v: String, m: Expr): Seq[(Prop, Expr)] = {
+        val (label, _) = target(v)
+        require(label != PatternQuery.AnyLabel,
+          s"SET += needs a labeled node variable, got label-less $v")
+        val pk = store.schema.node(label).primaryKey
+        val kvs: Seq[(String, Expr)] = m match {
+          case MapLit(items) => items
+          case Param(name) => params.get(name) match {
+            case Some(mm: Map[_, _]) =>
+              mm.toSeq.map { case (k, x) => k.toString -> (Lit(x): Expr) }
+            case other => throw new IllegalArgumentException(
+              s"SET $v += $$$name needs a map parameter, got " +
+                other.map(_.getClass.getSimpleName).getOrElse("no binding"))
+          }
+          case _ => throw new IllegalArgumentException(
+            "SET += supports a literal map or a $param map — per-row " +
+              "dynamic maps go through the bulk ingest path instead")
+        }
+        kvs.filterNot(_._1 == pk).map { case (k, e) => (Prop(v, k), e) }
+      }
+
       /** Endpoint pk expression: write-bound registry first, then the
         * matched frame's pk column. */
       def nodePk(n: NodePat): Expr = {
@@ -207,7 +235,8 @@ final class CypherWriter(
       }
 
       q.writes.foreach {
-        case SetClause(items) => applySet(items)
+        case SetClause(items, merges) =>
+          applySet(items ++ merges.flatMap { case (v, m) => expandSetMerge(v, m) })
         case RemoveClause(targets) =>
           applySet(targets.map(p => p -> (Lit(null): Expr)))
 

@@ -32,7 +32,12 @@ object CorpusSweep {
 
   def corpus(): Seq[(String, String)] =
     Source.fromFile("src/test/resources/reference_cypher_corpus.jsonl")
-      .getLines().filter(_.nonEmpty).map(parseLine).toSeq
+      .getLines().filter(_.nonEmpty).map(parseLine)
+      // late harvest normalization: property-access f-string holes the
+      // harvester left raw (`row.{id_field}`, neo4j.py) become `.X`
+      // like every other hole — `.{word}` cannot occur in real Cypher
+      .map { case (src, q) => (src, q.replaceAll("""\.\{\w+\}""", ".X")) }
+      .toSeq
 
   def main(args: Array[String]): Unit = {
     val items = corpus()

@@ -36,10 +36,7 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     "tests/conftest.py" ->
       "harvest artifact: node patterns are f-string holes",
     "tests/routers/graphs/test_query.py" ->
-      "harvest artifact: property map is an f-string hole",
-    "robosystems/graph_api/backends/neo4j.py" ->
-      ("Neo4j backend adapter dialect (SET n += row, map-key f-string " +
-        "hole) — not the engine's own query surface"))
+      "harvest artifact: property map is an f-string hole")
 
   test("reference Cypher corpus: every real query parses; exclusions documented") {
     val items = CorpusSweep.corpus()
@@ -53,7 +50,7 @@ class ReferenceCorpusSpec extends AnyFunSuite {
           s"  [$src] ${q.replaceAll("\\s+", " ").take(120)}\n    $err"
         }.mkString("\n"))
     val ok = results.count(_._3.isRight)
-    assert(ok >= 220, s"parse coverage regressed: $ok/${items.size}")
+    assert(ok >= 221, s"parse coverage regressed: $ok/${items.size}")
   }
 
   test("the platform's load-bearing shapes parse exactly as emitted") {
@@ -102,5 +99,11 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     // test_client.py — comment + DELETE, trailing semicolon
     assert(CypherParser.parseQuery("MATCH (n) /* comment */ DETACH DELETE n").isRight)
     assert(CypherParser.parseQuery("MATCH (n) RETURN n;").isRight)
+    // graph_api/backends/neo4j.py:340 — bulk-load upsert, SET += map
+    assert(CypherParser.parseQuery(
+      """UNWIND $batch as row
+         MERGE (n:`Entity` {identifier: row.identifier})
+         SET n += row
+         RETURN count(n) as count""").isRight)
   }
 }

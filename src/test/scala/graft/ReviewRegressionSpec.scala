@@ -65,7 +65,13 @@ class ReviewRegressionSpec extends SparkTestBase {
   }
 
   test("LSH ANN ranks start at 1 with self excluded") {
-    val rows = PipelineQueries.t09LshAnn(spark, sfDir).collect()
+    // (t09 is now a one-row recall gate — assert the rank/self
+    // invariants on the operator itself)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val rows = graft.operators.Similarity.lshTopK(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, dim = 64, nPlanes = 8, bands = 4, excludeSelf = true).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
     byQ.foreach { case (q, rs) =>
       val ranks = rs.map(_.getAs[Int]("rank")).sorted

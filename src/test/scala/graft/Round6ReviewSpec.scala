@@ -97,6 +97,42 @@ class Round6ReviewSpec extends SparkTestBase {
     assert(ex.getMessage.contains("primary key only"))
   }
 
+  test("SET += merges a param map: null removes, absent keeps, pk skipped (neo4j dialect)") {
+    val st2 = store.fork("r6-setmerge")
+    val out = new CypherWriter(st2, Map(
+      "id" -> "ent_apple",
+      "props" -> Map(
+        "identifier" -> "ent_apple", // pk: anchored by MATCH, never reassigned
+        "status" -> "merged",
+        "ticker" -> null))) // openCypher +=: null value removes
+      .execute(
+        """MATCH (c:Entity {identifier: $id})
+           SET c += $props
+           RETURN c.status AS status, c.ticker AS ticker, c.name AS name""")
+      .collect()(0)
+    assert(out.getString(0) === "merged")
+    assert(out.getString(1) === null)
+    assert(out.getString(2) === "Apple Inc.") // absent key keeps its value
+    val row = st2.node("Entity")
+      .filter(col("identifier") === "ent_apple").collect()(0)
+    assert(row.getAs[String]("status") === "merged")
+    assert(row.getAs[String]("ticker") === null)
+    assert(row.getAs[String]("name") === "Apple Inc.")
+    // literal-map form, mixed with a plain assignment in one clause
+    val out2 = new CypherWriter(st2).execute(
+      """MATCH (c:Entity {identifier: 'ent_msft'})
+         SET c.cik = '42', c += {status: 'ok'}
+         RETURN c.status AS status, c.cik AS cik""").collect()(0)
+    assert(out2.getString(0) === "ok")
+    assert(out2.getString(1) === "42")
+    // a non-map expression is rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      new CypherWriter(st2).execute(
+        "MATCH (c:Entity {identifier: 'ent_msft'}) SET c += c.status")
+    }
+    assert(ex.getMessage.contains("SET +="))
+  }
+
   test("write RETURN above the threshold pages through staging parquet, ordered") {
     val st2 = store.fork("r6-page")
     val out = new CypherWriter(st2, returnCollectThreshold = 0)
