@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
 object ScaleCheck {
 
   def synthesize(spark: SparkSession, srcDir: String, destDir: String, k: Int): Unit = {
+    // idempotent: a completed synthesis (marker file) is reused — the
+    // 64x write is minutes of IO and the data is deterministic
+    val marker = new java.io.File(s"$destDir/.complete")
+    if (marker.exists()) return
     // key spaces chosen beyond the sf0.1 max key values
     val shift = 10000000L
     def scaleTable(name: String, keyCols: Seq[String]): Unit = {
@@ -45,6 +49,7 @@ object ScaleCheck {
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$destDir/$t.parquet")
     }
+    marker.createNewFile()
   }
 
   def main(args: Array[String]): Unit = {
