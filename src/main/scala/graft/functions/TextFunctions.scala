@@ -162,6 +162,20 @@ object TextFunctions {
       org.apache.spark.sql.graft.SketchExpressions.Md5Fold(
         org.apache.spark.sql.graft.ColumnInternals.expression(tokens(c)), "fp0"))
 
+  /** Engine-portable 64-bit token hash: the first 16 hex chars of
+    * md5 read big-endian, assembled from two 32-bit halves so neither
+    * side ever parses an out-of-long-range value. DuckDB replica:
+    * `(('0x'||substr(md5(t),1,8))::BIGINT << 32) |
+    *  ('0x'||substr(md5(t),9,8))::BIGINT` (halves stay non-negative,
+    * so `>>`/`&` bit probes are sign-safe in both engines). Prefer
+    * xxhash64 in hot paths — this exists to let sketch gates sit under
+    * a DuckDB differential. */
+  def md5Hash64(c: Column): Column = {
+    val d = md5(c)
+    shiftleft(conv(substring(d, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(d, 9, 8), 16, 10).cast("long"))
+  }
+
   /** MinHash signature: k independent permutations approximated by
     * seeded xxhash64 over the shingle set; element i = min over
     * shingles of hash(shingle, seed=i). */
@@ -171,10 +185,12 @@ object TextFunctions {
 
   /** SimHash-64 from a token array: bit i of the result is the sign of
     * Σ_tokens (2·bit_i(hash(token)) − 1). Pure expression — no shuffle. */
-  def simhash64(tokensCol: Column): Column = {
+  def simhash64(
+      tokensCol: Column,
+      tokenHash: Column => Column = xxhash64(_)): Column = {
     val sums = (0 until 64).map { i =>
       aggregate(tokensCol, lit(0L),
-        (acc, t) => acc + (shiftright(xxhash64(t), i).bitwiseAND(1L) * 2L - 1L))
+        (acc, t) => acc + (shiftright(tokenHash(t), i).bitwiseAND(1L) * 2L - 1L))
     }
     sums.zipWithIndex.map { case (s, i) =>
       when(s > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))

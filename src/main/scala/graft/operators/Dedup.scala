@@ -206,12 +206,13 @@ object Dedup {
     * inside ONE native aggregate column (the 64-sum form paid O(64)
     * planning width per call; same token hashes, same signatures). */
   private def simhashSigs(
-      df: DataFrame, idCol: String, textCol: String)(
+      df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column)(
       implicit ctx: PipelineContext): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
       .select(col("id"), explode(col("t")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokenHash(col("tok")))
     // narrow (id, long) frame: columnar persist beats checkpoint here
     ctx.stagePersist(exploded.groupBy(col("id"))
       .agg(graft.functions.SketchFunctions.simhashSig(col("h")).as("sim")))
@@ -241,9 +242,10 @@ object Dedup {
     * there is no bucket self-join at all. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 2000)(
+      maxHamming: Int = 3, maxBucket: Int = 2000,
+      tokenHash: Column => Column = xxhash64(_))(
       implicit ctx: PipelineContext): DataFrame =
-    simhashCandidates(df, idCol, textCol, maxHamming, maxBucket)
+    simhashCandidates(df, idCol, textCol, maxHamming, maxBucket, tokenHash)
       .filter(col("hamming") <= maxHamming)
       .distinct()
 
@@ -252,7 +254,8 @@ object Dedup {
     * assert candidate volume grows sub-quadratically with the corpus. */
   private[graft] def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, maxBucket: Int)(
+      maxHamming: Int, maxBucket: Int,
+      tokenHash: Column => Column = xxhash64(_))(
       implicit ctx: PipelineContext): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32), got $maxHamming")
@@ -271,7 +274,7 @@ object Dedup {
     } yield struct(
       lit(i * nChunks + j).as("ck"),
       shiftleft(chunkVal(i), 32).bitwiseOR(chunkVal(j)).as("cv"))
-    val sigs = simhashSigs(df, idCol, textCol)
+    val sigs = simhashSigs(df, idCol, textCol, tokenHash)
     val chunked = sigs.select(col("id"), col("sim"),
       explode(array(pairKeys: _*)).as("ch"))
       .select(col("id"), col("sim"), col("ch.ck").as("ck"), col("ch.cv").as("cv"))

@@ -116,16 +116,19 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }
 
-  /** SimHash near-dup pairs, hamming ≤ 6 (7 pigeonhole chunks).
-    * no_oracle: the signature is an xxhash64 bit-vote, which DuckDB
-    * cannot reproduce (no seeded xxhash64); instead PipelineSpec
-    * asserts EQUALITY against a brute-force all-pairs hamming scan —
-    * valid because (maxHamming+1)-chunk bucketing has recall 1 by
-    * pigeonhole and the verify stage keeps exactly hamming ≤ max. */
+  /** SimHash near-dup pairs, hamming ≤ 6 (8 pigeonhole chunk-pair
+    * keys). Oracle-backed: the gate uses the PORTABLE md5-derived
+    * token hash ([[graft.functions.TextFunctions.md5Hash64]]) so
+    * DuckDB can rebuild the exact signatures from md5 hex halves and
+    * brute-force all pairs — sound as a differential because chunk-pair
+    * bucketing has signature-space recall exactly 1 by pigeonhole (≥2
+    * clean chunks ⇒ ≥1 identical pair key) and no sf0.01 bucket can
+    * exceed the 2000-doc cap. The xxhash64 production path keeps its
+    * PipelineSpec brute-force-equality check. */
   def t06SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     PipelineContext.materialize { implicit ctx =>
       Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
-        maxHamming = 6)
+        maxHamming = 6, tokenHash = graft.functions.TextFunctions.md5Hash64)
         .orderBy(col("id1"), col("id2"))
     }
 
@@ -610,6 +613,37 @@ object PipelineQueries {
              list_prepend('fp0', string_split_regex(lower(trim(text)), '\s+')),
              (a, b) -> md5(a || b)) AS fp
          FROM documents ORDER BY doc_id""",
+    // Brute-force simhash differential: rebuild the md5-half token
+    // hashes, take the per-bit ±1 vote per doc (vote > 0 ⇒ bit set —
+    // SimHashSigAgg's exact tie rule), then all-pairs hamming. Sound
+    // vs the LSH path because chunk-pair bucketing has signature-space
+    // recall 1 (pigeonhole) and sf0.01 cannot hit the bucket cap.
+    "t06_simhash_pairs" ->
+      """WITH th AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+           FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                 FROM documents)
+         ), bits AS (
+           SELECT doc_id, b,
+             CASE WHEN sum(CASE WHEN (((CASE WHEN b < 32 THEN lo ELSE hi END)
+                                       >> (b % 32)) & 1) = 1
+                           THEN 1 ELSE -1 END) > 0
+                  THEN 1 ELSE 0 END AS bit
+           FROM th CROSS JOIN range(0, 64) r(b)
+           GROUP BY doc_id, b
+         ), sigs AS (
+           SELECT doc_id, list(bit ORDER BY b) AS sig FROM bits GROUP BY doc_id
+         ), pairs AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(list_sum([CASE WHEN a.sig[i] != b.sig[i] THEN 1 ELSE 0 END
+                            for i in range(1, 65)]) AS INTEGER) AS hamming
+           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         )
+         SELECT id1, id2, hamming FROM pairs
+         WHERE hamming <= 6 ORDER BY id1, id2""",
     "t13_curation" ->
       """WITH ann AS (
            SELECT doc_id, text,

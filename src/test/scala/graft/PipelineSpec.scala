@@ -134,9 +134,9 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("simhash pairs EQUAL brute-force hamming pairs (pigeonhole recall = 1)") {
-    // the gate (t06) can't be DuckDB-oracled (seeded xxhash64 sigs) —
-    // this is its ground truth: chunk-bucketed candidates + verify must
-    // reproduce the full quadratic hamming scan exactly
+    // the xxhash64 production path's ground truth: chunk-bucketed
+    // candidates + verify must reproduce the full quadratic hamming
+    // scan exactly
     val maxH = 6
     val lsh = PipelineContext.run { implicit ctx =>
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = maxH)
@@ -153,6 +153,39 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(lsh === exact)
     assert(exact.nonEmpty) // non-vacuous: the corpus has close pairs
+  }
+
+  test("md5Hash64 pins the first-16-hex-chars-of-md5 contract (DuckDB parity)") {
+    // values independently derived from md5 hex (and reproduced by the
+    // t06 oracle's DuckDB half-probe form) — if either engine's hash
+    // assembly drifts, this fails before the gate does
+    val row = Seq(("abc", "")).toDF("a", "b")
+      .select(TF.md5Hash64(col("a")), TF.md5Hash64(col("b"))).collect()(0)
+    assert(row.getLong(0) === -8070080442485551184L) // 900150983cd24fb0
+    assert(row.getLong(1) === -3162216497309240828L) // d41d8cd98f00b204
+  }
+
+  test("portable simhash pairs EQUAL brute-force (the t06 oracle contract)") {
+    // t06 runs the md5-portable hash so DuckDB can rebuild signatures;
+    // LSH == brute force on that path is what makes the all-pairs
+    // DuckDB differential a sound oracle
+    val maxH = 6
+    val lsh = PipelineContext.run { implicit ctx =>
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = maxH,
+        tokenHash = TF.md5Hash64)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    }
+    val exact = PipelineContext.run { implicit ctx =>
+      val sigs = ctx.stage(docs.select(col("doc_id").as("id"),
+        TF.simhash64(TF.tokens(col("text")), TF.md5Hash64).as("sim")))
+      val a = sigs.select(col("id").as("id1"), col("sim").as("s1"))
+      val b = sigs.select(col("id").as("id2"), col("sim").as("s2"))
+      a.crossJoin(b).filter(col("id1") < col("id2"))
+        .filter(TF.hamming64(col("s1"), col("s2")) <= maxH)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    }
+    assert(lsh === exact)
+    assert(exact.nonEmpty)
   }
 
   test("LSH ANN recall vs exact top-k meets threshold") {
