@@ -91,6 +91,40 @@ object CurationPipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("__tokens")).as("bin_tokens"))
   }
 
+  /** Benchmark decontamination: per corpus document, the fraction of
+    * its DISTINCT word n-grams that also occur anywhere in a benchmark
+    * set — the standard check that training data does not contain the
+    * eval set (run with n = 8..13 on real corpora; the synthetic gate
+    * uses 3). Returns (id, n_grams, n_hits, containment); the caller
+    * drops rows above its contamination threshold.
+    *
+    * Shape at 100 TB: the benchmark's distinct-gram table is built
+    * once and staged (benchmarks are orders of magnitude smaller than
+    * the corpus, but still too big to ASSUME broadcastable — the join
+    * comes out of shuffles on the gram key, so AQE broadcasts exactly
+    * when it fits, same policy as [[Dedup.jaccardPairsExact]]). The
+    * corpus side is one explode → left join → per-doc count: one scan,
+    * two bounded shuffles, no driver collect. Short docs (< n words)
+    * produce wordShingles' truncated tail shingle, not zero rows, so
+    * every corpus doc appears in the output. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8)(
+      implicit ctx: PipelineContext): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val benchGrams = ctx.stagePersist(
+      bench.select(explode(TextFunctions.wordShingles(col(benchTextCol), n)).as("g"))
+        .distinct()
+        .withColumn("__hit", lit(1)))
+    corpus
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
+      .join(benchGrams, Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+      .withColumn("containment",
+        round(col("n_hits").cast("double") / col("n_grams"), 6))
+  }
+
   /** TF-IDF top terms per group (corpus vocabulary analysis): term
     * frequency per (group, term), smoothed idf ln((N+1)/(df+1)) over
     * document frequency, top-k per group. Ranking uses the INTEGER

@@ -402,4 +402,60 @@ object Dedup {
         VectorFunctions.dot(col("v1"), col("v2")), col("n1"), col("n2")))
       .select(col("id1"), col("id2"), col("cosine"))
   }
+
+  /** Connected components over an undirected pair set — the step that
+    * turns pairwise near-dup output ([[minhashPairs]] /
+    * [[simhashPairs]] / [[embeddingPairs]]) into CLUSTERS so dedup can
+    * keep one canonical doc per cluster (pairs alone under-delete:
+    * A~B, B~C must drop two docs, not one per pair independently).
+    * Returns (id, component) for every id appearing in a pair, with
+    * component = the minimum reachable id (the standard keep-first
+    * canonical rule). Ids in no pair are their own singleton clusters
+    * and are not emitted.
+    *
+    * Min-label propagation: each round pushes labels across edges and
+    * keeps the per-node min — two bounded shuffles per round (edge-key
+    * join + groupBy id), O(cluster diameter) rounds. Near-dup clusters
+    * from thresholded similarity are diameter-bounded in practice
+    * (members share most of their content), so rounds stay single
+    * digit; for adversarial long-chain graphs the O(log n) alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14) drops into the
+    * same edge/label primitives. The loop fails loudly at maxIter
+    * rather than returning a half-merged labeling. Labels are narrow
+    * (two longs per clustered id — clustered ids only, a small
+    * fraction of any real corpus) and persisted per round; the
+    * convergence probe is a LIMIT-1 existence check, not a full
+    * count. */
+  def componentsOf(
+      pairs: DataFrame, aCol: String = "id1", bCol: String = "id2",
+      maxIter: Int = 25)(
+      implicit ctx: PipelineContext): DataFrame = {
+    val edges = ctx.stagePersist(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+        .distinct())
+    var labels = ctx.stagePersist(
+      edges.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("component")))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val pushed = edges.join(labels, edges("u") === labels("id"))
+        .select(col("v").as("id"), col("component"))
+      val next = ctx.stagePersist(
+        labels.unionByName(pushed)
+          .groupBy(col("id")).agg(min(col("component")).as("component")))
+      converged = next
+        .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
+        .filter(col("component") < col("prev"))
+        .limit(1).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"componentsOf: no fixpoint after $maxIter rounds — cluster diameter " +
+        "exceeds the propagation budget; raise maxIter or use star-contraction")
+    labels
+  }
 }

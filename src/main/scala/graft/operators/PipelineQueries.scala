@@ -252,6 +252,39 @@ object PipelineQueries {
       .orderBy(col("media_type"))
   }
 
+  /** Near-dup CLUSTERS: the t05 minhash pair set closed transitively
+    * ([[Dedup.componentsOf]]) with per-cluster accounting — pairs
+    * alone under-delete (A~B, B~C is ONE cluster of three, not two
+    * independent pairs). Oracle-backed: DuckDB rebuilds the exact pair
+    * set (t05's exact-Jaccard differential) and closes it with a
+    * recursive CTE; min-label propagation must agree exactly. */
+  def t23Components(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val pairs = Dedup.minhashPairs(
+        Tables.documents(spark, dir), "doc_id", "text",
+        shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+        minJaccard = Some(0.4))
+      Dedup.componentsOf(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+        .orderBy(col("component"))
+    }
+
+  /** Benchmark decontamination: every 10th doc plays the benchmark,
+    * the rest the corpus (bounded to doc_id < 60 for a stable gate
+    * row count); word 3-grams on the ~40-word synthetic vocabulary
+    * give a non-trivial containment spread. Oracle-backed: DuckDB
+    * rebuilds the same distinct-gram sets via list_slice windows. */
+  def t24Decontam(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val docs = Tables.documents(spark, dir)
+      CurationPipeline.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") < 60),
+        "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", n = 3)
+        .orderBy(col("id"))
+    }
+
   /** Token-window chunking with overlap (context-length shaping).
     * Oracle-backed: chunk text itself hash-compares against DuckDB list
     * slices — content equality, not just counts. */
@@ -392,6 +425,8 @@ object PipelineQueries {
     "t20_hash_split" -> t20HashSplit _,
     "t21_packing" -> t21Packing _,
     "t22_tfidf" -> t22Tfidf _,
+    "t23_components" -> t23Components _,
+    "t24_decontam" -> t24Decontam _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -575,6 +610,55 @@ object PipelineQueries {
          WHERE len(list_intersect(a.g, b.g))::DOUBLE /
                (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
          ORDER BY id1, id2""",
+    // t05's exact pair set closed transitively with a recursive CTE:
+    // component = min reachable doc id, matching componentsOf's
+    // min-label fixpoint by construction.
+    "t23_components" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents
+         ), grams AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM toks WHERE len(w) >= 2
+         ), p AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+                 (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
+         ), edges AS (
+           SELECT id1 AS u, id2 AS v FROM p
+           UNION SELECT id2, id1 FROM p
+         ), reach(id, c) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.v, r.c FROM reach r JOIN edges e ON e.u = r.id
+         ), comp AS (
+           SELECT id, min(c) AS component FROM reach GROUP BY id
+         )
+         SELECT component, count(*) AS n_docs, max(id) AS max_id
+         FROM comp GROUP BY component ORDER BY component""",
+    // Distinct word 3-grams per doc via the same truncating slice
+    // windows as wordShingles; benchmark grams deduped once, left join
+    // + count(hit) = containment numerator.
+    "t24_decontam" ->
+      """WITH bg AS (
+           SELECT DISTINCT unnest(list_distinct(
+               [array_to_string(list_slice(w, i, i + 2), ' ')
+                for i in range(1, greatest(len(w) - 3, 0) + 2)])) AS g
+           FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+                 FROM documents WHERE doc_id % 10 = 0)
+         ), dg AS (
+           SELECT doc_id, unnest(list_distinct(
+               [array_to_string(list_slice(w, i, i + 2), ' ')
+                for i in range(1, greatest(len(w) - 3, 0) + 2)])) AS g
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                 FROM documents WHERE doc_id % 10 != 0 AND doc_id < 60)
+         )
+         SELECT d.doc_id AS id, count(*) AS n_grams, count(b.g) AS n_hits,
+           round(count(b.g)::DOUBLE / count(*), 6) AS containment
+         FROM dg d LEFT JOIN bg b ON d.g = b.g
+         GROUP BY d.doc_id ORDER BY id""",
     "t07_lang_quality" ->
       """WITH ann AS (
            SELECT doc_id, text,

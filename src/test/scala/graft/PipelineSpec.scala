@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, PipelineContext, Similarity}
+import graft.operators.{CurationPipeline, Dedup, Multimodal, PipelineContext, Similarity}
 import graft.sources.Tables
 
 /** Training-pipeline operators: invariants the DuckDB gate can't
@@ -46,6 +46,51 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(pairs.length === 1)
     assert(pairs(0).getAs[Long]("hamming") === 0L)
+  }
+
+  test("componentsOf: transitive closure, min-id canonical, separate clusters stay apart") {
+    // chain 1-2, 2-3 is ONE cluster; 10-11 another; 7-member path
+    // exercises multi-round propagation (diameter 6)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L), (25L, 26L))
+      .toDF("id1", "id2")
+    val comp = PipelineContext.run { implicit ctx =>
+      Dedup.componentsOf(pairs).as[(Long, Long)].collect().toMap
+    }
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L)
+    assert(comp(10L) === 10L && comp(11L) === 10L)
+    assert((20L to 26L).forall(comp(_) === 20L))
+    assert(comp.size === 12) // only ids that appear in a pair
+    // a diameter-6 chain cannot settle in 2 rounds: must fail LOUDLY
+    val ex = intercept[IllegalArgumentException] {
+      PipelineContext.run { implicit ctx =>
+        Dedup.componentsOf(pairs, maxIter = 2).collect()
+      }
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
+
+  test("decontaminate: containment arithmetic on known grams") {
+    // corpus doc 1 = "a b c d": distinct 2-grams {a b, b c, c d};
+    // bench contains "a b" and "b c" but not "c d" -> 2/3.
+    // doc 2 shares nothing -> 0. doc 3 is 1 word: its truncated tail
+    // shingle "z" appears in bench's tail shingle of "z" -> 1/1.
+    val corpus = Seq((1L, "a b c d"), (2L, "x y z q"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val bench = Seq("a b c", "z").toDF("text")
+    val out = PipelineContext.run { implicit ctx =>
+      CurationPipeline.decontaminate(corpus, "doc_id", "text",
+        bench, "text", n = 2)
+        .orderBy(col("id")).collect()
+    }
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("n_grams") === 3 &&
+      out(0).getAs[Long]("n_hits") === 2 &&
+      math.abs(out(0).getAs[Double]("containment") - 0.666667) < 1e-6)
+    assert(out(1).getAs[Long]("n_hits") === 0 &&
+      out(1).getAs[Double]("containment") === 0.0)
+    assert(out(2).getAs[Long]("n_grams") === 1 &&
+      out(2).getAs[Double]("containment") === 1.0)
   }
 
   test("exact dedup keeps one row per content") {

@@ -185,4 +185,20 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"), s"global window in:\n$plan")
     assert(plan.contains("Window"), s"no window in:\n$plan")
   }
+
+  test("decontaminate joins on the gram key - no cartesian, no global shuffle (t24 shape)") {
+    // pin the OPERATOR, not the gate: the gate wraps in materialize()
+    // whose collected local relation would make any plan assert vacuous
+    import org.apache.spark.sql.functions.col
+    graft.operators.PipelineContext.run { implicit ctx =>
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val plan = planOf(graft.operators.CurationPipeline.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", n = 3))
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoop"), s"nested-loop join in:\n$plan")
+      assert(!plan.contains("SinglePartition"), s"global shuffle in:\n$plan")
+      ()
+    }
+  }
 }
