@@ -91,6 +91,29 @@ object CurationPipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("__tokens")).as("bin_tokens"))
   }
 
+  /** Deterministic weighted source mixing (domain reweighting — the
+    * "20% web, 60% code, …" step of training-mixture construction):
+    * keep each row with probability weight(source), decided by the
+    * same content-stable md5 bucket as [[hashSplit]] — no RNG, no
+    * partition dependence, so the mix reproduces across engines and
+    * cluster sizes, and lowering a weight yields a NESTED subset
+    * (bucket < 2500 ⊂ bucket < 5000), the property mixture sweeps
+    * need to stay comparable run-to-run. Pure per-row filter: no
+    * shuffle, scales trivially. Weights above 1 are rejected
+    * (upsampling is replication, a different operator); sources
+    * absent from `weights` are dropped — the map IS the mixture spec,
+    * not a hint. */
+  def mixSources(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"weights must be in [0,1], got $weights")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint") % 10000
+    val wt = coalesce(weights.toSeq.sortBy(_._1).map { case (s, v) =>
+      when(col(sourceCol) === s, lit(v)) }: _*)
+    df.filter(wt.isNotNull && bucket < (wt * 10000).cast("bigint"))
+  }
+
   /** Benchmark decontamination: per corpus document, the fraction of
     * its DISTINCT word n-grams that also occur anywhere in a benchmark
     * set — the standard check that training data does not contain the

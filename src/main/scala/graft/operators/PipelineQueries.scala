@@ -285,6 +285,19 @@ object PipelineQueries {
         .orderBy(col("id"))
     }
 
+  /** Deterministic source mixing over the events table: four of the
+    * five event types weighted (signup intentionally absent → dropped;
+    * error at weight 0 → dropped), per-type surviving counts. Oracle-
+    * backed: the md5-bucket keep rule is pure arithmetic DuckDB
+    * replays exactly. */
+  def t25Mixing(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.mixSources(
+      Tables.events(spark, dir), "event_id", "event_type",
+      Map("click" -> 1.0, "view" -> 0.5, "purchase" -> 0.25, "error" -> 0.0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+
   /** Token-window chunking with overlap (context-length shaping).
     * Oracle-backed: chunk text itself hash-compares against DuckDB list
     * slices — content equality, not just counts. */
@@ -427,6 +440,7 @@ object PipelineQueries {
     "t22_tfidf" -> t22Tfidf _,
     "t23_components" -> t23Components _,
     "t24_decontam" -> t24Decontam _,
+    "t25_mixing" -> t25Mixing _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -638,6 +652,21 @@ object PipelineQueries {
          )
          SELECT component, count(*) AS n_docs, max(id) AS max_id
          FROM comp GROUP BY component ORDER BY component""",
+    // The keep rule is the same md5-hex-prefix bucket both engines
+    // compute on the stringified id; weights inline as a VALUES join.
+    "t25_mixing" ->
+      """WITH w AS (
+           SELECT * FROM (VALUES
+             ('click', 1.0), ('view', 0.5), ('purchase', 0.25),
+             ('error', 0.0)) t(event_type, wt)
+         ), m AS (
+           SELECT e.event_type, e.event_id
+           FROM events e JOIN w ON e.event_type = w.event_type
+           WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 10000 < CAST(w.wt * 10000 AS BIGINT)
+         )
+         SELECT event_type, count(*) AS n, max(event_id) AS max_id
+         FROM m GROUP BY event_type ORDER BY event_type""",
     // Distinct word 3-grams per doc via the same truncating slice
     // windows as wordShingles; benchmark grams deduped once, left join
     // + count(hit) = containment numerator.

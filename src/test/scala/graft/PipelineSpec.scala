@@ -93,6 +93,28 @@ class PipelineSpec extends SparkTestBase {
       out(2).getAs[Double]("containment") === 1.0)
   }
 
+  test("mixSources: deterministic mixture, nested subsets, unlisted sources dropped") {
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    val half = CurationPipeline.mixSources(df, "id", "src", Map("a" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    // only listed sources survive; keep rate tracks the weight
+    assert(half.forall(_ % 2 == 0))
+    assert(half.size > 350 && half.size < 650)
+    // determinism: identical set on a second run
+    val again = CurationPipeline.mixSources(df, "id", "src", Map("a" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    assert(again === half)
+    // monotone weights give NESTED subsets (mixture sweeps stay comparable)
+    val quarter = CurationPipeline.mixSources(df, "id", "src", Map("a" -> 0.25))
+      .select("id").as[Long].collect().toSet
+    assert(quarter.subsetOf(half))
+    assert(CurationPipeline.mixSources(df, "id", "src", Map("a" -> 1.0)).count() === 1000)
+    assert(CurationPipeline.mixSources(df, "id", "src", Map("a" -> 0.0)).count() === 0)
+    intercept[IllegalArgumentException] {
+      CurationPipeline.mixSources(df, "id", "src", Map("a" -> 1.5))
+    }
+  }
+
   test("exact dedup keeps one row per content") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t")
     val kept = Dedup.exactDedup(df, "id", Seq("t")).collect()
