@@ -10,9 +10,10 @@ import graft.functions.TextFunctions._
   *  - exact: hash-groupBy (one shuffle on the content hash);
   *  - MinHash+LSH: shingle → k-perm signature → band buckets →
   *    same-bucket candidate join → optional exact-Jaccard verify;
-  *  - SimHash: 64-bit signature → (maxHamming+1) chunk buckets
-  *    (pigeonhole: hamming ≤ maxHamming ⇒ at least one identical
-  *    chunk, so signature-space recall is 1) → verify hamming;
+  *  - SimHash: 64-bit signature → C(maxHamming+2, 2) chunk-PAIR
+  *    buckets (pigeonhole: hamming ≤ maxHamming ⇒ ≥2 clean chunks ⇒
+  *    at least one identical pair key, so signature-space recall is
+  *    1) → verify hamming; pairs → [[componentsOf]] for clusters;
   *  - n-gram Jaccard: exact set similarity, LSH-bounded candidates;
   *  - embedding cosine: sign-bit LSH buckets → cosine verify.
   *

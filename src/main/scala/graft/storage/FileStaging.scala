@@ -34,9 +34,10 @@ object FileStaging {
       case "csv" =>
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       case "json" => spark.read.json(path)
-      case "xlsx" | "xls" =>
+      case "xlsx" => XlsxReader.read(spark, path)
+      case "xls" =>
         throw new UnsupportedOperationException(
-          "Excel staging requires the spark-excel reader (not bundled)")
+          "legacy binary .xls is not supported — re-export as .xlsx/CSV")
     }
     df.createOrReplaceTempView(viewName)
     df

@@ -28,13 +28,64 @@ class StorageOpsSpec extends SparkTestBase {
     assert(store.node("Process").count() === 2)
   }
 
-  test("staging rejects excel and unknown formats explicitly") {
+  test("staging rejects legacy xls and unknown formats explicitly") {
     assertThrows[UnsupportedOperationException] {
-      FileStaging.stage(spark, "/tmp/x.xlsx", "v")
+      FileStaging.stage(spark, "/tmp/x.xls", "v")
     }
     assertThrows[IllegalArgumentException] {
       FileStaging.stage(spark, "/tmp/x.bin", "v")
     }
+  }
+
+  /** A real .xlsx assembled from its OOXML parts: shared + inline
+    * strings, numbers, a boolean, a skipped cell, a ref-less cell
+    * (position fallback), rich-text shared string. */
+  private def writeXlsx(path: String): Unit = {
+    val shared =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+        |<si><t>identifier</t></si>
+        |<si><r><t>wid</t></r><r><t>gets</t></r></si>
+        |<si><t>alpha</t></si>
+        |</sst>""".stripMargin
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>amount</t></is></c><c r="C1" t="s"><v>1</v></c><c r="D1" t="str"><v>flag</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>12.5</v></c><c r="C2"><v>7</v></c><c r="D2" t="b"><v>1</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>beta</t></is></c><c r="C3"><v>9</v></c><c t="b"><v>0</v></c></row>
+        |</sheetData>
+        |</worksheet>""".stripMargin
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    try Seq("xl/sharedStrings.xml" -> shared, "xl/worksheets/sheet1.xml" -> sheet)
+      .foreach { case (name, content) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(content.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+    finally zos.close()
+  }
+
+  test("xlsx staging: shared/inline strings, typed columns, sparse cells, position fallback") {
+    val p = Files.createTempDirectory("graft-xlsx").resolve("up.xlsx").toString
+    writeXlsx(p)
+    val df = FileStaging.stage(spark, p, "staged_xlsx")
+    assert(df.columns.toSeq === Seq("identifier", "amount", "widgets", "flag"))
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("amount") === "double") // 12.5 forces double
+    assert(types("widgets") === "bigint") // 7, 9 stay long
+    assert(types("flag") === "string") // booleans as strings
+    val rows = df.orderBy(col("identifier")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getString(0) === "alpha" && rows(0).getDouble(1) === 12.5 &&
+      rows(0).getLong(2) === 7L && rows(0).getString(3) === "true")
+    // row 3: B skipped -> null amount; D has no r= -> lands by position
+    assert(rows(1).getString(0) === "beta" && rows(1).isNullAt(1) &&
+      rows(1).getLong(2) === 9L && rows(1).getString(3) === "false")
+    // staged as a queryable view (the SQL passthrough surface)
+    assert(spark.sql("SELECT sum(widgets) AS s FROM staged_xlsx")
+      .collect()(0).getLong(0) === 16L)
   }
 
   test("metrics: per-label and per-type counts plus summary") {
