@@ -43,7 +43,7 @@ object XlsxReader {
 
   /** All <t> text inside the current element (e.g. an <si> or <is> —
     * rich-text runs concatenate). Consumes through the matching end. */
-  private def collectText(r: XMLStreamReader, outer: String): String = {
+  private def collectText(r: XMLStreamReader): String = {
     val sb = new StringBuilder
     var depth = 1
     var inT = false
@@ -67,7 +67,7 @@ object XlsxReader {
     try {
       while (r.hasNext) {
         if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "si")
-          out += collectText(r, "si")
+          out += collectText(r)
       }
     } finally r.close()
     out.toIndexedSeq
@@ -97,7 +97,7 @@ object XlsxReader {
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
               value = None
             case "v" => inV = true; sb.clear()
-            case "is" => value = Some(collectText(r, "is"))
+            case "is" => value = Some(collectText(r))
             case _ =>
           }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
