@@ -26,4 +26,16 @@ object SketchFunctions {
   def matchCount(a: Column, b: Column): Column =
     ColumnInternals.column(SketchExpressions.LongArrayMatchCount(
       ColumnInternals.expression(a), ColumnInternals.expression(b)))
+
+  /** Bottom-k collect: array of the k SMALLEST child values (total
+    * order on the child type; structs compare lexicographically).
+    * Backed by Spark's `CollectTopK` bounded priority queue, so the
+    * partial aggregate contributes at most k values per partition —
+    * a per-group top/bottom-k whose shuffle volume is O(k·groups)
+    * regardless of group size, unlike a rank window that concentrates
+    * every row of a group on one task. */
+  def bottomK(c: Column, k: Int): Column =
+    ColumnInternals.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+        ColumnInternals.expression(c), k, true).toAggregateExpression())
 }

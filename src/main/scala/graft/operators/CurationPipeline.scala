@@ -114,6 +114,66 @@ object CurationPipeline {
     df.filter(wt.isNotNull && bucket < (wt * 10000).cast("bigint"))
   }
 
+  /** Deterministic weighted UPSAMPLING (the weights-above-1 companion
+    * to [[mixSources]]): replicate each row floor(weight) times, plus
+    * one more copy when the row's md5 bucket falls under the
+    * fractional remainder — so weight 2.5 yields exactly 2 copies for
+    * half the rows (hash-chosen) and 3 for the other half, in
+    * expectation 2.5×, with the same no-RNG/partition-independence
+    * guarantees as the rest of the md5-bucket family. Emitted copies
+    * carry a `copy_idx` column (0-based) so downstream shuffles don't
+    * collapse them and epoch-aware consumers can interleave. A narrow
+    * per-row explode — no shuffle, scales trivially. Weights must be
+    * ≥ 1 here (down-weighting is [[mixSources]]' job — keeping the two
+    * directions separate makes each operator's subset/replication
+    * property independently testable); sources absent from the map
+    * pass through at weight 1. */
+  def replicateSources(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 1.0 && w <= 100.0),
+      s"replication weights must be in [1,100], got $weights")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint") % 10000
+    val wt = coalesce(
+      (weights.toSeq.sortBy(_._1).map { case (s, v) =>
+        when(col(sourceCol) === s, lit(v)) } :+ lit(1.0)): _*)
+    val copies = (floor(wt).cast("int")
+      + when(bucket < ((wt - floor(wt)) * 10000).cast("bigint"), 1).otherwise(0))
+    df.withColumn("copy_idx", explode(sequence(lit(0), copies - 1)))
+  }
+
+  /** Deterministic per-stratum subsample: keep (up to) `n` rows per
+    * value of `stratumCol`, chosen by md5-hash order of the row id —
+    * the balanced-subset companion to [[mixSources]] (rate-based) and
+    * [[hashSplit]] (assignment): "give me 10k docs per language"
+    * without an RNG, stable across reruns, partitioning, and engines.
+    * Strata with fewer than `n` rows keep everything.
+    *
+    * Shape at 100 TB: selection is a groupBy with a BOUNDED bottom-k
+    * aggregate ([[graft.functions.SketchFunctions.bottomK]]) — partial
+    * aggregation caps every partition's contribution at k per stratum,
+    * so the shuffle moves O(k·strata) rows and a whale stratum never
+    * concentrates on one task (the rank-window formulation would put
+    * the entire stratum in one partition). The kept-id table is tiny
+    * and comes out of a shuffle, so AQE broadcasts the semi join back
+    * to the corpus. `idCol` must be unique and non-null (it is the
+    * sampling key). */
+  def samplePerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"need n > 0, got $n")
+    // (md5(id), id) as the rank key: uniform hash order, id appended
+    // for a total order under (astronomically unlikely) digest ties
+    val key = struct(
+      md5(col(idCol).cast("string")).as("h"),
+      col(idCol).cast("string").as("i"))
+    val kept = df
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.SketchFunctions.bottomK(key, n).as("__ks"))
+      .select(explode(col("__ks")).as("__k"))
+      .select(col("__k.i").as("__id"))
+    df.join(kept, col(idCol).cast("string") === col("__id"), "left_semi")
+  }
+
   /** Benchmark decontamination: per corpus document, the fraction of
     * its DISTINCT word n-grams that also occur anywhere in a benchmark
     * set — the standard check that training data does not contain the

@@ -471,4 +471,37 @@ object Dedup {
         "exceeds the propagation budget; raise maxIter")
     labels
   }
+
+  /** Collapse near-dup clusters to one document each — the end product
+    * of the dedup family: given the corpus and a pair set
+    * ([[minhashPairs]] etc.), keep per connected component the row with
+    * the highest `scoreCol` (ties to the smallest id — fully
+    * deterministic), and pass every unclustered row through untouched.
+    * The keep-best-quality rule is the standard web-corpus choice
+    * (among near-identical pages keep the cleanest extraction), with
+    * keep-first as the degenerate `scoreCol = idCol` case.
+    *
+    * Shape at 100 TB: clustered ids are a small fraction of any real
+    * corpus, so the expensive paths stay proportional to the CLUSTERED
+    * subset — the component labels (two longs per clustered id) join
+    * against the corpus (AQE broadcasts them when they fit), the
+    * rank-1 window shuffles only clustered rows partitioned by
+    * component (cluster sizes are bucket-capped upstream, so no
+    * whale partitions), and the unclustered complement is a plain
+    * anti join that never touches a window. */
+  def keepRepresentatives(
+      docs: DataFrame, idCol: String, pairs: DataFrame, scoreCol: String,
+      aCol: String = "id1", bCol: String = "id2")(
+      implicit ctx: PipelineContext): DataFrame = {
+    val comps = componentsOf(pairs, aCol, bCol)
+    val clustered = docs.join(comps, docs(idCol) === comps("id")).drop("id")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val reps = clustered
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "component")
+    docs.join(comps, docs(idCol) === comps("id"), "left_anti")
+      .unionByName(reps)
+  }
 }

@@ -298,6 +298,53 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))
       .orderBy(col("event_type"))
 
+  /** Cluster-collapse dedup END PRODUCT: the t23 component set applied
+    * back to the corpus — per near-dup cluster keep the highest-n_chars
+    * doc (ties to the smallest id), pass unclustered docs through, and
+    * account for the kept corpus per language (count + char volume +
+    * max id pins the kept SET, not just its size). Oracle-backed:
+    * DuckDB rebuilds the clusters with t23's recursive CTE and replays
+    * the same rank-1 window keep rule. */
+  def t26Representatives(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+        minJaccard = Some(0.4))
+      Dedup.keepRepresentatives(docs, "doc_id", pairs, "n_chars")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }
+
+  /** Deterministic balanced subsample: 100 events per type by md5-hash
+    * order — the bounded bottom-k aggregate keeps shuffle volume at
+    * O(k·strata) rows regardless of stratum size. The id sum + max pin
+    * the exact kept SET; the count pins the per-stratum bound. Oracle-
+    * backed: DuckDB replays the same md5 rank order with a window. */
+  def t27StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.samplePerStratum(
+      Tables.events(spark, dir), "event_id", "event_type", n = 100)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+
+  /** Deterministic weighted upsampling: click events 3×, purchase
+    * 2.5× (half the purchase rows get a third copy, hash-chosen),
+    * everything else passes at 1×. Count + copy-index stats pin the
+    * exact replication. Oracle-backed: DuckDB replays the md5-bucket
+    * fractional rule and unnests a range. */
+  def t28Replicate(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.replicateSources(
+      Tables.events(spark, dir), "event_id", "event_type",
+      Map("click" -> 3.0, "purchase" -> 2.5))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("copy_idx")).as("max_copy"),
+        countDistinct(col("event_id")).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** Token-window chunking with overlap (context-length shaping).
     * Oracle-backed: chunk text itself hash-compares against DuckDB list
     * slices — content equality, not just counts. */
@@ -441,6 +488,9 @@ object PipelineQueries {
     "t23_components" -> t23Components _,
     "t24_decontam" -> t24Decontam _,
     "t25_mixing" -> t25Mixing _,
+    "t26_representatives" -> t26Representatives _,
+    "t27_stratified_sample" -> t27StratifiedSample _,
+    "t28_replicate" -> t28Replicate _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -652,6 +702,81 @@ object PipelineQueries {
          )
          SELECT component, count(*) AS n_docs, max(id) AS max_id
          FROM comp GROUP BY component ORDER BY component""",
+    // t23's component CTE + the same rank-1 keep rule (n_chars desc,
+    // id asc) replayed as a window; kept corpus = unclustered ∪ reps.
+    "t26_representatives" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents
+         ), grams AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM toks WHERE len(w) >= 2
+         ), p AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+                 (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
+         ), edges AS (
+           SELECT id1 AS u, id2 AS v FROM p
+           UNION SELECT id2, id1 FROM p
+         ), reach(id, c) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.v, r.c FROM reach r JOIN edges e ON e.u = r.id
+         ), comp AS (
+           SELECT id, min(c) AS component FROM reach GROUP BY id
+         ), reps AS (
+           SELECT d.doc_id
+           FROM documents d JOIN comp ON d.doc_id = comp.id
+           QUALIFY row_number() OVER (
+             PARTITION BY comp.component
+             ORDER BY d.n_chars DESC, d.doc_id ASC) = 1
+         ), kept AS (
+           SELECT * FROM documents
+           WHERE doc_id NOT IN (SELECT id FROM comp)
+           UNION ALL
+           SELECT d.* FROM documents d JOIN reps USING (doc_id)
+         )
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+           max(doc_id) AS max_id
+         FROM kept GROUP BY lang ORDER BY lang""",
+    // floor(w) copies + one more when the md5 bucket falls under the
+    // fractional remainder; unlisted types default to weight 1.
+    "t28_replicate" ->
+      """WITH w AS (
+           SELECT * FROM (VALUES ('click', 3.0), ('purchase', 2.5))
+             t(event_type, wt)
+         ), c AS (
+           SELECT e.event_type, e.event_id,
+             CAST(floor(COALESCE(w.wt, 1.0)) AS INT) +
+             CASE WHEN ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000
+                     < CAST((COALESCE(w.wt, 1.0) - floor(COALESCE(w.wt, 1.0))) * 10000 AS BIGINT)
+                  THEN 1 ELSE 0 END AS copies
+           FROM events e LEFT JOIN w ON e.event_type = w.event_type
+         ), r AS (
+           SELECT event_type, event_id,
+             unnest(range(0, copies)) AS copy_idx
+           FROM c
+         )
+         SELECT event_type, count(*) AS n, CAST(max(copy_idx) AS INT) AS max_copy,
+           count(DISTINCT event_id) AS n_events
+         FROM r GROUP BY event_type ORDER BY event_type""",
+    // The same md5-order rank both engines compute on the stringified
+    // id (lowercase hex compares identically as a string).
+    "t27_stratified_sample" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum, max(event_id) AS max_id
+         FROM (
+           SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)),
+                        CAST(event_id AS VARCHAR)) AS rk
+           FROM events)
+         WHERE rk <= 100
+         GROUP BY event_type ORDER BY event_type""",
     // The keep rule is the same md5-hex-prefix bucket both engines
     // compute on the stringified id; weights inline as a VALUES join.
     "t25_mixing" ->

@@ -70,6 +70,65 @@ class PipelineSpec extends SparkTestBase {
     assert(ex.getMessage.contains("fixpoint"))
   }
 
+  test("keepRepresentatives: best score per cluster, ties to min id, unclustered pass through") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "b", 30L), (3L, "c", 30L), // cluster {1,2,3}: score tie 2 vs 3 -> keep 2
+      (10L, "d", 5L),                                  // unclustered: passes through
+      (11L, "e", 1L), (12L, "f", 2L))                  // cluster {11,12}: keep 12 (higher score)
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (11L, 12L)).toDF("id1", "id2")
+    val kept = PipelineContext.run { implicit ctx =>
+      Dedup.keepRepresentatives(docs, "doc_id", pairs, "score")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(kept === Set(2L, 10L, 12L))
+  }
+
+  test("samplePerStratum: exact-n per stratum, small strata intact, deterministic, window-equivalent") {
+    val rows = (1L to 200L).map(i => (i, if (i <= 180) "big" else "small", s"d$i"))
+    val df = rows.toDF("id", "stratum", "payload")
+    val kept = CurationPipeline.samplePerStratum(df, "id", "stratum", n = 25)
+    val byStratum = kept.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(byStratum("big") === 25L)    // capped
+    assert(byStratum("small") === 20L)  // fewer than n: all kept
+    // deterministic: a rerun (fresh plan) keeps the identical id set
+    val ids1 = kept.select("id").as[Long].collect().toSet
+    val ids2 = CurationPipeline.samplePerStratum(df.repartition(7), "id", "stratum", n = 25)
+      .select("id").as[Long].collect().toSet
+    assert(ids1 === ids2)
+    // the bounded-agg form selects exactly what the rank window would
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+      .orderBy(md5(col("id").cast("string")), col("id").cast("string"))
+    val windowIds = df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 25).select("id").as[Long].collect().toSet
+    assert(ids1 === windowIds)
+    // full rows survive (semi join preserves every column)
+    assert(kept.columns.toSeq === Seq("id", "stratum", "payload"))
+  }
+
+  test("replicateSources: floor+fractional copies, unlisted at 1x, deterministic, rejects w<1") {
+    val df = (1L to 400L).map(i => (i, if (i <= 300) "a" else "b")).toDF("id", "src")
+    val out = CurationPipeline.replicateSources(df, "id", "src", Map("a" -> 2.5))
+    val perId = out.groupBy("id", "src").count().as[(Long, String, Long)].collect()
+    // every 'a' row gets 2 or 3 copies; every 'b' row exactly 1
+    assert(perId.filter(_._2 == "a").forall(r => r._3 == 2L || r._3 == 3L))
+    assert(perId.filter(_._2 == "b").forall(_._3 == 1L))
+    // fractional rule: ~half of 'a' (md5-chosen) gets the third copy
+    val three = perId.count(r => r._2 == "a" && r._3 == 3L)
+    assert(three > 100 && three < 200, s"expected ~150 of 300, got $three")
+    // copy_idx is dense 0..copies-1 per row
+    val idxs = out.filter(col("id") === 1L).select("copy_idx").as[Int].collect().sorted
+    assert(idxs === (0 until idxs.length).toArray)
+    // deterministic under repartition: identical (id, copies) multiset
+    val again = CurationPipeline.replicateSources(df.repartition(7), "id", "src", Map("a" -> 2.5))
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(perId.map(r => r._1 -> r._3).toMap === again)
+    val ex = intercept[IllegalArgumentException] {
+      CurationPipeline.replicateSources(df, "id", "src", Map("a" -> 0.5))
+    }
+    assert(ex.getMessage.contains("replication"))
+  }
+
   test("decontaminate: containment arithmetic on known grams") {
     // corpus doc 1 = "a b c d": distinct 2-grams {a b, b c, c d};
     // bench contains "a b" and "b c" but not "c d" -> 2/3.

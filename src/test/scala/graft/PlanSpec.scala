@@ -201,4 +201,17 @@ class PlanSpec extends SparkTestBase {
       ()
     }
   }
+
+  test("samplePerStratum selects via a bounded partial aggregate, never a window (t27 shape)") {
+    import org.apache.spark.sql.functions.col
+    val plan = planOf(graft.operators.CurationPipeline.samplePerStratum(
+      graft.sources.Tables.events(spark, sfDir), "event_id", "event_type", 100))
+    // the whole point: no rank window (a whale stratum would serialize
+    // onto one task) — selection is collect_top_k with a map-side
+    // partial pass, so each partition ships at most k rows per stratum
+    assert(!plan.contains("Window"), s"window-rank selection in:\n$plan")
+    assert(plan.contains("collect_top_k"), s"no bounded top-k aggregate in:\n$plan")
+    assert(plan.linesIterator.count(_.matches("""^\(\d+\) ObjectHashAggregate\s*""")) >= 2,
+      s"missing partial/final aggregate pair in:\n$plan")
+  }
 }
