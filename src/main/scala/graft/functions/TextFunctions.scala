@@ -199,4 +199,12 @@ object TextFunctions {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Canonical text cleanup (NFC, zero-width removal, separator/
+    * control collapse, trim, optional lowercase) — see
+    * [[org.apache.spark.sql.graft.SketchExpressions.NormalizeText]]. */
+  def normalizeText(c: Column, lowercase: Boolean = false): Column =
+    org.apache.spark.sql.graft.ColumnInternals.column(
+      org.apache.spark.sql.graft.SketchExpressions.NormalizeText(
+        org.apache.spark.sql.graft.ColumnInternals.expression(c), lowercase))
 }

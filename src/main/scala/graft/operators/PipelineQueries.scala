@@ -345,6 +345,26 @@ object PipelineQueries {
         countDistinct(col("event_id")).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Canonical text normalization: NBSP/zero-width/control/NFC damage
+    * deterministically injected around each document, then cleaned by
+    * the one-pass native expression. Content equality against DuckDB's
+    * nfc_normalize + \p{Cf} strip + \p{Z}\p{Cc} collapse replica pins
+    * the exact normalized strings. */
+  def t29Normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id") < 30)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.normalizeText(
+          concat(lit(NoisyPrefix), col("text"), lit(NoisySuffix)),
+          lowercase = true).as("norm"))
+      .orderBy(col("doc_id"))
+
+  /** t29's injected damage, as escapes (raw chars in source are
+    * invisible and fragile): NBSP (Zs), decomposed e+combining-acute
+    * (NFC fuses), zero-width space (Cf), tab + U+0001 (Cc), line
+    * separator U+2028 (Zl), mixed case, trailing space. */
+  private val NoisyPrefix = "\u00a0 Cafe\u0301 \u200b"
+  private val NoisySuffix = "\tMiXeD\u0001CASE \u2028tail "
+
   /** Token-window chunking with overlap (context-length shaping).
     * Oracle-backed: chunk text itself hash-compares against DuckDB list
     * slices — content equality, not just counts. */
@@ -491,6 +511,7 @@ object PipelineQueries {
     "t26_representatives" -> t26Representatives _,
     "t27_stratified_sample" -> t27StratifiedSample _,
     "t28_replicate" -> t28Replicate _,
+    "t29_normalize" -> t29Normalize _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -741,6 +762,16 @@ object PipelineQueries {
          SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
            max(doc_id) AS max_id
          FROM kept GROUP BY lang ORDER BY lang""",
+    // Same injected damage (escapes resolve to identical bytes), same
+    // pipeline: NFC -> strip Cf -> collapse Z*/Cc runs -> trim -> lower.
+    // Plain-string concat, not triple-quoted: 2.13 triple quotes leave
+    // \uXXXX unprocessed.
+    "t29_normalize" ->
+      ("SELECT doc_id, lower(trim(regexp_replace(regexp_replace(nfc_normalize("
+        + "'  Café ​' || text || chr(9) || 'MiXeD' || chr(1) || "
+        + "'CASE  tail '), '[\\p{Cf}]', '', 'g'), "
+        + "'[\\p{Z}\\p{Cc}]+', ' ', 'g'))) AS norm "
+        + "FROM documents WHERE doc_id < 30 ORDER BY doc_id"),
     // floor(w) copies + one more when the md5 bucket falls under the
     // fractional remainder; unlisted types default to weight 1.
     "t28_replicate" ->

@@ -351,6 +351,52 @@ object SketchExpressions {
       copy(child = newChild)
   }
 
+  /** Canonical text cleanup for corpus curation, one pass over the
+    * string: Unicode NFC normalization, format characters (Cf — zero
+    * widths, BOM, bidi marks) removed, every run of separator/control
+    * characters (Z* ∪ Cc — including NBSP, which `\s` misses)
+    * collapsed to a single ASCII space, edges trimmed, optional
+    * ROOT-locale lowercase. The same rule a SQL engine expresses as
+    * `lower(trim(regexp_replace(regexp_replace(nfc_normalize(s),
+    * '[\p{Cf}]', '', 'g'), '[\p{Z}\p{Cc}]+', ' ', 'g')))`, which is
+    * what the t29 oracle replays. Interpreted eval (string codec work,
+    * same as [[BigramRepetition]]); null in → null out. */
+  final case class NormalizeText(child: Expression, lowercase: Boolean)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "normalize_text"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val s = java.text.Normalizer.normalize(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        java.text.Normalizer.Form.NFC)
+      val sb = new java.lang.StringBuilder(s.length)
+      var pendingSpace = false
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        java.lang.Character.getType(cp) match {
+          case java.lang.Character.FORMAT => // Cf: drop, keep pending state
+          case java.lang.Character.CONTROL | java.lang.Character.SPACE_SEPARATOR |
+               java.lang.Character.LINE_SEPARATOR | java.lang.Character.PARAGRAPH_SEPARATOR =>
+            pendingSpace = sb.length > 0 // leading runs vanish (trim)
+          case _ =>
+            if (pendingSpace) { sb.append(' '); pendingSpace = false }
+            sb.appendCodePoint(
+              if (lowercase) java.lang.Character.toLowerCase(cp) else cp)
+        }
+        i += java.lang.Character.charCount(cp)
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+      copy(child = newChild)
+  }
+
   /** Count of positions where two long arrays hold equal values —
     * the MinHash Jaccard estimate's numerator, as one codegen'd loop
     * instead of k `element_at` equality terms. Null on length

@@ -129,6 +129,23 @@ class PipelineSpec extends SparkTestBase {
     assert(ex.getMessage.contains("replication"))
   }
 
+  test("normalizeText: NFC, Cf removal, separator collapse, trim, lowercase, null") {
+    val df = Seq(
+      ("a​b",                       // zero-width: removed, no space
+        "  x y   z \t"), // NBSP/ctrl/Zl runs -> one space, edges trimmed
+      ("Café TIME", "")).toDF("a", "b")
+    val out = df.select(
+      TF.normalizeText(col("a"), lowercase = true).as("na"),
+      TF.normalizeText(col("b")).as("nb")).collect()
+    assert(out(0).getString(0) === "ab")
+    assert(out(0).getString(1) === "x y z")
+    assert(out(1).getString(0) === "café time") // fused + lowered
+    assert(out(1).getString(1) === "")
+    val nulls = Seq(Option.empty[String]).toDF("a")
+      .select(TF.normalizeText(col("a")).as("n")).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
   test("decontaminate: containment arithmetic on known grams") {
     // corpus doc 1 = "a b c d": distinct 2-grams {a b, b c, c d};
     // bench contains "a b" and "b c" but not "c d" -> 2/3.
