@@ -493,15 +493,19 @@ object Dedup {
       docs: DataFrame, idCol: String, pairs: DataFrame, scoreCol: String,
       aCol: String = "id1", bCol: String = "id2")(
       implicit ctx: PipelineContext): DataFrame = {
+    // rename the label frame's columns so a corpus whose id column is
+    // literally "id" (or that carries a "component" column) can't
+    // collide with them
     val comps = componentsOf(pairs, aCol, bCol)
-    val clustered = docs.join(comps, docs(idCol) === comps("id")).drop("id")
-    val w = Window.partitionBy(col("component"))
+      .select(col("id").as("__cid"), col("component").as("__comp"))
+    val clustered = docs.join(comps, docs(idCol) === comps("__cid")).drop("__cid")
+    val w = Window.partitionBy(col("__comp"))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     val reps = clustered
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
-      .drop("__rk", "component")
-    docs.join(comps, docs(idCol) === comps("id"), "left_anti")
+      .drop("__rk", "__comp")
+    docs.join(comps, docs(idCol) === comps("__cid"), "left_anti")
       .unionByName(reps)
   }
 }

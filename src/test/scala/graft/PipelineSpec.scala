@@ -82,6 +82,14 @@ class PipelineSpec extends SparkTestBase {
         .select("doc_id").as[Long].collect().toSet
     }
     assert(kept === Set(2L, 10L, 12L))
+    // an id column literally named "id" must not collide with the
+    // component frame's internals
+    val kept2 = PipelineContext.run { implicit ctx =>
+      Dedup.keepRepresentatives(
+        docs.withColumnRenamed("doc_id", "id"), "id", pairs, "score")
+        .select("id").as[Long].collect().toSet
+    }
+    assert(kept2 === Set(2L, 10L, 12L))
   }
 
   test("samplePerStratum: exact-n per stratum, small strata intact, deterministic, window-equivalent") {
