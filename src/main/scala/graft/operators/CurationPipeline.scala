@@ -208,6 +208,178 @@ object CurationPipeline {
         round(col("n_hits").cast("double") / col("n_grams"), 6))
   }
 
+  /** Duplicate-n-gram fraction (the Gopher/Dolma span-level dup
+    * signal): per document, the fraction of its DISTINCT word n-grams
+    * already present in an EARLIER document (smaller id) — 0 for fully
+    * novel text, → 1 for a document whose spans all appeared before.
+    * The within-corpus companion to [[decontaminate]] (which scores
+    * containment against an external benchmark set); callers drop or
+    * down-weight docs above a threshold.
+    *
+    * Shape at 100 TB: one explode → gram-keyed min(id) aggregate →
+    * join back → per-doc count. The gram table is vocabulary-bounded
+    * (far smaller than the corpus after the distinct), both shuffles
+    * key on the gram, and the first-owner aggregate is a partial-agg
+    * min, so no task ever sees more than its hash slice of the
+    * vocabulary. No windows, no driver state. */
+  def dupNgramStats(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3)(implicit ctx: PipelineContext): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    // the exploded gram table feeds both the first-owner aggregate and
+    // the join back — stage it once (same policy as tfidfTopTerms)
+    val grams = ctx.stage(corpus.select(col(idCol).as("id"),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("g")))
+    val firstOwner = grams.groupBy(col("g")).agg(min(col("id")).as("__first"))
+    grams.join(firstOwner, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__first") < col("id"), lit(1))).as("n_dup"))
+      .withColumn("dup_fraction",
+        round(col("n_dup").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Span-level exact dedup WITH REMOVAL (the FineWeb/exact-substring
+    * treatment): cut every document into non-overlapping `blockTokens`
+    * token blocks, keep each distinct block's globally FIRST occurrence
+    * (ordered by id, then position), drop every later copy, and
+    * reassemble the surviving blocks in order. Unlike [[dupNgramStats]]
+    * (which only SCORES span duplication) this rewrites the corpus —
+    * boilerplate repeated across documents survives exactly once.
+    * Every input document comes back (possibly with empty text and
+    * n_kept = 0), so accounting joins stay total.
+    *
+    * Shape at 100 TB: explode to blocks (narrow) → block-keyed
+    * min(struct(id, pos)) first-owner aggregate (partial agg; the
+    * block table is content-bounded after the aggregate) → join back
+    * on the block → per-doc ordered reassembly via sort_array over a
+    * collect_list bounded by DOCUMENT size, never corpus size. Two
+    * key shuffles, no windows over the corpus, no driver state. */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int)(implicit ctx: PipelineContext): DataFrame = {
+    require(blockTokens >= 1, s"need blockTokens >= 1, got $blockTokens")
+    // stage the exploded block table: it feeds the first-owner
+    // aggregate AND the join back (same policy as dupNgramStats)
+    val blocks = ctx.stage(docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__w"))
+      .select(col("id"),
+        posexplode(sequence(lit(1),
+          greatest(org.apache.spark.sql.functions.size(col("__w")), lit(1)),
+          lit(blockTokens))).as(Seq("pos", "__s")),
+        col("__w"))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", slice(col("__w"), col("__s"), lit(blockTokens))).as("block")))
+    val firstOwner = blocks.groupBy(col("block"))
+      .agg(min(struct(col("id").as("i"), col("pos").as("p"))).as("__first"))
+    val kept = blocks.join(firstOwner, Seq("block"))
+      .withColumn("__keep",
+        col("id") === col("__first.i") && col("pos") === col("__first.p"))
+    kept.groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        count(when(col("__keep"), lit(1))).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("__keep"),
+            struct(col("pos").as("p"), col("block").as("b"))))),
+          s => s.getField("b")), " ").as("text_clean"))
+  }
+
+  /** Filter-threshold sweep: for each candidate threshold, how much of
+    * the corpus survives `score >= t` (count + fraction) — the
+    * calibration pass run before committing to a quality/dup-fraction
+    * cutoff. ONE corpus scan with a conditional aggregate per
+    * threshold (the grid is driver-small by definition), exploded to
+    * rows afterwards — never a corpus × grid join. */
+  def thresholdSweep(df: DataFrame, scoreCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val aggs = count(lit(1)).as("__total") +:
+      thresholds.zipWithIndex.map { case (t, i) =>
+        count(when(col(scoreCol) >= t, lit(1))).as(s"__n_$i")
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"), col(s"__n_$i").as("n_kept"),
+          round(col(s"__n_$i").cast("double") / col("__total"), 6)
+            .as("frac_kept"))
+      }: _*)).as("__r"))
+      .select(col("__r.threshold"), col("__r.n_kept"), col("__r.frac_kept"))
+  }
+
+  /** Global heavy hitters: the corpus's top-k tokens by total
+    * frequency — the vocabulary-coverage / boilerplate-detection sweep
+    * every corpus audit starts with. One explode into a partial-agg
+    * count (map-side combine caps each task's output at its local
+    * vocabulary) and a top-k sort over the vocabulary-sized aggregate,
+    * never over the corpus. Ties break lexicographically so the k-th
+    * row is engine-deterministic. */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /** Corpus length/score profiler: per-group count, min/max, mean, and
+    * EXACT linear-interpolation percentiles — the distribution audit
+    * (p50/p90/p99 token lengths per language/source) that precedes any
+    * filter-threshold choice.
+    *
+    * Scale note: exact `percentile` buffers each group's values on the
+    * aggregating task, which is correct while group cardinality is
+    * bounded (languages, sources — the profiling use case). For
+    * percentiles OVER AN UNBOUNDED GROUP at 100 TB use
+    * `approx_percentile` (t-digest, mergeable partial aggregate) — the
+    * `exact = false` switch here — and accept the documented error
+    * bound; the gate pins the exact path only. */
+  def corpusProfile(df: DataFrame, groupCol: String, numCol: String,
+      ps: Seq[Double], exact: Boolean = true): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0,1], got $ps")
+    val pArr = array(ps.map(lit): _*)
+    // approx_percentile preserves its input type (a Long column yields
+    // Long quantiles) — cast so both paths emit double p-columns
+    val pcts =
+      if (exact) percentile(col(numCol), pArr)
+      else percentile_approx(col(numCol).cast("double"), pArr, lit(10000))
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      min(col(numCol)).as("min_v"),
+      max(col(numCol)).as("max_v"),
+      round(avg(col(numCol)), 6).as("avg_v")) ++
+      ps.zipWithIndex.map { case (p, i) =>
+        round(element_at(pcts, i + 1), 6)
+          .as("p" + math.round(p * 100).toInt)
+      }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Curriculum bucketing: label every row with its global score
+    * decile (or n-tile) WITHOUT a global sort — compute the exact
+    * quantile cutpoints in one aggregate, broadcast them, and assign
+    * by comparison. `ntile()` over an unpartitioned window would drag
+    * the entire corpus through one task; this is the
+    * range-partitioning formulation (same boundaries Spark's own
+    * `orderBy` sampler would pick, but computed exactly and visible),
+    * so curriculum ordering at 100 TB is a narrow map after one
+    * aggregate. Cutpoints are rounded to 6 digits before comparison so
+    * the boundary arithmetic is engine-portable. Buckets run 0 (lowest
+    * scores) to n-1. */
+  def curriculumBuckets(df: DataFrame, scoreCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = df.agg(
+      percentile(col(scoreCol), array(ps.map(lit): _*)).as("__cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        ps.indices.map(i =>
+          when(col(scoreCol) >= round(element_at(col("__cuts"), i + 1), 6),
+            1).otherwise(0)).reduce(_ + _))
+      .drop("__cuts")
+  }
+
   /** TF-IDF top terms per group (corpus vocabulary analysis): term
     * frequency per (group, term), smoothed idf ln((N+1)/(df+1)) over
     * document frequency, top-k per group. Ranking uses the INTEGER

@@ -365,6 +365,66 @@ object PipelineQueries {
   private val NoisyPrefix = "\u00a0 Cafe\u0301 \u200b"
   private val NoisySuffix = "\tMiXeD\u0001CASE \u2028tail "
 
+  /** Duplicate-n-gram fraction per document (Gopher/Dolma span-level
+    * dup signal): share of each doc's distinct word bigrams already
+    * seen in an earlier doc. Oracle-backed: gram explode, min-id first
+    * owner, and the count arithmetic are all engine-portable. */
+  def t30DupNgrams(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      CurationPipeline.dupNgramStats(
+        Tables.documents(spark, dir), "doc_id", "text", n = 2)
+        .orderBy(col("id"))
+    }
+
+  /** Embedding-space cluster assignment (k-means E-step / IVF cell
+    * routing) against a deterministic centroid table (vec_id < 8),
+    * accounted per cluster. The id sum pins the exact assignment SET;
+    * min/max similarity pin the geometry. Oracle-backed: DuckDB
+    * replays the same left-to-right double folds, 6-digit round, and
+    * (sim DESC, cid) tie-break. */
+  def t31KmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.assignToCentroids(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+        round(min(col("similarity")), 6).as("min_sim"),
+        round(max(col("similarity")), 6).as("max_sim"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Corpus length profiler: exact interpolated percentiles + min/max/
+    * mean of n_chars per language — the distribution audit behind any
+    * filter threshold. Oracle-backed: Spark's exact `percentile` and
+    * DuckDB's `quantile_cont` compute the same linear interpolation on
+    * the same integers. */
+  def t32CorpusProfile(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.corpusProfile(
+      Tables.documents(spark, dir), "lang", "n_chars",
+      Seq(0.25, 0.5, 0.75, 0.95))
+      .orderBy(col("lang"))
+
+  /** Curriculum bucketing: global n_chars deciles assigned via exact
+    * broadcast cutpoints (never a global window), bucket membership
+    * pinned by count + id sum + per-bucket extremes. Oracle-backed:
+    * DuckDB computes the same quantile_cont cutpoints and replays the
+    * same rounded >= comparisons. */
+  def t33Curriculum(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.curriculumBuckets(
+      Tables.documents(spark, dir), "n_chars", nBuckets = 10)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_v"),
+        max(col("n_chars")).as("max_v"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("bucket"))
+
+  /** Global heavy hitters: corpus top-50 tokens by frequency,
+    * lexicographic tie-break. Oracle-backed: token split + count +
+    * (tf DESC, term) order are engine-portable. */
+  def t34HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.heavyHitters(Tables.documents(spark, dir), "text", k = 50)
+      .orderBy(col("tf").desc, col("term"))
+
   /** Token-window chunking with overlap (context-length shaping).
     * Oracle-backed: chunk text itself hash-compares against DuckDB list
     * slices — content equality, not just counts. */
@@ -512,12 +572,99 @@ object PipelineQueries {
     "t27_stratified_sample" -> t27StratifiedSample _,
     "t28_replicate" -> t28Replicate _,
     "t29_normalize" -> t29Normalize _,
+    "t30_dup_ngrams" -> t30DupNgrams _,
+    "t31_kmeans_assign" -> t31KmeansAssign _,
+    "t32_corpus_profile" -> t32CorpusProfile _,
+    "t33_curriculum" -> t33Curriculum _,
+    "t34_heavy_hitters" -> t34HeavyHitters _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
     * reproduce the same sequential double folds (list_reduce with a 0.0
     * seed) so sums match bit-for-bit before rounding. */
   val oracle: Map[String, String] = Map(
+    // Same truncating bigram windows as wordShingles; first owner =
+    // min doc_id per gram; dup = gram first seen in a smaller id.
+    "t30_dup_ngrams" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents
+         ), dg AS (
+           SELECT doc_id, unnest(list_distinct(
+               [array_to_string(list_slice(w, i, i + 1), ' ')
+                for i in range(1, greatest(len(w) - 2, 0) + 2)])) AS g
+           FROM toks
+         ), f AS (
+           SELECT g, min(doc_id) AS first_id FROM dg GROUP BY g
+         )
+         SELECT d.doc_id AS id, count(*) AS n_grams,
+           count(CASE WHEN f.first_id < d.doc_id THEN 1 END) AS n_dup,
+           round(count(CASE WHEN f.first_id < d.doc_id THEN 1 END)::DOUBLE
+                 / count(*), 6) AS dup_fraction
+         FROM dg d JOIN f USING (g)
+         GROUP BY d.doc_id ORDER BY id""",
+    // t04's left-to-right cosine folds against the 8 fixed centroids;
+    // argmax replayed as (sim DESC, cid) rank-1.
+    "t31_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE vec_id < 8),
+         scored AS (
+           SELECT e.vec_id AS id, c.cid,
+             round(
+               list_reduce(list_prepend(0.0,
+                 list_transform(list_zip(e.embedding, c.cv),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                 (a, b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(c.cv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, b) -> a + b))), 6) AS sim
+           FROM embeddings e CROSS JOIN c),
+         best AS (
+           SELECT id, cid AS cluster, sim,
+             row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rk
+           FROM scored)
+         SELECT cluster, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum,
+           round(min(sim), 6) AS min_sim, round(max(sim), 6) AS max_sim
+         FROM best WHERE rk = 1
+         GROUP BY cluster ORDER BY cluster""",
+    // quantile_cont = Spark's exact percentile (same linear
+    // interpolation over the same integers).
+    "t32_corpus_profile" ->
+      """SELECT lang, count(*) AS n,
+           min(n_chars) AS min_v, max(n_chars) AS max_v,
+           round(avg(n_chars), 6) AS avg_v,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // Same decile cutpoints (rounded to 6 before the comparison),
+    // bucket = number of cutpoints at or below the score.
+    "t33_curriculum" ->
+      """WITH cuts AS (
+           SELECT quantile_cont(n_chars,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+           FROM documents
+         ), b AS (
+           SELECT d.doc_id, d.n_chars,
+             CAST(len(list_filter(c.cs, x -> d.n_chars >= round(x, 6)))
+               AS INTEGER) AS bucket
+           FROM documents d CROSS JOIN cuts c
+         )
+         SELECT bucket, count(*) AS n, min(n_chars) AS min_v,
+           max(n_chars) AS max_v, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM b GROUP BY bucket ORDER BY bucket""",
+    "t34_heavy_hitters" ->
+      """SELECT term, count(*) AS tf FROM (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents)
+         WHERE len(term) > 0
+         GROUP BY term ORDER BY tf DESC, term LIMIT 50""",
     "t17_chunking" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

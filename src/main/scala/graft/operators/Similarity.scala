@@ -129,6 +129,43 @@ object Similarity {
       ranked.select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Cluster-assignment step (the E-step of k-means / IVF cell
+    * routing, exposed as its own operator): label every vector with
+    * its nearest centroid by cosine, from an arbitrary centroid TABLE
+    * — embedding-space corpus clustering for mixture analysis, topic
+    * balancing, or cluster-stratified sampling
+    * ([[CurationPipeline.samplePerStratum]] downstream of this).
+    *
+    * Shape at 100 TB: the centroid side is broadcast (k rows), the
+    * cosine is one codegen'd dot per (vector, centroid), and the
+    * argmax is a partial aggregate `min(struct(-sim, cid))` — each
+    * task reduces its rows to one candidate per vector before any
+    * shuffle, so the exchange carries O(n) tiny rows. No windows.
+    * Similarity is rounded to 6 digits BEFORE the argmax and ties
+    * break on the smaller centroid id, making the assignment
+    * engine-portable (the DuckDB oracle replays the same fold +
+    * tie-break). */
+  def assignToCentroids(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val c = broadcast(centroids
+      .select(col(cidCol).as("__cid"), col(cvecCol).as("__cv"))
+      .withColumn("__cn", l2Norm(col("__cv"))))
+    vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nv", l2Norm(col("v")))
+      .crossJoin(c)
+      .withColumn("__sim", // + 0.0: a sim that rounds to -0.0 would
+        // order below 0.0 in Spark's Double.compare but equal in IEEE
+        // engines — normalize before the argmax
+        round(cosinePre(dot(col("v"), col("__cv")), col("nv"), col("__cn")), 6)
+          + lit(0.0))
+      .groupBy(col("id"))
+      .agg(min(struct((-col("__sim")).as("ns"), col("__cid").as("c"))).as("__best"))
+      .select(col("id"), col("__best.c").as("cluster"),
+        // + 0.0 folds the -0.0 a negated zero similarity would emit
+        ((-col("__best.ns")) + lit(0.0)).as("similarity"))
+  }
+
   /** LSH-bucketed ANN: candidates from matching BANDED sign-bit
     * buckets, with multi-probe (flip 1 bit) within each band to recover
     * near-boundary neighbors, then exact cosine rerank within

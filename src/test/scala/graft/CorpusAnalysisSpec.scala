@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CurationPipeline, PipelineContext, Similarity}
+
+/** Round-6 corpus-analysis operators: duplicate-n-gram fraction,
+  * heavy hitters, exact-percentile profiling, cutpoint curriculum
+  * buckets, and embedding cluster assignment. */
+class CorpusAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dupNgramStats: novel doc scores 0, full repeat scores 1, overlap in between") {
+    PipelineContext.run { implicit ctx =>
+      val docs = Seq(
+        (1L, "a b c d"),        // all bigrams first-seen here
+        (2L, "a b c d"),        // exact repeat: every bigram dup
+        (3L, "c d x y"),        // "c d" seen in doc 1; "d x","x y" novel
+        (4L, "p q")             // disjoint vocab
+      ).toDF("doc_id", "text")
+      val out = CurationPipeline.dupNgramStats(docs, "doc_id", "text", n = 2)
+        .orderBy($"id").collect()
+      assert(out.map(r => (r.getLong(0), r.getDouble(3))).toSeq ===
+        Seq((1L, 0.0), (2L, 1.0), (3L, math.rint(1.0 / 3 * 1e6) / 1e6), (4L, 0.0)))
+      // n_grams counts DISTINCT shingles ("a b","b c","c d" for docs 1-2)
+      assert(out.map(_.getLong(1)).toSeq === Seq(3L, 3L, 3L, 1L))
+    }
+  }
+
+  test("dupNgramStats: duplicate direction follows id order, not row order") {
+    PipelineContext.run { implicit ctx =>
+      // same text under two ids: the SMALLER id is the original in both
+      // input orderings (first-owner = min id, not first-encountered)
+      val docs = Seq((9L, "u v w"), (2L, "u v w")).toDF("doc_id", "text")
+      val out = CurationPipeline.dupNgramStats(docs, "doc_id", "text", n = 2)
+        .orderBy($"id").collect()
+      assert(out.map(r => (r.getLong(0), r.getDouble(3))).toSeq ===
+        Seq((2L, 0.0), (9L, 1.0)))
+    }
+  }
+
+  test("heavyHitters: frequency order with lexicographic tie-break, k bound") {
+    val docs = Seq("b b b a a c", "a c d", "  ").toDF("text")
+    val out = CurationPipeline.heavyHitters(docs, "text", k = 3).collect()
+    // a:3 b:3 c:2 d:1 — tie at 3 breaks to 'a' first; k=3 cuts 'd'
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
+  test("corpusProfile: exact percentiles interpolate, mean/min/max exact") {
+    val df = (1 to 5).map(i => ("g", i.toLong)).toDF("grp", "v")
+    val r = CurationPipeline.corpusProfile(df, "grp", "v", Seq(0.25, 0.5))
+      .collect().head
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Long]("min_v") === 1L && r.getAs[Long]("max_v") === 5L)
+    assert(r.getAs[Double]("avg_v") === 3.0)
+    assert(r.getAs[Double]("p25") === 2.0) // 0.25*(5-1) = index 1 exactly
+    assert(r.getAs[Double]("p50") === 3.0)
+  }
+
+  test("corpusProfile: approx path stays within t-digest tolerance") {
+    val df = (1 to 1000).map(i => ("g", i.toLong)).toDF("grp", "v")
+    val r = CurationPipeline.corpusProfile(df, "grp", "v", Seq(0.5), exact = false)
+      .collect().head
+    assert(math.abs(r.getAs[Double]("p50") - 500.0) <= 10.0)
+  }
+
+  test("curriculumBuckets: deciles are balanced, ordered, and exhaustive") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "score")
+    val out = CurationPipeline.curriculumBuckets(df, "score", nBuckets = 10)
+    val byBucket = out.groupBy($"bucket").agg(
+      count(lit(1)).as("n"), min($"score").as("lo"), max($"score").as("hi"))
+      .orderBy($"bucket").collect()
+    assert(byBucket.map(_.getInt(0)).toSeq === (0 until 10))
+    assert(byBucket.map(_.getLong(1)).sum === 100L)
+    // bucket ranges must not interleave: each bucket's min > previous max
+    val his = byBucket.map(_.getLong(3)); val los = byBucket.map(_.getLong(2))
+    assert(los.drop(1).zip(his.dropRight(1)).forall { case (lo, hi) => lo > hi })
+    // uniform scores → ~equal deciles (cutpoint interpolation keeps ±1)
+    assert(byBucket.map(_.getLong(1)).forall(n => n >= 9 && n <= 11))
+  }
+
+  test("assignToCentroids: every vector goes to its true argmax centroid") {
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0.0f, 1.0f)), (13L, Array(-0.1f, 0.9f))
+    ).toDF("id", "vec")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val out = Similarity.assignToCentroids(vecs, "id", "vec", cents, "cid", "cvec")
+      .orderBy($"id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((10L, 0L), (11L, 0L), (12L, 1L), (13L, 1L)))
+    // the winning similarity is the max over both centroids
+    assert(out.forall(_.getDouble(2) > 0.7))
+  }
+
+  test("assignToCentroids: similarity ties break to the smaller centroid id") {
+    val vecs = Seq((1L, Array(1.0f, 1.0f))).toDF("id", "vec")
+    val cents = Seq((7L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val out = Similarity.assignToCentroids(vecs, "id", "vec", cents, "cid", "cvec")
+      .collect().head
+    assert(out.getLong(1) === 3L)
+  }
+}
