@@ -202,6 +202,93 @@ object Dedup {
     }
   }
 
+  /** Incremental corpus dedup: drop incoming rows that duplicate the
+    * EXISTING corpus — exact (content hash anti-join) then near
+    * (banded minhash collision with an existing doc, verified by
+    * exact Jaccard ≥ `minJaccard`). The continuous-refresh operator: a
+    * new crawl/batch is admitted against yesterday's corpus without
+    * re-deduping the corpus against itself.
+    *
+    * Scale shape — the point of a dedicated cross form: candidates
+    * come ONLY from incoming×existing band-bucket equi-joins, never
+    * existing×existing (at 100 TB the existing corpus dwarfs every
+    * increment; a union self-join would spend almost all its work
+    * re-pairing old docs). Signatures are computed per side with the
+    * same staged explode→partial-agg as [[minhashPairs]]; whale
+    * buckets are capped on the EXISTING side (the unbounded one) via
+    * the same spillable window count; the two-stage verify (signature
+    * estimate prefilter → exact Jaccard on survivors) keeps shingle
+    * arrays off the wire for clearly-false candidates. On a cluster
+    * the existing side's signatures/banded table would be a persisted
+    * index, bucketed by (band, bucket-hash), amortized across
+    * increments. Within-incoming duplicates are NOT collapsed here —
+    * run [[exactDedup]]/[[minhashPairs]] on the increment first;
+    * composing the two keeps each operator's semantics testable.
+    * Ids must be unique across BOTH tables. */
+  def dedupAgainst(
+      incoming: DataFrame, existing: DataFrame,
+      idCol: String, textCol: String,
+      shingle: ShingleMode = CharGrams(5), numHashes: Int = 64,
+      bands: Int = 16, minJaccard: Double = 0.5,
+      maxBucket: Int = 500)(implicit ctx: PipelineContext): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    // exact stage: one anti-join on the content hash (existing side
+    // reduced to distinct hashes — AQE broadcasts when it fits)
+    val exHash = existing
+      .select(md5(col(textCol).cast("string")).as("__exh")).distinct()
+    val exactSurvivors = ctx.stage(incoming
+      .withColumn("__h", md5(col(textCol).cast("string")))
+      .join(exHash, col("__h") === col("__exh"), "left_anti")
+      .drop("__h"))
+
+    def banded(sigs: DataFrame): DataFrame = sigs.select(
+      col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    val inHashes = ctx.stage(shingleHashes(exactSurvivors, idCol, textCol, shingle))
+    val exHashes = ctx.stage(shingleHashes(existing, idCol, textCol, shingle))
+    val inSigs = minhashSigs(inHashes, numHashes)
+    val exSigs = minhashSigs(exHashes, numHashes)
+    // cap existing-side whale buckets BEFORE the join (window count is
+    // sort-based/spillable, same rationale as minhashPairs)
+    val exBanded = banded(exSigs)
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bn") <= maxBucket)
+      .select(col("id").as("ex_id"), col("band"), col("bh"))
+    val cand = banded(inSigs)
+      .join(exBanded, Seq("band", "bh"))
+      .select(col("id"), col("ex_id")).distinct()
+    // two-stage verify, as in minhashPairs
+    val estMargin = 2.0 * math.sqrt(minJaccard * (1 - minJaccard) / numHashes)
+    val estimated = ctx.stage(cand
+      .join(inSigs.withColumnsRenamed(Map("sig" -> "sig1")), Seq("id"))
+      .join(exSigs.withColumnsRenamed(Map("id" -> "ex_id", "sig" -> "sig2")), Seq("ex_id"))
+      .withColumn("est",
+        graft.functions.SketchFunctions.matchCount(col("sig1"), col("sig2"))
+          .cast("double") / numHashes)
+      .filter(col("est") >= minJaccard - estMargin)
+      .select(col("id"), col("ex_id")))
+    val inSh = inHashes
+      .join(estimated.select(col("id")).distinct(), Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(collect_set(col("h")).as("sh1"))
+    val exSh = exHashes
+      .join(estimated.select(col("ex_id").as("id")).distinct(), Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(collect_set(col("h")).as("sh2"))
+    val dropIds = estimated
+      .join(inSh, Seq("id"))
+      .join(exSh.withColumnsRenamed(Map("id" -> "ex_id")), Seq("ex_id"))
+      .filter(
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))) >= minJaccard)
+      .select(col("id")).distinct()
+    exactSurvivors.join(dropIds,
+      exactSurvivors(idCol) === dropIds("id"), "left_anti")
+  }
+
   /** SimHash-64 per doc via one exploded aggregation: per-bit ±1 sums
     * with map-side combine, then bits assembled from the sign — all
     * inside ONE native aggregate column (the 64-sum form paid O(64)

@@ -425,6 +425,50 @@ object PipelineQueries {
     CurationPipeline.heavyHitters(Tables.documents(spark, dir), "text", k = 50)
       .orderBy(col("tf").desc, col("term"))
 
+  /** Span-level exact dedup with removal: 8-token blocks, global
+    * first-occurrence keep, per-doc reassembly. Oracle-backed on the
+    * REASSEMBLED TEXT itself (content equality, like t17/t29), plus
+    * the block accounting. */
+  def t35SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      CurationPipeline.dedupSpans(
+        Tables.documents(spark, dir), "doc_id", "text", blockTokens = 8)
+        .orderBy(col("id"))
+    }
+
+  /** Filter-threshold sweep over the duplicate-n-gram score (t30's
+    * operator feeding t36's — a composed two-stage pipeline under one
+    * oracle): survivors of `dup_fraction >= t` at five thresholds.
+    * Oracle-backed: DuckDB rebuilds the score and replays the grid. */
+  def t36ThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val scored = CurationPipeline.dupNgramStats(
+        Tables.documents(spark, dir), "doc_id", "text", n = 2)
+      CurationPipeline.thresholdSweep(scored, "dup_fraction",
+        Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+        .orderBy(col("threshold"))
+    }
+
+  /** Incremental dedup: odd-id docs (the incoming batch) admitted
+    * against even-id docs (the existing corpus) — exact + near-dup
+    * (Jaccard ≥ 0.4) drops, survivors accounted per language.
+    * Oracle-backed: DuckDB replays text-equality NOT EXISTS plus the
+    * exact-Jaccard cross check over the same word-bigram sets (t05's
+    * differential, restricted to incoming×existing pairs). */
+  def t37DedupAgainst(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val docs = Tables.documents(spark, dir)
+      Dedup.dedupAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", shingle = Dedup.WordGrams(2),
+        numHashes = 64, bands = 16, minJaccard = 0.4)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }
+
   /** Token-window chunking with overlap (context-length shaping).
     * Oracle-backed: chunk text itself hash-compares against DuckDB list
     * slices — content equality, not just counts. */
@@ -577,6 +621,9 @@ object PipelineQueries {
     "t32_corpus_profile" -> t32CorpusProfile _,
     "t33_curriculum" -> t33Curriculum _,
     "t34_heavy_hitters" -> t34HeavyHitters _,
+    "t35_span_dedup" -> t35SpanDedup _,
+    "t36_threshold_sweep" -> t36ThresholdSweep _,
+    "t37_dedup_against" -> t37DedupAgainst _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -659,6 +706,83 @@ object PipelineQueries {
          SELECT bucket, count(*) AS n, min(n_chars) AS min_v,
            max(n_chars) AS max_v, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM b GROUP BY bucket ORDER BY bucket""",
+    // Incoming (odd ids) survives iff no existing (even id) doc is
+    // text-equal or word-bigram-Jaccard >= 0.4 — the cross-pair
+    // restriction of t05's exact differential.
+    "t37_dedup_against" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents
+         ), grams AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM toks WHERE len(w) >= 2
+         ), dropped AS (
+           SELECT DISTINCT i.doc_id
+           FROM grams i JOIN grams e
+             ON i.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+            AND len(list_intersect(i.g, e.g))::DOUBLE /
+                (len(i.g) + len(e.g) - len(list_intersect(i.g, e.g))) >= 0.4
+         )
+         SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars, max(d.doc_id) AS max_id
+         FROM documents d
+         WHERE d.doc_id % 2 = 1
+           AND NOT EXISTS (SELECT 1 FROM documents e
+                           WHERE e.doc_id % 2 = 0 AND e.text = d.text)
+           AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+         GROUP BY d.lang ORDER BY d.lang""",
+    // Same non-overlapping 8-token block windows, first-occurrence
+    // keep by (doc_id, pos), ordered string_agg reassembly.
+    "t35_span_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents
+         ), blocks AS (
+           SELECT doc_id, u.bl.p AS pos, u.bl.b AS block
+           FROM (
+             SELECT doc_id, unnest(
+               [{'p': CAST((s - 1) / 8 AS INTEGER),
+                 'b': array_to_string(list_slice(w, s, s + 7), ' ')}
+                for s in range(1, greatest(len(w), 1) + 1, 8)]) AS bl
+             FROM toks) u(doc_id, bl)
+         ), marked AS (
+           SELECT doc_id, pos, block,
+             row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) AS rn
+           FROM blocks
+         )
+         SELECT doc_id AS id, count(*) AS n_blocks,
+           count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN block END, ' '
+             ORDER BY pos), '') AS text_clean
+         FROM marked GROUP BY doc_id ORDER BY id""",
+    // t30's score CTE replayed under a threshold grid; one row per
+    // threshold with the surviving count and fraction.
+    "t36_threshold_sweep" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents
+         ), dg AS (
+           SELECT doc_id, unnest(list_distinct(
+               [array_to_string(list_slice(w, i, i + 1), ' ')
+                for i in range(1, greatest(len(w) - 2, 0) + 2)])) AS g
+           FROM toks
+         ), f AS (
+           SELECT g, min(doc_id) AS first_id FROM dg GROUP BY g
+         ), scored AS (
+           SELECT d.doc_id,
+             round(count(CASE WHEN f.first_id < d.doc_id THEN 1 END)::DOUBLE
+                   / count(*), 6) AS dup_fraction
+           FROM dg d JOIN f USING (g) GROUP BY d.doc_id
+         ), grid(th) AS (
+           VALUES (0.0), (0.25), (0.5), (0.75), (1.0)
+         ), tot AS (SELECT count(*) AS n FROM scored)
+         SELECT CAST(grid.th AS DOUBLE) AS threshold,
+           count(CASE WHEN s.dup_fraction >= grid.th THEN 1 END) AS n_kept,
+           round(count(CASE WHEN s.dup_fraction >= grid.th THEN 1 END)::DOUBLE
+                 / any_value(tot.n), 6) AS frac_kept
+         FROM grid CROSS JOIN scored s CROSS JOIN tot
+         GROUP BY grid.th ORDER BY threshold""",
     "t34_heavy_hitters" ->
       """SELECT term, count(*) AS tf FROM (
            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{CurationPipeline, PipelineContext, Similarity}
+import graft.operators.{CurationPipeline, Dedup, PipelineContext, Similarity}
 
 /** Round-6 corpus-analysis operators: duplicate-n-gram fraction,
   * heavy hitters, exact-percentile profiling, cutpoint curriculum
@@ -77,6 +77,69 @@ class CorpusAnalysisSpec extends SparkTestBase {
     assert(los.drop(1).zip(his.dropRight(1)).forall { case (lo, hi) => lo > hi })
     // uniform scores → ~equal deciles (cutpoint interpolation keeps ±1)
     assert(byBucket.map(_.getLong(1)).forall(n => n >= 9 && n <= 11))
+  }
+
+  test("dedupSpans: repeated block survives once, docs reassemble in order") {
+    PipelineContext.run { implicit ctx =>
+      val docs = Seq(
+        (1L, "a b c d"),   // blocks (bt=2): "a b", "c d"
+        (2L, "c d e f"),   // "c d" dropped (doc 1 owns it), "e f" kept
+        (3L, "a b c d")    // everything dropped
+      ).toDF("doc_id", "text")
+      val out = CurationPipeline.dedupSpans(docs, "doc_id", "text", blockTokens = 2)
+        .orderBy($"id").collect()
+      assert(out.map(r => (r.getLong(0), r.getString(3))).toSeq ===
+        Seq((1L, "a b c d"), (2L, "e f"), (3L, "")))
+      assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+        Seq((2L, 2L), (2L, 1L), (2L, 0L)))
+    }
+  }
+
+  test("dedupSpans: within-doc repeats collapse to the first position") {
+    PipelineContext.run { implicit ctx =>
+      val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+      val out = CurationPipeline.dedupSpans(docs, "doc_id", "text", blockTokens = 2)
+        .collect().head
+      assert(out.getString(3) === "x y")
+      assert(out.getLong(1) === 3L && out.getLong(2) === 1L)
+    }
+  }
+
+  test("dedupAgainst: exact and near dups of the existing corpus drop, novel and within-batch dups survive") {
+    PipelineContext.run { implicit ctx =>
+      val existing = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "completely different existing content about spark plans")
+      ).toDF("doc_id", "text")
+      val incoming = Seq(
+        (11L, "the quick brown fox jumps over the lazy dog today"), // exact dup
+        (13L, "the quick brown fox jumps over the lazy dog tonight"), // near dup
+        (15L, "an entirely novel incoming document about minhash bands"),
+        (17L, "an entirely novel incoming document about minhash bands") // dup of 15 — NOT collapsed here
+      ).toDF("doc_id", "text")
+      val kept = Dedup.dedupAgainst(incoming, existing, "doc_id", "text",
+        shingle = Dedup.WordGrams(2), minJaccard = 0.5)
+        .select($"doc_id").collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq === Seq(15L, 17L))
+    }
+  }
+
+  test("dedupAgainst: short shingle-free docs pass the near stage") {
+    PipelineContext.run { implicit ctx =>
+      val existing = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      val incoming = Seq((1L, "x")).toDF("doc_id", "text") // < 2 words: no bigram
+      val kept = Dedup.dedupAgainst(incoming, existing, "doc_id", "text",
+        shingle = Dedup.WordGrams(2), minJaccard = 0.5)
+      assert(kept.count() === 1L)
+    }
+  }
+
+  test("thresholdSweep: monotone survivors, exact fractions, grid order preserved") {
+    val df = Seq(0.1, 0.3, 0.5, 0.9).toDF("s")
+    val out = CurationPipeline.thresholdSweep(df, "s", Seq(0.0, 0.4, 0.8, 1.0))
+      .orderBy($"threshold").collect()
+    assert(out.map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((0.0, 4L, 1.0), (0.4, 2L, 0.5), (0.8, 1L, 0.25), (1.0, 0L, 0.0)))
   }
 
   test("assignToCentroids: every vector goes to its true argmax centroid") {

@@ -202,6 +202,62 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("dupNgramStats joins on the gram key - no cartesian, no global shuffle (t30 shape)") {
+    graft.operators.PipelineContext.run { implicit ctx =>
+      val plan = planOf(graft.operators.CurationPipeline.dupNgramStats(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", n = 2))
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoop"), s"nested-loop join in:\n$plan")
+      assert(!plan.contains("SinglePartition"), s"global shuffle in:\n$plan")
+      assert(!plan.contains("Window"), s"window in:\n$plan")
+      ()
+    }
+  }
+
+  test("assignToCentroids argmax is a partial aggregate, never a window (t31 shape)") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val plan = planOf(graft.operators.Similarity.assignToCentroids(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding"))
+    // the centroid side must arrive broadcast (k rows against the
+    // corpus), and per-vector selection must partial-aggregate — a
+    // rank window would shuffle every (vector, centroid) row
+    assert(plan.contains("BroadcastExchange"), s"centroids not broadcast in:\n$plan")
+    assert(!plan.contains("Window"), s"window argmax in:\n$plan")
+    assert(plan.contains("partial_min"), s"no partial argmax in:\n$plan")
+  }
+
+  test("curriculumBuckets assigns by broadcast cutpoints - no corpus sort, no window (t33 shape)") {
+    val plan = planOf(graft.operators.CurationPipeline.curriculumBuckets(
+      graft.sources.Tables.documents(spark, sfDir), "n_chars", nBuckets = 10))
+    // the ntile() formulation this replaces would show Window +
+    // SinglePartition sort over the whole corpus
+    assert(!plan.contains("Window"), s"window ntile in:\n$plan")
+    assert(!plan.linesIterator.exists(_.matches("""^\(\d+\) Sort\s*""")),
+      s"corpus sort in:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"cutpoints not broadcast in:\n$plan")
+  }
+
+  test("heavyHitters is partial-agg count + top-k, never a global sort (t34 shape)") {
+    val plan = planOf(graft.operators.CurationPipeline.heavyHitters(
+      graft.sources.Tables.documents(spark, sfDir), "text", k = 50))
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort in:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side combine in:\n$plan")
+  }
+
+  test("dedupSpans reassembles per doc - no window, no cartesian (t35 shape)") {
+    graft.operators.PipelineContext.run { implicit ctx =>
+      val plan = planOf(graft.operators.CurationPipeline.dedupSpans(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+        blockTokens = 8))
+      assert(!plan.contains("Window"), s"window in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      assert(!plan.contains("SinglePartition"), s"global shuffle in:\n$plan")
+      ()
+    }
+  }
+
   test("samplePerStratum selects via a bounded partial aggregate, never a window (t27 shape)") {
     import org.apache.spark.sql.functions.col
     val plan = planOf(graft.operators.CurationPipeline.samplePerStratum(
