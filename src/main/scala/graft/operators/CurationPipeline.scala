@@ -380,6 +380,59 @@ object CurationPipeline {
       .drop("__cuts")
   }
 
+  /** Export sharding (the pipeline's output stage): assign every row a
+    * content-stable shard id — the same md5-bucket discipline as
+    * [[hashSplit]], so shard membership is reproducible across reruns,
+    * partitioning, and engines, and a grown corpus only ADDS rows to
+    * each shard. A pure per-row function; to actually write, follow
+    * with `repartition(col("shard")).write.partitionBy("shard")` — one
+    * shuffle keyed on the shard, balanced output files (see
+    * [[writeShards]]). */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"need nShards > 0, got $nShards")
+    df.withColumn("shard",
+      (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % nShards).cast("int"))
+  }
+
+  /** Materialize [[shardAssign]] to one parquet directory per shard:
+    * repartition BY THE SHARD COLUMN (co-locates each shard's rows —
+    * without it every task writes a file into every shard directory:
+    * tasks × shards small files, the classic partitioned-write
+    * mistake), then a partitionBy write. */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int,
+      outDir: String): Unit =
+    shardAssign(df, idCol, nShards)
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** Tokenizer-vocabulary coverage: what fraction of the corpus's
+    * token OCCURRENCES fall inside the top-`vocabSize` vocabulary —
+    * the OOV-rate planning number behind choosing a tokenizer/vocab
+    * size. Two bounded passes over the vocabulary-sized aggregate:
+    * [[heavyHitters]] picks the vocab (top-k sort over the aggregate,
+    * never the corpus), then total-vs-covered occurrence counts reduce
+    * to ONE row. The corpus is scanned once. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      vocabSize: Int)(implicit ctx: PipelineContext): DataFrame = {
+    // the term-count aggregate feeds the vocab top-k AND the coverage
+    // join — stage it or the corpus explode runs twice
+    val counts = ctx.stage(docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("tf")))
+    val vocab = counts.orderBy(col("tf").desc, col("term").asc).limit(vocabSize)
+      .withColumn("__in_vocab", lit(1))
+    counts.join(vocab.select(col("term"), col("__in_vocab")), Seq("term"), "left")
+      .agg(
+        sum(col("tf")).as("total_tokens"),
+        coalesce(sum(when(col("__in_vocab") === 1, col("tf"))), lit(0L))
+          .as("covered_tokens"),
+        count(lit(1)).as("distinct_terms"))
+      .withColumn("coverage",
+        round(col("covered_tokens").cast("double") / col("total_tokens"), 6))
+  }
+
   /** TF-IDF top terms per group (corpus vocabulary analysis): term
     * frequency per (group, term), smoothed idf ln((N+1)/(df+1)) over
     * document frequency, top-k per group. Ranking uses the INTEGER

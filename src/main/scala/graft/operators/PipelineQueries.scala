@@ -469,6 +469,27 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }
 
+  /** Export sharding: 16 content-stable shards over documents, with
+    * per-shard row/char accounting and id sum pinning the exact
+    * membership. Oracle-backed: the md5-bucket arithmetic is the same
+    * hashSplit family DuckDB replays exactly (t20/t25). */
+  def t38Sharding(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.shardAssign(
+      Tables.documents(spark, dir), "doc_id", nShards = 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("shard"))
+
+  /** Tokenizer-vocabulary coverage at V=20: one-row corpus OOV
+    * accounting. Oracle-backed: DuckDB replays the same top-k vocab
+    * (tf DESC, term tie-break) and occurrence arithmetic. */
+  def t39VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      CurationPipeline.vocabCoverage(
+        Tables.documents(spark, dir), "text", vocabSize = 20)
+    }
+
   /** Token-window chunking with overlap (context-length shaping).
     * Oracle-backed: chunk text itself hash-compares against DuckDB list
     * slices — content equality, not just counts. */
@@ -624,6 +645,8 @@ object PipelineQueries {
     "t35_span_dedup" -> t35SpanDedup _,
     "t36_threshold_sweep" -> t36ThresholdSweep _,
     "t37_dedup_against" -> t37DedupAgainst _,
+    "t38_sharding" -> t38Sharding _,
+    "t39_vocab_coverage" -> t39VocabCoverage _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -706,6 +729,30 @@ object PipelineQueries {
          SELECT bucket, count(*) AS n, min(n_chars) AS min_v,
            max(n_chars) AS max_v, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM b GROUP BY bucket ORDER BY bucket""",
+    // Same md5-hex-prefix bucket as the hashSplit family, mod 16.
+    "t38_sharding" ->
+      """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 16 AS INTEGER) AS shard,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM documents GROUP BY shard ORDER BY shard""",
+    // Top-20 vocab by (tf DESC, term), then occurrence coverage.
+    "t39_vocab_coverage" ->
+      """WITH counts AS (
+           SELECT term, count(*) AS tf FROM (
+             SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             FROM documents)
+           WHERE len(term) > 0 GROUP BY term
+         ), vocab AS (
+           SELECT term FROM counts ORDER BY tf DESC, term LIMIT 20
+         )
+         SELECT CAST(sum(c.tf) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(CASE WHEN v.term IS NOT NULL THEN c.tf END), 0)
+             AS BIGINT) AS covered_tokens,
+           count(*) AS distinct_terms,
+           round(coalesce(sum(CASE WHEN v.term IS NOT NULL THEN c.tf END), 0)::DOUBLE
+                 / sum(c.tf), 6) AS coverage
+         FROM counts c LEFT JOIN vocab v USING (term)""",
     // Incoming (odd ids) survives iff no existing (even id) doc is
     // text-equal or word-bigram-Jaccard >= 0.4 — the cross-pair
     // restriction of t05's exact differential.

@@ -142,6 +142,42 @@ class CorpusAnalysisSpec extends SparkTestBase {
       Seq((0.0, 4L, 1.0), (0.4, 2L, 0.5), (0.8, 1L, 0.25), (1.0, 0L, 0.0)))
   }
 
+  test("shardAssign is content-stable; writeShards round-trips one dir per shard") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = CurationPipeline.shardAssign(docs, "doc_id", nShards = 8)
+    val b = CurationPipeline.shardAssign(docs.repartition(7), "doc_id", nShards = 8)
+    // same row → same shard regardless of input partitioning
+    assert(a.select("doc_id", "shard").except(b.select("doc_id", "shard")).count() === 0)
+    assert(a.select("shard").distinct().count() === 8)
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    try {
+      CurationPipeline.writeShards(docs, "doc_id", nShards = 8, out)
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("shard=")).sorted
+      assert(dirs.length === 8)
+      val back = spark.read.parquet(out)
+      assert(back.count() === 200)
+      // the written partition value matches the assignment
+      assert(back.join(a.withColumnsRenamed(Map("shard" -> "expect")), "doc_id")
+        .filter($"shard" =!= $"expect").count() === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("vocabCoverage: known OOV fraction and distinct-term accounting") {
+    PipelineContext.run { implicit ctx =>
+      // a:4 b:3 c:2 d:1 — vocab size 2 = {a, b} covering 7 of 10
+      val docs = Seq("a a b c", "a a b b c d").toDF("text")
+      val r = CurationPipeline.vocabCoverage(docs, "text", vocabSize = 2)
+        .collect().head
+      assert(r.getAs[Long]("total_tokens") === 10L)
+      assert(r.getAs[Long]("covered_tokens") === 7L)
+      assert(r.getAs[Long]("distinct_terms") === 4L)
+      assert(r.getAs[Double]("coverage") === 0.7)
+    }
+  }
+
   test("assignToCentroids: every vector goes to its true argmax centroid") {
     val vecs = Seq(
       (10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f)),
