@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -18,6 +18,17 @@ object CurationPipeline {
       minQuality: Double = 0.3,
       nearDupJaccard: Double = 0.5,
       shingle: Dedup.ShingleMode = Dedup.WordGrams(2))
+
+  /** The family-wide content-stable bucket: first 8 md5 hex chars of
+    * the stringified key, mod `mod` — a pure per-row function (no
+    * shuffle, no RNG, no partition dependence). Shared by hashSplit /
+    * packSequences / mixSources / replicateSources / shardAssign, and
+    * replicated digit-for-digit by every DuckDB oracle in the family —
+    * one definition so the engine-portability gates can't silently
+    * diverge. */
+  private def md5Bucket(key: Column, mod: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("bigint") % mod
 
   /** Split documents into overlapping token-window chunks — the
     * context-length shaping stage of a training pipeline (long docs →
@@ -56,8 +67,7 @@ object CurationPipeline {
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"bad split percentages: train=$trainPct val=$valPct")
-    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
-      .cast("bigint") % 100
+    val bucket = md5Bucket(col(keyCol), 100)
     df.withColumn("split",
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
@@ -78,8 +88,7 @@ object CurationPipeline {
       budgetTokens: Int, groups: Int = 64): DataFrame = {
     require(budgetTokens > 0 && groups > 0, "budget and groups must be positive")
     import org.apache.spark.sql.expressions.Window
-    val grp = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("bigint") % groups).as("group")
+    val grp = md5Bucket(col(idCol), groups).as("group")
     val toks = (lit(1) + length(col(textCol)) -
       length(regexp_replace(col(textCol), " ", ""))).as("__tokens")
     val w = Window.partitionBy(col("group")).orderBy(col(idCol))
@@ -107,8 +116,7 @@ object CurationPipeline {
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(w => w >= 0.0 && w <= 1.0),
       s"weights must be in [0,1], got $weights")
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("bigint") % 10000
+    val bucket = md5Bucket(col(idCol), 10000)
     val wt = coalesce(weights.toSeq.sortBy(_._1).map { case (s, v) =>
       when(col(sourceCol) === s, lit(v)) }: _*)
     df.filter(wt.isNotNull && bucket < (wt * 10000).cast("bigint"))
@@ -132,8 +140,7 @@ object CurationPipeline {
       weights: Map[String, Double]): DataFrame = {
     require(weights.values.forall(w => w >= 1.0 && w <= 100.0),
       s"replication weights must be in [1,100], got $weights")
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("bigint") % 10000
+    val bucket = md5Bucket(col(idCol), 10000)
     val wt = coalesce(
       (weights.toSeq.sortBy(_._1).map { case (s, v) =>
         when(col(sourceCol) === s, lit(v)) } :+ lit(1.0)): _*)
@@ -314,12 +321,19 @@ object CurationPipeline {
     * row is engine-deterministic. */
   def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    termCounts(docs, textCol)
       .orderBy(col("tf").desc, col("term").asc)
       .limit(k)
   }
+
+  /** (term, tf) over the whole corpus — the shared tokenization +
+    * empty-filter + partial-agg count under both [[heavyHitters]]
+    * (t34) and [[vocabCoverage]] (t39); one definition so the two
+    * gates can't silently diverge on tokenizer semantics. */
+  private def termCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
 
   /** Corpus length/score profiler: per-group count, min/max, mean, and
     * EXACT linear-interpolation percentiles — the distribution audit
@@ -343,14 +357,26 @@ object CurationPipeline {
     val pcts =
       if (exact) percentile(col(numCol), pArr)
       else percentile_approx(col(numCol).cast("double"), pArr, lit(10000))
+    // fractional percentiles keep their precision in the column name
+    // (0.125 -> p12_5); rounding to whole percent would collide 0.25
+    // with 0.254 and mislabel 0.125 as p13
+    def pName(p: Double): String = {
+      // via the decimal string, not p * 100: 0.95 * 100 in binary is
+      // 94.999999999999986, which would name the column p94_9…
+      val s = (BigDecimal(p.toString) * 100)
+        .underlying.stripTrailingZeros.toPlainString
+      "p" + s.replace(".", "_")
+    }
+    val names = ps.map(pName)
+    require(names.distinct.size == names.size,
+      s"percentile list yields duplicate column names: $names")
     val aggs = Seq(
       count(lit(1)).as("n"),
       min(col(numCol)).as("min_v"),
       max(col(numCol)).as("max_v"),
       round(avg(col(numCol)), 6).as("avg_v")) ++
       ps.zipWithIndex.map { case (p, i) =>
-        round(element_at(pcts, i + 1), 6)
-          .as("p" + math.round(p * 100).toInt)
+        round(element_at(pcts, i + 1), 6).as(pName(p))
       }
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -367,11 +393,21 @@ object CurationPipeline {
     * the boundary arithmetic is engine-portable. Buckets run 0 (lowest
     * scores) to n-1. */
   def curriculumBuckets(df: DataFrame, scoreCol: String,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int, exact: Boolean = true): DataFrame = {
     require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    require(!df.columns.contains("bucket") && !df.columns.contains("__cuts"),
+      "input already has a 'bucket' or '__cuts' column — rename it first")
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val pArr = array(ps.map(lit): _*)
+    // exact percentile buffers every distinct score on the final
+    // aggregation task — fine for bounded-cardinality scores (the
+    // oracle-gated path); for an unbounded continuous score at 100 TB
+    // use exact = false (t-digest, mergeable partials, same contract
+    // as corpusProfile's switch)
     val cuts = df.agg(
-      percentile(col(scoreCol), array(ps.map(lit): _*)).as("__cuts"))
+      (if (exact) percentile(col(scoreCol), pArr)
+       else percentile_approx(col(scoreCol).cast("double"), pArr, lit(10000)))
+        .as("__cuts"))
     df.crossJoin(broadcast(cuts))
       .withColumn("bucket",
         ps.indices.map(i =>
@@ -390,9 +426,9 @@ object CurationPipeline {
     * [[writeShards]]). */
   def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"need nShards > 0, got $nShards")
-    df.withColumn("shard",
-      (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % nShards).cast("int"))
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — rename it first (silent overwrite would lose it)")
+    df.withColumn("shard", md5Bucket(col(idCol), nShards).cast("int"))
   }
 
   /** Materialize [[shardAssign]] to one parquet directory per shard:
@@ -417,10 +453,7 @@ object CurationPipeline {
       vocabSize: Int)(implicit ctx: PipelineContext): DataFrame = {
     // the term-count aggregate feeds the vocab top-k AND the coverage
     // join — stage it or the corpus explode runs twice
-    val counts = ctx.stage(docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("term")).agg(count(lit(1)).as("tf")))
+    val counts = ctx.stage(termCounts(docs, textCol))
     val vocab = counts.orderBy(col("tf").desc, col("term").asc).limit(vocabSize)
       .withColumn("__in_vocab", lit(1))
     counts.join(vocab.select(col("term"), col("__in_vocab")), Seq("term"), "left")

@@ -64,6 +64,40 @@ class CorpusAnalysisSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("p50") - 500.0) <= 10.0)
   }
 
+  test("corpusProfile: fractional percentiles get precise names, duplicates rejected") {
+    val df = (1 to 9).map(i => ("g", i.toLong)).toDF("grp", "v")
+    val cols = CurationPipeline.corpusProfile(df, "grp", "v", Seq(0.125, 0.95)).columns
+    assert(cols.contains("p12_5") && cols.contains("p95"))
+    // near-collisions now get distinct names instead of both mapping
+    // to p25 — only a literal duplicate still fails
+    val near = CurationPipeline.corpusProfile(df, "grp", "v", Seq(0.25, 0.254)).columns
+    assert(near.contains("p25") && near.contains("p25_4"))
+    intercept[IllegalArgumentException] {
+      CurationPipeline.corpusProfile(df, "grp", "v", Seq(0.25, 0.25))
+    }
+  }
+
+  test("curriculumBuckets/shardAssign: output-column collisions fail loudly") {
+    val df = Seq((1L, 2L)).toDF("bucket", "score")
+    intercept[IllegalArgumentException] {
+      CurationPipeline.curriculumBuckets(df, "score", nBuckets = 2)
+    }
+    val df2 = Seq((1L, 2L)).toDF("shard", "doc_id")
+    intercept[IllegalArgumentException] {
+      CurationPipeline.shardAssign(df2, "doc_id", nShards = 4)
+    }
+  }
+
+  test("curriculumBuckets: approx path buckets a uniform corpus within tolerance") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toLong)).toDF("id", "score")
+    val out = CurationPipeline.curriculumBuckets(df, "score", nBuckets = 4,
+      exact = false)
+    val ns = out.groupBy($"bucket").count().orderBy($"bucket")
+      .collect().map(_.getLong(1))
+    assert(ns.length === 4 && ns.sum === 1000L)
+    assert(ns.forall(n => n >= 200 && n <= 300)) // t-digest ±error on 250
+  }
+
   test("curriculumBuckets: deciles are balanced, ordered, and exhaustive") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "score")
     val out = CurationPipeline.curriculumBuckets(df, "score", nBuckets = 10)
