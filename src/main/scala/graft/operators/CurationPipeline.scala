@@ -232,10 +232,26 @@ object CurationPipeline {
   def dupNgramStats(corpus: DataFrame, idCol: String, textCol: String,
       n: Int = 3)(implicit ctx: PipelineContext): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
-    // the exploded gram table feeds both the first-owner aggregate and
-    // the join back — stage it once (same policy as tfidfTopTerms)
-    val grams = ctx.stage(corpus.select(col(idCol).as("id"),
-      explode(TextFunctions.wordShingles(col(textCol), n)).as("g")))
+    // Codegen shingling (position explode + slice/concat_ws — the
+    // Dedup.shingleHashes discipline; the transform()-HOF shingler is
+    // interpreted per element and made this the slowest t-gate at 2.5 s
+    // on the full corpus), then per-doc distinct as a narrow
+    // (id, hash) distinct. Grams ride as xxhash64 longs from here on:
+    // the first-owner aggregate and the join back never touch strings
+    // (same 64-bit-collision trade the whole minhash family documents).
+    // The staged table feeds both consumers (same policy as
+    // tfidfTopTerms).
+    val w = split(lower(trim(col(textCol))), "\\s+")
+    val grams = ctx.stage(corpus
+      .select(col(idCol).as("id"), w.as("__w"))
+      .select(col("id"),
+        explode(sequence(lit(1),
+          greatest(org.apache.spark.sql.functions.size(col("__w")) - (n - 1),
+            lit(1)))).as("__i"),
+        col("__w"))
+      .select(col("id"),
+        xxhash64(concat_ws(" ", slice(col("__w"), col("__i"), lit(n)))).as("g"))
+      .distinct())
     val firstOwner = grams.groupBy(col("g")).agg(min(col("id")).as("__first"))
     grams.join(firstOwner, Seq("g"))
       .groupBy(col("id"))
