@@ -45,12 +45,35 @@ object ScaleCheck {
     scaleTable("part", Seq("p_partkey"))
     scaleTable("supplier", Seq("s_suppkey"))
     scaleTable("events", Seq("event_id", "user_id"))
-    Seq("region", "nation", "documents", "embeddings").foreach { t =>
+    // documents scale with a per-copy TOKEN suffix — the text analog of
+    // key-shifting: vocabulary and shingle spaces grow k×, cross-copy
+    // Jaccard is 0, so near-dup/dup-ngram structure stays copy-local
+    // (identical copies would instead make every doc a 100% cross-copy
+    // dup — a different workload). doc_id shifts like a fact key.
+    run {
+      val base = spark.read.parquet(s"$srcDir/documents.parquet")
+      (0 until k).map { i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * shift))
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"$$1_c$i"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
+    }
+    run {
+      val base = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      (0 until k).map { i =>
+        base.withColumn("vec_id", col("vec_id") + lit(i * shift))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$destDir/embeddings.parquet")
+    }
+    Seq("region", "nation").foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$destDir/$t.parquet")
     }
     marker.createNewFile()
   }
+
+  private def run(body: => Unit): Unit = body
 
   def main(args: Array[String]): Unit = {
     val maxK = args.headOption.map(_.toInt).getOrElse(16)
@@ -59,12 +82,17 @@ object ScaleCheck {
 
     val shapes = Seq("q01_pricing_summary", "q03_join_topk",
       "q04_multihop_agg", "q12_window_dedup", "q23_count_distinct",
-      "t12_sessionize")
+      "t12_sessionize",
+      // text-operator shapes (documents scale as of the v2 synthesis)
+      "t02_exact_dedup", "t05_minhash_pairs", "t30_dup_ngrams",
+      "t35_span_dedup")
 
     val ks = Seq(1, 4, maxK).distinct.filter(_ <= maxK)
     val results = ks.map { k =>
       val dir = if (k == 1) src else {
-        val d = s"/tmp/graft_scale/x$k"
+        // v2: documents/embeddings now scale too — do not reuse v1
+        // markers whose corpora were 1×
+        val d = s"/tmp/graft_scale/v2_x$k"
         synthesize(spark, src, d, k)
         d
       }

@@ -168,6 +168,41 @@ class CorpusAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("dedupSpans invariants on a seeded random corpus: global block uniqueness, ordered subsequence") {
+    PipelineContext.run { implicit ctx =>
+      val rnd = new scala.util.Random(42)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+      val docs = (1L to 60L).map { i =>
+        (i, Seq.fill(2 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = CurationPipeline.dedupSpans(docs, "doc_id", "text", blockTokens = 3)
+        .collect()
+      // kept never exceeds total, and every doc comes back
+      assert(out.length === 60)
+      assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
+      // the kept corpus has no repeated block anywhere (the operator's
+      // whole contract), and each doc's clean text is a subsequence of
+      // its original tokens in order
+      val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val seen = scala.collection.mutable.Set.empty[String]
+      out.foreach { r =>
+        val blocks = r.getString(3).split(" ").filter(_.nonEmpty).grouped(3)
+          .map(_.mkString(" ")).toSeq
+        blocks.foreach { b => assert(seen.add(b), s"block '$b' kept twice") }
+        val o = orig(r.getLong(0)).split(" ").toSeq
+        val c = r.getString(3).split(" ").filter(_.nonEmpty).toSeq
+        // subsequence check
+        var oi = 0
+        c.foreach { tok =>
+          oi = o.indexOf(tok, oi)
+          assert(oi >= 0, s"token '$tok' out of order for doc ${r.getLong(0)}")
+          oi += 1
+        }
+      }
+    }
+  }
+
   test("thresholdSweep: monotone survivors, exact fractions, grid order preserved") {
     val df = Seq(0.1, 0.3, 0.5, 0.9).toDF("s")
     val out = CurationPipeline.thresholdSweep(df, "s", Seq(0.0, 0.4, 0.8, 1.0))
