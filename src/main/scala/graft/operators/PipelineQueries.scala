@@ -595,6 +595,34 @@ object PipelineQueries {
         .orderBy(col("bucket"))
     }
 
+  /** FLAGSHIP COMPOSED PIPELINE (t40): the full training-data path a
+    * reference user would run, as ONE dataflow under ONE differential
+    * oracle — curate (annotate → quality filter → exact dedup →
+    * near-dedup, t13's stage) → duplicate-n-gram filter over the KEPT
+    * corpus (< 0.5, t30's operator) → language-weighted mixing (t25's
+    * md5 rule) → content-stable sharding (t38), accounted per shard.
+    * Every stage is an already-gated operator; this pins that they
+    * COMPOSE (column contracts, staging lifecycle, determinism
+    * end-to-end). DuckDB replays the whole chain: t13's replica CTEs
+    * + t30's gram windows restricted to the kept set + the VALUES
+    * weight join + the md5 bucket arithmetic. */
+  def t40PipelineE2e(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val docs = Tables.documents(spark, dir)
+      val kept = CurationPipeline.curate(docs, "doc_id", "text")
+      val scored = CurationPipeline.dupNgramStats(kept, "doc_id", "text", n = 2)
+      val lowDup = kept.join(
+        scored.filter(col("dup_fraction") < 0.5).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val mixed = CurationPipeline.mixSources(lowDup, "doc_id", "lang",
+        Map("en" -> 1.0, "fr" -> 0.5, "de" -> 0.5, "es" -> 0.25, "zh" -> 0.75))
+      CurationPipeline.shardAssign(mixed, "doc_id", nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("shard"))
+    }
+
   /** JSON property extraction (§2.8 JSON row): the events table's
     * `props` column is a JSON string — parse, extract, aggregate. */
   def t14JsonProps(spark: SparkSession, dir: String): DataFrame =
@@ -647,6 +675,7 @@ object PipelineQueries {
     "t37_dedup_against" -> t37DedupAgainst _,
     "t38_sharding" -> t38Sharding _,
     "t39_vocab_coverage" -> t39VocabCoverage _,
+    "t40_pipeline_e2e" -> t40PipelineE2e _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -729,6 +758,70 @@ object PipelineQueries {
          SELECT bucket, count(*) AS n, min(n_chars) AS min_v,
            max(n_chars) AS max_v, CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM b GROUP BY bucket ORDER BY bucket""",
+    // The composed pipeline: t13's curation replica -> t30's gram
+    // windows over the kept set (rounded dup fraction < 0.5) -> t25's
+    // md5 weight rule -> t38's shard bucket. One chain, one hash.
+    "t40_pipeline_e2e" ->
+      """WITH ann AS (
+           SELECT doc_id, text, lang, n_chars,
+             string_split_regex(lower(trim(text)), '\s+') AS w,
+             length(text)::DOUBLE AS nchars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha
+           FROM documents
+         ), scored AS (
+           SELECT doc_id, text, lang, n_chars, w, len(w) AS n_tokens,
+             round(
+               least(len(w) / 64.0, 1.0) * 0.35
+               + (CASE WHEN nchars > 0 THEN alpha / nchars ELSE 0.0 END) * 0.3
+               + (CASE WHEN len(w) > 0 AND nchars / len(w) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+               + least((CASE WHEN len(w) > 0 THEN len(list_filter(w, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be'], t)))::DOUBLE / len(w) ELSE 0.0 END) * 5.0, 1.0) * 0.15, 6) AS quality
+           FROM ann
+         ), flagged AS (
+           SELECT *, coalesce(n_tokens >= 8 AND quality >= 0.3, FALSE) AS passes FROM scored
+         ), exact_kept AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             FROM flagged WHERE passes) WHERE rn = 1
+         ), grams0 AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM exact_kept WHERE len(w) >= 2
+         ), near_dropped AS (
+           SELECT DISTINCT b.doc_id
+           FROM grams0 a JOIN grams0 b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+                 (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
+         ), kept AS (
+           SELECT * FROM exact_kept
+           WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+         ), dg AS (
+           SELECT doc_id, unnest(list_distinct(
+               [array_to_string(list_slice(w, i, i + 1), ' ')
+                for i in range(1, greatest(len(w) - 2, 0) + 2)])) AS g
+           FROM kept
+         ), f AS (
+           SELECT g, min(doc_id) AS first_id FROM dg GROUP BY g
+         ), dupscore AS (
+           SELECT d.doc_id,
+             round(count(CASE WHEN f.first_id < d.doc_id THEN 1 END)::DOUBLE
+                   / count(*), 6) AS df
+           FROM dg d JOIN f USING (g) GROUP BY d.doc_id
+         ), lowdup AS (
+           SELECT k.* FROM kept k JOIN dupscore s USING (doc_id)
+           WHERE s.df < 0.5
+         ), wts AS (
+           SELECT * FROM (VALUES ('en', 1.0), ('fr', 0.5), ('de', 0.5),
+             ('es', 0.25), ('zh', 0.75)) t(lang, wt)
+         ), mixed AS (
+           SELECT l.* FROM lowdup l JOIN wts ON l.lang = wts.lang
+           WHERE ('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 10000 < CAST(wts.wt * 10000 AS BIGINT)
+         )
+         SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 8 AS INTEGER) AS shard,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+           max(doc_id) AS max_id
+         FROM mixed GROUP BY shard ORDER BY shard""",
     // Same md5-hex-prefix bucket as the hashSplit family, mod 16.
     "t38_sharding" ->
       """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

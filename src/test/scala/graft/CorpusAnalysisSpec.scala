@@ -211,6 +211,17 @@ class CorpusAnalysisSpec extends SparkTestBase {
       Seq((0.0, 4L, 1.0), (0.4, 2L, 0.5), (0.8, 1L, 0.25), (1.0, 0L, 0.0)))
   }
 
+  test("composed pipeline gate: stages only ever shrink the corpus, shards partition it") {
+    val out = graft.operators.PipelineQueries.t40PipelineE2e(spark, sfDir).collect()
+    val total = out.map(_.getLong(1)).sum
+    val input = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(total > 0 && total <= input,
+      s"pipeline emitted $total docs from $input inputs")
+    // shards are a partition of the mixed corpus: ids disjoint by
+    // construction (md5 bucket), counts positive
+    assert(out.forall(_.getLong(1) > 0))
+  }
+
   test("shardAssign is content-stable; writeShards round-trips one dir per shard") {
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = CurationPipeline.shardAssign(docs, "doc_id", nShards = 8)
