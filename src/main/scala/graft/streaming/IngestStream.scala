@@ -41,6 +41,18 @@ object IngestStream {
       .start()
   }
 
+  /** Normalize an event-time column to TIMESTAMP before `withWatermark`:
+    * parquet written with `isAdjustedToUTC=false` (our testdata, and any
+    * NTZ-producing writer) infers as TIMESTAMP_NTZ, which
+    * `withWatermark` rejects (`EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`).
+    * Under the UTC session timezone (SparkBoot) the cast is
+    * value-identity; a no-op when the column is already TIMESTAMP. */
+  private[streaming] def asEventTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+    }
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * the §2.9 extension. Late rows beyond the watermark are dropped;
     * state size is O(windows in flight), not O(stream). */
@@ -48,7 +60,7 @@ object IngestStream {
       events: DataFrame, // streaming frame with ts/event_type/value
       watermark: String = "10 minutes",
       window_ : String = "5 minutes"): DataFrame =
-    events
+    asEventTime(events, "ts")
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
@@ -70,6 +82,6 @@ object IngestStream {
   def dedupStream(
       events: DataFrame, keyCols: Seq[String], tsCol: String,
       watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark(tsCol, watermark)
+    asEventTime(events, tsCol).withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 }

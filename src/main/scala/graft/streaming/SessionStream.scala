@@ -37,7 +37,8 @@ object SessionStream {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts")) // NTZ-safe: watermark needs TIMESTAMP
       .withWatermark("ts", watermark)
       .as[(Long, Timestamp)]
       .groupByKey(_._1)

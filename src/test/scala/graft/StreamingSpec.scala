@@ -146,10 +146,17 @@ class StreamingSpec extends SparkTestBase {
 
   test("watermarked windowed aggregation over a file event stream") {
     val tmp = Files.createTempDirectory("graft-events").toString
-    val src = graft.sources.Tables.events(spark, sfDir).limit(500)
-    src.write.parquet(s"$tmp/in")
-    val stream = IngestStream.eventStream(spark, s"$tmp/in",
-      spark.read.parquet(s"$tmp/in").schema)
+    val src0 = graft.sources.Tables.events(spark, sfDir).limit(500)
+    src0.write.parquet(s"$tmp/in")
+    val inferred = spark.read.parquet(s"$tmp/in").schema
+    // NTZ regression pin: the testdata events `ts` round-trips through
+    // parquet as TIMESTAMP_NTZ; windowedEventCounts must accept it
+    // (withWatermark alone would throw EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    assert(inferred("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType,
+      s"expected NTZ ts in parquet round-trip, got ${inferred("ts").dataType}")
+    val src = src0.withColumn("ts", col("ts").cast("timestamp"))
+    val stream = IngestStream.eventStream(spark, s"$tmp/in", inferred)
     val agg = IngestStream.windowedEventCounts(stream, "10 minutes", "5 minutes")
     val q = agg.writeStream
       .format("memory").queryName("winagg")
