@@ -42,6 +42,16 @@ object GraftType {
     def spark: DataType = StructType(fields.map { case (n, t) => StructField(n, t.spark) })
   }
 
+  /** Reference DDL spelling of a type (inverse of `parse` on the
+    * names the declared schemas actually use). */
+  def ddlName(t: GraftType): String = t match {
+    case LIST(e) => s"${ddlName(e)}[]"
+    case MAP(k, v) => s"MAP(${ddlName(k)}, ${ddlName(v)})"
+    case STRUCT(fs) =>
+      fs.map { case (n, ft) => s"$n ${ddlName(ft)}" }.mkString("STRUCT(", ", ", ")")
+    case other => other.toString
+  }
+
   /** Parse a reference type name (schemas/custom.py VALID_TYPES). */
   def parse(name: String): GraftType = name.trim.toUpperCase match {
     case "STRING" | "VARCHAR" | "TEXT" => STRING
@@ -75,6 +85,8 @@ final case class Property(
     isPrimaryKey: Boolean = false,
     nullable: Boolean = true) {
   def field: StructField = StructField(name, tpe.spark, nullable && !isPrimaryKey)
+  /** `name TYPE` (models.py:19 Property.to_cypher). */
+  def ddl: String = s"$name ${GraftType.ddlName(tpe)}"
 }
 
 /** A node label = one table (models.py:26). */
@@ -82,6 +94,14 @@ final case class NodeDef(name: String, properties: Seq[Property]) {
   require(properties.exists(_.isPrimaryKey), s"node $name needs a primary key")
   def primaryKey: String = properties.find(_.isPrimaryKey).get.name
   def structType: StructType = StructType(properties.map(_.field))
+  /** `CREATE NODE TABLE IF NOT EXISTS …(props, PRIMARY KEY(pk))`
+    * (models.py:33 Node.to_cypher, safe_mode default). */
+  def ddl(safeMode: Boolean = true): String = {
+    val props = properties.map(_.ddl).mkString(",\n        ")
+    val pks = properties.filter(_.isPrimaryKey).map(_.name).mkString(", ")
+    val exists = if (safeMode) "IF NOT EXISTS " else ""
+    s"CREATE NODE TABLE $exists$name(\n        $props,\n        PRIMARY KEY($pks)\n    )"
+  }
 }
 
 /** A relationship type = one table with src, dst, then properties
@@ -96,6 +116,15 @@ final case class RelDef(
     StructField("src", StringType, nullable = false) +:
       StructField("dst", StringType, nullable = false) +:
       properties.map(_.field))
+  /** `CREATE REL TABLE IF NOT EXISTS …(FROM a TO b, props)`
+    * (models.py:76 Relationship.to_cypher). */
+  def ddl(safeMode: Boolean = true): String = {
+    val props =
+      if (properties.isEmpty) ""
+      else ",\n        " + properties.map(_.ddl).mkString(",\n        ")
+    val exists = if (safeMode) "IF NOT EXISTS " else ""
+    s"CREATE REL TABLE $exists$name(FROM $from TO $to$props)"
+  }
 }
 
 /** Named, versioned schema collection (models.py:104). Extensions
