@@ -220,10 +220,11 @@ object PipelineQueries {
     }
 
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
-    * decode-stub features → per-type accounting. no_oracle: the input
-    * is generated in-engine (no parquet table for DuckDB to read) and
-    * the decode stub is engine-side by design; MultimodalSpec pins the
-    * schema, partitioning, and per-type counts. */
+    * decode-stub features → per-type accounting. The input is generated
+    * in-engine (deterministic from ids), so the oracle is a fixture
+    * differential: fixtures/t11_expected.parquet is the committed
+    * expectation (values pinned by MultimodalSpec), and the driver
+    * hash-compares the live pipeline against it. */
   def t11MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(spark, 300)
     val features = Multimodal.extractFeatures(media, dim = 16, partitions = 8)
@@ -237,10 +238,11 @@ object PipelineQueries {
   /** REAL media decode end-to-end: synthesize actual PNG/WAV payloads
     * on executors, decode them with the JDK codecs
     * ([[Multimodal.decodeFeaturesJvm]]), and aggregate decoded feature
-    * stats per type. no_oracle: no SQL engine replicates ImageIO/
-    * javax.sound byte decoding — PipelineSpec pins the decoded values
-    * on known payloads (two-tone PNG → exact luminances, square wave →
-    * RMS bins); this gate checks determinism/rows via the driver. */
+    * stats per type. No SQL engine replicates ImageIO/javax.sound byte
+    * decoding, so the oracle is a fixture differential:
+    * fixtures/t16_expected.parquet commits the expectation whose values
+    * PipelineSpec pins independently on known payloads (two-tone PNG →
+    * exact luminances, square wave → RMS bins). */
   def t16MediaDecode(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMediaReal(spark, 120)
     Multimodal.decodeFeaturesJvm(media, side = 4, audioBins = 8)
@@ -682,6 +684,17 @@ object PipelineQueries {
     * reproduce the same sequential double folds (list_reduce with a 0.0
     * seed) so sums match bit-for-bit before rounding. */
   val oracle: Map[String, String] = Map(
+    // Fixture differentials for the media gates: both pipelines are
+    // deterministic (payloads synthesized from ids, JDK decode), and
+    // the exact decoded values on known payloads are pinned
+    // independently by MultimodalSpec/PipelineSpec — the committed
+    // fixture parquet is that pinned expectation in table form, so the
+    // driver's hash compare now covers the full engine path instead of
+    // recording rows-only.
+    "t11_media_features" ->
+      "SELECT * FROM '/root/repo/fixtures/t11_expected.parquet'",
+    "t16_media_decode" ->
+      "SELECT * FROM '/root/repo/fixtures/t16_expected.parquet'",
     // Same truncating bigram windows as wordShingles; first owner =
     // min doc_id per gram; dup = gram first seen in a smaller id.
     "t30_dup_ngrams" ->
