@@ -85,7 +85,12 @@ object ScaleCheck {
       "t12_sessionize",
       // text-operator shapes (documents scale as of the v2 synthesis)
       "t02_exact_dedup", "t05_minhash_pairs", "t30_dup_ngrams",
-      "t35_span_dedup")
+      "t35_span_dedup",
+      // round 7: the bounded-ground-truth ANN gate must stay FLAT-ish
+      // (its reference is O(50·n) now, not O(n²)) and the composed
+      // flagship pipeline's growth is the single best compose-at-scale
+      // datapoint
+      "t10_embedding_dedup", "t40_pipeline_e2e")
 
     val ks = Seq(1, 4, maxK).distinct.filter(_ <= maxK)
     val results = ks.map { k =>

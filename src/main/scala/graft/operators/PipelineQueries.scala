@@ -188,12 +188,19 @@ object PipelineQueries {
 
   /** Embedding-cosine near-dup pairs as a PRECISION+RECALL gate. The
     * banded-bucket step is not SQL-expressible, so the gate frame is
-    * the verification arithmetic: `n_exact` (all pairs with exact
-    * cosine ≥ threshold — the same strict left-to-right fold DuckDB
-    * replicates bit-for-bit), `n_false_pos` pinning the precision
-    * invariant at 0 (an emitted pair below threshold hash-mismatches),
-    * and `recall_met` = Spark's banded-LSH recall ≥ 0.3 with the oracle
-    * stating the requirement as TRUE.
+    * the verification arithmetic — and (round 7) the gate itself is
+    * scale-safe, never quadratic:
+    *
+    *  - precision: cosine is recomputed ON each emitted pair (an
+    *    equi-join back to the embeddings, O(|pairs|)) and `n_false_pos`
+    *    pins the below-threshold count at 0 — every emitted pair is
+    *    verified, with no all-pairs reference needed;
+    *  - recall: the exact ground truth is bounded to the `vec_id < 50`
+    *    query sample (like t09), making the reference O(50·n) instead
+    *    of O(n²) on both the engine and DuckDB sides; `recall_met` =
+    *    emitted-pairs-with-sampled-anchor / sampled-exact ≥ 0.3, valid
+    *    as true recall because the precision invariant makes every
+    *    emitted pair exact.
     *
     * Testdata embeddings are i.i.d. random (max pairwise cosine ≈0.51)
     * — threshold set low so the gate is non-vacuous; real dedup uses
@@ -204,19 +211,24 @@ object PipelineQueries {
       val thr = 0.35
       val pairs = ctx.stage(Dedup.embeddingPairs(emb, "vec_id", "embedding",
         dim = 64, minCosine = thr, nPlanes = 4, bands = 4))
-      val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
-      val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
-      val exact = a.crossJoin(b).filter(col("id1") < col("id2"))
+      val withCos = pairs
+        .join(emb.select(col("vec_id").as("id1"), col("embedding").as("v1")), Seq("id1"))
+        .join(emb.select(col("vec_id").as("id2"), col("embedding").as("v2")), Seq("id2"))
+        .withColumn("cosine", VectorFunctions.cosine(col("v1"), col("v2")))
+      val nFalse = withCos.filter(col("cosine") < thr)
+        .agg(count(lit(1)).as("n_false_pos"))
+      val exactS = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("id1"), col("embedding").as("v1"))
+        .crossJoin(emb.select(col("vec_id").as("id2"), col("embedding").as("v2")))
+        .filter(col("id1") < col("id2"))
         .withColumn("cosine", VectorFunctions.cosine(col("v1"), col("v2")))
         .filter(col("cosine") >= thr)
-        .select(col("id1"), col("id2"))
-      val nExact = exact.agg(count(lit(1)).as("n_exact"))
-      val nFalse = pairs.join(exact, Seq("id1", "id2"), "left_anti")
-        .agg(count(lit(1)).as("n_false_pos"))
-      val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
-      nExact.crossJoin(nFalse).crossJoin(nPairs)
+      val nExact = exactS.agg(count(lit(1)).as("n_exact"))
+      val nPairsS = pairs.filter(col("id1") < 50)
+        .agg(count(lit(1)).as("n_pairs_s"))
+      nExact.crossJoin(nFalse).crossJoin(nPairsS)
         .select(col("n_exact"), col("n_false_pos"),
-          (col("n_pairs").cast("double") / col("n_exact") >= lit(0.3)).as("recall_met"))
+          (col("n_pairs_s").cast("double") / col("n_exact") >= lit(0.3)).as("recall_met"))
     }
 
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
@@ -1445,7 +1457,8 @@ object PipelineQueries {
                   list_transform(b.embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
                   (p, c) -> p + c))) AS cosine
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id < b.vec_id AND a.vec_id < 50)
          SELECT (SELECT count(*) FROM pairs WHERE cosine >= 0.35) AS n_exact,
                 CAST(0 AS BIGINT) AS n_false_pos,
                 TRUE AS recall_met""",

@@ -270,4 +270,25 @@ class PlanSpec extends SparkTestBase {
     assert(plan.linesIterator.count(_.matches("""^\(\d+\) ObjectHashAggregate\s*""")) >= 2,
       s"missing partial/final aggregate pair in:\n$plan")
   }
+
+  test("q23 distinct is two-level: map-side dedup before each exchange") {
+    val plan = planOf(RelationalQueries.q23CountDistinct(spark, sfDir))
+    // Both distinct branches must plan a PARTIAL HashAggregate keyed on
+    // the distinct tuple BELOW the exchange — the shuffle then carries
+    // per-partition-distinct rows only. With that in place the exchange
+    // is minimal for EXACT distinct: its row count is the data's
+    // distinct cardinality (measured dup factor at sf0.1 is 1.005 — the
+    // shuffle rows ARE the answer's keys, and that exchange is the
+    // scale-out mechanism, not overhead).
+    val keyedPartials = plan.linesIterator.sliding(4).count { w =>
+      w.exists(_.matches("""^\(\d+\) HashAggregate\s*""")) &&
+        w.exists(l => l.startsWith("Keys") &&
+          (l.contains("l_orderkey") || l.contains("ps#")))
+    }
+    assert(plan.contains("partial_count"), s"no partial aggregates in:\n$plan")
+    assert(keyedPartials >= 2,
+      s"expected key-grouped aggregates on both distinct branches in:\n$plan")
+    // and the tiny 3-row side joins broadcast — never a shuffled join
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
 }
