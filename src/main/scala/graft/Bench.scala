@@ -41,10 +41,15 @@ object Bench {
       n -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal walls (ms precision — below this host's noise floor):
+    // full-precision doubles made the line long enough that the
+    // driver's capture truncated its tail in r6, losing the c/g walls
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ts = java.time.Instant.now().toString
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // run provenance, so the correctness artifact downstream of this
+    // dump is attributable to a scale factor and a moment in time
+    // (ADVICE r6: CORRECTNESS carried no sf/timestamp metadata)
+    Files.writeString(Paths.get(s"$outDir/meta.json"),
+      s"""{"sf_dir": ${q(sfDir)}, "out_dir": ${q(outDir)}, """ +
+        s""""n_queries": ${SparkEntry.queries.size}, """ +
+        s""""ts_utc": ${q(java.time.Instant.now().toString)}}""")
     spark.stop()
   }
 }
