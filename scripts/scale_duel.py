@@ -25,11 +25,23 @@ def load_oracles(path):
         return json.load(f)
 
 
-def time_duckdb(con, sql, runs=2):
+def time_duckdb(con, sql, runs=2, budget=240.0):
+    """Warm best-of-N with a wall budget: an all-pairs/recursive oracle
+    replica that blows past `budget` seconds is interrupted and recorded
+    as a DNF (inf) — at 64x several replicas are quadratic by
+    construction and would otherwise hang the duel."""
+    import threading
     best = float("inf")
     for _ in range(runs):
+        timer = threading.Timer(budget, con.interrupt)
+        timer.start()
         t0 = time.time()
-        con.execute(sql).fetchall()
+        try:
+            con.execute(sql).fetchall()
+        except Exception:
+            timer.cancel()
+            return float("inf")  # interrupted (or errored): DNF
+        timer.cancel()
         best = min(best, time.time() - t0)
     return best
 
@@ -97,7 +109,10 @@ def main():
                 cells.append("-")
                 continue
             s, dsec = table[q][k]
-            cells.append(f"{s:.2f} / {dsec:.2f} / {s / dsec:.1f}x")
+            if dsec == float("inf"):
+                cells.append(f"{s:.2f} / DNF(>240s) / -")
+            else:
+                cells.append(f"{s:.2f} / {dsec:.2f} / {s / dsec:.1f}x")
         print(f"| {q} | " + " | ".join(cells) + " |")
 
 
