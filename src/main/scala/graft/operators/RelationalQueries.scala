@@ -331,6 +331,28 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The analytics-tier opt-in for q23's shape: HyperLogLog++ sketches
+    * (`approx_count_distinct`) in place of the exact distinct. The
+    * exact form's cost IS its exchange — measured dup factor 1.005 at
+    * sf0.1 means the shuffle rows are the answer's key set and cannot
+    * shrink (SCALING.md round 7) — whereas sketches merge map-side into
+    * a few KB per group, so the exchange carries 3 sketch buffers
+    * instead of 38 M keys at 64×. Not a gate: the result is
+    * approximate by contract (default rsd 5%); callers who need the
+    * exact count use [[q23CountDistinct]], which stays the oracle-gated
+    * form. */
+  def q23CountDistinctApprox(
+      spark: SparkSession, dir: String, rsd: Double = 0.05): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd).as("n_orders"),
+        approx_count_distinct(
+          shiftleft(col("l_partkey"), 32).bitwiseOR(col("l_suppkey")), rsd)
+          .as("n_part_supp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** collect() → list (§2.4). The list is sorted then joined to a
     * string so the driver's comparator (which sorts scalar cells) can
     * hash it — the collect itself still exercises collect_set. */
