@@ -42,9 +42,14 @@ class ServeSpec extends SparkTestBase {
     try {
       val done = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
       val gate = new java.util.concurrent.CountDownLatch(1)
-      // saturate both workers so later submissions queue up
-      (1 to 2).foreach(_ => q.submit("u0") { gate.await(); 0 })
-      Thread.sleep(100)
+      val started = new java.util.concurrent.CountDownLatch(2)
+      // saturate both workers so later submissions queue up — wait for
+      // the workers to actually PICK UP the blockers (a fixed sleep
+      // raced on a loaded box: low/high could start immediately and
+      // complete in submission order)
+      (1 to 2).foreach(_ => q.submit("u0") { started.countDown(); gate.await(); 0 })
+      assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "blocker tasks never started")
       val low = q.submit("u1", priority = 1) { done.add(1); 1 }.toOption.get
       val high = q.submit("u1", priority = 10) { done.add(10); 10 }.toOption.get
       gate.countDown()
@@ -90,16 +95,27 @@ class ServeSpec extends SparkTestBase {
     val q = new QueryQueue(maxConcurrent = 1)
     try {
       val gate = new java.util.concurrent.CountDownLatch(1)
-      q.submit("blocker") { gate.await(); 0 } // hold the single worker
-      Thread.sleep(50)
+      val blockerUp = new java.util.concurrent.CountDownLatch(1)
+      q.submit("blocker") { blockerUp.countDown(); gate.await(); 0 } // hold the single worker
+      assert(blockerUp.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "blocker never started")
+      // the task holds itself open until the STREAM has observed a
+      // progress heartbeat — a fixed task sleep raced consumer-thread
+      // scheduling on a loaded box (task done before the first
+      // lifecycle poll ⇒ no running/progress events)
+      val seenProgress = new java.util.concurrent.CountDownLatch(1)
       val id = q.submit("u") {
-        Thread.sleep(200) // long enough for >1 progress heartbeat
+        seenProgress.await(10, java.util.concurrent.TimeUnit.SECONDS)
         Tables.nation(spark, sfDir)
       }.toOption.get
       // release the worker shortly after the stream starts polling
       new Thread(() => { Thread.sleep(100); gate.countDown() }).start()
-      val events = ResultStreamer.sseQueuedEvents(q, id,
-        chunkSize = 10, pollMs = 2, progressEveryMs = 50).toSeq
+      val it = ResultStreamer.sseQueuedEvents(q, id,
+        chunkSize = 10, pollMs = 2, progressEveryMs = 50)
+      val events = it.map { e =>
+        if (e.startsWith("event: progress")) seenProgress.countDown()
+        e
+      }.toSeq
       val names = events.map(_.linesIterator.next().stripPrefix("event: "))
       assert(names.head === "queued")
       assert(names.contains("running"))
