@@ -215,6 +215,52 @@ object CurationPipeline {
         round(col("n_hits").cast("double") / col("n_grams"), 6))
   }
 
+  /** Fuzzy decontamination with PER-PAIR attribution (the
+    * n-gram-overlap-threshold treatment, e.g. GPT-3's 13-gram overlap
+    * check): emit each (corpus doc, benchmark doc) pair sharing at
+    * least `minShared` DISTINCT word n-grams — unlike [[decontaminate]]
+    * (set-level containment score), this says WHICH eval example a
+    * document collides with, the evidence needed to adjudicate or
+    * surgically drop.
+    *
+    * Shape at 100 TB: grams ride as xxhash64 longs (dupNgramStats'
+    * codegen shingler); both sides reduce to distinct (doc, gram);
+    * the candidate join is an inverted-index equi-join ON THE GRAM.
+    * Ultra-common grams are the fan-out hazard (a boilerplate gram in
+    * 10^6 corpus docs × 10^3 bench docs = 10^9 join rows), so grams
+    * above `dfCap` corpus document-frequency are dropped BEFORE the
+    * join — the same whale-cap discipline as dedupAgainst, and what
+    * practice does anyway (stop-gram filtering): a gram shared by
+    * thousands of documents identifies no specific contamination. */
+  def contaminationPairs(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 3, minShared: Int = 2, dfCap: Int = 1000)(
+      implicit ctx: PipelineContext): DataFrame = {
+    require(n >= 1 && minShared >= 1 && dfCap >= 1, "n, minShared, dfCap must be >= 1")
+    def hashedGrams(df: DataFrame, id: String, text: String, outId: String) = {
+      val w = split(lower(trim(col(text))), "\\s+")
+      df.select(col(id).as(outId), w.as("__w"))
+        .select(col(outId),
+          explode(sequence(lit(1),
+            greatest(org.apache.spark.sql.functions.size(col("__w")) - (n - 1),
+              lit(1)))).as("__i"),
+          col("__w"))
+        .select(col(outId),
+          xxhash64(concat_ws(" ", slice(col("__w"), col("__i"), lit(n)))).as("g"))
+        .distinct()
+    }
+    val corpusGrams = ctx.stage(hashedGrams(corpus, idCol, textCol, "id"))
+    // rare-gram filter: one partial-agg count on the gram key
+    val rare = corpusGrams.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= dfCap).select("g")
+    val benchGrams = hashedGrams(bench, benchIdCol, benchTextCol, "bench_id")
+    corpusGrams.join(rare, Seq("g"), "left_semi")
+      .join(benchGrams, Seq("g"))
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
+
   /** Duplicate-n-gram fraction (the Gopher/Dolma span-level dup
     * signal): per document, the fraction of its DISTINCT word n-grams
     * already present in an EARLIER document (smaller id) — 0 for fully

@@ -231,6 +231,22 @@ object PipelineQueries {
           (col("n_pairs_s").cast("double") / col("n_exact") >= lit(0.3)).as("recall_met"))
     }
 
+  /** Fuzzy decontamination with per-pair attribution
+    * ([[CurationPipeline.contaminationPairs]]): the documents table
+    * split into an eval slice (doc_id % 7 == 0) and the remaining
+    * corpus; every (corpus doc, eval doc) pair sharing ≥3 distinct
+    * trigrams comes back with its shared count. Oracle: DuckDB rebuilds
+    * the same truncating trigram windows, rare-gram filter (df ≤ 100),
+    * and pair aggregate. */
+  def t41ContamPairs(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val docs = Tables.documents(spark, dir)
+      CurationPipeline.contaminationPairs(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        n = 3, minShared = 3, dfCap = 100)
+    }
+
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
     * decode-stub features → per-type accounting. The input is generated
     * in-engine (deterministic from ids), so the oracle is a fixture
@@ -690,6 +706,7 @@ object PipelineQueries {
     "t38_sharding" -> t38Sharding _,
     "t39_vocab_coverage" -> t39VocabCoverage _,
     "t40_pipeline_e2e" -> t40PipelineE2e _,
+    "t41_contam_pairs" -> t41ContamPairs _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -707,6 +724,28 @@ object PipelineQueries {
       "SELECT * FROM '/root/repo/fixtures/t11_expected.parquet'",
     "t16_media_decode" ->
       "SELECT * FROM '/root/repo/fixtures/t16_expected.parquet'",
+    // Same truncating trigram windows as the engine's codegen shingler
+    // (t30 precedent), distinct per doc, rare-gram filter df<=100, then
+    // the pair aggregate with the >=3 threshold.
+    "t41_contam_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents
+         ), dg AS (
+           SELECT doc_id, unnest(list_distinct(
+               [array_to_string(list_slice(w, i, i + 2), ' ')
+                for i in range(1, greatest(len(w) - 3, 0) + 2)])) AS g
+           FROM toks
+         ), corpus AS (
+           SELECT doc_id AS id, g FROM dg WHERE doc_id % 7 <> 0
+         ), bench AS (
+           SELECT doc_id AS bench_id, g FROM dg WHERE doc_id % 7 = 0
+         ), rare AS (
+           SELECT g FROM corpus GROUP BY g HAVING count(*) <= 100
+         )
+         SELECT c.id, b.bench_id, count(*) AS shared_grams
+         FROM corpus c JOIN rare USING (g) JOIN bench b USING (g)
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
     // Same truncating bigram windows as wordShingles; first owner =
     // min doc_id per gram; dup = gram first seen in a smaller id.
     "t30_dup_ngrams" ->

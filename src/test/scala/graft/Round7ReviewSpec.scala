@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.RelationalQueries
+import graft.operators.{CurationPipeline, PipelineContext, RelationalQueries}
 
 /** Round-7 additions beyond the driver gates: the approximate-distinct
   * opt-in and the plan properties that justify it. */
@@ -38,5 +38,43 @@ class Round7ReviewSpec extends SparkTestBase {
       s"no partial sketch aggregation in:\n$plan")
     val exchanges = plan.linesIterator.count(_.matches("""^\(\d+\) Exchange\s*"""))
     assert(exchanges <= 2, s"approx form should need at most agg+sort exchanges:\n$plan")
+  }
+
+  test("contaminationPairs: pair attribution, threshold, and the df-cap boilerplate filter") {
+    import spark.implicits._
+    // doc 1 shares two DISTINCT trigrams with bench 100 ("alpha beta
+    // gamma", "beta gamma delta"); doc 2 shares only one; docs 3-6 all
+    // carry the same boilerplate trigram that bench 101 also has
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta unique1"),
+      (2L, "alpha beta gamma zzz unique2"),
+      (3L, "common legal footer unique3"),
+      (4L, "common legal footer unique4"),
+      (5L, "common legal footer unique5"),
+      (6L, "common legal footer unique6")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "common legal footer")).toDF("doc_id", "text")
+    val out = PipelineContext.materialize { implicit ctx =>
+      CurationPipeline.contaminationPairs(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minShared = 2, dfCap = 3)
+    }.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 x bench 100 shares trigrams {alpha-beta-gamma, beta-gamma-delta}
+    assert(out === Set((1L, 100L, 2L)),
+      s"expected only the attributed pair, got $out")
+    // with the cap relaxed the boilerplate docs DO pair with bench 101
+    // (1 shared gram < minShared=2 still excluded) — prove the cap was
+    // the thing filtering, not the threshold
+    val uncapped = PipelineContext.materialize { implicit ctx =>
+      CurationPipeline.contaminationPairs(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minShared = 1, dfCap = 1000)
+    }.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set(3L, 4L, 5L, 6L).subsetOf(uncapped.collect { case (id, 101L) => id }))
+    val capped = PipelineContext.materialize { implicit ctx =>
+      CurationPipeline.contaminationPairs(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minShared = 1, dfCap = 3)
+    }.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(_._2 == 101L),
+      s"df-capped boilerplate gram should pair nothing with bench 101: $capped")
   }
 }
