@@ -1,0 +1,173 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+import graft.streaming.{IngestStream, SessionStream}
+
+/** Driver-oracle gates for the STREAMING surface (SURVEY.md §2.9) —
+  * until now the watermarked-window / streaming-dedup / stateful-
+  * session operators were spec-verified only (StreamingSpec). These
+  * gates run the REAL Structured Streaming path — file source →
+  * watermark → stateful operator → parquet sink, under
+  * `Trigger.AvailableNow` — then read back what the stream actually
+  * EMITTED and hash-compare it against a DuckDB relational replay that
+  * models the same watermark semantics. A hash match therefore pins
+  * not just the aggregate arithmetic but the append-mode emission
+  * contract itself: which windows/sessions are finalized by the final
+  * watermark (max event time − delay) and which remain in state.
+  *
+  * Determinism: the events table is a single parquet file, so the
+  * stream processes it as ONE data micro-batch (no cross-batch
+  * late-drop nondeterminism); the finalization flush then happens in
+  * the extra no-data batch AvailableNow runs because the watermark
+  * advanced (`shouldRunAnotherBatch`). The emission boundary —
+  * strict/non-strict against the watermark — is pinned empirically by
+  * the oracle inequalities below and by StreamingGateSpec.
+  *
+  * Scale note: these are the operators whose STATE, not input, must be
+  * bounded — windowed agg state is O(windows in flight), dedup state
+  * O(keys per watermark window), session state O(open sessions). The
+  * gate's finite file feed is the test harness; the operators
+  * themselves run identically under `Trigger.ProcessingTime` on an
+  * unbounded feed. */
+object StreamQueries {
+
+  /** Open the sf events table as a file-source stream with the same
+    * TIMESTAMP(NANOS) → micros normalization as the batch loader. */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    // the file stream source watches a DIRECTORY; the testdata table is
+    // a single file — expose it through a symlinked watch dir (no copy)
+    val watch = Files.createTempDirectory("graft-sgate-src")
+    Files.createSymbolicLink(
+      watch.resolve("events.parquet"),
+      java.nio.file.Paths.get(path))
+    // schema must be supplied for file streams; take it from the batch
+    // reader so timestamp handling matches exactly
+    val raw = spark.read.parquet(path)
+    Tables.normalizeTs(
+      IngestStream.eventStream(spark, watch.toString, raw.schema))
+  }
+
+  /** Run a streaming frame to completion under AvailableNow through a
+    * parquet sink and return what was emitted. */
+  private def runToSink(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val tmp = Files.createTempDirectory("graft-sgate").toString
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+  }
+
+  /** s01: watermarked tumbling-window aggregation, append mode — the
+    * emitted rows are exactly the windows the 10-minute watermark
+    * finalized; the tail windows stay in state and must NOT appear. */
+  def s01StreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    val agg = IngestStream.windowedEventCounts(
+      eventStream(spark, dir), watermark = "10 minutes", window_ = "5 minutes")
+    runToSink(agg)
+      .select(
+        // epoch seconds: avoids timestamp physical-type skew between
+        // the Spark parquet dump (instant) and DuckDB (naive)
+        unix_timestamp(col("window_start")).as("window_start"),
+        col("event_type"), col("n"),
+        round(col("total_value"), 4).as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** s02: streaming exact dedup (`dropDuplicatesWithinWatermark`) over
+    * (user_id, event_type) — emitted keys are exactly the distinct key
+    * set (single-batch feed: every first occurrence emits; state
+    * bounding is the operator's watermark contract, spec-pinned). */
+  def s02StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    runToSink(IngestStream.dedupStream(
+      eventStream(spark, dir), Seq("user_id", "event_type"), "ts",
+      watermark = "10 minutes"))
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** s03: stateful sessionization (flatMapGroupsWithState, event-time
+    * timeout) — emits every gap-closed session immediately plus the
+    * open tail sessions whose timeout (last event + gap) the final
+    * watermark passed; tails inside the last watermark+gap horizon
+    * stay in state and must NOT appear. */
+  def s03StreamSessions(spark: SparkSession, dir: String): DataFrame =
+    runToSink(SessionStream.sessionize(
+      eventStream(spark, dir), gapMs = 1800000L, watermark = "1 hour").toDF())
+      .select(
+        col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_stream_window" -> (s01StreamWindow(_, _)),
+    "s02_stream_dedup" -> (s02StreamDedup(_, _)),
+    "s03_stream_sessions" -> (s03StreamSessions(_, _)))
+
+  /** DuckDB replay of the emitted state, watermark semantics included. */
+  val oracle: Map[String, String] = Map(
+    // a window is emitted iff its END is at or below the final
+    // watermark (max ts − 10 min); time_bucket aligns identically to
+    // Spark's epoch-aligned 5-minute tumbling windows
+    "s01_stream_window" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+         agg AS (
+           SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
+                  count(*) AS n, round(sum(value), 4) AS total_value
+           FROM events GROUP BY 1, 2)
+         SELECT CAST(floor(epoch(ws)) AS BIGINT) AS window_start,
+                event_type, n, total_value
+         FROM agg, wm
+         WHERE ws + INTERVAL '5 minutes' <= wm.w
+         ORDER BY 1, 2""",
+    "s02_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2""",
+    // sessions: 30-min-gap batch sessionization; a user's LAST session
+    // is withheld unless the final watermark (max ts − 1 h) passed its
+    // timeout (last event + 30 min); every earlier session emits
+    "s03_stream_sessions" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM marked),
+         per AS (
+           SELECT user_id, session_idx,
+                  min(ts) AS s_start, max(ts) AS s_end,
+                  count(*) AS n_events
+           FROM numbered GROUP BY 1, 2),
+         wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+         last AS (SELECT user_id, max(session_idx) AS mi FROM per GROUP BY 1)
+         SELECT per.user_id,
+                strftime(s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                strftime(s_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                n_events
+         FROM per
+         JOIN last ON per.user_id = last.user_id, wm
+         WHERE NOT (session_idx = mi
+                    AND date_diff('microsecond', wm.w, s_end) >= -1800000000)
+         ORDER BY 1, 2""")
+}

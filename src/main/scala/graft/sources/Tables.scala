@@ -46,8 +46,12 @@ object Tables {
     * LongType under spark.sql.legacy.parquet.nanosAsLong (set in every
     * session builder here) — normalize back to a (microsecond)
     * TimestampType column for uniform downstream semantics. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = apply(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(apply(s, d, "events"))
+
+  /** Shared by the batch loader and the streaming gates (the stream
+    * reads the same file with the same nanosAsLong schema). */
+  def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
@@ -56,7 +60,6 @@ object Tables {
               .cast(org.apache.spark.sql.types.LongType)))
       case _ => raw
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

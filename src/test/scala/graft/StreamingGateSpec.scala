@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.StreamQueries
+import graft.sources.Tables
+
+/** Pins the s01–s03 streaming gates' EMISSION CONTRACT against batch
+  * replicas of the same watermark semantics (the DuckDB oracles encode
+  * the identical inequalities — if Spark's append-mode finalization
+  * boundary ever shifts, these fail before the driver gate does). */
+class StreamingGateSpec extends SparkTestBase {
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  // testdata ts is TIMESTAMP_NTZ; the streaming path casts to TIMESTAMP
+  // (UTC identity) before watermarking — mirror that here
+  private def batchEvents: DataFrame =
+    Tables.events(spark, sfDir).withColumn("ts", col("ts").cast("timestamp"))
+
+  test("s01: emitted windows = batch agg filtered to window_end <= max_ts - 10min") {
+    val events = batchEvents
+    val maxTs = events.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val wm = new java.sql.Timestamp(maxTs.getTime - 10 * 60 * 1000)
+    val batch = events
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .filter(col("window.end") <= lit(wm))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+    val got = StreamQueries.s01StreamWindow(spark, sfDir)
+    assert(got.count() > 0)
+    assert(rows(got) === rows(batch))
+  }
+
+  test("s02: emitted dedup keys = the distinct key set") {
+    val got = StreamQueries.s02StreamDedup(spark, sfDir)
+    val batch = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .orderBy(col("user_id"), col("event_type"))
+    assert(got.count() > 0)
+    assert(rows(got) === rows(batch))
+  }
+
+  test("s03: emitted sessions = batch sessions minus watermark-held tails") {
+    import org.apache.spark.sql.expressions.Window
+    val events = batchEvents
+    val maxUs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val wmUs = maxUs - 3600L * 1000000L
+    // micro-precision gap arithmetic — the sessionizer carries micros
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"),
+        count(lit(1)).as("n_events"))
+    val withLast = sessions
+      .withColumn("is_last",
+        col("session_idx") ===
+          max(col("session_idx")).over(Window.partitionBy(col("user_id"))))
+    val expected = withLast
+      .filter(!(col("is_last") &&
+        unix_micros(col("s_end")) + 1800L * 1000000L >= lit(wmUs)))
+      .select(col("user_id"),
+        date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("s_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+    val got = StreamQueries.s03StreamSessions(spark, sfDir)
+    assert(got.count() > 0)
+    val g = rows(got).toSet
+    val e = rows(expected).toSet
+    assert(g === e,
+      s"\nengine-only: ${(g -- e).toSeq.sortBy(_.toString).take(10)}" +
+        s"\noracle-only: ${(e -- g).toSeq.sortBy(_.toString).take(10)}")
+    // emitted exactly once each (set equality can't see duplicates)
+    assert(rows(got).size === rows(expected).size)
+  }
+}
