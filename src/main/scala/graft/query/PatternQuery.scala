@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.graft.ColumnInternals
+import graft.schema.RelDef
 import graft.storage.GraphSource
 
 /** Cypher-pattern semantics compiled to DataFrame relational algebra
@@ -177,14 +178,19 @@ final class PatternQuery private (
     * this scales like N typed hops, and Catalyst prunes never-matching
     * branches via the literal equality. The far node exposes full
     * columns when `toLabel` narrows it; otherwise only
-    * `v____label`/`v____pk` ([[PatternQuery.AnyLabel]]). Rel property
-    * columns are not exposed through union hops (only `type(r)`);
+    * `v____label`/`v____pk` ([[PatternQuery.AnyLabel]]). Rel properties
+    * referenced by the query (`relProps`; `None` = the var is carried
+    * whole, expose every property any candidate type declares) surface
+    * as SPARSE `relVar__prop` columns — null on branches whose type
+    * lacks the property, widened to string when candidate types
+    * disagree on the type ([[PatternQuery.sparseRelPropCols]]).
     * `relTypes = None` means all schema types, `dirOut`/`dirIn` select
     * orientations (both = undirected). */
   def unionHop(from: String, v: String, relVar: String,
       relTypes: Option[Seq[String]], dirOut: Boolean, dirIn: Boolean,
       toLabel: Option[String] = None,
-      farProps: Option[Set[String]] = None): PatternQuery = {
+      farProps: Option[Set[String]] = None,
+      relProps: Option[Set[String]] = Some(Set.empty)): PatternQuery = {
     requireBound(from); requireFresh(v)
     require(dirOut || dirIn, "hop needs at least one orientation")
     require(!boundVars.contains(relVar), s"rel variable $relVar already bound")
@@ -203,6 +209,8 @@ final class PatternQuery private (
       s"no relationship type connects ($fromLabel)${if (dirIn) "<" else ""}-" +
         s"${relTypes.fold("")(_.mkString("[:", "|", "]"))}-${if (dirOut) ">" else ""}" +
         s"(${toLabel.getOrElse("")}) in schema ${store.schema.name}")
+    val propCols = PatternQuery.sparseRelPropCols(
+      candidates.map(_._1).distinct, relVar, relProps)
     val branches = candidates.map { case (r, forward) =>
       val (nearL, farL) = if (forward) (r.from, r.to) else (r.to, r.from)
       // src/dst cast to string: key columns join against string-typed
@@ -210,10 +218,11 @@ final class PatternQuery private (
       // numeric-vs-string equality would coerce BOTH sides to double
       // and silently lose exactness for 64-bit ids above 2^53
       val rel = store.rel(r.name).select(
-        lit(r.name).as(s"${relVar}__rel_type"),
-        lit(nearL).as(s"${relVar}__near_label"),
-        col(if (forward) "src" else "dst").cast("string").as(s"${relVar}__near"),
-        col(if (forward) "dst" else "src").cast("string").as(s"${relVar}__far"))
+        lit(r.name).as(s"${relVar}__rel_type") +:
+          lit(nearL).as(s"${relVar}__near_label") +:
+          col(if (forward) "src" else "dst").cast("string").as(s"${relVar}__near") +:
+          col(if (forward) "dst" else "src").cast("string").as(s"${relVar}__far") +:
+          propCols(r): _*)
       // With declared FK integrity and only key/label access on the far
       // node, the per-branch node join is elidable: the key IS the rel's
       // far column and the label is the branch literal (e.g. the agent
@@ -476,16 +485,49 @@ object PatternQuery {
     * so an existence join against the node union adds scans without
     * changing the result. Each branch reads only its rel table's
     * src/dst columns plus literal tags. */
-  def matchAnyRelOnly(store: GraphSource, relVar: String): PatternQuery = {
+  def matchAnyRelOnly(store: GraphSource, relVar: String,
+      relProps: Option[Set[String]] = Some(Set.empty)): PatternQuery = {
+    val propCols = sparseRelPropCols(store.schema.rels.toSeq, relVar, relProps)
     val df = store.schema.rels.map { r =>
       // near/far naming matches unionHop so rel-var expressions
       // (`r IS NULL` resolves through `__near`) work on both shapes
       store.rel(r.name).select(
-        lit(r.name).as(s"${relVar}__rel_type"),
-        col("src").cast("string").as(s"${relVar}__near"),
-        col("dst").cast("string").as(s"${relVar}__far"))
+        lit(r.name).as(s"${relVar}__rel_type") +:
+          col("src").cast("string").as(s"${relVar}__near") +:
+          col("dst").cast("string").as(s"${relVar}__far") +:
+          propCols(r): _*)
     }.reduce(_ unionByName _)
     new PatternQuery(store, df, Map.empty, Set(relVar))
+  }
+
+  /** Sparse supertype projection of relationship properties across the
+    * candidate types of a union hop / any-rel scan: each requested
+    * property (`relProps`; `None` = every property any candidate
+    * declares) becomes one `relVar__prop` column per branch — the
+    * type's own column where declared, typed null where not. When
+    * candidate types declare the same property name with DIFFERENT
+    * types the shared column widens to string (the only lossless
+    * common representation; Cypher's dynamic typing has no narrower
+    * union). A property no candidate declares is a loud error — the
+    * query references something that cannot exist. */
+  private[query] def sparseRelPropCols(
+      cands: Seq[RelDef], relVar: String,
+      relProps: Option[Set[String]]): RelDef => Seq[Column] = {
+    val names = relProps match {
+      case None => cands.flatMap(_.properties.map(_.name)).distinct.sorted
+      case Some(ps) => ps.toSeq.sorted
+    }
+    val typed = names.map { p =>
+      val ts = cands.flatMap(_.properties.find(_.name == p)).map(_.tpe.spark).distinct
+      require(ts.nonEmpty,
+        s"relationship property $p exists on none of the candidate types " +
+          cands.map(_.name).mkString("[", ", ", "]"))
+      (p, if (ts.size == 1) ts.head else org.apache.spark.sql.types.StringType)
+    }
+    r => typed.map { case (p, t) =>
+      if (r.properties.exists(_.name == p)) col(p).cast(t).as(s"${relVar}__$p")
+      else lit(null).cast(t).as(s"${relVar}__$p")
+    }
   }
 
   /** Anchor on ONE typed relationship table — the

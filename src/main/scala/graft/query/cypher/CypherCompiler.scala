@@ -491,7 +491,7 @@ final class CypherCompiler(
         rel.relType match {
           case None =>
             untypedRelVars += rv
-            return PatternQuery.matchAnyRelOnly(source, rv)
+            return PatternQuery.matchAnyRelOnly(source, rv, usage.propsFor(rv))
           case Some(t) =>
             // typed rel-scan `()-[r:T]->()` (data_tools.py's per-type
             // count template): one rel-table scan, no node anchors
@@ -554,7 +554,8 @@ final class CypherCompiler(
               if (rel.undirected) (true, true)
               else if (rel.rightward) (true, false) else (false, true)
             pq = pq.unionHop(fromVar, toVar, rv, rel.relType.map(Seq(_)),
-              dirOut, dirIn, node.label, farPropsFor(node, usage))
+              dirOut, dirIn, node.label, farPropsFor(node, usage),
+              usage.propsFor(rv))
         }
         node.props.foreach { case (k, v) => addFilter(Bin("=", Prop(toVar, k), v)) }
         fromVar = toVar

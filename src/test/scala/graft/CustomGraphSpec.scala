@@ -99,4 +99,98 @@ class CustomGraphSpec extends SparkTestBase {
     assert(df.count() === 4)
     assert(df.columns.toSeq === Seq("person", "company", "project"))
   }
+
+  // a second store WITH relationship property values, for the sparse
+  // supertype rel-property surface on union hops (round-7 addition)
+  private lazy val propStore: GraphStore = {
+    val root = Files.createTempDirectory("graft-relprops").toString
+    val s = new GraphStore(spark, root, "relprops", CustomSchemaJson.parse(schemaJson))
+    s.ingestNodes("Company", Seq(("acme", "Acme", "mfg", 1990L))
+      .toDF("identifier", "name", "industry", "founded_year"))
+    s.ingestNodes("Project", Seq(("apollo", "Apollo", "active", 100.0))
+      .toDF("identifier", "name", "status", "budget"))
+    s.ingestNodes("Person", Seq(
+      ("alice", "Alice", 34L, "graphs"), ("bob", "Bob", 29L, "spark"))
+      .toDF("identifier", "name", "age", "interests"))
+    s.ingestRels("PERSON_WORKS_FOR_COMPANY", Seq(
+      ("alice", "acme", "eng"), ("bob", "acme", "pm"))
+      .toDF("from", "to", "role"))
+    s.ingestRels("PERSON_WORKS_ON_PROJECT", Seq(
+      ("alice", "apollo", 20L), ("bob", "apollo", 10L))
+      .toDF("from", "to", "hours_per_week"))
+    s
+  }
+
+  test("any-rel hop exposes rel properties as sparse supertype columns") {
+    val df = new CypherCompiler(propStore).run(
+      """MATCH (p:Person)-[r]->(x)
+         RETURN p.name AS person, type(r) AS rel,
+                r.role AS role, r.hours_per_week AS hours
+         ORDER BY person, rel""")
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSeq
+    // role populated only on WORKS_FOR branches, hours only on
+    // WORKS_ON branches — null elsewhere (the sparse contract)
+    assert(rows === Seq(
+      ("Alice", "PERSON_WORKS_FOR_COMPANY", Some("eng"), None),
+      ("Alice", "PERSON_WORKS_ON_PROJECT", None, Some(20L)),
+      ("Bob", "PERSON_WORKS_FOR_COMPANY", Some("pm"), None),
+      ("Bob", "PERSON_WORKS_ON_PROJECT", None, Some(10L))))
+  }
+
+  test("rel properties on union hops filter in WHERE") {
+    val df = new CypherCompiler(propStore).run(
+      """MATCH (p:Person)-[r]->(x)
+         WHERE r.hours_per_week > 15
+         RETURN p.name AS person, r.hours_per_week AS hours""")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("Alice", 20L)))
+  }
+
+  test("any-rel SCAN ()-[r]->() exposes rel properties sparsely") {
+    val df = new CypherCompiler(propStore).run(
+      """MATCH ()-[r]->()
+         RETURN type(r) AS rel, r.role AS role
+         ORDER BY rel, role""")
+    val rows = df.collect().map(r => (r.getString(0), Option(r.get(1)))).toSeq
+    assert(rows === Seq(
+      ("PERSON_WORKS_FOR_COMPANY", Some("eng")),
+      ("PERSON_WORKS_FOR_COMPANY", Some("pm")),
+      ("PERSON_WORKS_ON_PROJECT", None),
+      ("PERSON_WORKS_ON_PROJECT", None)))
+  }
+
+  test("same-name rel property with conflicting types widens to string") {
+    val root = Files.createTempDirectory("graft-relwide").toString
+    val widenJson =
+      """{"name":"widen_demo","version":"1.0",
+        "nodes":[
+          {"name":"N","properties":[
+            {"name":"identifier","type":"STRING","is_primary_key":true}]}],
+        "relationships":[
+          {"name":"A_REL","from_node":"N","to_node":"N",
+           "properties":[{"name":"weight","type":"INT64"}]},
+          {"name":"B_REL","from_node":"N","to_node":"N",
+           "properties":[{"name":"weight","type":"DOUBLE"}]}]}"""
+    val s = new GraphStore(spark, root, "widen", CustomSchemaJson.parse(widenJson))
+    s.ingestNodes("N", Seq(Tuple1("x"), Tuple1("y")).toDF("identifier"))
+    s.ingestRels("A_REL", Seq(("x", "y", 7L)).toDF("from", "to", "weight"))
+    s.ingestRels("B_REL", Seq(("x", "y", 2.5)).toDF("from", "to", "weight"))
+    val df = new CypherCompiler(s).run(
+      """MATCH (a:N)-[r]->(b:N)
+         RETURN type(r) AS rel, r.weight AS weight ORDER BY rel""")
+    assert(df.schema("weight").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("A_REL", "7"), ("B_REL", "2.5")))
+  }
+
+  test("referencing a rel property no candidate type declares fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      new CypherCompiler(propStore).run(
+        "MATCH (p:Person)-[r]->(x) RETURN r.nonexistent")
+    }
+    assert(e.getMessage.contains("nonexistent"))
+  }
 }
