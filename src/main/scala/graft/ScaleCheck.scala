@@ -90,7 +90,11 @@ object ScaleCheck {
       // (its reference is O(50·n) now, not O(n²)) and the composed
       // flagship pipeline's growth is the single best compose-at-scale
       // datapoint
-      "t10_embedding_dedup", "t40_pipeline_e2e")
+      "t10_embedding_dedup", "t40_pipeline_e2e",
+      // round 7: the streaming gates — state is O(windows)/O(open
+      // sessions) by construction; the wall should track INPUT rows
+      // (k× events over the same 30-day span), not state size
+      "s01_stream_window", "s03_stream_sessions")
 
     val ks = Seq(1, 4, maxK).distinct.filter(_ <= maxK)
     val results = ks.map { k =>

@@ -91,6 +91,53 @@ object GraphQueries {
     GraphAlgorithms.degreeStats(new TpchGraph(spark, dir))
       .orderBy(col("rel_type"))
 
+  /** g08: typed bounded var-length path `-[:R*1..3]->` through the full
+    * Cypher text path (parser → compiler → PatternQuery.outVar) — the
+    * last §2.3 row that was spec-only. TPC-H has no self-typed
+    * relationship, so the gate derives one deterministically from the
+    * orders table: ORDER_NEXT chains each customer's orders in
+    * (o_orderdate, o_orderkey) order — the reference's graphs chain
+    * same-label nodes the same way (Transaction/Process sequences,
+    * roboledger). Reachable (a,b) pairs over 1..3 hops, grouped by
+    * endpoint status. Scale shape: outVar is k bounded self-joins +
+    * one distinct — each an equi-join shuffle on order keys, no
+    * row-wise recursion. */
+  def g08VarLength(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val store = orderChainStore(spark, dir)
+    new graft.query.cypher.CypherCompiler(store).run(
+      """MATCH (a:Order)-[:ORDER_NEXT*1..3]->(b:Order)
+         RETURN a.status AS s1, b.status AS s2, count(*) AS n
+         ORDER BY s1, s2""")
+  }
+
+  private def orderChainSchema = graft.schema.GraphSchema("orderchain", "1.0",
+    Seq(graft.schema.NodeDef("Order", Seq(
+      graft.schema.Property("identifier", graft.schema.GraftType.STRING,
+        isPrimaryKey = true),
+      graft.schema.Property("status", graft.schema.GraftType.STRING)))),
+    Seq(graft.schema.RelDef("ORDER_NEXT", "Order", "Order")))
+
+  /** Scratch graph: Order nodes + the derived ORDER_NEXT self-rel. */
+  private def orderChainStore(spark: SparkSession, dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val store = new graft.storage.GraphStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-ggate").toString,
+      "ggate", orderChainSchema)
+    val orders = graft.sources.Tables.orders(spark, dir)
+    store.ingestNodes("Order", orders.select(
+      col("o_orderkey").cast("string").as("identifier"),
+      col("o_orderstatus").as("status")))
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    store.ingestRels("ORDER_NEXT", orders
+      .withColumn("next", lead(col("o_orderkey"), 1).over(byCust))
+      .filter(col("next").isNotNull)
+      .select(col("o_orderkey").cast("string").as("src"),
+        col("next").cast("string").as("dst")))
+    store
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_graph_multihop" -> g01MultiHop _,
     "g02_graph_optional" -> g02OptionalMatch _,
@@ -99,6 +146,7 @@ object GraphQueries {
     "g05_graph_caseagg" -> g05CaseAgg _,
     "g06_shortest_paths" -> g06ShortestPaths _,
     "g07_degree_stats" -> g07DegreeStats _,
+    "g08_varlength" -> g08VarLength _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -179,5 +227,29 @@ object GraphQueries {
          round(sum(o_totalprice), 2) AS total
          FROM customer JOIN orders ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
+    "g08_varlength" ->
+      """WITH e AS (
+           SELECT o_orderkey AS src,
+                  lead(o_orderkey) OVER
+                    (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS dst
+           FROM orders),
+         edges AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+         p2 AS (SELECT a.src, b.dst FROM edges a
+                JOIN edges b ON a.dst = b.src),
+         p3 AS (SELECT a.src, c.dst FROM edges a
+                JOIN edges b ON a.dst = b.src
+                JOIN edges c ON b.dst = c.src),
+         pairs AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT * FROM edges
+             UNION ALL SELECT * FROM p2
+             UNION ALL SELECT * FROM p3))
+         SELECT ao.o_orderstatus AS s1, bo.o_orderstatus AS s2,
+                count(*) AS n
+         FROM pairs
+         JOIN orders ao ON pairs.src = ao.o_orderkey
+         JOIN orders bo ON pairs.dst = bo.o_orderkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -41,17 +41,22 @@ object StreamQueries {
     * TIMESTAMP(NANOS) → micros normalization as the batch loader. */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    // the file stream source watches a DIRECTORY; the testdata table is
-    // a single file — expose it through a symlinked watch dir (no copy)
-    val watch = Files.createTempDirectory("graft-sgate-src")
-    Files.createSymbolicLink(
-      watch.resolve("events.parquet"),
-      java.nio.file.Paths.get(path))
+    // the file stream source watches a DIRECTORY. A Spark-written
+    // events table already is one; the driver testdata is a single
+    // FILE — expose that through a symlinked watch dir (no copy)
+    val streamPath =
+      if (new java.io.File(path).isDirectory) path
+      else {
+        val watch = Files.createTempDirectory("graft-sgate-src")
+        Files.createSymbolicLink(
+          watch.resolve("events.parquet"), java.nio.file.Paths.get(path))
+        watch.toString
+      }
     // schema must be supplied for file streams; take it from the batch
     // reader so timestamp handling matches exactly
     val raw = spark.read.parquet(path)
     Tables.normalizeTs(
-      IngestStream.eventStream(spark, watch.toString, raw.schema))
+      IngestStream.eventStream(spark, streamPath, raw.schema))
   }
 
   /** Run a streaming frame to completion under AvailableNow through a
