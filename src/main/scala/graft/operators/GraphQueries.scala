@@ -103,7 +103,6 @@ object GraphQueries {
     * one distinct — each an equi-join shuffle on order keys, no
     * row-wise recursion. */
   def g08VarLength(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val store = orderChainStore(spark, dir)
     new graft.query.cypher.CypherCompiler(store).run(
       """MATCH (a:Order)-[:ORDER_NEXT*1..3]->(b:Order)
@@ -118,12 +117,20 @@ object GraphQueries {
       graft.schema.Property("status", graft.schema.GraftType.STRING)))),
     Seq(graft.schema.RelDef("ORDER_NEXT", "Order", "Order")))
 
-  /** Scratch graph: Order nodes + the derived ORDER_NEXT self-rel. */
+  /** Scratch graph: Order nodes + the derived ORDER_NEXT self-rel.
+    * One fixed scratch root, wiped at entry — repeated invocations
+    * (Bench warmup + passes) replace rather than accumulate. */
   private def orderChainStore(spark: SparkSession, dir: String) = {
     import org.apache.spark.sql.expressions.Window
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-ggate")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(root.toFile)
     val store = new graft.storage.GraphStore(spark,
-      java.nio.file.Files.createTempDirectory("graft-ggate").toString,
-      "ggate", orderChainSchema)
+      root.toString, "ggate", orderChainSchema)
     val orders = graft.sources.Tables.orders(spark, dir)
     store.ingestNodes("Order", orders.select(
       col("o_orderkey").cast("string").as("identifier"),

@@ -34,7 +34,13 @@ import graft.streaming.{IngestStream, SessionStream}
   * O(keys per watermark window), session state O(open sessions). The
   * gate's finite file feed is the test harness; the operators
   * themselves run identically under `Trigger.ProcessingTime` on an
-  * unbounded feed. */
+  * unbounded feed.
+  *
+  * NOTE these gate functions are EAGER driver-contract entries: the
+  * streaming job runs to completion inside the call and the returned
+  * frame reads the sink. Plan-inspection tooling (graft.tools.Explain)
+  * should target the operators in `graft.streaming` directly — the
+  * gate's plan is just a parquet scan of the sink. */
 object StreamQueries {
 
   /** Open the sf events table as a file-source stream with the same
@@ -47,9 +53,16 @@ object StreamQueries {
     val streamPath =
       if (new java.io.File(path).isDirectory) path
       else {
-        val watch = Files.createTempDirectory("graft-sgate-src")
-        Files.createSymbolicLink(
-          watch.resolve("events.parquet"), java.nio.file.Paths.get(path))
+        // stable per-source watch dir (no per-invocation temp growth —
+        // Bench/ScaleCheck invoke each gate repeatedly)
+        val target = java.nio.file.Paths.get(path).toAbsolutePath
+        val watch = scratchBase.resolve(
+          "src-" + Integer.toHexString(target.toString.hashCode))
+        Files.createDirectories(watch)
+        val link = watch.resolve("events.parquet")
+        // absolute target: a relative sfDir argument would otherwise be
+        // stored verbatim and dangle relative to the watch dir
+        if (!Files.exists(link)) Files.createSymbolicLink(link, target)
         watch.toString
       }
     // schema must be supplied for file streams; take it from the batch
@@ -59,20 +72,40 @@ object StreamQueries {
       IngestStream.eventStream(spark, streamPath, raw.schema))
   }
 
+  private def scratchBase: java.nio.file.Path =
+    java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-sgate")
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
   /** Run a streaming frame to completion under AvailableNow through a
-    * parquet sink and return what was emitted. */
-  private def runToSink(df: DataFrame): DataFrame = {
+    * parquet sink and return what was emitted. Each gate reuses ONE
+    * sink+checkpoint location, wiped at entry — repeated invocations
+    * (Bench warmup + 3 passes, ScaleCheck) replace rather than
+    * accumulate temp state. An empty emission (every window/session
+    * still held by the watermark) returns an empty frame of the right
+    * schema, matching the empty oracle result. */
+  private def runToSink(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
-    val tmp = Files.createTempDirectory("graft-sgate").toString
+    val base = scratchBase.resolve(tag)
+    rmTree(base.toFile)
+    Files.createDirectories(base)
     val q = df.writeStream
       .format("parquet")
-      .option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/ckpt")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$tmp/out")
+    val out = new java.io.File(s"$base/out")
+    if (!out.exists())
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    else spark.read.schema(df.schema).parquet(out.toString)
   }
 
   /** s01: watermarked tumbling-window aggregation, append mode — the
@@ -81,7 +114,7 @@ object StreamQueries {
   def s01StreamWindow(spark: SparkSession, dir: String): DataFrame = {
     val agg = IngestStream.windowedEventCounts(
       eventStream(spark, dir), watermark = "10 minutes", window_ = "5 minutes")
-    runToSink(agg)
+    runToSink(agg, "s01")
       .select(
         // epoch seconds: avoids timestamp physical-type skew between
         // the Spark parquet dump (instant) and DuckDB (naive)
@@ -98,7 +131,7 @@ object StreamQueries {
   def s02StreamDedup(spark: SparkSession, dir: String): DataFrame =
     runToSink(IngestStream.dedupStream(
       eventStream(spark, dir), Seq("user_id", "event_type"), "ts",
-      watermark = "10 minutes"))
+      watermark = "10 minutes"), "s02")
       .select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
 
@@ -109,7 +142,8 @@ object StreamQueries {
     * stay in state and must NOT appear. */
   def s03StreamSessions(spark: SparkSession, dir: String): DataFrame =
     runToSink(SessionStream.sessionize(
-      eventStream(spark, dir), gapMs = 1800000L, watermark = "1 hour").toDF())
+      eventStream(spark, dir), gapMs = 1800000L, watermark = "1 hour").toDF(),
+      "s03")
       .select(
         col("user_id"),
         date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
@@ -127,10 +161,13 @@ object StreamQueries {
   /** DuckDB replay of the emitted state, watermark semantics included. */
   val oracle: Map[String, String] = Map(
     // a window is emitted iff its END is at or below the final
-    // watermark (max ts − 10 min); time_bucket aligns identically to
-    // Spark's epoch-aligned 5-minute tumbling windows
+    // watermark — which Spark computes at MILLISECOND resolution
+    // (floor-to-ms of max event time, minus the delay; non-strict <=
+    // eviction, both pinned by WatermarkBoundarySpec); time_bucket
+    // aligns identically to Spark's epoch-aligned 5-minute windows
     "s01_stream_window" ->
-      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+      """WITH wm AS (
+           SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm_ms FROM events),
          agg AS (
            SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
                   count(*) AS n, round(sum(value), 4) AS total_value
@@ -138,13 +175,18 @@ object StreamQueries {
          SELECT CAST(floor(epoch(ws)) AS BIGINT) AS window_start,
                 event_type, n, total_value
          FROM agg, wm
-         WHERE ws + INTERVAL '5 minutes' <= wm.w
+         WHERE epoch_us(ws + INTERVAL '5 minutes') // 1000 <= wm.wm_ms
          ORDER BY 1, 2""",
     "s02_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2""",
     // sessions: 30-min-gap batch sessionization; a user's LAST session
-    // is withheld unless the final watermark (max ts − 1 h) passed its
-    // timeout (last event + 30 min); every earlier session emits
+    // is withheld unless the final watermark STRICTLY passed its
+    // timeout. Exact engine arithmetic (WatermarkBoundarySpec): the
+    // watermark is floor-to-ms of max event time minus 1 h, the
+    // registered timeout is ceil-to-ms of (last event + 30 min), and
+    // the timeout fires only on wm > timeout — so the tail is withheld
+    // iff ceil_ms(end)+1800000 >= floor_ms(max)-3600000. Every earlier
+    // session emits in-batch regardless of the watermark.
     "s03_stream_sessions" ->
       """WITH marked AS (
            SELECT user_id, ts,
@@ -164,7 +206,8 @@ object StreamQueries {
                   min(ts) AS s_start, max(ts) AS s_end,
                   count(*) AS n_events
            FROM numbered GROUP BY 1, 2),
-         wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+         wm AS (
+           SELECT epoch_us(max(ts)) // 1000 - 3600000 AS wm_ms FROM events),
          last AS (SELECT user_id, max(session_idx) AS mi FROM per GROUP BY 1)
          SELECT per.user_id,
                 strftime(s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
@@ -173,6 +216,6 @@ object StreamQueries {
          FROM per
          JOIN last ON per.user_id = last.user_id, wm
          WHERE NOT (session_idx = mi
-                    AND date_diff('microsecond', wm.w, s_end) >= -1800000000)
+                    AND (epoch_us(s_end) + 999) // 1000 + 1800000 >= wm.wm_ms)
          ORDER BY 1, 2""")
 }

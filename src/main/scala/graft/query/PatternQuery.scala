@@ -517,6 +517,15 @@ object PatternQuery {
       case None => cands.flatMap(_.properties.map(_.name)).distinct.sorted
       case Some(ps) => ps.toSeq.sorted
     }
+    // the union branches already emit synthetic `relVar__<tag>` columns;
+    // a property with a tag's name would produce a duplicate column and
+    // an AMBIGUOUS_REFERENCE at resolution — fail at compile instead
+    val reserved = Set("rel_type", "near", "far", "near_label")
+    names.find(reserved.contains).foreach { p =>
+      throw new IllegalArgumentException(
+        s"relationship property name $p collides with the union-hop tag " +
+          s"columns (${reserved.mkString(", ")}) — rename the property")
+    }
     val typed = names.map { p =>
       val ts = cands.flatMap(_.properties.find(_.name == p)).map(_.tpe.spark).distinct
       require(ts.nonEmpty,

@@ -49,7 +49,9 @@ class StreamingGateSpec extends SparkTestBase {
     import org.apache.spark.sql.expressions.Window
     val events = batchEvents
     val maxUs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
-    val wmUs = maxUs - 3600L * 1000000L
+    // engine-exact boundary (WatermarkBoundarySpec): ms-floor watermark,
+    // ms-ceil timeout, strict firing
+    val wmMs = Math.floorDiv(maxUs, 1000L) - 3600L * 1000L
     // micro-precision gap arithmetic — the sessionizer carries micros
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val sessions = events
@@ -68,7 +70,7 @@ class StreamingGateSpec extends SparkTestBase {
           max(col("session_idx")).over(Window.partitionBy(col("user_id"))))
     val expected = withLast
       .filter(!(col("is_last") &&
-        unix_micros(col("s_end")) + 1800L * 1000000L >= lit(wmUs)))
+        expr("(unix_micros(s_end) + 999) div 1000") + 1800L * 1000L >= lit(wmMs)))
       .select(col("user_id"),
         date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
         date_format(col("s_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),

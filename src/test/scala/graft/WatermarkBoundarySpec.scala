@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins Spark's append-mode finalization boundaries at MILLISECOND
+  * watermark resolution — the exact inequalities the s01/s03 DuckDB
+  * oracles encode. If a Spark upgrade shifts either boundary, these
+  * fail before the driver gates do.
+  *
+  *  - windowed aggregation EVICTS (emits) a window when
+  *    `window_end <= watermark` (NON-strict);
+  *  - an event-time TIMEOUT fires only when
+  *    `watermark > timeout` (STRICT), and SessionStream registers the
+  *    timeout as ceil-to-millis of the micro deadline.
+  *
+  * The watermark itself is floor-to-millis of the max event time minus
+  * the delay; Spark evaluates both predicates in the batch AFTER the
+  * one that advanced the watermark. */
+class WatermarkBoundarySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("window eviction is non-strict: emits when watermark == window end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.IngestStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def t(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val agg = IngestStream.windowedEventCounts(
+      mem.toDF().toDF("ts", "event_type", "value"),
+      watermark = "10 seconds", window_ = "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("wm_win")
+      .outputMode("append").start()
+    try {
+      mem.addData((t(0), "a", 1.0)) // window ends at base+10_000 ms
+      q.processAllAvailable()
+      mem.addData((t(20000), "a", 1.0)) // watermark -> exactly base+10_000
+      q.processAllAvailable()
+      mem.addData((t(20000), "a", 1.0)) // eviction batch at wm == end
+      q.processAllAvailable()
+      assert(spark.table("wm_win").count() > 0,
+        "window whose end EQUALS the watermark must be emitted (<= eviction)")
+    } finally q.stop()
+  }
+
+  test("session timeout is strict: fires only when watermark passes the deadline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val sessions = SessionStream.sessionize(
+      mem.toDF().toDF("user_id", "ts"), gapMs = 10000L, watermark = "10 seconds")
+    val q = sessions.writeStream.format("memory").queryName("wm_sess")
+      .outputMode("append").start()
+    def emitted = spark.table("wm_sess").select("user_id").as[Long].collect().toSet
+    try {
+      mem.addData((1L, t(0))) // tail deadline = base+10_000 ms
+      q.processAllAvailable()
+      mem.addData((2L, t(20000))) // watermark -> exactly base+10_000
+      q.processAllAvailable()
+      mem.addData((2L, t(20000))) // timeout batch at wm == deadline
+      q.processAllAvailable()
+      assert(!emitted.contains(1L),
+        "timeout at wm == deadline must NOT fire (strict >)")
+      mem.addData((3L, t(20002))) // watermark -> base+10_002
+      q.processAllAvailable()
+      mem.addData((3L, t(20002))) // timeout batch at wm > deadline
+      q.processAllAvailable()
+      assert(emitted.contains(1L),
+        "timeout must fire once the watermark strictly passes the deadline")
+    } finally q.stop()
+  }
+}
