@@ -36,6 +36,55 @@ class StreamingGateSpec extends SparkTestBase {
     assert(rows(got) === rows(batch))
   }
 
+  test("s01 emission is arrival-invariant: 4 chronological micro-batches == 1 batch") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.IngestStream
+    // split the events table into 4 time-ordered files (quartiles of
+    // ts) so chunked arrival never makes data late: the watermark only
+    // advances between batches, and each later file is strictly newer
+    val tmp = Files.createTempDirectory("graft-chunks")
+    val withNum = batchEvents.withColumn("ts_num", unix_micros(col("ts")))
+    val cuts = withNum.stat.approxQuantile("ts_num",
+      Array(0.25, 0.5, 0.75), 0.0) // exact quantiles via relativeError=0
+    val bounds = (Double.NegativeInfinity +: cuts.toSeq :+ Double.PositiveInfinity)
+      .sliding(2).toSeq
+    bounds.zipWithIndex.foreach { case (pair, i) =>
+      val (lo, hi) = (pair(0), pair(1))
+      withNum.filter(col("ts_num") > lo && col("ts_num") <= hi)
+        .drop("ts_num")
+        .coalesce(1).write.parquet(s"$tmp/part$i")
+      // one file per quartile dir → move into the watch dir with a
+      // strictly increasing mtime so the file source processes them
+      // oldest-first, one per micro-batch
+      val f = new java.io.File(s"$tmp/part$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(s"$tmp/watch/chunk$i.parquet")
+      Files.createDirectories(dst.getParent)
+      Files.move(f.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(s"$tmp/watch").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/watch")
+    val agg = IngestStream.windowedEventCounts(stream, "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("chunked_s01")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val chunked = spark.table("chunked_s01")
+      .select(unix_timestamp(col("window_start")).as("window_start"),
+        col("event_type"), col("n"), round(col("total_value"), 4).as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+    val oneBatch = StreamQueries.s01StreamWindow(spark, sfDir)
+    assert(rows(chunked) === rows(oneBatch),
+      "incremental (4 micro-batch) emission must equal single-batch emission")
+  }
+
   test("s02: emitted dedup keys = the distinct key set") {
     val got = StreamQueries.s02StreamDedup(spark, sfDir)
     val batch = Tables.events(spark, sfDir)
