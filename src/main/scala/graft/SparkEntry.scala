@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CypherQueries, GraphQueries, PipelineQueries, RelationalQueries, StreamQueries, WriteQueries}
+import graft.operators.{CypherQueries, GraphQueries, PipelineQueries, RelationalQueries, StorageQueries, StreamQueries, WriteQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ GraphQueries.all ++ PipelineQueries.all ++
-      CypherQueries.all ++ WriteQueries.all ++ StreamQueries.all
+      CypherQueries.all ++ WriteQueries.all ++ StreamQueries.all ++
+      StorageQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ GraphQueries.oracle ++ PipelineQueries.oracle ++
-      CypherQueries.oracle ++ WriteQueries.oracle ++ StreamQueries.oracle
+      CypherQueries.oracle ++ WriteQueries.oracle ++ StreamQueries.oracle ++
+      StorageQueries.oracle
 }

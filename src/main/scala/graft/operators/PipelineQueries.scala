@@ -247,6 +247,25 @@ object PipelineQueries {
         n = 3, minShared = 3, dfCap = 100)
     }
 
+  /** EXACT inverted-index n-gram Jaccard pairs
+    * ([[Dedup.jaccardPairsExact]]) — the deterministic (recall-1)
+    * counterpart of t05's LSH path, previously spec-only. The oracle
+    * replays the SAME inverted-index shape in SQL (explode distinct
+    * bigrams, equi-join on the gram, per-pair counts, size join) — so
+    * unlike t05's all-pairs `list_intersect` replica it stays
+    * index-join-shaped and does not DNF as the corpus grows. Engine
+    * grams ride as xxhash64 longs, oracle grams as strings: identical
+    * sets absent 64-bit collisions (none at gate scale; at 100 TB a
+    * collision shrinks one pair's intersection by 1 — the documented
+    * trade for never shuffling raw shingle text). */
+  def t42JaccardExact(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      Dedup.jaccardPairsExact(
+        Tables.documents(spark, dir), "doc_id", "text",
+        shingle = Dedup.WordGrams(2), minJaccard = 0.4)
+        .orderBy(col("id1"), col("id2"))
+    }
+
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
     * decode-stub features → per-type accounting. The input is generated
     * in-engine (deterministic from ids), so the oracle is a fixture
@@ -707,6 +726,7 @@ object PipelineQueries {
     "t39_vocab_coverage" -> t39VocabCoverage _,
     "t40_pipeline_e2e" -> t40PipelineE2e _,
     "t41_contam_pairs" -> t41ContamPairs _,
+    "t42_jaccard_exact" -> t42JaccardExact _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -746,6 +766,31 @@ object PipelineQueries {
          SELECT c.id, b.bench_id, count(*) AS shared_grams
          FROM corpus c JOIN rare USING (g) JOIN bench b USING (g)
          GROUP BY 1, 2 HAVING count(*) >= 3""",
+    // Inverted-index replica of jaccardPairsExact: distinct word
+    // bigrams per doc, equi-join ON THE GRAM (not all-pairs), per-pair
+    // common counts, then |A∩B|/(|A|+|B|−|A∩B|) with the same
+    // filter-before-round order as the engine.
+    "t42_jaccard_exact" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents
+         ), grams AS (
+           SELECT doc_id, unnest(list_distinct(
+               [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS g
+           FROM toks WHERE len(w) >= 2
+         ), sizes AS (
+           SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+         ), common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT id1, id2, round(c::DOUBLE / (s1.sz + s2.sz - c), 6) AS jaccard
+         FROM common
+         JOIN sizes s1 ON s1.doc_id = id1
+         JOIN sizes s2 ON s2.doc_id = id2
+         WHERE c::DOUBLE / (s1.sz + s2.sz - c) >= 0.4
+         ORDER BY id1, id2""",
     // Same truncating bigram windows as wordShingles; first owner =
     // min doc_id per gram; dup = gram first seen in a smaller id.
     "t30_dup_ngrams" ->

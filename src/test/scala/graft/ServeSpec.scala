@@ -41,21 +41,27 @@ class ServeSpec extends SparkTestBase {
     val q = new QueryQueue(maxConcurrent = 2, maxQueueSize = 100, maxPerUser = 3)
     try {
       val done = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
-      val gate = new java.util.concurrent.CountDownLatch(1)
+      val gateA = new java.util.concurrent.CountDownLatch(1)
+      val gateB = new java.util.concurrent.CountDownLatch(1)
       val started = new java.util.concurrent.CountDownLatch(2)
       // saturate both workers so later submissions queue up — wait for
       // the workers to actually PICK UP the blockers (a fixed sleep
       // raced on a loaded box: low/high could start immediately and
       // complete in submission order)
-      (1 to 2).foreach(_ => q.submit("u0") { started.countDown(); gate.await(); 0 })
+      q.submit("u0") { started.countDown(); gateA.await(); 0 }
+      q.submit("u0") { started.countDown(); gateB.await(); 0 }
       assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS),
         "blocker tasks never started")
       val low = q.submit("u1", priority = 1) { done.add(1); 1 }.toOption.get
       val high = q.submit("u1", priority = 10) { done.add(10); 10 }.toOption.get
-      gate.countDown()
-      assert(q.await(low) === q.Status.Completed)
+      // free ONE worker only: releasing both at once let two workers
+      // dequeue high and low concurrently, making COMPLETION order a
+      // thread race even though DEQUEUE order is by priority
+      gateA.countDown()
       assert(q.await(high) === q.Status.Completed)
       assert(done.peek() === 10) // higher priority drained first
+      gateB.countDown()
+      assert(q.await(low) === q.Status.Completed)
       assert(q.resultOf(high).contains(10))
       // per-user cap
       val g2 = new java.util.concurrent.CountDownLatch(1)
