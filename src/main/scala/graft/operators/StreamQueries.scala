@@ -153,10 +153,36 @@ object StreamQueries {
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** s04: watermarked stream-stream INNER interval join — each click
+    * correlated with the same user's purchases in the following 30
+    * minutes. Inner-join emission is never watermark-withheld, so on
+    * the complete finite feed the emitted set must equal the batch
+    * join the oracle replays; the watermark's role here is state
+    * eviction (spec-pinned in StreamingGateSpec), which the hash can't
+    * see but scale requires. */
+  def s04StreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    val joined = IngestStream.intervalJoin(
+      clicks, purchases, "c_user", "p_user", "c_ts", "p_ts",
+      watermark = "1 hour", lowerMs = 0L, upperMs = 1800000L)
+    runToSink(joined, "s04")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), round(col("value"), 4).as("value"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_window" -> (s01StreamWindow(_, _)),
     "s02_stream_dedup" -> (s02StreamDedup(_, _)),
-    "s03_stream_sessions" -> (s03StreamSessions(_, _)))
+    "s03_stream_sessions" -> (s03StreamSessions(_, _)),
+    "s04_stream_interval_join" -> (s04StreamIntervalJoin(_, _)))
 
   /** DuckDB replay of the emitted state, watermark semantics included. */
   val oracle: Map[String, String] = Map(
@@ -217,5 +243,15 @@ object StreamQueries {
          JOIN last ON per.user_id = last.user_id, wm
          WHERE NOT (session_idx = mi
                     AND (epoch_us(s_end) + 999) // 1000 + 1800000 >= wm.wm_ms)
-         ORDER BY 1, 2""")
+         ORDER BY 1, 2""",
+    // inner interval join: emission is complete on a finite feed, so
+    // the replay is the plain batch join with the same time bounds
+    "s04_stream_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                round(p.value, 4) AS value
+         FROM events c
+         JOIN events p ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         ORDER BY 1, 2, 3""")
 }

@@ -84,4 +84,34 @@ object IngestStream {
       watermark: String = "10 minutes"): DataFrame =
     asEventTime(events, tsCol).withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Watermarked stream-stream INNER interval join: correlate two
+    * event feeds on a key within a bounded event-time interval
+    * (`rightTs ∈ [leftTs + lowerMs, leftTs + upperMs]`) — the
+    * click→purchase attribution shape. Both sides carry watermarks AND
+    * the join condition bounds the two event times relative to each
+    * other; together those let the state store evict a buffered row as
+    * soon as the other side's watermark passes its join horizon —
+    * state is O(events per watermark+interval window) per side, never
+    * O(stream). Inner-join emission is never withheld by the
+    * watermark (only OUTER joins delay for the null-padding decision),
+    * so on a complete feed the result equals the batch join — which is
+    * exactly what the s04 driver oracle replays.
+    *
+    * Caller contract: column names across `left` and `right` must be
+    * disjoint (rename before calling — Spark's stream-stream join has
+    * no Seq-of-names disambiguation). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      watermark: String, lowerMs: Long, upperMs: Long): DataFrame = {
+    require(lowerMs <= upperMs, "interval lower bound must be <= upper bound")
+    val l = asEventTime(left, leftTs).withWatermark(leftTs, watermark)
+    val r = asEventTime(right, rightTs).withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) + expr(s"INTERVAL $lowerMs MILLISECOND") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperMs MILLISECOND"))
+  }
 }

@@ -135,4 +135,23 @@ class StreamingGateSpec extends SparkTestBase {
     // emitted exactly once each (set equality can't see duplicates)
     assert(rows(got).size === rows(expected).size)
   }
+
+  test("s04: emitted interval-join pairs = the batch join (inner emission is complete)") {
+    val events = batchEvents
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    val expected = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTE"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        round(col("value"), 4).as("value"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    val got = StreamQueries.s04StreamIntervalJoin(spark, sfDir)
+    assert(got.count() > 0)
+    assert(rows(got) === rows(expected))
+  }
 }

@@ -70,4 +70,40 @@ class WatermarkBoundarySpec extends SparkTestBase {
         "timeout must fire once the watermark strictly passes the deadline")
     } finally q.stop()
   }
+
+  test("interval join: in-window pairs emit, late rows beyond the watermark drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.IngestStream
+    implicit val sc = spark.sqlContext
+    val lm = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rm = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    def t(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val joined = IngestStream.intervalJoin(
+      lm.toDF().toDF("l_user", "l_ts", "l_id"),
+      rm.toDF().toDF("r_user", "r_ts", "r_id"),
+      "l_user", "r_user", "l_ts", "r_ts",
+      watermark = "10 seconds", lowerMs = 0L, upperMs = 5000L)
+    val q = joined.writeStream.format("memory").queryName("wm_join")
+      .outputMode("append").start()
+    def pairs = spark.table("wm_join").select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // in-interval pair joins; out-of-interval (6 s gap > 5 s) must not
+      lm.addData((1L, t(0), 10L), (2L, t(0), 20L))
+      rm.addData((1L, t(3000), 11L), (2L, t(6000), 21L))
+      q.processAllAvailable()
+      assert(pairs === Set((10L, 11L)),
+        "only the pair inside [ts, ts+5s] may join")
+      // advance both watermarks far past the horizon, THEN replay a
+      // left row whose join window is fully behind the watermark: the
+      // late row must be dropped, not joined against buffered state
+      lm.addData((9L, t(60000), 90L)); rm.addData((9L, t(60000), 91L))
+      q.processAllAvailable()
+      lm.addData((2L, t(1000), 22L)) // would match r_id=21 if admitted
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(!pairs.contains((22L, 21L)),
+        "a left row entirely behind the watermark must be dropped")
+    } finally q.stop()
+  }
 }
