@@ -38,4 +38,29 @@ object SketchFunctions {
     ColumnInternals.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
         ColumnInternals.expression(c), k, true).toAggregateExpression())
+
+  /** Bloom-filter aggregate over 64-bit hashes (Spark's own
+    * `BloomFilterAggregate`, the engine behind runtime row-level join
+    * filtering): one serialized-filter binary column. `hashCol` must
+    * already be an xxhash64 long — the same pre-hash discipline as the
+    * minhash path (hash the value once, never shuffle raw text). */
+  def bloomAgg(hashCol: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    ColumnInternals.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnInternals.expression(hashCol),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Membership probe against a serialized bloom filter
+    * (`BloomFilterMightContain`, codegen'd). The filter side must be a
+    * CONSTANT (e.g. `lit(bytes)` of a driver-collected aggregate —
+    * Catalyst requires foldable/subquery there so the filter
+    * deserializes once per task, not per row); false positives
+    * possible, false negatives never. */
+  def mightContain(bloom: Column, hashCol: Column): Column =
+    ColumnInternals.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnInternals.expression(bloom),
+        ColumnInternals.expression(hashCol)))
 }

@@ -215,6 +215,56 @@ object CurationPipeline {
         round(col("n_hits").cast("double") / col("n_grams"), 6))
   }
 
+  /** Bloom-prefiltered decontamination — [[decontaminate]]'s shape for
+    * the case where the corpus dwarfs the benchmark set. The benchmark
+    * grams aggregate into ONE serialized bloom filter (Spark's native
+    * `BloomFilterAggregate`); the filter is a driver-bounded collect of
+    * a single row (numBits/8 bytes — the same bounded-collect class as
+    * the IVF centroid sample) and rides to executors as a constant, so
+    * the bench side never joins against the full corpus gram table.
+    * Only grams the bloom flags enter the exact equi-join: false
+    * positives are removed there, false negatives don't exist, so the
+    * OUTPUT IS EXACTLY [[decontaminate]]'s — the bloom buys a
+    * (1 − fpp) reduction of the clean-gram shuffle volume, which at
+    * 100 TB is nearly all of it. Size `numBits` ≈ 10–16 bits per
+    * expected bench gram for fpp ≲ 1%. */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23)(
+      implicit ctx: PipelineContext): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val benchGrams = ctx.stagePersist(
+      bench.select(explode(TextFunctions.wordShingles(col(benchTextCol), n)).as("g"))
+        .distinct()
+        .withColumn("__hit", lit(1)))
+    val bloomRow = benchGrams
+      .agg(graft.functions.SketchFunctions.bloomAgg(
+        xxhash64(col("g")), expectedItems, numBits).as("bf"))
+      .head()
+    val corpusGrams = corpus.select(col(idCol).as("id"),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
+    if (bloomRow.isNullAt(0))
+      // empty benchmark: every doc scores 0 without any join
+      corpusGrams.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_grams"), lit(0L).as("n_hits"))
+        .withColumn("containment", lit(0.0))
+    else {
+      val probed = corpusGrams.withColumn("__maybe",
+        graft.functions.SketchFunctions.mightContain(
+          lit(bloomRow.getAs[Array[Byte]](0)), xxhash64(col("g"))))
+      val verified = probed.filter(col("__maybe"))
+        .join(benchGrams, Seq("g"), "left")
+        .select(col("id"), col("__hit"))
+      val cleared = probed.filter(!col("__maybe"))
+        .select(col("id"), lit(null).cast("int").as("__hit"))
+      verified.unionByName(cleared)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+        .withColumn("containment",
+          round(col("n_hits").cast("double") / col("n_grams"), 6))
+    }
+  }
+
   /** Fuzzy decontamination with PER-PAIR attribution (the
     * n-gram-overlap-threshold treatment, e.g. GPT-3's 13-gram overlap
     * check): emit each (corpus doc, benchmark doc) pair sharing at

@@ -266,6 +266,24 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }
 
+  /** Bloom-prefiltered decontamination over the FULL corpus
+    * ([[CurationPipeline.decontaminateBloom]]): benchmark grams
+    * aggregate into one native bloom filter that prefilters the corpus
+    * gram stream before the exact verify join. The output is exactly
+    * the exact-containment result (bloom FPs die in the verify join,
+    * FNs can't exist), so the oracle is the same relational
+    * containment replay as t24 — a hash match proves the two-stage
+    * bloom+verify path loses nothing while cutting the join volume to
+    * the flagged grams. */
+  def t43BloomDecontam(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val docs = Tables.documents(spark, dir)
+      CurationPipeline.decontaminateBloom(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", n = 4)
+        .orderBy(col("id"))
+    }
+
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
     * decode-stub features → per-type accounting. The input is generated
     * in-engine (deterministic from ids), so the oracle is a fixture
@@ -727,6 +745,7 @@ object PipelineQueries {
     "t40_pipeline_e2e" -> t40PipelineE2e _,
     "t41_contam_pairs" -> t41ContamPairs _,
     "t42_jaccard_exact" -> t42JaccardExact _,
+    "t43_bloom_decontam" -> t43BloomDecontam _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -791,6 +810,26 @@ object PipelineQueries {
          JOIN sizes s2 ON s2.doc_id = id2
          WHERE c::DOUBLE / (s1.sz + s2.sz - c) >= 0.4
          ORDER BY id1, id2""",
+    // exact-containment replay (t24 shape, n=4, FULL corpus): the
+    // bloom prefilter must be invisible in the result
+    "t43_bloom_decontam" ->
+      """WITH bg AS (
+           SELECT DISTINCT unnest(list_distinct(
+               [array_to_string(list_slice(w, i, i + 3), ' ')
+                for i in range(1, greatest(len(w) - 4, 0) + 2)])) AS g
+           FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+                 FROM documents WHERE doc_id % 10 = 0)
+         ), dg AS (
+           SELECT doc_id, unnest(list_distinct(
+               [array_to_string(list_slice(w, i, i + 3), ' ')
+                for i in range(1, greatest(len(w) - 4, 0) + 2)])) AS g
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                 FROM documents WHERE doc_id % 10 != 0)
+         )
+         SELECT d.doc_id AS id, count(*) AS n_grams, count(b.g) AS n_hits,
+           round(count(b.g)::DOUBLE / count(*), 6) AS containment
+         FROM dg d LEFT JOIN bg b ON d.g = b.g
+         GROUP BY d.doc_id ORDER BY id""",
     // Same truncating bigram windows as wordShingles; first owner =
     // min doc_id per gram; dup = gram first seen in a smaller id.
     "t30_dup_ngrams" ->

@@ -177,6 +177,38 @@ class PipelineSpec extends SparkTestBase {
       out(2).getAs[Double]("containment") === 1.0)
   }
 
+  test("decontaminateBloom == decontaminate even when the bloom is saturated with FPs") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+    def run(f: PipelineContext => org.apache.spark.sql.DataFrame) =
+      PipelineContext.run { implicit ctx => f(ctx).orderBy(col("id")).collect().toSeq }
+    val exact = run(implicit ctx =>
+      CurationPipeline.decontaminate(corpus, "doc_id", "text", bench, "text", n = 3))
+    // honest sizing
+    val bloom = run(implicit ctx =>
+      CurationPipeline.decontaminateBloom(corpus, "doc_id", "text", bench, "text", n = 3))
+    assert(bloom === exact)
+    // 64-bit bloom for thousands of grams: near-100% FP rate — the
+    // exact verify join must still erase every false positive
+    val saturated = run(implicit ctx =>
+      CurationPipeline.decontaminateBloom(corpus, "doc_id", "text", bench, "text",
+        n = 3, expectedItems = 8L, numBits = 64L))
+    assert(saturated === exact)
+  }
+
+  test("decontaminateBloom: empty benchmark scores every doc 0 without joining") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(10)
+    val out = PipelineContext.run { implicit ctx =>
+      CurationPipeline.decontaminateBloom(
+        docs, "doc_id", "text", docs.filter(lit(false)), "text", n = 3)
+        .collect().toSeq
+    }
+    assert(out.size === 10)
+    assert(out.forall(r => r.getAs[Long]("n_hits") === 0L &&
+      r.getAs[Double]("containment") === 0.0))
+  }
+
   test("mixSources: deterministic mixture, nested subsets, unlisted sources dropped") {
     val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
     val half = CurationPipeline.mixSources(df, "id", "src", Map("a" -> 0.5))
