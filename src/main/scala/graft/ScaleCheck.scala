@@ -94,7 +94,14 @@ object ScaleCheck {
       // round 7: the streaming gates — state is O(windows)/O(open
       // sessions) by construction; the wall should track INPUT rows
       // (k× events over the same 30-day span), not state size
-      "s01_stream_window", "s03_stream_sessions")
+      "s01_stream_window", "s03_stream_sessions",
+      // round 7 second half: the exact inverted-index jaccard's
+      // candidate volume is Σ_gram df² — token-suffix scaling keeps
+      // grams copy-local so it must grow ~k, not k²; the bloom
+      // decontam's verify join is bounded by true hits (copy-local
+      // too); the stream-stream join state is O(interval window)
+      "t42_jaccard_exact", "t43_bloom_decontam",
+      "s04_stream_interval_join")
 
     val ks = Seq(1, 4, maxK).distinct.filter(_ <= maxK)
     val results = ks.map { k =>
