@@ -291,4 +291,33 @@ class PlanSpec extends SparkTestBase {
     // and the tiny 3-row side joins broadcast — never a shuffled join
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
+
+  test("jaccardPairsExact is an inverted-index equi-join - no cartesian (t42 shape)") {
+    import org.apache.spark.sql.functions.col
+    graft.operators.PipelineContext.run { implicit ctx =>
+      val plan = planOf(graft.operators.Dedup.jaccardPairsExact(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+        shingle = graft.operators.Dedup.WordGrams(2), minJaccard = 0.4))
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoop"), s"nested-loop join in:\n$plan")
+      assert(!plan.contains("SinglePartition"), s"global shuffle in:\n$plan")
+      ()
+    }
+  }
+
+  test("decontaminateBloom probes the bloom BEFORE the verify join (t43 shape)") {
+    import org.apache.spark.sql.functions.col
+    graft.operators.PipelineContext.run { implicit ctx =>
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val plan = planOf(graft.operators.CurationPipeline.decontaminateBloom(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", n = 3))
+      // the probe is a codegen'd scalar filter on the corpus gram
+      // stream — the (1-fpp) join-volume cut happens pre-shuffle
+      assert(plan.contains("might_contain"), s"no bloom probe in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoop"), s"nested-loop join in:\n$plan")
+      ()
+    }
+  }
 }
