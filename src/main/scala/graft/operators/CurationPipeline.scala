@@ -230,16 +230,27 @@ object CurationPipeline {
     * expected bench gram for fpp ≲ 1%. */
   def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8,
-      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23)(
+      expectedItems: Long = 0L, numBits: Long = 0L)(
       implicit ctx: PipelineContext): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
     val benchGrams = ctx.stagePersist(
       bench.select(explode(TextFunctions.wordShingles(col(benchTextCol), n)).as("g"))
         .distinct()
         .withColumn("__hit", lit(1)))
+    // size the bloom from the ACTUAL bench gram count unless the caller
+    // pins it (a fixed default saturates when the benchmark grows —
+    // fpp climbs and the verify join becomes FP-dominated): ~10 bits
+    // per item ⇒ fpp ≈ 1%. The count is one action on the already-
+    // persisted stage; the cap matches Spark's runtime-filter default.
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(benchGrams.count(), 1024L)
+    val bits =
+      if (numBits > 0) numBits
+      else math.min(items * 10L, 67108864L)
     val bloomRow = benchGrams
       .agg(graft.functions.SketchFunctions.bloomAgg(
-        xxhash64(col("g")), expectedItems, numBits).as("bf"))
+        xxhash64(col("g")), items, bits).as("bf"))
       .head()
     val corpusGrams = corpus.select(col(idCol).as("id"),
       explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
@@ -249,9 +260,13 @@ object CurationPipeline {
         .agg(count(lit(1)).as("n_grams"), lit(0L).as("n_hits"))
         .withColumn("containment", lit(0.0))
     else {
-      val probed = corpusGrams.withColumn("__maybe",
+      // staged: the probe result feeds BOTH branches below — without
+      // this the corpus scan + explode + hash + probe run twice, and
+      // at the 100 TB design point the duplicate scan would erase the
+      // (1-fpp) shuffle saving the bloom buys
+      val probed = ctx.stage(corpusGrams.withColumn("__maybe",
         graft.functions.SketchFunctions.mightContain(
-          lit(bloomRow.getAs[Array[Byte]](0)), xxhash64(col("g"))))
+          lit(bloomRow.getAs[Array[Byte]](0)), xxhash64(col("g")))))
       val verified = probed.filter(col("__maybe"))
         .join(benchGrams, Seq("g"), "left")
         .select(col("id"), col("__hit"))

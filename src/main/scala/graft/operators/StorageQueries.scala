@@ -38,11 +38,25 @@ object StorageQueries {
       NodeDef("Region", Seq(pk, Property("regionkey", GraftType.INT64)))),
     Seq(RelDef("NATION_IN_REGION", "Nation", "Region")))
 
-  /** Fresh scratch store per invocation; Verify/Bench call gates
-    * repeatedly and state must never leak across invocations. */
-  private def scratch(spark: SparkSession): GraphStore =
-    new GraphStore(spark, Files.createTempDirectory("graft-stgate").toString,
-      "stgate", storageSchema)
+  /** Stable per-gate scratch dir, WIPED at entry (the StreamQueries
+    * discipline): state must be fresh per invocation, but Bench's
+    * warmup+3 passes and ScaleCheck invoke each gate repeatedly — a
+    * fresh temp dir per call would grow /tmp without bound. */
+  private def scratchDir(tag: String): java.nio.file.Path = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-stgate", tag)
+    rmTree(base.toFile)
+    Files.createDirectories(base)
+    base
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  private def scratch(spark: SparkSession, tag: String): GraphStore =
+    new GraphStore(spark, scratchDir(tag).toString, "stgate", storageSchema)
 
   private def nationRows(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.Tables.nation(spark, sfDir).select(
@@ -56,9 +70,9 @@ object StorageQueries {
     * BOTH — the window dedup's deterministic keep (first by remaining
     * columns, file_id last) must retain the f0 copy. */
   def st01MultifileUnion(spark: SparkSession, sfDir: String): DataFrame = {
-    val store = scratch(spark)
+    val store = scratch(spark, "st01")
     val n = nationRows(spark, sfDir)
-    val stage = Files.createTempDirectory("graft-stgate-files")
+    val stage = scratchDir("st01-files")
     val f0 = s"$stage/f0"
     val f1 = s"$stage/f1"
     n.filter(col("nationkey") % 2 === 0).coalesce(1).write.parquet(f0)
@@ -78,7 +92,7 @@ object StorageQueries {
     * region-0 nations must NOT land) and append only the new rows,
     * stamped with the batch's file_id. */
   def st02CopyIgnoreErrors(spark: SparkSession, sfDir: String): DataFrame = {
-    val store = scratch(spark)
+    val store = scratch(spark, "st02")
     store.ingestNodes("Nation", nationRows(spark, sfDir))
     val batch = nationRows(spark, sfDir)
       .filter(col("regionkey") === 0)
@@ -100,7 +114,7 @@ object StorageQueries {
     * views, so a hash match proves view registration reads the same
     * state the ingest wrote, not just that Spark can run SQL. */
   def st03SqlPassthrough(spark: SparkSession, sfDir: String): DataFrame = {
-    val store = scratch(spark)
+    val store = scratch(spark, "st03")
     store.ingestNodes("Nation", nationRows(spark, sfDir))
     store.ingestNodes("Region", graft.sources.Tables.region(spark, sfDir)
       .select(col("r_name").as("identifier"), col("r_regionkey").as("regionkey")))
@@ -122,7 +136,7 @@ object StorageQueries {
     * encryption, sealing, digest verification and decryption —
     * tamper/wrong-password failure modes are StorageOpsSpec's. */
   def st04BackupRestore(spark: SparkSession, sfDir: String): DataFrame = {
-    val store = scratch(spark)
+    val store = scratch(spark, "st04")
     store.ingestNodes("Nation", nationRows(spark, sfDir))
     store.ingestNodes("Region", graft.sources.Tables.region(spark, sfDir)
       .select(col("r_name").as("identifier"), col("r_regionkey").as("regionkey")))
@@ -131,9 +145,9 @@ object StorageQueries {
     store.ingestRels("NATION_IN_REGION",
       n.join(r, n("regionkey") === r("regionkey"))
         .select(n("identifier").as("src"), r("identifier").as("dst")))
-    val archive = Files.createTempDirectory("graft-stgate-backup").toString
+    val archive = scratchDir("st04-backup").toString
     GraphBackup.exportGraphEncrypted(store, archive, "gate-password")
-    val restored = scratch(spark)
+    val restored = scratch(spark, "st04-restored")
     GraphBackup.importGraphEncrypted(restored, archive, "gate-password")
     val rn = restored.node("Nation")
     val rels = restored.rel("NATION_IN_REGION")

@@ -306,17 +306,32 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("decontaminateBloom probes the bloom BEFORE the verify join (t43 shape)") {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, explode, lit, xxhash64}
     graft.operators.PipelineContext.run { implicit ctx =>
       val docs = graft.sources.Tables.documents(spark, sfDir)
-      val plan = planOf(graft.operators.CurationPipeline.decontaminateBloom(
+      // full operator: join-safe end to end (the probe stage itself is
+      // checkpoint-staged — it feeds two consumers — so its internals
+      // are invisible downstream and pinned separately below)
+      val full = planOf(graft.operators.CurationPipeline.decontaminateBloom(
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 10 === 0), "text", n = 3))
-      // the probe is a codegen'd scalar filter on the corpus gram
-      // stream — the (1-fpp) join-volume cut happens pre-shuffle
-      assert(plan.contains("might_contain"), s"no bloom probe in:\n$plan")
-      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
-      assert(!plan.contains("BroadcastNestedLoop"), s"nested-loop join in:\n$plan")
+      assert(!full.contains("CartesianProduct"), s"cartesian in:\n$full")
+      assert(!full.contains("BroadcastNestedLoop"), s"nested-loop join in:\n$full")
+      // the probe stage's own shape: a codegen'd scalar filter over the
+      // gram stream with NO join below it — the (1-fpp) volume cut
+      // happens before anything shuffles on the gram key
+      val grams = docs.select(col("doc_id").as("id"),
+        explode(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("g"))
+      val bloomBytes = grams
+        .agg(graft.functions.SketchFunctions.bloomAgg(
+          xxhash64(col("g")), 1024L, 10240L))
+        .head().getAs[Array[Byte]](0)
+      val probe = planOf(grams.filter(graft.functions.SketchFunctions.mightContain(
+        lit(bloomBytes), xxhash64(col("g")))))
+      assert(probe.contains("might_contain"), s"no bloom probe in:\n$probe")
+      assert(!probe.contains("Join"), s"join below the probe in:\n$probe")
+      // formatted mode marks codegen'd operators with "[codegen id :"
+      assert(probe.contains("Filter [codegen id"), s"probe not codegen'd:\n$probe")
       ()
     }
   }
