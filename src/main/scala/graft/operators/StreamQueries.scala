@@ -178,11 +178,50 @@ object StreamQueries {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** s05: streaming INGEST end state — parquet file drops through the
+    * file-source → foreachBatch → dedup-MERGE path
+    * (`IngestStream.nodeIngest`, the reference's sensor-triggered COPY
+    * as a stream). Two drops land in the watch dir before the
+    * AvailableNow run, with one key duplicated ACROSS the drops: the
+    * stored table must hold each key exactly once, stamped with the
+    * stream batch's provenance id. A hash match proves the streaming
+    * path commits exactly the batch-ingest state — at-least-once file
+    * delivery, exactly-once effect. */
+  def s05StreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.schema._
+    val base = scratchBase.resolve("s05")
+    rmTree(base.toFile)
+    Files.createDirectories(base)
+    val schema = GraphSchema("sgate", "1.0",
+      Seq(NodeDef("Nation", Seq(
+        Property("identifier", GraftType.STRING, isPrimaryKey = true),
+        Property("nationkey", GraftType.INT64),
+        Property("regionkey", GraftType.INT64)))), Seq.empty)
+    val store = new graft.storage.GraphStore(
+      spark, s"$base/store", "sgate", schema)
+    val rows = Tables.nation(spark, dir).select(
+      col("n_name").as("identifier"),
+      col("n_nationkey").as("nationkey"),
+      col("n_regionkey").as("regionkey"))
+    val watch = s"$base/watch"
+    rows.filter(col("nationkey") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(watch)
+    rows.filter(col("nationkey") % 2 === 1 || col("nationkey") === 0)
+      .coalesce(1).write.mode("append").parquet(watch)
+    val q = IngestStream.nodeIngest(store, "Nation", watch, s"$base/ckpt")
+    q.awaitTermination()
+    store.node("Nation")
+      .select(col("identifier"), col("nationkey"), col("regionkey"),
+        col(store.FileIdCol))
+      .orderBy(col("identifier"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_window" -> (s01StreamWindow(_, _)),
     "s02_stream_dedup" -> (s02StreamDedup(_, _)),
     "s03_stream_sessions" -> (s03StreamSessions(_, _)),
-    "s04_stream_interval_join" -> (s04StreamIntervalJoin(_, _)))
+    "s04_stream_interval_join" -> (s04StreamIntervalJoin(_, _)),
+    "s05_stream_ingest" -> (s05StreamIngest(_, _)))
 
   /** DuckDB replay of the emitted state, watermark semantics included. */
   val oracle: Map[String, String] = Map(
@@ -253,5 +292,12 @@ object StreamQueries {
          JOIN events p ON c.user_id = p.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-         ORDER BY 1, 2, 3""")
+         ORDER BY 1, 2, 3""",
+    // both drops fit one AvailableNow micro-batch (maxFilesPerTrigger
+    // 64), so every stored row carries batch 0's provenance stamp and
+    // the cross-drop duplicate collapses to one identical row
+    "s05_stream_ingest" ->
+      """SELECT n_name AS identifier, n_nationkey AS nationkey,
+                n_regionkey AS regionkey, 'stream-0' AS file_id
+         FROM nation ORDER BY identifier""")
 }

@@ -154,4 +154,11 @@ class StreamingGateSpec extends SparkTestBase {
     assert(got.count() > 0)
     assert(rows(got) === rows(expected))
   }
+
+  test("s05: streaming ingest commits the batch-ingest state exactly once") {
+    val out = StreamQueries.s05StreamIngest(spark, sfDir).collect()
+    assert(out.length === 25)
+    assert(out.map(_.getString(0)).distinct.length === 25) // cross-drop dup collapsed
+    assert(out.forall(_.getString(3) == "stream-0")) // batch provenance stamped
+  }
 }
