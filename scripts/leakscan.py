@@ -35,10 +35,17 @@ CHAT = re.compile(r"slack\.com|app\.slack|atlassian\.net|linear\.app")
 KEYISH = re.compile(r"(sk|pk)-[A-Za-z0-9]{20,}|AKIA[0-9A-Z]{16}|xox[bap]-")
 
 
+# the scanner's own pattern DEFINITIONS (and the committed artifact that
+# quotes them) are not leaks — excluding them keeps the gate at 0 hits
+# meaning "0 real findings" instead of a permanent self-match baseline
+SELF = {"scripts/leakscan.py", "LEAKSCAN.json"}
+
+
 def tracked_files():
     out = subprocess.run(["git", "ls-files"], cwd=ROOT, capture_output=True,
                          text=True).stdout.splitlines()
-    return [f for f in out if os.path.splitext(f)[1] in SCAN_EXT]
+    return [f for f in out
+            if os.path.splitext(f)[1] in SCAN_EXT and f not in SELF]
 
 
 def main():
