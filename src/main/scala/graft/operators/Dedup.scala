@@ -426,6 +426,70 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** PREFIX-FILTERED exact n-gram Jaccard pairs — [[jaccardPairsExact]]
+    * with the AllPairs/SSJoin prefix filter, still recall 1. For
+    * J(A,B) ≥ t the intersection has ≥ t·|A| grams, so B must hit A's
+    * PREFIX — the ⌊(1−t)·|A|⌋+1 rarest grams under the global (df, h)
+    * total order — or the intersection would fit inside A's
+    * ⌈t·|A|⌉−1 commonest grams, a contradiction. Candidates therefore
+    * come from joining the PREFIX index against the full gram table
+    * (the safe one-sided variant: no overlap-bound bookkeeping), and
+    * the exact intersection is recomputed per candidate over the full
+    * sets — output identical to [[jaccardPairsExact]] by construction
+    * (PipelineSpec pins the equivalence).
+    *
+    * What it buys at 100 TB: the inverted index drops each document's
+    * commonest grams — exactly the Σ df² whales — keeping only
+    * (1−t)·|A|+1 rare grams per doc, so candidate volume falls
+    * super-proportionally as t rises (the rare grams have small df by
+    * construction). Pays at t ≥ ~0.7; at t = 0.4 on the low-entropy
+    * test corpus the cut is only 1.8× (measured in SCALING.md) — use
+    * [[jaccardPairs]] (LSH) there. The df computation and per-doc
+    * rank are one agg + one bounded window (docs are bounded size);
+    * no global gram sort is needed because (df, h) is itself the
+    * total order. */
+  def jaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      shingle: ShingleMode = WordGrams(2), minJaccard: Double = 0.7)(
+      implicit ctx: PipelineContext): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      "prefix filtering needs a threshold in (0, 1]")
+    val sh = ctx.stage(shingleHashes(df, idCol, textCol, shingle).distinct())
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // AQE picks broadcast for dfreq when it fits (same policy note as
+    // jaccardPairsExact's sizes join: one row per DISTINCT gram, no
+    // forced broadcast)
+    val ranked = sh.join(dfreq, Seq("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val prefix = ranked
+      .filter(col("rn") <= floor(lit(1.0 - minJaccard) * col("sz")) + lit(1))
+      .select(col("h"), col("id"))
+    val cand = prefix.select(col("h"), col("id").as("id1"))
+      .join(sh.select(col("h"), col("id").as("id2")), Seq("h"))
+      .filter(col("id1") =!= col("id2"))
+      // normalize so each unordered pair counts once regardless of
+      // which side's prefix produced it
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+      .distinct()
+    // verify PPJoin-style: per-pair O(|A|+|B|) via native
+    // array_intersect over each doc's gram-set array (bounded per doc)
+    // — NOT a re-join against the exploded gram table, whose volume is
+    // Σ_cand |A| and would dwarf the candidate cut on dense corpora
+    val sets = ctx.stage(sh.groupBy(col("id"))
+      .agg(collect_list(col("h")).as("hs")))
+    cand
+      .join(sets.select(col("id").as("id1"), col("hs").as("hs1")), Seq("id1"))
+      .join(sets.select(col("id").as("id2"), col("hs").as("hs2")), Seq("id2"))
+      .withColumn("c", size(array_intersect(col("hs1"), col("hs2"))))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("hs1")) + size(col("hs2")) - col("c")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
     * restricted to BANDED sign-bit LSH buckets.
     *

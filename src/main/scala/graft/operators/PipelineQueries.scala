@@ -266,6 +266,22 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     }
 
+  /** Prefix-filtered exact Jaccard at the high-threshold design point
+    * ([[Dedup.jaccardPairsPrefix]], θ=0.7): candidates come only from
+    * the per-doc RARE-gram prefix index (the AllPairs filter — any
+    * qualifying pair must hit it, so recall stays 1), then exact
+    * intersections are recomputed over the full sets. The oracle is
+    * t42's inverted-index replay at 0.7 — a hash match proves the
+    * prefix filter is invisible in the result while the Σ df² whale
+    * grams never enter the candidate join. */
+  def t44JaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      Dedup.jaccardPairsPrefix(
+        Tables.documents(spark, dir), "doc_id", "text",
+        shingle = Dedup.WordGrams(2), minJaccard = 0.7)
+        .orderBy(col("id1"), col("id2"))
+    }
+
   /** Bloom-prefiltered decontamination over the FULL corpus
     * ([[CurationPipeline.decontaminateBloom]]): benchmark grams
     * aggregate into one native bloom filter that prefilters the corpus
@@ -746,6 +762,7 @@ object PipelineQueries {
     "t41_contam_pairs" -> t41ContamPairs _,
     "t42_jaccard_exact" -> t42JaccardExact _,
     "t43_bloom_decontam" -> t43BloomDecontam _,
+    "t44_jaccard_prefix" -> t44JaccardPrefix _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -809,6 +826,29 @@ object PipelineQueries {
          JOIN sizes s1 ON s1.doc_id = id1
          JOIN sizes s2 ON s2.doc_id = id2
          WHERE c::DOUBLE / (s1.sz + s2.sz - c) >= 0.4
+         ORDER BY id1, id2""",
+    // t42's inverted-index replay at θ=0.7: the prefix filter must be
+    // invisible in the result
+    "t44_jaccard_prefix" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents
+         ), grams AS (
+           SELECT doc_id, unnest(list_distinct(
+               [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS g
+           FROM toks WHERE len(w) >= 2
+         ), sizes AS (
+           SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+         ), common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT id1, id2, round(c::DOUBLE / (s1.sz + s2.sz - c), 6) AS jaccard
+         FROM common
+         JOIN sizes s1 ON s1.doc_id = id1
+         JOIN sizes s2 ON s2.doc_id = id2
+         WHERE c::DOUBLE / (s1.sz + s2.sz - c) >= 0.7
          ORDER BY id1, id2""",
     // exact-containment replay (t24 shape, n=4, FULL corpus): the
     // bloom prefilter must be invisible in the result

@@ -197,6 +197,25 @@ class PipelineSpec extends SparkTestBase {
     assert(saturated === exact)
   }
 
+  test("jaccardPairsPrefix == jaccardPairsExact across thresholds (recall 1)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    def pairs(f: PipelineContext => org.apache.spark.sql.DataFrame) =
+      PipelineContext.run { implicit ctx =>
+        f(ctx).orderBy(col("id1"), col("id2")).collect().toSeq }
+    // the high-threshold design point AND a low threshold where the
+    // prefix keeps most grams — the filter must be invisible in both
+    for (t <- Seq(0.7, 0.4)) {
+      val exact = pairs(implicit ctx =>
+        graft.operators.Dedup.jaccardPairsExact(
+          docs, "doc_id", "text", graft.operators.Dedup.WordGrams(2), t))
+      val prefix = pairs(implicit ctx =>
+        graft.operators.Dedup.jaccardPairsPrefix(
+          docs, "doc_id", "text", graft.operators.Dedup.WordGrams(2), t))
+      assert(prefix === exact, s"divergence at threshold $t")
+      assert(exact.nonEmpty, s"vacuous at threshold $t") // corpus has planted near-dups
+    }
+  }
+
   test("decontaminateBloom: empty benchmark scores every doc 0 without joining") {
     val docs = graft.sources.Tables.documents(spark, sfDir).limit(10)
     val out = PipelineContext.run { implicit ctx =>
