@@ -156,11 +156,77 @@ object StorageQueries {
       .orderBy(col("identifier"))
   }
 
+  /** st05: XLSX upload staging end-to-end — the gate ASSEMBLES a real
+    * OOXML workbook from the sf nation rows (ZipOutputStream +
+    * spreadsheet XML, inline strings + numeric cells), stages it
+    * through the pure-JDK `storage/XlsxReader`, ingests via
+    * `FileStaging.ingestNodeFile`, and returns the stored state. A
+    * hash match proves the zip/StAX/typing/staging/ingest chain
+    * round-trips user uploads losslessly (malformed-cell edge cases
+    * are StorageOpsSpec's). The 25-row collect is gate plumbing —
+    * real uploads stream through the same reader partition-wise. */
+  def st05XlsxStaging(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = scratch(spark, "st05")
+    val rows = nationRows(spark, sfDir)
+      .select(col("identifier"), col("nationkey").cast("long"),
+        col("regionkey").cast("long"))
+      .orderBy(col("nationkey")).collect()
+    def esc(s: String) =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val body = rows.zipWithIndex.map { case (r, i) =>
+      s"""<row r="${i + 2}"><c t="inlineStr"><is><t>${esc(r.getString(0))}</t></is></c>""" +
+        s"""<c><v>${r.getLong(1)}</v></c><c><v>${r.getLong(2)}</v></c></row>"""
+    }.mkString
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c t="inlineStr"><is><t>identifier</t></is></c>""" +
+        """<c t="inlineStr"><is><t>nationkey</t></is></c>""" +
+        """<c t="inlineStr"><is><t>regionkey</t></is></c></row>""" +
+        body + "</sheetData></worksheet>"
+    val dir = scratchDir("st05-upload")
+    val path = s"$dir/nations.xlsx"
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    try {
+      zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      zos.write(sheet.getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+    graft.storage.FileStaging.ingestNodeFile(store, "Nation", path, "upload1")
+    store.node("Nation")
+      .select(col("identifier"), col("nationkey"), col("regionkey"),
+        col(store.FileIdCol))
+      .orderBy(col("identifier"))
+  }
+
+  /** st06: NDJSON result-sink round trip — the chunked streaming
+    * serializer (`serve/ResultStreamer.ndjsonChunks`, the §2.1 result
+    * cursor) applied to a live aggregate, then re-parsed. A hash match
+    * proves the wire format preserves every value and type the query
+    * produced — the serializer is lazy/chunked (toLocalIterator), so
+    * this is the driver-paging path large results take. */
+  def st06NdjsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = spark.sql(
+      """SELECT r_name AS region, count(*) AS n_nations,
+               CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+        FROM parquet.`%s/nation.parquet` n
+        JOIN parquet.`%s/region.parquet` r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r_name""".format(sfDir, sfDir))
+    val lines = graft.serve.ResultStreamer.ndjsonChunks(agg, chunkSize = 2)
+      .flatten.toSeq
+    import spark.implicits._
+    spark.read.json(spark.createDataset(lines))
+      .select(col("region"), col("n_nations"), col("sum_key"))
+      .orderBy(col("region"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_multifile_union" -> (st01MultifileUnion(_, _)),
     "st02_copy_ignore_errors" -> (st02CopyIgnoreErrors(_, _)),
     "st03_sql_passthrough" -> (st03SqlPassthrough(_, _)),
-    "st04_backup_restore" -> (st04BackupRestore(_, _)))
+    "st04_backup_restore" -> (st04BackupRestore(_, _)),
+    "st05_xlsx_staging" -> (st05XlsxStaging(_, _)),
+    "st06_ndjson_roundtrip" -> (st06NdjsonRoundtrip(_, _)))
 
   /** DuckDB replay of each gate's stored end state. */
   val oracle: Map[String, String] = Map(
@@ -202,5 +268,14 @@ object StorageQueries {
       """SELECT n_name AS identifier, n_nationkey AS nationkey,
                 r_name AS region
          FROM nation JOIN region ON n_regionkey = r_regionkey
-         ORDER BY identifier""")
+         ORDER BY identifier""",
+    "st05_xlsx_staging" ->
+      """SELECT n_name AS identifier, n_nationkey AS nationkey,
+                n_regionkey AS regionkey, 'upload1' AS file_id
+         FROM nation ORDER BY identifier""",
+    "st06_ndjson_roundtrip" ->
+      """SELECT r_name AS region, count(*) AS n_nations,
+                CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY region""")
 }

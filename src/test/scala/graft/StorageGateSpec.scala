@@ -44,6 +44,20 @@ class StorageGateSpec extends SparkTestBase {
     assert(out.forall(r => r.getString(2) != null))
   }
 
+  test("st05: generated xlsx stages and ingests every nation row typed") {
+    val out = StorageQueries.st05XlsxStaging(spark, sfDir).collect()
+    assert(out.length === 25)
+    assert(out.forall(_.getString(3) == "upload1"))
+    // numeric cells came through typed, not as strings
+    assert(out.map(_.getLong(1)).sum === (0 until 25).sum)
+  }
+
+  test("st06: ndjson chunks re-parse to the exact aggregate") {
+    val out = StorageQueries.st06NdjsonRoundtrip(spark, sfDir).collect()
+    assert(out.length === 5)
+    assert(out.map(_.getLong(1)).sum === 25)
+  }
+
   test("t42: exact jaccard gate matches the LSH-verified t05 pair set on sf0.001") {
     // recall-1 inverted index must find at least every pair the banded
     // LSH path (verified at the same threshold) found
