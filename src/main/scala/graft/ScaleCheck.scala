@@ -97,10 +97,11 @@ object ScaleCheck {
       "s01_stream_window", "s03_stream_sessions",
       // round 7 second half: the exact inverted-index jaccard's
       // candidate volume is Σ_gram df² — token-suffix scaling keeps
-      // grams copy-local so it grows ~k, not k² (measured 14.9 s →
-      // 41.5 s on 4× data); the bloom decontam's verify join is
-      // bounded by true hits (copy-local too); the stream-stream join
-      // state is O(interval window)
+      // grams copy-local so it grows ~k, not k² (measured 14.67 s →
+      // 35.88 s on 4× data, the run SCALING.md's third-batch table
+      // records); the bloom decontam's verify join is bounded by true
+      // hits (copy-local too); the stream-stream join state is
+      // O(interval window)
       "t42_jaccard_exact", "t43_bloom_decontam",
       "s04_stream_interval_join")
 
@@ -108,11 +109,12 @@ object ScaleCheck {
     // similarity join: 40-word vocabulary ⇒ 931 distinct bigrams over
     // 5 k docs, Σdf² = 73 M candidate rows at 1× ⇒ 4.7 B at 64× — a
     // plain equi-join + pair-agg shuffle a cluster partitions fine,
-    // but it OOMs one 4.6 GB-heap local JVM (observed r7). Skip the
-    // 64× tier LOUDLY (no silent caps); the low-entropy scale path is
-    // t05/t43 (LSH / bloom prefilter), and prefix filtering only buys
-    // 1.8× here (measured) because at t=0.4 prefixes keep 60% of grams.
-    val skipAtHighK = Set("t42_jaccard_exact")
+    // but it OOMs one 4.6 GB-heap local JVM (observed r7, 64× only —
+    // lower tiers measured fine, so only 64× is skipped). Skip LOUDLY
+    // (no silent caps); the low-entropy scale path is t05/t43
+    // (LSH / bloom prefilter), and prefix filtering only buys 1.8×
+    // here (measured) because at t=0.4 prefixes keep 60% of grams.
+    val skipAt64 = Set("t42_jaccard_exact")
 
     val ks = Seq(1, 4, maxK).distinct.filter(_ <= maxK)
     val results = ks.map { k =>
@@ -123,10 +125,10 @@ object ScaleCheck {
         synthesize(spark, src, d, k)
         d
       }
-      val kShapes = if (k >= 16) {
-        skipAtHighK.foreach(q => println(
+      val kShapes = if (k >= 64) {
+        skipAt64.foreach(q => println(
           s"SCALESKIP $q at ${k}x: single-box heap bound (see shape-list note)"))
-        shapes.filterNot(skipAtHighK)
+        shapes.filterNot(skipAt64)
       } else shapes
       val times = kShapes.map { q =>
         SparkEntry.queries(q)(spark, dir) // warmup

@@ -31,12 +31,22 @@ import graft.storage.{GraphBackup, GraphStore}
 object StorageQueries {
 
   private def pk = Property("identifier", GraftType.STRING, isPrimaryKey = true)
-  private def storageSchema = GraphSchema("storagegate", "1.0",
+
+  /** Shared by the storage gates AND the s05 streaming-ingest gate —
+    * one schema definition keeps the batch-vs-streaming ingest
+    * comparisons like-for-like. */
+  private[operators] def storageSchema = GraphSchema("storagegate", "1.0",
     Seq(
       NodeDef("Nation", Seq(pk, Property("nationkey", GraftType.INT64),
         Property("regionkey", GraftType.INT64))),
       NodeDef("Region", Seq(pk, Property("regionkey", GraftType.INT64)))),
     Seq(RelDef("NATION_IN_REGION", "Nation", "Region")))
+
+  /** The parity split with nationkey 0 on BOTH sides — the shared
+    * cross-file-duplicate fixture for st01 and s05. */
+  private[operators] def paritySplit(rows: DataFrame): (DataFrame, DataFrame) = (
+    rows.filter(col("nationkey") % 2 === 0),
+    rows.filter(col("nationkey") % 2 === 1 || col("nationkey") === 0))
 
   /** Stable per-gate scratch dir, WIPED at entry (the StreamQueries
     * discipline): state must be fresh per invocation, but Bench's
@@ -75,9 +85,9 @@ object StorageQueries {
     val stage = scratchDir("st01-files")
     val f0 = s"$stage/f0"
     val f1 = s"$stage/f1"
-    n.filter(col("nationkey") % 2 === 0).coalesce(1).write.parquet(f0)
-    n.filter(col("nationkey") % 2 === 1 || col("nationkey") === 0)
-      .coalesce(1).write.parquet(f1)
+    val (even, oddPlusDup) = paritySplit(n)
+    even.coalesce(1).write.parquet(f0)
+    oddPlusDup.coalesce(1).write.parquet(f1)
     store.ingestNodeFiles("Nation", Seq(f0 -> "f0", f1 -> "f1"))
     store.node("Nation")
       .select(col("identifier"), col("nationkey"), col("regionkey"),

@@ -188,26 +188,22 @@ object StreamQueries {
     * path commits exactly the batch-ingest state — at-least-once file
     * delivery, exactly-once effect. */
   def s05StreamIngest(spark: SparkSession, dir: String): DataFrame = {
-    import graft.schema._
     val base = scratchBase.resolve("s05")
     rmTree(base.toFile)
     Files.createDirectories(base)
-    val schema = GraphSchema("sgate", "1.0",
-      Seq(NodeDef("Nation", Seq(
-        Property("identifier", GraftType.STRING, isPrimaryKey = true),
-        Property("nationkey", GraftType.INT64),
-        Property("regionkey", GraftType.INT64)))), Seq.empty)
+    // schema + cross-file-duplicate fixture shared with the batch
+    // storage gates (st01), so streaming-vs-batch ingest comparisons
+    // stay like-for-like
     val store = new graft.storage.GraphStore(
-      spark, s"$base/store", "sgate", schema)
+      spark, s"$base/store", "sgate", StorageQueries.storageSchema)
     val rows = Tables.nation(spark, dir).select(
       col("n_name").as("identifier"),
       col("n_nationkey").as("nationkey"),
       col("n_regionkey").as("regionkey"))
     val watch = s"$base/watch"
-    rows.filter(col("nationkey") % 2 === 0)
-      .coalesce(1).write.mode("append").parquet(watch)
-    rows.filter(col("nationkey") % 2 === 1 || col("nationkey") === 0)
-      .coalesce(1).write.mode("append").parquet(watch)
+    val (even, oddPlusDup) = StorageQueries.paritySplit(rows)
+    even.coalesce(1).write.mode("append").parquet(watch)
+    oddPlusDup.coalesce(1).write.mode("append").parquet(watch)
     val q = IngestStream.nodeIngest(store, "Nation", watch, s"$base/ckpt")
     q.awaitTermination()
     store.node("Nation")
