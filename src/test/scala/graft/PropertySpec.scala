@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, PipelineContext}
+import graft.storage.{FileStaging, XlsxReader}
+
+/** Randomized differentials over the primitives whose failure modes a
+  * fixed fixture can miss: the binary XLSX parser (escaping, sparse
+  * cells, type inference), the three exact-Jaccard paths (index /
+  * prefix-filter vs an in-test brute force), and the component
+  * fixpoint (vs union-find). Deterministic: ScalaCheck generators are
+  * sampled from a fixed seed, so a failure reproduces. */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** n deterministic samples of g (plain ScalaCheck, no runner). */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  // ---- xlsx round trip ----------------------------------------------------
+
+  private sealed trait Cell
+  private case class SCell(s: String) extends Cell
+  private case class LCell(l: Long) extends Cell
+  private case class DCell(d: Double) extends Cell
+
+  private val cellGen: Gen[Option[Cell]] = Gen.frequency(
+    2 -> Gen.const(None),
+    3 -> Gen.oneOf(
+      "plain", "with space", "a&b", "<tag>", "x>y", "\"quoted\"",
+      "ünïcode", "tab\tchar", "0x10", "12a").map(s => Some(SCell(s))),
+    3 -> Gen.chooseNum(-1000000L, 1000000L).map(l => Some(LCell(l))),
+    2 -> Gen.chooseNum(-4000, 4000).map(i => Some(DCell(i / 4.0))))
+
+  private val tableGen: Gen[(Int, Seq[Seq[Option[Cell]]])] = for {
+    nCols <- Gen.chooseNum(1, 5)
+    nRows <- Gen.chooseNum(1, 8)
+    rows <- Gen.listOfN(nRows, Gen.listOfN(nCols, cellGen))
+    // every column needs one non-null so the typing rule is exercised,
+    // not the all-null fallback (that edge is pinned separately)
+    patched = rows.zipWithIndex.map { case (r, i) =>
+      r.zipWithIndex.map { case (c, j) =>
+        if (i == j % nRows && c.isEmpty) Some(LCell(j.toLong)) else c } }
+  } yield (nCols, patched)
+
+  private def esc(s: String) =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def writeXlsx(path: String, nCols: Int, rows: Seq[Seq[Option[Cell]]]): Unit = {
+    val header = (0 until nCols)
+      .map(i => s"""<c t="inlineStr"><is><t>h$i</t></is></c>""").mkString
+    val body = rows.zipWithIndex.map { case (r, ri) =>
+      val cells = r.zipWithIndex.flatMap { case (c, ci) =>
+        val ref = s"${('A' + ci).toChar}${ri + 2}"
+        c.map {
+          case SCell(s) => s"""<c r="$ref" t="inlineStr"><is><t>${esc(s)}</t></is></c>"""
+          case LCell(l) => s"""<c r="$ref"><v>$l</v></c>"""
+          case DCell(d) => s"""<c r="$ref"><v>$d</v></c>"""
+        }
+      }.mkString
+      s"""<row r="${ri + 2}">$cells</row>"""
+    }.mkString
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        s"""<row r="1">$header</row>""" + body + "</sheetData></worksheet>"
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    try {
+      zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      zos.write(sheet.getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+  }
+
+  test("xlsx parser round-trips random tables: escaping, sparse cells, type inference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-propxlsx")
+    samples(tableGen, 12).zipWithIndex.foreach { case ((nCols, rows), k) =>
+      val p = s"$dir/t$k.xlsx"
+      writeXlsx(p, nCols, rows)
+      val df = XlsxReader.read(spark, p)
+      assert(df.columns.toSeq === (0 until nCols).map(i => s"h$i"))
+      val got = df.collect()
+      assert(got.length === rows.length, s"table $k row count")
+      // expected per-column type under the reader's rule: all-long ->
+      // long, else all-numeric -> double, else string
+      val colIs: Int => Seq[Cell] = i => rows.flatMap(r => r(i))
+      (0 until nCols).foreach { i =>
+        val cells = colIs(i)
+        val expType =
+          if (cells.forall(_.isInstanceOf[LCell])) "bigint"
+          else if (cells.forall(c => c.isInstanceOf[LCell] || c.isInstanceOf[DCell])) "double"
+          else "string"
+        assert(df.schema(i).dataType.simpleString === expType,
+          s"table $k col $i: cells=$cells")
+      }
+      rows.zipWithIndex.foreach { case (r, ri) =>
+        r.zipWithIndex.foreach { case (c, ci) =>
+          val v = got(ri).get(ci)
+          (c, v) match {
+            case (None, null) => ()
+            case (Some(SCell(s)), x) => assert(x === s, s"table $k [$ri,$ci]")
+            case (Some(LCell(l)), x: java.lang.Long) => assert(x.longValue === l)
+            case (Some(LCell(l)), x: java.lang.Double) => assert(x.doubleValue === l.toDouble)
+            case (Some(LCell(l)), x: String) => assert(BigDecimal(x) === BigDecimal(l))
+            case (Some(DCell(d)), x: java.lang.Double) => assert(x.doubleValue === d)
+            case (Some(DCell(d)), x: String) => assert(x.toDouble === d)
+            case other => fail(s"table $k [$ri,$ci]: unexpected $other")
+          }
+        }
+      }
+    }
+  }
+
+  // ---- jaccard triple equivalence ----------------------------------------
+
+  private val vocab = Vector("ox", "ant", "bee", "cat", "dog", "elk", "fox", "gnu")
+  private val corpusGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.chooseNum(4, 10)
+    docs <- Gen.listOfN(n, Gen.chooseNum(0, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def bruteJaccard(docs: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] = {
+    def grams(s: String): Set[String] = {
+      val w = s.trim.toLowerCase.split("\\s+").toSeq
+      if (w.size < 2) Set.empty
+      else w.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val g = docs.map { case (id, s) => id -> grams(s) }.filter(_._2.nonEmpty)
+    (for {
+      (i, a) <- g; (j, b) <- g if i < j
+      c = (a & b).size
+      jac = c.toDouble / (a.size + b.size - c) if jac >= t
+    } yield (i, j, BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+  }
+
+  test("jaccardPairsExact and jaccardPairsPrefix match brute force on random corpora") {
+    samples(corpusGen, 6).zipWithIndex.foreach { case (docs, k) =>
+      val df = docs.toDF("doc_id", "text")
+      for (t <- Seq(0.3, 0.6, 0.9)) {
+        val expected = bruteJaccard(docs, t)
+        def run(f: PipelineContext => org.apache.spark.sql.DataFrame) =
+          PipelineContext.run { implicit ctx =>
+            f(ctx).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet }
+        val exact = run(implicit ctx =>
+          Dedup.jaccardPairsExact(df, "doc_id", "text", Dedup.WordGrams(2), t))
+        val prefix = run(implicit ctx =>
+          Dedup.jaccardPairsPrefix(df, "doc_id", "text", Dedup.WordGrams(2), t))
+        assert(exact === expected, s"corpus $k t=$t exact\ndocs=$docs")
+        assert(prefix === expected, s"corpus $k t=$t prefix\ndocs=$docs")
+      }
+    }
+  }
+
+  // ---- components vs union-find ------------------------------------------
+
+  private val edgesGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.chooseNum(2, 14)
+    m <- Gen.chooseNum(0, 20)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+    } yield (a.toLong, b.toLong))
+  } yield es.filter { case (a, b) => a != b }
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("componentsOf matches union-find on random edge sets") {
+    samples(edgesGen, 8).zipWithIndex.foreach { case (edges, k) =>
+      if (edges.nonEmpty) {
+        val expected = unionFind(edges)
+        val got = PipelineContext.run { implicit ctx =>
+          Dedup.componentsOf(edges.toDF("id1", "id2"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap }
+        assert(got === expected, s"edge set $k: $edges")
+      }
+    }
+  }
+}
