@@ -152,9 +152,11 @@ object StorageQueries {
       .select(col("r_name").as("identifier"), col("r_regionkey").as("regionkey")))
     val n = store.node("Nation")
     val r = store.node("Region")
+    // arrive as from/to — the reference's wire names — so the gate's
+    // hash also covers ingestRels' src/dst rename (manager.py:124-135)
     store.ingestRels("NATION_IN_REGION",
       n.join(r, n("regionkey") === r("regionkey"))
-        .select(n("identifier").as("src"), r("identifier").as("dst")))
+        .select(n("identifier").as("from"), r("identifier").as("to")))
     val archive = scratchDir("st04-backup").toString
     GraphBackup.exportGraphEncrypted(store, archive, "gate-password")
     val restored = scratch(spark, "st04-restored")
