@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * data_tools.py:222-259 `ingest-file`: CSV/Excel/Parquet staged into
   * the per-graph DuckDB, then materialized into the graph). Spark
   * shape: read → register temp view (SQL passthrough surface,
-  * manager.py:336-372) → GraphStore ingest. Excel needs an external
-  * reader (spark-excel) not present in this build — rejected with a
-  * clear error rather than silently mis-parsed. */
+  * manager.py:336-372) → GraphStore ingest. Both Excel formats read
+  * on pure JDK: [[XlsxReader]] (zip+StAX OOXML) and [[XlsReader]]
+  * (CFB container + BIFF8 records) — unsupported constructs (formula
+  * cells, encrypted workbooks, BIFF5) fail with a clear error rather
+  * than silently mis-parsing. */
 object FileStaging {
 
   /** Stage a file (or directory of part files) as a queryable temp
@@ -35,9 +37,7 @@ object FileStaging {
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       case "json" => spark.read.json(path)
       case "xlsx" => XlsxReader.read(spark, path)
-      case "xls" =>
-        throw new UnsupportedOperationException(
-          "legacy binary .xls is not supported — re-export as .xlsx/CSV")
+      case "xls" => XlsReader.read(spark, path)
     }
     df.createOrReplaceTempView(viewName)
     df

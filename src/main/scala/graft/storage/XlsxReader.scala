@@ -127,9 +127,56 @@ object XlsxReader {
   private val longRe = """-?\d{1,18}""".r
   private val doubleRe = """-?\d+(\.\d+)?([eE][+-]?\d+)?""".r
 
-  /** Read an .xlsx file into a typed DataFrame (header row = column
-    * names; missing header cells become col_N; duplicate names get a
-    * positional suffix, like Spark's CSV reader's dedup). */
+  /** Sparse sheet rows → typed DataFrame: header row = column names
+    * (missing header cells become col_N, duplicates get a positional
+    * suffix like Spark's CSV dedup); column types inferred like the
+    * CSV staging path (all-long → long, all-numeric → double, else
+    * string). Shared by the XLSX and legacy-XLS readers so both Excel
+    * formats land with identical staging semantics. */
+  private[storage] def sheetToDataFrame(
+      spark: SparkSession, sparse: Seq[Seq[(Int, String)]],
+      context: String): DataFrame = {
+    require(sparse.nonEmpty, s"empty worksheet in $context")
+    val width = sparse.iterator.flatMap(_.map(_._1)).maxOption.getOrElse(-1) + 1
+    def dense(row: Seq[(Int, String)]): Array[String] = {
+      val a = Array.fill[String](width)(null)
+      row.foreach { case (i, v) => if (i >= 0 && i < width) a(i) = v }
+      a
+    }
+    val header = dense(sparse.head)
+    val names = header.zipWithIndex.map { case (h, i) =>
+      val base = Option(h).map(_.trim).filter(_.nonEmpty).getOrElse(s"col_$i")
+      if (header.count(x => Option(x).map(_.trim).contains(base)) > 1) s"${base}_$i"
+      else base
+    }
+    val data = sparse.tail.map(dense)
+
+    def colType(i: Int): DataType = {
+      val vs = data.flatMap(r => Option(r(i)))
+      if (vs.isEmpty) StringType
+      else if (vs.forall(longRe.matches)) LongType
+      else if (vs.forall(doubleRe.matches)) DoubleType
+      else StringType
+    }
+    val types = names.indices.map(colType)
+    val schema = StructType(names.zip(types).map { case (n, t) =>
+      StructField(n, t, nullable = true) })
+    val rows = data.map { r =>
+      Row.fromSeq(names.indices.map { i =>
+        Option(r(i)).map { v =>
+          types(i) match {
+            case LongType => v.toLong
+            case DoubleType => v.toDouble
+            case _ => v
+          }
+        }.orNull
+      })
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+  }
+
+  /** Read an .xlsx file into a typed DataFrame. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val zf = new java.util.zip.ZipFile(path)
     try {
@@ -146,45 +193,7 @@ object XlsxReader {
         }
         .getOrElse(throw new IllegalArgumentException(s"no worksheet in $path"))
       val sparse = parseSheet(stream(sheetName).get, shared)
-      require(sparse.nonEmpty, s"empty worksheet in $path")
-
-      val width = sparse.iterator.flatMap(_.map(_._1)).maxOption.getOrElse(-1) + 1
-      def dense(row: Seq[(Int, String)]): Array[String] = {
-        val a = Array.fill[String](width)(null)
-        row.foreach { case (i, v) => if (i >= 0 && i < width) a(i) = v }
-        a
-      }
-      val header = dense(sparse.head)
-      val names = header.zipWithIndex.map { case (h, i) =>
-        val base = Option(h).map(_.trim).filter(_.nonEmpty).getOrElse(s"col_$i")
-        if (header.count(x => Option(x).map(_.trim).contains(base)) > 1) s"${base}_$i"
-        else base
-      }
-      val data = sparse.tail.map(dense)
-
-      def colType(i: Int): DataType = {
-        val vs = data.flatMap(r => Option(r(i)))
-        if (vs.isEmpty) StringType
-        else if (vs.forall(longRe.matches)) LongType
-        else if (vs.forall(doubleRe.matches)) DoubleType
-        else StringType
-      }
-      val types = names.indices.map(colType)
-      val schema = StructType(names.zip(types).map { case (n, t) =>
-        StructField(n, t, nullable = true) })
-      val rows = data.map { r =>
-        Row.fromSeq(names.indices.map { i =>
-          Option(r(i)).map { v =>
-            types(i) match {
-              case LongType => v.toLong
-              case DoubleType => v.toDouble
-              case _ => v
-            }
-          }.orNull
-        })
-      }
-      spark.createDataFrame(
-        new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+      sheetToDataFrame(spark, sparse, path)
     } finally zf.close()
   }
 }

@@ -52,6 +52,13 @@ class StorageGateSpec extends SparkTestBase {
     assert(out.map(_.getLong(1)).sum === (0 until 25).sum)
   }
 
+  test("st07: generated legacy .xls stages and ingests every nation row typed") {
+    val out = StorageQueries.st07XlsStaging(spark, sfDir).collect()
+    assert(out.length === 25)
+    assert(out.forall(_.getString(3) == "upload2"))
+    assert(out.map(_.getLong(1)).sum === (0 until 25).sum)
+  }
+
   test("st06: ndjson chunks re-parse to the exact aggregate") {
     val out = StorageQueries.st06NdjsonRoundtrip(spark, sfDir).collect()
     assert(out.length === 5)

@@ -28,10 +28,13 @@ class StorageOpsSpec extends SparkTestBase {
     assert(store.node("Process").count() === 2)
   }
 
-  test("staging rejects legacy xls and unknown formats explicitly") {
-    assertThrows[UnsupportedOperationException] {
-      FileStaging.stage(spark, "/tmp/x.xls", "v")
+  test("staging rejects non-CFB bytes posing as xls, and unknown formats") {
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/not-really.xls"),
+      "this is not an OLE2 container".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      FileStaging.stage(spark, "/tmp/not-really.xls", "v")
     }
+    assert(e.getMessage.contains("CFB"))
     assertThrows[IllegalArgumentException] {
       FileStaging.stage(spark, "/tmp/x.bin", "v")
     }
