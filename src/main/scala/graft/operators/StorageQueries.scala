@@ -211,68 +211,6 @@ object StorageQueries {
       .orderBy(col("identifier"))
   }
 
-  /** Minimal BIFF8+CFB writer for st07 — enough of MS-XLS/MS-CFB (one
-    * sheet, LABEL strings, NUMBER cells, mini-stream container) to
-    * assemble a REAL legacy workbook inside the gate, independently of
-    * the reader's code paths. */
-  private object BiffWriter {
-    def u16(v: Int): Array[Byte] =
-      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    def u32(v: Long): Array[Byte] =
-      Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
-    def rec(typ: Int, p: Array[Byte]): Array[Byte] = u16(typ) ++ u16(p.length) ++ p
-    def bof(dt: Int): Array[Byte] =
-      rec(0x0809, u16(0x0600) ++ u16(dt) ++ Array.fill[Byte](12)(0))
-    val eof: Array[Byte] = rec(0x000A, Array.empty[Byte])
-    def label(row: Int, colIdx: Int, s: String): Array[Byte] =
-      rec(0x0204, u16(row) ++ u16(colIdx) ++ u16(0) ++ u16(s.length) ++
-        Array(0.toByte) ++ s.getBytes("ISO-8859-1"))
-    def number(row: Int, colIdx: Int, d: Double): Array[Byte] = {
-      val bits = java.lang.Double.doubleToLongBits(d)
-      rec(0x0203, u16(row) ++ u16(colIdx) ++ u16(0) ++
-        Array.tabulate(8)(i => ((bits >> (8 * i)) & 0xff).toByte))
-    }
-    def workbook(sheetCells: Array[Byte]): Array[Byte] = {
-      val sheet = bof(0x0010) ++ sheetCells ++ eof
-      def globals(pos: Int) = bof(0x0005) ++
-        rec(0x0085, u32(pos) ++ u16(0) ++ Array(6.toByte, 0.toByte) ++
-          "Sheet1".getBytes("ISO-8859-1")) ++ eof
-      globals(globals(0).length) ++ sheet
-    }
-    private val EOC = 0xFFFFFFFEL; private val FREE = 0xFFFFFFFFL
-    private def pad(b: Array[Byte], u: Int) =
-      java.util.Arrays.copyOf(b, ((b.length + u - 1) / u) * u)
-    private def fatSector(es: Seq[Long]) =
-      (es ++ Seq.fill(128 - es.size)(FREE)).toArray.flatMap(u32)
-    private def dirEntry(name: String, objType: Int, start: Long, size: Long) = {
-      val nm = name.getBytes("UTF-16LE")
-      nm ++ Array.fill[Byte](64 - nm.length)(0) ++ u16(nm.length + 2) ++
-        Array(objType.toByte, 1.toByte) ++ u32(FREE) ++ u32(FREE) ++
-        (if (objType == 5) u32(1) else u32(FREE)) ++
-        Array.fill[Byte](36)(0) ++ u32(start) ++ u32(size) ++ u32(0)
-    }
-    /** Mini-stream container (workbook under the 4096-byte cutoff). */
-    def cfb(wb: Array[Byte]): Array[Byte] = {
-      require(wb.length < 4096, "gate workbook must fit the mini-stream")
-      val mini = pad(wb, 64)
-      val miniData = pad(mini, 512)
-      val nStream = miniData.length / 512
-      val fat = Seq[Long](0xFFFFFFFDL, EOC, EOC) ++
-        (0 until nStream).map(i => if (i == nStream - 1) EOC else (4 + i).toLong)
-      val miniFat = (0 until mini.length / 64)
-        .map(i => if (i == mini.length / 64 - 1) EOC else (i + 1).toLong)
-      val header =
-        Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte) ++
-          Array.fill[Byte](16)(0) ++ u16(0x003E) ++ u16(3) ++ u16(0xFFFE) ++
-          u16(9) ++ u16(6) ++ Array.fill[Byte](6)(0) ++ u32(0) ++ u32(1) ++
-          u32(1) ++ u32(0) ++ u32(4096) ++ u32(2) ++ u32(1) ++ u32(EOC) ++
-          u32(0) ++ u32(0) ++ (1 until 109).toArray.flatMap(_ => u32(FREE))
-      val dir = pad(dirEntry("Root Entry", 5, 3, mini.length) ++
-        dirEntry("Workbook", 2, 0, wb.length), 512)
-      header ++ fatSector(fat) ++ dir ++ fatSector(miniFat) ++ miniData
-    }
-  }
-
   /** st07: legacy .xls upload staging end-to-end — the gate assembles
     * a REAL BIFF8 workbook in a CFB mini-stream container from the sf
     * nation rows, stages it through the pure-JDK
@@ -280,7 +218,7 @@ object StorageQueries {
     * ingests, and hash-compares the stored state. With st05 this puts
     * BOTH Excel upload formats on identical hash evidence. */
   def st07XlsStaging(spark: SparkSession, sfDir: String): DataFrame = {
-    import BiffWriter._
+    import graft.storage.BiffBytes._
     val store = scratch(spark, "st07")
     val rows = nationRows(spark, sfDir)
       .select(col("identifier"), col("nationkey").cast("long"),
@@ -295,7 +233,8 @@ object StorageQueries {
     }
     val dir = scratchDir("st07-upload")
     val path = s"$dir/nations.xls"
-    java.nio.file.Files.write(java.nio.file.Paths.get(path), cfb(workbook(cells)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      cfbMini(workbook(Array.empty[Byte], cells)))
     graft.storage.FileStaging.ingestNodeFile(store, "Nation", path, "upload2")
     store.node("Nation")
       .select(col("identifier"), col("nationkey"), col("regionkey"),

@@ -75,7 +75,10 @@ object XlsReader {
       val out = ListBuffer.empty[Int]
       var s = start
       var guard = 0
-      while (s != EndOfChain && s != FreeSect) {
+      while (s != EndOfChain) {
+        // FREESECT mid-chain = truncated/corrupt container; silently
+        // stopping here would ingest PARTIAL rows with no error
+        require(s != FreeSect, s"sector chain hits a free sector (truncated file?) in $path")
         require(s >= 0 && s < table.length, s"corrupt sector chain in $path")
         out += s; s = table(s)
         guard += 1; require(guard <= table.length, s"cyclic sector chain in $path")
@@ -100,9 +103,13 @@ object XlsReader {
         s"no Workbook stream in $path (streams: ${
           entries.filter(_.objType == 2).map(_.name).mkString(", ")})"))
     val size = target.size.toInt
-    if (size >= miniCutoff) {
-      val raw = chain(target.start, fat).toArray.flatMap(sector)
+    def sized(raw: Array[Byte]): Array[Byte] = {
+      require(raw.length >= size,
+        s"stream shorter than its directory size (${raw.length} < $size) in $path")
       java.util.Arrays.copyOf(raw, size)
+    }
+    if (size >= miniCutoff) {
+      sized(chain(target.start, fat).toArray.flatMap(sector))
     } else {
       // mini-stream: the root entry's chain holds the backing bytes;
       // the mini-FAT chains 64-byte sectors within it
@@ -110,11 +117,10 @@ object XlsReader {
       val miniFat: Array[Int] = chain(firstMiniFat, fat).toArray.flatMap { fs =>
         val sb = sector(fs); (0 until intsPerSector).map(i => i32(sb, 4 * i))
       }
-      val raw = chain(target.start, miniFat).toArray.flatMap { ms =>
+      sized(chain(target.start, miniFat).toArray.flatMap { ms =>
         java.util.Arrays.copyOfRange(miniStream, ms * miniSize,
           math.min((ms + 1) * miniSize, miniStream.length))
-      }
-      java.util.Arrays.copyOf(raw, size)
+      })
     }
   }
 
@@ -127,7 +133,9 @@ object XlsReader {
       private var o = from
       def hasNext: Boolean = o + 4 <= s.length
       def next(): Rec = {
-        val r = Rec(u16(s, o), o + 4, u16(s, o + 2)); o = r.off + r.len; r
+        val r = Rec(u16(s, o), o + 4, u16(s, o + 2))
+        require(r.off + r.len <= s.length, "truncated BIFF record")
+        o = r.off + r.len; r
       }
     }
 
@@ -141,7 +149,11 @@ object XlsReader {
     private def segEnd = segs(seg)._2
     private def advanceIfDone(): Unit =
       while (off >= segEnd && seg < segs.length - 1) { seg += 1; off = segs(seg)._1 }
-    def u8(): Int = { advanceIfDone(); val v = s(off) & 0xff; off += 1; v }
+    def u8(): Int = {
+      advanceIfDone()
+      require(off < segEnd, s"SST runs past its records in $path")
+      val v = s(off) & 0xff; off += 1; v
+    }
     def u16v(): Int = { val a = u8(); a | (u8() << 8) }
     def u32v(): Long = { u16v().toLong | (u16v().toLong << 16) }
     def skip(n: Long): Unit = {
@@ -161,7 +173,7 @@ object XlsReader {
       val cbExt = if ((flags & 0x04) != 0) u32v() else 0L
       val sb = new StringBuilder
       var read = 0
-      var charSeg = { advanceIfDone(); seg }
+      var charSeg = seg
       while (read < cch) {
         advanceIfDone()
         if (off >= segEnd)
@@ -216,8 +228,12 @@ object XlsReader {
           cur.skip(8) // cstTotal, cstUnique
           val unique = i32(s, r.off + 4)
           (0 until unique).foreach(_ => sst += cur.string())
-        case 0x0085 => // BOUNDSHEET: first sheet's substream offset
-          if (sheetPos < 0) sheetPos = i32(s, r.off)
+        case 0x0085 => // BOUNDSHEET: first WORKSHEET substream (dt byte
+          // 0x00; chart/VB-module sheets are skipped like the xlsx
+          // path only reads xl/worksheets/)
+          require(r.len >= 6, s"truncated BOUNDSHEET in $path")
+          if (sheetPos < 0 && (s(r.off + 5) & 0xff) == 0x00)
+            sheetPos = i32(s, r.off)
         case 0x002F =>
           throw new IllegalArgumentException(
             s"encrypted .xls is not supported: $path")
@@ -234,20 +250,30 @@ object XlsReader {
     val sheetBof = sheet.next()
     require(sheetBof.typ == 0x0809, s"bad worksheet offset in $path")
     var sheetDone = false
+    // every field read stays inside the record's declared length — a
+    // lying length (e.g. a LABEL whose cch exceeds its payload) must
+    // fail loudly, never read into the following records
+    def bounded(r: Rec, need: Int): Unit =
+      require(need <= r.len,
+        s"cell record 0x${r.typ.toHexString} claims $need bytes but has ${r.len} in $path")
     while (sheet.hasNext && !sheetDone) {
       val r = sheet.next()
       r.typ match {
         case 0x00FD => // LABELSST
+          bounded(r, 10)
           val i = i32(s, r.off + 6)
           require(i >= 0 && i < sst.length, s"SST index $i out of range in $path")
           put(u16(s, r.off), u16(s, r.off + 2), sst(i))
         case 0x0203 => // NUMBER (IEEE double)
+          bounded(r, 14)
           val bits = (0 until 8).map(i => (s(r.off + 6 + i).toLong & 0xff) << (8 * i)).sum
           put(u16(s, r.off), u16(s, r.off + 2),
             num(java.lang.Double.longBitsToDouble(bits)))
         case 0x027E => // RK
+          bounded(r, 10)
           put(u16(s, r.off), u16(s, r.off + 2), num(rkValue(i32(s, r.off + 6))))
         case 0x00BD => // MULRK
+          bounded(r, 12) // at least one rkrec
           val row = u16(s, r.off)
           val colFirst = u16(s, r.off + 2)
           val n = (r.len - 6) / 6
@@ -255,17 +281,21 @@ object XlsReader {
             put(row, colFirst + i, num(rkValue(i32(s, r.off + 4 + 6 * i + 2))))
           }
         case 0x0204 => // LABEL (inline BIFF8 XLUnicodeRichExtendedString)
+          bounded(r, 9)
           val cch = u16(s, r.off + 6)
           val flags = s(r.off + 8) & 0xff
           // rich-run count / ext length precede the characters
           var o = r.off + 9
           if ((flags & 0x08) != 0) o += 2
           if ((flags & 0x04) != 0) o += 4
+          val nBytes = if ((flags & 0x01) == 0) cch else cch * 2
+          bounded(r, (o - r.off) + nBytes)
           val v =
             if ((flags & 0x01) == 0) new String(s, o, cch, "ISO-8859-1")
-            else new String(s, o, cch * 2, "UTF-16LE")
+            else new String(s, o, nBytes, "UTF-16LE")
           put(u16(s, r.off), u16(s, r.off + 2), v)
         case 0x0205 => // BOOLERR
+          bounded(r, 8)
           val row = u16(s, r.off); val c = u16(s, r.off + 2)
           if ((s(r.off + 7) & 0xff) != 0)
             throw new IllegalArgumentException(
