@@ -27,6 +27,12 @@ private[graft] object BiffBytes {
   private def cell6(row: Int, colIdx: Int): Array[Byte] =
     u16(row) ++ u16(colIdx) ++ u16(0) // row, col, ixfe
 
+  /** ROW record — materializes a row with no (or all-blank) cells,
+    * as real Excel writers always do. */
+  def rowRec(row: Int): Array[Byte] =
+    rec(0x0208, u16(row) ++ u16(0) ++ u16(0) ++ u16(0) ++
+      Array.fill[Byte](8)(0))
+
   def label(row: Int, colIdx: Int, s: String): Array[Byte] =
     rec(0x0204, cell6(row, colIdx) ++ u16(s.length) ++ Array(0.toByte) ++
       s.getBytes("ISO-8859-1"))

@@ -259,6 +259,11 @@ object XlsReader {
     while (sheet.hasNext && !sheetDone) {
       val r = sheet.next()
       r.typ match {
+        case 0x0208 => // ROW: materializes the row even if every cell
+          // is blank (Excel always emits these; an all-empty row must
+          // survive like the xlsx path's cell-less <row> element)
+          bounded(r, 2)
+          byRow.getOrElseUpdate(u16(s, r.off), ListBuffer.empty); ()
         case 0x00FD => // LABELSST
           bounded(r, 10)
           val i = i32(s, r.off + 6)

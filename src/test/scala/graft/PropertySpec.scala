@@ -114,6 +114,52 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("xls writer/reader round-trips random tables through BIFF8 bytes") {
+    import graft.storage.{BiffBytes, XlsReader}
+    val dir = java.nio.file.Files.createTempDirectory("graft-propxls")
+    samples(tableGen, 10).zipWithIndex.foreach { case ((nCols, rows0), k) =>
+      // BIFF numbers arrive as rendered doubles, so a whole-valued
+      // DCell would legitimately type as long — keep them fractional
+      // so the expected-type rule matches the xlsx test's
+      val rows = rows0.map(_.map {
+        case Some(DCell(d)) if d == scala.math.rint(d) => Some(DCell(d + 0.25))
+        case c => c
+      })
+      val header = BiffBytes.rowRec(0) ++ (0 until nCols).toArray
+        .flatMap(i => BiffBytes.label(0, i, s"h$i"))
+      val cells = rows.zipWithIndex.foldLeft(header) { case (acc, (r, ri)) =>
+        acc ++ BiffBytes.rowRec(ri + 1) ++ r.zipWithIndex.toArray.flatMap {
+          case (Some(SCell(s)), ci) => BiffBytes.label(ri + 1, ci, s)
+          case (Some(LCell(l)), ci) => BiffBytes.number(ri + 1, ci, l.toDouble)
+          case (Some(DCell(d)), ci) => BiffBytes.number(ri + 1, ci, d)
+          case (None, _) => Array.empty[Byte]
+        }
+      }
+      val p = s"$dir/t$k.xls"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        BiffBytes.cfbMini(BiffBytes.workbook(Array.empty[Byte], cells)))
+      val df = XlsReader.read(spark, p)
+      assert(df.columns.toSeq === (0 until nCols).map(i => s"h$i"))
+      val got = df.collect()
+      assert(got.length === rows.length, s"xls table $k row count")
+      rows.zipWithIndex.foreach { case (r, ri) =>
+        r.zipWithIndex.foreach { case (c, ci) =>
+          val v = got(ri).get(ci)
+          (c, v) match {
+            case (None, null) => ()
+            case (Some(SCell(s)), x) => assert(x === s, s"xls $k [$ri,$ci]")
+            case (Some(LCell(l)), x: java.lang.Long) => assert(x.longValue === l)
+            case (Some(LCell(l)), x: java.lang.Double) => assert(x.doubleValue === l.toDouble)
+            case (Some(LCell(l)), x: String) => assert(BigDecimal(x) === BigDecimal(l))
+            case (Some(DCell(d)), x: java.lang.Double) => assert(x.doubleValue === d)
+            case (Some(DCell(d)), x: String) => assert(x.toDouble === d)
+            case other => fail(s"xls $k [$ri,$ci]: unexpected $other")
+          }
+        }
+      }
+    }
+  }
+
   // ---- jaccard triple equivalence ----------------------------------------
 
   private val vocab = Vector("ox", "ant", "bee", "cat", "dog", "elk", "fox", "gnu")
