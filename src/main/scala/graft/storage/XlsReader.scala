@@ -61,9 +61,15 @@ object XlsReader {
     val firstDifat = i32(b, 68)
     require(firstDifat == EndOfChain || firstDifat == FreeSect,
       s"chained DIFAT (>6.8 MB FAT) not supported in $path")
-    def sector(id: Int): Array[Byte] =
+    def sector(id: Int): Array[Byte] = {
+      // Long math + an explicit bound: a hostile header can name any
+      // sector id, and raw AIOOBE lacks the path-tagged message every
+      // other validation here carries
+      require(id >= 0 && (id.toLong + 2L) * sectorSize <= b.length,
+        s"sector $id outside the file (corrupt CFB header?) in $path")
       java.util.Arrays.copyOfRange(b, (id + 1) * sectorSize,
         (id + 2) * sectorSize)
+    }
     val intsPerSector = sectorSize / 4
     // header DIFAT: up to 109 FAT sector ids
     val fatSectors = (0 until 109).map(i => i32(b, 76 + 4 * i))
@@ -102,6 +108,8 @@ object XlsReader {
       .getOrElse(throw new IllegalArgumentException(
         s"no Workbook stream in $path (streams: ${
           entries.filter(_.objType == 2).map(_.name).mkString(", ")})"))
+    require(target.size <= Int.MaxValue,
+      s"stream size ${target.size} exceeds 2 GiB in $path")
     val size = target.size.toInt
     def sized(raw: Array[Byte]): Array[Byte] = {
       require(raw.length >= size,
@@ -183,7 +191,13 @@ object XlsReader {
         // header's flags byte is handled too
         if (seg != charSeg) { charSeg = seg; flags = u8() }
         if ((flags & 0x01) == 0) sb.append((s(off) & 0xff).toChar)
-        else { sb.append(u16(s, off).toChar); off += 1 }
+        else {
+          // a UTF-16 code unit is 2 bytes — a segment (or the file)
+          // ending mid-code-unit is a malformed write, not a boundary
+          if (off + 1 >= segEnd)
+            throw new IllegalArgumentException(s"SST string runs past its records in $path")
+          sb.append(u16(s, off).toChar); off += 1
+        }
         off += 1
         read += 1
       }

@@ -144,11 +144,17 @@ object XlsxReader {
       a
     }
     val header = dense(sparse.head)
-    val names = header.zipWithIndex.map { case (h, i) =>
-      val base = Option(h).map(_.trim).filter(_.nonEmpty).getOrElse(s"col_$i")
-      if (header.count(x => Option(x).map(_.trim).contains(base)) > 1) s"${base}_$i"
-      else base
+    // resolve fallbacks (col_N for empty cells) FIRST, then dedup over
+    // the resolved list — a literal "col_2" header next to an empty
+    // cell 2 must not yield two columns both named col_2
+    val resolved = header.zipWithIndex.map { case (h, i) =>
+      Option(h).map(_.trim).filter(_.nonEmpty).getOrElse(s"col_$i")
     }
+    val names = resolved.zipWithIndex.map { case (base, i) =>
+      if (resolved.count(_ == base) > 1) s"${base}_$i" else base
+    }
+    require(names.distinct.length == names.length,
+      s"header names still collide after dedup in $context: ${names.mkString(", ")}")
     val data = sparse.tail.map(dense)
 
     def colType(i: Int): DataType = {
