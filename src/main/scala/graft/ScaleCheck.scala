@@ -77,6 +77,9 @@ object ScaleCheck {
 
   def main(args: Array[String]): Unit = {
     val maxK = args.headOption.map(_.toInt).getOrElse(16)
+    // optional second arg: comma-separated shape filter for targeted
+    // reruns (e.g. `ScaleCheck 64 t42_jaccard_exact`)
+    val onlyShapes = args.drop(1).headOption.map(_.split(",").toSet)
     val src = "/root/testdata/sf0.1"
     val spark = graft.SparkBoot.session(32)
 
@@ -103,19 +106,18 @@ object ScaleCheck {
       // hits (copy-local too); the stream-stream join state is
       // O(interval window)
       "t42_jaccard_exact", "t43_bloom_decontam",
-      "s04_stream_interval_join")
+      "s04_stream_interval_join").filter(q =>
+      onlyShapes.forall(_.contains(q)))
 
     // t42's base volume on THIS corpus is adversarial for exact
     // similarity join: 40-word vocabulary ⇒ 931 distinct bigrams over
-    // 5 k docs, Σdf² = 73 M candidate rows at 1× ⇒ 4.7 B at 64× — a
-    // plain equi-join + pair-agg shuffle a cluster partitions fine,
-    // but it OOMs one 4.6 GB-heap local JVM (observed r7, 64× only —
-    // lower tiers measured fine, so only 64× is skipped). Skip LOUDLY
-    // (no silent caps); the low-entropy scale path is t05/t43
-    // (LSH / bloom prefilter), and prefix filtering only buys 1.8×
-    // here (measured) because at t=0.4 prefixes keep 60% of grams.
-    val skipAt64 = Set("t42_jaccard_exact")
-
+    // 5 k docs, Σdf² = 73 M candidate rows at 1× ⇒ 4.7 B at 64×. As a
+    // single plan that heap-bound one 8 GB local JVM (r7 SCALESKIP);
+    // since round 8 jaccardPairsExact SEGMENTS the gram postings past
+    // its candidate budget (sequential df-blocks, partial pair counts
+    // landed to scratch parquet, final sum-agg — identical output,
+    // bounded working set), so the 64× tier runs to completion and the
+    // skip is gone.
     val ks = Seq(1, 4, maxK).distinct.filter(_ <= maxK)
     val results = ks.map { k =>
       val dir = if (k == 1) src else {
@@ -125,12 +127,7 @@ object ScaleCheck {
         synthesize(spark, src, d, k)
         d
       }
-      val kShapes = if (k >= 64) {
-        skipAt64.foreach(q => println(
-          s"SCALESKIP $q at ${k}x: single-box heap bound (see shape-list note)"))
-        shapes.filterNot(skipAt64)
-      } else shapes
-      val times = kShapes.map { q =>
+      val times = shapes.map { q =>
         SparkEntry.queries(q)(spark, dir) // warmup
           .write.mode("overwrite").format("noop").save()
         val t0 = System.nanoTime()

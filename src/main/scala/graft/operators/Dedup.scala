@@ -402,17 +402,77 @@ object Dedup {
     * shingles, which composes here as a filter on the exploded table. */
   def jaccardPairsExact(
       df: DataFrame, idCol: String, textCol: String,
-      shingle: ShingleMode = WordGrams(2), minJaccard: Double = 0.5)(
+      shingle: ShingleMode = WordGrams(2), minJaccard: Double = 0.5,
+      maxCandidatesPerBlock: Long = 1000000000L)(
       implicit ctx: PipelineContext): DataFrame = {
     // distinct (id, shingle-hash): Jaccard is over shingle SETS;
-    // staged — feeds sizes + both join sides
+    // staged — feeds the volume probe, sizes and both join sides
     val sh = ctx.stage(shingleHashes(df, idCol, textCol, shingle).distinct())
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("h"), col("id").as("id1"))
-    val b = sh.select(col("h"), col("id").as("id2"))
-    val common = a.join(b, Seq("h"))
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
+    def pairCounts(s: DataFrame, parts: Option[Int]): DataFrame = {
+      val cand = s.select(col("h"), col("id").as("id1"))
+        .join(s.select(col("h"), col("id").as("id2")), Seq("h"))
+        .filter(col("id1") < col("id2"))
+      // `parts` (segmented path only) re-keys the candidate stream on
+      // the PAIR before aggregating: many small agg partitions instead
+      // of 32 huge ones, so per-task hash-agg state stays ~4 M keys —
+      // the local 8 GB heap's survival margin; a cluster gets the same
+      // effect from AQE over real executor memory
+      val shaped = parts.map(p => cand.repartition(p, col("id1"), col("id2")))
+        .getOrElse(cand)
+      shaped.groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
+    }
+    // Candidate volume is Σ_gram df² — measured up front (one
+    // partial-agg pass over the staged table). Within one block's
+    // budget the whole join+pair-agg runs as a single plan, identical
+    // to before. Past it, the GRAM POSTINGS ARE SEGMENTED: grams are
+    // hash-assigned to ⌈Σdf²/budget⌉ blocks (xxhash64 keys spread
+    // Σdf² evenly absent single-gram whales), each block's candidate
+    // join + partial pair-counts run as a SEQUENTIAL job landing in a
+    // context-owned parquet scratch dir, and a final sum-agg
+    // reassembles c(pair) = Σ_block c_block(pair) — each gram lives in
+    // exactly one block, so the result is IDENTICAL by construction
+    // (PropertySpec pins it). That bounds peak working set to one
+    // block regardless of corpus entropy: the r7 ScaleCheck 64× tier
+    // (4.7 B candidates) heap-killed one 8 GB JVM as a single plan and
+    // completes segmented. The gram table itself moves from the
+    // row-block checkpoint to columnar scratch parquet for the block
+    // loop — at 64× the resident deserialized blocks (~11 GB of row
+    // objects under a 4.6 GB storage pool) are their own heap hazard,
+    // while parquet pages stream through bounded read buffers. The
+    // residual: one gram whose own df² exceeds the budget can't be
+    // split by gram blocking — that's the operator's documented floor
+    // (route θ≥0.7 to [[jaccardPairsPrefix]], which drops exactly
+    // those whales, or [[jaccardPairs]] LSH).
+    val volume = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)).as("v"))
+      .collect()(0).getLong(0)
+    val rowGroup = (8 << 20).toString // small groups: 32 concurrent
+    // vectored readers buffer whole row groups on heap (observed 64×
+    // OOM site at the 128 MB default)
+    val (grams, common) =
+      if (volume <= maxCandidatesPerBlock) (sh, pairCounts(sh, None))
+      else {
+        val nBlocks = math.min(4096L,
+          (volume + maxCandidatesPerBlock - 1) / maxCandidatesPerBlock).toInt
+        val aggParts = math.min(2048L,
+          math.max(64L, volume / nBlocks / 4000000L)).toInt
+        println(s"JEXACT segmenting gram postings: $volume candidates " +
+          s"> $maxCandidatesPerBlock budget -> $nBlocks sequential " +
+          s"blocks, $aggParts agg partitions")
+        val dir = ctx.scratchDir("graft-jexact")
+        sh.write.option("parquet.block.size", rowGroup).parquet(s"$dir/sh")
+        ctx.unstage(sh) // checkpoint blocks freed; shD replaces it
+        val shD = df.sparkSession.read.parquet(s"$dir/sh")
+        (0 until nBlocks).foreach { i =>
+          pairCounts(shD.filter(pmod(col("h"), lit(nBlocks)) === i), Some(aggParts))
+            .write.option("parquet.block.size", rowGroup)
+            .mode("append").parquet(s"$dir/pc")
+        }
+        (shD, df.sparkSession.read.parquet(s"$dir/pc")
+          .repartition(aggParts, col("id1"), col("id2"))
+          .groupBy(col("id1"), col("id2")).agg(sum(col("c")).as("c")))
+      }
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // no broadcast hint on `sizes`: it has one row PER DOCUMENT, so a
     // forced broadcast is a guaranteed driver OOM at the 100 TB design
     // point. `sizes` comes out of a shuffle, so AQE has exact runtime

@@ -29,6 +29,20 @@ import scala.collection.mutable.ArrayBuffer
 final class PipelineContext {
   private val staged = ArrayBuffer.empty[RDD[_]]
   private val persisted = ArrayBuffer.empty[DataFrame]
+  private val scratch = ArrayBuffer.empty[java.nio.file.Path]
+
+  /** A DISK-staged scratch directory (parquet landing zone) owned by
+    * this context — for operators that bound peak executor memory by
+    * materializing intermediate partials per segment ([[Dedup
+    * .jaccardPairsExact]]'s blocked candidate join). Deleted on
+    * [[release]], so callers must consume (or copy out) before the
+    * context closes — the same contract as [[stage]]. On a cluster
+    * this would be a job-scoped path on shared storage. */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    synchronized { scratch += p }
+    p.toString
+  }
 
   /** Lazily localCheckpoint `df` and remember the backing RDD for
     * [[release]]. Call on any intermediate that feeds >1 consumer.
@@ -38,6 +52,19 @@ final class PipelineContext {
     val cp = df.localCheckpoint(false)
     synchronized { DatasetInternals.checkpointRdd(cp).foreach(staged += _) }
     cp
+  }
+
+  /** Free ONE staged frame's blocks before the context closes — for
+    * operators that copy a checkpoint to disk-backed scratch mid-plan
+    * and must not keep both resident (the segmented exact-Jaccard
+    * path). The frame must not be referenced afterwards: a local
+    * checkpoint has no lineage to recompute from. */
+  def unstage(df: DataFrame): Unit = synchronized {
+    DatasetInternals.checkpointRdd(df).foreach { r =>
+      r.unpersist(false)
+      val i = staged.indexWhere(_ eq r)
+      if (i >= 0) staged.remove(i)
+    }
   }
 
   /** Persist `df` (columnar cache) and remember the handle for
@@ -54,6 +81,12 @@ final class PipelineContext {
   def release(): Unit = synchronized {
     staged.foreach(_.unpersist(false)); staged.clear()
     persisted.foreach(_.unpersist(false)); persisted.clear()
+    scratch.foreach { p =>
+      import scala.jdk.CollectionConverters._
+      val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq
+      all.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    scratch.clear()
   }
 }
 

@@ -263,6 +263,49 @@ object StorageQueries {
       .orderBy(col("region"))
   }
 
+  /** st08: SSE result-sink round trip — the same live-aggregate
+    * pattern as st06 but through the EVENT-FRAMED path
+    * (`serve/ResultStreamer.sseEvents`; reference protocol
+    * routers/graphs/query/streaming.py:236-455): every frame must be a
+    * well-formed `event: <name>\ndata: <payload>\n\n` block, the data
+    * events reassemble to exactly the query's rows, and the terminal
+    * `done` event's row count must equal what the data frames carried.
+    * A hash match proves the SSE framing is value-transparent — the
+    * last §2.9 result surface that was spec-only. */
+  def st08SseRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = spark.sql(
+      """SELECT o_orderpriority AS priority, count(*) AS n_orders,
+               CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price,
+               CAST(max(o_orderdate) AS STRING) AS last_date
+        FROM parquet.`%s/orders.parquet`
+        GROUP BY o_orderpriority""".format(sfDir))
+    val frames = graft.serve.ResultStreamer.sseEvents(agg, chunkSize = 2)
+      .map { e =>
+        // strict wire-format check, not a lenient scrape: the gate is
+        // about the framing as much as the values
+        val m = "(?s)^event: ([a-z]+)\ndata: (.*)\n\n$".r
+          .findFirstMatchIn(e).getOrElse(
+            throw new IllegalStateException(s"malformed SSE frame: $e"))
+        (m.group(1), m.group(2))
+      }.toSeq
+    require(frames.nonEmpty && frames.last._1 == "done",
+      s"SSE stream must end with a done event: ${frames.map(_._1)}")
+    val declared = """\{"rows":(\d+)\}""".r
+      .findFirstMatchIn(frames.last._2).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"malformed done payload: ${frames.last._2}"))
+    val payloads = frames.init.map { case (n, p) =>
+      require(n == "data", s"unexpected $n event before done"); p }
+    import spark.implicits._
+    // each payload is one JSON array of row objects; Spark's JSON
+    // reader explodes root-level arrays into rows
+    val back = spark.read.json(spark.createDataset(payloads))
+      .select(col("priority"), col("n_orders"), col("sum_price"), col("last_date"))
+    require(back.count() == declared,
+      s"done declared $declared rows but data frames carried ${back.count()}")
+    back.orderBy(col("priority"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_multifile_union" -> (st01MultifileUnion(_, _)),
     "st02_copy_ignore_errors" -> (st02CopyIgnoreErrors(_, _)),
@@ -270,7 +313,8 @@ object StorageQueries {
     "st04_backup_restore" -> (st04BackupRestore(_, _)),
     "st05_xlsx_staging" -> (st05XlsxStaging(_, _)),
     "st06_ndjson_roundtrip" -> (st06NdjsonRoundtrip(_, _)),
-    "st07_xls_staging" -> (st07XlsStaging(_, _)))
+    "st07_xls_staging" -> (st07XlsStaging(_, _)),
+    "st08_sse_roundtrip" -> (st08SseRoundtrip(_, _)))
 
   /** DuckDB replay of each gate's stored end state. */
   val oracle: Map[String, String] = Map(
@@ -325,5 +369,11 @@ object StorageQueries {
     "st07_xls_staging" ->
       """SELECT n_name AS identifier, n_nationkey AS nationkey,
                 n_regionkey AS regionkey, 'upload2' AS file_id
-         FROM nation ORDER BY identifier""")
+         FROM nation ORDER BY identifier""",
+    "st08_sse_roundtrip" ->
+      """SELECT o_orderpriority AS priority,
+                count(*) AS n_orders,
+                CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price,
+                CAST(max(o_orderdate) AS VARCHAR) AS last_date
+         FROM orders GROUP BY o_orderpriority ORDER BY priority""")
 }

@@ -41,6 +41,20 @@ object GraftType {
   final case class STRUCT(fields: Seq[(String, GraftType)]) extends GraftType {
     def spark: DataType = StructType(fields.map { case (n, t) => StructField(n, t.spark) })
   }
+  /** Tagged union (SURVEY §1.3: UNION → tag + one nullable field per
+    * variant — the relational encoding of a sum type; exactly one
+    * variant field is non-null and `tag` names it). */
+  final case class UNION(variants: Seq[(String, GraftType)]) extends GraftType {
+    require(variants.nonEmpty, "UNION needs at least one variant")
+    require(!variants.exists(_._1.equalsIgnoreCase("tag")),
+      "UNION variant may not be named 'tag' (reserved for the discriminant)")
+    // tag is semantically required, but declared nullable: Catalyst
+    // refuses to CAST a nullable field onto a NOT-NULL one, which
+    // would break conform() for every incoming frame
+    def spark: DataType = StructType(
+      StructField("tag", StringType, nullable = true) +:
+        variants.map { case (n, t) => StructField(n, t.spark, nullable = true) })
+  }
 
   /** Reference DDL spelling of a type (inverse of `parse` on the
     * names the declared schemas actually use). */
@@ -49,32 +63,96 @@ object GraftType {
     case MAP(k, v) => s"MAP(${ddlName(k)}, ${ddlName(v)})"
     case STRUCT(fs) =>
       fs.map { case (n, ft) => s"$n ${ddlName(ft)}" }.mkString("STRUCT(", ", ", ")")
+    case UNION(vs) =>
+      vs.map { case (n, vt) => s"$n ${ddlName(vt)}" }.mkString("UNION(", ", ", ")")
     case other => other.toString
   }
 
-  /** Parse a reference type name (schemas/custom.py VALID_TYPES). */
-  def parse(name: String): GraftType = name.trim.toUpperCase match {
-    case "STRING" | "VARCHAR" | "TEXT" => STRING
-    case "INT8" => INT8
-    case "INT16" => INT16
-    case "INT32" | "INT" => INT32
-    case "INT64" | "LONG" => INT64
-    case "INT128" => INT128
-    case "UINT8" => UINT8
-    case "UINT16" => UINT16
-    case "UINT32" => UINT32
-    case "UINT64" => UINT64
-    case "FLOAT" | "REAL" => FLOAT
-    case "DOUBLE" => DOUBLE
-    case "BOOLEAN" | "BOOL" => BOOLEAN
-    case "BLOB" | "BYTES" => BLOB
-    case "DATE" => DATE
-    case "TIMESTAMP" => TIMESTAMP
-    case "INTERVAL" => INTERVAL
-    case "UUID" => UUID
-    case s if s.startsWith("LIST<") && s.endsWith(">") =>
-      LIST(parse(s.stripPrefix("LIST<").stripSuffix(">")))
-    case other => throw new IllegalArgumentException(s"unknown graph type: $other")
+  /** Split a parameter list on top-level commas only — `(`/`)` and
+    * `<`/`>` nest (`MAP(STRING, LIST<INT64>)` is ONE value type). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    s.zipWithIndex.foreach {
+      case (c, _) if c == '(' || c == '<' => depth += 1
+      case (c, _) if c == ')' || c == '>' => depth -= 1
+      case (',', i) if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** `name TYPE` field list for STRUCT/UNION parameters. Field-name
+    * case is preserved (only the TYPE token is case-insensitive). */
+  private def fieldList(inner: String, what: String): Seq[(String, GraftType)] = {
+    val fs = splitTop(inner).map { f =>
+      val sp = f.indexWhere(_.isWhitespace)
+      require(sp > 0, s"$what field needs 'name TYPE', got: '$f'")
+      (f.take(sp), parse(f.drop(sp + 1)))
+    }
+    require(fs.nonEmpty, s"$what needs at least one field")
+    require(fs.map(_._1).distinct.length == fs.length,
+      s"duplicate field names in $what(${inner.trim})")
+    fs
+  }
+
+  /** Parse a reference type name (schemas/custom.py:53-78 VALID_TYPES,
+    * including the composite spellings `LIST<T>`/`T[]`, `MAP(K, V)`,
+    * `STRUCT(name T, …)` and `UNION(name T, …)` — the parameterized
+    * forms the reference's engine DDL uses; an unparameterized
+    * composite token has no column type and is rejected with the
+    * spelling to use). `NODE`/`REL` appear in the reference's
+    * VALID_TYPES set but are table types — as a PROPERTY type they are
+    * rejected loudly here rather than producing an unusable column. */
+  def parse(name: String): GraftType = {
+    val s = name.trim
+    val up = s.toUpperCase
+    def inner(prefix: Int): String = {
+      require(up.endsWith(")") || up.endsWith(">"),
+        s"unterminated type parameters in: $s")
+      s.substring(prefix, s.length - 1)
+    }
+    if (up.endsWith("[]")) LIST(parse(s.dropRight(2)))
+    else if (up.startsWith("LIST<") && up.endsWith(">")) LIST(parse(inner(5)))
+    else if (up.startsWith("MAP(")) {
+      val parts = splitTop(inner(4))
+      require(parts.length == 2, s"MAP needs exactly (key, value) types, got: $s")
+      MAP(parse(parts(0)), parse(parts(1)))
+    }
+    else if (up.startsWith("STRUCT(")) STRUCT(fieldList(inner(7), "STRUCT"))
+    else if (up.startsWith("UNION(")) UNION(fieldList(inner(6), "UNION"))
+    else up match {
+      case "STRING" | "VARCHAR" | "TEXT" => STRING
+      case "INT8" => INT8
+      case "INT16" => INT16
+      case "INT32" | "INT" => INT32
+      case "INT64" | "LONG" => INT64
+      case "INT128" => INT128
+      case "UINT8" => UINT8
+      case "UINT16" => UINT16
+      case "UINT32" => UINT32
+      case "UINT64" => UINT64
+      case "FLOAT" | "REAL" => FLOAT
+      case "DOUBLE" => DOUBLE
+      case "BOOLEAN" | "BOOL" => BOOLEAN
+      case "BLOB" | "BYTES" => BLOB
+      case "DATE" => DATE
+      case "TIMESTAMP" => TIMESTAMP
+      case "INTERVAL" => INTERVAL
+      case "UUID" => UUID
+      case "NODE" | "REL" =>
+        throw new IllegalArgumentException(
+          s"$up is a table type, not a property type — declare a node " +
+            "label or relationship instead (schemas/custom.py lists it " +
+            "in VALID_TYPES but no column can carry it)")
+      case "LIST" | "MAP" | "STRUCT" | "UNION" =>
+        throw new IllegalArgumentException(
+          s"$up needs type parameters — e.g. LIST<STRING>, MAP(STRING, " +
+            "INT64), STRUCT(a INT64, b STRING), UNION(i INT64, s STRING)")
+      case other => throw new IllegalArgumentException(s"unknown graph type: $other")
+    }
   }
 }
 

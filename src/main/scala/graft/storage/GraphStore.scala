@@ -32,7 +32,11 @@ final class GraphStore(
     val spark: SparkSession,
     val root: String,
     val graphId: String,
-    val schema: GraphSchema) extends GraphSource {
+    val schema: GraphSchema,
+    /** How long a mutation waits for the per-graph [[WriterLock]]
+      * before rejecting loudly (the reference QUEUES writers behind
+      * its per-DB pool; this is the bounded local analog). */
+    val lockWaitMs: Long = 10000L) extends GraphSource {
 
   val FileIdCol = "file_id"
 
@@ -41,6 +45,13 @@ final class GraphStore(
 
   private def exists(path: String): Boolean =
     new java.io.File(path).exists()
+
+  /** Every mutating entry point runs under the per-graph exclusive
+    * [[WriterLock]] (single-writer contract, reference pool.py parity;
+    * reentrant so mutators can compose). Readers take no lock: the
+    * rename-aside swap keeps a table readable at every instant. */
+  private def mutate[A](body: => A): A =
+    WriterLock.withLock(s"$root/$graphId", lockWaitMs)(body)
 
   // ---- readers -----------------------------------------------------------
 
@@ -77,9 +88,19 @@ final class GraphStore(
   }
 
   /** Window dedup on key columns, deterministic keep: first row by the
-    * remaining columns (manager.py:111-120 ROW_NUMBER … WHERE rn=1). */
+    * remaining ORDERABLE columns (manager.py:111-120 ROW_NUMBER …
+    * WHERE rn=1). MAP-typed columns have no sort order in Catalyst and
+    * are excluded from the tie-break; duplicates distinguished ONLY by
+    * a map value are therefore an arbitrary-but-single keep, same as
+    * the reference's unordered ROW_NUMBER. */
   def dedup(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val orderCols = df.columns.filterNot(keys.contains).map(col).toIndexedSeq
+    val orderable = df.schema.fields
+      .filterNot(f => keys.contains(f.name))
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
+    val orderCols = if (orderable.nonEmpty) orderable
+      else Seq(lit(1)) // keys-only frame: any row of a dup group is THE row
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(orderCols: _*)
     df.withColumn("__rn", row_number().over(w))
@@ -96,7 +117,7 @@ final class GraphStore(
       label: String,
       df: DataFrame,
       fileId: Option[String] = None,
-      ignoreErrors: Boolean = false): Long = {
+      ignoreErrors: Boolean = false): Long = mutate {
     val d = schema.node(label)
     val pk = d.primaryKey
     val conformed = conform(df, d.structType)
@@ -146,7 +167,7 @@ final class GraphStore(
       tpe: String,
       df: DataFrame,
       fileId: Option[String] = None,
-      ignoreExisting: Boolean = false): Long = {
+      ignoreExisting: Boolean = false): Long = mutate {
     val d = schema.rel(tpe)
     val renamed = df
       .withColumnsRenamed(Map("from" -> "src", "to" -> "dst"))
@@ -163,7 +184,7 @@ final class GraphStore(
   /** Multi-file ingest with per-file provenance then global dedup
     * (manager.py:144-228: per-file SELECT + literal file_id, UNION ALL,
     * dedup). */
-  def ingestNodeFiles(label: String, files: Seq[(String, String)]): Long = {
+  def ingestNodeFiles(label: String, files: Seq[(String, String)]): Long = mutate {
     val d = schema.node(label)
     val unioned = files.map { case (path, fid) =>
       conform(spark.read.parquet(path), d.structType)
@@ -177,11 +198,11 @@ final class GraphStore(
     * delete_file_data). Parquet has no transactional DELETE: rewrite to
     * a staging dir then swap — on Delta this is `DELETE WHERE`. */
   def deleteFileData(label: String, fileId: String): Unit =
-    deleteByFileId(nodePath(label), fileId)
+    mutate { deleteByFileId(nodePath(label), fileId) }
 
   /** Same incremental un-ingest for relationship tables. */
   def deleteRelFileData(tpe: String, fileId: String): Unit =
-    deleteByFileId(relPath(tpe), fileId)
+    mutate { deleteByFileId(relPath(tpe), fileId) }
 
   private def deleteByFileId(path: String, fileId: String): Unit = {
     if (!exists(path)) return
@@ -225,7 +246,7 @@ final class GraphStore(
     * untouched; assigned columns are cast to the declared type.
     * CALLERS must materialize `updates` (it usually derives from the
     * very table being rewritten). Returns the matched-key count. */
-  def updateNodeProps(label: String, updates: DataFrame): Long = {
+  def updateNodeProps(label: String, updates: DataFrame): Long = mutate {
     val d = schema.node(label)
     val pk = d.primaryKey
     val assigned = updates.columns.filter(_ != "__key")
@@ -263,7 +284,7 @@ final class GraphStore(
     * keys (both directions, schema-driven); without it, remaining
     * relationships fail loudly — openCypher's constraint. `keys` must
     * be materialized by the caller. Returns deleted-node count. */
-  def deleteNodes(label: String, keys: DataFrame, detach: Boolean): Long = {
+  def deleteNodes(label: String, keys: DataFrame, detach: Boolean): Long = mutate {
     val pk = schema.node(label).primaryKey
     val k = keys.select(col(keys.columns.head).cast("string").as("__key")).distinct()
     val touching = schema.rels.filter(r => r.from == label || r.to == label)
@@ -302,7 +323,10 @@ final class GraphStore(
 
   /** Subgraph fork = path copy (operations/graph/subgraph_service.py;
     * Delta shallow clone on a real deployment). */
-  def fork(newGraphId: String): GraphStore = {
+  def fork(newGraphId: String): GraphStore =
+    // both sides locked: the copy must not observe a half-swapped src
+    // table, and dst must not race another writer's first ingest
+    mutate { WriterLock.withLock(s"$root/$newGraphId") {
     val src = new java.io.File(s"$root/$graphId")
     val dst = new java.io.File(s"$root/$newGraphId")
     def cp(a: java.io.File, b: java.io.File): Unit = {
@@ -313,7 +337,7 @@ final class GraphStore(
     }
     if (src.exists()) cp(src, dst)
     new GraphStore(spark, root, newGraphId, schema)
-  }
+  } }
 
   /** Register every materialized table as a temp view for SQL
     * passthrough (manager.py:336-372 query_table). */

@@ -195,8 +195,15 @@ class PropertySpec extends SparkTestBase {
           Dedup.jaccardPairsExact(df, "doc_id", "text", Dedup.WordGrams(2), t))
         val prefix = run(implicit ctx =>
           Dedup.jaccardPairsPrefix(df, "doc_id", "text", Dedup.WordGrams(2), t))
+        // a 4-candidate budget forces the gram postings into multiple
+        // sequential blocks even on these tiny corpora — pins that the
+        // segmented path reassembles identical pair counts
+        val segmented = run(implicit ctx =>
+          Dedup.jaccardPairsExact(df, "doc_id", "text", Dedup.WordGrams(2), t,
+            maxCandidatesPerBlock = 4L))
         assert(exact === expected, s"corpus $k t=$t exact\ndocs=$docs")
         assert(prefix === expected, s"corpus $k t=$t prefix\ndocs=$docs")
+        assert(segmented === expected, s"corpus $k t=$t segmented\ndocs=$docs")
       }
     }
   }

@@ -1,9 +1,153 @@
 package graft
 
-import graft.storage.{BiffBytes, XlsReader}
+import org.apache.spark.sql.types._
 
-/** Round-8 hardening regressions: the advisor's XLS/XLSX edge cases. */
+import graft.schema.{CustomSchemaJson, GraftType}
+import graft.storage.{BiffBytes, GraphStore, XlsReader}
+
+/** Round-8 hardening regressions: the advisor's XLS/XLSX edge cases
+  * plus the composite property types (MAP/STRUCT/UNION) the custom
+  * JSON schema path gained this round. */
 class Round8ReviewSpec extends SparkTestBase {
+
+  // ---- composite custom-schema types --------------------------------------
+
+  test("composite types: parse -> Spark type -> DDL round-trips") {
+    import GraftType._
+    val cases = Seq(
+      "MAP(STRING, INT64)" ->
+        MapType(StringType, LongType),
+      "STRUCT(a INT64, b STRING)" ->
+        StructType(Seq(StructField("a", LongType), StructField("b", StringType))),
+      "STRUCT(pt STRUCT(x DOUBLE, y DOUBLE), tags STRING[])" ->
+        StructType(Seq(
+          StructField("pt", StructType(Seq(
+            StructField("x", DoubleType), StructField("y", DoubleType)))),
+          StructField("tags", ArrayType(StringType)))),
+      "MAP(STRING, LIST<INT64>)" ->
+        MapType(StringType, ArrayType(LongType)),
+      "UNION(i INT64, s STRING)" ->
+        StructType(Seq(
+          StructField("tag", StringType),
+          StructField("i", LongType), StructField("s", StringType))),
+      "INT64[]" -> ArrayType(LongType))
+    cases.foreach { case (spelling, expected) =>
+      val t = parse(spelling)
+      assert(t.spark === expected, spelling)
+      // the DDL emitter is parse's inverse
+      assert(parse(ddlName(t)) === t, s"$spelling -> ${ddlName(t)}")
+    }
+  }
+
+  test("composite types: NODE/REL and unparameterized composites rejected loudly") {
+    Seq("NODE", "REL", "node").foreach { t =>
+      val e = intercept[IllegalArgumentException](GraftType.parse(t))
+      assert(e.getMessage.contains("table type"), s"$t: ${e.getMessage}")
+    }
+    Seq("LIST", "MAP", "STRUCT", "UNION").foreach { t =>
+      val e = intercept[IllegalArgumentException](GraftType.parse(t))
+      assert(e.getMessage.contains("parameters"), s"$t: ${e.getMessage}")
+    }
+    intercept[IllegalArgumentException](GraftType.parse("MAP(STRING)"))
+    intercept[IllegalArgumentException](
+      GraftType.parse("UNION(tag INT64, s STRING)"))
+  }
+
+  test("custom JSON schema with MAP/STRUCT properties stores and re-reads values") {
+    import spark.implicits._
+    val json =
+      """{"name":"composite_demo","version":"1.0",
+        "nodes":[
+          {"name":"Sensor","properties":[
+            {"name":"identifier","type":"STRING","is_primary_key":true},
+            {"name":"readings","type":"MAP(STRING, DOUBLE)"},
+            {"name":"loc","type":"STRUCT(lat DOUBLE, lon DOUBLE)"},
+            {"name":"state","type":"UNION(code INT64, label STRING)"}]}],
+        "relationships":[]}"""
+    val schema = CustomSchemaJson.parse(json)
+    val sensor = schema.node("Sensor")
+    assert(sensor.structType("readings").dataType === MapType(StringType, DoubleType))
+    assert(sensor.ddl().contains("loc STRUCT(lat DOUBLE, lon DOUBLE)"))
+    assert(sensor.ddl().contains("state UNION(code INT64, label STRING)"))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-composite").toString
+    val store = new GraphStore(spark, root, "composite", schema)
+    store.ingestNodes("Sensor", Seq(
+      ("s1", Map("temp" -> 21.5, "rh" -> 0.4), (52.5, 13.4), ("code", Some(7L), None: Option[String])),
+      ("s2", Map("temp" -> 19.0), (48.9, 2.3), ("label", None: Option[Long], Some("ok"))))
+      .toDF("identifier", "readings", "loc", "state")
+      .withColumn("loc", org.apache.spark.sql.functions.expr(
+        "named_struct('lat', loc._1, 'lon', loc._2)"))
+      .withColumn("state", org.apache.spark.sql.functions.expr(
+        "named_struct('tag', state._1, 'code', state._2, 'label', state._3)")))
+    val back = store.node("Sensor")
+      .selectExpr("identifier", "readings['temp']", "loc.lat", "state.tag", "state.code")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getString(3), if (r.isNullAt(4)) -1L else r.getLong(4))).sortBy(_._1)
+    assert(back.toSeq === Seq(
+      ("s1", 21.5, 52.5, "code", 7L), ("s2", 19.0, 48.9, "label", -1L)))
+  }
+
+  test("reference demo schema.json still parses after the composite-type extension") {
+    val p = "/root/reference/examples/custom_graph_demo/schema.json"
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8")
+    val schema = CustomSchemaJson.parse(json)
+    assert(schema.nodes.nonEmpty && schema.rels.nonEmpty)
+  }
+
+  // ---- per-graph writer lock ----------------------------------------------
+
+  private def nationSchema = CustomSchemaJson.parse(
+    """{"name":"locked","version":"1.0",
+      "nodes":[{"name":"Thing","properties":[
+        {"name":"identifier","type":"STRING","is_primary_key":true},
+        {"name":"v","type":"INT64"}]}],
+      "relationships":[]}""")
+
+  test("a foreign writer lock makes mutations fail loudly, and release unblocks them") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-lock").toString
+    val store = new GraphStore(spark, root, "g1", nationSchema, lockWaitMs = 150L)
+    // simulate another SESSION: hold the OS lock from a raw channel
+    val lockPath = java.nio.file.Paths.get(s"$root/g1", ".writer.lock")
+    java.nio.file.Files.createDirectories(lockPath.getParent)
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val fl = ch.lock()
+    try {
+      val e = intercept[IllegalStateException] {
+        store.ingestNodes("Thing", Seq(("a", 1L)).toDF("identifier", "v"))
+      }
+      assert(e.getMessage.contains("single-writer"), e.getMessage)
+    } finally { fl.release(); ch.close() }
+    // released → the same mutation proceeds
+    assert(store.ingestNodes("Thing",
+      Seq(("a", 1L)).toDF("identifier", "v")) === 1L)
+  }
+
+  test("two concurrent in-JVM writers serialize: no lost update") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = java.nio.file.Files.createTempDirectory("graft-lock2").toString
+    val store = new GraphStore(spark, root, "g2", nationSchema)
+    val writes = (0 until 4).map { i =>
+      Future {
+        store.ingestNodes("Thing",
+          Seq((s"k$i", i.toLong)).toDF("identifier", "v"),
+          fileId = Some(s"w$i"))
+      }
+    }
+    assert(Await.result(Future.sequence(writes), 120.seconds).sum === 4L)
+    val stored = store.node("Thing").select("identifier").as[String]
+      .collect().sorted
+    assert(stored.toSeq === Seq("k0", "k1", "k2", "k3"))
+  }
+
+  // ---- advisor's XLS/XLSX edge cases --------------------------------------
+
 
   private def write(bytes: Array[Byte], name: String): String = {
     val d = java.nio.file.Files.createTempDirectory("graft-r8")
