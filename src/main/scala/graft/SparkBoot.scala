@@ -27,6 +27,13 @@ object SparkBoot {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // the generated-class cache defaults to 100 entries; a 108-query
+      // suite evicts ALL of them between bench passes, re-paying janino
+      // compilation per pass (t44 measured 9.3 s isolated vs 11+ s
+      // behind 25 polluting gates). A serving engine compiles each
+      // plan once — size the cache like one (entries are weak-ref'd
+      // class handles, not heap-pinned code)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
