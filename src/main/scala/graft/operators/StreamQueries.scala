@@ -93,13 +93,29 @@ object StreamQueries {
     val base = scratchBase.resolve(tag)
     rmTree(base.toFile)
     Files.createDirectories(base)
-    val q = df.writeStream
-      .format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // STATE partitions sized to the state, not the core count: each
+    // shuffle partition is a state-store instance committing its own
+    // delta files EVERY batch (including the no-data flush batch), so
+    // 32 partitions over a few hundred windows/sessions of state pay
+    // 64 state commits per gate for no parallelism the tiny state can
+    // use (graft.tools.StreamOverhead breakdown: addBatch dominates
+    // both batches). 8 still saturates the 64× ScaleCheck tier's real
+    // aggregation work; a production stream sizes this to state
+    // volume the same way. Save/restore is safe here: the driver
+    // contract runs gates sequentially, and the value pins into the
+    // query's checkpoint at start.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    val q =
+      try df.writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     val out = new java.io.File(s"$base/out")
     if (!out.exists())
