@@ -159,6 +159,21 @@ object CypherQueries {
          ORDER BY cust LIMIT $lim""",
       Map("lim" -> 10))
 
+  /** Any-rel hop with a PROPERTY access on the untyped rel var —
+    * the sparse-supertype projection ([[graft.query.PatternQuery
+    * .sparseRelPropCols]], previously spec-only): Customer's out-rels
+    * are CUSTOMER_IN_NATION (no properties) and CUSTOMER_PLACED_ORDER
+    * (declares `price`), so `r.price` is the rel's own column on one
+    * branch and a typed null on the other. The oracle replays the
+    * two-branch union relationally — per-type counts plus a total that
+    * only the prop-carrying branch contributes to. */
+  def c16AnyRelProp(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir,
+      """MATCH (c:Customer)-[r]->(n)
+         RETURN type(r) AS rel_type, count(*) AS cnt,
+                round(sum(r.price), 2) AS total_price
+         ORDER BY rel_type""")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_cypher_multihop" -> c01MultiHop _,
     "c02_cypher_optional" -> c02Optional _,
@@ -175,6 +190,7 @@ object CypherQueries {
     "c13_cypher_exists" -> c13Exists _,
     "c14_cypher_rematch" -> c14Rematch _,
     "c15_cypher_ilike" -> c15IlikeParamLimit _,
+    "c16_cypher_anyrel_prop" -> c16AnyRelProp _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -286,5 +302,17 @@ object CypherQueries {
       """SELECT CAST(c_custkey AS VARCHAR) AS cust
          FROM customer WHERE c_mktsegment ILIKE '%build%'
          ORDER BY 1 LIMIT 10""",
+    // sparse union: IN_NATION contributes typed-null prices (DuckDB
+    // sum over all-NULL = NULL, as Spark), PLACED_ORDER its own column
+    "c16_cypher_anyrel_prop" ->
+      """SELECT rel_type, cnt, total_price FROM (
+           SELECT 'CUSTOMER_IN_NATION' AS rel_type, count(*) AS cnt,
+                  round(sum(CAST(NULL AS DOUBLE)), 2) AS total_price
+           FROM customer
+           UNION ALL
+           SELECT 'CUSTOMER_PLACED_ORDER', count(*),
+                  round(sum(o_totalprice), 2)
+           FROM orders)
+         ORDER BY rel_type""",
   )
 }

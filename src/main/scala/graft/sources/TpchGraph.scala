@@ -31,7 +31,11 @@ final class TpchGraph(spark: SparkSession, dir: String) extends GraphSource {
       RelDef("NATION_IN_REGION", "Nation", "Region"),
       RelDef("CUSTOMER_IN_NATION", "Customer", "Nation"),
       RelDef("SUPPLIER_IN_NATION", "Supplier", "Nation"),
-      RelDef("CUSTOMER_PLACED_ORDER", "Customer", "Order")))
+      RelDef("CUSTOMER_PLACED_ORDER", "Customer", "Order",
+        // one rel-prop-carrying type among prop-less siblings: the
+        // sparse-supertype any-rel projection (c16) needs exactly this
+        // asymmetry on the sf graph
+        Seq(Property("price", DOUBLE)))))
 
   private def s(c: String) = col(c).cast("string")
 
@@ -65,6 +69,7 @@ final class TpchGraph(spark: SparkSession, dir: String) extends GraphSource {
   override def relWithDstNode(tpe: String): Option[DataFrame] = tpe match {
     case "CUSTOMER_PLACED_ORDER" => Some(Tables.orders(spark, dir)
       .select(s("o_custkey").as("src"), s("o_orderkey").as("dst"),
+        col("o_totalprice").as("price"),
         s("o_orderkey").as("identifier"), col("o_orderstatus").as("status"),
         col("o_totalprice").as("totalprice"), col("o_orderdate").as("orderdate"),
         col("o_orderpriority").as("priority")))
@@ -79,7 +84,8 @@ final class TpchGraph(spark: SparkSession, dir: String) extends GraphSource {
     case "SUPPLIER_IN_NATION" => Tables.supplier(spark, dir)
       .select(s("s_suppkey").as("src"), s("s_nationkey").as("dst"))
     case "CUSTOMER_PLACED_ORDER" => Tables.orders(spark, dir)
-      .select(s("o_custkey").as("src"), s("o_orderkey").as("dst"))
+      .select(s("o_custkey").as("src"), s("o_orderkey").as("dst"),
+        col("o_totalprice").as("price"))
     case other => throw new NoSuchElementException(s"rel table $other")
   }
 }
