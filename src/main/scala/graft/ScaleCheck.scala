@@ -106,7 +106,11 @@ object ScaleCheck {
       // hits (copy-local too); the stream-stream join state is
       // O(interval window)
       "t42_jaccard_exact", "t43_bloom_decontam",
-      "s04_stream_interval_join").filter(q =>
+      "s04_stream_interval_join",
+      // round 8: the prefix-filtered exact variant — its candidate cut
+      // (rare-gram prefixes only) should grow closer to the data than
+      // t42's full inverted index
+      "t44_jaccard_prefix").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // t42's base volume on THIS corpus is adversarial for exact

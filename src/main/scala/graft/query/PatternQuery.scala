@@ -90,14 +90,18 @@ final class PatternQuery private (
           store.rel(relType).withColumn(s"__elided_pk", col(farRaw).cast(pkType)), rv)
           .withColumnRenamed(s"${rv}____elided_pk", toPk)
       } else store.relWithDstNode(relType) match {
-        // fused frames carry src/dst + dst-NODE properties only, so a
-        // rel type with its own property columns must keep the join
-        // path or `rv__prop` references would silently vanish
-        case Some(fused) if forward && relDef.properties.isEmpty =>
+        // the fused frame must carry every column the hop serves: all
+        // dst-NODE properties plus the rel's own declared properties
+        // (as columns of their declared names). A fused frame missing
+        // a rel prop falls back to the join path — `rv__prop`
+        // references must never silently vanish
+        case Some(fused) if forward &&
+            relDef.properties.forall(p => fused.columns.contains(p.name)) =>
           val nodeCols = targetDef.properties.map(_.name)
           fused.select(
             col("src").as(s"${rv}__src") +: col("dst").as(s"${rv}__dst") +:
-              nodeCols.map(c => col(c).as(s"${v}__$c")): _*)
+              (relDef.properties.map(p => col(p.name).as(s"${rv}__${p.name}")) ++
+                nodeCols.map(c => col(c).as(s"${v}__$c"))): _*)
         case _ =>
           val relDf = namespaced(store.rel(relType), rv)
           val farKey = s"${rv}__$farRaw"

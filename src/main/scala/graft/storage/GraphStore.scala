@@ -333,7 +333,11 @@ final class GraphStore(
       if (a.isDirectory) {
         b.mkdirs()
         Option(a.listFiles()).foreach(_.foreach(f => cp(f, new java.io.File(b, f.getName))))
-      } else java.nio.file.Files.copy(a.toPath, b.toPath): Unit
+      } else if (a.getName != ".writer.lock") {
+        // lock files are per-graph runtime state, not data — and the
+        // dst's own lock already exists (we hold it)
+        java.nio.file.Files.copy(a.toPath, b.toPath): Unit
+      }
     }
     if (src.exists()) cp(src, dst)
     new GraphStore(spark, root, newGraphId, schema)
