@@ -449,11 +449,24 @@ object Dedup {
     val rowGroup = (8 << 20).toString // small groups: 32 concurrent
     // vectored readers buffer whole row groups on heap (observed 64×
     // OOM site at the 128 MB default)
+    // pair-agg parallelism from the measured candidate volume: ~600 k
+    // candidate rows per task (the sf0.1 sweep's optimum — 32 native
+    // partitions ran 14.5 s, 128 ran 10.2 s, 256 overshot to 15.6 s);
+    // more partitions shrink per-task agg state, fewer amortize task
+    // overhead, and volume/600 k holds per-task load constant as the
+    // corpus grows
+    def aggPartsFor(cand: Long): Int =
+      math.min(2048L, math.max(32L, cand / 600000L)).toInt
     val (grams, common) =
-      if (volume <= maxCandidatesPerBlock) (sh, pairCounts(sh, None))
+      if (volume <= maxCandidatesPerBlock)
+        (sh, pairCounts(sh, Some(aggPartsFor(volume))))
       else {
         val nBlocks = math.min(4096L,
           (volume + maxCandidatesPerBlock - 1) / maxCandidatesPerBlock).toInt
+        // segmented blocks keep the PROVEN 64×-tier sizing (~4 M
+        // candidate rows per task, 234 partitions at 4.7 B/5 blocks):
+        // the block loop is memory-bound, not task-overhead-bound, and
+        // this is the configuration the ScaleCheck completion ran
         val aggParts = math.min(2048L,
           math.max(64L, volume / nBlocks / 4000000L)).toInt
         println(s"JEXACT segmenting gram postings: $volume candidates " +

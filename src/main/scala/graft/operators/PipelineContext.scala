@@ -37,7 +37,13 @@ final class PipelineContext {
     * .jaccardPairsExact]]'s blocked candidate join). Deleted on
     * [[release]], so callers must consume (or copy out) before the
     * context closes — the same contract as [[stage]]. On a cluster
-    * this would be a job-scoped path on shared storage. */
+    * this would be a job-scoped path on shared storage.
+    *
+    * A `FAILED_READ_FILE` WARN may appear right after release: AQE can
+    * launch a speculative broadcast job over a scratch-backed side
+    * that the final plan no longer needs; the straggler loses its
+    * files once the CONSUMING action has already returned. Harmless —
+    * release only ever runs after that action completes. */
   def scratchDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     synchronized { scratch += p }
