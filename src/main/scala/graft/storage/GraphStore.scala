@@ -53,21 +53,78 @@ final class GraphStore(
   private def mutate[A](body: => A): A =
     WriterLock.withLock(s"$root/$graphId", lockWaitMs)(body)
 
+  // ---- snapshot generations ----------------------------------------------
+  //
+  // A table starts as plain parquet files at its path (the append-only
+  // layout). The first REWRITE (delete / SET / un-ingest) moves it to
+  // generation dirs: the new state lands in `_gen-<n>` (underscore ⇒
+  // invisible to any legacy directory listing), then the `_current`
+  // pointer file swaps atomically, then generations older than the
+  // PREVIOUS one are vacuumed. Readers resolve the pointer at
+  // DataFrame construction, so an open scan keeps its own snapshot's
+  // files across one subsequent rewrite — the rename-aside scheme this
+  // replaces deleted the old files immediately, breaking exactly that
+  // reader. Retention is current + previous (bounded storage); a
+  // snapshot older than that fails loudly at scan, not silently.
+  // This is the poor-man's manifest of a transactional table format:
+  // on Delta/Iceberg the pointer is the log head, retention is VACUUM,
+  // and [[nodeAt]] is time travel.
+
+  private def pointerFile(path: String) = new java.io.File(path, "_current")
+
+  /** The directory holding the table's ACTIVE data files. */
+  private def dataPath(path: String): String = {
+    val p = pointerFile(path)
+    if (p.exists) s"$path/${new String(
+      java.nio.file.Files.readAllBytes(p.toPath), "UTF-8").trim}"
+    else path
+  }
+
+  /** Current generation number: 0 = the legacy/append-only layout. */
+  private def currentGen(path: String): Int = {
+    val p = pointerFile(path)
+    if (!p.exists) 0
+    else new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
+      .trim.stripPrefix("_gen-").toInt
+  }
+
   // ---- readers -----------------------------------------------------------
 
   def node(label: String): DataFrame = {
     val d = schema.node(label)
-    if (exists(nodePath(label))) spark.read.parquet(nodePath(label))
+    if (exists(nodePath(label))) spark.read.parquet(dataPath(nodePath(label)))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withFileId(d.structType))
   }
 
   def rel(tpe: String): DataFrame = {
     val d = schema.rel(tpe)
-    if (exists(relPath(tpe))) spark.read.parquet(relPath(tpe))
+    if (exists(relPath(tpe))) spark.read.parquet(dataPath(relPath(tpe)))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withFileId(d.structType))
   }
+
+  /** Time-travel read of a RETAINED generation (current or previous;
+    * older ones are vacuumed and fail loudly). Generation 0 is the
+    * pre-first-rewrite append-only layout. */
+  def nodeAt(label: String, generation: Int): DataFrame = {
+    val path = nodePath(label)
+    val dir = if (generation == 0) path else s"$path/_gen-$generation"
+    val hasData =
+      if (generation == 0)
+        // the append-only root is generation 0; vacuumed once it is
+        // two rewrites stale
+        Option(new java.io.File(path).listFiles()).toSeq.flatten
+          .exists(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      else new java.io.File(dir).isDirectory
+    require(hasData && generation <= currentGen(path),
+      s"generation $generation of $label is not retained " +
+        s"(current ${currentGen(path)}, retention keeps one previous)")
+    spark.read.parquet(dir)
+  }
+
+  /** The table's current snapshot generation (0 until first rewrite). */
+  def generationOf(label: String): Int = currentGen(nodePath(label))
 
   private def withFileId(st: StructType): StructType =
     if (st.fieldNames.contains(FileIdCol)) st
@@ -153,7 +210,10 @@ final class GraphStore(
     val cached = df.persist()
     try {
       val n = cached.count()
-      cached.write.mode(SaveMode.Append).parquet(path)
+      // appends land in the ACTIVE generation: an open reader's file
+      // snapshot simply doesn't include the new files (never broken by
+      // them), and the next rewrite carries them forward
+      cached.write.mode(SaveMode.Append).parquet(dataPath(path))
       n
     } finally { cached.unpersist(); () }
   }
@@ -211,29 +271,44 @@ final class GraphStore(
     rewriteInPlace(path, kept)
   }
 
-  /** Transactional-ish table rewrite: write `next` (which may READ
-    * `path` — the write lands in a temp dir first) then swap via
-    * rename-aside, so a failure at any step leaves either the old or
-    * the new table intact (never a partially-rewritten one); every
-    * File boolean is checked — silent rename/delete failures would
-    * corrupt the table. On Delta/Iceberg this whole method is one
-    * transactional DELETE/UPDATE WHERE. */
+  /** Transactional table rewrite via the generation layer: `next`
+    * (which may READ the active generation) lands in the NEXT
+    * `_gen-<n>` dir, the `_current` pointer swaps atomically, then
+    * generations older than the previous one are vacuumed. A failure
+    * at any step leaves either the old or the new snapshot active —
+    * never a partially-rewritten table — and readers holding the
+    * previous snapshot keep scanning their own files. On
+    * Delta/Iceberg this whole method is one transactional
+    * DELETE/UPDATE WHERE commit. */
   private def rewriteInPlace(path: String, next: DataFrame): Unit = {
-    val tmp = s"$path.__tmp_${System.nanoTime()}"
-    next.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val cur = new java.io.File(path)
-    val old = new java.io.File(s"$path.__old_${System.nanoTime()}")
-    if (!cur.renameTo(old))
-      throw new java.io.IOException(s"cannot move $path aside for rewrite")
-    if (!new java.io.File(tmp).renameTo(cur)) {
-      old.renameTo(cur) // restore
-      throw new java.io.IOException(s"cannot activate rewritten $path")
-    }
-    def rm(f: java.io.File): Boolean = {
+    val gen = currentGen(path) + 1
+    next.write.mode(SaveMode.Overwrite).parquet(s"$path/_gen-$gen")
+    val tmp = new java.io.File(path, "_current.tmp")
+    java.nio.file.Files.write(tmp.toPath, s"_gen-$gen".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, pointerFile(path).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    vacuum(path, keepFrom = gen - 1)
+  }
+
+  /** Remove generations below `keepFrom` (and, once the append-only
+    * root data is two generations stale, its legacy files). Every
+    * delete is checked: a silent failure would strand files a legacy
+    * listing could someday see. */
+  private def vacuum(path: String, keepFrom: Int): Unit = {
+    def rm(f: java.io.File): Boolean =
       Option(f.listFiles()).forall(_.forall(rm)) && f.delete()
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).toSeq.flatten.foreach { f =>
+      val stale =
+        if (f.getName.startsWith("_gen-"))
+          f.getName.stripPrefix("_gen-").toInt < keepFrom
+        else if (f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          keepFrom >= 1 // legacy root data = generation 0
+        else false
+      if (stale && !rm(f))
+        throw new java.io.IOException(s"vacuum of $path could not remove $f")
     }
-    if (!rm(old))
-      throw new java.io.IOException(s"rewrote $path but could not remove $old")
   }
 
   // ---- Cypher write-statement primitives (SET/REMOVE/DELETE) -------------

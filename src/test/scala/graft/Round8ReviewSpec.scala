@@ -146,6 +146,53 @@ class Round8ReviewSpec extends SparkTestBase {
     assert(stored.toSeq === Seq("k0", "k1", "k2", "k3"))
   }
 
+  // ---- snapshot generations -----------------------------------------------
+
+  test("an open reader keeps its snapshot across a rewrite; retention vacuums older generations") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-gen").toString
+    val store = new GraphStore(spark, root, "g3", nationSchema)
+    store.ingestNodes("Thing", Seq(("a", 1L), ("b", 2L)).toDF("identifier", "v"))
+    assert(store.generationOf("Thing") === 0)
+
+    // reader opened BEFORE the rewrite — resolves the gen-0 files
+    val snapshot = store.node("Thing").select("identifier", "v")
+
+    def setV(id: String, v: Long): Unit = {
+      store.updateNodeProps("Thing",
+        Seq((id, v)).toDF("__key", "v")): Unit
+    }
+    setV("a", 10L) // -> _gen-1 (gen-0 root files retained: previous)
+    assert(store.generationOf("Thing") === 1)
+    // the old reader still scans its own snapshot's files
+    assert(snapshot.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      === Seq(("a", 1L), ("b", 2L)))
+    // a fresh reader sees the new state
+    assert(store.node("Thing").filter($"identifier" === "a")
+      .select("v").as[Long].head() === 10L)
+    // time travel to the retained previous generation
+    assert(store.nodeAt("Thing", 0).filter($"identifier" === "a")
+      .select("v").as[Long].head() === 1L)
+
+    setV("a", 20L) // -> _gen-2: legacy root (gen 0) is vacuumed
+    setV("a", 30L) // -> _gen-3: _gen-1 is vacuumed
+    assert(store.generationOf("Thing") === 3)
+    val tdir = new java.io.File(s"$root/g3/nodes/Thing")
+    val names = Option(tdir.listFiles()).toSeq.flatten.map(_.getName).toSet
+    assert(names.contains("_gen-2") && names.contains("_gen-3"), names.toString)
+    assert(!names.contains("_gen-1"), names.toString)
+    assert(!names.exists(n => n.startsWith("part-")), s"legacy files survive: $names")
+    // previous generation still time-travels; vacuumed ones fail loudly
+    assert(store.nodeAt("Thing", 2).filter($"identifier" === "a")
+      .select("v").as[Long].head() === 20L)
+    val e = intercept[IllegalArgumentException](store.nodeAt("Thing", 1))
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+    // appends land in the active generation and survive the next rewrite
+    assert(store.ingestNodes("Thing", Seq(("c", 3L)).toDF("identifier", "v")) === 1L)
+    setV("b", 99L)
+    assert(store.node("Thing").count() === 3)
+  }
+
   // ---- advisor's XLS/XLSX edge cases --------------------------------------
 
 
