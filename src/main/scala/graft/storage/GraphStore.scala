@@ -92,16 +92,33 @@ final class GraphStore(
 
   def node(label: String): DataFrame = {
     val d = schema.node(label)
-    if (exists(nodePath(label))) spark.read.parquet(dataPath(nodePath(label)))
+    if (exists(nodePath(label)))
+      evolved(spark.read.parquet(dataPath(nodePath(label))), d.structType)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withFileId(d.structType))
   }
 
   def rel(tpe: String): DataFrame = {
     val d = schema.rel(tpe)
-    if (exists(relPath(tpe))) spark.read.parquet(dataPath(relPath(tpe)))
+    if (exists(relPath(tpe)))
+      evolved(spark.read.parquet(dataPath(relPath(tpe))), d.structType)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withFileId(d.structType))
+  }
+
+  /** Schema evolution on read: a table stored BEFORE the declared
+    * schema grew (an extension installed onto an existing graph —
+    * the reference composes extensions the same way,
+    * schemas/manager.py:52) surfaces the new properties as typed
+    * nulls, so queries and SETs on them work immediately; the next
+    * rewrite materializes the column. Tables already matching the
+    * declaration pass through untouched (no projection in the plan). */
+  private def evolved(df: DataFrame, declared: StructType): DataFrame = {
+    val missing = withFileId(declared).fields
+      .filterNot(f => df.columns.contains(f.name))
+    if (missing.isEmpty) df
+    else df.select(col("*") +:
+      missing.map(f => lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
 
   /** Time-travel read of a RETAINED generation (current or previous;
@@ -119,6 +136,21 @@ final class GraphStore(
       else new java.io.File(dir).isDirectory
     require(hasData && generation <= currentGen(path),
       s"generation $generation of $label is not retained " +
+        s"(current ${currentGen(path)}, retention keeps one previous)")
+    spark.read.parquet(dir)
+  }
+
+  /** [[nodeAt]]'s relationship-table counterpart. */
+  def relAt(tpe: String, generation: Int): DataFrame = {
+    val path = relPath(tpe)
+    val dir = if (generation == 0) path else s"$path/_gen-$generation"
+    val hasData =
+      if (generation == 0)
+        Option(new java.io.File(path).listFiles()).toSeq.flatten
+          .exists(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      else new java.io.File(dir).isDirectory
+    require(hasData && generation <= currentGen(path),
+      s"generation $generation of rel $tpe is not retained " +
         s"(current ${currentGen(path)}, retention keeps one previous)")
     spark.read.parquet(dir)
   }

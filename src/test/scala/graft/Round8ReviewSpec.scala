@@ -193,6 +193,38 @@ class Round8ReviewSpec extends SparkTestBase {
     assert(store.node("Thing").count() === 3)
   }
 
+  test("schema evolution on read: extension-added properties surface as typed nulls and accept SET") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    val v1 = new GraphStore(spark, root, "g4", nationSchema)
+    v1.ingestNodes("Thing", Seq(("a", 1L), ("b", 2L)).toDF("identifier", "v"))
+
+    val v2schema = CustomSchemaJson.parse(
+      """{"name":"locked","version":"2.0",
+        "nodes":[{"name":"Thing","properties":[
+          {"name":"identifier","type":"STRING","is_primary_key":true},
+          {"name":"v","type":"INT64"},
+          {"name":"note","type":"STRING"},
+          {"name":"tags","type":"LIST<STRING>"}]}],
+        "relationships":[]}""")
+    val v2 = new GraphStore(spark, root, "g4", v2schema)
+    // stored before the extension: new columns read as typed nulls
+    val row = v2.node("Thing").filter($"identifier" === "a")
+      .select("v", "note", "tags").head()
+    assert(row.getLong(0) === 1L && row.isNullAt(1) && row.isNullAt(2))
+    // SET on the evolved column works and the rewrite materializes it
+    assert(v2.updateNodeProps("Thing",
+      Seq(("a", "hello")).toDF("__key", "note")) === 1L)
+    val back = v2.node("Thing").orderBy("identifier")
+      .select("identifier", "note").collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(back.toSeq === Seq(("a", Some("hello")), ("b", None)))
+    // ingest under the evolved schema conforms as usual
+    assert(v2.ingestNodes("Thing", Seq(("c", 3L, "n3", Seq("x")))
+      .toDF("identifier", "v", "note", "tags")) === 1L)
+    assert(v2.node("Thing").count() === 3)
+  }
+
   // ---- advisor's XLS/XLSX edge cases --------------------------------------
 
 
