@@ -306,6 +306,36 @@ object StorageQueries {
     back.orderBy(col("priority"))
   }
 
+  /** st09: snapshot generations + time travel under the oracle. Two
+    * rewrites run against a seeded store — a property SET (rewrite →
+    * `_gen-1`) then a DETACH DELETE (rewrite → `_gen-2`) — and the
+    * gate returns the CURRENT state unioned with the time-traveled
+    * PREVIOUS generation (`GraphStore.nodeAt`). A hash match proves
+    * the pointer swap activates exactly the new state, retention
+    * really keeps the prior snapshot bit-for-bit, and time travel
+    * reads it — the storage semantics a transactional table format's
+    * log would give, replayed relationally by DuckDB. */
+  def st09SnapshotTimetravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = scratch(spark, "st09")
+    store.ingestNodes("Nation", nationRows(spark, sfDir))
+    // rewrite 1 → _gen-1: SET regionkey += 100 on even keys (updates
+    // derive from the SOURCE parquet, not the table being rewritten —
+    // the caller-must-materialize contract)
+    store.updateNodeProps("Nation",
+      nationRows(spark, sfDir).filter(col("nationkey") % 2 === 0)
+        .select(col("identifier").as("__key"),
+          (col("regionkey") + 100L).as("regionkey")))
+    // rewrite 2 → _gen-2: DETACH DELETE the high keys
+    store.deleteNodes("Nation",
+      nationRows(spark, sfDir).filter(col("nationkey") >= 20)
+        .select(col("identifier")), detach = true)
+    val cols = Seq(col("identifier"), col("nationkey"), col("regionkey"))
+    store.node("Nation").select(lit("current").as("snap") +: cols: _*)
+      .unionByName(
+        store.nodeAt("Nation", 1).select(lit("previous").as("snap") +: cols: _*))
+      .orderBy(col("snap"), col("identifier"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_multifile_union" -> (st01MultifileUnion(_, _)),
     "st02_copy_ignore_errors" -> (st02CopyIgnoreErrors(_, _)),
@@ -314,7 +344,8 @@ object StorageQueries {
     "st05_xlsx_staging" -> (st05XlsxStaging(_, _)),
     "st06_ndjson_roundtrip" -> (st06NdjsonRoundtrip(_, _)),
     "st07_xls_staging" -> (st07XlsStaging(_, _)),
-    "st08_sse_roundtrip" -> (st08SseRoundtrip(_, _)))
+    "st08_sse_roundtrip" -> (st08SseRoundtrip(_, _)),
+    "st09_snapshot_timetravel" -> (st09SnapshotTimetravel(_, _)))
 
   /** DuckDB replay of each gate's stored end state. */
   val oracle: Map[String, String] = Map(
@@ -375,5 +406,18 @@ object StorageQueries {
                 count(*) AS n_orders,
                 CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price,
                 CAST(max(o_orderdate) AS VARCHAR) AS last_date
-         FROM orders GROUP BY o_orderpriority ORDER BY priority""")
+         FROM orders GROUP BY o_orderpriority ORDER BY priority""",
+    // g1 = post-SET snapshot (all rows, evens +100); current = g1
+    // minus the deleted high keys
+    "st09_snapshot_timetravel" ->
+      """WITH g1 AS (
+           SELECT n_name AS identifier, n_nationkey AS nationkey,
+                  CASE WHEN n_nationkey % 2 = 0 THEN n_regionkey + 100
+                       ELSE n_regionkey END AS regionkey
+           FROM nation)
+         SELECT 'current' AS snap, identifier, nationkey, regionkey
+         FROM g1 WHERE nationkey < 20
+         UNION ALL
+         SELECT 'previous', identifier, nationkey, regionkey FROM g1
+         ORDER BY snap, identifier""")
 }
