@@ -628,6 +628,118 @@ object CurationPipeline {
       .select(col("grp"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every document by how much more likely its unigram bag is
+    * under the TARGET distribution than under the raw corpus —
+    * `score(d) = Σ_w count_d(w) · [ln p̂_t(w) − ln p̂_r(w)]` with
+    * add-1-smoothed token frequencies over the shared vocabulary.
+    * Selection then keeps the top mass by score (resampling ∝
+    * exp(score) in the paper; the deterministic top-k cut is the
+    * engine-portable form gate t46 pins).
+    *
+    * Shape at 100 TB: one tokenize+count pass over the corpus (the
+    * staged (doc, term, count) table feeds the vocab stats AND the
+    * scoring join), vocabulary statistics are a term-keyed partial
+    * aggregate, and the per-doc score is a partial-agg sum after an
+    * equi-join on term — no windows, no driver loops. The raw-term
+    * join keys here are exact (oracle-replayable); at web scale DSIR
+    * hashes features into a fixed bucket space (`hashBuckets` > 0 →
+    * xxhash64(term) mod buckets) so the weight table is O(buckets)
+    * and always broadcastable, at the cost of collision-merged
+    * features — the paper's own trade, checked by spec (hashing only
+    * perturbs scores, ordering stays target-favoring). Returns one
+    * row per doc: (id, n_tokens, score) with score UNROUNDED — gates
+    * round at the edge. */
+  def importanceWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, hashBuckets: Int = 0)(
+      implicit ctx: PipelineContext): DataFrame = {
+    val term0 = explode(split(col(textCol), " "))
+    val feature =
+      if (hashBuckets > 0) pmod(xxhash64(col("__w")), lit(hashBuckets.toLong)).cast("string")
+      else col("__w")
+    val wc = ctx.stagePersist(docs
+      .select(col(idCol).as("id"), isTarget.as("tgt"), term0.as("__w"))
+      .filter(length(col("__w")) > 0)
+      .select(col("id"), col("tgt"), feature.as("term"))
+      .groupBy(col("id"), col("tgt"), col("term"))
+      .agg(count(lit(1)).as("cnt")))
+    val stats = wc.groupBy(col("term"))
+      .agg(sum(col("cnt")).as("cr"),
+        sum(when(col("tgt"), col("cnt")).otherwise(lit(0L))).as("ct"))
+    val totals = stats.agg(
+      sum(col("cr")).as("r_tot"), sum(col("ct")).as("t_tot"),
+      count(lit(1)).as("v"))
+    // per-term log-likelihood ratio; O(vocab) rows — broadcast side
+    val lw = stats.crossJoin(broadcast(totals))
+      .withColumn("lw",
+        log((col("ct") + 1.0) / (col("t_tot") + col("v")))
+          - log((col("cr") + 1.0) / (col("r_tot") + col("v"))))
+      .select(col("term"), col("lw"))
+    wc.join(broadcast(lw), Seq("term"))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("lw")).as("score"))
+  }
+
+  /** BM25 ranked retrieval (Robertson & Zaragoza, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond", FnTIR 2009) — top-k
+    * documents per query with the standard Okapi scoring
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) (the always-positive
+    * variant). The quality-retrieval step of a curation pipeline
+    * (mine-for-topic, find-benchmark-like-docs before decontam).
+    *
+    * Shape at 100 TB: the corpus side is the (doc, term, tf) posting
+    * table partitioned by term — query terms broadcast against it, so
+    * cost is Σ df(query terms), never corpus size; doc length and df
+    * are partial aggregates; the final top-k is a per-query window
+    * over candidates only. Stopword-heavy query terms make whale
+    * postings — the production cut is a df cap / impact-ordered
+    * index (WAND), the same log-and-drop family as the dedup bucket
+    * caps. Scores round to 6 digits BEFORE ranking with doc-id
+    * tie-break, so the whole operator replays relationally (gate
+    * t47). */
+  def bm25TopDocs(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75)(
+      implicit ctx: PipelineContext): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // the posting table feeds dl, df AND the scoring join
+    val wc = ctx.stagePersist(docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val dl = wc.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = wc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = queries
+      .select(col(qidCol).as("qid"), explode(split(col(qtextCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val scored = wc
+      .join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("id"))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("w")), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("score"), col("rank"))
+  }
+
   /** Stage 1: per-document annotations — one tokenization feeds every
     * score, all language ratios come from ONE native pass over the
     * token array ([[TextFunctions.stopwordRatiosAll]]), and each ratio

@@ -628,6 +628,74 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): partition the embedding space
+    * into clusters, then mark a vector a DUPLICATE when some
+    * smaller-id vector in the SAME cluster sits at cosine ≥
+    * `minCosine` — the paper's "max similarity against the items
+    * preceding it in the cluster ordering" rule with the id as the
+    * deterministic ordering. Pairwise similarity is only ever computed
+    * inside a cluster, never across the corpus: with k clusters the
+    * pair volume is Σ|cluster|² ≈ n²/k, so at 100 TB k grows with n
+    * (the paper uses k ∝ √n) and the per-cluster equi-join stays
+    * bounded — the clustering IS the blocking structure, exactly the
+    * role buckets play in [[embeddingPairs]] but with semantically
+    * meaningful blocks. Degenerate clusters above `maxCluster` are
+    * excluded from the pair stage (their members report not-dup) — the
+    * same log-and-drop contract as the LSH bucket caps; sub-cluster
+    * (re-run with finer centroids inside the whale) is the recall
+    * path.
+    *
+    * Assignment is [[Similarity.assignToCentroids]] (broadcast
+    * centroids, partial-agg argmax — engine-portable: rounded sim,
+    * centroid-id tie-break), and the intra-cluster cosine is rounded
+    * to 6 digits BEFORE the θ compare and the per-vector max, so a
+    * relational engine replays the whole operator (gate t45). Returns
+    * one row per input vector: (id, cluster, is_dup, max_prior_sim)
+    * with max_prior_sim null for kept vectors — callers keep
+    * `is_dup = 0` and get one representative (the min id) per
+    * semantic-dup group transitively closed within the threshold
+    * graph's id-order greedy cover. */
+  def semanticDedup(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      minCosine: Double, maxCluster: Int = 100000)(
+      implicit ctx: PipelineContext): DataFrame = {
+    import graft.functions.VectorFunctions
+    // assignment feeds BOTH the pair join (twice, as each side) and
+    // the final not-dup restore — stage it with the vector + norm so
+    // the broadcast-argmax subtree runs once
+    val member = ctx.stage(
+      Similarity.assignToCentroids(vecs, idCol, vecCol, centroids, cidCol, cvecCol)
+        .select(col("id"), col("cluster"))
+        .join(vecs.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+        .withColumn("nrm", VectorFunctions.l2Norm(col("v"))))
+    // cap via a NARROW per-cluster count (ids only — vectors are not
+    // shuffled for sizing), as the LSH bucket caps
+    val okClusters = member.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn").between(2, maxCluster))
+      .select(col("cluster"))
+    val capped = member.join(okClusters, Seq("cluster"), "left_semi")
+    val a = capped.select(col("cluster"), col("id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = capped.select(col("cluster"), col("id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val prior = a.join(b, Seq("cluster"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", round(VectorFunctions.cosinePre(
+        VectorFunctions.dot(col("v1"), col("v2")), col("n1"), col("n2")), 6))
+      .filter(col("cos") >= minCosine)
+      .groupBy(col("id2").as("id"))
+      .agg(max(col("cos")).as("max_prior_sim"))
+    member.select(col("id"), col("cluster"))
+      .join(prior, Seq("id"), "left")
+      .withColumn("is_dup",
+        when(col("max_prior_sim").isNotNull, lit(1L)).otherwise(lit(0L)))
+      .select(col("id"), col("cluster"), col("is_dup"), col("max_prior_sim"))
+  }
+
   /** Connected components over an undirected pair set — the step that
     * turns pairwise near-dup output ([[minhashPairs]] /
     * [[simhashPairs]] / [[embeddingPairs]]) into CLUSTERS so dedup can

@@ -300,6 +300,67 @@ object PipelineQueries {
         .orderBy(col("id"))
     }
 
+  /** SemDeDup semantic dedup over the embeddings table
+    * ([[Dedup.semanticDedup]], θ=0.35): assign every vector to its
+    * nearest of the 8 fixed centroids (the t31 assignment, already
+    * oracle-proven), then inside each cluster mark vectors with a
+    * smaller-id neighbor at cosine ≥ θ as semantic duplicates.
+    * Per-cluster accounting pins membership (n), the dup set (n_dup +
+    * kept_id_sum) and the similarity extremum; the oracle replays the
+    * argmax assignment and the intra-cluster pair fold relationally —
+    * a hash match proves cluster-blocked dedup loses nothing vs a
+    * relational all-pairs-within-cluster replay. */
+  def t45SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val emb = Tables.embeddings(spark, dir)
+      Dedup.semanticDedup(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        minCosine = 0.35)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_dup")).as("n_dup"),
+          sum(when(col("is_dup") === 0, col("id"))).as("kept_id_sum"),
+          round(coalesce(max(col("max_prior_sim")), lit(0.0)), 6).as("max_sim"))
+        .orderBy(col("cluster"))
+    }
+
+  /** DSIR importance scoring with target = English documents
+    * ([[CurationPipeline.importanceWeights]]): unigram
+    * log-likelihood-ratio scores against the lang='en' subset, top 20
+    * docs by (rounded score, id). TakeOrdered-shaped cut — no global
+    * window; the oracle replays the smoothed ratio arithmetic
+    * term-for-term. */
+  def t46ImportanceWeights(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      CurationPipeline.importanceWeights(
+        Tables.documents(spark, dir), "doc_id", "text",
+        isTarget = col("lang") === "en")
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("score").desc, col("id"))
+        .limit(20)
+        .select(col("id"), col("n_tokens"), col("score"))
+    }
+
+  /** BM25 top-10 retrieval for three fixed keyword queries
+    * ([[CurationPipeline.bm25TopDocs]], k1=1.2, b=0.75): the ranked
+    * postings join, document-length normalization and idf arithmetic
+    * replayed relationally by the oracle (scores rounded before
+    * ranking, doc-id tie-break). Queries mix a rare term ('dup',
+    * df≈5% of docs) with saturated ones, so the idf spread is
+    * actually exercised. */
+  def t47Bm25(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val queries = spark.createDataFrame(Seq(
+        (1L, "dup join"),
+        (2L, "hash table scan"),
+        (3L, "spark window agg"))).toDF("qid", "qtext")
+      CurationPipeline.bm25TopDocs(
+        Tables.documents(spark, dir), "doc_id", "text",
+        queries, "qid", "qtext", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }
+
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
     * decode-stub features → per-type accounting. The input is generated
     * in-engine (deterministic from ids), so the oracle is a fixture
@@ -763,6 +824,9 @@ object PipelineQueries {
     "t42_jaccard_exact" -> t42JaccardExact _,
     "t43_bloom_decontam" -> t43BloomDecontam _,
     "t44_jaccard_prefix" -> t44JaccardPrefix _,
+    "t45_semantic_dedup" -> t45SemanticDedup _,
+    "t46_importance_weights" -> t46ImportanceWeights _,
+    "t47_bm25" -> t47Bm25 _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -850,6 +914,117 @@ object PipelineQueries {
          JOIN sizes s2 ON s2.doc_id = id2
          WHERE c::DOUBLE / (s1.sz + s2.sz - c) >= 0.7
          ORDER BY id1, id2""",
+    // t31's argmax-assignment fold, then intra-cluster pairs with the
+    // same sequential cosine fold; dup = exists smaller-id neighbor
+    // at rounded cos >= 0.35 in the same cluster
+    "t45_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE vec_id < 8),
+         scored AS (
+           SELECT e.vec_id AS id, c.cid,
+             round(
+               list_reduce(list_prepend(0.0,
+                 list_transform(list_zip(e.embedding, c.cv),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                 (a, b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(c.cv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, b) -> a + b))), 6) AS sim
+           FROM embeddings e CROSS JOIN c),
+         best AS (
+           SELECT id, cid AS cluster,
+             row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rk
+           FROM scored),
+         m AS (
+           SELECT b.id, b.cluster, e.embedding AS v,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a, b) -> a + b)) AS nrm
+           FROM best b JOIN embeddings e ON e.vec_id = b.id WHERE rk = 1),
+         p AS (
+           SELECT x.id AS id1, y.id AS id2,
+             round(
+               list_reduce(list_prepend(0.0,
+                 list_transform(list_zip(x.v, y.v),
+                   a -> CAST(a[1] AS DOUBLE) * CAST(a[2] AS DOUBLE))),
+                 (a, b) -> a + b) / (x.nrm * y.nrm), 6) AS cos
+           FROM m x JOIN m y ON x.cluster = y.cluster AND x.id < y.id),
+         prior AS (
+           SELECT id2 AS id, max(cos) AS mp FROM p
+           WHERE cos >= 0.35 GROUP BY 1)
+         SELECT m.cluster, count(*) AS n, count(prior.id) AS n_dup,
+           CAST(sum(CASE WHEN prior.id IS NULL THEN m.id END) AS BIGINT)
+             AS kept_id_sum,
+           round(coalesce(max(prior.mp), 0.0), 6) AS max_sim
+         FROM m LEFT JOIN prior ON prior.id = m.id
+         GROUP BY 1 ORDER BY 1""",
+    // add-1-smoothed unigram log-likelihood ratio vs the lang='en'
+    // target slice, top-20 by (rounded score, id)
+    "t46_importance_weights" ->
+      """WITH words AS (
+           SELECT doc_id AS id, (lang = 'en') AS tgt, u.term AS term
+           FROM documents, unnest(string_split(text, ' ')) AS u(term)
+           WHERE len(u.term) > 0),
+         wc AS (SELECT id, tgt, term, count(*) AS cnt
+                FROM words GROUP BY 1, 2, 3),
+         stats AS (
+           SELECT term, sum(cnt) AS cr,
+             sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS ct
+           FROM wc GROUP BY 1),
+         tot AS (SELECT sum(cr) AS r_tot, sum(ct) AS t_tot,
+                   count(*) AS v FROM stats),
+         lw AS (
+           SELECT term,
+             ln((ct + 1.0) / (t_tot + v)) - ln((cr + 1.0) / (r_tot + v)) AS lw
+           FROM stats CROSS JOIN tot),
+         sc AS (
+           SELECT wc.id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             round(sum(cnt * lw), 6) AS score
+           FROM wc JOIN lw USING (term) GROUP BY 1)
+         SELECT id, n_tokens, score FROM sc
+         ORDER BY score DESC, id LIMIT 20""",
+    // Okapi BM25 (k1=1.2, b=0.75, positive idf) for the three fixed
+    // queries; constants written as the SAME ieee ops the engine
+    // folds (1.2 + 1.0, 1.0 - 0.75), scores rounded before ranking
+    "t47_bm25" ->
+      """WITH q(qid, qtext) AS (VALUES
+             (1, 'dup join'), (2, 'hash table scan'), (3, 'spark window agg')),
+         words AS (
+           SELECT doc_id AS id, u.term AS term
+           FROM documents, unnest(string_split(text, ' ')) AS u(term)
+           WHERE len(u.term) > 0),
+         wc AS (SELECT id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+         dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM wc GROUP BY 1),
+         st AS (SELECT count(*) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         dfq AS (SELECT term, count(*) AS df FROM wc GROUP BY 1),
+         qt AS (
+           SELECT DISTINCT qid, u.term AS term
+           FROM q, unnest(string_split(qtext, ' ')) AS u(term)
+           WHERE len(u.term) > 0),
+         sc AS (
+           SELECT qt.qid, wc.id,
+             round(sum(
+               ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * (wc.tf * (1.2 + 1.0))
+                 / (wc.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / st.avgdl))
+             ), 6) AS score
+           FROM wc JOIN qt USING (term) JOIN dl USING (id)
+             JOIN dfq USING (term) CROSS JOIN st
+           GROUP BY 1, 2),
+         r AS (
+           SELECT qid, id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, id) AS rank
+           FROM sc)
+         SELECT qid, id, score, rank FROM r WHERE rank <= 10
+         ORDER BY qid, rank""",
     // exact-containment replay (t24 shape, n=4, FULL corpus): the
     // bloom prefilter must be invisible in the result
     "t43_bloom_decontam" ->
