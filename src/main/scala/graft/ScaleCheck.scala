@@ -110,8 +110,39 @@ object ScaleCheck {
       // round 8: the prefix-filtered exact variant — its candidate cut
       // (rare-gram prefixes only) should grow closer to the data than
       // t42's full inverted index
-      "t44_jaccard_prefix").filter(q =>
+      "t44_jaccard_prefix",
+      // round 8 second half: importance scoring and BM25 are
+      // posting-table shapes (explode → term-keyed partial aggs →
+      // equi-join); token-suffix scaling grows the vocab k× so the
+      // weight/df tables grow with the data, the per-doc work stays
+      // flat. t45's FIXED 8 centroids make intra-cluster pairs grow
+      // k² by construction — kept as the anti-pattern datapoint the
+      // k-aware variant below corrects.
+      "t45_semantic_dedup", "t46_importance_weights",
+      "t47_bm25").filter(q =>
       onlyShapes.forall(_.contains(q)))
+
+    // Shapes whose scale-correct form needs to know k: SemDeDup's
+    // cluster count must grow with the corpus (Abbas et al. use
+    // k ∝ √n··n; here centroids = 8·k fixed ids from copy 0) so the
+    // per-cluster pair volume — Σ|cluster|² ≈ n²/k_clusters — stays
+    // linear per row. Measured against t45's fixed-8 gate this is the
+    // blocking-structure story in one table.
+    val kAware: Seq[(String, (String, Int) => DataFrame)] = Seq(
+      "t45_semdedup_kn" -> { (dir: String, k: Int) =>
+        graft.operators.PipelineContext.materialize { implicit ctx =>
+          val emb = graft.sources.Tables.embeddings(spark, dir)
+          graft.operators.Dedup.semanticDedup(
+            emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 8L * k), "vec_id", "embedding",
+            minCosine = 0.35)
+            .groupBy(col("cluster"))
+            .agg(count(lit(1)).as("n"), sum(col("is_dup")).as("n_dup"))
+        }
+      }).filter { case (q, _) => onlyShapes.forall(_.contains(q)) }
+    val allShapes: Seq[(String, (String, Int) => DataFrame)] =
+      shapes.map(q => q -> ((dir: String, _: Int) =>
+        SparkEntry.queries(q)(spark, dir))) ++ kAware
 
     // t42's base volume on THIS corpus is adversarial for exact
     // similarity join: 40-word vocabulary ⇒ 931 distinct bigrams over
@@ -131,11 +162,11 @@ object ScaleCheck {
         synthesize(spark, src, d, k)
         d
       }
-      val times = shapes.map { q =>
-        SparkEntry.queries(q)(spark, dir) // warmup
+      val times = allShapes.map { case (q, build) =>
+        build(dir, k) // warmup
           .write.mode("overwrite").format("noop").save()
         val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir)
+        build(dir, k)
           .write.mode("overwrite").format("noop").save()
         q -> (System.nanoTime() - t0) / 1e9
       }
@@ -148,7 +179,7 @@ object ScaleCheck {
     println("| query | " + ks.map(k => s"${k}x sec").mkString(" | ") +
       " | growth vs data |")
     println("|---|" + ks.map(_ => "---|").mkString + "---|")
-    shapes.foreach { q =>
+    allShapes.map(_._1).foreach { q =>
       val row = results.map { case (_, ts) => ts.toMap.get(q) }
       val growth = for { l <- row.last; h <- row.head } yield l / h
       println(f"| $q | " +
