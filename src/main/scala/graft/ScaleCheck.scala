@@ -119,7 +119,15 @@ object ScaleCheck {
       // k² by construction — kept as the anti-pattern datapoint the
       // k-aware variant below corrects.
       "t45_semantic_dedup", "t46_importance_weights",
-      "t47_bm25").filter(q =>
+      "t47_bm25",
+      // PQ ADC: a narrow encode pass + a code-table scan per query —
+      // should track rows ~linearly (the whole point of scanning
+      // M-int codes instead of float vectors)
+      "t48_pq_adc",
+      // bigram-LM perplexity: two term-keyed agg tables + one join
+      // back to the bigram stream — vocabulary grows k× under the
+      // token-suffix synthesis, per-doc work constant
+      "t49_perplexity").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // Shapes whose scale-correct form needs to know k: SemDeDup's

@@ -55,6 +55,18 @@ object VectorFunctions {
       org.apache.spark.sql.graft.VectorExpressions.NearestCentroids(
         org.apache.spark.sql.graft.ColumnInternals.expression(v), centroids, nProbe))
 
+  /** Product-quantization code: per contiguous subspace, the index of
+    * the nearest codeword by squared L2 (strict sequential fold,
+    * lower-index tie-break). Codebook ships as a literal. */
+  def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    column(PqEncode(expression(v), codebooks))
+
+  /** Asymmetric PQ distance: Σ per-subspace squared L2 between the
+    * query's subvector and the code's codeword — evaluated against
+    * the M-int code column, never the raw corpus vector. */
+  def pqAdc(q: Column, codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    column(PqAdc(expression(q), expression(codes), codebooks))
+
   /** Sign-bit LSH bucket from `nPlanes` fixed pseudo-random hyperplanes
     * (seeded, generated once on the driver — deterministic across
     * runs). Near vectors collide with high probability; used to

@@ -683,6 +683,59 @@ object CurationPipeline {
         sum(col("cnt") * col("lw")).as("score"))
   }
 
+  /** CCNet-style language-model perplexity scoring (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", LREC 2020): train a bigram LM with add-1 smoothing
+    * on the TARGET slice (CCNet uses Wikipedia; here any predicate),
+    * then score every document by per-bigram perplexity
+    * `exp(−(Σ ln P(wᵢ|wᵢ₋₁)) / n)` with
+    * `P(c|p) = (count(p,c)+1) / (prefixCount(p)+V)` — low perplexity
+    * ≈ target-like text, the signal CCNet buckets into head/middle/
+    * tail before training-data selection. OOV prefixes fall to the
+    * uniform 1/V floor; V is the target vocabulary size.
+    *
+    * Shape at 100 TB: the LM is two aggregate tables (bigram and
+    * prefix counts over the target slice — term-keyed partial aggs)
+    * joined back to the corpus bigram stream; the per-doc score is a
+    * partial-agg sum. The bigram table can be whale-heavy on the
+    * head; a df cap or count-min sketch bounds it — same family as
+    * the dedup gram caps. Returns (id, n_bigrams, ppl) with ppl
+    * UNROUNDED; gates round at the edge. */
+  def lmPerplexity(
+      docs: DataFrame, idCol: String, textCol: String,
+      lmTarget: Column)(implicit ctx: PipelineContext): DataFrame = {
+    // one tokenize pass: bigram (prev, cur) rows with multiplicity —
+    // feeds the target LM counts AND the scoring stream
+    val toks = docs.select(col(idCol).as("id"), lmTarget.as("tgt"),
+      split(col(textCol), " ").as("w"))
+      .select(col("id"), col("tgt"), filter(col("w"), t => length(t) > 0).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = ctx.stagePersist(toks.select(col("id"), col("tgt"),
+      posexplode(slice(col("w"), lit(1), size(col("w")) - 1)).as(Seq("i", "p")),
+      col("w"))
+      .select(col("id"), col("tgt"), col("p"),
+        element_at(col("w"), col("i") + 2).as("c")))
+    val bigramCnt = bigrams.filter(col("tgt"))
+      .groupBy(col("p"), col("c")).agg(count(lit(1)).as("bc"))
+    val prefixCnt = bigramCnt.groupBy(col("p")).agg(sum(col("bc")).as("pc"))
+    // V = target vocabulary (distinct tokens, not just prefixes:
+    // the last token of each target doc still counts)
+    val vocab = docs.filter(lmTarget)
+      .select(explode(split(col(textCol), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .agg(count_distinct(col("t")).as("v"))
+    bigrams
+      .join(bigramCnt, Seq("p", "c"), "left")
+      .join(prefixCnt, Seq("p"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        log((coalesce(col("bc"), lit(0L)) + 1.0)
+          / (coalesce(col("pc"), lit(0L)) + col("v"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        exp(-(sum(col("lp")) / count(lit(1)))).as("ppl"))
+  }
+
   /** BM25 ranked retrieval (Robertson & Zaragoza, "The Probabilistic
     * Relevance Framework: BM25 and Beyond", FnTIR 2009) — top-k
     * documents per query with the standard Okapi scoring

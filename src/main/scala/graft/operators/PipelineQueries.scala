@@ -361,6 +361,50 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rank"))
     }
 
+  /** Product-quantization ADC search ([[Similarity.pqEncode]] +
+    * [[Similarity.pqTopK]], M=8 subspaces × 16 codewords): encode the
+    * corpus to 8-int codes, then rank by asymmetric distance — the
+    * query meets only the CODE table, never raw vectors. Codebooks
+    * derive from fixed table rows (subspace m of codeword c = dims
+    * [8m, 8m+8) of embedding vec_id=c, c < 16) so the oracle replays
+    * the whole pipeline: the same L2 argmin folds for encode, an
+    * ordered per-subspace list fold for ADC. Production codebooks come
+    * from [[Similarity.pqTrain]] (spec-pinned); the fixed-row form is
+    * the correctness pin. */
+  def t48PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // bounded driver collect (16 rows) — the ivfTrain discipline: only
+    // the codebook literal ships into the plan
+    val rows = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toIndexedSeq)
+    val codebooks = (0 until 8).map(m => rows.toSeq.map(v => v.slice(m * 8, m * 8 + 8)))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", codebooks)
+    Similarity.pqTopK(codes, "id", "codes",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", codebooks, k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** CCNet-style perplexity scoring with the bigram LM trained on the
+    * English slice ([[CurationPipeline.lmPerplexity]]): per-language
+    * perplexity aggregates — the quality-bucketing signal (en should
+    * score target-like, the rest OOV-floored). The oracle replays the
+    * add-1 bigram arithmetic and the exp(−mean log-prob) fold. */
+  def t49Perplexity(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val docs = Tables.documents(spark, dir)
+      CurationPipeline.lmPerplexity(docs, "doc_id", "text",
+        lmTarget = col("lang") === "en")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("total_bigrams"),
+          round(avg(col("ppl")), 4).as("avg_ppl"),
+          round(min(col("ppl")), 6).as("min_ppl"),
+          round(max(col("ppl")), 6).as("max_ppl"))
+        .orderBy(col("lang"))
+    }
+
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
     * decode-stub features → per-type accounting. The input is generated
     * in-engine (deterministic from ids), so the oracle is a fixture
@@ -827,6 +871,8 @@ object PipelineQueries {
     "t45_semantic_dedup" -> t45SemanticDedup _,
     "t46_importance_weights" -> t46ImportanceWeights _,
     "t47_bm25" -> t47Bm25 _,
+    "t48_pq_adc" -> t48PqAdc _,
+    "t49_perplexity" -> t49Perplexity _,
   )
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -1024,6 +1070,90 @@ object PipelineQueries {
                                 ORDER BY score DESC, id) AS rank
            FROM sc)
          SELECT qid, id, score, rank FROM r WHERE rank <= 10
+         ORDER BY qid, rank""",
+    // add-1 bigram LM trained on the en slice; bigram stream replayed
+    // via t30's comprehension windows, OOV prefixes at the 1/V floor
+    "t49_perplexity" ->
+      """WITH docs2 AS (
+           SELECT doc_id AS id, lang, (lang = 'en') AS tgt,
+             list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+           FROM documents),
+         big AS (
+           SELECT id, tgt,
+             string_split(u.g, ' ')[1] AS p, string_split(u.g, ' ')[2] AS c
+           FROM docs2,
+             unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS u(g)
+           WHERE len(w) >= 2),
+         bc AS (SELECT p, c, count(*) AS bc FROM big WHERE tgt GROUP BY 1, 2),
+         pc AS (SELECT p, CAST(sum(bc) AS BIGINT) AS pc FROM bc GROUP BY 1),
+         v AS (SELECT count(DISTINCT u.t) AS v
+               FROM docs2, unnest(w) AS u(t) WHERE tgt),
+         scored AS (
+           SELECT big.id, count(*) AS n_bigrams,
+             exp(-(sum(ln((coalesce(bc.bc, 0) + 1.0)
+                          / (coalesce(pc.pc, 0) + v.v))) / count(*))) AS ppl
+           FROM big
+           LEFT JOIN bc ON bc.p = big.p AND bc.c = big.c
+           LEFT JOIN pc ON pc.p = big.p
+           CROSS JOIN v
+           GROUP BY 1)
+         SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(s.n_bigrams) AS BIGINT) AS total_bigrams,
+           round(avg(s.ppl), 4) AS avg_ppl,
+           round(min(s.ppl), 6) AS min_ppl,
+           round(max(s.ppl), 6) AS max_ppl
+         FROM scored s JOIN documents d ON d.doc_id = s.id
+         GROUP BY 1 ORDER BY 1""",
+    // PQ replay: encode = per-(vec, subspace) L2-fold argmin over the
+    // 16 fixed codewords (dist ASC, c ASC rank-1); ADC = ordered
+    // per-subspace list fold, matching the engine's (…((0+d0)+d1)…)
+    // bracketing; rank on rounded distance with id tie-break
+    "t48_pq_adc" ->
+      """WITH cw AS (SELECT vec_id AS c, embedding AS v FROM embeddings
+                     WHERE vec_id < 16),
+         sub AS (
+           SELECT ms.m AS m, cw.c,
+             list_slice(cw.v, ms.m * 8 + 1, ms.m * 8 + 8) AS w
+           FROM cw CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+         vecs AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         enc AS (
+           SELECT vecs.id, s.m, s.c,
+             list_reduce(list_prepend(0.0,
+               list_transform(
+                 list_zip(list_slice(vecs.v, s.m * 8 + 1, s.m * 8 + 8), s.w),
+                 x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                    * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
+               (a, b) -> a + b) AS dist
+           FROM vecs CROSS JOIN sub s),
+         codes AS (
+           SELECT id, m, c FROM (
+             SELECT id, m, c,
+               row_number() OVER (PARTITION BY id, m
+                                  ORDER BY dist ASC, c ASC) AS rk
+             FROM enc) WHERE rk = 1),
+         q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < 3),
+         lut AS (
+           SELECT q.qid, s.m, s.c,
+             list_reduce(list_prepend(0.0,
+               list_transform(
+                 list_zip(list_slice(q.qv, s.m * 8 + 1, s.m * 8 + 8), s.w),
+                 x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                    * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
+               (a, b) -> a + b) AS dist
+           FROM q CROSS JOIN sub s),
+         adc AS (
+           SELECT l.qid, codes.id,
+             round(list_reduce(list_prepend(0.0, list(l.dist ORDER BY l.m)),
+               (a, b) -> a + b), 6) AS adc
+           FROM codes JOIN lut l ON l.m = codes.m AND l.c = codes.c
+           GROUP BY 1, 2),
+         r AS (
+           SELECT qid, id, adc,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc ASC, id) AS rank
+           FROM adc)
+         SELECT qid, id, adc, rank FROM r WHERE rank <= 10
          ORDER BY qid, rank""",
     // exact-containment replay (t24 shape, n=4, FULL corpus): the
     // bloom prefilter must be invisible in the result

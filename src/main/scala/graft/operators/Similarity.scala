@@ -129,6 +129,94 @@ object Similarity {
       ranked.select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Train PQ codebooks: per contiguous subspace, Lloyd's k-means on
+    * a bounded deterministic sample (the [[ivfTrain]] discipline —
+    * id-ordered limit locally, TABLESAMPLE at 100 TB; FAISS trains PQ
+    * on a sample the same way). Returns M × ksub × subDim codewords;
+    * only that tiny matrix ships into the encode/search plans as a
+    * literal. Assignment inside training is squared-L2 argmin with
+    * lower-index tie-break — the same rule [[graft.functions
+    * .VectorFunctions.pqEncode]] applies, so training is just the
+    * codebook PRODUCER; empty cells re-seed deterministically. */
+  def pqTrain(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int = 16, iters: Int = 8, sampleN: Int = 2048): Seq[Seq[Seq[Double]]] = {
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= ksub,
+      s"sample (${sample.length}) smaller than ksub ($ksub)")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    (0 until m).map { mm =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, mm * subDim, (mm + 1) * subDim))
+      var cents = (0 until ksub)
+        .map(c => subs(c * subs.length / ksub).clone()).toArray
+      (1 to iters).foreach { _ =>
+        val sums = Array.fill(ksub, subDim)(0.0)
+        val counts = new Array[Int](ksub)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < ksub) {
+            var s = 0.0; var i = 0
+            while (i < subDim) { val d = v(i) - cents(c)(i); s += d * d; i += 1 }
+            if (s < bestD) { best = c; bestD = s }
+            c += 1
+          }
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = (0 until ksub).map { c =>
+          if (counts(c) == 0) subs(c % subs.length).clone() // re-seed
+          else { val avg = sums(c).clone(); var i = 0
+            while (i < subDim) { avg(i) /= counts(c); i += 1 }; avg }
+        }.toArray
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** PQ-encode a corpus: (id, codes) with codes = M small ints — the
+    * 8–32× compressed representation that makes 100 TB of embeddings
+    * scannable. One narrow pass, no shuffle; write the result bucketed
+    * by the coarse quantizer ([[ivfTopK]]'s cells) and you have
+    * IVFADC. */
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.pqEncode(col(vecCol), codebooks).as("codes"))
+
+  /** PQ asymmetric-distance top-k: scan the CODE table (M ints per
+    * row), compute Σ per-subspace squared L2 between each broadcast
+    * query and the row's codewords, keep the k smallest per query.
+    * The scan never touches the raw vectors — at 100 TB the code
+    * table is ~1/32 the bytes, and the per-row cost is M·subDim
+    * multiply-adds inside whole-stage codegen ([[graft.functions
+    * .VectorFunctions.pqAdc]]). Distances round to 6 digits BEFORE
+    * ranking (id tie-break), making the whole operator relationally
+    * replayable (gate t48); recall < 1 by construction (quantization
+    * error) — the standard rerank is an exact pass over the top-k'
+    * candidates' raw vectors, which is [[bruteForceTopK]] on the
+    * k' ≪ n survivors. */
+  def pqTopK(
+      codes: DataFrame, idCol: String, codesCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    val joined = codes.select(col(idCol).as("id"), col(codesCol).as("codes"))
+      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
+      .withColumn("adc", round(
+        graft.functions.VectorFunctions.pqAdc(col("qv"), col("codes"), codebooks), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("adc"), col("rank"))
+  }
+
   /** Cluster-assignment step (the E-step of k-means / IVF cell
     * routing, exposed as its own operator): label every vector with
     * its nearest centroid by cosine, from an arbitrary centroid TABLE

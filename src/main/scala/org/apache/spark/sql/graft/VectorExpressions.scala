@@ -114,6 +114,175 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Product-quantization encode (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): split the vector into
+    * `M` contiguous subvectors and emit, per subspace, the index of
+    * the nearest codeword by squared L2 distance — the vector's M-byte
+    * PQ code. The codebook rides along as a literal (M × ksub × subDim
+    * doubles — tiny), so encoding is one tight loop per row with no
+    * join: the pass that turns a 100 TB float corpus into a ~3 TB code
+    * table.
+    *
+    * Distances are strict left-to-right double accumulations of
+    * (aᵢ−bᵢ)² per subspace, ties break on the lower codeword index,
+    * and the argmin compares raw doubles — a relational engine
+    * replaying the identical fold gets the identical codes (gate t48).
+    * Length ≠ M·subDim ⇒ null (malformed embeddings surface, as
+    * [[VecDot]]); all-NaN distances fall to codeword 0
+    * deterministically. */
+  final case class PqEncode(
+      child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+      with ExpectsInputTypes {
+    private val m = codebooks.length
+    private val ksub = codebooks.headOption.map(_.length).getOrElse(0)
+    private val subDim =
+      codebooks.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+    require(m > 0 && ksub > 0 && subDim > 0, "empty codebook")
+    require(codebooks.forall(b => b.length == ksub && b.forall(_.length == subDim)),
+      s"codebook must be uniform ${m}x${ksub}x$subDim")
+    override def inputTypes: Seq[AbstractDataType] = Seq(vecType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_encode"
+
+    @transient private lazy val mat: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return null
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() != m * subDim) return null
+      val out = new Array[Int](m)
+      var mm = 0
+      while (mm < m) {
+        val base = mm * subDim
+        var best = -1
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < ksub) {
+          val cw = mat(mm)(c)
+          var sub = 0.0
+          var i = 0
+          while (i < subDim) {
+            val d = elemAt(child.dataType, arr, base + i) - cw(i)
+            sub += d * d
+            i += 1
+          }
+          if (best < 0 || sub < bestD) { best = c; bestD = sub }
+          c += 1
+        }
+        out(mm) = best
+        mm += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PqEncode =
+      copy(child = newChild)
+  }
+
+  /** Asymmetric-distance computation against a PQ code: Σ over
+    * subspaces of the squared L2 distance between the QUERY's
+    * subvector and the corpus vector's chosen codeword. The scan side
+    * reads M ints per row instead of the full float vector — PQ's
+    * whole point at 100 TB — and this is the candidate-loop hot path,
+    * so it generates a primitive loop inside whole-stage codegen.
+    *
+    * Accumulation bracketing is (…((0+d₀)+d₁)…+d_{M−1}) with each dₘ
+    * itself a strict left-to-right subspace fold — the shape a
+    * relational replay reproduces with an ordered per-subspace list
+    * fold. Null / length-mismatched / out-of-range inputs ⇒ null. */
+  final case class PqAdc(
+      left: Expression, right: Expression, codebooks: Seq[Seq[Seq[Double]]])
+      extends BinaryExpression with ExpectsInputTypes {
+    private val m = codebooks.length
+    private val ksub = codebooks.headOption.map(_.length).getOrElse(0)
+    private val subDim =
+      codebooks.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+    require(m > 0 && ksub > 0 && subDim > 0, "empty codebook")
+    require(codebooks.forall(b => b.length == ksub && b.forall(_.length == subDim)),
+      s"codebook must be uniform ${m}x${ksub}x$subDim")
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(vecType, ArrayType(IntegerType))
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_adc"
+
+    // flattened [(mm*ksub + c)*subDim + i] for codegen reference
+    @transient private lazy val flat: Array[Double] = {
+      val a = new Array[Double](m * ksub * subDim)
+      var j = 0
+      for (b <- codebooks; cw <- b; x <- cw) { a(j) = x; j += 1 }
+      a
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val q = a.asInstanceOf[ArrayData]
+      val codes = b.asInstanceOf[ArrayData]
+      if (q.numElements() != m * subDim || codes.numElements() != m) return null
+      var acc = 0.0
+      var mm = 0
+      while (mm < m) {
+        if (codes.isNullAt(mm)) return null
+        val c = codes.getInt(mm)
+        if (c < 0 || c >= ksub) return null
+        val off = (mm * ksub + c) * subDim
+        val base = mm * subDim
+        var sub = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = elemAt(left.dataType, q, base + i) - flat(off + i)
+          sub += d * d
+          i += 1
+        }
+        acc += sub
+        mm += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCodebook", flat, "double[]")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val mm = ctx.freshName("mm"); val i = ctx.freshName("i")
+        val c = ctx.freshName("c"); val acc = ctx.freshName("acc")
+        val sub = ctx.freshName("sub"); val d = ctx.freshName("d")
+        val off = ctx.freshName("off"); val base = ctx.freshName("base")
+        val bad = ctx.freshName("bad")
+        s"""
+        if ($a.numElements() != ${m * subDim} || $b.numElements() != $m) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          boolean $bad = false;
+          for (int $mm = 0; $mm < $m && !$bad; $mm++) {
+            if ($b.isNullAt($mm)) { $bad = true; break; }
+            int $c = $b.getInt($mm);
+            if ($c < 0 || $c >= $ksub) { $bad = true; break; }
+            int $off = ($mm * $ksub + $c) * $subDim;
+            int $base = $mm * $subDim;
+            double $sub = 0.0;
+            for (int $i = 0; $i < $subDim; $i++) {
+              double $d = ${elemAccessor(left.dataType, a, s"$base + $i")} -
+                $cbRef[$off + $i];
+              $sub += $d * $d;
+            }
+            $acc += $sub;
+          }
+          if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+        }
+        """
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqAdc =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Σ aᵢ·bᵢ — strict sequential double accumulation.
     *
     * Length mismatch ⇒ null (a malformed embedding must surface as a

@@ -134,6 +134,40 @@ class SelectionRetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(en.map(_._2).sum / en.length > rest.map(_._2).sum / rest.length)
   }
 
+  // --- lmPerplexity -------------------------------------------------
+
+  test("lmPerplexity matches a hand-computed add-1 bigram score") {
+    val docs = Seq(
+      (1L, "a b a b", true), // the LM corpus: bc(a,b)=2, bc(b,a)=1
+      (2L, "x y x y", false) // all-OOV
+    ).toDF("id", "text", "tgt")
+    val out = PipelineContext.run { implicit ctx =>
+      CurationPipeline.lmPerplexity(docs, "id", "text", col("tgt"))
+        .orderBy(col("id")).collect()
+    }
+    // V=2; doc1: ln(3/4)+ln(2/3)+ln(3/4) over 3 bigrams
+    val lp1 = (math.log((2 + 1.0) / (2 + 2)) + math.log((1 + 1.0) / (1 + 2))
+      + math.log((2 + 1.0) / (2 + 2))) / 3
+    assert(out(0).getLong(1) === 3L)
+    assert(math.abs(out(0).getDouble(2) - math.exp(-lp1)) < 1e-12)
+    // all-OOV doc sits exactly at the uniform 1/V floor: ppl = V
+    assert(math.abs(out(1).getDouble(2) - 2.0) < 1e-9)
+  }
+
+  test("lmPerplexity scores target-language documents as more target-like") {
+    val docs = Tables.documents(spark, sfDir)
+    val scored = PipelineContext.run { implicit ctx =>
+      CurationPipeline.lmPerplexity(docs, "doc_id", "text", col("lang") === "en")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .select(col("lang"), col("ppl")).collect()
+    }
+    val (en, rest) = scored.partition(_.getString(0) == "en")
+    val enMean = en.map(_.getDouble(1)).sum / en.length
+    val restMean = rest.map(_.getDouble(1)).sum / rest.length
+    assert(enMean < restMean,
+      s"en mean ppl $enMean must be below non-en mean $restMean")
+  }
+
   // --- bm25TopDocs --------------------------------------------------
 
   test("bm25TopDocs matches a hand-computed score on a tiny corpus") {
