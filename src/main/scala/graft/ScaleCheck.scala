@@ -127,7 +127,12 @@ object ScaleCheck {
       // bigram-LM perplexity: two term-keyed agg tables + one join
       // back to the bigram stream — vocabulary grows k× under the
       // token-suffix synthesis, per-doc work constant
-      "t49_perplexity").filter(q =>
+      "t49_perplexity",
+      // IVFADC (train + bucket + full probe) and the 5-iteration GD
+      // classifier: both should stay near the job floor — the former
+      // is narrow passes + a cell join, the latter 6 partial-agg
+      // passes whose exchange carries 5 doubles each
+      "t50_ivfadc", "t51_quality_classifier").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // Shapes whose scale-correct form needs to know k: SemDeDup's

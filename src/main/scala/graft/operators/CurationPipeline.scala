@@ -736,6 +736,80 @@ object CurationPipeline {
         exp(-(sum(col("lp")) / count(lit(1)))).as("ppl"))
   }
 
+  /** Quality-classifier training — the GPT-3/LLaMA curation step
+    * (Brown et al. 2020 §A; Touvron et al. 2023): fit a logistic
+    * regression that scores documents by target-likeness, then filter
+    * or importance-sample on the score. Features here are cheap
+    * engine-portable text statistics (bias, token count, chars per
+    * token, 'the'-frequency — the classic function-word signal);
+    * training is full-batch gradient descent,
+    * `w ← round(w − lr·mean(x·(σ(wᵀx)−y)), 9)`, from w=0.
+    *
+    * Shape at 100 TB: each iteration is ONE partial-aggregate pass
+    * over the feature table (sum of d+1 products + a count — the
+    * textbook distributed GD: executors reduce to d+1 doubles before
+    * the exchange), the feature table is staged once, and only the
+    * weight vector crosses the driver boundary. iters·1 jobs total.
+    * The per-iteration round-to-9 makes the whole trajectory
+    * engine-portable: it absorbs partial-agg summation-order noise
+    * (~1e-12) so a relational engine replaying the same chain lands
+    * on bit-equal weights (gate t51). Returns one row:
+    * (n_docs, w0..w3, loss) with loss = final mean log-loss. */
+  def trainQualityClassifier(
+      docs: DataFrame, idCol: String, textCol: String,
+      label: Column, iters: Int = 5, lr: Double = 0.5)(
+      implicit ctx: PipelineContext): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val toks = lit(1) + length(col(textCol)) -
+      length(regexp_replace(col(textCol), " ", ""))
+    val theCnt = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "the", ""))) / 3
+    val feats = ctx.stagePersist(docs.select(
+      lit(1.0).as("x0"),
+      (toks / 100.0).as("x1"),
+      (length(col(textCol)) / toks / 10.0).as("x2"),
+      (theCnt / toks).as("x3"),
+      label.cast("int").cast("double").as("y")))
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    def z = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    def p = lit(1.0) / (lit(1.0) + exp(-z))
+    (1 to iters).foreach { _ =>
+      val g = feats.agg(
+        (sum(col("x0") * (p - col("y"))) / count(lit(1))).as("g0"),
+        (sum(col("x1") * (p - col("y"))) / count(lit(1))).as("g1"),
+        (sum(col("x2") * (p - col("y"))) / count(lit(1))).as("g2"),
+        (sum(col("x3") * (p - col("y"))) / count(lit(1))).as("g3"))
+        .collect()(0)
+      w = Array.tabulate(4)(i => round9(w(i) - lr * g.getDouble(i)))
+    }
+    feats.agg(
+      count(lit(1)).as("n_docs"),
+      round(lit(w(0)), 6).as("w0"), round(lit(w(1)), 6).as("w1"),
+      round(lit(w(2)), 6).as("w2"), round(lit(w(3)), 6).as("w3"),
+      round(sum(-(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p)))
+        / count(lit(1)), 6).as("loss"))
+  }
+
+  /** Score documents with a trained quality classifier: σ(wᵀx) over
+    * the same portable features — one narrow pass, the filter/
+    * importance-sampling signal. */
+  def qualityClassifierScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      w: Seq[Double]): DataFrame = {
+    require(w.length == 4, "expect 4 weights (bias + 3 features)")
+    val toks = lit(1) + length(col(textCol)) -
+      length(regexp_replace(col(textCol), " ", ""))
+    val theCnt = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "the", ""))) / 3
+    val z = lit(w(0)) * lit(1.0) + lit(w(1)) * (toks / 100.0) +
+      lit(w(2)) * (length(col(textCol)) / toks / 10.0) + lit(w(3)) * (theCnt / toks)
+    docs.select(col(idCol).as("id"),
+      (lit(1.0) / (lit(1.0) + exp(-z))).as("score"))
+  }
+
   /** BM25 ranked retrieval (Robertson & Zaragoza, "The Probabilistic
     * Relevance Framework: BM25 and Beyond", FnTIR 2009) — top-k
     * documents per query with the standard Okapi scoring

@@ -405,6 +405,41 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }
 
+  /** IVFADC at full probe ([[Similarity.ivfadcTopK]], 16 trained
+    * cells, nProbe=16): the composed inverted-file + PQ path — coarse
+    * quantizer from [[Similarity.ivfTrain]] (the REAL trained
+    * centroids, not fixture rows), codes bucketed per cell, ADC per
+    * probe. Full probe makes the cell routing invisible, so the
+    * oracle is t48's flat-ADC replay verbatim — a hash match proves
+    * the production composition (train → bucket → probe → ADC)
+    * returns exactly the flat scan's answer. Partial-probe recall
+    * behavior is spec-pinned (PqSpec). */
+  def t50IvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val rows = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toIndexedSeq)
+    val codebooks = (0 until 8).map(m => rows.toSeq.map(v => v.slice(m * 8, m * 8 + 8)))
+    Similarity.ivfadcTopK(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      codebooks, k = 10, nCentroids = 16, nProbe = 16)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Quality-classifier training under the oracle
+    * ([[CurationPipeline.trainQualityClassifier]], 5 GD iterations,
+    * lr=0.5, target = lang='en'): the whole optimization trajectory
+    * is engine-portable (per-iteration round-9 weights), so DuckDB
+    * replays all five iterations as chained CTEs and must land on
+    * bit-equal weights and final log-loss. */
+  def t51QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      CurationPipeline.trainQualityClassifier(
+        Tables.documents(spark, dir), "doc_id", "text",
+        label = col("lang") === "en")
+    }
+
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
     * decode-stub features → per-type accounting. The input is generated
     * in-engine (deterministic from ids), so the oracle is a fixture
@@ -873,7 +908,100 @@ object PipelineQueries {
     "t47_bm25" -> t47Bm25 _,
     "t48_pq_adc" -> t48PqAdc _,
     "t49_perplexity" -> t49Perplexity _,
+    "t50_ivfadc" -> t50IvfAdc _,
+    "t51_quality_classifier" -> t51QualityClassifier _,
   )
+
+  /** The t51 oracle, assembled programmatically: 5 chained gradient-
+    * descent CTEs (each one aggregate over the feature CTE joined to
+    * the previous iteration's weights), replaying
+    * [[CurationPipeline.trainQualityClassifier]]'s arithmetic
+    * operation-for-operation — σ, the mean gradient, lr=0.5, and the
+    * round-9 weight update. */
+  private val qualityClassifierOracle: String = {
+    val feats =
+      """SELECT 1.0 AS x0,
+        (1 + len(text) - len(replace(text, ' ', ''))) / 100.0 AS x1,
+        len(text) / (1 + len(text) - len(replace(text, ' ', ''))) / 10.0 AS x2,
+        ((len(text) - len(replace(text, 'the', ''))) / 3)
+          / (1 + len(text) - len(replace(text, ' ', ''))) AS x3,
+        CAST(CAST(lang = 'en' AS INT) AS DOUBLE) AS y
+      FROM documents"""
+    def sigma(w: IndexedSeq[String]): String =
+      s"1.0/(1.0+exp(-(${w(0)}*x0 + ${w(1)}*x1 + ${w(2)}*x2 + ${w(3)}*x3)))"
+    val iters = (1 to 5).map { k =>
+      val prev: IndexedSeq[String] =
+        if (k == 1) IndexedSeq.fill(4)("0.0")
+        else (0 to 3).map(j => s"i${k - 1}.w$j")
+      val cols = (0 to 3).map(j =>
+        s"round(${prev(j)} - 0.5 * (sum(x$j * (${sigma(prev)} - y)) / count(*)), 9) AS w$j")
+        .mkString(",\n           ")
+      val from = if (k == 1) "FROM f"
+        else s"FROM f CROSS JOIN i${k - 1} GROUP BY ${prev.mkString(", ")}"
+      s"i$k AS (SELECT $cols\n         $from)"
+    }.mkString(",\n         ")
+    val wF: IndexedSeq[String] = (0 to 3).map(j => s"i5.w$j")
+    s"""WITH f AS ($feats),
+         $iters
+         SELECT count(*) AS n_docs,
+           round(i5.w0, 6) AS w0, round(i5.w1, 6) AS w1,
+           round(i5.w2, 6) AS w2, round(i5.w3, 6) AS w3,
+           round(sum(-(y * ln(${sigma(wF)})
+                       + (1.0 - y) * ln(1.0 - ${sigma(wF)}))) / count(*), 6)
+             AS loss
+         FROM f CROSS JOIN i5 GROUP BY i5.w0, i5.w1, i5.w2, i5.w3"""
+  }
+
+  /** The flat-ADC replay shared by t48 (brute ADC scan) and t50
+    * (IVFADC at full probe): the same answer is the point — the
+    * inverted-file composition must be invisible in the result. */
+  private val pqAdcOracle: String =
+    """WITH cw AS (SELECT vec_id AS c, embedding AS v FROM embeddings
+                   WHERE vec_id < 16),
+       sub AS (
+         SELECT ms.m AS m, cw.c,
+           list_slice(cw.v, ms.m * 8 + 1, ms.m * 8 + 8) AS w
+         FROM cw CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+       vecs AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       enc AS (
+         SELECT vecs.id, s.m, s.c,
+           list_reduce(list_prepend(0.0,
+             list_transform(
+               list_zip(list_slice(vecs.v, s.m * 8 + 1, s.m * 8 + 8), s.w),
+               x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                  * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
+             (a, b) -> a + b) AS dist
+         FROM vecs CROSS JOIN sub s),
+       codes AS (
+         SELECT id, m, c FROM (
+           SELECT id, m, c,
+             row_number() OVER (PARTITION BY id, m
+                                ORDER BY dist ASC, c ASC) AS rk
+           FROM enc) WHERE rk = 1),
+       q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+             WHERE vec_id < 3),
+       lut AS (
+         SELECT q.qid, s.m, s.c,
+           list_reduce(list_prepend(0.0,
+             list_transform(
+               list_zip(list_slice(q.qv, s.m * 8 + 1, s.m * 8 + 8), s.w),
+               x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                  * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
+             (a, b) -> a + b) AS dist
+         FROM q CROSS JOIN sub s),
+       adc AS (
+         SELECT l.qid, codes.id,
+           round(list_reduce(list_prepend(0.0, list(l.dist ORDER BY l.m)),
+             (a, b) -> a + b), 6) AS adc
+         FROM codes JOIN lut l ON l.m = codes.m AND l.c = codes.c
+         GROUP BY 1, 2),
+       r AS (
+         SELECT qid, id, adc,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY adc ASC, id) AS rank
+         FROM adc)
+       SELECT qid, id, adc, rank FROM r WHERE rank <= 10
+       ORDER BY qid, rank"""
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
     * reproduce the same sequential double folds (list_reduce with a 0.0
@@ -1104,57 +1232,17 @@ object PipelineQueries {
            round(max(s.ppl), 6) AS max_ppl
          FROM scored s JOIN documents d ON d.doc_id = s.id
          GROUP BY 1 ORDER BY 1""",
-    // PQ replay: encode = per-(vec, subspace) L2-fold argmin over the
-    // 16 fixed codewords (dist ASC, c ASC rank-1); ADC = ordered
-    // per-subspace list fold, matching the engine's (…((0+d0)+d1)…)
-    // bracketing; rank on rounded distance with id tie-break
-    "t48_pq_adc" ->
-      """WITH cw AS (SELECT vec_id AS c, embedding AS v FROM embeddings
-                     WHERE vec_id < 16),
-         sub AS (
-           SELECT ms.m AS m, cw.c,
-             list_slice(cw.v, ms.m * 8 + 1, ms.m * 8 + 8) AS w
-           FROM cw CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
-         vecs AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-         enc AS (
-           SELECT vecs.id, s.m, s.c,
-             list_reduce(list_prepend(0.0,
-               list_transform(
-                 list_zip(list_slice(vecs.v, s.m * 8 + 1, s.m * 8 + 8), s.w),
-                 x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-                    * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
-               (a, b) -> a + b) AS dist
-           FROM vecs CROSS JOIN sub s),
-         codes AS (
-           SELECT id, m, c FROM (
-             SELECT id, m, c,
-               row_number() OVER (PARTITION BY id, m
-                                  ORDER BY dist ASC, c ASC) AS rk
-             FROM enc) WHERE rk = 1),
-         q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-               WHERE vec_id < 3),
-         lut AS (
-           SELECT q.qid, s.m, s.c,
-             list_reduce(list_prepend(0.0,
-               list_transform(
-                 list_zip(list_slice(q.qv, s.m * 8 + 1, s.m * 8 + 8), s.w),
-                 x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-                    * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
-               (a, b) -> a + b) AS dist
-           FROM q CROSS JOIN sub s),
-         adc AS (
-           SELECT l.qid, codes.id,
-             round(list_reduce(list_prepend(0.0, list(l.dist ORDER BY l.m)),
-               (a, b) -> a + b), 6) AS adc
-           FROM codes JOIN lut l ON l.m = codes.m AND l.c = codes.c
-           GROUP BY 1, 2),
-         r AS (
-           SELECT qid, id, adc,
-             row_number() OVER (PARTITION BY qid
-                                ORDER BY adc ASC, id) AS rank
-           FROM adc)
-         SELECT qid, id, adc, rank FROM r WHERE rank <= 10
-         ORDER BY qid, rank""",
+    // PQ replay ([[pqAdcOracle]]): encode = per-(vec, subspace)
+    // L2-fold argmin over the 16 fixed codewords (dist ASC, c ASC
+    // rank-1); ADC = ordered per-subspace list fold, matching the
+    // engine's (…((0+d0)+d1)…) bracketing; rank on rounded distance
+    // with id tie-break. t50 (IVFADC, full probe) shares it: the
+    // trained cell routing must be invisible in the result.
+    "t48_pq_adc" -> pqAdcOracle,
+    "t50_ivfadc" -> pqAdcOracle,
+    // 5 GD iterations as chained CTEs (assembled in
+    // [[qualityClassifierOracle]]) — weights must land bit-equal
+    "t51_quality_classifier" -> qualityClassifierOracle,
     // exact-containment replay (t24 shape, n=4, FULL corpus): the
     // bloom prefilter must be invisible in the result
     "t43_bloom_decontam" ->

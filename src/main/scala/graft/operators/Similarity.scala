@@ -217,6 +217,45 @@ object Similarity {
       .select(col("qid"), col("id"), col("adc"), col("rank"))
   }
 
+  /** IVFADC — the production ANN composition (Jégou et al. TPAMI
+    * 2011, §IV): a coarse quantizer routes every vector to an
+    * inverted-file cell, the PQ code rides in that cell's posting
+    * list, and a query scans only its `nProbe` nearest cells,
+    * computing asymmetric distances against codes. At 100 TB the code
+    * table is WRITTEN partitioned by cell (the literal inverted
+    * file), so a probe is a partition-pruned scan of ~nProbe/nCells
+    * of a corpus already 8–32× smaller than the raw vectors; here the
+    * cell column is derived inline. Recall < 1 twice over (unprobed
+    * cells + quantization error); full probe makes the cell structure
+    * invisible — gate t50 hash-matches the flat-ADC oracle exactly
+    * through the trained coarse quantizer, proving the composition
+    * loses nothing — and the exact-rerank tail is [[bruteForceTopK]]
+    * over the survivors. */
+  def ivfadcTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    import graft.functions.VectorFunctions
+    val cents = centroids.getOrElse(ivfTrain(corpus, idCol, vecCol, nCentroids))
+    val codes = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", element_at(VectorFunctions.nearestCentroids(col("v"), cents, 1), 1))
+      .select(col("id"), col("cell"),
+        VectorFunctions.pqEncode(col("v"), codebooks).as("codes"))
+    val probes = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+      .withColumn("cell", explode(VectorFunctions.nearestCentroids(col("qv"), cents, nProbe)))
+    // each corpus row lives in exactly ONE cell, so the cell join
+    // yields each (query, row) pair at most once — no dedupe needed
+    val cand = codes.join(probes, Seq("cell"))
+      .withColumn("adc", round(
+        VectorFunctions.pqAdc(col("qv"), col("codes"), codebooks), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("adc"), col("rank"))
+  }
+
   /** Cluster-assignment step (the E-step of k-means / IVF cell
     * routing, exposed as its own operator): label every vector with
     * its nearest centroid by cosine, from an arbitrary centroid TABLE

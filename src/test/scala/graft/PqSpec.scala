@@ -94,6 +94,27 @@ class PqSpec extends SparkTestBase {
       "trained codebook must not be worse than its own init on the sample")
   }
 
+  test("ivfadcTopK at full probe equals the flat ADC scan; partial probe only loses") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val queries = emb.filter(col("vec_id") < 2)
+    val flat = Similarity.pqTopK(
+      Similarity.pqEncode(emb, "vec_id", "embedding", books), "id", "codes",
+      queries, "vec_id", "embedding", books, k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val full = Similarity.ivfadcTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", books, k = 8, nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(full === flat, "full probe must equal the flat ADC scan")
+    // partial probe: per rank, distance can only be >= the full scan's
+    val partial = Similarity.ivfadcTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", books, k = 8, nCentroids = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getDouble(2)).toMap
+    partial.foreach { case (key, d) =>
+      assert(d >= flat(key)._2 - 1e-9, s"rank $key: partial $d below flat ${flat(key)._2}")
+    }
+  }
+
   test("pqTopK agrees with exact search on the reconstruction space") {
     val emb = Tables.embeddings(spark, sfDir)
     val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, ksub = 16)

@@ -168,6 +168,54 @@ class SelectionRetrievalSpec extends AnyFunSuite with SparkTestBase {
       s"en mean ppl $enMean must be below non-en mean $restMean")
   }
 
+  // --- trainQualityClassifier ---------------------------------------
+
+  test("one GD iteration matches a driver-side reference") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = PipelineContext.run { implicit ctx =>
+      CurationPipeline.trainQualityClassifier(
+        docs, "doc_id", "text", col("lang") === "en", iters = 1).collect()(0)
+    }
+    // reference: w = round9(-0.5 * mean(x * (0.5 - y))) from w=0
+    val feats = docs.select(col("text"), (col("lang") === "en").cast("int")).collect()
+      .map { r =>
+        val t = r.getString(0)
+        val toks = 1 + t.length - t.replace(" ", "").length
+        val theCnt = (t.length - t.replace("the", "").length) / 3
+        (Array(1.0, toks / 100.0, t.length.toDouble / toks / 10.0, theCnt.toDouble / toks),
+          r.getInt(1).toDouble)
+      }
+    val n = feats.length
+    val expect = (0 to 3).map { j =>
+      val g = feats.map { case (x, y) => x(j) * (0.5 - y) }.sum / n
+      val w = BigDecimal(-0.5 * g).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (0 to 3).foreach { j =>
+      assert(math.abs(got.getDouble(1 + j) - expect(j)) < 2e-6,
+        s"w$j ${got.getDouble(1 + j)} vs ${expect(j)}")
+    }
+  }
+
+  test("the trained classifier separates target from non-target documents") {
+    val docs = Tables.documents(spark, sfDir)
+    val row = PipelineContext.run { implicit ctx =>
+      CurationPipeline.trainQualityClassifier(
+        docs, "doc_id", "text", col("lang") === "en").collect()(0)
+    }
+    val w = (1 to 4).map(row.getDouble).toSeq
+    val scored = CurationPipeline.qualityClassifierScore(docs, "doc_id", "text", w)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .select(col("lang"), col("score")).collect()
+    val (en, rest) = scored.partition(_.getString(0) == "en")
+    val enMean = en.map(_.getDouble(1)).sum / en.length
+    val restMean = rest.map(_.getDouble(1)).sum / rest.length
+    assert(enMean > restMean,
+      s"en mean score $enMean must exceed non-en mean $restMean")
+    // and the loss must have improved over the w=0 baseline ln(2)
+    assert(row.getDouble(5) < math.log(2.0))
+  }
+
   // --- bm25TopDocs --------------------------------------------------
 
   test("bm25TopDocs matches a hand-computed score on a tiny corpus") {
