@@ -335,4 +335,81 @@ class PlanSpec extends SparkTestBase {
       ()
     }
   }
+
+  test("semanticDedup pairs come from a cluster-keyed equi-join, never a cartesian (t45 shape)") {
+    import org.apache.spark.sql.functions.col
+    graft.operators.PipelineContext.run { implicit ctx =>
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      val plan = planOf(graft.operators.Dedup.semanticDedup(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", minCosine = 0.35))
+      // the only nested-loop allowed is the broadcast-centroid cross
+      // join inside assignToCentroids (k rows); the PAIR stage must be
+      // a hash/merge equi-join on the cluster key
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      val bnl = plan.linesIterator.count(_.contains("BroadcastNestedLoop"))
+      assert(bnl <= 1, s"$bnl nested-loop joins (only the centroid broadcast is allowed):\n$plan")
+      ()
+    }
+  }
+
+  test("bm25 broadcasts query terms against the posting table (t47 shape)") {
+    import org.apache.spark.sql.functions.col
+    graft.operators.PipelineContext.run { implicit ctx =>
+      import spark.implicits._
+      val q = Seq((1L, "dup join")).toDF("qid", "qtext")
+      val plan = planOf(graft.operators.CurationPipeline.bm25TopDocs(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+        q, "qid", "qtext", k = 5))
+      assert(plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      ()
+    }
+  }
+
+  test("PQ ADC evaluates inside whole-stage codegen over the code scan (t48 shape)") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val rows = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toIndexedSeq)
+    val books = (0 until 8).map(m => rows.toSeq.map(v => v.slice(m * 8, m * 8 + 8)))
+    val df = graft.operators.Similarity.pqTopK(
+      graft.operators.Similarity.pqEncode(emb, "vec_id", "embedding", books),
+      "id", "codes",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", books, k = 5)
+    df.collect() // AQE finalizes stages
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("pq_adc"), s"no ADC expression in:\n$plan")
+    // pq_adc appears inside a codegen stage (a `*(n)`-starred subtree),
+    // not behind an interpreted fallback projection
+    val starred = plan.linesIterator.filter(_.contains("pq_adc")).toSeq
+    assert(starred.exists(_.contains("*(")), s"ADC outside codegen:\n${starred.mkString("\n")}")
+  }
+
+  test("classifier gradient passes are partial aggregates (t51 shape)") {
+    import org.apache.spark.sql.functions.col
+    graft.operators.PipelineContext.run { implicit ctx =>
+      // the returned frame is the final loss aggregate over the staged
+      // feature table — same shape as each gradient pass
+      val plan = planOf(graft.operators.CurationPipeline.trainQualityClassifier(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+        label = col("lang") === "en", iters = 1))
+      assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+      assert(!plan.contains("Join"), s"join in a pure aggregate pass:\n$plan")
+      ()
+    }
+  }
+
+  test("lmPerplexity joins on the bigram key - no cartesian (t49 shape)") {
+    import org.apache.spark.sql.functions.col
+    graft.operators.PipelineContext.run { implicit ctx =>
+      val plan = planOf(graft.operators.CurationPipeline.lmPerplexity(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+        lmTarget = col("lang") === "en"))
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      ()
+    }
+  }
 }
