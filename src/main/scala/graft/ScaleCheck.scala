@@ -132,7 +132,10 @@ object ScaleCheck {
       // classifier: both should stay near the job floor — the former
       // is narrow passes + a cell join, the latter 6 partial-agg
       // passes whose exchange carries 5 doubles each
-      "t50_ivfadc", "t51_quality_classifier").filter(q =>
+      "t50_ivfadc", "t51_quality_classifier",
+      // the composed selection pipeline: three signal pipelines + two
+      // exact-percentile cuts — composition should cost ≈ stage sum
+      "t52_selection_pipeline").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // Shapes whose scale-correct form needs to know k: SemDeDup's

@@ -785,10 +785,13 @@ object CurationPipeline {
         .collect()(0)
       w = Array.tabulate(4)(i => round9(w(i) - lr * g.getDouble(i)))
     }
+    // weights emitted at their native round-9 precision (the same
+    // values the update loop produced — downstream scoring and the
+    // oracle replay must see identical bits, not a display rounding)
     feats.agg(
       count(lit(1)).as("n_docs"),
-      round(lit(w(0)), 6).as("w0"), round(lit(w(1)), 6).as("w1"),
-      round(lit(w(2)), 6).as("w2"), round(lit(w(3)), 6).as("w3"),
+      lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+      lit(w(2)).as("w2"), lit(w(3)).as("w3"),
       round(sum(-(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p)))
         / count(lit(1)), 6).as("loss"))
   }

@@ -440,6 +440,50 @@ object PipelineQueries {
         label = col("lang") === "en")
     }
 
+  /** Composed selection pipeline — the quality-filtering front half of
+    * a training-data build, three independent signals cut at exact
+    * global percentiles with first-failure attribution:
+    * [[CurationPipeline.lmPerplexity]] (target-LM perplexity ≤ p60) →
+    * [[CurationPipeline.trainQualityClassifier]] (σ-score ≥ p40, the
+    * GD-trained weights flowing straight into scoring) →
+    * [[CurationPipeline.importanceWeights]] (DSIR score ≥ p40).
+    * The oracle replays ALL of it — LM arithmetic, the 5-iteration GD
+    * trajectory, the smoothed log-ratios, and the quantile_cont
+    * cutpoints — as one SQL statement; a hash match is end-to-end
+    * evidence the composition stays engine-portable, the t40 pattern
+    * for the round-8 selection family. */
+  def t52SelectionPipeline(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val docs = Tables.documents(spark, dir)
+      val en = col("lang") === "en"
+      val ppl = CurationPipeline.lmPerplexity(docs, "doc_id", "text", en)
+        .select(col("id"), round(col("ppl"), 6).as("ppl"))
+      val wRow = CurationPipeline.trainQualityClassifier(
+        docs, "doc_id", "text", en).collect()(0)
+      val clf = CurationPipeline.qualityClassifierScore(
+        docs, "doc_id", "text", (1 to 4).map(wRow.getDouble))
+        .select(col("id"), round(col("score"), 6).as("cs"))
+      val dsir = CurationPipeline.importanceWeights(docs, "doc_id", "text", en)
+        .select(col("id"), round(col("score"), 6).as("dscore"))
+      // the joined signal frame feeds the cutpoint agg AND the bucket
+      // pass — stage it or all three pipelines run twice
+      val joined = ctx.stagePersist(
+        ppl.join(clf, Seq("id")).join(dsir, Seq("id")))
+      val cuts = joined.agg(
+        round(percentile(col("ppl"), lit(0.6)), 6).as("pcut"),
+        round(percentile(col("cs"), lit(0.4)), 6).as("ccut"),
+        round(percentile(col("dscore"), lit(0.4)), 6).as("dcut"))
+      joined.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when(col("ppl") > col("pcut"), "ppl_fail")
+            .when(col("cs") < col("ccut"), "clf_fail")
+            .when(col("dscore") < col("dcut"), "dsir_fail")
+            .otherwise("kept"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+        .orderBy(col("bucket"))
+    }
+
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
     * decode-stub features → per-type accounting. The input is generated
     * in-engine (deterministic from ids), so the oracle is a fixture
@@ -910,46 +954,119 @@ object PipelineQueries {
     "t49_perplexity" -> t49Perplexity _,
     "t50_ivfadc" -> t50IvfAdc _,
     "t51_quality_classifier" -> t51QualityClassifier _,
+    "t52_selection_pipeline" -> t52SelectionPipeline _,
   )
 
-  /** The t51 oracle, assembled programmatically: 5 chained gradient-
-    * descent CTEs (each one aggregate over the feature CTE joined to
-    * the previous iteration's weights), replaying
-    * [[CurationPipeline.trainQualityClassifier]]'s arithmetic
-    * operation-for-operation — σ, the mean gradient, lr=0.5, and the
-    * round-9 weight update. */
-  private val qualityClassifierOracle: String = {
+  /** The t51/t52 oracle machinery, assembled programmatically: the
+    * feature CTE plus 5 chained gradient-descent CTEs (each one
+    * aggregate over the features joined to the previous iteration's
+    * weights), replaying [[CurationPipeline.trainQualityClassifier]]'s
+    * arithmetic operation-for-operation — σ, the mean gradient,
+    * lr=0.5, and the round-9 weight update. */
+  private def gdSigma(w: IndexedSeq[String]): String =
+    s"1.0/(1.0+exp(-(${w(0)}*x0 + ${w(1)}*x1 + ${w(2)}*x2 + ${w(3)}*x3)))"
+
+  /** `f AS (…), i1 AS (…), …, i5 AS (…)` — the shared GD CTE chain. */
+  private val gdCtes: String = {
     val feats =
-      """SELECT 1.0 AS x0,
+      """SELECT doc_id AS id, 1.0 AS x0,
         (1 + len(text) - len(replace(text, ' ', ''))) / 100.0 AS x1,
         len(text) / (1 + len(text) - len(replace(text, ' ', ''))) / 10.0 AS x2,
         ((len(text) - len(replace(text, 'the', ''))) / 3)
           / (1 + len(text) - len(replace(text, ' ', ''))) AS x3,
         CAST(CAST(lang = 'en' AS INT) AS DOUBLE) AS y
       FROM documents"""
-    def sigma(w: IndexedSeq[String]): String =
-      s"1.0/(1.0+exp(-(${w(0)}*x0 + ${w(1)}*x1 + ${w(2)}*x2 + ${w(3)}*x3)))"
     val iters = (1 to 5).map { k =>
       val prev: IndexedSeq[String] =
         if (k == 1) IndexedSeq.fill(4)("0.0")
         else (0 to 3).map(j => s"i${k - 1}.w$j")
       val cols = (0 to 3).map(j =>
-        s"round(${prev(j)} - 0.5 * (sum(x$j * (${sigma(prev)} - y)) / count(*)), 9) AS w$j")
+        s"round(${prev(j)} - 0.5 * (sum(x$j * (${gdSigma(prev)} - y)) / count(*)), 9) AS w$j")
         .mkString(",\n           ")
       val from = if (k == 1) "FROM f"
         else s"FROM f CROSS JOIN i${k - 1} GROUP BY ${prev.mkString(", ")}"
       s"i$k AS (SELECT $cols\n         $from)"
     }.mkString(",\n         ")
+    s"f AS ($feats),\n         $iters"
+  }
+
+  private val qualityClassifierOracle: String = {
     val wF: IndexedSeq[String] = (0 to 3).map(j => s"i5.w$j")
-    s"""WITH f AS ($feats),
-         $iters
+    s"""WITH $gdCtes
          SELECT count(*) AS n_docs,
-           round(i5.w0, 6) AS w0, round(i5.w1, 6) AS w1,
-           round(i5.w2, 6) AS w2, round(i5.w3, 6) AS w3,
-           round(sum(-(y * ln(${sigma(wF)})
-                       + (1.0 - y) * ln(1.0 - ${sigma(wF)}))) / count(*), 6)
+           i5.w0 AS w0, i5.w1 AS w1, i5.w2 AS w2, i5.w3 AS w3,
+           round(sum(-(y * ln(${gdSigma(wF)})
+                       + (1.0 - y) * ln(1.0 - ${gdSigma(wF)}))) / count(*), 6)
              AS loss
          FROM f CROSS JOIN i5 GROUP BY i5.w0, i5.w1, i5.w2, i5.w3"""
+  }
+
+  /** The t52 oracle: the GD chain feeds a per-doc classifier score,
+    * joined with the t49 perplexity replay and the t46 DSIR replay
+    * (CTE names suffixed to avoid collisions), cut at exact
+    * quantile_cont thresholds (= Spark's `percentile`), bucketed by
+    * first failing stage. */
+  private val selectionPipelineOracle: String = {
+    val wF: IndexedSeq[String] = (0 to 3).map(j => s"i5.w$j")
+    s"""WITH $gdCtes,
+         clf AS (
+           SELECT f.id, round(${gdSigma(wF)}, 6) AS cs
+           FROM f CROSS JOIN i5),
+         d2 AS (
+           SELECT doc_id AS id, (lang = 'en') AS tgt,
+             list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+           FROM documents),
+         bg AS (
+           SELECT id, tgt,
+             string_split(u.g, ' ')[1] AS p, string_split(u.g, ' ')[2] AS c
+           FROM d2,
+             unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS u(g)
+           WHERE len(w) >= 2),
+         bc2 AS (SELECT p, c, count(*) AS bc FROM bg WHERE tgt GROUP BY 1, 2),
+         pc2 AS (SELECT p, CAST(sum(bc) AS BIGINT) AS pc FROM bc2 GROUP BY 1),
+         vv AS (SELECT count(DISTINCT u.t) AS v
+                FROM d2, unnest(w) AS u(t) WHERE tgt),
+         ppl AS (
+           SELECT bg.id,
+             round(exp(-(sum(ln((coalesce(bc2.bc, 0) + 1.0)
+                          / (coalesce(pc2.pc, 0) + vv.v))) / count(*))), 6) AS ppl
+           FROM bg
+           LEFT JOIN bc2 ON bc2.p = bg.p AND bc2.c = bg.c
+           LEFT JOIN pc2 ON pc2.p = bg.p
+           CROSS JOIN vv
+           GROUP BY 1),
+         wd AS (
+           SELECT doc_id AS id, (lang = 'en') AS tgt, u.term AS term
+           FROM documents, unnest(string_split(text, ' ')) AS u(term)
+           WHERE len(u.term) > 0),
+         wc2 AS (SELECT id, tgt, term, count(*) AS cnt
+                 FROM wd GROUP BY 1, 2, 3),
+         st2 AS (
+           SELECT term, sum(cnt) AS cr,
+             sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS ct
+           FROM wc2 GROUP BY 1),
+         tot2 AS (SELECT sum(cr) AS r_tot, sum(ct) AS t_tot,
+                    count(*) AS v FROM st2),
+         lw2 AS (
+           SELECT term,
+             ln((ct + 1.0) / (t_tot + v)) - ln((cr + 1.0) / (r_tot + v)) AS lw
+           FROM st2 CROSS JOIN tot2),
+         ds AS (SELECT wc2.id, round(sum(cnt * lw), 6) AS dscore
+                FROM wc2 JOIN lw2 USING (term) GROUP BY 1),
+         j AS (
+           SELECT ppl.id, ppl.ppl, clf.cs, ds.dscore
+           FROM ppl JOIN clf USING (id) JOIN ds USING (id)),
+         cut AS (
+           SELECT round(quantile_cont(ppl, 0.6), 6) AS pcut,
+             round(quantile_cont(cs, 0.4), 6) AS ccut,
+             round(quantile_cont(dscore, 0.4), 6) AS dcut
+           FROM j)
+         SELECT CASE WHEN j.ppl > cut.pcut THEN 'ppl_fail'
+                  WHEN j.cs < cut.ccut THEN 'clf_fail'
+                  WHEN j.dscore < cut.dcut THEN 'dsir_fail'
+                  ELSE 'kept' END AS bucket,
+           count(*) AS n, CAST(sum(j.id) AS BIGINT) AS id_sum
+         FROM j CROSS JOIN cut GROUP BY 1 ORDER BY 1"""
   }
 
   /** The flat-ADC replay shared by t48 (brute ADC scan) and t50
@@ -1243,6 +1360,9 @@ object PipelineQueries {
     // 5 GD iterations as chained CTEs (assembled in
     // [[qualityClassifierOracle]]) — weights must land bit-equal
     "t51_quality_classifier" -> qualityClassifierOracle,
+    // the composed replay: GD chain -> per-doc score, LM perplexity,
+    // DSIR ratios, quantile_cont cuts, first-failure buckets
+    "t52_selection_pipeline" -> selectionPipelineOracle,
     // exact-containment replay (t24 shape, n=4, FULL corpus): the
     // bloom prefilter must be invisible in the result
     "t43_bloom_decontam" ->

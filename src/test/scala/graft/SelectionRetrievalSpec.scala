@@ -216,6 +216,22 @@ class SelectionRetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getDouble(5) < math.log(2.0))
   }
 
+  // --- composed selection pipeline ----------------------------------
+
+  test("selection pipeline buckets partition the corpus with a real kept set") {
+    val out = graft.operators.PipelineQueries
+      .t52SelectionPipeline(spark, sfDir).collect()
+    val byBucket = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.documents(spark, sfDir).count()
+    assert(byBucket.values.sum === total, "buckets must partition the corpus")
+    assert(byBucket.getOrElse("kept", 0L) > 0L, "empty kept set")
+    assert(byBucket.getOrElse("kept", 0L) < total, "nothing filtered")
+    // first-failure attribution: the p60 perplexity cut alone drops
+    // ~40% of docs, so ppl_fail must be the largest drop bucket
+    assert(byBucket.getOrElse("ppl_fail", 0L) >=
+      byBucket.getOrElse("clf_fail", 0L))
+  }
+
   // --- bm25TopDocs --------------------------------------------------
 
   test("bm25TopDocs matches a hand-computed score on a tiny corpus") {
