@@ -135,7 +135,10 @@ object ScaleCheck {
       "t50_ivfadc", "t51_quality_classifier",
       // the composed selection pipeline: three signal pipelines + two
       // exact-percentile cuts — composition should cost ≈ stage sum
-      "t52_selection_pipeline").filter(q =>
+      "t52_selection_pipeline",
+      // greedy MMR: k scans with a <=k-row broadcast per round —
+      // linear per round by construction
+      "t53_mmr_select").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // Shapes whose scale-correct form needs to know k: SemDeDup's

@@ -484,6 +484,22 @@ object PipelineQueries {
         .orderBy(col("bucket"))
     }
 
+  /** MMR diverse selection ([[Similarity.mmrSelect]], k=8, λ=0.5,
+    * query = embedding 0, which is excluded from candidates): the
+    * greedy trajectory — per-round argmax of rel − λ·max-sim-to-
+    * selected with rounded scores and id tie-breaks — replays as 8
+    * chained CTEs in the oracle; a hash match pins every pick AND its
+    * marginal score. */
+  def t53MmrSelect(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val emb = Tables.embeddings(spark, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      Similarity.mmrSelect(emb, "vec_id", "embedding",
+        queryVec = q, k = 8, lambda = 0.5, excludeIds = Seq(0L))
+        .orderBy(col("rank"))
+    }
+
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
     * decode-stub features → per-type accounting. The input is generated
     * in-engine (deterministic from ids), so the oracle is a fixture
@@ -955,7 +971,56 @@ object PipelineQueries {
     "t50_ivfadc" -> t50IvfAdc _,
     "t51_quality_classifier" -> t51QualityClassifier _,
     "t52_selection_pipeline" -> t52SelectionPipeline _,
+    "t53_mmr_select" -> t53MmrSelect _,
   )
+
+  /** Shared DuckDB fold fragments for the vector oracles — the same
+    * strict left-to-right double accumulation the native expressions
+    * generate. */
+  private def dotFold(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b)"""
+  private def normFold(a: String): String =
+    s"""sqrt(list_reduce(list_prepend(0.0, list_transform($a,
+       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))"""
+
+  /** The t53 oracle: greedy MMR as chained CTEs — round r scores the
+    * unselected candidates against the union of rounds 1..r−1 and
+    * QUALIFY-picks the (mscore DESC, id) argmax. */
+  private val mmrOracle: String = {
+    val k = 8
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS (
+           SELECT c.id, max(round(${dotFold("c.v", "s.v")} / (c.nv * s.nv), 6)) AS msim
+           FROM rel c CROSS JOIN u${r - 1} s
+           WHERE c.id NOT IN (SELECT id FROM u${r - 1})
+           GROUP BY c.id),
+         s$r AS (
+           SELECT c.id, c.v, c.nv, c.rel,
+             round(c.rel - 0.5 * m.msim, 6) AS mscore
+           FROM rel c JOIN m$r m ON m.id = c.id
+           QUALIFY row_number() OVER (ORDER BY mscore DESC, c.id) = 1),
+         u$r AS (SELECT * FROM u${r - 1}
+                 UNION ALL SELECT id, v, nv, rel, mscore FROM s$r)"""
+    }.mkString(",\n         ")
+    val finalUnion = (1 to k).map(r =>
+      s"SELECT $r AS rank, id, mscore FROM s$r").mkString("\n           UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v,
+             ${normFold("embedding")} AS nv
+           FROM embeddings),
+         q AS (SELECT v AS qv, nv AS nq FROM e WHERE id = 0),
+         rel AS (
+           SELECT e.id, e.v, e.nv,
+             round(${dotFold("e.v", "q.qv")} / (e.nv * q.nq), 6) AS rel
+           FROM e CROSS JOIN q WHERE e.id <> 0),
+         s1 AS (
+           SELECT id, v, nv, rel, rel AS mscore FROM rel
+           QUALIFY row_number() OVER (ORDER BY rel DESC, id) = 1),
+         u1 AS (SELECT * FROM s1),
+         $rounds
+         $finalUnion
+         ORDER BY rank"""
+  }
 
   /** The t51/t52 oracle machinery, assembled programmatically: the
     * feature CTE plus 5 chained gradient-descent CTEs (each one
@@ -1363,6 +1428,8 @@ object PipelineQueries {
     // the composed replay: GD chain -> per-doc score, LM perplexity,
     // DSIR ratios, quantile_cont cuts, first-failure buckets
     "t52_selection_pipeline" -> selectionPipelineOracle,
+    // greedy-MMR trajectory as chained argmax CTEs ([[mmrOracle]])
+    "t53_mmr_select" -> mmrOracle,
     // exact-containment replay (t24 shape, n=4, FULL corpus): the
     // bloom prefilter must be invisible in the result
     "t43_bloom_decontam" ->

@@ -256,6 +256,64 @@ object Similarity {
       .select(col("qid"), col("id"), col("adc"), col("rank"))
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein,
+    * SIGIR 1998) — greedy diverse exemplar picking: each round takes
+    * the candidate maximizing `rel − λ·max_{s∈selected} sim(x, s)`,
+    * trading query relevance against redundancy with what's already
+    * chosen. The diverse-few-shot / dataset-diversification
+    * selection step; λ=1 is pure relevance, λ→large is pure
+    * diversity.
+    *
+    * Shape at 100 TB: each of the k rounds is one scan of the
+    * candidate corpus with the ≤k selected vectors broadcast (the
+    * max-sim is a partial-agg max over a k-row broadcast join) and a
+    * TakeOrdered(1) pick — k scans total, the classic greedy-MMR
+    * cost; batch variants (pick top-m per round) amortize scans at
+    * some diversity loss. Only the k picked vectors ever reach the
+    * driver. All similarities and scores round to 6 digits with id
+    * tie-breaks, so the full greedy trajectory replays relationally
+    * (gate t53). */
+  def mmrSelect(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], k: Int, lambda: Double = 0.5,
+      excludeIds: Seq[Long] = Nil)(
+      implicit ctx: graft.operators.PipelineContext): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(k >= 1, "k must be positive")
+    val spark = corpus.sparkSession
+    val qv = typedLit(queryVec.toArray)
+    val base0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = ctx.stagePersist(
+      (if (excludeIds.isEmpty) base0 else base0.filter(!col("id").isin(excludeIds: _*)))
+        .withColumn("nv", l2Norm(col("v")))
+        .withColumn("rel", round(cosinePre(dot(col("v"), qv), col("nv"), l2Norm(qv)), 6)))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+    (1 to k).foreach { _ =>
+      val cand = if (selected.isEmpty) base
+        else base.filter(!col("id").isin(selected.map(_._1).toSeq: _*))
+      val scored =
+        if (selected.isEmpty) cand.withColumn("mscore", col("rel"))
+        else {
+          val selDf = spark.createDataFrame(
+            selected.map(s => (s._1, s._2)).toSeq).toDF("sid", "sv")
+            .withColumn("nsv", l2Norm(col("sv")))
+          val msim = cand.crossJoin(broadcast(selDf))
+            .withColumn("sim",
+              round(cosinePre(dot(col("v"), col("sv")), col("nv"), col("nsv")), 6))
+            .groupBy(col("id")).agg(max(col("sim")).as("msim"))
+          cand.join(msim, Seq("id"))
+            .withColumn("mscore", round(col("rel") - lit(lambda) * col("msim"), 6))
+        }
+      val pick = scored.orderBy(col("mscore").desc, col("id")).limit(1)
+        .select(col("id"), col("v").cast("array<float>"), col("mscore"))
+        .collect()(0)
+      selected += ((pick.getLong(0), pick.getSeq[Float](1).toArray, pick.getDouble(2)))
+    }
+    spark.createDataFrame(
+      selected.zipWithIndex.map { case ((id, _, ms), i) => (i + 1, id, ms) }.toSeq)
+      .toDF("rank", "id", "mscore")
+  }
+
   /** Cluster-assignment step (the E-step of k-means / IVF cell
     * routing, exposed as its own operator): label every vector with
     * its nearest centroid by cosine, from an arbitrary centroid TABLE

@@ -115,6 +115,44 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("mmrSelect equals a driver-side greedy reference") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val got = graft.operators.PipelineContext.run { implicit ctx =>
+      Similarity.mmrSelect(emb, "vec_id", "embedding",
+        queryVec = q, k = 5, lambda = 0.5, excludeIds = Seq(0L))
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    }
+    // reference greedy with the same rounding discipline
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val qd = vecs(0L)
+    var sel = Vector.empty[(Long, Double)]
+    (1 to 5).foreach { _ =>
+      val cand = vecs.keys.filter(id => id != 0L && !sel.exists(_._1 == id))
+      val pick = cand.map { id =>
+        val rel = cos(vecs(id), qd)
+        val ms = if (sel.isEmpty) rel
+          else r6(rel - 0.5 * sel.map(s => cos(vecs(id), vecs(s._1))).max)
+        (id, ms)
+      }.minBy { case (id, ms) => (-ms, id) }
+      sel :+= pick
+    }
+    assert(got.map(_._2).toSeq === sel.map(_._1))
+    got.zip(sel).foreach { case ((_, _, ms), (_, ref)) =>
+      assert(math.abs(ms - ref) < 2e-6, s"marginal score $ms vs $ref")
+    }
+    assert(got.map(_._1).toSeq === (1 to 5))
+  }
+
   test("pqTopK agrees with exact search on the reconstruction space") {
     val emb = Tables.embeddings(spark, sfDir)
     val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, ksub = 16)
