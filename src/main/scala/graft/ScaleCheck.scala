@@ -138,7 +138,11 @@ object ScaleCheck {
       "t52_selection_pipeline",
       // greedy MMR: k scans with a <=k-row broadcast per round —
       // linear per round by construction
-      "t53_mmr_select").filter(q =>
+      "t53_mmr_select",
+      // streaming corpus dedup: per-batch cost = incoming ×
+      // corpus-index (the t37 shape inside foreachBatch) + the
+      // streaming machinery constant
+      "s06_stream_corpus_dedup").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // Shapes whose scale-correct form needs to know k: SemDeDup's

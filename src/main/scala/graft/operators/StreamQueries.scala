@@ -228,15 +228,134 @@ object StreamQueries {
       .orderBy(col("identifier"))
   }
 
+  /** s06: STREAMING corpus dedup — the streaming × dedup family
+    * composition: documents arrive in two ordered micro-batches
+    * (even doc_ids first, then odd; `maxFilesPerTrigger=1` under
+    * AvailableNow with explicit mtimes pins the order), and each
+    * batch is (a) within-batch exact-deduped (min doc_id per content
+    * md5) then (b) deduped against the ACCUMULATED corpus with
+    * [[Dedup.dedupAgainst]] (exact md5 anti-join + minhash-banded
+    * near-dup with exact word-bigram verify, θ=0.4 — the t37
+    * configuration) before its survivors append to the corpus. The
+    * returned frame is the corpus end state: (doc_id, batch) rows —
+    * each batch-1 survivor proves no earlier-batch exact OR near
+    * duplicate absorbed it.
+    *
+    * The oracle replays the sequential semantics relationally (batch
+    * 0 exact-dedup, then batch 1 vs batch-0 SURVIVORS), valid for
+    * the same reason as t37: the verify stage is exact (precision 1)
+    * and planted near-pairs sit at J ≥ 0.9 where 16-band recall is
+    * 1 − 1e-8. At 100 TB this IS the streaming ingest shape:
+    * per-batch cost is incoming × corpus-index, never corpus², and
+    * the corpus side would be a bucketed signature index maintained
+    * incrementally ([[Dedup.dedupAgainst]]'s scale note). */
+  def s06StreamCorpusDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = scratchBase.resolve("s06")
+    rmTree(base.toFile)
+    Files.createDirectories(base)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val watch = s"$base/watch"
+    Files.createDirectories(java.nio.file.Paths.get(watch))
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$watch/b0")
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.parquet(s"$watch/b1")
+    // the file source orders by (mtime, path): pin batch order
+    val now = System.currentTimeMillis()
+    def stamp(sub: String, t: Long): Unit = {
+      val d = new java.io.File(s"$watch/$sub")
+      (d +: Option(d.listFiles()).toSeq.flatten).foreach(_.setLastModified(t))
+    }
+    stamp("b0", now - 120000); stamp("b1", now)
+    val corpusDir = s"$base/corpus"
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(watch)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // (a) within-batch exact dedup, min doc_id per content hash
+        val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val clean = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        if (!new java.io.File(corpusDir).exists())
+          clean.write.mode("append").parquet(corpusDir)
+        else PipelineContext.run { implicit ctx =>
+          // (b) exact + near dedup against the accumulated corpus;
+          // the append IS the consuming action (staged frames free
+          // only after it lands)
+          Dedup.dedupAgainst(
+            clean, spark.read.parquet(corpusDir), "doc_id", "text",
+            shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+            minJaccard = 0.4)
+            .write.mode("append").parquet(corpusDir)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(corpusDir)
+      .select(col("doc_id"), (col("doc_id") % 2).cast("int").as("batch"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_window" -> (s01StreamWindow(_, _)),
     "s02_stream_dedup" -> (s02StreamDedup(_, _)),
     "s03_stream_sessions" -> (s03StreamSessions(_, _)),
     "s04_stream_interval_join" -> (s04StreamIntervalJoin(_, _)),
-    "s05_stream_ingest" -> (s05StreamIngest(_, _)))
+    "s05_stream_ingest" -> (s05StreamIngest(_, _)),
+    "s06_stream_corpus_dedup" -> (s06StreamCorpusDedup(_, _)))
 
   /** DuckDB replay of the emitted state, watermark semantics included. */
   val oracle: Map[String, String] = Map(
+    // sequential two-batch replay: batch 0 keeps min doc_id per
+    // content hash; batch 1 additionally survives exact AND exact
+    // word-bigram-Jaccard >= 0.4 checks against batch 0's SURVIVORS
+    // (the t37 recall/precision argument makes the minhash path
+    // replayable)
+    "s06_stream_corpus_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS batch
+           FROM documents),
+         e0 AS (
+           SELECT doc_id, text FROM d WHERE batch = 0
+           QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) = 1),
+         e1 AS (
+           SELECT doc_id, text FROM d WHERE batch = 1
+           QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) = 1),
+         x1 AS (
+           SELECT e1.doc_id, e1.text FROM e1
+           WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.text = e1.text)),
+         g0 AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS w
+                 FROM e0)
+           WHERE len(w) >= 2),
+         g1 AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS w
+                 FROM x1)
+           WHERE len(w) >= 2),
+         dropped AS (
+           SELECT DISTINCT i.doc_id
+           FROM g1 i JOIN g0 e
+             ON len(list_intersect(i.g, e.g))::DOUBLE /
+                (len(i.g) + len(e.g) - len(list_intersect(i.g, e.g))) >= 0.4)
+         SELECT doc_id, 0 AS batch FROM e0
+         UNION ALL
+         SELECT doc_id, 1 AS batch FROM x1
+         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         ORDER BY doc_id""",
     // a window is emitted iff its END is at or below the final
     // watermark — which Spark computes at MILLISECOND resolution
     // (floor-to-ms of max event time, minus the delay; non-strict <=

@@ -161,4 +161,29 @@ class StreamingGateSpec extends SparkTestBase {
     assert(out.map(_.getString(0)).distinct.length === 25) // cross-drop dup collapsed
     assert(out.forall(_.getString(3) == "stream-0")) // batch provenance stamped
   }
+
+  test("s06: streaming corpus dedup absorbs exact and near duplicates sequentially") {
+    val out = graft.operators.StreamQueries
+      .s06StreamCorpusDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // survivors are unique ids, each tagged with its parity batch
+    assert(out.map(_._1).distinct.length === out.length)
+    out.foreach { case (id, b) => assert(b === (id % 2).toInt) }
+    // something was absorbed (the corpus plants exact + near dups)
+    assert(out.length < docs.length, "no duplicates absorbed")
+    // no surviving batch-1 doc repeats a batch-0 survivor's exact text
+    val kept = out.map(_._1).toSet
+    val text0 = docs.filter { case (id, _) => id % 2 == 0 && kept(id) }.map(_._2).toSet
+    docs.filter { case (id, _) => id % 2 == 1 && kept(id) }.foreach { case (id, t) =>
+      assert(!text0.contains(t), s"batch-1 doc $id repeats a batch-0 text")
+    }
+    // determinism: a second full run (fresh scratch) is identical
+    val again = graft.operators.StreamQueries
+      .s06StreamCorpusDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(again.toSeq === out.toSeq)
+  }
 }
