@@ -242,4 +242,121 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  // ---- round-8 selection/retrieval operators ------------------------------
+
+  /** Small random corpora over a fixed vocabulary: enough repeated
+    * words that tf/df/bigram statistics are non-trivial. */
+  private val selVocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta")
+  private val docGen: Gen[String] =
+    Gen.chooseNum(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(selVocab)).map(_.mkString(" ")))
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("bm25TopDocs matches a driver-side reference on random corpora") {
+    samples(Gen.listOfN(12, docGen), 6).zipWithIndex.foreach { case (texts, it) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val queries = Seq((1L, texts.head.split(" ").take(2).mkString(" ")))
+        .toDF("qid", "qtext")
+      val got = PipelineContext.run { implicit ctx =>
+        graft.operators.CurationPipeline.bm25TopDocs(
+          docs, "id", "text", queries, "qid", "qtext", k = 5)
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getLong(1), r.getDouble(2)))
+      }
+      // reference BM25 with the same ieee constant folds and rounding
+      val toks = texts.map(_.split(" ").toSeq)
+      val n = toks.length
+      val avgdl = toks.map(_.length).sum.toDouble / n
+      val qTerms = texts.head.split(" ").take(2).distinct.toSeq
+      val scores = toks.zipWithIndex.flatMap { case (ws, id) =>
+        val dl = ws.length
+        val hit = qTerms.filter(ws.contains)
+        if (hit.isEmpty) None
+        else {
+          val sc = hit.map { t =>
+            val df = toks.count(_.contains(t))
+            val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            val tf = ws.count(_ == t)
+            idf * (tf * (1.2 + 1.0)) /
+              (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+          }.sum
+          Some(id.toLong -> r6(sc))
+        }
+      }
+      val expect = scores.sortBy { case (id, sc) => (-sc, id) }.take(5)
+      assert(got.map(_._1).toSeq === expect.map(_._1),
+        s"iteration $it ranking mismatch")
+      got.zip(expect).foreach { case ((_, g), (_, e)) =>
+        assert(math.abs(g - e) < 2e-6, s"iteration $it score $g vs $e")
+      }
+    }
+  }
+
+  test("lmPerplexity matches a driver-side add-1 bigram reference on random corpora") {
+    samples(Gen.listOfN(10, docGen), 6).zipWithIndex.foreach { case (texts, it) =>
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, i % 2 == 0) }.toDF("id", "text", "tgt")
+      val got = PipelineContext.run { implicit ctx =>
+        graft.operators.CurationPipeline.lmPerplexity(
+          docs, "id", "text", col("tgt"))
+          .orderBy(col("id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+      val toks = texts.map(_.split(" ").toSeq)
+      val tgt = toks.zipWithIndex.filter(_._2 % 2 == 0).map(_._1)
+      val bigrams = (ws: Seq[String]) => ws.sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))).toSeq
+      val bc = tgt.flatMap(bigrams).groupBy(identity).map { case (k, v) => k -> v.size }
+      val pc = bc.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+      val v = tgt.flatten.distinct.size
+      got.foreach { case (id, nb, ppl) =>
+        val bs = bigrams(toks(id.toInt))
+        assert(nb === bs.length.toLong, s"iteration $it doc $id n_bigrams")
+        val lp = bs.map { b =>
+          math.log((bc.getOrElse(b, 0) + 1.0) / (pc.getOrElse(b._1, 0) + v))
+        }.sum / bs.length
+        assert(math.abs(ppl - math.exp(-lp)) < 1e-9,
+          s"iteration $it doc $id ppl $ppl vs ${math.exp(-lp)}")
+      }
+    }
+  }
+
+  test("semanticDedup matches the greedy-exists rule on random unit vectors") {
+    val vecGen: Gen[Array[Float]] =
+      Gen.listOfN(4, Gen.chooseNum(-1.0, 1.0)).map(_.map(_.toFloat).toArray)
+        .suchThat(v => v.exists(math.abs(_) > 0.05))
+    samples(Gen.listOfN(24, vecGen), 4).zipWithIndex.foreach { case (vs, it) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val cents = df.filter(col("id") < 3)
+      val got = PipelineContext.run { implicit ctx =>
+        Dedup.semanticDedup(df, "id", "v", cents, "id", "v", minCosine = 0.8)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        r6(d / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      // reference assignment: rounded argmax, smaller centroid wins ties
+      val assign = vs.indices.map { i =>
+        i.toLong -> (0 until 3).map(c => (c.toLong, cos(vs(i), vs(c))))
+          .maxBy { case (c, s) => (s, -c) }._1
+      }.toMap
+      vs.indices.foreach { i =>
+        val id = i.toLong
+        assert(got(id)._1 === assign(id), s"iteration $it vec $id cluster")
+        val dup = vs.indices.exists(o => o < i && assign(o.toLong) == assign(id)
+          && cos(vs(o), vs(i)) >= 0.8)
+        assert((got(id)._2 == 1L) === dup, s"iteration $it vec $id dup flag")
+      }
+    }
+  }
 }
