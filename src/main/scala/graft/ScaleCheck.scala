@@ -142,7 +142,9 @@ object ScaleCheck {
       // streaming corpus dedup: per-batch cost = incoming ×
       // corpus-index (the t37 shape inside foreachBatch) + the
       // streaming machinery constant
-      "s06_stream_corpus_dedup").filter(q =>
+      "s06_stream_corpus_dedup",
+      // token-budget sampling: one window per source partition
+      "t54_token_budget").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // Shapes whose scale-correct form needs to know k: SemDeDup's

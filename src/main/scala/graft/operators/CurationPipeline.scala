@@ -683,6 +683,38 @@ object CurationPipeline {
         sum(col("cnt") * col("lw")).as("score"))
   }
 
+  /** Token-budgeted source sampling — epoch construction: fill each
+    * source's token budget by taking documents in the content-stable
+    * md5-bucket order (same no-RNG family as [[hashSplit]] /
+    * [[mixSources]]) until the EXCLUSIVE running token count reaches
+    * the budget — the "sample B tokens from each domain" step that
+    * turns per-source epoch factors into a concrete document set,
+    * reproducible across engines and cluster sizes, with nested
+    * subsets as budgets shrink (a smaller budget keeps a prefix of
+    * the same order).
+    *
+    * Shape at 100 TB: one window per SOURCE partition (running sum in
+    * hash order — embarrassingly parallel across sources, the
+    * [[packSequences]] discipline; a whale source further shards by
+    * md5 group exactly as packSequences does). Returns the kept rows:
+    * (source, id, tokens). */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = lit(1) + length(col(textCol)) -
+      length(regexp_replace(col(textCol), " ", ""))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__ord"), col("id"))
+    docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
+      toks.cast("long").as("tokens"),
+      md5Bucket(col(idCol), 10000).as("__ord"))
+      .withColumn("__off",
+        coalesce(sum(col("tokens")).over(w) - col("tokens"), lit(0L)))
+      .filter(col("__off") < budgetTokens)
+      .select(col("source"), col("id"), col("tokens"))
+  }
+
   /** CCNet-style language-model perplexity scoring (Wenzek et al.,
     * "CCNet: Extracting High Quality Monolingual Datasets from Web
     * Crawl Data", LREC 2020): train a bigram LM with add-1 smoothing

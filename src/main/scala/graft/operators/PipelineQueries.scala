@@ -500,6 +500,20 @@ object PipelineQueries {
         .orderBy(col("rank"))
     }
 
+  /** Token-budgeted source sampling
+    * ([[CurationPipeline.tokenBudgetSample]], 800 tokens per source):
+    * per-source accounting of the kept epoch — the oracle replays the
+    * md5-bucket order and the exclusive running-sum cut. */
+  def t54TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.tokenBudgetSample(
+      Tables.documents(spark, dir), "doc_id", "text", "source",
+      budgetTokens = 800L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("tokens")).as("tokens_kept"),
+        sum(col("id")).as("id_sum"))
+      .orderBy(col("source"))
+
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
     * decode-stub features → per-type accounting. The input is generated
     * in-engine (deterministic from ids), so the oracle is a fixture
@@ -972,6 +986,7 @@ object PipelineQueries {
     "t51_quality_classifier" -> t51QualityClassifier _,
     "t52_selection_pipeline" -> t52SelectionPipeline _,
     "t53_mmr_select" -> t53MmrSelect _,
+    "t54_token_budget" -> t54TokenBudget _,
   )
 
   /** Shared DuckDB fold fragments for the vector oracles — the same
@@ -1430,6 +1445,24 @@ object PipelineQueries {
     "t52_selection_pipeline" -> selectionPipelineOracle,
     // greedy-MMR trajectory as chained argmax CTEs ([[mmrOracle]])
     "t53_mmr_select" -> mmrOracle,
+    // md5-bucket order + exclusive running-sum cut per source
+    "t54_token_budget" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+             1 + len(text) - len(replace(text, ' ', '')) AS tokens,
+             CAST(CONCAT('0x',
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 AS ord
+           FROM documents),
+         o AS (
+           SELECT source, doc_id, tokens,
+             sum(tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+                               ROWS UNBOUNDED PRECEDING) - tokens AS off
+           FROM t)
+         SELECT source, count(*) AS n_kept,
+           CAST(sum(tokens) AS BIGINT) AS tokens_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM o WHERE off < 800 GROUP BY 1 ORDER BY 1""",
     // exact-containment replay (t24 shape, n=4, FULL corpus): the
     // bloom prefilter must be invisible in the result
     "t43_bloom_decontam" ->

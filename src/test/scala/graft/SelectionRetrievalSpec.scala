@@ -232,6 +232,33 @@ class SelectionRetrievalSpec extends AnyFunSuite with SparkTestBase {
       byBucket.getOrElse("clf_fail", 0L))
   }
 
+  // --- tokenBudgetSample --------------------------------------------
+
+  test("tokenBudgetSample: budget cut is exclusive, ordered, and nested") {
+    val docs = Tables.documents(spark, sfDir)
+    def kept(budget: Long) = CurationPipeline.tokenBudgetSample(
+      docs, "doc_id", "text", "source", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val small = kept(400L); val big = kept(800L)
+    // nested-subset property: a smaller budget keeps a prefix of the
+    // same content-stable order
+    val bigSet = big.map(t => (t._1, t._2)).toSet
+    small.foreach { case (s, id, _) =>
+      assert(bigSet((s, id)), s"doc $id in budget-400 but not budget-800")
+    }
+    assert(small.length < big.length)
+    // per source: every doc's EXCLUSIVE offset is under budget, so
+    // kept tokens < budget + the crossing doc's own size
+    big.groupBy(_._1).foreach { case (src, rows) =>
+      val total = rows.map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      assert(total < 800L + maxDoc, s"source $src kept $total tokens")
+    }
+    // at least one doc kept per source present in the corpus
+    assert(big.map(_._1).distinct.length ===
+      docs.select(col("source")).distinct().count())
+  }
+
   // --- bm25TopDocs --------------------------------------------------
 
   test("bm25TopDocs matches a hand-computed score on a tiny corpus") {
