@@ -59,7 +59,10 @@ object Bench {
     // truncated the tail two rounds running (r6/r7 BENCH artifacts
     // lost the c01–q07 walls) — ALSO write the same JSON to a sibling
     // file so the committed artifact is self-contained
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_ENGINE.json")
+    // a filtered local run must not clobber the committed full-suite
+    // artifact with partial numbers — default it to a sibling file
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_ENGINE.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()

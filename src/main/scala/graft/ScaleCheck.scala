@@ -143,7 +143,10 @@ object ScaleCheck {
       // corpus-index (the t37 shape inside foreachBatch) + the
       // streaming machinery constant
       "s06_stream_corpus_dedup",
-      // token-budget sampling: one window per source partition
+      // token-budget sampling: two-level prefix sum — per-(source,
+      // md5-group) subtotals, tiny group-prefix window, parallel
+      // intra-group windows — so a whale source (every source here is
+      // one at 64×) spreads over 10 000 tasks instead of one
       "t54_token_budget").filter(q =>
       onlyShapes.forall(_.contains(q)))
 

@@ -30,12 +30,15 @@ object TextFunctions {
   }
 
   /** Word n-gram shingles. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(t) - n, lit(0))),
-      i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-  }
+  /** Distinct word n-gram shingles. Native one-pass expression: the
+    * HOF spelling (`array_distinct(transform(sequence(...), i =>
+    * concat_ws(" ", slice(t, i+1, n))))`) re-evaluates the tokenizer
+    * regex per lambda element — O(tokens²) per row and the measured
+    * floor under every shingle-based gate. Identical output. */
+  def wordShingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnInternals.column(
+      org.apache.spark.sql.graft.SketchExpressions.WordShingles(
+        org.apache.spark.sql.graft.ColumnInternals.expression(tokens(c)), n))
 
   /** Repetitiveness: 1 − (#distinct word bigrams / #word bigrams) —
     * 0 for fully novel text, → 1 for looping boilerplate. The standard

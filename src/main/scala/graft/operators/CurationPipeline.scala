@@ -252,29 +252,34 @@ object CurationPipeline {
       .agg(graft.functions.SketchFunctions.bloomAgg(
         xxhash64(col("g")), items, bits).as("bf"))
       .head()
-    val corpusGrams = corpus.select(col(idCol).as("id"),
-      explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
+    // The per-doc denominator is pure row-local arithmetic — the gram
+    // count IS the shingle-array length (summed per id for repeated
+    // ids, the same total the exploded count(lit(1)) produced) — so
+    // the full gram stream never needs to be materialized or carried
+    // through the aggregate. Only bloom-FLAGGED grams reach the exact
+    // verify join; per-doc hit counts left-join back onto the
+    // denominator. At 100 TB the shuffle carries the (fpp-thin)
+    // flagged stream plus one (id, count) row per doc — nothing the
+    // size of the corpus is ever staged.
+    val denom = corpus
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.functions.size(
+          TextFunctions.wordShingles(col(textCol), n)).cast("long").as("__sz"))
+      .groupBy(col("id")).agg(sum(col("__sz")).as("n_grams"))
     if (bloomRow.isNullAt(0))
       // empty benchmark: every doc scores 0 without any join
-      corpusGrams.groupBy(col("id"))
-        .agg(count(lit(1)).as("n_grams"), lit(0L).as("n_hits"))
-        .withColumn("containment", lit(0.0))
+      denom.withColumn("n_hits", lit(0L)).withColumn("containment", lit(0.0))
     else {
-      // staged: the probe result feeds BOTH branches below — without
-      // this the corpus scan + explode + hash + probe run twice, and
-      // at the 100 TB design point the duplicate scan would erase the
-      // (1-fpp) shuffle saving the bloom buys
-      val probed = ctx.stage(corpusGrams.withColumn("__maybe",
-        graft.functions.SketchFunctions.mightContain(
-          lit(bloomRow.getAs[Array[Byte]](0)), xxhash64(col("g")))))
-      val verified = probed.filter(col("__maybe"))
-        .join(benchGrams, Seq("g"), "left")
-        .select(col("id"), col("__hit"))
-      val cleared = probed.filter(!col("__maybe"))
-        .select(col("id"), lit(null).cast("int").as("__hit"))
-      verified.unionByName(cleared)
-        .groupBy(col("id"))
-        .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+      val flagged = corpus
+        .select(col(idCol).as("id"),
+          explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
+        .filter(graft.functions.SketchFunctions.mightContain(
+          lit(bloomRow.getAs[Array[Byte]](0)), xxhash64(col("g"))))
+      val hits = flagged.join(benchGrams.select("g"), Seq("g"), "left_semi")
+        .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+      denom.join(hits, Seq("id"), "left")
+        .select(col("id"), col("n_grams"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .withColumn("containment",
           round(col("n_hits").cast("double") / col("n_grams"), 6))
     }
@@ -402,6 +407,15 @@ object CurationPipeline {
         col("__w"))
       .select(col("id"), col("pos"),
         concat_ws(" ", slice(col("__w"), col("__s"), lit(blockTokens))).as("block")))
+    spanFirstOwner(blocks)
+  }
+
+  /** Shared tail of the span-dedup family: global first-owner election
+    * per distinct block (min (id, pos) — ordered by id then position),
+    * then per-doc accounting + ordered reassembly of the surviving
+    * blocks. The collect_list is bounded by DOCUMENT size, never
+    * corpus size. */
+  private def spanFirstOwner(blocks: DataFrame): DataFrame = {
     val firstOwner = blocks.groupBy(col("block"))
       .agg(min(struct(col("id").as("i"), col("pos").as("p"))).as("__first"))
     val kept = blocks.join(firstOwner, Seq("block"))
@@ -415,6 +429,62 @@ object CurationPipeline {
           sort_array(collect_list(when(col("__keep"),
             struct(col("pos").as("p"), col("block").as("b"))))),
           s => s.getField("b")), " ").as("text_clean"))
+  }
+
+  /** [[dedupSpans]] with CONTENT-DEFINED block boundaries — the
+    * arbitrary-offset half of the ExactSubstr treatment (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499). Fixed-stride blocks miss a passage duplicated
+    * at any offset that is not a stride multiple: the two copies tile
+    * the passage at different phases, so no block string repeats.
+    * Here a token OPENS a block when md5(token) % anchorMod == 0 (the
+    * rolling-anchor / content-defined-chunking rule), so a passage
+    * long enough to contain anchors yields the same interior blocks
+    * WHEREVER it lands, and the first-owner election removes every
+    * later copy. Anchor gaps longer than `maxBlockTokens` are cut at
+    * maxBlockTokens strides FROM THE PRECEDING ANCHOR — still
+    * content-aligned relative to it, so long anchor-free passages
+    * still dedup when duplicated verbatim. Expected block length ≈
+    * anchorMod tokens; returns the [[dedupSpans]] shape (every input
+    * doc comes back, possibly with empty text_clean).
+    *
+    * Shape at 100 TB: identical to [[dedupSpans]] — boundary selection
+    * is per-row array arithmetic inside the same narrow projection (no
+    * extra shuffle, no window), then the same two key shuffles. */
+  def dedupSpansAnchored(docs: DataFrame, idCol: String, textCol: String,
+      maxBlockTokens: Int, anchorMod: Int = 16)(
+      implicit ctx: PipelineContext): DataFrame = {
+    require(maxBlockTokens >= 1, s"need maxBlockTokens >= 1, got $maxBlockTokens")
+    require(anchorMod >= 1, s"need anchorMod >= 1, got $anchorMod")
+    val sz = org.apache.spark.sql.functions.size(col("__w"))
+    val blocks = ctx.stage(docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__w"))
+      // 1-based anchor positions (>= 2: position 1 always starts a
+      // block); ascending by construction
+      .withColumn("__anc", filter(
+        sequence(lit(2), greatest(sz, lit(2))),
+        i => i <= sz && md5Bucket(element_at(col("__w"), i), anchorMod) === 0))
+      // block-start boundaries: 1, the anchors, with >maxBlockTokens
+      // gaps cut at maxBlockTokens strides from the gap's left edge;
+      // __sx carries the one-past-end sentinel so block k spans
+      // [__sx[k], __sx[k+1])
+      .withColumn("__e",
+        concat(array(lit(1)), col("__anc"), array(greatest(sz, lit(1)) + 1)))
+      .withColumn("__starts", flatten(transform(
+        sequence(lit(1), org.apache.spark.sql.functions.size(col("__e")) - 1),
+        k => sequence(element_at(col("__e"), k),
+          element_at(col("__e"), k + 1) - 1, lit(maxBlockTokens)))))
+      .withColumn("__sx",
+        concat(col("__starts"), array(greatest(sz, lit(1)) + 1)))
+      .select(col("id"), explode(transform(
+        sequence(lit(1), org.apache.spark.sql.functions.size(col("__starts"))),
+        k => struct(element_at(col("__sx"), k).as("p"),
+          concat_ws(" ", slice(col("__w"), element_at(col("__sx"), k),
+            element_at(col("__sx"), k + 1) - element_at(col("__sx"), k))).as("b"))))
+        .as("__blk"))
+      .select(col("id"), col("__blk.p").cast("int").as("pos"),
+        col("__blk.b").as("block")))
+    spanFirstOwner(blocks)
   }
 
   /** Filter-threshold sweep: for each candidate threshold, how much of
@@ -654,14 +724,31 @@ object CurationPipeline {
   def importanceWeights(
       docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, hashBuckets: Int = 0)(
+      implicit ctx: PipelineContext): DataFrame =
+    importanceWeightsFromTokens(
+      tokenFrame(docs, idCol, textCol, isTarget), hashBuckets)
+
+  /** One shared tokenize pass for the whole-corpus selection signals:
+    * (id, tgt, w) with w = the space-split tokens, empties dropped.
+    * Staged once and fed to [[importanceWeightsFromTokens]] AND
+    * [[lmPerplexityFromTokens]] — a composition scoring the same
+    * corpus with several signals (the t52 pipeline) must not re-split
+    * every document per signal; at 100 TB the tokenize scan is the
+    * dominant cost and this is the `annotate` single-pass discipline
+    * applied across operators. */
+  def tokenFrame(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column)(implicit ctx: PipelineContext): DataFrame =
+    ctx.stagePersist(docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+      filter(split(col(textCol), " "), t => length(t) > 0).as("w")))
+
+  /** [[importanceWeights]] over a pre-staged [[tokenFrame]]. */
+  def importanceWeightsFromTokens(toks: DataFrame, hashBuckets: Int = 0)(
       implicit ctx: PipelineContext): DataFrame = {
-    val term0 = explode(split(col(textCol), " "))
     val feature =
       if (hashBuckets > 0) pmod(xxhash64(col("__w")), lit(hashBuckets.toLong)).cast("string")
       else col("__w")
-    val wc = ctx.stagePersist(docs
-      .select(col(idCol).as("id"), isTarget.as("tgt"), term0.as("__w"))
-      .filter(length(col("__w")) > 0)
+    val wc = ctx.stagePersist(toks
+      .select(col("id"), col("tgt"), explode(col("w")).as("__w"))
       .select(col("id"), col("tgt"), feature.as("term"))
       .groupBy(col("id"), col("tgt"), col("term"))
       .agg(count(lit(1)).as("cnt")))
@@ -693,24 +780,40 @@ object CurationPipeline {
     * subsets as budgets shrink (a smaller budget keeps a prefix of
     * the same order).
     *
-    * Shape at 100 TB: one window per SOURCE partition (running sum in
-    * hash order — embarrassingly parallel across sources, the
-    * [[packSequences]] discipline; a whale source further shards by
-    * md5 group exactly as packSequences does). Returns the kept rows:
-    * (source, id, tokens). */
+    * Shape at 100 TB: a two-level prefix sum, so NO source ever
+    * serializes onto one task — (1) per-(source, md5-group) token
+    * subtotals (a partial aggregate, ≤10 000 rows per source);
+    * (2) an exclusive prefix sum of the subtotals in group order (a
+    * window over the tiny aggregate table only); (3) intra-group
+    * exclusive running sums (parallel across all (source, group)
+    * partitions) offset by the group's prefix. By construction this
+    * equals the single-window running sum in (group, id) order —
+    * pinned by spec against the one-window form — while a
+    * trillion-token whale source spreads over 10 000 tasks.
+    * Returns the kept rows: (source, id, tokens). */
   def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budget must be positive")
     import org.apache.spark.sql.expressions.Window
     val toks = lit(1) + length(col(textCol)) -
       length(regexp_replace(col(textCol), " ", ""))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("__ord"), col("id"))
-    docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
+    val base = docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
       toks.cast("long").as("tokens"),
       md5Bucket(col(idCol), 10000).as("__ord"))
+    val grpTot = base.groupBy(col("source"), col("__ord"))
+      .agg(sum(col("tokens")).as("__gt"))
+    val wg = Window.partitionBy(col("source")).orderBy(col("__ord"))
+    val grpOff = grpTot
+      .withColumn("__goff", coalesce(sum(col("__gt")).over(wg) - col("__gt"), lit(0L)))
+      // groups entirely past the budget can't keep anything — prune
+      // them BEFORE the join so the per-doc window only runs over
+      // groups straddling or inside the budget
+      .filter(col("__goff") < budgetTokens)
+      .select(col("source"), col("__ord"), col("__goff"))
+    val wi = Window.partitionBy(col("source"), col("__ord")).orderBy(col("id"))
+    base.join(broadcast(grpOff), Seq("source", "__ord"))
       .withColumn("__off",
-        coalesce(sum(col("tokens")).over(w) - col("tokens"), lit(0L)))
+        col("__goff") + coalesce(sum(col("tokens")).over(wi) - col("tokens"), lit(0L)))
       .filter(col("__off") < budgetTokens)
       .select(col("source"), col("id"), col("tokens"))
   }
@@ -735,13 +838,15 @@ object CurationPipeline {
     * UNROUNDED; gates round at the edge. */
   def lmPerplexity(
       docs: DataFrame, idCol: String, textCol: String,
-      lmTarget: Column)(implicit ctx: PipelineContext): DataFrame = {
-    // one tokenize pass: bigram (prev, cur) rows with multiplicity —
-    // feeds the target LM counts AND the scoring stream
-    val toks = docs.select(col(idCol).as("id"), lmTarget.as("tgt"),
-      split(col(textCol), " ").as("w"))
-      .select(col("id"), col("tgt"), filter(col("w"), t => length(t) > 0).as("w"))
-      .filter(size(col("w")) >= 2)
+      lmTarget: Column)(implicit ctx: PipelineContext): DataFrame =
+    lmPerplexityFromTokens(tokenFrame(docs, idCol, textCol, lmTarget))
+
+  /** [[lmPerplexity]] over a pre-staged [[tokenFrame]] — the bigram
+    * (prev, cur) stream with multiplicity feeds the target LM counts
+    * AND the scoring join. */
+  def lmPerplexityFromTokens(toks0: DataFrame)(
+      implicit ctx: PipelineContext): DataFrame = {
+    val toks = toks0.filter(size(col("w")) >= 2)
     val bigrams = ctx.stagePersist(toks.select(col("id"), col("tgt"),
       posexplode(slice(col("w"), lit(1), size(col("w")) - 1)).as(Seq("i", "p")),
       col("w"))
@@ -750,11 +855,11 @@ object CurationPipeline {
     val bigramCnt = bigrams.filter(col("tgt"))
       .groupBy(col("p"), col("c")).agg(count(lit(1)).as("bc"))
     val prefixCnt = bigramCnt.groupBy(col("p")).agg(sum(col("bc")).as("pc"))
-    // V = target vocabulary (distinct tokens, not just prefixes:
-    // the last token of each target doc still counts)
-    val vocab = docs.filter(lmTarget)
-      .select(explode(split(col(textCol), " ")).as("t"))
-      .filter(length(col("t")) > 0)
+    // V = target vocabulary (distinct tokens, not just prefixes: the
+    // last token of each target doc still counts — so the vocab scan
+    // reads the UNFILTERED token frame, single-token docs included)
+    val vocab = toks0.filter(col("tgt"))
+      .select(explode(col("w")).as("t"))
       .agg(count_distinct(col("t")).as("v"))
     bigrams
       .join(bigramCnt, Seq("p", "c"), "left")

@@ -88,9 +88,14 @@ final class PipelineContext {
     staged.foreach(_.unpersist(false)); staged.clear()
     persisted.foreach(_.unpersist(false)); persisted.clear()
     scratch.foreach { p =>
+      // close the walk stream (it holds a directory handle) and keep a
+      // concurrently-removed dir from aborting the remaining cleanups
       import scala.jdk.CollectionConverters._
-      val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq
-      all.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      try {
+        val s = java.nio.file.Files.walk(p)
+        val all = try s.iterator().asScala.toSeq finally s.close()
+        all.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: java.io.IOException => () }
     }
     scratch.clear()
   }

@@ -456,14 +456,17 @@ object PipelineQueries {
     PipelineContext.materialize { implicit ctx =>
       val docs = Tables.documents(spark, dir)
       val en = col("lang") === "en"
-      val ppl = CurationPipeline.lmPerplexity(docs, "doc_id", "text", en)
+      // ONE tokenize pass feeds both token-level signals (the
+      // classifier features are pure char arithmetic — no tokens)
+      val toks = CurationPipeline.tokenFrame(docs, "doc_id", "text", en)
+      val ppl = CurationPipeline.lmPerplexityFromTokens(toks)
         .select(col("id"), round(col("ppl"), 6).as("ppl"))
       val wRow = CurationPipeline.trainQualityClassifier(
         docs, "doc_id", "text", en).collect()(0)
       val clf = CurationPipeline.qualityClassifierScore(
         docs, "doc_id", "text", (1 to 4).map(wRow.getDouble))
         .select(col("id"), round(col("score"), 6).as("cs"))
-      val dsir = CurationPipeline.importanceWeights(docs, "doc_id", "text", en)
+      val dsir = CurationPipeline.importanceWeightsFromTokens(toks)
         .select(col("id"), round(col("score"), 6).as("dscore"))
       // the joined signal frame feeds the cutpoint agg AND the bucket
       // pass — stage it or all three pipelines run twice
@@ -513,6 +516,21 @@ object PipelineQueries {
         sum(col("tokens")).as("tokens_kept"),
         sum(col("id")).as("id_sum"))
       .orderBy(col("source"))
+
+  /** Content-defined-boundary exact-substring dedup
+    * ([[CurationPipeline.dedupSpansAnchored]], anchors at md5%8,
+    * blocks capped at 12 tokens): the arbitrary-offset duplicate
+    * killer t35's fixed stride misses. Oracle-backed: DuckDB replays
+    * the anchor rule, the stride clamp, the first-owner election and
+    * the ordered reassembly via list comprehensions — a hash match
+    * pins every boundary decision AND every surviving block. */
+  def t55SubstrDedup(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      CurationPipeline.dedupSpansAnchored(
+        Tables.documents(spark, dir), "doc_id", "text",
+        maxBlockTokens = 12, anchorMod = 8)
+        .orderBy(col("id"))
+    }
 
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
     * decode-stub features → per-type accounting. The input is generated
@@ -987,6 +1005,7 @@ object PipelineQueries {
     "t52_selection_pipeline" -> t52SelectionPipeline _,
     "t53_mmr_select" -> t53MmrSelect _,
     "t54_token_budget" -> t54TokenBudget _,
+    "t55_substr_dedup" -> t55SubstrDedup _,
   )
 
   /** Shared DuckDB fold fragments for the vector oracles — the same
@@ -1463,6 +1482,49 @@ object PipelineQueries {
            CAST(sum(tokens) AS BIGINT) AS tokens_kept,
            CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM o WHERE off < 800 GROUP BY 1 ORDER BY 1""",
+    // content-defined block boundaries (anchor = md5-bucket % 8 of
+    // the token, gaps clamped at 12-token strides), then t35's
+    // first-owner election + ordered reassembly
+    "t55_substr_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents
+         ), anc AS (
+           SELECT doc_id, w,
+             [i for i in range(2, greatest(len(w), 1) + 1)
+                if CAST(CONCAT('0x', substring(md5(w[i]), 1, 8)) AS BIGINT)
+                   % 8 = 0] AS a
+           FROM toks
+         ), bnd AS (
+           SELECT doc_id, w,
+             list_concat(list_concat([1], a),
+               [greatest(len(w), 1) + 1]) AS e
+           FROM anc
+         ), st AS (
+           SELECT doc_id, w,
+             flatten([range(e[k], e[k+1], 12)
+                      for k in range(1, len(e))]) AS starts,
+             greatest(len(w), 1) + 1 AS dend
+           FROM bnd
+         ), blocks AS (
+           SELECT doc_id, u.bl.p AS pos, u.bl.b AS block
+           FROM (
+             SELECT doc_id, unnest(
+               [{'p': sx[k],
+                 'b': array_to_string(list_slice(w, sx[k], sx[k+1] - 1), ' ')}
+                for k in range(1, len(starts) + 1)]) AS bl
+             FROM (SELECT doc_id, w, starts, list_concat(starts, [dend]) AS sx
+                   FROM st)) u(doc_id, bl)
+         ), marked AS (
+           SELECT doc_id, pos, block,
+             row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) AS rn
+           FROM blocks
+         )
+         SELECT doc_id AS id, count(*) AS n_blocks,
+           count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN block END, ' '
+             ORDER BY pos), '') AS text_clean
+         FROM marked GROUP BY doc_id ORDER BY id""",
     // exact-containment replay (t24 shape, n=4, FULL corpus): the
     // bloom prefilter must be invisible in the result
     "t43_bloom_decontam" ->

@@ -288,7 +288,8 @@ object Similarity {
         .withColumn("nv", l2Norm(col("v")))
         .withColumn("rel", round(cosinePre(dot(col("v"), qv), col("nv"), l2Norm(qv)), 6)))
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
-    (1 to k).foreach { _ =>
+    var exhausted = false
+    while (!exhausted && selected.size < k) {
       val cand = if (selected.isEmpty) base
         else base.filter(!col("id").isin(selected.map(_._1).toSeq: _*))
       val scored =
@@ -304,10 +305,15 @@ object Similarity {
           cand.join(msim, Seq("id"))
             .withColumn("mscore", round(col("rel") - lit(lambda) * col("msim"), 6))
         }
-      val pick = scored.orderBy(col("mscore").desc, col("id")).limit(1)
+      // candidates can run out before k (excludeIds / tiny corpora):
+      // stop with the rows selected so far instead of throwing
+      scored.orderBy(col("mscore").desc, col("id")).limit(1)
         .select(col("id"), col("v").cast("array<float>"), col("mscore"))
-        .collect()(0)
-      selected += ((pick.getLong(0), pick.getSeq[Float](1).toArray, pick.getDouble(2)))
+        .collect().headOption match {
+        case Some(pick) =>
+          selected += ((pick.getLong(0), pick.getSeq[Float](1).toArray, pick.getDouble(2)))
+        case None => exhausted = true // return the rows selected so far
+      }
     }
     spark.createDataFrame(
       selected.zipWithIndex.map { case ((id, _, ms), i) => (i + 1, id, ms) }.toSeq)

@@ -58,35 +58,76 @@ final class GraphStore(
   // A table starts as plain parquet files at its path (the append-only
   // layout). The first REWRITE (delete / SET / un-ingest) moves it to
   // generation dirs: the new state lands in `_gen-<n>` (underscore ⇒
-  // invisible to any legacy directory listing), then the `_current`
-  // pointer file swaps atomically, then generations older than the
-  // PREVIOUS one are vacuumed. Readers resolve the pointer at
-  // DataFrame construction, so an open scan keeps its own snapshot's
-  // files across one subsequent rewrite — the rename-aside scheme this
-  // replaces deleted the old files immediately, breaking exactly that
-  // reader. Retention is current + previous (bounded storage); a
-  // snapshot older than that fails loudly at scan, not silently.
-  // This is the poor-man's manifest of a transactional table format:
-  // on Delta/Iceberg the pointer is the log head, retention is VACUUM,
-  // and [[nodeAt]] is time travel.
+  // invisible to any legacy directory listing), then the GRAPH-level
+  // `_manifest` swaps atomically naming the new generation — for a
+  // multi-table write, every table's new generation in ONE swap —
+  // then generations older than the PREVIOUS one are vacuumed.
+  // Readers resolve the manifest at DataFrame construction, so an
+  // open scan keeps its own snapshot's files across one subsequent
+  // rewrite — the rename-aside scheme this replaces deleted the old
+  // files immediately, breaking exactly that reader. Retention is
+  // current + previous (bounded storage); a snapshot older than that
+  // fails loudly at scan, not silently. This is the poor-man's log
+  // head of a transactional table format: on Delta/Iceberg the
+  // manifest is the commit log, retention is VACUUM, and [[nodeAt]]
+  // is time travel.
 
   private def pointerFile(path: String) = new java.io.File(path, "_current")
 
-  /** The directory holding the table's ACTIVE data files. */
-  private def dataPath(path: String): String = {
-    val p = pointerFile(path)
-    if (p.exists) s"$path/${new String(
-      java.nio.file.Files.readAllBytes(p.toPath), "UTF-8").trim}"
-    else path
+  // ---- graph-level manifest ----------------------------------------------
+  //
+  // One `_manifest` file at the GRAPH root names every rewritten
+  // table's active generation (`nodes/Thing=_gen-3` lines). It is the
+  // single commit point: a multi-table Cypher write (DETACH DELETE
+  // touching a node table plus its relationship tables) lands every
+  // table's next `_gen-<n>` dir first, then swaps the manifest ONCE
+  // (tmp + ATOMIC_MOVE) — a crash at any step leaves the manifest
+  // naming only old generations, so readers see the old CONSISTENT
+  // graph, never a half-applied one. This is the graph-scoped analog
+  // of a transactional table format's log head; per-table `_current`
+  // pointers from the pre-manifest layout are still honored as a read
+  // fallback and retired on the table's next rewrite.
+
+  private def graphDir: String = s"$root/$graphId"
+  private def manifestFile = new java.io.File(graphDir, "_manifest")
+  private def tableKey(path: String): String = path.stripPrefix(graphDir + "/")
+
+  private def readManifest(): Map[String, Int] = {
+    if (!manifestFile.exists) return Map.empty
+    new String(java.nio.file.Files.readAllBytes(manifestFile.toPath), "UTF-8")
+      .linesIterator.map(_.trim).filter(_.nonEmpty).map { l =>
+        val i = l.lastIndexOf('=')
+        require(i > 0, s"malformed manifest line in $manifestFile: $l")
+        l.substring(0, i) -> l.substring(i + 1).stripPrefix("_gen-").toInt
+      }.toMap
   }
 
-  /** Current generation number: 0 = the legacy/append-only layout. */
-  private def currentGen(path: String): Int = {
-    val p = pointerFile(path)
-    if (!p.exists) 0
-    else new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
-      .trim.stripPrefix("_gen-").toInt
+  private def writeManifest(m: Map[String, Int]): Unit = {
+    val body = m.toSeq.sortBy(_._1)
+      .map { case (k, g) => s"$k=_gen-$g" }.mkString("", "\n", "\n")
+    val tmp = new java.io.File(graphDir, "_manifest.tmp")
+    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, manifestFile.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** The directory holding the table's ACTIVE data files. */
+  private def dataPath(path: String): String = {
+    val g = currentGen(path)
+    if (g == 0) path else s"$path/_gen-$g"
+  }
+
+  /** Current generation number: 0 = the legacy/append-only layout.
+    * Resolution order: graph manifest, then the pre-manifest
+    * per-table `_current` pointer, then legacy. */
+  private def currentGen(path: String): Int =
+    readManifest().getOrElse(tableKey(path), {
+      val p = pointerFile(path)
+      if (!p.exists) 0
+      else new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
+        .trim.stripPrefix("_gen-").toInt
+    })
 
   // ---- readers -----------------------------------------------------------
 
@@ -298,30 +339,46 @@ final class GraphStore(
 
   private def deleteByFileId(path: String, fileId: String): Unit = {
     if (!exists(path)) return
-    val kept = spark.read.parquet(path).filter(
+    // Read the ACTIVE generation, not the table root: once a prior
+    // SET/DELETE has moved the table into `_gen-<n>` layout, the root
+    // holds only stale gen-0 legacy files (or none after vacuum) and a
+    // root read would silently rewrite from the pre-rewrite snapshot.
+    val kept = spark.read.parquet(dataPath(path)).filter(
       col(FileIdCol).isNull || col(FileIdCol) =!= fileId)
     rewriteInPlace(path, kept)
   }
 
-  /** Transactional table rewrite via the generation layer: `next`
-    * (which may READ the active generation) lands in the NEXT
-    * `_gen-<n>` dir, the `_current` pointer swaps atomically, then
-    * generations older than the previous one are vacuumed. A failure
-    * at any step leaves either the old or the new snapshot active —
-    * never a partially-rewritten table — and readers holding the
+  /** Transactional rewrite of one or more tables as ONE graph commit:
+    * each table's `next` (which may READ its active generation) lands
+    * in that table's next `_gen-<n>` dir, then the graph `_manifest`
+    * swaps atomically naming every new generation at once, then
+    * retention vacuums. A failure at any step — including between two
+    * tables' snapshot writes — leaves the manifest untouched, so
+    * readers see the old state of EVERY table (all-or-nothing across
+    * the graph, the reference's `execute_transaction` guarantee,
+    * graph_api/interfaces/engine.py:65-81); readers holding the
     * previous snapshot keep scanning their own files. On
-    * Delta/Iceberg this whole method is one transactional
-    * DELETE/UPDATE WHERE commit. */
-  private def rewriteInPlace(path: String, next: DataFrame): Unit = {
-    val gen = currentGen(path) + 1
-    next.write.mode(SaveMode.Overwrite).parquet(s"$path/_gen-$gen")
-    val tmp = new java.io.File(path, "_current.tmp")
-    java.nio.file.Files.write(tmp.toPath, s"_gen-$gen".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, pointerFile(path).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    vacuum(path, keepFrom = gen - 1)
+    * Delta/Iceberg this whole method is one transactional commit. */
+  private[graft] def commitGenerations(writes: Seq[(String, DataFrame)]): Unit = {
+    require(writes.map(_._1).distinct.size == writes.size,
+      "a graph commit may rewrite each table at most once")
+    val gens = writes.map { case (path, next) =>
+      val gen = currentGen(path) + 1
+      next.write.mode(SaveMode.Overwrite).parquet(s"$path/_gen-$gen")
+      path -> gen
+    }
+    writeManifest(readManifest() ++
+      gens.map { case (p, g) => tableKey(p) -> g })
+    gens.foreach { case (path, gen) =>
+      // the manifest is authoritative now — retire the pre-manifest
+      // pointer so a stale `_current` can't shadow future fallbacks
+      pointerFile(path).delete()
+      vacuum(path, keepFrom = gen - 1)
+    }
   }
+
+  private def rewriteInPlace(path: String, next: DataFrame): Unit =
+    commitGenerations(Seq(path -> next))
 
   /** Remove generations below `keepFrom` (and, once the append-only
     * root data is two generations stale, its legacy files). Every
@@ -409,23 +466,34 @@ final class GraphStore(
                 "use DETACH DELETE")
         }
       }
-    } else {
-      touching.foreach { r =>
-        if (exists(relPath(r.name))) {
-          var kept = rel(r.name)
-          if (r.from == label)
-            kept = kept.join(k, kept("src").cast("string") === k("__key"), "left_anti")
-          if (r.to == label)
-            kept = kept.join(k, kept("dst").cast("string") === k("__key"), "left_anti")
-          rewriteInPlace(relPath(r.name), kept)
-        }
-      }
     }
-    if (!exists(nodePath(label))) return 0L
+    // DETACH collects every touching relationship table's post-delete
+    // state and commits it WITH the node table in ONE manifest swap —
+    // a crash between any two rewrites must never leave dangling
+    // relationship rows or a half-detached graph
+    val relWrites: Seq[(String, DataFrame)] =
+      if (!detach) Nil
+      else touching.filter(r => exists(relPath(r.name))).map { r =>
+        var kept = rel(r.name)
+        if (r.from == label)
+          kept = kept.join(k, kept("src").cast("string") === k("__key"), "left_anti")
+        if (r.to == label)
+          kept = kept.join(k, kept("dst").cast("string") === k("__key"), "left_anti")
+        relPath(r.name) -> kept
+      }
+    if (!exists(nodePath(label))) {
+      if (relWrites.nonEmpty) commitGenerations(relWrites)
+      return 0L
+    }
     val cur = node(label)
+    // deleted = rows that actually matched a requested key (counted
+    // BEFORE the rewrite swaps the table) — deleting an absent key
+    // reports 0, mirroring updateNodeProps' matched-key semantics.
+    val deleted = cur.join(k, cur(pk).cast("string") === k("__key"), "left_semi")
+      .count()
     val kept = cur.join(k, cur(pk).cast("string") === k("__key"), "left_anti")
-    rewriteInPlace(nodePath(label), kept)
-    k.count()
+    commitGenerations(relWrites :+ (nodePath(label) -> kept))
+    deleted
   }
 
   /** Subgraph fork = path copy (operations/graph/subgraph_service.py;

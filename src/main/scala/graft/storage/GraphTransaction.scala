@@ -1,16 +1,19 @@
 package graft.storage
 
 /** Multi-statement write grouping (robosystems/graph_api/interfaces/
-  * engine.py:65-81 `execute_transaction`). Parquet storage has no
-  * cross-table atomic commit, so this is an application-level saga:
-  * every write in the transaction shares one generated provenance id,
-  * and failure triggers compensation — per-file deletes of everything
-  * the transaction already wrote. The guarantee is therefore
+  * engine.py:65-81 `execute_transaction`). Table REWRITES (DETACH
+  * DELETE's node+rel cascade) commit atomically through the graph
+  * manifest (`GraphStore.commitGenerations` — one swap names every
+  * table's new generation); this class covers the remaining case,
+  * grouped APPENDS, as an application-level saga: every ingest in the
+  * transaction shares one generated provenance id, and failure
+  * triggers compensation — per-file deletes of everything the
+  * transaction already wrote. The append guarantee is therefore
   * **atomicity via compensation, not isolation**: concurrent readers
-  * can observe intermediate state until commit returns (the reference
-  * has the same read-uncommitted window across its per-table Kuzu
-  * transactions; on Delta this class maps to one commit per table +
-  * the same saga across tables). */
+  * can observe intermediate appends until commit returns (the
+  * reference has the same read-uncommitted window across its
+  * per-table Kuzu transactions; on Delta this class maps to one
+  * commit per table + the same saga across tables). */
 final class GraphTransaction(store: GraphStore) {
 
   val txnId: String = s"txn_${java.util.UUID.randomUUID().toString.take(12)}"

@@ -351,6 +351,57 @@ object SketchExpressions {
       copy(child = newChild)
   }
 
+  /** Distinct word n-gram shingles of a token array, in one pass per
+    * row — exact replacement for the HOF form
+    * `array_distinct(transform(sequence(0, greatest(size(t)-n, 0)),
+    * i => concat_ws(" ", slice(t, i+1, n))))`, which re-evaluates the
+    * whole child (the trim+lower+regex split of the document) PER
+    * LAMBDA ELEMENT — O(tokens²) regex work per row, measured 2.6 s
+    * over a 4.5 k-doc pass where this form is ~0.1 s. Semantics are
+    * bit-identical to the HOF: fewer than n tokens (including an
+    * empty/null array) yield ONE truncated shingle (possibly ""),
+    * null tokens are skipped `concat_ws`-style, and distinctness
+    * keeps first-occurrence order like `array_distinct`. */
+  final case class WordShingles(child: Expression, n: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+      with ExpectsInputTypes {
+    require(n >= 1, "shingle width must be >= 1")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "word_shingles"
+
+    private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      val arr = if (v == null) null else v.asInstanceOf[ArrayData]
+      val sz = if (arr == null) 0 else arr.numElements()
+      val last = math.max(sz - n, 0) // 0-based start of the final shingle
+      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String](
+        2 * (last + 1))
+      var i = 0
+      while (i <= last) {
+        val end = math.min(i + n, sz)
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](end - i)
+        var j = i
+        while (j < end) { // nulls stay null: concatWs skips them
+          if (!arr.isNullAt(j)) parts(j - i) = arr.getUTF8String(j)
+          j += 1
+        }
+        seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray(
+        new Array[org.apache.spark.unsafe.types.UTF8String](seen.size))
+        .asInstanceOf[Array[Any]])
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): WordShingles =
+      copy(child = newChild)
+  }
+
   /** Canonical text cleanup for corpus curation, one pass over the
     * string: Unicode NFC normalization, format characters (Cf — zero
     * widths, BOM, bidi marks) removed, every run of separator/control

@@ -203,6 +203,102 @@ class CorpusAnalysisSpec extends SparkTestBase {
     }
   }
 
+  // --- dedupSpansAnchored: independent Scala reference simulation ---------
+
+  private def md5Bucket(s: String, mod: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(8), 16) % mod
+  }
+
+  /** Reference re-implementation of the content-defined boundary rule
+    * (anchor at md5%mod==0, gaps clamped at B strides) — 1-based
+    * (pos, block) pairs for one doc's tokens. */
+  private def anchoredBlocks(
+      tokens: Seq[String], bt: Int, mod: Int): Seq[(Int, String)] = {
+    val n = math.max(tokens.size, 1)
+    val anchors = (2 to tokens.size).filter(i => md5Bucket(tokens(i - 1), mod) == 0)
+    val e = (1 +: anchors) :+ (n + 1)
+    val starts = e.sliding(2).flatMap {
+      case Seq(s, t) => s until t by bt
+      case _ => Seq.empty
+    }.toVector
+    val sx = starts :+ (n + 1)
+    starts.indices.map { k =>
+      (sx(k), tokens.slice(sx(k) - 1, sx(k + 1) - 1).mkString(" "))
+    }
+  }
+
+  test("dedupSpansAnchored: a passage duplicated at an arbitrary offset is caught (fixed stride misses it)") {
+    PipelineContext.run { implicit ctx =>
+      // 30-token passage; doc 2 repeats it at offset 7 — NOT a multiple
+      // of the 4-token stride, so fixed-stride blocks tile it at a
+      // different phase and dedupSpans removes nothing
+      val passage = (0 until 30).map(i => s"p$i")
+      val filler = (0 until 7).map(i => s"f$i")
+      val docs = Seq(
+        (1L, passage.mkString(" ")),
+        (2L, (filler ++ passage).mkString(" "))).toDF("doc_id", "text")
+      val fixed = CurationPipeline.dedupSpans(docs, "doc_id", "text", blockTokens = 4)
+        .orderBy($"id").collect()
+      assert(fixed.forall(r => r.getLong(1) === r.getLong(2)),
+        "fixed stride should keep every block (phase-shifted copies)")
+      val out = CurationPipeline.dedupSpansAnchored(
+        docs, "doc_id", "text", maxBlockTokens = 4, anchorMod = 4)
+        .orderBy($"id").collect()
+      // doc 1 (first owner) keeps everything
+      assert(out(0).getLong(1) === out(0).getLong(2))
+      assert(out(0).getString(3) === passage.mkString(" "))
+      // doc 2 loses every block from its first in-passage anchor on —
+      // the anchored boundaries are content-defined, so the shifted
+      // copy's interior blocks are bit-identical to doc 1's
+      val anchorsInPassage = (1 to 30).filter(i => md5Bucket(s"p${i - 1}", 4) == 0)
+      assert(anchorsInPassage.size >= 2, "fixture needs interior anchors")
+      val survivors = out(1).getString(3).split(" ").filter(_.nonEmpty).toSeq
+      // survivors = the filler plus at most the passage prefix before
+      // the first anchor (clamped blocks straddling it stay distinct)
+      val firstAnchor = anchorsInPassage.head
+      assert(out(1).getLong(2) < out(1).getLong(1))
+      assert(survivors.size <= filler.size + firstAnchor + 3,
+        s"shifted passage interior should dedup away, kept: $survivors")
+      assert(survivors.count(_.startsWith("p")) < 30 / 2,
+        "most passage tokens must be removed from the shifted copy")
+    }
+  }
+
+  test("dedupSpansAnchored matches the independent reference simulation on a seeded corpus") {
+    PipelineContext.run { implicit ctx =>
+      val rnd = new scala.util.Random(7)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+      val raw = (1L to 40L).map { i =>
+        (i, Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val docs = raw.toDF("doc_id", "text")
+      val bt = 3; val mod = 4
+      // reference: blocks per doc -> global first-owner by (id, pos) ->
+      // ordered reassembly
+      val blocks = raw.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq match {
+          case Nil => Seq("") // tokens('') is [""] after split
+          case t => t
+        }
+        anchoredBlocks(toks, bt, mod).map { case (p, b) => (id, p, b) }
+      }
+      val owner = blocks.groupBy(_._3).map { case (b, rows) =>
+        b -> rows.minBy(r => (r._1, r._2))
+      }
+      val expected = blocks.groupBy(_._1).map { case (id, rows) =>
+        val kept = rows.filter(r => owner(r._3) == r).sortBy(_._2)
+        id -> (rows.size.toLong, kept.size.toLong, kept.map(_._3).mkString(" "))
+      }
+      val got = CurationPipeline.dedupSpansAnchored(
+        docs, "doc_id", "text", maxBlockTokens = bt, anchorMod = mod)
+        .collect().map(r =>
+          r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(got === expected)
+    }
+  }
+
   test("thresholdSweep: monotone survivors, exact fractions, grid order preserved") {
     val df = Seq(0.1, 0.3, 0.5, 0.9).toDF("s")
     val out = CurationPipeline.thresholdSweep(df, "s", Seq(0.0, 0.4, 0.8, 1.0))
