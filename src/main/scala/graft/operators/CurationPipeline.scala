@@ -726,7 +726,7 @@ object CurationPipeline {
       isTarget: Column, hashBuckets: Int = 0)(
       implicit ctx: PipelineContext): DataFrame =
     importanceWeightsFromTokens(
-      tokenFrame(docs, idCol, textCol, isTarget), hashBuckets)
+      tokenProjection(docs, idCol, textCol, isTarget), hashBuckets)
 
   /** One shared tokenize pass for the whole-corpus selection signals:
     * (id, tgt, w) with w = the space-split tokens, empties dropped.
@@ -738,8 +738,19 @@ object CurationPipeline {
     * applied across operators. */
   def tokenFrame(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column)(implicit ctx: PipelineContext): DataFrame =
-    ctx.stagePersist(docs.select(col(idCol).as("id"), isTarget.as("tgt"),
-      filter(split(col(textCol), " "), t => length(t) > 0).as("w")))
+    ctx.stagePersist(tokenProjection(docs, idCol, textCol, isTarget))
+
+  /** The un-persisted (id, tgt, tokens) projection behind
+    * [[tokenFrame]]. Single-signal callers ([[importanceWeights]],
+    * [[lmPerplexity]]) take this form: caching a corpus-sized
+    * token-array frame for ONE consumer is pure block-manager
+    * residency with no reuse to pay for it — the 64× heap postmortems
+    * (deserialized-block pressure) all started exactly there. Only
+    * the multi-signal composition (t52) pays the persist. */
+  private def tokenProjection(docs: DataFrame, idCol: String,
+      textCol: String, isTarget: Column): DataFrame =
+    docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+      filter(split(col(textCol), " "), t => length(t) > 0).as("w"))
 
   /** [[importanceWeights]] over a pre-staged [[tokenFrame]]. */
   def importanceWeightsFromTokens(toks: DataFrame, hashBuckets: Int = 0)(
@@ -839,7 +850,7 @@ object CurationPipeline {
   def lmPerplexity(
       docs: DataFrame, idCol: String, textCol: String,
       lmTarget: Column)(implicit ctx: PipelineContext): DataFrame =
-    lmPerplexityFromTokens(tokenFrame(docs, idCol, textCol, lmTarget))
+    lmPerplexityFromTokens(tokenProjection(docs, idCol, textCol, lmTarget))
 
   /** [[lmPerplexity]] over a pre-staged [[tokenFrame]] — the bigram
     * (prev, cur) stream with multiplicity feeds the target LM counts

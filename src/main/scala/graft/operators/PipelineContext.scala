@@ -89,13 +89,18 @@ final class PipelineContext {
     persisted.foreach(_.unpersist(false)); persisted.clear()
     scratch.foreach { p =>
       // close the walk stream (it holds a directory handle) and keep a
-      // concurrently-removed dir from aborting the remaining cleanups
+      // concurrently-removed dir from aborting the remaining cleanups;
+      // anything else (held handle, permissions) leaks the dir — say so
       import scala.jdk.CollectionConverters._
       try {
         val s = java.nio.file.Files.walk(p)
         val all = try s.iterator().asScala.toSeq finally s.close()
         all.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: java.io.IOException => () }
+      } catch {
+        case _: java.nio.file.NoSuchFileException => ()
+        case e: java.io.IOException =>
+          System.err.println(s"[graft] leaked scratch dir $p: $e")
+      }
     }
     scratch.clear()
   }

@@ -359,7 +359,12 @@ final class GraphStore(
     * graph_api/interfaces/engine.py:65-81); readers holding the
     * previous snapshot keep scanning their own files. On
     * Delta/Iceberg this whole method is one transactional commit. */
-  private[graft] def commitGenerations(writes: Seq[(String, DataFrame)]): Unit = {
+  private[graft] def commitGenerations(writes: Seq[(String, DataFrame)]): Unit = mutate {
+    // `mutate` is reentrant, so production callers already inside the
+    // per-graph WriterLock just re-enter; a direct caller (tests, a
+    // future maintenance tool) acquires it here — the single-writer
+    // invariant is enforced where the manifest read-modify-write
+    // actually happens, not by caller convention.
     require(writes.map(_._1).distinct.size == writes.size,
       "a graph commit may rewrite each table at most once")
     val gens = writes.map { case (path, next) =>

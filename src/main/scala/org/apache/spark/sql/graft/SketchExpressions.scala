@@ -359,9 +359,11 @@ object SketchExpressions {
     * LAMBDA ELEMENT — O(tokens²) regex work per row, measured 2.6 s
     * over a 4.5 k-doc pass where this form is ~0.1 s. Semantics are
     * bit-identical to the HOF: fewer than n tokens (including an
-    * empty/null array) yield ONE truncated shingle (possibly ""),
+    * empty array) yield ONE truncated shingle (possibly ""),
     * null tokens are skipped `concat_ws`-style, and distinctness
-    * keeps first-occurrence order like `array_distinct`. */
+    * keeps first-occurrence order like `array_distinct` — and a NULL
+    * token array yields NULL (the HOF's `transform(null)` → null), so
+    * null-text documents still vanish at the downstream explode. */
   final case class WordShingles(child: Expression, n: Int)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -369,15 +371,16 @@ object SketchExpressions {
     require(n >= 1, "shingle width must be >= 1")
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def nullable: Boolean = false
+    override def nullable: Boolean = child.nullable
     override def prettyName: String = "word_shingles"
 
     private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
     override def eval(input: InternalRow): Any = {
       val v = child.eval(input)
-      val arr = if (v == null) null else v.asInstanceOf[ArrayData]
-      val sz = if (arr == null) 0 else arr.numElements()
+      if (v == null) return null
+      val arr = v.asInstanceOf[ArrayData]
+      val sz = arr.numElements()
       val last = math.max(sz - n, 0) // 0-based start of the final shingle
       val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String](
         2 * (last + 1))
