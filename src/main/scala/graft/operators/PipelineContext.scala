@@ -39,11 +39,13 @@ final class PipelineContext {
     * context closes — the same contract as [[stage]]. On a cluster
     * this would be a job-scoped path on shared storage.
     *
-    * A `FAILED_READ_FILE` WARN may appear right after release: AQE can
-    * launch a speculative broadcast job over a scratch-backed side
-    * that the final plan no longer needs; the straggler loses its
-    * files once the CONSUMING action has already returned. Harmless —
-    * release only ever runs after that action completes. */
+    * AQE can launch a speculative broadcast job over a scratch-backed
+    * side that the final plan no longer needs; that straggler can
+    * still be READING these files right after the consuming action
+    * returns. [[release]] therefore waits for job quiescence (bounded)
+    * before deleting — without the barrier the straggler dies with
+    * `FAILED_READ_FILE`, observed round-9 as a task-retry WARN and one
+    * hard gate failure (Round10ReviewSpec reproduces it on demand). */
   def scratchDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     synchronized { scratch += p }
@@ -87,6 +89,16 @@ final class PipelineContext {
   def release(): Unit = synchronized {
     staged.foreach(_.unpersist(false)); staged.clear()
     persisted.foreach(_.unpersist(false)); persisted.clear()
+    // Quiesce BEFORE deleting scratch: AQE can still be running a
+    // speculative broadcast job over a scratch-backed side right after
+    // the consuming action has returned (see [[scratchDir]]). Deleting
+    // under that straggler turns it into FAILED_READ_FILE — observed
+    // as a task-retry WARN and, once, a hard gate failure in a combined
+    // run (round-9 t42 flake). Waiting for job quiescence lets the
+    // straggler finish against LIVE files; the wait is bounded (other
+    // concurrent work in shared-JVM test runs must not stall cleanup)
+    // and only paid on the rare scratch-using paths.
+    if (scratch.nonEmpty) PipelineContext.quiesceJobs(2000L)
     scratch.foreach { p =>
       // close the walk stream (it holds a directory handle) and keep a
       // concurrently-removed dir from aborting the remaining cleanups;
@@ -107,6 +119,21 @@ final class PipelineContext {
 }
 
 object PipelineContext {
+  /** Bounded wait for the active SparkContext to report no running
+    * jobs — the pre-delete barrier for scratch dirs (see [[release]]).
+    * Returns quietly on timeout: a long-running unrelated job (shared
+    * test JVM) must not block cleanup forever, and the straggler this
+    * guards against finishes in milliseconds. */
+  private[graft] def quiesceJobs(maxWaitMs: Long): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext).filterNot(_.isStopped).foreach { sc =>
+        val deadline = System.currentTimeMillis() + maxWaitMs
+        while (sc.statusTracker.getActiveJobIds().nonEmpty &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(10L)
+      }
+
   /** Build a pipeline, consume it inside `body`, then free all staged
     * intermediates. The standard way to call the `Dedup` /
     * `CurationPipeline` operators. */
