@@ -40,6 +40,16 @@ object TextFunctions {
       org.apache.spark.sql.graft.SketchExpressions.WordShingles(
         org.apache.spark.sql.graft.ColumnInternals.expression(tokens(c)), n))
 
+  /** Content-defined span blocks (anchored ExactSubstr boundaries) of
+    * the whitespace tokens of `c` — array<struct<p,b>>; see
+    * [[org.apache.spark.sql.graft.SketchExpressions.AnchoredSpanBlocks]]
+    * for the exact rule and why it is a native one-pass expression. */
+  def anchoredSpanBlocks(c: Column, maxBlockTokens: Int, anchorMod: Int): Column =
+    org.apache.spark.sql.graft.ColumnInternals.column(
+      org.apache.spark.sql.graft.SketchExpressions.AnchoredSpanBlocks(
+        org.apache.spark.sql.graft.ColumnInternals.expression(tokens(c)),
+        maxBlockTokens, anchorMod))
+
   /** Repetitiveness: 1 − (#distinct word bigrams / #word bigrams) —
     * 0 for fully novel text, → 1 for looping boilerplate. The standard
     * cheap quality signal for filtering templated/generated spam from

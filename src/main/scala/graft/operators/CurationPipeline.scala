@@ -415,20 +415,37 @@ object CurationPipeline {
     * then per-doc accounting + ordered reassembly of the surviving
     * blocks. The collect_list is bounded by DOCUMENT size, never
     * corpus size. */
-  private def spanFirstOwner(blocks: DataFrame): DataFrame = {
-    val firstOwner = blocks.groupBy(col("block"))
-      .agg(min(struct(col("id").as("i"), col("pos").as("p"))).as("__first"))
-    val kept = blocks.join(firstOwner, Seq("block"))
-      .withColumn("__keep",
-        col("id") === col("__first.i") && col("pos") === col("__first.p"))
-    kept.groupBy(col("id"))
-      .agg(
-        count(lit(1)).as("n_blocks"),
-        count(when(col("__keep"), lit(1))).as("n_kept"),
+  private def spanFirstOwner(blocks: DataFrame,
+      totalsOverride: Option[DataFrame] = None): DataFrame = {
+    // Elect on xxhash64(block), not the block text, and carry the
+    // winning copy's text THROUGH the election aggregate — (id, pos)
+    // is unique per row, so min(struct(i, p, b)) never consults b and
+    // elects exactly the (id, pos) winner while keeping its block.
+    // That removes the join-back of the full block table entirely:
+    // block strings shuffle once into the election (map-side partial
+    // agg collapses same-partition copies), the reassembly then runs
+    // over WINNERS only (≤ one row per distinct block), and per-doc
+    // totals come from the narrow (id) projection. Identical output
+    // absent 64-bit collisions — the same documented trade as the t42
+    // gram-hash family (at 100 TB the fix is 128-bit widening, not a
+    // string-keyed join).
+    val winners = blocks
+      .groupBy(xxhash64(col("block")).as("__g"))
+      .agg(min(struct(col("id").as("i"), col("pos").as("p"),
+        col("block").as("b"))).as("__first"))
+      .select(col("__first.i").as("id"), col("__first.p").as("p"),
+        col("__first.b").as("b"))
+    val perDoc = winners.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
-          sort_array(collect_list(when(col("__keep"),
-            struct(col("pos").as("p"), col("block").as("b"))))),
+          sort_array(collect_list(struct(col("p"), col("b")))),
           s => s.getField("b")), " ").as("text_clean"))
+    totalsOverride
+      .getOrElse(blocks.groupBy(col("id")).agg(count(lit(1)).as("n_blocks")))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   /** [[dedupSpans]] with CONTENT-DEFINED block boundaries — the
@@ -456,35 +473,25 @@ object CurationPipeline {
       implicit ctx: PipelineContext): DataFrame = {
     require(maxBlockTokens >= 1, s"need maxBlockTokens >= 1, got $maxBlockTokens")
     require(anchorMod >= 1, s"need anchorMod >= 1, got $anchorMod")
-    val sz = org.apache.spark.sql.functions.size(col("__w"))
-    val blocks = ctx.stage(docs
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__w"))
-      // 1-based anchor positions (>= 2: position 1 always starts a
-      // block); ascending by construction
-      .withColumn("__anc", filter(
-        sequence(lit(2), greatest(sz, lit(2))),
-        i => i <= sz && md5Bucket(element_at(col("__w"), i), anchorMod) === 0))
-      // block-start boundaries: 1, the anchors, with >maxBlockTokens
-      // gaps cut at maxBlockTokens strides from the gap's left edge;
-      // __sx carries the one-past-end sentinel so block k spans
-      // [__sx[k], __sx[k+1])
-      .withColumn("__e",
-        concat(array(lit(1)), col("__anc"), array(greatest(sz, lit(1)) + 1)))
-      .withColumn("__starts", flatten(transform(
-        sequence(lit(1), org.apache.spark.sql.functions.size(col("__e")) - 1),
-        k => sequence(element_at(col("__e"), k),
-          element_at(col("__e"), k + 1) - 1, lit(maxBlockTokens)))))
-      .withColumn("__sx",
-        concat(col("__starts"), array(greatest(sz, lit(1)) + 1)))
-      .select(col("id"), explode(transform(
-        sequence(lit(1), org.apache.spark.sql.functions.size(col("__starts"))),
-        k => struct(element_at(col("__sx"), k).as("p"),
-          concat_ws(" ", slice(col("__w"), element_at(col("__sx"), k),
-            element_at(col("__sx"), k + 1) - element_at(col("__sx"), k))).as("b"))))
-        .as("__blk"))
-      .select(col("id"), col("__blk.p").cast("int").as("pos"),
-        col("__blk.b").as("block")))
-    spanFirstOwner(blocks)
+    // One native expression computes every boundary decision per row
+    // (anchor election via md5 bytes, gap clamp, block assembly) — the
+    // HOF spelling of the same rule (anchor filter + boundary concat +
+    // stride flatten + block transform, each `conv(substring(md5(t),
+    // 1, 8), 16, 10) % mod` through three string materializations per
+    // token) measured ~2× the operator's whole oracle wall at sf0.1.
+    // Stage the PER-DOC block array (corpus-cardinality rows), not the
+    // exploded block table: the cache then holds one row per document,
+    // the per-doc total is size(array) with no shuffle at all, and the
+    // explode feeds the election exactly once.
+    val arr = ctx.stagePersist(docs.select(col(idCol).as("id"),
+      TextFunctions.anchoredSpanBlocks(col(textCol), maxBlockTokens,
+        anchorMod).as("__bs")))
+    val blocks = arr
+      .select(col("id"), explode(col("__bs")).as("__blk"))
+      .select(col("id"), col("__blk.p").as("pos"), col("__blk.b").as("block"))
+    val totals = arr.select(col("id"),
+      org.apache.spark.sql.functions.size(col("__bs")).cast("long").as("n_blocks"))
+    spanFirstOwner(blocks, Some(totals))
   }
 
   /** Filter-threshold sweep: for each candidate threshold, how much of

@@ -405,6 +405,102 @@ object SketchExpressions {
       copy(child = newChild)
   }
 
+  /** Content-defined span blocks of a token array, in one pass per row
+    * — the boundary-selection stage of the anchored ExactSubstr dedup
+    * (CurationPipeline.dedupSpansAnchored). Exact replacement for the
+    * five-column HOF chain (anchor filter, boundary concat, stride
+    * flatten, sentinel append, block transform) that evaluated
+    * `conv(substring(md5(tok), 1, 8), 16, 10) % mod` per token through
+    * three string materializations (hex digest, substring, decimal
+    * conv) plus five GenericArrayData intermediates per row — measured
+    * ~2× the whole operator's oracle wall at sf0.1. Semantics are
+    * bit-identical: token i (1-based, i ≥ 2) OPENS a block when the
+    * first 4 bytes of md5(token) — the value DuckDB's
+    * `CAST(CONCAT('0x', substring(md5(t),1,8)) AS BIGINT)` reads —
+    * are ≡ 0 (mod anchorMod); anchor gaps longer than `maxBlockTokens`
+    * are cut at maxBlockTokens strides from the gap's left edge; the
+    * result is array<struct<p:int, b:string>> with p the 1-based
+    * block-start position and b the space-joined block (empty doc →
+    * one (1, "") row, matching `slice` + `concat_ws` on empties).
+    * Null token array → null (split() never yields one; totality for
+    * free). */
+  final case class AnchoredSpanBlocks(child: Expression, maxBlockTokens: Int,
+      anchorMod: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+      with ExpectsInputTypes {
+    require(maxBlockTokens >= 1, "maxBlockTokens must be >= 1")
+    require(anchorMod >= 1, "anchorMod must be >= 1")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("p", IntegerType, nullable = false),
+      StructField("b", StringType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "anchored_span_blocks"
+
+    // MessageDigest is stateful; one per thread (a local[n] executor
+    // runs many tasks over the same expression instance)
+    @transient private lazy val md =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return null
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val digest = md.get()
+      // boundaries: 1, every anchor position in [2, n], sentinel n+1
+      // (n = 0 degenerates to [1, 2] — one empty block, like the HOF)
+      val e = new scala.collection.mutable.ArrayBuffer[Int](n / anchorMod + 2)
+      e += 1
+      var i = 2
+      while (i <= n) {
+        val tok = if (arr.isNullAt(i - 1)) null else arr.getUTF8String(i - 1)
+        if (tok != null) {
+          digest.reset()
+          val h = digest.digest(tok.getBytes)
+          // first 8 hex chars = first 4 bytes, unsigned big-endian
+          val bucket = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+          if (bucket % anchorMod == 0) e += i
+        }
+        i += 1
+      }
+      val dend = math.max(n, 1) + 1
+      e += dend
+      // block starts: each [e(k), e(k+1)) gap tiled at maxBlockTokens
+      val starts = new scala.collection.mutable.ArrayBuffer[Int](e.length)
+      var k = 0
+      while (k < e.length - 1) {
+        var s = e(k)
+        while (s < e(k + 1)) { starts += s; s += maxBlockTokens }
+        k += 1
+      }
+      val out = new Array[Any](starts.length)
+      k = 0
+      while (k < starts.length) {
+        val from = starts(k)
+        val until = if (k + 1 < starts.length) starts(k + 1) else dend
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](
+          math.min(until, n + 1) - from)
+        var j = from
+        while (j <= n && j < until) { // nulls stay null: concatWs skips
+          if (!arr.isNullAt(j - 1)) parts(j - from) = arr.getUTF8String(j - 1)
+          j += 1
+        }
+        out(k) = InternalRow(from,
+          org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): AnchoredSpanBlocks =
+      copy(child = newChild)
+  }
+
   /** Canonical text cleanup for corpus curation, one pass over the
     * string: Unicode NFC normalization, format characters (Cf — zero
     * widths, BOM, bidi marks) removed, every run of separator/control
