@@ -762,14 +762,25 @@ object CurationPipeline {
   /** [[importanceWeights]] over a pre-staged [[tokenFrame]]. */
   def importanceWeightsFromTokens(toks: DataFrame, hashBuckets: Int = 0)(
       implicit ctx: PipelineContext): DataFrame = {
-    val feature =
-      if (hashBuckets > 0) pmod(xxhash64(col("__w")), lit(hashBuckets.toLong)).cast("string")
-      else col("__w")
-    val wc = ctx.stagePersist(toks
-      .select(col("id"), col("tgt"), explode(col("w")).as("__w"))
-      .select(col("id"), col("tgt"), feature.as("term"))
-      .groupBy(col("id"), col("tgt"), col("term"))
-      .agg(count(lit(1)).as("cnt")))
+    // per-doc term counts rowside (native TokenCounts map), so the
+    // explode carries one row per DISTINCT term per doc and no
+    // (id, term)-keyed shuffle exists at all; only the term-keyed
+    // vocab statistics below touch the wire
+    val perDoc = toks.select(col("id"), col("tgt"), explode(
+      org.apache.spark.sql.graft.ColumnInternals.column(
+        org.apache.spark.sql.graft.SketchExpressions.TokenCounts(
+          org.apache.spark.sql.graft.ColumnInternals.expression(col("w")))))
+      .as(Seq("__w", "cnt")))
+    val wc = ctx.stagePersist(
+      if (hashBuckets > 0)
+        // distinct terms can collide into one bucket — re-aggregate,
+        // but over the already doc-collapsed stream
+        perDoc.select(col("id"), col("tgt"),
+            pmod(xxhash64(col("__w")), lit(hashBuckets.toLong))
+              .cast("string").as("term"), col("cnt"))
+          .groupBy(col("id"), col("tgt"), col("term"))
+          .agg(sum(col("cnt")).as("cnt"))
+      else perDoc.withColumnRenamed("__w", "term"))
     val stats = wc.groupBy(col("term"))
       .agg(sum(col("cnt")).as("cr"),
         sum(when(col("tgt"), col("cnt")).otherwise(lit(0L))).as("ct"))
@@ -864,14 +875,23 @@ object CurationPipeline {
     * AND the scoring join. */
   def lmPerplexityFromTokens(toks0: DataFrame)(
       implicit ctx: PipelineContext): DataFrame = {
-    val toks = toks0.filter(size(col("w")) >= 2)
-    val bigrams = ctx.stagePersist(toks.select(col("id"), col("tgt"),
-      posexplode(slice(col("w"), lit(1), size(col("w")) - 1)).as(Seq("i", "p")),
-      col("w"))
-      .select(col("id"), col("tgt"), col("p"),
-        element_at(col("w"), col("i") + 2).as("c")))
+    // per-doc bigram multiplicities rowside (native BigramCounts, the
+    // bigram analog of DSIR's TokenCounts): the staged stream carries
+    // one row per DISTINCT bigram per doc with its count, so the LM
+    // count aggregates and the scoring join all run over the collapsed
+    // stream — the per-occurrence posexplode never shuffles. The
+    // per-doc score becomes Σ n·ln P / Σ n: same sum up to fp
+    // summation order, absorbed by the edge rounding exactly like the
+    // partial-agg ordering it already tolerates.
+    val bigrams = ctx.stagePersist(toks0.select(col("id"), col("tgt"),
+      explode(org.apache.spark.sql.graft.ColumnInternals.column(
+        org.apache.spark.sql.graft.SketchExpressions.BigramCounts(
+          org.apache.spark.sql.graft.ColumnInternals.expression(col("w")))))
+        .as("__b"))
+      .select(col("id"), col("tgt"), col("__b.p").as("p"),
+        col("__b.c").as("c"), col("__b.n").as("n")))
     val bigramCnt = bigrams.filter(col("tgt"))
-      .groupBy(col("p"), col("c")).agg(count(lit(1)).as("bc"))
+      .groupBy(col("p"), col("c")).agg(sum(col("n")).as("bc"))
     val prefixCnt = bigramCnt.groupBy(col("p")).agg(sum(col("bc")).as("pc"))
     // V = target vocabulary (distinct tokens, not just prefixes: the
     // last token of each target doc still counts — so the vocab scan
@@ -887,8 +907,8 @@ object CurationPipeline {
         log((coalesce(col("bc"), lit(0L)) + 1.0)
           / (coalesce(col("pc"), lit(0L)) + col("v"))))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        exp(-(sum(col("lp")) / count(lit(1)))).as("ppl"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        exp(-(sum(col("lp") * col("n")) / sum(col("n")))).as("ppl"))
   }
 
   /** Quality-classifier training — the GPT-3/LLaMA curation step
@@ -913,18 +933,45 @@ object CurationPipeline {
   def trainQualityClassifier(
       docs: DataFrame, idCol: String, textCol: String,
       label: Column, iters: Int = 5, lr: Double = 0.5)(
-      implicit ctx: PipelineContext): DataFrame = {
-    require(iters >= 1, "need at least one iteration")
+      implicit ctx: PipelineContext): DataFrame =
+    trainQualityClassifierOnFeats(
+      classifierFeatures(docs, idCol, textCol, label), iters, lr)
+
+  /** The staged (id, x0..x3, y) feature frame behind
+    * [[trainQualityClassifier]] / [[qualityClassifierScore]] — exposed
+    * so a composition (t52) computes the char-statistics scan ONCE and
+    * both the GD loop and the scoring pass read the cache; the
+    * regexp_replace char counts are the expensive part, not the
+    * 4-double algebra. */
+  def classifierFeatures(docs: DataFrame, idCol: String, textCol: String,
+      label: Column)(implicit ctx: PipelineContext): DataFrame = {
     val toks = lit(1) + length(col(textCol)) -
       length(regexp_replace(col(textCol), " ", ""))
     val theCnt = (length(col(textCol)) -
       length(regexp_replace(col(textCol), "the", ""))) / 3
-    val feats = ctx.stagePersist(docs.select(
+    ctx.stagePersist(docs.select(
+      col(idCol).as("id"),
       lit(1.0).as("x0"),
       (toks / 100.0).as("x1"),
       (length(col(textCol)) / toks / 10.0).as("x2"),
       (theCnt / toks).as("x3"),
       label.cast("int").cast("double").as("y")))
+  }
+
+  /** σ(wᵀx) over a pre-staged [[classifierFeatures]] frame — same
+    * arithmetic as [[qualityClassifierScore]], zero text scans. */
+  def scoreFromFeats(feats: DataFrame, w: Seq[Double]): DataFrame = {
+    require(w.length == 4, "expect 4 weights (bias + 3 features)")
+    val z = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    feats.select(col("id"), (lit(1.0) / (lit(1.0) + exp(-z))).as("score"))
+  }
+
+  /** [[trainQualityClassifier]] over a pre-staged
+    * [[classifierFeatures]] frame. */
+  def trainQualityClassifierOnFeats(feats: DataFrame,
+      iters: Int = 5, lr: Double = 0.5): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
     def round9(x: Double): Double =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     var w = Array(0.0, 0.0, 0.0, 0.0)

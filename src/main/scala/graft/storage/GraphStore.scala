@@ -76,40 +76,78 @@ final class GraphStore(
 
   // ---- graph-level manifest ----------------------------------------------
   //
-  // One `_manifest` file at the GRAPH root names every rewritten
+  // A chain of immutable `_manifest.v<N>` files at the GRAPH root;
+  // the highest N is the head, and each file names every rewritten
   // table's active generation (`nodes/Thing=_gen-3` lines). It is the
   // single commit point: a multi-table Cypher write (DETACH DELETE
   // touching a node table plus its relationship tables) lands every
-  // table's next `_gen-<n>` dir first, then swaps the manifest ONCE
-  // (tmp + ATOMIC_MOVE) — a crash at any step leaves the manifest
-  // naming only old generations, so readers see the old CONSISTENT
-  // graph, never a half-applied one. This is the graph-scoped analog
-  // of a transactional table format's log head; per-table `_current`
-  // pointers from the pre-manifest layout are still honored as a read
-  // fallback and retired on the table's next rewrite.
+  // table's next `_gen-<n>` dir first, then publishes `_manifest.
+  // v<N+1>` ONCE via conditional put ([[CasFiles.putIfAbsent]]) — a
+  // crash at any step leaves the head naming only old generations, so
+  // readers see the old CONSISTENT graph, never a half-applied one;
+  // a CONCURRENT writer landing v<N+1> first makes this commit LOSE
+  // LOUDLY ([[CommitConflictException]]) instead of silently dropping
+  // the winner's entries. This is the graph-scoped analog of a
+  // transactional table format's log head (Delta's _delta_log/<N>.json
+  // under "put-if-absent"), chosen over rename-onto-a-fixed-name
+  // because object stores have conditional PUT but not atomic rename.
+  // Pre-versioned layouts are honored on read: a legacy single-file
+  // `_manifest` serves as version 0's content, and per-table
+  // `_current` pointers remain the last fallback; both retire as
+  // tables are next rewritten.
 
   private def graphDir: String = s"$root/$graphId"
-  private def manifestFile = new java.io.File(graphDir, "_manifest")
+  private def legacyManifestFile = new java.io.File(graphDir, "_manifest")
+  private def manifestVersionFile(v: Int) =
+    new java.io.File(graphDir, s"_manifest.v$v")
   private def tableKey(path: String): String = path.stripPrefix(graphDir + "/")
 
-  private def readManifest(): Map[String, Int] = {
-    if (!manifestFile.exists) return Map.empty
-    new String(java.nio.file.Files.readAllBytes(manifestFile.toPath), "UTF-8")
+  /** Manifest versions kept behind the head (debugging/forensics —
+    * readers only ever resolve the head; data-file retention is the
+    * separate current+previous generation rule). */
+  private val ManifestKeep = 8
+
+  private def listManifestVersions(): Seq[Int] =
+    Option(new java.io.File(graphDir).list()).toSeq.flatten
+      .filter(_.matches("_manifest\\.v\\d+"))
+      .map(_.stripPrefix("_manifest.v").toInt)
+
+  private def parseManifest(f: java.io.File): Map[String, Int] = {
+    if (!f.exists) return Map.empty
+    new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       .linesIterator.map(_.trim).filter(_.nonEmpty).map { l =>
         val i = l.lastIndexOf('=')
-        require(i > 0, s"malformed manifest line in $manifestFile: $l")
+        require(i > 0, s"malformed manifest line in $f: $l")
         l.substring(0, i) -> l.substring(i + 1).stripPrefix("_gen-").toInt
       }.toMap
   }
 
-  private def writeManifest(m: Map[String, Int]): Unit = {
+  /** The manifest head: (version, table→generation). Version 0 = no
+    * versioned manifest committed yet (content then comes from the
+    * legacy single-file `_manifest`, if present). */
+  private def readManifestHead(): (Int, Map[String, Int]) = {
+    val vs = listManifestVersions()
+    if (vs.isEmpty) (0, parseManifest(legacyManifestFile))
+    else { val v = vs.max; (v, parseManifest(manifestVersionFile(v))) }
+  }
+
+  private def readManifest(): Map[String, Int] = readManifestHead()._2
+
+  /** Publish `m` as the next manifest version after `baseVersion`.
+    * Throws [[CommitConflictException]] when another writer committed
+    * that version first — the caller's generation writes are then
+    * orphans and the mutation must be retried from the new head. */
+  private def commitManifest(baseVersion: Int, m: Map[String, Int]): Unit = {
     val body = m.toSeq.sortBy(_._1)
       .map { case (k, g) => s"$k=_gen-$g" }.mkString("", "\n", "\n")
-    val tmp = new java.io.File(graphDir, "_manifest.tmp")
-    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, manifestFile.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (!CasFiles.putIfAbsent(
+        manifestVersionFile(baseVersion + 1), body.getBytes("UTF-8")))
+      throw new CommitConflictException(graphId, baseVersion + 1)
+    // the head advanced past the legacy single-file manifest: retire
+    // it (crash-safe — versioned files take precedence on read)
+    legacyManifestFile.delete()
+    listManifestVersions().filter(_ <= baseVersion - ManifestKeep)
+      .foreach(v => manifestVersionFile(v).delete())
   }
 
   /** The directory holding the table's ACTIVE data files. */
@@ -122,12 +160,16 @@ final class GraphStore(
     * Resolution order: graph manifest, then the pre-manifest
     * per-table `_current` pointer, then legacy. */
   private def currentGen(path: String): Int =
-    readManifest().getOrElse(tableKey(path), {
-      val p = pointerFile(path)
-      if (!p.exists) 0
-      else new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
-        .trim.stripPrefix("_gen-").toInt
-    })
+    readManifest().getOrElse(tableKey(path), legacyGen(path))
+
+  /** Pre-manifest fallback: the per-table `_current` pointer, else the
+    * legacy append-only layout (generation 0). */
+  private def legacyGen(path: String): Int = {
+    val p = pointerFile(path)
+    if (!p.exists) 0
+    else new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
+      .trim.stripPrefix("_gen-").toInt
+  }
 
   // ---- readers -----------------------------------------------------------
 
@@ -367,13 +409,32 @@ final class GraphStore(
     // actually happens, not by caller convention.
     require(writes.map(_._1).distinct.size == writes.size,
       "a graph commit may rewrite each table at most once")
+    // ONE read of the head: base version for the optimistic commit
+    // below, base generations for the new `_gen-` dirs (a per-table
+    // re-read could straddle a foreign writer's commit)
+    val (baseVersion, baseManifest) = readManifestHead()
+    def genIn(path: String): Int =
+      baseManifest.getOrElse(tableKey(path), legacyGen(path))
     val gens = writes.map { case (path, next) =>
-      val gen = currentGen(path) + 1
+      val gen = genIn(path) + 1
       next.write.mode(SaveMode.Overwrite).parquet(s"$path/_gen-$gen")
       path -> gen
     }
-    writeManifest(readManifest() ++
-      gens.map { case (p, g) => tableKey(p) -> g })
+    try commitManifest(baseVersion,
+      baseManifest ++ gens.map { case (p, g) => tableKey(p) -> g })
+    catch {
+      case e: CommitConflictException =>
+        // the data dirs written above were never published — remove
+        // the orphans (best-effort; a crash here is also safe, the
+        // next writer's Overwrite reclaims the slot) and surface the
+        // loud retryable conflict
+        gens.foreach { case (path, gen) =>
+          def rm(f: java.io.File): Boolean =
+            Option(f.listFiles()).forall(_.forall(rm)) && f.delete()
+          rm(new java.io.File(s"$path/_gen-$gen"))
+        }
+        throw e
+    }
     gens.foreach { case (path, gen) =>
       // the manifest is authoritative now — retire the pre-manifest
       // pointer so a stale `_current` can't shadow future fallbacks

@@ -501,6 +501,111 @@ object SketchExpressions {
       copy(child = newChild)
   }
 
+  /** Per-row token multiplicity map: array<string> → map<token, count>
+    * (first-occurrence key order, null tokens skipped). One pass per
+    * row, replacing the explode → corpus-wide groupBy(id, term) that
+    * re-shuffled every token occurrence as its own row: the per-doc
+    * aggregation happens rowside for free, the downstream explode
+    * carries one row per DISTINCT term per doc, and the only remaining
+    * shuffles are the term-keyed statistics that genuinely need the
+    * wire (DSIR vocab stats, BM25 df). Null array → null. */
+  final case class TokenCounts(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType =
+      MapType(StringType, LongType, valueContainsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "token_counts"
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return null
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val m = new java.util.LinkedHashMap[
+        org.apache.spark.unsafe.types.UTF8String, Long](2 * n)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val t = arr.getUTF8String(i)
+          val c = m.get(t)
+          m.put(t, if (c == null) 1L else c + 1L)
+        }
+        i += 1
+      }
+      val keys = new Array[Any](m.size)
+      val vals = new Array[Any](m.size)
+      val it = m.entrySet().iterator()
+      var k = 0
+      while (it.hasNext) {
+        val e = it.next(); keys(k) = e.getKey; vals(k) = e.getValue; k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(keys), new GenericArrayData(vals))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+      copy(child = newChild)
+  }
+
+  /** Per-row consecutive-bigram multiplicity: array<string> →
+    * array<struct<p, c, n>> with one entry per DISTINCT (prev, cur)
+    * pair (first-occurrence order) and n its in-row count — the bigram
+    * analog of [[TokenCounts]], collapsing the per-occurrence
+    * posexplode stream before it ever shuffles. Tokens come from a
+    * whitespace split, so the internal "p c" dedup key is unambiguous.
+    * Fewer than 2 tokens → empty array (explode then drops the row,
+    * matching the size-filter + posexplode form). Null → null. */
+  final case class BigramCounts(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("p", StringType), StructField("c", StringType),
+      StructField("n", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "bigram_counts"
+
+    private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return null
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val idx = new java.util.LinkedHashMap[
+        org.apache.spark.unsafe.types.UTF8String, Integer](2 * n)
+      val ps = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.unsafe.types.UTF8String](n)
+      val cs = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.unsafe.types.UTF8String](n)
+      val cnts = new scala.collection.mutable.ArrayBuffer[Long](n)
+      var i = 0
+      while (i < n - 1) {
+        val p = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+        val c = if (arr.isNullAt(i + 1)) null else arr.getUTF8String(i + 1)
+        val key = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, p, c)
+        val at = idx.get(key)
+        if (at == null) {
+          idx.put(key, cnts.length); ps += p; cs += c; cnts += 1L
+        } else cnts(at) += 1L
+        i += 1
+      }
+      val out = new Array[Any](cnts.length)
+      var k = 0
+      while (k < out.length) {
+        out(k) = InternalRow(ps(k), cs(k), cnts(k)); k += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BigramCounts =
+      copy(child = newChild)
+  }
+
   /** Canonical text cleanup for corpus curation, one pass over the
     * string: Unicode NFC normalization, format characters (Cf — zero
     * widths, BOM, bidi marks) removed, every run of separator/control
