@@ -552,6 +552,37 @@ object PipelineQueries {
         .orderBy(col("id"))
     }
 
+  /** Persisted incremental BM25 ([[graft.storage.Bm25Index]]): the
+    * corpus lands in TWO appends (an initial build, then the last
+    * quarter of doc ids as an incremental batch — each a CAS-committed
+    * immutable segment), and the same three t47 queries rank against
+    * the PERSISTED index: bucket-partition-pruned postings/df scans,
+    * per-segment additive stats. The oracle is t47's inline BM25 over
+    * the whole corpus — a hash match proves the segmented, persisted,
+    * incrementally-built index scores byte-identically to a fresh
+    * single-pass build. */
+  def t56Bm25Persisted(spark: SparkSession, dir: String): DataFrame = {
+    // stable wiped-at-entry scratch (the StorageQueries discipline:
+    // fresh state per invocation without unbounded /tmp growth)
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-stgate", "t56")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val docs = Tables.documents(spark, dir)
+    val idx = new graft.storage.Bm25Index(spark, base.toString, nBuckets = 16)
+    idx.append(docs.filter(col("doc_id") % 4 < 3), "doc_id", "text")
+    idx.append(docs.filter(col("doc_id") % 4 === 3), "doc_id", "text")
+    idx.topDocs(Seq(
+        (1L, "dup join"),
+        (2L, "hash table scan"),
+        (3L, "spark window agg")), k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
     * decode-stub features → per-type accounting. The input is generated
     * in-engine (deterministic from ids), so the oracle is a fixture
@@ -1026,6 +1057,7 @@ object PipelineQueries {
     "t53_mmr_select" -> t53MmrSelect _,
     "t54_token_budget" -> t54TokenBudget _,
     "t55_substr_dedup" -> t55SubstrDedup _,
+    "t56_bm25_persisted" -> t56Bm25Persisted _,
   )
 
   /** Shared DuckDB fold fragments for the vector oracles — the same
@@ -1442,6 +1474,9 @@ object PipelineQueries {
     // queries; constants written as the SAME ieee ops the engine
     // folds (1.2 + 1.0, 1.0 - 0.75), scores rounded before ranking
     "t47_bm25" -> bm25Oracle,
+    // the persisted segmented index (t56) must be score-identical to
+    // the inline single-pass build — SAME replay
+    "t56_bm25_persisted" -> bm25Oracle,
     // add-1 bigram LM trained on the en slice; bigram stream replayed
     // via t30's comprehension windows, OOV prefixes at the 1/V floor
     "t49_perplexity" ->

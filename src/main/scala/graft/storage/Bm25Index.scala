@@ -1,0 +1,191 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-appendable Okapi BM25 inverted index.
+  *
+  * [[graft.operators.CurationPipeline.bm25TopDocs]] rebuilds its
+  * posting table per call — right for one-shot scoring, wrong for a
+  * serving corpus at 100 TB where the index is built once and queried
+  * forever. This class persists the index as immutable SEGMENTS under
+  * a CAS-committed manifest (the [[CasFiles]] protocol the graph
+  * `_manifest` uses), so appends are atomic, readers get snapshot
+  * isolation for free, and a concurrent writer loses loudly instead
+  * of corrupting the head. Reference parity: the reference keeps its
+  * search index inside the embedded engine's own storage
+  * (robosystems/graph_api/core — tables are the index); this engine
+  * expresses the same "build once, query many" contract Spark-first.
+  *
+  * Layout (all paths under `path/`):
+  * {{{
+  *   _manifest.v<N>      one segment name per line; highest N = head
+  *   seg-<n>/postings/   (term, id, tf) parquet, partitioned by
+  *                       bucket = pmod(xxhash64(term), nBuckets)
+  *   seg-<n>/dfreq/      (term, df) parquet, same bucket partitioning
+  *   seg-<n>/doclen/     (id, dl) parquet
+  *   seg-<n>/_stats      "<n_docs> <sum_dl>" (exact longs)
+  * }}}
+  *
+  * Scale shape: a query touches ONLY the query terms' bucket
+  * partitions of postings+dfreq (partition pruning on the literal
+  * bucket set — the scan never reads the other (nBuckets − q)
+  * partitions), plus the per-matched-doc slice of doclen and the
+  * driver-side per-segment stats. Appends never rewrite existing
+  * segments; per-doc state is complete within one segment (documents
+  * must not repeat across appends), so df/dl/stats merge by pure
+  * addition and the merged scores are IDENTICAL to a fresh
+  * [[graft.operators.CurationPipeline.bm25TopDocs]] over the unioned
+  * corpus — the t56 driver gate pins exactly that equality through an
+  * incremental append, against the same DuckDB oracle as t47.
+  *
+  * `dfCap` (off by default): terms whose in-segment document
+  * frequency exceeds the cap are dropped from postings and dfreq at
+  * BUILD time — the stopword-whale lever (a df≈n term's posting list
+  * is corpus-sized and its idf≈0 contribution is noise). Capped terms
+  * still count toward dl/avgdl: document length is a property of the
+  * document, not of what the index chose to store.
+  */
+final class Bm25Index(
+    spark: SparkSession, path: String, nBuckets: Int = 64) {
+  require(nBuckets > 0, "nBuckets must be positive")
+
+  private def dir = new java.io.File(path)
+  private def segDir(n: Int) = new java.io.File(dir, s"seg-$n")
+  private def manifestFile(v: Int) = new java.io.File(dir, s"_manifest.v$v")
+
+  /** Manifest head: (version, committed segment names). (0, Nil) =
+    * empty index. */
+  private def readHead(): (Int, Seq[String]) = {
+    val vs = Option(dir.list()).toSeq.flatten
+      .filter(_.matches("_manifest\\.v\\d+"))
+      .map(_.stripPrefix("_manifest.v").toInt)
+    if (vs.isEmpty) (0, Nil)
+    else {
+      val v = vs.max
+      (v, new String(java.nio.file.Files.readAllBytes(
+        manifestFile(v).toPath), "UTF-8")
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+    }
+  }
+
+  /** Append one batch of documents as a new immutable segment and
+    * publish it atomically. Documents must be NEW ids (a doc split
+    * across segments would double-count df and split its tf) — the
+    * incremental contract, same as the reference's ingest dedup
+    * boundary. Safe under concurrent writers: the loser's segment dir
+    * is removed and [[CommitConflictException]] says retry. */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+      dfCap: Long = 0L): Unit = {
+    val (baseVer, segs) = readHead()
+    val seg = segDir(baseVer + 1)
+    val wc = docs
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .persist() // three consumers below; segment builds are batch-bounded
+    try {
+      val dfreq = wc.groupBy(col("bucket"), col("term"))
+        .agg(count(lit(1)).as("df"))
+      val kept =
+        if (dfCap > 0L) dfreq.filter(col("df") <= dfCap) else dfreq
+      // the cap's kept-vocabulary is broadcast as the postings filter;
+      // at a vocabulary too large to broadcast, flip to a shuffled
+      // left-semi (the decontam gate's plan)
+      wc.join(broadcast(kept.select(col("term"))), Seq("term"))
+        .select(col("id"), col("term"), col("tf"), col("bucket"))
+        .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+        .parquet(s"$seg/postings")
+      kept.select(col("term"), col("df"), col("bucket"))
+        .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+        .parquet(s"$seg/dfreq")
+      // dl over the UN-capped stream: document length is exact
+      val dl = wc.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+      dl.write.mode(SaveMode.Overwrite).parquet(s"$seg/doclen")
+      val st = spark.read.parquet(s"$seg/doclen")
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+      java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
+        s"${st.getLong(0)} ${st.getLong(1)}\n".getBytes("UTF-8"))
+    } finally wc.unpersist(false)
+    val body = (segs :+ seg.getName).mkString("", "\n", "\n")
+    if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1), body.getBytes("UTF-8"))) {
+      def rm(f: java.io.File): Boolean =
+        Option(f.listFiles()).forall(_.forall(rm)) && f.delete()
+      rm(seg)
+      throw new CommitConflictException(s"bm25:$path", baseVer + 1)
+    }
+  }
+
+  /** Committed segment names at the current head (spec surface). */
+  def segments: Seq[String] = readHead()._2
+
+  /** BM25 top-`k` per query over the index head — the same arithmetic
+    * as [[graft.operators.CurationPipeline.bm25TopDocs]] (k1, b,
+    * positive idf, 6-dp round before rank, doc-id tie-break), reading
+    * ONLY the query terms' bucket partitions. `queries` is collected
+    * on the driver (bounded by the broadcast-queries contract the
+    * inline form already assumes) so the bucket set is a pushable
+    * literal — that is what turns the scan into partition pruning. */
+  def topDocs(queries: Seq[(Long, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val (_, segs) = readHead()
+    require(segs.nonEmpty, s"empty BM25 index at $path")
+    val qterms = queries.flatMap { case (qid, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct.map(qid -> _)
+    }
+    val qtermsDf = spark.createDataFrame(qterms).toDF("qid", "term")
+    // partition values parse back as INT — match the type exactly so
+    // the isin stays a plain partition filter (a cast would defeat
+    // pruning)
+    val buckets: Seq[Int] = qterms.map { case (_, t) =>
+      Bm25Index.bucketOf(t, nBuckets).toInt
+    }.distinct
+    def unionRead(sub: String, prune: Boolean): DataFrame =
+      segs.map { s =>
+        val d = spark.read.parquet(s"$path/$s/$sub")
+        if (prune) d.filter(col("bucket").isin(buckets: _*)) else d
+      }.reduce(_.unionByName(_))
+    val (nDocs, sumDl) = segs.map { s =>
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(s"$path/$s", "_stats").toPath), "UTF-8")
+        .trim.split(" ")
+      (parts(0).toLong, parts(1).toLong)
+    }.reduce((a, x) => (a._1 + x._1, a._2 + x._2))
+    val avgdl = sumDl.toDouble / nDocs
+    val dfreq = unionRead("dfreq", prune = true)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val scored = unionRead("postings", prune = true)
+      .join(broadcast(qtermsDf), Seq("term"))
+      .join(unionRead("doclen", prune = false), Seq("id"))
+      .join(dfreq, Seq("term"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+    scored.groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("w")), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("score"), col("rank"))
+  }
+}
+
+object Bm25Index {
+  /** The partition key [[Bm25Index.append]] writes — driver-side
+    * replica of `pmod(xxhash64(term), nBuckets)` so query planning
+    * can turn collected query terms into a literal bucket filter. */
+  private[graft] def bucketOf(term: String, nBuckets: Int): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term), 42L)
+    val m = h % nBuckets
+    if (m < 0) m + nBuckets else m
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.operators.{CurationPipeline, PipelineContext}
+import graft.storage.{Bm25Index, CasFiles, CommitConflictException}
+
+class Bm25IndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus: DataFrame = Seq(
+    (1L, "dup dup join scan"),
+    (2L, "hash table scan join"),
+    (3L, "spark window agg window"),
+    (4L, "dup table"),
+    (5L, "join join join hash"),
+    (6L, "scan scan scan scan scan"),
+    (7L, "window dup spark"),
+    (8L, "agg hash window table")).toDF("doc_id", "text")
+
+  private val queries = Seq((1L, "dup join"), (2L, "hash scan"))
+
+  private def newIndexDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-bm25").toString
+
+  private def inline(docs: DataFrame): Seq[Row] =
+    PipelineContext.materialize { implicit ctx =>
+      CurationPipeline.bm25TopDocs(docs, "doc_id", "text",
+        queries.toDF("qid", "qtext"), "qid", "qtext", k = 5)
+    }.orderBy("qid", "rank").collect().toSeq
+
+  test("segmented incremental build scores identically to the inline single-pass build") {
+    val idx = new Bm25Index(spark, newIndexDir(), nBuckets = 8)
+    idx.append(corpus.filter($"doc_id" <= 5), "doc_id", "text")
+    idx.append(corpus.filter($"doc_id" > 5), "doc_id", "text")
+    assert(idx.segments === Seq("seg-1", "seg-2"))
+    val got = idx.topDocs(queries, k = 5).orderBy("qid", "rank").collect().toSeq
+    assert(got === inline(corpus))
+    assert(got.nonEmpty)
+  }
+
+  test("bucket partition pruning: the postings scan reads only the query terms' buckets") {
+    val dir = newIndexDir()
+    val idx = new Bm25Index(spark, dir, nBuckets = 8)
+    idx.append(corpus, "doc_id", "text")
+    val plan = idx.topDocs(Seq((1L, "dup")), k = 3)
+      .queryExecution.executedPlan.toString
+    val b = Bm25Index.bucketOf("dup", 8).toInt
+    // every index scan (postings AND dfreq) carries the literal bucket
+    // partition filter — the pruning that makes query cost ∝ matched
+    // buckets, not index size
+    val filters = plan.linesIterator
+      .filter(l => l.contains("/postings") || l.contains("/dfreq")).toSeq
+    assert(filters.size >= 2, s"expected pruned scans in plan:\n$plan")
+    assert(filters.forall(_.contains(s"bucket#")), plan)
+    assert(filters.forall(_.matches(s".*PartitionFilters: \\[[^\\]]*= $b\\).*")),
+      s"expected literal bucket=$b partition filters:\n${filters.mkString("\n")}")
+    // the driver-side bucket replica agrees with the engine's pmod
+    val engineBucket = corpus.sparkSession.range(1)
+      .select(pmod(xxhash64(lit("dup")), lit(8L)).cast("int"))
+      .as[Int].head()
+    assert(b === engineBucket)
+  }
+
+  test("dfCap drops whale terms from postings but keeps document length exact") {
+    val dir = newIndexDir()
+    val idx = new Bm25Index(spark, dir, nBuckets = 4)
+    // 'scan' appears in 3 docs (1, 2, 6); cap at 2 drops it
+    idx.append(corpus, "doc_id", "text", dfCap = 2L)
+    val got = idx.topDocs(Seq((1L, "scan dup")), k = 8)
+      .orderBy("rank").collect().toSeq
+    // only 'dup' scores: doc 6 (scan-only) must be absent
+    assert(!got.exists(_.getLong(1) === 6L))
+    assert(got.map(_.getLong(1)).toSet.subsetOf(Set(1L, 4L, 7L)))
+    // dl stayed un-capped: stats file counts ALL tokens of doc 6
+    val stats = idx.segments.map { s =>
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s, "_stats")), "UTF-8").trim.split(" ")
+    }
+    assert(stats.map(_(1).toLong).sum ===
+      corpus.select(sum(size(split($"text", " ")))).as[Long].head())
+  }
+
+  test("losing the manifest CAS raises CommitConflictException and removes the orphan segment") {
+    val dir = newIndexDir()
+    val idx = new Bm25Index(spark, dir, nBuckets = 4)
+    idx.append(corpus.filter($"doc_id" <= 4), "doc_id", "text")
+    // The foreign writer publishes v2 from INSIDE the batch evaluation
+    // — deterministically after this append read head=v1 and before
+    // its CAS, the exact window the protocol must lose in (the
+    // GraphStore race-spec pattern).
+    val foreign = new java.io.File(dir, "_manifest.v2")
+    val trapped = corpus.filter($"doc_id" > 4).as[(Long, String)]
+      .mapPartitions { it =>
+        CasFiles.putIfAbsent(foreign, "seg-1\nseg-x\n".getBytes("UTF-8")); it
+      }.toDF("doc_id", "text")
+    intercept[CommitConflictException] {
+      idx.append(trapped, "doc_id", "text")
+    }
+    assert(!new java.io.File(dir, "seg-2").exists(),
+      "loser's segment dir must be cleaned up")
+    assert(idx.segments === Seq("seg-1", "seg-x"))
+  }
+
+  test("foreachBatch streaming append: batched ingest converges to the inline scores") {
+    val dir = newIndexDir()
+    val idx = new Bm25Index(spark, dir, nBuckets = 8)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) idx.append(batch, "doc_id", "text")
+      }
+      .start()
+    try {
+      mem.addData(corpus.as[(Long, String)].collect().filter(_._1 <= 3).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(corpus.as[(Long, String)].collect().filter(_._1 > 3).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(idx.segments.size === 2)
+    assert(idx.topDocs(queries, k = 5).orderBy("qid", "rank").collect().toSeq
+      === inline(corpus))
+  }
+}
