@@ -563,6 +563,103 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ---- Jaccard-family auto-routing ---------------------------------------
+
+  /** Which Jaccard engine the router chose (spec surface — the pure
+    * decision is pinnable without running a corpus). */
+  sealed trait JaccardRoute
+  object JaccardRoute {
+    /** [[jaccardPairsExact]]: recall 1, cost ∝ Σ df² — the default
+      * whenever the inverted index fits one segment budget. */
+    case object Exact extends JaccardRoute
+    /** [[jaccardPairsPrefix]]: recall 1, drops each doc's commonest
+      * grams — the Σ df² whales — but only pays at high θ (measured:
+      * 1.8× cut at θ=0.4 vs super-proportional at θ≥0.7). */
+    case object Prefix extends JaccardRoute
+    /** [[minhashPairs]]: sub-quadratic at ANY θ but probabilistic —
+      * banding tuned so the S-curve midpoint (1/bands)^(rows⁻¹) sits
+      * at or below θ (recall-leaning). */
+    final case class Lsh(numHashes: Int, bands: Int) extends JaccardRoute
+  }
+
+  /** One-pass corpus profile over the distinct (doc, gram) table:
+    * `candVolume` = Σ df² is exactly the candidate-row count the
+    * inverted-index self-join would produce — the number that decides
+    * everything. `postings` = Σ df (the table's row count, an upper
+    * bound on doc count). */
+  final case class JaccardProfile(postings: Long, nGrams: Long, candVolume: Long)
+
+  /** The profile scan: tokenize+shingle → distinct → one two-level
+    * agg. O(corpus scan) — at 100 TB this pass is amortized against
+    * choosing a wrongly-routed engine that runs hours longer (or
+    * silently under-recalls). */
+  def jaccardProfile(
+      df: DataFrame, idCol: String, textCol: String,
+      shingle: ShingleMode = WordGrams(2)): JaccardProfile = {
+    val r = shingleHashes(df, idCol, textCol, shingle).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("g"),
+        coalesce(sum(col("df") * col("df")), lit(0L)).as("v"),
+        coalesce(sum(col("df")), lit(0L)).as("p"))
+      .collect()(0)
+    // an exact doc count would be a second distinct pass — the routing
+    // thresholds only need Σ df², so the postings total suffices
+    JaccardProfile(r.getLong(2), r.getLong(0), r.getLong(1))
+  }
+
+  /** The routing decision, pure in the profile:
+    *  1. Σ df² within one exact-segment budget → EXACT (recall 1,
+    *     no pre-filter machinery to pay for);
+    *  2. else θ ≥ 0.65 → PREFIX (still recall 1; the prefix filter's
+    *     candidate cut grows super-proportionally exactly in this
+    *     regime — SCALING.md "Jaccard engines");
+    *  3. else → LSH (the only sub-quadratic option at low θ;
+    *     recall < 1 and the router says so loudly). */
+  private[graft] def jaccardRouteFor(
+      p: JaccardProfile, minJaccard: Double,
+      exactBudget: Long = 1000000000L): JaccardRoute =
+    if (p.candVolume <= exactBudget) JaccardRoute.Exact
+    else if (minJaccard >= 0.65) JaccardRoute.Prefix
+    else JaccardRoute.Lsh(64, lshBandsFor(minJaccard))
+
+  /** Fewest bands (of 64 hashes) whose S-curve midpoint (1/b)^(r⁻¹)
+    * does not exceed θ — the most selective banding that still puts
+    * the recall knee at or below the threshold (midpoints: b=8→0.77,
+    * 16→0.50, 32→0.18, 64→0.016). */
+  private[graft] def lshBandsFor(minJaccard: Double): Int =
+    Seq(8, 16, 32).find(b =>
+      math.pow(1.0 / b, b.toDouble / 64.0) <= minJaccard).getOrElse(64)
+
+  /** Auto-routed Jaccard pairs: profile → route → dispatch, with the
+    * decision logged loudly (a user of the three-engine family should
+    * not need to know the regimes by heart — carryover VERDICT r7–r9).
+    * Exact/prefix routes return the identical recall-1 result; the
+    * LSH route is probabilistic and the log names its banding. */
+  def jaccardPairsAuto(
+      df: DataFrame, idCol: String, textCol: String,
+      shingle: ShingleMode = WordGrams(2), minJaccard: Double = 0.5,
+      exactBudget: Long = 1000000000L)(
+      implicit ctx: PipelineContext): DataFrame = {
+    val p = jaccardProfile(df, idCol, textCol, shingle)
+    val route = jaccardRouteFor(p, minJaccard, exactBudget)
+    println(s"JROUTE postings=${p.postings} distinct_grams=${p.nGrams} " +
+      s"cand_volume=${p.candVolume} budget=$exactBudget " +
+      s"theta=$minJaccard -> $route" + (route match {
+        case JaccardRoute.Lsh(n, b) =>
+          f" (PROBABILISTIC: S-curve midpoint ${math.pow(1.0 / b, b.toDouble / n)}%.3f)"
+        case _ => " (recall 1)"
+      }))
+    route match {
+      case JaccardRoute.Exact =>
+        jaccardPairsExact(df, idCol, textCol, shingle, minJaccard)
+      case JaccardRoute.Prefix =>
+        jaccardPairsPrefix(df, idCol, textCol, shingle, minJaccard)
+      case JaccardRoute.Lsh(n, b) =>
+        minhashPairs(df, idCol, textCol, shingle,
+          numHashes = n, bands = b, minJaccard = Some(minJaccard))
+    }
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
     * restricted to BANDED sign-bit LSH buckets.
     *
