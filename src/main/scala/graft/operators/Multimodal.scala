@@ -117,6 +117,44 @@ object Multimodal {
     }.toDF("media_id", "media_type", "bytes")
   }
 
+  /** Synthetic image corpus with PLANTED near-duplicates, as real
+    * PNGs: `nGroups` base 16×16 patterns (deterministic from the
+    * group id), each emitted in `variants` copies differing by two
+    * flipped pixels — the "same photo, tiny edit" shape a perceptual
+    * near-dup pass must catch. media_id = group·variants + variant.
+    * Encoding runs on executors ([[syntheticMediaReal]] discipline). */
+  def syntheticNearDupImages(
+      spark: SparkSession, nGroups: Int, variants: Int = 3): DataFrame = {
+    import spark.implicits._
+    spark.range(nGroups.toLong * variants).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val g = id / variants
+        val v = (id % variants).toInt
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val flipA = ((g * 31 + v * 97) % 256).toInt
+        val flipB = ((g * 59 + v * 151 + 13) % 256).toInt
+        var p = 0
+        while (p < 256) {
+          val x = p % 16; val y = p / 16
+          // deterministic per-group texture: splitmix64-style mix so
+          // every (group, pixel) bit is independent — a linear formula
+          // here collapses 60 groups onto a handful of patterns
+          var h = g * 0x9E3779B97F4A7C15L + p * 0xC2B2AE3D27D4EB4FL
+          h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
+          val base = (h & 7L) < 3L
+          val on = if (p == flipA || p == flipB) !base else base
+          img.setRGB(x, y, if (on) 0xe0e0e0 else 0x101010)
+          p += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        if (!javax.imageio.ImageIO.write(img, "png", bos))
+          throw new IllegalStateException("no PNG ImageWriter on this JVM")
+        (id, "image", bos.toByteArray)
+      }
+    }.toDF("media_id", "media_type", "bytes")
+  }
+
   /** Row of the decoded-features frame (mapPartitions output). */
   final case class MediaFeatures(
       media_id: Long, media_type: String, features: Array[Float])

@@ -618,6 +618,32 @@ object PipelineQueries {
       .orderBy(col("media_type"))
   }
 
+  /** Perceptual image near-dup: real PNGs with planted near-duplicate
+    * groups ([[Multimodal.syntheticNearDupImages]] — two flipped
+    * pixels per variant) decode to aHash luminance thumbnails
+    * ([[Multimodal.decodeFeaturesJvm]]), are MEAN-CENTERED (cosine on
+    * raw all-positive luminances is ~1 for everything; centering
+    * makes it Pearson correlation, so unrelated textures land near 0),
+    * and pair up through [[Dedup.embeddingPairs]]' banded hyperplane
+    * LSH. No SQL engine replays ImageIO decode, so the oracle is a
+    * fixture differential: fixtures/t57_expected.parquet commits the
+    * expectation, and ImageNearDupSpec independently pins that the
+    * pair set is EXACTLY the planted within-group pairs. */
+  def t57ImageNearDup(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val media = Multimodal.syntheticNearDupImages(spark, nGroups = 60)
+      val feats = Multimodal.decodeFeaturesJvm(media, side = 8)
+        .filter(col("features").isNotNull)
+      val centered = feats
+        .withColumn("mu", aggregate(col("features"), lit(0.0d),
+          (a, x) => a + x.cast("double")) / lit(64.0d))
+        .withColumn("cf",
+          transform(col("features"), x => x.cast("double") - col("mu")))
+      Dedup.embeddingPairs(centered, "media_id", "cf", dim = 64,
+        minCosine = 0.9, nPlanes = 6, bands = 8)
+        .orderBy(col("id1"), col("id2"))
+    }
+
   /** Near-dup CLUSTERS: the t05 minhash pair set closed transitively
     * ([[Dedup.componentsOf]]) with per-cluster accounting — pairs
     * alone under-delete (A~B, B~C is ONE cluster of three, not two
@@ -1058,6 +1084,7 @@ object PipelineQueries {
     "t54_token_budget" -> t54TokenBudget _,
     "t55_substr_dedup" -> t55SubstrDedup _,
     "t56_bm25_persisted" -> t56Bm25Persisted _,
+    "t57_image_near_dup" -> t57ImageNearDup _,
   )
 
   /** Shared DuckDB fold fragments for the vector oracles — the same
@@ -1325,6 +1352,11 @@ object PipelineQueries {
       "SELECT * FROM '/root/repo/fixtures/t11_expected.parquet'",
     "t16_media_decode" ->
       "SELECT * FROM '/root/repo/fixtures/t16_expected.parquet'",
+    // image near-dup: decode is JVM-codec territory too; the fixture
+    // is the committed expectation, ImageNearDupSpec pins that it is
+    // exactly the planted within-group pair set
+    "t57_image_near_dup" ->
+      "SELECT * FROM '/root/repo/fixtures/t57_expected.parquet'",
     // Same truncating trigram windows as the engine's codegen shingler
     // (t30 precedent), distinct per doc, rare-gram filter df<=100, then
     // the pair aggregate with the >=3 threshold.
