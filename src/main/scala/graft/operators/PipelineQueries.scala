@@ -481,26 +481,37 @@ object PipelineQueries {
       // classifier score joined below is a narrow char-arithmetic
       // docs scan, cheap to evaluate in both consumers
       val pd = ctx.stagePersist(ppl.join(dsir, Seq("id")))
-      pd.count() // materialize while the classifier trains
+      // The MATERIALIZING action is itself the ppl/dsir cutpoint agg:
+      // one job fills the cache AND returns two of the three cuts
+      // (replacing the count() + later 3-percentile job — one whole
+      // sequential job floor gone). Equality with the joined-frame
+      // percentiles is exact: pd, clf and joined all carry the same
+      // id set (inner joins over identical unique ids), so each
+      // signal's order statistics are unchanged.
+      val pdCuts = pd.agg(
+        round(percentile(col("ppl"), lit(0.6)), 6).as("pcut"),
+        round(percentile(col("dscore"), lit(0.4)), 6).as("dcut")).collect()(0)
       val wRow = Await.result(clfTrain,
         scala.concurrent.duration.Duration(300, "s"))
       // score from the SAME cached feature frame the trainer used —
-      // the two consumers below (cutpoints + buckets) each evaluate
-      // clf, and without the cache each evaluation re-ran the two
-      // regexp_replace char counts over the full corpus text
+      // without the cache each consumer re-ran the two regexp_replace
+      // char counts over the full corpus text
       val clf = CurationPipeline.scoreFromFeats(
         feats, (1 to 4).map(wRow.getDouble))
         .select(col("id"), round(col("score"), 6).as("cs"))
-      val joined = pd.join(clf, Seq("id"))
-      val cuts = joined.agg(
-        round(percentile(col("ppl"), lit(0.6)), 6).as("pcut"),
-        round(percentile(col("cs"), lit(0.4)), 6).as("ccut"),
-        round(percentile(col("dscore"), lit(0.4)), 6).as("dcut"))
-      joined.crossJoin(broadcast(cuts))
+      // the classifier cut waits on the trained weights by necessity
+      // (σ is monotone but percentile_cont interpolates in score
+      // space, so it cannot be precomputed on z) — a small scan of
+      // the cached feature frame
+      val ccut = clf.agg(
+        round(percentile(col("cs"), lit(0.4)), 6).as("ccut")).collect()(0)
+      // cuts as LITERALS: the collected doubles reproduce the exact
+      // comparisons, and the broadcast-crossJoin job disappears
+      pd.join(clf, Seq("id"))
         .withColumn("bucket",
-          when(col("ppl") > col("pcut"), "ppl_fail")
-            .when(col("cs") < col("ccut"), "clf_fail")
-            .when(col("dscore") < col("dcut"), "dsir_fail")
+          when(col("ppl") > lit(pdCuts.getDouble(0)), "ppl_fail")
+            .when(col("cs") < lit(ccut.getDouble(0)), "clf_fail")
+            .when(col("dscore") < lit(pdCuts.getDouble(1)), "dsir_fail")
             .otherwise("kept"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
