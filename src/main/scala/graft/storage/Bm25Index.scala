@@ -95,18 +95,25 @@ final class Bm25Index(
       // the cap's kept-vocabulary is broadcast as the postings filter;
       // at a vocabulary too large to broadcast, flip to a shuffled
       // left-semi (the decontam gate's plan)
+      // repartition ON the partition column first: a straight
+      // partitionBy write fans every shuffle task across every bucket
+      // (tasks × buckets files — file-handle overhead dwarfs the data
+      // at batch scale); this way each bucket is one task → one file
       wc.join(broadcast(kept.select(col("term"))), Seq("term"))
         .select(col("id"), col("term"), col("tf"), col("bucket"))
+        .repartition(nBuckets, col("bucket"))
         .write.partitionBy("bucket").mode(SaveMode.Overwrite)
         .parquet(s"$seg/postings")
       kept.select(col("term"), col("df"), col("bucket"))
+        .repartition(nBuckets, col("bucket"))
         .write.partitionBy("bucket").mode(SaveMode.Overwrite)
         .parquet(s"$seg/dfreq")
       // dl over the UN-capped stream: document length is exact
       val dl = wc.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-      dl.write.mode(SaveMode.Overwrite).parquet(s"$seg/doclen")
-      val st = spark.read.parquet(s"$seg/doclen")
-        .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+      dl.coalesce(4).write.mode(SaveMode.Overwrite).parquet(s"$seg/doclen")
+      // stats from the cached wc-derived agg, not a re-read of the
+      // files just written
+      val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
       java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
         s"${st.getLong(0)} ${st.getLong(1)}\n".getBytes("UTF-8"))
     } finally wc.unpersist(false)
