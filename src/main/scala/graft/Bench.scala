@@ -25,12 +25,37 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SparkBoot.session(cpus.toInt, "ERROR")
 
-    def runOnce(name: String): Double = {
+    // SPARK_GRAFT_BENCH_DEBUG=1: per-(pass, gate) diagnostics on
+    // stderr — codegen compilation count/time deltas (nonzero in a
+    // timed pass = the generated-class cache evicted this gate's
+    // classes since the warmup: the r7/r9 "in-suite inflation"
+    // mechanism), GC time delta, and storage-memory residency
+    val debug = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
+    def codegenCompiles: Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def runOnce(name: String, pass: String = ""): Double = {
+      val c0 = if (debug) codegenCompiles else 0L
+      val g0 = if (debug) gcMillis else 0L
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (debug) {
+        val c1 = codegenCompiles
+        val mem = spark.sparkContext.getExecutorMemoryStatus.values
+          .map { case (max, free) => max - free }.sum >> 20
+        System.err.println(f"BENCHDBG $pass%-8s $name%-24s wall=$wall%8.3f " +
+          f"codegen_compiles=+${c1 - c0}%-4d gc=+${gcMillis - g0}%-6d ms " +
+          f"storage_used=${mem}MB")
+      }
+      wall
     }
 
     // SPARK_GRAFT_BENCH_ONLY=a,b,c — local-iteration filter; the
@@ -38,8 +63,9 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    names.foreach(runOnce) // warmup pass (untimed)
-    val passes = Seq.fill(3)(names.map(n => n -> runOnce(n)).toMap)
+    names.foreach(runOnce(_, "warmup")) // warmup pass (untimed)
+    val passes = (1 to 3).map(p =>
+      names.map(n => n -> runOnce(n, s"pass$p")).toMap)
     val results = names.map { n =>
       val samples = passes.map(_(n))
       n -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
@@ -63,8 +89,17 @@ object Bench {
     // artifact with partial numbers — default it to a sibling file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_ENGINE.json")
+    // the file artifact (only) also records all three per-pass walls:
+    // when a committed min still reads high (r9's t44: 18.3 s committed
+    // vs 9.2 s re-measured on the same tree), the samples show whether
+    // the inflation was one unlucky pass or sustained external load —
+    // without having to re-run the round's tree after the fact
+    val samples = names.map { n =>
+      "\"" + n + "\":[" + passes.map(p => f3(p(n))).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","pass_walls":$samples}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+      (fileLine + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
