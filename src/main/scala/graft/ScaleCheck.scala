@@ -147,7 +147,16 @@ object ScaleCheck {
       // md5-group) subtotals, tiny group-prefix window, parallel
       // intra-group windows — so a whale source (every source here is
       // one at 64×) spreads over 10 000 tasks instead of one
-      "t54_token_budget").filter(q =>
+      "t54_token_budget",
+      // round 10: anchored exact-substring dedup — per-row boundary
+      // arithmetic + the two span-dedup key shuffles; block space is
+      // copy-local under the token-suffix synthesis so candidates grow
+      // ~k. The persisted BM25 gate is ingest-machinery-dominated (two
+      // full segment builds per invocation); its growth term is the
+      // tokenize + per-bucket writes, both ~k. (t57's image corpus is
+      // a fixed-size in-engine synthesis like t11/t16 — no data to
+      // scale.)
+      "t55_substr_dedup", "t56_bm25_persisted").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // Shapes whose scale-correct form needs to know k: SemDeDup's

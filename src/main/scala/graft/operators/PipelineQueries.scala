@@ -594,6 +594,36 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Persisted IVF-flat ANN ([[graft.storage.IvfIndex]]): the
+    * embedding corpus lands in TWO appends (centroids trained and
+    * frozen by the first, the second assigning against the frozen
+    * matrix — each a CAS-committed immutable segment partitioned by
+    * cell), and a FULL-probe query (nProbe = nCells) runs against the
+    * persisted layout: cell-partition-pruned scans, probe set computed
+    * driver-side from the frozen centroid matrix. The oracle is the
+    * t04/t15 brute-force cosine top-k — a hash match proves the
+    * persisted, segmented, incrementally-built inverted file returns
+    * byte-identical neighbors to an exact scan of the whole corpus. */
+  def t58IvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-stgate", "t58")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val emb = Tables.embeddings(spark, dir)
+    val idx = new graft.storage.IvfIndex(spark, base.toString, nCells = 16)
+    idx.append(emb.filter(col("vec_id") % 4 < 3), "vec_id", "embedding")
+    idx.append(emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
+    idx.topK(
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 5, nProbe = 16, excludeSelf = true)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
     * decode-stub features → per-type accounting. The input is generated
     * in-engine (deterministic from ids), so the oracle is a fixture
@@ -1096,6 +1126,7 @@ object PipelineQueries {
     "t55_substr_dedup" -> t55SubstrDedup _,
     "t56_bm25_persisted" -> t56Bm25Persisted _,
     "t57_image_near_dup" -> t57ImageNearDup _,
+    "t58_ivf_persisted" -> t58IvfPersisted _,
   )
 
   /** Shared DuckDB fold fragments for the vector oracles — the same
@@ -2033,6 +2064,33 @@ object PipelineQueries {
          SELECT qid, id, cosine, rank FROM ranked WHERE rank <= 5
          ORDER BY qid, rank""",
     "t15_ivf_ann" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                    WHERE vec_id < 3),
+         scored AS (
+           SELECT q.qid, e.vec_id AS id,
+             round(
+               list_reduce(list_prepend(0.0,
+                 list_transform(list_zip(e.embedding, q.qv),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                 (a, b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(q.qv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, b) -> a + b))), 6) AS cosine
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+           FROM scored)
+         SELECT qid, id, cosine, rank FROM ranked WHERE rank <= 5
+         ORDER BY qid, rank""",
+    // the persisted segmented inverted file at FULL probe must return
+    // exactly the brute-force neighbor set — same oracle as t04/t15
+    "t58_ivf_persisted" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
                     WHERE vec_id < 3),
          scored AS (
