@@ -156,7 +156,11 @@ object ScaleCheck {
       // tokenize + per-bucket writes, both ~k. (t57's image corpus is
       // a fixed-size in-engine synthesis like t11/t16 — no data to
       // scale.)
-      "t55_substr_dedup", "t56_bm25_persisted").filter(q =>
+      "t55_substr_dedup", "t56_bm25_persisted",
+      // the persisted IVF gate: two segment builds (train + assign +
+      // per-cell writes, all ~k) + a full-probe query (≈ the corpus
+      // scan at full probe — partial probes are the serving shape)
+      "t58_ivf_persisted").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // Shapes whose scale-correct form needs to know k: SemDeDup's

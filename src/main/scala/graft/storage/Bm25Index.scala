@@ -119,15 +119,90 @@ final class Bm25Index(
     } finally wc.unpersist(false)
     val body = (segs :+ seg.getName).mkString("", "\n", "\n")
     if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1), body.getBytes("UTF-8"))) {
-      def rm(f: java.io.File): Boolean =
-        Option(f.listFiles()).forall(_.forall(rm)) && f.delete()
-      rm(seg)
+      rmTree(seg)
       throw new CommitConflictException(s"bm25:$path", baseVer + 1)
     }
   }
 
   /** Committed segment names at the current head (spec surface). */
   def segments: Seq[String] = readHead()._2
+
+  /** Merge every committed segment into ONE new segment and publish a
+    * manifest naming only it. Per-batch streaming appends
+    * (foreachBatch) accumulate a segment per trigger, and query cost
+    * carries a per-segment scan union — compaction folds S segments
+    * back to one with scores unchanged: postings rows are disjoint
+    * across segments (the new-ids append contract), df merges by
+    * addition per term, stats by addition. Readers holding pre-compact
+    * plans keep their snapshot — superseded segment files stay on disk
+    * until [[vacuum]]. Stored postings merge AS WRITTEN: a dfCap
+    * applied at build time stays applied (compaction is a layout
+    * operation, not a re-index). Concurrency: same optimistic commit
+    * as [[append]] — a racing writer makes this throw
+    * [[CommitConflictException]] with the orphan cleaned up. */
+  def compact(): Unit = {
+    val (baseVer, segs) = readHead()
+    if (segs.size <= 1) return // already compact
+    val seg = segDir(baseVer + 1)
+    def unionOf(sub: String): DataFrame =
+      segs.map(s => spark.read.parquet(s"$path/$s/$sub"))
+        .reduce(_.unionByName(_))
+    unionOf("postings")
+      .repartition(nBuckets, col("bucket"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+      .parquet(s"$seg/postings")
+    unionOf("dfreq")
+      .groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df"))
+      .repartition(nBuckets, col("bucket"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+      .parquet(s"$seg/dfreq")
+    unionOf("doclen").coalesce(4)
+      .write.mode(SaveMode.Overwrite).parquet(s"$seg/doclen")
+    val (n, s) = segs.map(readStats).reduce((a, x) => (a._1 + x._1, a._2 + x._2))
+    java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
+      s"$n $s\n".getBytes("UTF-8"))
+    if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
+        s"${seg.getName}\n".getBytes("UTF-8"))) {
+      rmTree(seg)
+      throw new CommitConflictException(s"bm25:$path", baseVer + 1)
+    }
+  }
+
+  /** Delete segment dirs referenced by NEITHER the head manifest nor
+    * its predecessor, and manifests older than the predecessor — the
+    * [[GraphStore]] retention rule (current + previous), so a reader
+    * that planned against the previous head still scans live files.
+    * Returns the deleted segment names. */
+  def vacuum(): Seq[String] = {
+    val vs = Option(dir.list()).toSeq.flatten
+      .filter(_.matches("_manifest\\.v\\d+"))
+      .map(_.stripPrefix("_manifest.v").toInt).sorted
+    if (vs.size < 2) return Nil
+    val keepVs = vs.takeRight(2)
+    val live: Set[String] = keepVs.flatMap { v =>
+      new String(java.nio.file.Files.readAllBytes(
+        manifestFile(v).toPath), "UTF-8")
+        .linesIterator.map(_.trim).filter(_.nonEmpty)
+    }.toSet
+    val dead = Option(dir.list()).toSeq.flatten
+      .filter(n => n.startsWith("seg-") && !live.contains(n))
+    dead.foreach(n => rmTree(new java.io.File(dir, n)))
+    vs.dropRight(2).foreach(v => manifestFile(v).delete())
+    dead.sorted
+  }
+
+  private def readStats(segName: String): (Long, Long) = {
+    val parts = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$path/$segName", "_stats").toPath), "UTF-8")
+      .trim.split(" ")
+    (parts(0).toLong, parts(1).toLong)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    def rm(g: java.io.File): Boolean =
+      Option(g.listFiles()).forall(_.forall(rm)) && g.delete()
+    rm(f); ()
+  }
 
   /** BM25 top-`k` per query over the index head — the same arithmetic
     * as [[graft.operators.CurationPipeline.bm25TopDocs]] (k1, b,
@@ -157,12 +232,8 @@ final class Bm25Index(
         val d = spark.read.parquet(s"$path/$s/$sub")
         if (prune) d.filter(col("bucket").isin(buckets: _*)) else d
       }.reduce(_.unionByName(_))
-    val (nDocs, sumDl) = segs.map { s =>
-      val parts = new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(s"$path/$s", "_stats").toPath), "UTF-8")
-        .trim.split(" ")
-      (parts(0).toLong, parts(1).toLong)
-    }.reduce((a, x) => (a._1 + x._1, a._2 + x._2))
+    val (nDocs, sumDl) = segs.map(readStats)
+      .reduce((a, x) => (a._1 + x._1, a._2 + x._2))
     val avgdl = sumDl.toDouble / nDocs
     val dfreq = unionRead("dfreq", prune = true)
       .groupBy(col("term")).agg(sum(col("df")).as("df"))

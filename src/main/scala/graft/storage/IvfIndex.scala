@@ -80,6 +80,56 @@ final class IvfIndex(
   /** Committed segment names at the current head (spec surface). */
   def segments: Seq[String] = readHead()._2
 
+  /** Merge every committed segment into ONE new segment (one file per
+    * cell) and publish a manifest naming only it — the [[Bm25Index
+    * .compact]] contract: per-trigger streaming appends accumulate a
+    * segment per batch and query cost carries a per-segment scan
+    * union; compaction folds the layout back with results unchanged
+    * (rows are disjoint across segments and cell assignment is frozen,
+    * so this is a pure rewrite). Superseded segments stay on disk for
+    * in-flight readers until [[vacuum]]. */
+  def compact(): Unit = {
+    val (baseVer, segs) = readHead()
+    if (segs.size <= 1) return // already compact
+    val seg = segDir(baseVer + 1)
+    segs.map(s => spark.read.parquet(s"$path/$s/vectors"))
+      .reduce(_.unionByName(_))
+      .repartition(nCells, col("cell"))
+      .write.partitionBy("cell").mode(SaveMode.Overwrite)
+      .parquet(s"$seg/vectors")
+    if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
+        s"${seg.getName}\n".getBytes("UTF-8"))) {
+      rmTree(seg)
+      throw new CommitConflictException(s"ivf:$path", baseVer + 1)
+    }
+  }
+
+  /** Current + previous retention, as [[Bm25Index.vacuum]]: delete
+    * segment dirs referenced by neither of the two newest manifests
+    * and manifests older than those. Returns the deleted names. */
+  def vacuum(): Seq[String] = {
+    val vs = Option(dir.list()).toSeq.flatten
+      .filter(_.matches("_manifest\\.v\\d+"))
+      .map(_.stripPrefix("_manifest.v").toInt).sorted
+    if (vs.size < 2) return Nil
+    val live: Set[String] = vs.takeRight(2).flatMap { v =>
+      new String(java.nio.file.Files.readAllBytes(
+        manifestFile(v).toPath), "UTF-8")
+        .linesIterator.map(_.trim).filter(_.nonEmpty)
+    }.toSet
+    val dead = Option(dir.list()).toSeq.flatten
+      .filter(n => n.startsWith("seg-") && !live.contains(n))
+    dead.foreach(n => rmTree(new java.io.File(dir, n)))
+    vs.dropRight(2).foreach(v => manifestFile(v).delete())
+    dead.sorted
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    def rm(g: java.io.File): Boolean =
+      Option(g.listFiles()).forall(_.forall(rm)) && g.delete()
+    rm(f); ()
+  }
+
   /** Append one batch of vectors as a new immutable segment. The first
     * successful append trains and freezes the centroid matrix from its
     * own batch; later appends assign against the frozen matrix. Vector

@@ -102,6 +102,29 @@ class Bm25IndexSpec extends SparkTestBase {
     assert(idx.segments === Seq("seg-1", "seg-x"))
   }
 
+  test("compact folds segments into one with identical scores; vacuum honors current+previous retention") {
+    val dir = newIndexDir()
+    val idx = new Bm25Index(spark, dir, nBuckets = 8)
+    idx.append(corpus.filter($"doc_id" <= 3), "doc_id", "text")
+    idx.append(corpus.filter($"doc_id" > 3 && $"doc_id" <= 6), "doc_id", "text")
+    val expect = inline(corpus)
+    idx.compact()
+    assert(idx.segments === Seq("seg-3"))
+    // superseded segments stay for in-flight readers: the retention
+    // window is current + previous, so vacuum right after the compact
+    // removes nothing
+    assert(idx.vacuum() === Nil)
+    assert(new java.io.File(dir, "seg-1").exists())
+    // the next commit pushes seg-1/seg-2 out of the window
+    idx.append(corpus.filter($"doc_id" > 6), "doc_id", "text")
+    assert(idx.vacuum() === Seq("seg-1", "seg-2"))
+    assert(!new java.io.File(dir, "seg-1").exists())
+    assert(!new java.io.File(dir, "_manifest.v1").exists())
+    assert(idx.segments === Seq("seg-3", "seg-4"))
+    assert(idx.topDocs(queries, k = 5).orderBy("qid", "rank")
+      .collect().toSeq === expect)
+  }
+
   test("foreachBatch streaming append: batched ingest converges to the inline scores") {
     val dir = newIndexDir()
     val idx = new Bm25Index(spark, dir, nBuckets = 8)

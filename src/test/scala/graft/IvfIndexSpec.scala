@@ -88,6 +88,29 @@ class IvfIndexSpec extends SparkTestBase {
     assert(hit > 0 && hit <= full.size)
   }
 
+  test("compact folds segments into one with identical neighbors; vacuum honors current+previous retention") {
+    val dir = newIndexDir()
+    val idx = new IvfIndex(spark, dir, nCells = 4)
+    idx.append(corpus.filter($"vec_id" < 24), "vec_id", "embedding")
+    idx.append(corpus.filter($"vec_id" >= 24 && $"vec_id" < 48), "vec_id", "embedding")
+    idx.compact()
+    assert(idx.segments === Seq("seg-3"))
+    assert(idx.vacuum() === Nil) // current + previous still covers v2
+    idx.append(corpus.filter($"vec_id" >= 48), "vec_id", "embedding")
+    assert(idx.vacuum() === Seq("seg-1", "seg-2"))
+    val got = idx.topK(queriesDf, "qid", "qv", k = 5, nProbe = 4,
+      excludeSelf = true).orderBy("qid", "rank").collect().toSeq
+    val expect = Similarity.bruteForceTopK(
+      corpus, "vec_id", "embedding", queriesDf, "qid", "qv", k = 6)
+      .filter($"id" =!= $"qid")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"cosine".desc, $"id")))
+      .filter($"rank" <= 5)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(got === expect)
+  }
+
   test("losing the manifest CAS raises CommitConflictException and removes the orphan segment") {
     val dir = newIndexDir()
     val idx = new IvfIndex(spark, dir, nCells = 4)
