@@ -1294,7 +1294,7 @@ object PipelineQueries {
     * (1.2 + 1.0, 1.0 - 0.75), scores rounded before ranking. Shared
     * by t47 (inline build) and t56 (persisted segmented index) —
     * identical answers are the point. */
-  private val bm25Oracle: String =
+  private[operators] val bm25Oracle: String =
     """WITH q(qid, qtext) AS (VALUES
              (1, 'dup join'), (2, 'hash table scan'), (3, 'spark window agg')),
          words AS (

@@ -302,16 +302,73 @@ object StreamQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** s07: STREAMING retrieval-index ingest — the streaming ×
+    * persisted-index composition. Documents arrive in two ordered
+    * micro-batches; each batch lands as a CAS-committed [[graft
+    * .storage.Bm25Index]] segment inside foreachBatch; after ingest
+    * the maintenance path runs (compact folds the per-trigger
+    * segments to one, vacuum is a no-op inside the retention window);
+    * and the final ranking over the incrementally-built, compacted
+    * index must hash-match the INLINE single-pass BM25 oracle (t47's
+    * SQL) — batch boundaries, segmentation, compaction and the
+    * streaming commit path all invisible in the scores. This is the
+    * 100 TB serving shape end-to-end: continuous ingest appending
+    * atomic segments, periodic compaction, pruned queries. */
+  def s07StreamBm25Index(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratchBase.resolve("s07")
+    rmTree(base.toFile)
+    Files.createDirectories(base)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val watch = s"$base/watch"
+    Files.createDirectories(java.nio.file.Paths.get(watch))
+    docs.filter(col("doc_id") % 4 < 3)
+      .coalesce(1).write.parquet(s"$watch/b0")
+    docs.filter(col("doc_id") % 4 === 3)
+      .coalesce(1).write.parquet(s"$watch/b1")
+    // the file source orders by (mtime, path): pin batch order
+    val now = System.currentTimeMillis()
+    def stamp(sub: String, t: Long): Unit = {
+      val d = new java.io.File(s"$watch/$sub")
+      (d +: Option(d.listFiles()).toSeq.flatten).foreach(_.setLastModified(t))
+    }
+    stamp("b0", now - 120000); stamp("b1", now)
+    val idx = new graft.storage.Bm25Index(spark, s"$base/idx", nBuckets = 16)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(watch)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) idx.append(batch, "doc_id", "text")
+      }
+      .start()
+    q.awaitTermination()
+    idx.compact() // the post-ingest maintenance pass, under the oracle
+    idx.vacuum()  // no-op here (retention covers the pre-compact head)
+    idx.topDocs(Seq(
+        (1L, "dup join"),
+        (2L, "hash table scan"),
+        (3L, "spark window agg")), k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_window" -> (s01StreamWindow(_, _)),
     "s02_stream_dedup" -> (s02StreamDedup(_, _)),
     "s03_stream_sessions" -> (s03StreamSessions(_, _)),
     "s04_stream_interval_join" -> (s04StreamIntervalJoin(_, _)),
     "s05_stream_ingest" -> (s05StreamIngest(_, _)),
-    "s06_stream_corpus_dedup" -> (s06StreamCorpusDedup(_, _)))
+    "s06_stream_corpus_dedup" -> (s06StreamCorpusDedup(_, _)),
+    "s07_stream_bm25_index" -> (s07StreamBm25Index(_, _)))
 
   /** DuckDB replay of the emitted state, watermark semantics included. */
   val oracle: Map[String, String] = Map(
+    // the streamed, segmented, compacted index must score exactly like
+    // one inline pass over the whole corpus — t47's oracle verbatim
+    "s07_stream_bm25_index" -> PipelineQueries.bm25Oracle,
     // sequential two-batch replay: batch 0 keeps min doc_id per
     // content hash; batch 1 additionally survives exact AND exact
     // word-bigram-Jaccard >= 0.4 checks against batch 0's SURVIVORS
