@@ -88,32 +88,55 @@ final class Bm25Index(
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .persist() // three consumers below; segment builds are batch-bounded
     try {
+      // materialize the cache ONCE (cheap narrow count) so the
+      // concurrent writers below read cached blocks instead of racing
+      // to compute the same partitions
+      wc.count()
       val dfreq = wc.groupBy(col("bucket"), col("term"))
         .agg(count(lit(1)).as("df"))
       val kept =
         if (dfCap > 0L) dfreq.filter(col("df") <= dfCap) else dfreq
-      // the cap's kept-vocabulary is broadcast as the postings filter;
+      // the cap's kept-vocabulary is broadcast as the postings filter
+      // — skipped entirely when no cap is set (every term is kept);
       // at a vocabulary too large to broadcast, flip to a shuffled
       // left-semi (the decontam gate's plan)
-      // repartition ON the partition column first: a straight
-      // partitionBy write fans every shuffle task across every bucket
-      // (tasks × buckets files — file-handle overhead dwarfs the data
-      // at batch scale); this way each bucket is one task → one file
-      wc.join(broadcast(kept.select(col("term"))), Seq("term"))
-        .select(col("id"), col("term"), col("tf"), col("bucket"))
-        .repartition(nBuckets, col("bucket"))
-        .write.partitionBy("bucket").mode(SaveMode.Overwrite)
-        .parquet(s"$seg/postings")
-      kept.select(col("term"), col("df"), col("bucket"))
-        .repartition(nBuckets, col("bucket"))
-        .write.partitionBy("bucket").mode(SaveMode.Overwrite)
-        .parquet(s"$seg/dfreq")
+      val posts =
+        if (dfCap > 0L)
+          wc.join(broadcast(kept.select(col("term"))), Seq("term"))
+        else wc
       // dl over the UN-capped stream: document length is exact
       val dl = wc.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-      dl.coalesce(4).write.mode(SaveMode.Overwrite).parquet(s"$seg/doclen")
-      // stats from the cached wc-derived agg, not a re-read of the
-      // files just written
+      // the three segment tables are independent reads of the cached
+      // wc — run their write JOBS concurrently (a segment build is
+      // latency-bound by the per-job floor, not by data, at batch
+      // scale; Spark's scheduler interleaves the stages). repartition
+      // ON the partition column first: a straight partitionBy write
+      // fans every shuffle task across every bucket (tasks × buckets
+      // files — file-handle overhead dwarfs the data at batch scale);
+      // this way each bucket is one task → one file
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        Future {
+          posts.select(col("id"), col("term"), col("tf"), col("bucket"))
+            .repartition(nBuckets, col("bucket"))
+            .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+            .parquet(s"$seg/postings")
+        },
+        Future {
+          kept.select(col("term"), col("df"), col("bucket"))
+            .repartition(nBuckets, col("bucket"))
+            .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+            .parquet(s"$seg/dfreq")
+        },
+        Future {
+          dl.coalesce(4).write.mode(SaveMode.Overwrite)
+            .parquet(s"$seg/doclen")
+        })
+      // stats from the cached wc-derived agg (not a re-read of files
+      // just written), computed on this thread while the writes run
       val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+      writes.foreach(Await.result(_, scala.concurrent.duration.Duration(600, "s")))
       java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
         s"${st.getLong(0)} ${st.getLong(1)}\n".getBytes("UTF-8"))
     } finally wc.unpersist(false)
