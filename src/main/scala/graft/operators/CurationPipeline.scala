@@ -705,6 +705,70 @@ object CurationPipeline {
       .select(col("grp"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Gopher quality rules (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446 §A1.1 — the document-shape subset; the
+    * repetition signals live in [[graft.functions.TextFunctions
+    * .repetitionScore]] / [[dupNgramStats]]): per-document boolean
+    * verdicts for each rule plus the conjunction `keep`, so a caller
+    * can filter, audit per-rule attrition, or recalibrate thresholds
+    * without recomputing the scan.
+    *
+    *  - `ok_words`: word count within [minWords, maxWords]
+    *  - `ok_word_len`: mean word length within [minMeanWordLen,
+    *    maxMeanWordLen]
+    *  - `ok_symbol`: (# or …) symbol-to-word ratio ≤ maxSymbolRatio
+    *  - `ok_lines`: < maxBulletRatio of lines start with a bullet AND
+    *    ≤ maxEllipsisRatio end with an ellipsis
+    *  - `ok_alpha`: ≥ minAlphaRatio of words contain a letter
+    *  - `ok_stopwords`: ≥ minStopwords distinct required stop words
+    *    present (the Gopher list: the, be, to, of, and, that, have,
+    *    with)
+    *
+    * Every signal is a per-row codegen expression over one scan — no
+    * shuffle, no HOF lambdas (counts come from `regexp_count` and
+    * fixed `array_contains` probes); at 100 TB this is a pure map the
+    * optimizer fuses into whatever reads the corpus next. */
+  def gopherRules(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
+      minAlphaRatio: Double = 0.8, minStopwords: Int = 2): DataFrame = {
+    val norm = lower(trim(col(textCol)))
+    val toks = TextFunctions.tokens(col(textCol))
+    val nW = size(toks)
+    val nWd = nW.cast("double")
+    // Σ word lengths without a per-token lambda: every non-whitespace
+    // char belongs to exactly one token of the SAME normalized string
+    val meanLen = length(regexp_replace(norm, "\\s+", "")).cast("double") / nWd
+    val symbols = regexp_count(col(textCol), lit("[#…]")).cast("double")
+    val lines = size(split(col(textCol), "\n")).cast("double")
+    val bulletStarts = regexp_count(col(textCol), lit("(?m)^\\s*[-*•]")).cast("double")
+    val ellipsisEnds = regexp_count(col(textCol), lit("(?m)(\\.\\.\\.|…)$")).cast("double")
+    // words containing a letter, counted by a consuming match (one
+    // leading ^-or-whitespace char per word) — RE2-safe: no lookbehind
+    val alphaWords = regexp_count(norm, lit("(?:^|\\s)\\S*[a-z]\\S*")).cast("double")
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = gopherStops
+      .map(w => array_contains(toks, w).cast("int"))
+      .reduce(_ + _)
+    val flags = Seq(
+      "ok_words" -> (nW >= minWords && nW <= maxWords),
+      "ok_word_len" -> (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen),
+      "ok_symbol" -> (symbols / nWd <= maxSymbolRatio),
+      "ok_lines" -> (bulletStarts / lines < maxBulletRatio &&
+        ellipsisEnds / lines <= maxEllipsisRatio),
+      "ok_alpha" -> (alphaWords / nWd >= minAlphaRatio),
+      "ok_stopwords" -> (stopHits >= minStopwords))
+    // one select so every flag reads the SAME scan
+    df.select(
+      (col(idCol).as("id") +: nW.as("n_words") +:
+        flags.map { case (n, c) => c.as(n) } :+
+        flags.map(_._2).reduce(_ && _).as("keep")): _*)
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):
     * score every document by how much more likely its unigram bag is

@@ -624,6 +624,28 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Gopher document-shape quality rules ([[CurationPipeline
+    * .gopherRules]], Rae et al. arXiv:2112.11446 §A1.1): per-rule
+    * attrition counts plus the kept-doc count and id-sum, which pin
+    * every per-document verdict exactly. minStopwords=1 for the gate
+    * (the synthetic vocabulary carries only 'the' from the Gopher stop
+    * list — the paper's ≥2 default would fail every doc and hide the
+    * rule's discrimination); all other thresholds are the paper's. */
+  def t59GopherRules(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.gopherRules(
+      Tables.documents(spark, dir), "doc_id", "text", minStopwords = 1)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words_total"),
+        sum(when(!col("ok_words"), 1).otherwise(0)).as("fail_words"),
+        sum(when(!col("ok_word_len"), 1).otherwise(0)).as("fail_word_len"),
+        sum(when(!col("ok_symbol"), 1).otherwise(0)).as("fail_symbol"),
+        sum(when(!col("ok_lines"), 1).otherwise(0)).as("fail_lines"),
+        sum(when(!col("ok_alpha"), 1).otherwise(0)).as("fail_alpha"),
+        sum(when(!col("ok_stopwords"), 1).otherwise(0)).as("fail_stopwords"),
+        sum(col("keep").cast("int")).as("n_kept"),
+        sum(when(col("keep"), col("id"))).as("kept_id_sum"))
+
   /** Multimodal stub pipeline: synthetic media → frame-sample videos →
     * decode-stub features → per-type accounting. The input is generated
     * in-engine (deterministic from ids), so the oracle is a fixture
@@ -1127,6 +1149,7 @@ object PipelineQueries {
     "t56_bm25_persisted" -> t56Bm25Persisted _,
     "t57_image_near_dup" -> t57ImageNearDup _,
     "t58_ivf_persisted" -> t58IvfPersisted _,
+    "t59_gopher_rules" -> t59GopherRules _,
   )
 
   /** Shared DuckDB fold fragments for the vector oracles — the same
@@ -2088,6 +2111,54 @@ object PipelineQueries {
            FROM scored)
          SELECT qid, id, cosine, rank FROM ranked WHERE rank <= 5
          ORDER BY qid, rank""",
+    // Gopher rule arithmetic replayed relationally: same tokenizer,
+    // same consuming-regex word counts, same IEEE double ratios
+    "t59_gopher_rules" ->
+      """WITH d AS (
+           SELECT doc_id AS id, text,
+             string_split_regex(lower(trim(text)), '\s+') AS w,
+             lower(trim(text)) AS norm
+           FROM documents),
+         f AS (
+           SELECT id, len(w) AS n_words,
+             len(regexp_replace(norm, '\s+', '', 'g'))::DOUBLE
+               / len(w) AS mean_len,
+             len(regexp_extract_all(text, '[#…]'))::DOUBLE AS symbols,
+             len(string_split(text, chr(10)))::DOUBLE AS n_lines,
+             len(regexp_extract_all(text, '(?m)^\s*[-*•]'))::DOUBLE AS bullets,
+             len(regexp_extract_all(text, '(?m)(\.\.\.|…)$'))::DOUBLE AS ellip,
+             len(regexp_extract_all(norm, '(?:^|\s)\S*[a-z]\S*'))::DOUBLE
+               AS alpha_words,
+             (list_contains(w, 'the')::INT + list_contains(w, 'be')::INT
+              + list_contains(w, 'to')::INT + list_contains(w, 'of')::INT
+              + list_contains(w, 'and')::INT + list_contains(w, 'that')::INT
+              + list_contains(w, 'have')::INT + list_contains(w, 'with')::INT)
+               AS stop_hits
+           FROM d),
+         v AS (
+           SELECT id, n_words,
+             (n_words >= 50 AND n_words <= 100000) AS ok_words,
+             (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_word_len,
+             (symbols / n_words <= 0.1) AS ok_symbol,
+             (bullets / n_lines < 0.9 AND ellip / n_lines <= 0.3) AS ok_lines,
+             (alpha_words / n_words >= 0.8) AS ok_alpha,
+             (stop_hits >= 1) AS ok_stopwords
+           FROM f),
+         k AS (
+           SELECT *, (ok_words AND ok_word_len AND ok_symbol AND ok_lines
+                      AND ok_alpha AND ok_stopwords) AS keep
+           FROM v)
+         SELECT count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS words_total,
+           CAST(sum(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+           CAST(sum(CASE WHEN NOT ok_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+           CAST(sum(CASE WHEN NOT ok_symbol THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+           CAST(sum(CASE WHEN NOT ok_lines THEN 1 ELSE 0 END) AS BIGINT) AS fail_lines,
+           CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+           CAST(sum(CASE WHEN NOT ok_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN id END) AS BIGINT) AS kept_id_sum
+         FROM k""",
     // the persisted segmented inverted file at FULL probe must return
     // exactly the brute-force neighbor set — same oracle as t04/t15
     "t58_ivf_persisted" ->

@@ -8,6 +8,35 @@ import graft.sources.Tables
 class CurationSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("gopher rules: each rule trips on its crafted violation and only there") {
+    // a healthy doc: 117 plain words incl. two Gopher stop words
+    val good = (Seq.fill(29)("good words the and") :+ "tail").mkString(" ")
+    val docs = Seq(
+      1L -> good,
+      2L -> "too few the and words here",                 // < minWords
+      3L -> good.replace("good words", "a a a a a a a"),  // mean len < 3
+      4L -> (good + " " + Seq.fill(16)("#").mkString(" ")), // symbols > 10%
+      5L -> (Seq.fill(10)("- bullet the and line\n").mkString + good), // >90% would need more; use 10/11 lines bulleted
+      6L -> (good + " " + Seq.fill(32)("12345").mkString(" ")), // alpha < 80%
+      7L -> good.replace("the and", "zzz qqq")            // no stop words
+    ).toDF("doc_id", "text")
+    val got = CurationPipeline.gopherRules(docs, "doc_id", "text",
+      minWords = 50, minStopwords = 2)
+      .orderBy($"id").collect()
+    def flags(r: org.apache.spark.sql.Row) = (r.getBoolean(2), r.getBoolean(3),
+      r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))
+    assert(got(0).getBoolean(8), "healthy doc must keep") // keep
+    assert(!got(1).getBoolean(2) && !got(1).getBoolean(8)) // ok_words fails
+    assert(!got(2).getBoolean(3), "mean word length must trip")
+    assert(!got(3).getBoolean(4), "symbol ratio must trip")
+    assert(!got(4).getBoolean(5), "bullet-line ratio must trip")
+    assert(!got(5).getBoolean(6), "alpha-word ratio must trip")
+    assert(!got(6).getBoolean(7), "stopword rule must trip")
+    // the crafted violations are surgical: every OTHER flag on the
+    // healthy doc's row holds
+    assert(flags(got(0)) === ((true, true, true, true, true, true)))
+  }
+
   test("curation partitions the corpus: kept + dropped = input") {
     val docs = Tables.documents(spark, sfDir)
     PipelineContext.run { implicit ctx =>
