@@ -705,6 +705,42 @@ object CurationPipeline {
       .select(col("grp"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** C4 page/line cleaning (Raffel et al., "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer",
+    * arXiv:1910.10683 §2.2): keep only lines that end in terminal
+    * punctuation, carry at least `minLineWords` words and do not
+    * mention javascript; drop whole pages containing "lorem ipsum" or
+    * a curly brace, or retaining fewer than `minSentences` lines. (The
+    * paper's remaining step — three-sentence-span dedup across pages —
+    * is this library's span-dedup family: [[dedupSpans]] /
+    * [[dedupSpansAnchored]].)
+    *
+    * Returns (id, n_lines_kept, kept, text) with `text` the kept lines
+    * re-joined, so callers can filter on `kept` or audit per-rule
+    * attrition. Scale shape: a PURE per-row map — the line loop runs
+    * over each page's own bounded line array (`filter` over ~tens of
+    * elements, the bounded-subset HOF case), so there is no explode,
+    * no shuffle, and the optimizer fuses the whole clean into whatever
+    * reads the corpus next; the explode+first-owner machinery is
+    * reserved for the cross-page span dedup that actually needs it. */
+  def c4Clean(
+      df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 3, minSentences: Int = 5): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keptLines = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val nKept = size(keptLines)
+    df.select(
+      col(idCol).as("id"),
+      nKept.as("n_lines_kept"),
+      (!lower(col(textCol)).contains("lorem ipsum") &&
+        !col(textCol).contains("{") &&
+        nKept >= minSentences).as("kept"),
+      array_join(keptLines, "\n").as("text"))
+  }
+
   /** Gopher quality rules (Rae et al., "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher",
     * arXiv:2112.11446 §A1.1 — the document-shape subset; the

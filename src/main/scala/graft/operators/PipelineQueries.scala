@@ -624,6 +624,33 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** C4 page/line cleaning ([[CurationPipeline.c4Clean]], Raffel et
+    * al. arXiv:1910.10683 §2.2) over 150 synthetic multi-line pages —
+    * the testdata corpus carries no newlines or punctuation, so the
+    * pages are GENERATED in-engine from ids by modular arithmetic
+    * (deterministic, SQL-replayable), planting every rule's trigger:
+    * short lines, missing terminal punctuation, javascript mentions
+    * (id%3), lorem-ipsum pages (id%7), curly-brace pages (id%11), and
+    * sentence-count attrition (odd ids with id%5=4 retain only 2
+    * lines). The oracle replays BOTH the generation and the rules
+    * relationally, so the cleaned text itself is hash-pinned. */
+  def t60C4Clean(spark: SparkSession, dir: String): DataFrame = {
+    val pages = spark.range(0, 150).select(col("id"),
+      concat_ws("\n",
+        lit("the quick brown fox jumps high."),
+        lit("short stop."),
+        lit("no terminal punctuation here"),
+        when(col("id") % 3 === 0, "please enable javascript now."),
+        when(col("id") % 7 === 0, "filler lorem ipsum filler text."),
+        when(col("id") % 11 === 0, "code block { begins here."),
+        when(col("id") % 2 === 0, "even pages get an extra valid line!"),
+        when(col("id") % 5 < 4, "most pages carry a fifth sentence?"),
+        lit("every page ends with a good line.")).as("text"))
+    CurationPipeline.c4Clean(pages, "id", "text",
+      minLineWords = 3, minSentences = 3)
+      .orderBy(col("id"))
+  }
+
   /** Gopher document-shape quality rules ([[CurationPipeline
     * .gopherRules]], Rae et al. arXiv:2112.11446 §A1.1): per-rule
     * attrition counts plus the kept-doc count and id-sum, which pin
@@ -1150,6 +1177,7 @@ object PipelineQueries {
     "t57_image_near_dup" -> t57ImageNearDup _,
     "t58_ivf_persisted" -> t58IvfPersisted _,
     "t59_gopher_rules" -> t59GopherRules _,
+    "t60_c4_clean" -> t60C4Clean _,
   )
 
   /** Shared DuckDB fold fragments for the vector oracles — the same
@@ -2111,6 +2139,36 @@ object PipelineQueries {
            FROM scored)
          SELECT qid, id, cosine, rank FROM ranked WHERE rank <= 5
          ORDER BY qid, rank""",
+    // generation AND rules replayed relationally: same modular page
+    // synthesis, same per-line predicates, same null-skipping join
+    "t60_c4_clean" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 150)),
+         pages AS (
+           SELECT id, array_to_string(list_filter([
+             'the quick brown fox jumps high.',
+             'short stop.',
+             'no terminal punctuation here',
+             CASE WHEN id % 3 = 0 THEN 'please enable javascript now.' END,
+             CASE WHEN id % 7 = 0 THEN 'filler lorem ipsum filler text.' END,
+             CASE WHEN id % 11 = 0 THEN 'code block { begins here.' END,
+             CASE WHEN id % 2 = 0 THEN 'even pages get an extra valid line!' END,
+             CASE WHEN id % 5 < 4 THEN 'most pages carry a fifth sentence?' END,
+             'every page ends with a good line.'], x -> x IS NOT NULL),
+             chr(10)) AS text
+           FROM ids),
+         c AS (
+           SELECT id, text,
+             list_filter(string_split(text, chr(10)), l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND len(string_split_regex(trim(l), '\s+')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kl
+           FROM pages)
+         SELECT id, len(kl) AS n_lines_kept,
+           (NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')
+            AND len(kl) >= 3) AS kept,
+           array_to_string(kl, chr(10)) AS text
+         FROM c ORDER BY id""",
     // Gopher rule arithmetic replayed relationally: same tokenizer,
     // same consuming-regex word counts, same IEEE double ratios
     "t59_gopher_rules" ->

@@ -8,6 +8,29 @@ import graft.sources.Tables
 class CurationSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("c4 cleaning: line rules, page rules, and reassembly") {
+    val docs = Seq(
+      1L -> ("a good first sentence.\nshort two.\nno punct line\n" +
+        "this line mentions javascript sadly.\n" +
+        "second proper sentence!\nthird proper sentence?"),
+      // the lorem line itself passes the LINE rules — the PAGE drop
+      // must still win
+      2L -> ("a good first sentence.\ncontains lorem ipsum here.\n" +
+        "second proper sentence!\nthird good line."),
+      3L -> ("a good first sentence.\nbrace { line here.\n" +
+        "second proper sentence!\nthird good line."),
+      4L -> "only one good sentence.\nnope\nshort."
+    ).toDF("doc_id", "text")
+    val got = CurationPipeline.c4Clean(docs, "doc_id", "text",
+      minLineWords = 3, minSentences = 3).orderBy($"id").collect()
+    assert(got(0).getBoolean(2) && got(0).getInt(1) === 3)
+    assert(got(0).getString(3) ===
+      "a good first sentence.\nsecond proper sentence!\nthird proper sentence?")
+    assert(!got(1).getBoolean(2) && got(1).getInt(1) === 4, "lorem page drops")
+    assert(!got(2).getBoolean(2), "curly-brace page drops")
+    assert(!got(3).getBoolean(2) && got(3).getInt(1) === 1, "sentence floor")
+  }
+
   test("gopher rules: each rule trips on its crafted violation and only there") {
     // a healthy doc: 117 plain words incl. two Gopher stop words
     val good = (Seq.fill(29)("good words the and") :+ "tail").mkString(" ")
