@@ -160,7 +160,11 @@ object ScaleCheck {
       // the persisted IVF gate: two segment builds (train + assign +
       // per-cell writes, all ~k) + a full-probe query (≈ the corpus
       // scan at full probe — partial probes are the serving shape)
-      "t58_ivf_persisted").filter(q =>
+      "t58_ivf_persisted",
+      // Gopher rules: a pure per-row map (regexp counts + fixed
+      // array probes) — the flattest possible shape by construction.
+      // (t60's pages are fixed-size in-engine synthesis, like t57.)
+      "t59_gopher_rules").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // Shapes whose scale-correct form needs to know k: SemDeDup's
