@@ -170,17 +170,29 @@ final class Bm25Index(
     def unionOf(sub: String): DataFrame =
       segs.map(s => spark.read.parquet(s"$path/$s/$sub"))
         .reduce(_.unionByName(_))
-    unionOf("postings")
-      .repartition(nBuckets, col("bucket"))
-      .write.partitionBy("bucket").mode(SaveMode.Overwrite)
-      .parquet(s"$seg/postings")
-    unionOf("dfreq")
-      .groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df"))
-      .repartition(nBuckets, col("bucket"))
-      .write.partitionBy("bucket").mode(SaveMode.Overwrite)
-      .parquet(s"$seg/dfreq")
-    unionOf("doclen").coalesce(4)
-      .write.mode(SaveMode.Overwrite).parquet(s"$seg/doclen")
+    // the three rewrites read disjoint inputs — concurrent write jobs,
+    // the append() discipline (per-job floor dominates at batch scale)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      Future {
+        unionOf("postings")
+          .repartition(nBuckets, col("bucket"))
+          .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+          .parquet(s"$seg/postings")
+      },
+      Future {
+        unionOf("dfreq")
+          .groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df"))
+          .repartition(nBuckets, col("bucket"))
+          .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+          .parquet(s"$seg/dfreq")
+      },
+      Future {
+        unionOf("doclen").coalesce(4)
+          .write.mode(SaveMode.Overwrite).parquet(s"$seg/doclen")
+      })
+    writes.foreach(Await.result(_, scala.concurrent.duration.Duration(600, "s")))
     val (n, s) = segs.map(readStats).reduce((a, x) => (a._1 + x._1, a._2 + x._2))
     java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
       s"$n $s\n".getBytes("UTF-8"))
