@@ -402,6 +402,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("gopherRules and c4Clean are shuffle-free pure maps (t59/t60 shape)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val gopher = planOf(graft.operators.CurationPipeline.gopherRules(
+      docs, "doc_id", "text"))
+    assert(!gopher.contains("Exchange"), s"shuffle in a pure map:\n$gopher")
+    assert(!gopher.contains("Join"), s"join in a pure map:\n$gopher")
+    val c4 = planOf(graft.operators.CurationPipeline.c4Clean(
+      docs, "doc_id", "text"))
+    assert(!c4.contains("Exchange"), s"shuffle in a pure map:\n$c4")
+    assert(!c4.contains("Join"), s"join in a pure map:\n$c4")
+  }
+
   test("lmPerplexity joins on the bigram key - no cartesian (t49 shape)") {
     import org.apache.spark.sql.functions.col
     graft.operators.PipelineContext.run { implicit ctx =>
