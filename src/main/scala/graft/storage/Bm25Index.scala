@@ -1,6 +1,6 @@
 package graft.storage
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted, incrementally-appendable Okapi BM25 inverted index.
@@ -17,21 +17,34 @@ import org.apache.spark.sql.functions._
   * (robosystems/graph_api/core — tables are the index); this engine
   * expresses the same "build once, query many" contract Spark-first.
   *
-  * Layout (all paths under `path/`):
+  * Layout (all paths under `path/`; `<tok>` is a per-writer random
+  * token, so two RACING writers never target the same directory — a
+  * CAS loser can only ever delete its own segment, and its parquet
+  * Overwrite can never clobber files the winner just published; the
+  * manifest records the full unique names):
   * {{{
-  *   _manifest.v<N>      one segment name per line; highest N = head
-  *   seg-<n>/postings/   (term, id, tf) parquet, partitioned by
-  *                       bucket = pmod(xxhash64(term), nBuckets)
-  *   seg-<n>/dfreq/      (term, df) parquet, same bucket partitioning
-  *   seg-<n>/doclen/     (id, dl) parquet
-  *   seg-<n>/_stats      "<n_docs> <sum_dl>" (exact longs)
+  *   _manifest.v<N>          one segment name per line; highest N = head
+  *   seg-<n>-<tok>/postings/ (term, id, tf, dl) parquet, partitioned by
+  *                           bucket = pmod(xxhash64(term), nBuckets)
+  *   seg-<n>-<tok>/dfreq/    (term, df) parquet, same bucket partitioning
+  *   seg-<n>-<tok>/_stats    "<n_docs> <sum_dl>" (exact longs)
   * }}}
   *
+  * Document length is DENORMALIZED onto every posting row (the Lucene
+  * norms-with-postings layout): `dl` is one extra long per posting,
+  * paid once at append time (a single id-keyed shuffle join inside the
+  * batch), and it removes the per-query corpus-wide doc-length
+  * lookup entirely — a query's scan surface is EXACTLY the query
+  * terms' bucket partitions of postings+dfreq plus the driver-side
+  * per-segment stats. Nothing in the query path is O(corpus).
+  *
   * Scale shape: a query touches ONLY the query terms' bucket
-  * partitions of postings+dfreq (partition pruning on the literal
-  * bucket set — the scan never reads the other (nBuckets − q)
-  * partitions), plus the per-matched-doc slice of doclen and the
-  * driver-side per-segment stats. Appends never rewrite existing
+  * partitions (partition pruning on the literal bucket set — the scan
+  * never reads the other (nBuckets − q) partitions). Posting files
+  * per bucket scale with the MEASURED batch volume (the
+  * `jaccardPairsExact` sizing discipline), so a 100 TB bulk build
+  * doesn't serialize through one task per bucket while a local batch
+  * still lands one file per bucket. Appends never rewrite existing
   * segments; per-doc state is complete within one segment (documents
   * must not repeat across appends), so df/dl/stats merge by pure
   * addition and the merged scores are IDENTICAL to a fresh
@@ -51,8 +64,13 @@ final class Bm25Index(
   require(nBuckets > 0, "nBuckets must be positive")
 
   private def dir = new java.io.File(path)
-  private def segDir(n: Int) = new java.io.File(dir, s"seg-$n")
   private def manifestFile(v: Int) = new java.io.File(dir, s"_manifest.v$v")
+
+  /** A new, writer-unique segment directory for version `n`. The
+    * random token keeps two concurrent appenders' writes physically
+    * disjoint; only the manifest CAS decides whose name is published. */
+  private def newSegDir(n: Int) = new java.io.File(dir,
+    s"seg-$n-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}")
 
   /** Manifest head: (version, committed segment names). (0, Nil) =
     * empty index. */
@@ -69,16 +87,37 @@ final class Bm25Index(
     }
   }
 
+  /** Bucket-partitioned segment-table write, file count scaled by the
+    * MEASURED row volume: below one target file's worth per bucket the
+    * write repartitions ON the partition column (each bucket = one
+    * task = one file — never tasks × buckets); above it, a salt
+    * derived from `saltKey` spreads each bucket over
+    * ceil(rows / (nBuckets × rowsPerFile)) tasks, so bulk builds
+    * parallelize the write instead of serializing a corpus through
+    * nBuckets tasks. */
+  private def writeBucketed(
+      df: DataFrame, dest: String, rows: Long, saltKey: Column): Unit = {
+    val filesPerBucket = math.max(1L,
+      (rows + nBuckets.toLong * Bm25Index.RowsPerFile - 1) /
+        (nBuckets.toLong * Bm25Index.RowsPerFile)).toInt
+    val parted =
+      if (filesPerBucket == 1) df.repartition(nBuckets, col("bucket"))
+      else df.repartition(nBuckets * filesPerBucket, col("bucket"),
+        pmod(xxhash64(saltKey), lit(filesPerBucket.toLong)))
+    parted.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dest)
+  }
+
   /** Append one batch of documents as a new immutable segment and
     * publish it atomically. Documents must be NEW ids (a doc split
     * across segments would double-count df and split its tf) — the
     * incremental contract, same as the reference's ingest dedup
-    * boundary. Safe under concurrent writers: the loser's segment dir
-    * is removed and [[CommitConflictException]] says retry. */
+    * boundary. Safe under concurrent writers: each writer builds under
+    * its own unique segment name, the loser's dir is removed and
+    * [[CommitConflictException]] says retry. */
   def append(docs: DataFrame, idCol: String, textCol: String,
       dfCap: Long = 0L): Unit = {
     val (baseVer, segs) = readHead()
-    val seg = segDir(baseVer + 1)
+    val seg = newSegDir(baseVer + 1)
     val wc = docs
       .select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("term"))
@@ -90,8 +129,9 @@ final class Bm25Index(
     try {
       // materialize the cache ONCE (cheap narrow count) so the
       // concurrent writers below read cached blocks instead of racing
-      // to compute the same partitions
-      wc.count()
+      // to compute the same partitions; the count doubles as the
+      // measured volume that sizes the posting files
+      val nPostings = wc.count()
       val dfreq = wc.groupBy(col("bucket"), col("term"))
         .agg(count(lit(1)).as("df"))
       val kept =
@@ -100,38 +140,36 @@ final class Bm25Index(
       // — skipped entirely when no cap is set (every term is kept);
       // at a vocabulary too large to broadcast, flip to a shuffled
       // left-semi (the decontam gate's plan)
-      val posts =
+      val capped =
         if (dfCap > 0L)
           wc.join(broadcast(kept.select(col("term"))), Seq("term"))
         else wc
       // dl over the UN-capped stream: document length is exact
       val dl = wc.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-      // the three segment tables are independent reads of the cached
+      // denormalize dl onto every posting row (Lucene's norms-with-
+      // postings): one id-keyed join at BUILD time buys a query path
+      // with no corpus-wide doc-length table at all
+      val posts = capped.join(dl, Seq("id"))
+      // the two segment tables are independent reads of the cached
       // wc — run their write JOBS concurrently (a segment build is
       // latency-bound by the per-job floor, not by data, at batch
-      // scale; Spark's scheduler interleaves the stages). repartition
-      // ON the partition column first: a straight partitionBy write
-      // fans every shuffle task across every bucket (tasks × buckets
-      // files — file-handle overhead dwarfs the data at batch scale);
-      // this way each bucket is one task → one file
+      // scale; Spark's scheduler interleaves the stages). dfreq is
+      // vocabulary-bounded (Heaps' law), not corpus-bounded — one
+      // file per bucket stays right at any corpus size
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       val writes = Seq(
         Future {
-          posts.select(col("id"), col("term"), col("tf"), col("bucket"))
-            .repartition(nBuckets, col("bucket"))
-            .write.partitionBy("bucket").mode(SaveMode.Overwrite)
-            .parquet(s"$seg/postings")
+          writeBucketed(
+            posts.select(col("id"), col("term"), col("tf"), col("dl"),
+              col("bucket")),
+            s"$seg/postings", nPostings, col("id"))
         },
         Future {
           kept.select(col("term"), col("df"), col("bucket"))
             .repartition(nBuckets, col("bucket"))
             .write.partitionBy("bucket").mode(SaveMode.Overwrite)
             .parquet(s"$seg/dfreq")
-        },
-        Future {
-          dl.coalesce(4).write.mode(SaveMode.Overwrite)
-            .parquet(s"$seg/doclen")
         })
       // stats from the cached wc-derived agg (not a re-read of files
       // just written), computed on this thread while the writes run
@@ -142,7 +180,7 @@ final class Bm25Index(
     } finally wc.unpersist(false)
     val body = (segs :+ seg.getName).mkString("", "\n", "\n")
     if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1), body.getBytes("UTF-8"))) {
-      rmTree(seg)
+      rmTree(seg) // ours alone — the winner's dir has a different token
       throw new CommitConflictException(s"bm25:$path", baseVer + 1)
     }
   }
@@ -155,7 +193,8 @@ final class Bm25Index(
     * (foreachBatch) accumulate a segment per trigger, and query cost
     * carries a per-segment scan union — compaction folds S segments
     * back to one with scores unchanged: postings rows are disjoint
-    * across segments (the new-ids append contract), df merges by
+    * across segments (the new-ids append contract, so each row's
+    * denormalized dl is the one true length of its doc), df merges by
     * addition per term, stats by addition. Readers holding pre-compact
     * plans keep their snapshot — superseded segment files stay on disk
     * until [[vacuum]]. Stored postings merge AS WRITTEN: a dfCap
@@ -166,20 +205,22 @@ final class Bm25Index(
   def compact(): Unit = {
     val (baseVer, segs) = readHead()
     if (segs.size <= 1) return // already compact
-    val seg = segDir(baseVer + 1)
+    val seg = newSegDir(baseVer + 1)
     def unionOf(sub: String): DataFrame =
       segs.map(s => spark.read.parquet(s"$path/$s/$sub"))
         .reduce(_.unionByName(_))
-    // the three rewrites read disjoint inputs — concurrent write jobs,
+    // posting-file sizing WITHOUT an extra counting job: Σ dl from the
+    // per-segment stats bounds the posting-row count from above (a
+    // posting row is ≥1 token), so the rewrite gets at least the
+    // parallelism the true volume needs
+    val sumDl = segs.map(readStats).map(_._2).sum
+    // the two rewrites read disjoint inputs — concurrent write jobs,
     // the append() discipline (per-job floor dominates at batch scale)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val writes = Seq(
       Future {
-        unionOf("postings")
-          .repartition(nBuckets, col("bucket"))
-          .write.partitionBy("bucket").mode(SaveMode.Overwrite)
-          .parquet(s"$seg/postings")
+        writeBucketed(unionOf("postings"), s"$seg/postings", sumDl, col("id"))
       },
       Future {
         unionOf("dfreq")
@@ -187,10 +228,6 @@ final class Bm25Index(
           .repartition(nBuckets, col("bucket"))
           .write.partitionBy("bucket").mode(SaveMode.Overwrite)
           .parquet(s"$seg/dfreq")
-      },
-      Future {
-        unionOf("doclen").coalesce(4)
-          .write.mode(SaveMode.Overwrite).parquet(s"$seg/doclen")
       })
     writes.foreach(Await.result(_, scala.concurrent.duration.Duration(600, "s")))
     val (n, s) = segs.map(readStats).reduce((a, x) => (a._1 + x._1, a._2 + x._2))
@@ -207,7 +244,8 @@ final class Bm25Index(
     * its predecessor, and manifests older than the predecessor — the
     * [[GraphStore]] retention rule (current + previous), so a reader
     * that planned against the previous head still scans live files.
-    * Returns the deleted segment names. */
+    * Crashed writers' orphan segments (never published, never
+    * self-cleaned) fall out here too. Returns the deleted names. */
   def vacuum(): Seq[String] = {
     val vs = Option(dir.list()).toSeq.flatten
       .filter(_.matches("_manifest\\.v\\d+"))
@@ -242,10 +280,12 @@ final class Bm25Index(
   /** BM25 top-`k` per query over the index head — the same arithmetic
     * as [[graft.operators.CurationPipeline.bm25TopDocs]] (k1, b,
     * positive idf, 6-dp round before rank, doc-id tie-break), reading
-    * ONLY the query terms' bucket partitions. `queries` is collected
-    * on the driver (bounded by the broadcast-queries contract the
-    * inline form already assumes) so the bucket set is a pushable
-    * literal — that is what turns the scan into partition pruning. */
+    * ONLY the query terms' bucket partitions; doc length comes off the
+    * posting rows themselves, so NO table in this plan is scanned
+    * unpruned. `queries` is collected on the driver (bounded by the
+    * broadcast-queries contract the inline form already assumes) so
+    * the bucket set is a pushable literal — that is what turns the
+    * scan into partition pruning. */
   def topDocs(queries: Seq[(Long, String)], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, "k must be positive")
@@ -262,19 +302,18 @@ final class Bm25Index(
     val buckets: Seq[Int] = qterms.map { case (_, t) =>
       Bm25Index.bucketOf(t, nBuckets).toInt
     }.distinct
-    def unionRead(sub: String, prune: Boolean): DataFrame =
+    def unionRead(sub: String): DataFrame =
       segs.map { s =>
-        val d = spark.read.parquet(s"$path/$s/$sub")
-        if (prune) d.filter(col("bucket").isin(buckets: _*)) else d
+        spark.read.parquet(s"$path/$s/$sub")
+          .filter(col("bucket").isin(buckets: _*))
       }.reduce(_.unionByName(_))
     val (nDocs, sumDl) = segs.map(readStats)
       .reduce((a, x) => (a._1 + x._1, a._2 + x._2))
     val avgdl = sumDl.toDouble / nDocs
-    val dfreq = unionRead("dfreq", prune = true)
+    val dfreq = unionRead("dfreq")
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    val scored = unionRead("postings", prune = true)
+    val scored = unionRead("postings")
       .join(broadcast(qtermsDf), Seq("term"))
-      .join(unionRead("doclen", prune = false), Seq("id"))
       .join(dfreq, Seq("term"))
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -291,6 +330,11 @@ final class Bm25Index(
 }
 
 object Bm25Index {
+  /** Target posting rows per file — sizes segment writes from measured
+    * volume so bulk builds parallelize while batch appends stay at one
+    * file per bucket (~tens of MB of (id, term, tf, dl) per file). */
+  private[graft] val RowsPerFile: Long = 4_000_000L
+
   /** The partition key [[Bm25Index.append]] writes — driver-side
     * replica of `pmod(xxhash64(term), nBuckets)` so query planning
     * can turn collected query terms into a literal bucket filter. */

@@ -78,7 +78,9 @@ final class GraphStore(
   //
   // A chain of immutable `_manifest.v<N>` files at the GRAPH root;
   // the highest N is the head, and each file names every rewritten
-  // table's active generation (`nodes/Thing=_gen-3` lines). It is the
+  // table's active generation DIR (`nodes/Thing=_gen-3-<tok>` lines —
+  // the token is per-writer random, so two writers racing for the
+  // same generation number never share a directory). It is the
   // single commit point: a multi-table Cypher write (DETACH DELETE
   // touching a node table plus its relationship tables) lands every
   // table's next `_gen-<n>` dir first, then publishes `_manifest.
@@ -112,34 +114,51 @@ final class GraphStore(
       .filter(_.matches("_manifest\\.v\\d+"))
       .map(_.stripPrefix("_manifest.v").toInt)
 
-  private def parseManifest(f: java.io.File): Map[String, Int] = {
+  /** Manifest values are full generation DIR NAMES —
+    * `_gen-<n>-<tok>` with a per-writer random token (pre-upgrade
+    * manifests' plain `_gen-<n>` parse identically). Unique names make
+    * racing writers physically disjoint: writer B's parquet Overwrite
+    * can never clobber the directory writer A just published under the
+    * same generation number, and a CAS loser's rollback only ever
+    * deletes its own build. */
+  private def parseManifest(f: java.io.File): Map[String, String] = {
     if (!f.exists) return Map.empty
     new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       .linesIterator.map(_.trim).filter(_.nonEmpty).map { l =>
         val i = l.lastIndexOf('=')
         require(i > 0, s"malformed manifest line in $f: $l")
-        l.substring(0, i) -> l.substring(i + 1).stripPrefix("_gen-").toInt
+        l.substring(0, i) -> l.substring(i + 1)
       }.toMap
   }
 
-  /** The manifest head: (version, table→generation). Version 0 = no
-    * versioned manifest committed yet (content then comes from the
-    * legacy single-file `_manifest`, if present). */
-  private def readManifestHead(): (Int, Map[String, Int]) = {
+  /** Numeric generation of a `_gen-<n>[-<tok>]` dir name. */
+  private def genNum(name: String): Int = {
+    val n = name.stripPrefix("_gen-").takeWhile(_.isDigit)
+    require(n.nonEmpty, s"malformed generation dir name: $name")
+    n.toInt
+  }
+
+  private def newGenName(n: Int): String =
+    s"_gen-$n-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+
+  /** The manifest head: (version, table→generation dir name). Version
+    * 0 = no versioned manifest committed yet (content then comes from
+    * the legacy single-file `_manifest`, if present). */
+  private def readManifestHead(): (Int, Map[String, String]) = {
     val vs = listManifestVersions()
     if (vs.isEmpty) (0, parseManifest(legacyManifestFile))
     else { val v = vs.max; (v, parseManifest(manifestVersionFile(v))) }
   }
 
-  private def readManifest(): Map[String, Int] = readManifestHead()._2
+  private def readManifest(): Map[String, String] = readManifestHead()._2
 
   /** Publish `m` as the next manifest version after `baseVersion`.
     * Throws [[CommitConflictException]] when another writer committed
     * that version first — the caller's generation writes are then
     * orphans and the mutation must be retried from the new head. */
-  private def commitManifest(baseVersion: Int, m: Map[String, Int]): Unit = {
+  private def commitManifest(baseVersion: Int, m: Map[String, String]): Unit = {
     val body = m.toSeq.sortBy(_._1)
-      .map { case (k, g) => s"$k=_gen-$g" }.mkString("", "\n", "\n")
+      .map { case (k, n) => s"$k=$n" }.mkString("", "\n", "\n")
     if (!CasFiles.putIfAbsent(
         manifestVersionFile(baseVersion + 1), body.getBytes("UTF-8")))
       throw new CommitConflictException(graphId, baseVersion + 1)
@@ -151,24 +170,25 @@ final class GraphStore(
   }
 
   /** The directory holding the table's ACTIVE data files. */
-  private def dataPath(path: String): String = {
-    val g = currentGen(path)
-    if (g == 0) path else s"$path/_gen-$g"
-  }
+  private def dataPath(path: String): String =
+    currentGenName(path).map(n => s"$path/$n").getOrElse(path)
 
-  /** Current generation number: 0 = the legacy/append-only layout.
-    * Resolution order: graph manifest, then the pre-manifest
-    * per-table `_current` pointer, then legacy. */
+  /** The table's active generation dir name, or None for the
+    * legacy/append-only layout (generation 0). Resolution order: graph
+    * manifest, then the pre-manifest per-table `_current` pointer. */
+  private def currentGenName(path: String): Option[String] =
+    readManifest().get(tableKey(path)).orElse(legacyGenName(path))
+
+  /** Current generation number: 0 = the legacy/append-only layout. */
   private def currentGen(path: String): Int =
-    readManifest().getOrElse(tableKey(path), legacyGen(path))
+    currentGenName(path).map(genNum).getOrElse(0)
 
-  /** Pre-manifest fallback: the per-table `_current` pointer, else the
-    * legacy append-only layout (generation 0). */
-  private def legacyGen(path: String): Int = {
+  /** Pre-manifest fallback: the per-table `_current` pointer. */
+  private def legacyGenName(path: String): Option[String] = {
     val p = pointerFile(path)
-    if (!p.exists) 0
-    else new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
-      .trim.stripPrefix("_gen-").toInt
+    if (!p.exists) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p.toPath),
+      "UTF-8").trim)
   }
 
   // ---- readers -----------------------------------------------------------
@@ -204,38 +224,57 @@ final class GraphStore(
       missing.map(f => lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
 
+  /** The on-disk dir of numeric `generation` (≥ 1) of a table, if
+    * retained. Names carry writer-unique tokens, so resolution prefers
+    * what a retained manifest recorded for the table (authoritative —
+    * never an orphaned loser's dir), falling back to a directory
+    * listing for pointer-era `_gen-<n>` layouts. */
+  private def genDirFor(path: String, generation: Int): Option[java.io.File] = {
+    val key = tableKey(path)
+    val fromManifests =
+      (listManifestVersions().sorted.reverse.map(manifestVersionFile) :+
+        legacyManifestFile).iterator
+        .flatMap(f => parseManifest(f).get(key))
+        .find(n => genNum(n) == generation)
+    fromManifests.orElse(legacyGenName(path).filter(genNum(_) == generation))
+      .map(n => new java.io.File(s"$path/$n")).filter(_.isDirectory)
+      .orElse(Option(new java.io.File(path).listFiles()).toSeq.flatten
+        .find(f => f.isDirectory && f.getName.startsWith("_gen-") &&
+          genNum(f.getName) == generation))
+  }
+
   /** Time-travel read of a RETAINED generation (current or previous;
     * older ones are vacuumed and fail loudly). Generation 0 is the
     * pre-first-rewrite append-only layout. */
   def nodeAt(label: String, generation: Int): DataFrame = {
     val path = nodePath(label)
-    val dir = if (generation == 0) path else s"$path/_gen-$generation"
-    val hasData =
-      if (generation == 0)
+    val dir =
+      if (generation == 0) {
         // the append-only root is generation 0; vacuumed once it is
         // two rewrites stale
-        Option(new java.io.File(path).listFiles()).toSeq.flatten
+        val hasData = Option(new java.io.File(path).listFiles()).toSeq.flatten
           .exists(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      else new java.io.File(dir).isDirectory
-    require(hasData && generation <= currentGen(path),
+        if (hasData) Some(new java.io.File(path)) else None
+      } else genDirFor(path, generation)
+    require(dir.isDefined && generation <= currentGen(path),
       s"generation $generation of $label is not retained " +
         s"(current ${currentGen(path)}, retention keeps one previous)")
-    spark.read.parquet(dir)
+    spark.read.parquet(dir.get.toString)
   }
 
   /** [[nodeAt]]'s relationship-table counterpart. */
   def relAt(tpe: String, generation: Int): DataFrame = {
     val path = relPath(tpe)
-    val dir = if (generation == 0) path else s"$path/_gen-$generation"
-    val hasData =
-      if (generation == 0)
-        Option(new java.io.File(path).listFiles()).toSeq.flatten
+    val dir =
+      if (generation == 0) {
+        val hasData = Option(new java.io.File(path).listFiles()).toSeq.flatten
           .exists(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      else new java.io.File(dir).isDirectory
-    require(hasData && generation <= currentGen(path),
+        if (hasData) Some(new java.io.File(path)) else None
+      } else genDirFor(path, generation)
+    require(dir.isDefined && generation <= currentGen(path),
       s"generation $generation of rel $tpe is not retained " +
         s"(current ${currentGen(path)}, retention keeps one previous)")
-    spark.read.parquet(dir)
+    spark.read.parquet(dir.get.toString)
   }
 
   /** The table's current snapshot generation (0 until first rewrite). */
@@ -414,32 +453,38 @@ final class GraphStore(
     // re-read could straddle a foreign writer's commit)
     val (baseVersion, baseManifest) = readManifestHead()
     def genIn(path: String): Int =
-      baseManifest.getOrElse(tableKey(path), legacyGen(path))
+      baseManifest.get(tableKey(path)).orElse(legacyGenName(path))
+        .map(genNum).getOrElse(0)
     val gens = writes.map { case (path, next) =>
-      val gen = genIn(path) + 1
-      next.write.mode(SaveMode.Overwrite).parquet(s"$path/_gen-$gen")
-      path -> gen
+      // writer-unique dir name: a concurrent writer racing for the
+      // same generation number builds under a different token, so this
+      // Overwrite can never touch data another commit might publish
+      val name = newGenName(genIn(path) + 1)
+      next.write.mode(SaveMode.Overwrite).parquet(s"$path/$name")
+      path -> name
     }
     try commitManifest(baseVersion,
-      baseManifest ++ gens.map { case (p, g) => tableKey(p) -> g })
+      baseManifest ++ gens.map { case (p, n) => tableKey(p) -> n })
     catch {
       case e: CommitConflictException =>
-        // the data dirs written above were never published — remove
-        // the orphans (best-effort; a crash here is also safe, the
-        // next writer's Overwrite reclaims the slot) and surface the
-        // loud retryable conflict
-        gens.foreach { case (path, gen) =>
+        // the data dirs written above were never published and their
+        // names are OURS ALONE (unique token — the CAS winner's dirs
+        // are untouchable by construction) — remove the orphans
+        // (best-effort; a crash here is also safe, vacuum reclaims
+        // stale-numbered orphans as generations advance) and surface
+        // the loud retryable conflict
+        gens.foreach { case (path, name) =>
           def rm(f: java.io.File): Boolean =
             Option(f.listFiles()).forall(_.forall(rm)) && f.delete()
-          rm(new java.io.File(s"$path/_gen-$gen"))
+          rm(new java.io.File(s"$path/$name"))
         }
         throw e
     }
-    gens.foreach { case (path, gen) =>
+    gens.foreach { case (path, name) =>
       // the manifest is authoritative now — retire the pre-manifest
       // pointer so a stale `_current` can't shadow future fallbacks
       pointerFile(path).delete()
-      vacuum(path, keepFrom = gen - 1)
+      vacuum(path, keepFrom = genNum(name) - 1)
     }
   }
 
@@ -457,7 +502,7 @@ final class GraphStore(
     Option(dir.listFiles()).toSeq.flatten.foreach { f =>
       val stale =
         if (f.getName.startsWith("_gen-"))
-          f.getName.stripPrefix("_gen-").toInt < keepFrom
+          genNum(f.getName) < keepFrom
         else if (f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
           keepFrom >= 1 // legacy root data = generation 0
         else false

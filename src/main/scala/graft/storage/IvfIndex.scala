@@ -26,9 +26,12 @@ import graft.functions.VectorFunctions._
   *                       (conditional put; a racing trainer adopts the
   *                       winner's matrix), frozen thereafter: cell
   *                       assignment must be consistent across segments
-  *   _manifest.v<N>      one segment name per line; highest N = head
-  *   seg-<n>/vectors/    (id, v, nv) parquet, partitioned by cell
+  *   _manifest.v<N>          one segment name per line; highest N = head
+  *   seg-<n>-<tok>/vectors/  (id, v, nv) parquet, partitioned by cell
   * }}}
+  * `<tok>` is a per-writer random token ([[Bm25Index]] naming): racing
+  * writers never share a directory, so a CAS loser only deletes its
+  * own build.
   *
   * Centroids are trained on the FIRST batch ([[graft.operators
   * .Similarity.ivfTrain]]'s bounded deterministic sample) — the FAISS
@@ -49,8 +52,15 @@ final class IvfIndex(
   require(nCells > 0, "nCells must be positive")
 
   private def dir = new java.io.File(path)
-  private def segDir(n: Int) = new java.io.File(dir, s"seg-$n")
   private def manifestFile(v: Int) = new java.io.File(dir, s"_manifest.v$v")
+
+  /** A new, writer-unique segment directory for version `n` (the
+    * [[Bm25Index]] naming): two racing writers build under physically
+    * disjoint paths, so a CAS loser's cleanup — and its parquet
+    * Overwrite — can never touch the directory the winner published;
+    * only the manifest CAS decides whose name becomes visible. */
+  private def newSegDir(n: Int) = new java.io.File(dir,
+    s"seg-$n-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}")
   private def centroidsFile = new java.io.File(dir, "_centroids")
 
   /** Manifest head: (version, committed segment names). (0, Nil) =
@@ -91,7 +101,7 @@ final class IvfIndex(
   def compact(): Unit = {
     val (baseVer, segs) = readHead()
     if (segs.size <= 1) return // already compact
-    val seg = segDir(baseVer + 1)
+    val seg = newSegDir(baseVer + 1)
     segs.map(s => spark.read.parquet(s"$path/$s/vectors"))
       .reduce(_.unionByName(_))
       .repartition(nCells, col("cell"))
@@ -147,7 +157,7 @@ final class IvfIndex(
       CasFiles.putIfAbsent(centroidsFile, body.getBytes("UTF-8"))
       centroids.get
     }
-    val seg = segDir(baseVer + 1)
+    val seg = newSegDir(baseVer + 1)
     // one task per cell partition (the Bm25Index write discipline:
     // repartition ON the partition column so the write lands one file
     // per cell instead of tasks × cells)

@@ -33,7 +33,11 @@ class Bm25IndexSpec extends SparkTestBase {
     val idx = new Bm25Index(spark, newIndexDir(), nBuckets = 8)
     idx.append(corpus.filter($"doc_id" <= 5), "doc_id", "text")
     idx.append(corpus.filter($"doc_id" > 5), "doc_id", "text")
-    assert(idx.segments === Seq("seg-1", "seg-2"))
+    // segment names are writer-unique (version prefix + random token)
+    assert(idx.segments.size === 2)
+    assert(idx.segments(0).startsWith("seg-1-"))
+    assert(idx.segments(1).startsWith("seg-2-"))
+    assert(idx.segments.distinct.size === 2)
     val got = idx.topDocs(queries, k = 5).orderBy("qid", "rank").collect().toSeq
     assert(got === inline(corpus))
     assert(got.nonEmpty)
@@ -55,6 +59,16 @@ class Bm25IndexSpec extends SparkTestBase {
     assert(filters.forall(_.contains(s"bucket#")), plan)
     assert(filters.forall(_.matches(s".*PartitionFilters: \\[[^\\]]*= $b\\).*")),
       s"expected literal bucket=$b partition filters:\n${filters.mkString("\n")}")
+    // NOTHING in the query path scans O(corpus): doc length is
+    // denormalized onto the posting rows, so no doclen table exists —
+    // and every file scan in the executed plan is one of the two
+    // bucket-pruned segment tables
+    assert(!plan.contains("doclen"),
+      s"query plan must not touch a corpus-wide doclen table:\n$plan")
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty)
+    assert(scans.forall(l => l.contains("/postings") || l.contains("/dfreq")),
+      s"unexpected unpruned file scan:\n${scans.mkString("\n")}")
     // the driver-side bucket replica agrees with the engine's pmod
     val engineBucket = corpus.sparkSession.range(1)
       .select(pmod(xxhash64(lit("dup")), lit(8L)).cast("int"))
@@ -81,25 +95,37 @@ class Bm25IndexSpec extends SparkTestBase {
       corpus.select(sum(size(split($"text", " ")))).as[Long].head())
   }
 
-  test("losing the manifest CAS raises CommitConflictException and removes the orphan segment") {
+  test("losing the manifest CAS raises CommitConflictException, removes ONLY the loser's segment") {
     val dir = newIndexDir()
     val idx = new Bm25Index(spark, dir, nBuckets = 4)
     idx.append(corpus.filter($"doc_id" <= 4), "doc_id", "text")
-    // The foreign writer publishes v2 from INSIDE the batch evaluation
-    // — deterministically after this append read head=v1 and before
-    // its CAS, the exact window the protocol must lose in (the
-    // GraphStore race-spec pattern).
+    val first = idx.segments.head
+    // The foreign writer's v2 names a REAL directory it built under
+    // its own writer-unique name — the loser's rollback must not touch
+    // it (the pre-unique-naming design deleted the deterministic
+    // seg-<v+1>, i.e. the winner's published data).
+    val foreignSeg = new java.io.File(dir, "seg-2-foreignwriter")
+    java.nio.file.Files.createDirectories(foreignSeg.toPath)
+    java.nio.file.Files.write(new java.io.File(foreignSeg, "_stats").toPath,
+      "1 1\n".getBytes("UTF-8"))
+    // The foreign manifest lands from INSIDE the batch evaluation —
+    // deterministically after this append read head=v1 and before its
+    // CAS, the exact window the protocol must lose in (the GraphStore
+    // race-spec pattern).
     val foreign = new java.io.File(dir, "_manifest.v2")
+    val body = s"$first\nseg-2-foreignwriter\n"
     val trapped = corpus.filter($"doc_id" > 4).as[(Long, String)]
       .mapPartitions { it =>
-        CasFiles.putIfAbsent(foreign, "seg-1\nseg-x\n".getBytes("UTF-8")); it
+        CasFiles.putIfAbsent(foreign, body.getBytes("UTF-8")); it
       }.toDF("doc_id", "text")
     intercept[CommitConflictException] {
       idx.append(trapped, "doc_id", "text")
     }
-    assert(!new java.io.File(dir, "seg-2").exists(),
-      "loser's segment dir must be cleaned up")
-    assert(idx.segments === Seq("seg-1", "seg-x"))
+    val segDirs = Option(new java.io.File(dir).list()).toSeq.flatten
+      .filter(_.startsWith("seg-")).toSet
+    assert(segDirs === Set(first, "seg-2-foreignwriter"),
+      "loser must clean up its own segment and ONLY its own segment")
+    assert(idx.segments === Seq(first, "seg-2-foreignwriter"))
   }
 
   test("compact folds segments into one with identical scores; vacuum honors current+previous retention") {
@@ -107,20 +133,23 @@ class Bm25IndexSpec extends SparkTestBase {
     val idx = new Bm25Index(spark, dir, nBuckets = 8)
     idx.append(corpus.filter($"doc_id" <= 3), "doc_id", "text")
     idx.append(corpus.filter($"doc_id" > 3 && $"doc_id" <= 6), "doc_id", "text")
+    val preCompact = idx.segments
     val expect = inline(corpus)
     idx.compact()
-    assert(idx.segments === Seq("seg-3"))
+    assert(idx.segments.size === 1)
+    assert(idx.segments.head.startsWith("seg-3-"))
     // superseded segments stay for in-flight readers: the retention
     // window is current + previous, so vacuum right after the compact
     // removes nothing
     assert(idx.vacuum() === Nil)
-    assert(new java.io.File(dir, "seg-1").exists())
-    // the next commit pushes seg-1/seg-2 out of the window
+    assert(new java.io.File(dir, preCompact.head).exists())
+    // the next commit pushes the pre-compact segments out of the window
     idx.append(corpus.filter($"doc_id" > 6), "doc_id", "text")
-    assert(idx.vacuum() === Seq("seg-1", "seg-2"))
-    assert(!new java.io.File(dir, "seg-1").exists())
+    assert(idx.vacuum() === preCompact.sorted)
+    assert(!new java.io.File(dir, preCompact.head).exists())
     assert(!new java.io.File(dir, "_manifest.v1").exists())
-    assert(idx.segments === Seq("seg-3", "seg-4"))
+    assert(idx.segments.size === 2)
+    assert(idx.segments.last.startsWith("seg-4-"))
     assert(idx.topDocs(queries, k = 5).orderBy("qid", "rank")
       .collect().toSeq === expect)
   }

@@ -26,7 +26,10 @@ class IvfIndexSpec extends SparkTestBase {
     val idx = new IvfIndex(spark, newIndexDir(), nCells = 4)
     idx.append(corpus.filter($"vec_id" % 4 < 3), "vec_id", "embedding")
     idx.append(corpus.filter($"vec_id" % 4 === 3), "vec_id", "embedding")
-    assert(idx.segments === Seq("seg-1", "seg-2"))
+    // segment names are writer-unique (version prefix + random token)
+    assert(idx.segments.size === 2)
+    assert(idx.segments(0).startsWith("seg-1-"))
+    assert(idx.segments(1).startsWith("seg-2-"))
     val got = idx.topK(queriesDf, "qid", "qv", k = 5, nProbe = 4,
       excludeSelf = true).orderBy("qid", "rank").collect().toSeq
     // brute ranks WITHOUT self then takes top-k; replicate by k+1/filter
@@ -93,11 +96,13 @@ class IvfIndexSpec extends SparkTestBase {
     val idx = new IvfIndex(spark, dir, nCells = 4)
     idx.append(corpus.filter($"vec_id" < 24), "vec_id", "embedding")
     idx.append(corpus.filter($"vec_id" >= 24 && $"vec_id" < 48), "vec_id", "embedding")
+    val preCompact = idx.segments
     idx.compact()
-    assert(idx.segments === Seq("seg-3"))
+    assert(idx.segments.size === 1)
+    assert(idx.segments.head.startsWith("seg-3-"))
     assert(idx.vacuum() === Nil) // current + previous still covers v2
     idx.append(corpus.filter($"vec_id" >= 48), "vec_id", "embedding")
-    assert(idx.vacuum() === Seq("seg-1", "seg-2"))
+    assert(idx.vacuum() === preCompact.sorted)
     val got = idx.topK(queriesDf, "qid", "qv", k = 5, nProbe = 4,
       excludeSelf = true).orderBy("qid", "rank").collect().toSeq
     val expect = Similarity.bruteForceTopK(
@@ -111,22 +116,31 @@ class IvfIndexSpec extends SparkTestBase {
     assert(got === expect)
   }
 
-  test("losing the manifest CAS raises CommitConflictException and removes the orphan segment") {
+  test("losing the manifest CAS raises CommitConflictException, removes ONLY the loser's segment") {
     val dir = newIndexDir()
     val idx = new IvfIndex(spark, dir, nCells = 4)
     idx.append(corpus.filter($"vec_id" < 32), "vec_id", "embedding")
+    val first = idx.segments.head
+    // the foreign winner's segment exists under its own unique name —
+    // the loser's rollback must leave it alone (the pre-unique-naming
+    // design deleted the deterministic seg-<v+1> = the winner's data)
+    val foreignSeg = new java.io.File(dir, "seg-2-foreignwriter")
+    java.nio.file.Files.createDirectories(foreignSeg.toPath)
     // foreign commit lands inside the batch evaluation — after this
     // append read head=v1, before its CAS (the Bm25IndexSpec pattern)
     val foreign = new java.io.File(dir, "_manifest.v2")
+    val body = s"$first\nseg-2-foreignwriter\n"
     val trapped = corpus.filter($"vec_id" >= 32).as[(Long, Seq[Double])]
       .mapPartitions { it =>
-        CasFiles.putIfAbsent(foreign, "seg-1\nseg-x\n".getBytes("UTF-8")); it
+        CasFiles.putIfAbsent(foreign, body.getBytes("UTF-8")); it
       }.toDF("vec_id", "embedding")
     intercept[CommitConflictException] {
       idx.append(trapped, "vec_id", "embedding")
     }
-    assert(!new java.io.File(dir, "seg-2").exists(),
-      "loser's segment dir must be cleaned up")
-    assert(idx.segments === Seq("seg-1", "seg-x"))
+    val segDirs = Option(new java.io.File(dir).list()).toSeq.flatten
+      .filter(_.startsWith("seg-")).toSet
+    assert(segDirs === Set(first, "seg-2-foreignwriter"),
+      "loser must clean up its own segment and ONLY its own segment")
+    assert(idx.segments === Seq(first, "seg-2-foreignwriter"))
   }
 }

@@ -112,17 +112,20 @@ class Round10ReviewSpec extends SparkTestBase {
       .mapPartitions { it => CasFiles.putIfAbsent(foreign, foreignBody); it }
       .toDF("identifier", "v")
     val path = store.nodePath("Thing")
+    def genDirs = Option(new java.io.File(path).list()).toSeq.flatten
+      .filter(_.startsWith("_gen-")).toSet
+    val before = genDirs
     intercept[CommitConflictException] {
       store.commitGenerations(Seq(path -> trapped))
     }
     // the foreign commit is intact and authoritative
     assert(new String(java.nio.file.Files.readAllBytes(foreign.toPath), "UTF-8")
       === new String(foreignBody, "UTF-8"))
-    // the loser's unpublished generation dir was cleaned up
-    val foreignGen = new String(foreignBody, "UTF-8").linesIterator
-      .find(_.startsWith("nodes/Thing=")).get.stripPrefix("nodes/Thing=_gen-").toInt
-    assert(!new java.io.File(s"$path/_gen-${foreignGen + 1}").exists(),
-      "orphan generation dir must be removed on conflict")
+    // the loser's unpublished generation dir was cleaned up, and ONLY
+    // that (writer-unique names: published dirs are untouchable by a
+    // loser's rollback by construction)
+    assert(genDirs === before,
+      "conflict rollback must remove the loser's dir and nothing else")
     // the store still reads the winner's consistent state...
     assert(store.node("Thing").orderBy("identifier")
       .select("identifier", "v").as[(String, Long)].collect().toSeq

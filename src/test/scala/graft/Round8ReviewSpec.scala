@@ -179,8 +179,10 @@ class Round8ReviewSpec extends SparkTestBase {
     assert(store.generationOf("Thing") === 3)
     val tdir = new java.io.File(s"$root/g3/nodes/Thing")
     val names = Option(tdir.listFiles()).toSeq.flatten.map(_.getName).toSet
-    assert(names.contains("_gen-2") && names.contains("_gen-3"), names.toString)
-    assert(!names.contains("_gen-1"), names.toString)
+    // generation dirs carry writer-unique tokens: _gen-<n>-<tok>
+    assert(names.exists(_.startsWith("_gen-2-")) &&
+      names.exists(_.startsWith("_gen-3-")), names.toString)
+    assert(!names.exists(_.startsWith("_gen-1-")), names.toString)
     assert(!names.exists(n => n.startsWith("part-")), s"legacy files survive: $names")
     // previous generation still time-travels; vacuumed ones fail loudly
     assert(store.nodeAt("Thing", 2).filter($"identifier" === "a")
