@@ -169,19 +169,28 @@ final class GraphStore(
       .foreach(v => manifestVersionFile(v).delete())
   }
 
-  /** The directory holding the table's ACTIVE data files. */
+  /** The directory holding an UNBUCKETED table's ACTIVE data files
+    * (bucketed tables have one active dir per bucket — see
+    * [[readTableState]]). */
   private def dataPath(path: String): String =
     currentGenName(path).map(n => s"$path/$n").getOrElse(path)
 
   /** The table's active generation dir name, or None for the
-    * legacy/append-only layout (generation 0). Resolution order: graph
+    * legacy/append-only layout (generation 0) AND for bucketed tables
+    * (whose marker names no single dir). Resolution order: graph
     * manifest, then the pre-manifest per-table `_current` pointer. */
   private def currentGenName(path: String): Option[String] =
     readManifest().get(tableKey(path)).orElse(legacyGenName(path))
+      .filterNot(_.startsWith("_bucketed-"))
 
-  /** Current generation number: 0 = the legacy/append-only layout. */
+  /** Current LOGICAL generation number: 0 = the legacy/append-only
+    * layout; a bucketed table's marker generation counts every
+    * rewrite, whole-table or point. */
   private def currentGen(path: String): Int =
-    currentGenName(path).map(genNum).getOrElse(0)
+    readManifest().get(tableKey(path)).orElse(legacyGenName(path)) match {
+      case Some(v) => parseBucketMarker(v).map(_._1).getOrElse(genNum(v))
+      case None => 0
+    }
 
   /** Pre-manifest fallback: the per-table `_current` pointer. */
   private def legacyGenName(path: String): Option[String] = {
@@ -191,23 +200,118 @@ final class GraphStore(
       "UTF-8").trim)
   }
 
+  // ---- pk-hash bucketed tables --------------------------------------------
+  //
+  // The FIRST rewrite of a table splits it into `pkBuckets` pk-hash
+  // buckets — `<table>/pkb=<b>/_gen-<n>-<tok>/` — each an
+  // independently-generationed sub-table under the same graph
+  // manifest (`<table>/pkb=<b>=_gen-<n>-<tok>` lines, plus a
+  // `<table>=_bucketed-<g>-<B>` marker carrying the table's LOGICAL
+  // generation and its frozen bucket count). A point write —
+  // `MATCH (n {identifier:$id}) SET n.status=…`, the platform's most
+  // common write shape (reference row-update semantics,
+  // graph_api/core/ladybug/engine.py:114) — then reads and rewrites
+  // ONLY the buckets its keys hash into: at 100 TB a single-key SET
+  // touches 1/B of the table instead of all of it, and untouched
+  // buckets are not copied, linked, or even listed. All touched
+  // buckets + the marker still swap in ONE manifest commit, so the
+  // all-or-nothing guarantee and snapshot retention are unchanged;
+  // time travel resolves a logical generation through the retained
+  // manifest chain to that version's bucket dirs.
+
+  /** Bucket count frozen into a table's `_bucketed` marker at its
+    * first rewrite. Local default sized for test graphs; at 100 TB
+    * this is a per-deployment knob (≈ table bytes / target file
+    * size) — changing it requires a full-table rewrite, like any
+    * bucketing scheme. */
+  val pkBuckets: Int = 16
+
+  private def bucketMarker(g: Int, b: Int) = s"_bucketed-$g-$b"
+
+  /** (logical generation, bucket count) if `v` is a bucketed-table
+    * marker. */
+  private def parseBucketMarker(v: String): Option[(Int, Int)] =
+    if (!v.startsWith("_bucketed-")) None
+    else {
+      val p = v.stripPrefix("_bucketed-").split("-")
+      Some((p(0).toInt, p(1).toInt))
+    }
+
+  private def bucketPath(path: String, b: Int): String = s"$path/pkb=$b"
+
+  /** The pk-hash bucket expression — `pmod(xxhash64(key), B)` over the
+    * STRING form of the key (pk types vary across labels; the string
+    * cast makes the hash stable under schema-declared int widths). */
+  private def bucketExpr(keyCol: Column, b: Int): Column =
+    pmod(xxhash64(keyCol.cast("string")), lit(b.toLong))
+
+  /** The key column that buckets a table: the declared primary key for
+    * node tables, `src` for relationship tables. */
+  private def bucketKeyCol(path: String): String = {
+    val key = tableKey(path)
+    if (key.startsWith("nodes/"))
+      schema.node(key.stripPrefix("nodes/")).primaryKey
+    else "src"
+  }
+
+  /** Bucketed-table state of `path` in manifest `m`: Some((logical
+    * generation, bucket count)) once the first rewrite bucketed it. */
+  private def bucketStateIn(m: Map[String, String], path: String): Option[(Int, Int)] =
+    m.get(tableKey(path)).flatMap(parseBucketMarker)
+
+  /** Active data dirs of a BUCKETED table under manifest `m`, bucket
+    * index included (dir-less names = empty buckets are skipped). */
+  private def bucketDirsIn(
+      m: Map[String, String], path: String, nB: Int): Seq[(Int, java.io.File)] =
+    (0 until nB).flatMap { b =>
+      m.get(tableKey(bucketPath(path, b)))
+        .map(n => b -> new java.io.File(s"${bucketPath(path, b)}/$n"))
+        .filter(_._2.isDirectory)
+    }
+
+  /** Read a table's active state regardless of layout (append-only
+    * root, whole-table generation, or pk-hash buckets), conformed to
+    * the declared schema. `onlyBuckets` restricts a bucketed read to
+    * the named buckets — the point-write lever: the untouched (B − t)
+    * buckets are never listed, let alone scanned. */
+  private def readTableState(
+      path: String, declared: StructType,
+      onlyBuckets: Option[Seq[Int]] = None): DataFrame = {
+    val m = readManifest()
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      withFileId(declared))
+    bucketStateIn(m, path) match {
+      case Some((_, nB)) =>
+        val dirs = bucketDirsIn(m, path, nB)
+          .filter { case (b, _) => onlyBuckets.forall(_.contains(b)) }
+        // per-bucket evolved reads unioned BY NAME: buckets rewritten
+        // before a schema extension carry the old file schema — a
+        // single multi-path read would silently drop the new column's
+        // values from newer buckets
+        if (dirs.isEmpty) empty
+        else dirs.map { case (_, d) =>
+          evolved(spark.read.parquet(d.toString), declared)
+        }.reduce(_.unionByName(_))
+      case None =>
+        if (!exists(path)) empty
+        else evolved(spark.read.parquet(dataPath(path)), declared)
+    }
+  }
+
+  /** Distinct buckets the keys of `keys` hash into (keys must be
+    * driver-small/materialized — the updateNodeProps contract). */
+  private def touchedBuckets(keys: DataFrame, keyCol: String, nB: Int): Seq[Int] =
+    keys.select(bucketExpr(col(keyCol), nB).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
   // ---- readers -----------------------------------------------------------
 
-  def node(label: String): DataFrame = {
-    val d = schema.node(label)
-    if (exists(nodePath(label)))
-      evolved(spark.read.parquet(dataPath(nodePath(label))), d.structType)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withFileId(d.structType))
-  }
+  def node(label: String): DataFrame =
+    readTableState(nodePath(label), schema.node(label).structType)
 
-  def rel(tpe: String): DataFrame = {
-    val d = schema.rel(tpe)
-    if (exists(relPath(tpe)))
-      evolved(spark.read.parquet(dataPath(relPath(tpe))), d.structType)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withFileId(d.structType))
-  }
+  def rel(tpe: String): DataFrame =
+    readTableState(relPath(tpe), schema.rel(tpe).structType)
 
   /** Schema evolution on read: a table stored BEFORE the declared
     * schema grew (an extension installed onto an existing graph —
@@ -224,58 +328,76 @@ final class GraphStore(
       missing.map(f => lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
 
-  /** The on-disk dir of numeric `generation` (≥ 1) of a table, if
-    * retained. Names carry writer-unique tokens, so resolution prefers
-    * what a retained manifest recorded for the table (authoritative —
-    * never an orphaned loser's dir), falling back to a directory
-    * listing for pointer-era `_gen-<n>` layouts. */
-  private def genDirFor(path: String, generation: Int): Option[java.io.File] = {
+  /** Logical generation a manifest value denotes — a bucketed marker's
+    * counter or a `_gen-` name's number. */
+  private def logicalGenOf(v: String): Int =
+    parseBucketMarker(v).map(_._1).getOrElse(genNum(v))
+
+  /** The on-disk dirs holding logical `generation` (≥ 1) of a table,
+    * if retained. Names carry writer-unique tokens, so resolution
+    * prefers what a retained manifest recorded (authoritative — never
+    * an orphaned loser's dir): the first retained manifest, newest
+    * first, whose entry for the table has that logical generation
+    * supplies the dir name — or, for a bucketed marker, that SAME
+    * manifest version's bucket entries (the bucket dirs as of that
+    * commit; retention keeps each touched bucket's previous dir, and
+    * untouched buckets still point at their then-current dirs). Falls
+    * back to a directory listing for pointer-era `_gen-<n>` layouts. */
+  private def stateDirsAt(path: String, generation: Int): Seq[java.io.File] = {
     val key = tableKey(path)
-    val fromManifests =
+    val manifests =
       (listManifestVersions().sorted.reverse.map(manifestVersionFile) :+
-        legacyManifestFile).iterator
-        .flatMap(f => parseManifest(f).get(key))
-        .find(n => genNum(n) == generation)
-    fromManifests.orElse(legacyGenName(path).filter(genNum(_) == generation))
-      .map(n => new java.io.File(s"$path/$n")).filter(_.isDirectory)
-      .orElse(Option(new java.io.File(path).listFiles()).toSeq.flatten
-        .find(f => f.isDirectory && f.getName.startsWith("_gen-") &&
-          genNum(f.getName) == generation))
+        legacyManifestFile).map(parseManifest)
+    manifests.iterator
+      .flatMap(m => m.get(key).map(m -> _))
+      .find { case (_, v) => logicalGenOf(v) == generation }
+      .map { case (m, v) =>
+        parseBucketMarker(v) match {
+          case Some((_, nB)) => bucketDirsIn(m, path, nB).map(_._2)
+          case None =>
+            Seq(new java.io.File(s"$path/$v")).filter(_.isDirectory)
+        }
+      }
+      .getOrElse {
+        legacyGenName(path).filter(genNum(_) == generation)
+          .map(n => new java.io.File(s"$path/$n")).filter(_.isDirectory)
+          .orElse(Option(new java.io.File(path).listFiles()).toSeq.flatten
+            .find(f => f.isDirectory && f.getName.startsWith("_gen-") &&
+              genNum(f.getName) == generation)).toSeq
+      }
+  }
+
+  private def tableAt(
+      path: String, declared: StructType, generation: Int,
+      what: String): DataFrame = {
+    if (generation == 0) {
+      // the append-only root is generation 0; vacuumed once it is two
+      // rewrites stale
+      val hasData = Option(new java.io.File(path).listFiles()).toSeq.flatten
+        .exists(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      require(hasData && generation <= currentGen(path),
+        s"generation 0 of $what is not retained " +
+          s"(current ${currentGen(path)}, retention keeps one previous)")
+      spark.read.parquet(path)
+    } else {
+      val dirs = stateDirsAt(path, generation)
+      require(dirs.nonEmpty && generation <= currentGen(path),
+        s"generation $generation of $what is not retained " +
+          s"(current ${currentGen(path)}, retention keeps one previous)")
+      dirs.map(d => evolved(spark.read.parquet(d.toString), declared))
+        .reduce(_.unionByName(_))
+    }
   }
 
   /** Time-travel read of a RETAINED generation (current or previous;
     * older ones are vacuumed and fail loudly). Generation 0 is the
     * pre-first-rewrite append-only layout. */
-  def nodeAt(label: String, generation: Int): DataFrame = {
-    val path = nodePath(label)
-    val dir =
-      if (generation == 0) {
-        // the append-only root is generation 0; vacuumed once it is
-        // two rewrites stale
-        val hasData = Option(new java.io.File(path).listFiles()).toSeq.flatten
-          .exists(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-        if (hasData) Some(new java.io.File(path)) else None
-      } else genDirFor(path, generation)
-    require(dir.isDefined && generation <= currentGen(path),
-      s"generation $generation of $label is not retained " +
-        s"(current ${currentGen(path)}, retention keeps one previous)")
-    spark.read.parquet(dir.get.toString)
-  }
+  def nodeAt(label: String, generation: Int): DataFrame =
+    tableAt(nodePath(label), schema.node(label).structType, generation, label)
 
   /** [[nodeAt]]'s relationship-table counterpart. */
-  def relAt(tpe: String, generation: Int): DataFrame = {
-    val path = relPath(tpe)
-    val dir =
-      if (generation == 0) {
-        val hasData = Option(new java.io.File(path).listFiles()).toSeq.flatten
-          .exists(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-        if (hasData) Some(new java.io.File(path)) else None
-      } else genDirFor(path, generation)
-    require(dir.isDefined && generation <= currentGen(path),
-      s"generation $generation of rel $tpe is not retained " +
-        s"(current ${currentGen(path)}, retention keeps one previous)")
-    spark.read.parquet(dir.get.toString)
-  }
+  def relAt(tpe: String, generation: Int): DataFrame =
+    tableAt(relPath(tpe), schema.rel(tpe).structType, generation, s"rel $tpe")
 
   /** The table's current snapshot generation (0 until first rewrite). */
   def generationOf(label: String): Int = currentGen(nodePath(label))
@@ -367,9 +489,44 @@ final class GraphStore(
       // appends land in the ACTIVE generation: an open reader's file
       // snapshot simply doesn't include the new files (never broken by
       // them), and the next rewrite carries them forward
-      cached.write.mode(SaveMode.Append).parquet(dataPath(path))
+      val m = readManifest()
+      bucketStateIn(m, path) match {
+        case Some((g, nB)) => appendBucketed(cached, path, g, nB, m)
+        case None => cached.write.mode(SaveMode.Append).parquet(dataPath(path))
+      }
       n
     } finally { cached.unpersist(); () }
+  }
+
+  /** Append into a BUCKETED table: one partitioned stage write, then
+    * each partition's files move into that bucket's active generation
+    * dir (new unique file names — an open reader is never broken). */
+  private def appendBucketed(
+      df: DataFrame, path: String, tableGen: Int, nB: Int,
+      m: Map[String, String]): Unit = {
+    val stage = new java.io.File(path, s"_stage-$tableGen-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+    df.withColumn("__pkb", bucketExpr(col(bucketKeyCol(path)), nB))
+      .write.mode(SaveMode.Overwrite).partitionBy("__pkb")
+      .parquet(stage.toString)
+    (0 until nB).foreach { b =>
+      val src = new java.io.File(stage, s"__pkb=$b")
+      if (src.isDirectory) {
+        val name = m.getOrElse(tableKey(bucketPath(path, b)),
+          throw new IllegalStateException(
+            s"bucketed table $path missing manifest entry for bucket $b"))
+        val dst = new java.io.File(s"${bucketPath(path, b)}/$name")
+        dst.mkdirs()
+        Option(src.listFiles()).toSeq.flatten
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .foreach { f =>
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(dst, f.getName).toPath)
+          }
+      }
+    }
+    rmTree(stage)
   }
 
   /** Ingest relationship rows arriving with `from`/`to` columns,
@@ -412,35 +569,55 @@ final class GraphStore(
     * delete_file_data). Parquet has no transactional DELETE: rewrite to
     * a staging dir then swap — on Delta this is `DELETE WHERE`. */
   def deleteFileData(label: String, fileId: String): Unit =
-    mutate { deleteByFileId(nodePath(label), fileId) }
+    mutate { deleteByFileId(nodePath(label),
+      schema.node(label).structType, fileId) }
 
   /** Same incremental un-ingest for relationship tables. */
   def deleteRelFileData(tpe: String, fileId: String): Unit =
-    mutate { deleteByFileId(relPath(tpe), fileId) }
+    mutate { deleteByFileId(relPath(tpe),
+      schema.rel(tpe).structType, fileId) }
 
-  private def deleteByFileId(path: String, fileId: String): Unit = {
+  private def deleteByFileId(
+      path: String, declared: StructType, fileId: String): Unit = {
     if (!exists(path)) return
-    // Read the ACTIVE generation, not the table root: once a prior
-    // SET/DELETE has moved the table into `_gen-<n>` layout, the root
+    // Read the ACTIVE state, not the table root: once a prior
+    // SET/DELETE has moved the table into generation layout, the root
     // holds only stale gen-0 legacy files (or none after vacuum) and a
     // root read would silently rewrite from the pre-rewrite snapshot.
-    val kept = spark.read.parquet(dataPath(path)).filter(
+    // A file's rows hash across every bucket, so this rewrite is
+    // whole-table by nature (touched = all).
+    val kept = readTableState(path, declared).filter(
       col(FileIdCol).isNull || col(FileIdCol) =!= fileId)
     rewriteInPlace(path, kept)
   }
 
+  /** Transactional rewrite of one or more tables as ONE graph commit
+    * (whole-table form: see [[commitTables]] for the point-write
+    * form). The FIRST rewrite of a table BUCKETIZES it. */
+  private[graft] def commitGenerations(writes: Seq[(String, DataFrame)]): Unit =
+    commitTables(writes.map { case (p, next) => (p, next, None) })
+
   /** Transactional rewrite of one or more tables as ONE graph commit:
-    * each table's `next` (which may READ its active generation) lands
-    * in that table's next `_gen-<n>` dir, then the graph `_manifest`
-    * swaps atomically naming every new generation at once, then
-    * retention vacuums. A failure at any step — including between two
-    * tables' snapshot writes — leaves the manifest untouched, so
-    * readers see the old state of EVERY table (all-or-nothing across
-    * the graph, the reference's `execute_transaction` guarantee,
+    * each write is `(path, next, touchedBuckets)` where `next` holds
+    * the FULL new state of the touched scope — the whole table when
+    * `touchedBuckets` is None (which also BUCKETIZES a table on its
+    * first rewrite), or exactly the named buckets' rows for a point
+    * write against an already-bucketed table. Per table, ONE Spark job
+    * stages the new state partitioned by pk-hash bucket, each touched
+    * bucket's partition moves into that bucket's next `_gen-<n>-<tok>`
+    * dir (driver-side rename — at 100 TB on object storage the stage
+    * write lands per-bucket directly), then the graph `_manifest`
+    * swaps atomically naming every new bucket generation plus each
+    * table's bumped `_bucketed` marker at once, then retention
+    * vacuums. A failure at any step — including between two tables'
+    * stage writes — leaves the manifest untouched, so readers see the
+    * old state of EVERY table (all-or-nothing across the graph, the
+    * reference's `execute_transaction` guarantee,
     * graph_api/interfaces/engine.py:65-81); readers holding the
     * previous snapshot keep scanning their own files. On
     * Delta/Iceberg this whole method is one transactional commit. */
-  private[graft] def commitGenerations(writes: Seq[(String, DataFrame)]): Unit = mutate {
+  private[graft] def commitTables(
+      writes: Seq[(String, DataFrame, Option[Seq[Int]])]): Unit = mutate {
     // `mutate` is reentrant, so production callers already inside the
     // per-graph WriterLock just re-enter; a direct caller (tests, a
     // future maintenance tool) acquires it here — the single-writer
@@ -449,43 +626,73 @@ final class GraphStore(
     require(writes.map(_._1).distinct.size == writes.size,
       "a graph commit may rewrite each table at most once")
     // ONE read of the head: base version for the optimistic commit
-    // below, base generations for the new `_gen-` dirs (a per-table
-    // re-read could straddle a foreign writer's commit)
+    // below, base generations for the new dirs (a per-table re-read
+    // could straddle a foreign writer's commit)
     val (baseVersion, baseManifest) = readManifestHead()
-    def genIn(path: String): Int =
-      baseManifest.get(tableKey(path)).orElse(legacyGenName(path))
-        .map(genNum).getOrElse(0)
-    val gens = writes.map { case (path, next) =>
-      // writer-unique dir name: a concurrent writer racing for the
-      // same generation number builds under a different token, so this
-      // Overwrite can never touch data another commit might publish
-      val name = newGenName(genIn(path) + 1)
-      next.write.mode(SaveMode.Overwrite).parquet(s"$path/$name")
-      path -> name
+    val created = scala.collection.mutable.ArrayBuffer[java.io.File]()
+    val entries = scala.collection.mutable.LinkedHashMap[String, String]()
+    val vacuums = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+    writes.foreach { case (path, next, touchedOpt) =>
+      val (tableGen, nB) = baseManifest.get(tableKey(path))
+        .orElse(legacyGenName(path))
+        .map(v => parseBucketMarker(v).getOrElse((genNum(v), pkBuckets)))
+        .getOrElse((0, pkBuckets))
+      val newGen = tableGen + 1
+      val touched = touchedOpt.getOrElse(0 until nB)
+      // ONE partitioned stage write per table; bucket dirs then form
+      // by rename. Writer-unique names throughout: a concurrent writer
+      // racing for the same generation numbers builds under different
+      // tokens, so nothing here can touch data another commit might
+      // publish, and the conflict rollback below deletes OURS alone.
+      val stage = new java.io.File(path, s"_stage-$newGen-" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+      next.withColumn("__pkb", bucketExpr(col(bucketKeyCol(path)), nB))
+        .write.mode(SaveMode.Overwrite).partitionBy("__pkb")
+        .parquet(stage.toString)
+      touched.foreach { b =>
+        val bPath = bucketPath(path, b)
+        val bGen = baseManifest.get(tableKey(bPath)).map(genNum).getOrElse(0) + 1
+        val name = newGenName(bGen)
+        val src = new java.io.File(stage, s"__pkb=$b")
+        if (src.isDirectory) {
+          val dst = new java.io.File(s"$bPath/$name")
+          dst.getParentFile.mkdirs()
+          java.nio.file.Files.move(src.toPath, dst.toPath)
+          created += dst
+        }
+        // no partition ⇒ the bucket is now EMPTY: the entry still
+        // advances, naming a dir-less generation (readers skip it)
+        entries += tableKey(bPath) -> name
+        vacuums += bPath -> (bGen - 1)
+      }
+      rmTree(stage)
+      entries += tableKey(path) -> bucketMarker(newGen, nB)
+      vacuums += path -> (newGen - 1)
     }
-    try commitManifest(baseVersion,
-      baseManifest ++ gens.map { case (p, n) => tableKey(p) -> n })
+    try commitManifest(baseVersion, baseManifest ++ entries)
     catch {
       case e: CommitConflictException =>
-        // the data dirs written above were never published and their
-        // names are OURS ALONE (unique token — the CAS winner's dirs
-        // are untouchable by construction) — remove the orphans
-        // (best-effort; a crash here is also safe, vacuum reclaims
-        // stale-numbered orphans as generations advance) and surface
-        // the loud retryable conflict
-        gens.foreach { case (path, name) =>
-          def rm(f: java.io.File): Boolean =
-            Option(f.listFiles()).forall(_.forall(rm)) && f.delete()
-          rm(new java.io.File(s"$path/$name"))
-        }
+        // the data dirs moved into place above were never published
+        // and their names are OURS ALONE (unique tokens — the CAS
+        // winner's dirs are untouchable by construction) — remove the
+        // orphans (best-effort; a crash here is also safe, vacuum
+        // reclaims stale-numbered orphans as generations advance) and
+        // surface the loud retryable conflict
+        created.foreach(rmTree)
         throw e
     }
-    gens.foreach { case (path, name) =>
+    writes.foreach { case (path, _, _) =>
       // the manifest is authoritative now — retire the pre-manifest
       // pointer so a stale `_current` can't shadow future fallbacks
       pointerFile(path).delete()
-      vacuum(path, keepFrom = genNum(name) - 1)
     }
+    vacuums.foreach { case (p, keepFrom) => vacuum(p, keepFrom) }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    def rm(g: java.io.File): Boolean =
+      Option(g.listFiles()).forall(_.forall(rm)) && g.delete()
+    rm(f); ()
   }
 
   private def rewriteInPlace(path: String, next: DataFrame): Unit =
@@ -503,6 +710,10 @@ final class GraphStore(
       val stale =
         if (f.getName.startsWith("_gen-"))
           genNum(f.getName) < keepFrom
+        else if (f.getName.startsWith("_stage-"))
+          // a crashed writer's stage (live stages are removed inline
+          // within the committing writer's lock scope)
+          f.getName.stripPrefix("_stage-").takeWhile(_.isDigit).toInt < keepFrom
         else if (f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
           keepFrom >= 1 // legacy root data = generation 0
         else false
@@ -536,10 +747,18 @@ final class GraphStore(
       .select(col("__key") +:
         assigned.map(c => col(c).as(s"__set_$c")).toIndexedSeq: _*)
       .withColumn("__matched", lit(true))
-    val cur = node(label)
+    val path = nodePath(label)
+    // point-write scope: on a bucketed table only the buckets the
+    // update keys hash into are read AND rewritten — a single-key SET
+    // on a 100 TB graph touches 1/B of the table, not all of it
+    val touched = bucketStateIn(readManifest(), path)
+      .map { case (_, nB) => touchedBuckets(u, "__key", nB) }
+    val cur = readTableState(path, d.structType, touched)
     // matched = keys that actually hit a stored row (counted BEFORE the
-    // rewrite swaps the table). Counting distinct REQUESTED keys would
-    // overreport: keys absent from the table are not property sets.
+    // rewrite swaps the table; a key only ever lives in its own hash
+    // bucket, so the touched-bucket read sees every possible match).
+    // Counting distinct REQUESTED keys would overreport: keys absent
+    // from the table are not property sets.
     val matched = cur.join(u, cur(pk).cast("string") === u("__key"), "left_semi")
       .count()
     val joined = cur.join(u, cur(pk).cast("string") === u("__key"), "left")
@@ -550,7 +769,7 @@ final class GraphStore(
           .otherwise(cur(c)).as(c)
       } else cur(c)
     }
-    rewriteInPlace(nodePath(label), joined.select(outCols.toIndexedSeq: _*))
+    commitTables(Seq((path, joined.select(outCols.toIndexedSeq: _*), touched)))
     matched
   }
 
