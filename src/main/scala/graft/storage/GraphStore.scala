@@ -260,14 +260,47 @@ final class GraphStore(
     m.get(tableKey(path)).flatMap(parseBucketMarker)
 
   /** Active data dirs of a BUCKETED table under manifest `m`, bucket
-    * index included (dir-less names = empty buckets are skipped). */
+    * index included. Empty buckets are DISTINGUISHABLE from vacuumed
+    * ones: commits create the generation dir even when a bucket holds
+    * no rows, so a manifest-named dir that is MISSING means the
+    * generation was vacuumed (or the layout corrupted) and the read
+    * fails loudly instead of silently returning a table missing that
+    * bucket's rows. Pre-upgrade manifests recorded dir-less entries
+    * for empty buckets; those buckets have no `_gen-` dirs at all
+    * under `pkb=<b>/`, which tells them apart from a vacuumed one
+    * (whose bucket dir still holds the newer generations). */
   private def bucketDirsIn(
       m: Map[String, String], path: String, nB: Int): Seq[(Int, java.io.File)] =
     (0 until nB).flatMap { b =>
-      m.get(tableKey(bucketPath(path, b)))
-        .map(n => b -> new java.io.File(s"${bucketPath(path, b)}/$n"))
-        .filter(_._2.isDirectory)
+      m.get(tableKey(bucketPath(path, b))).flatMap { n =>
+        val d = new java.io.File(s"${bucketPath(path, b)}/$n")
+        if (d.isDirectory) Some(b -> d)
+        else {
+          val everWritten = Option(new java.io.File(bucketPath(path, b)).list())
+            .toSeq.flatten.exists(_.startsWith("_gen-"))
+          if (!everWritten) None // pre-upgrade dir-less empty bucket
+          else throw new IllegalArgumentException(
+            s"generation dir $d named by the manifest is not retained " +
+              "(vacuumed?) — refusing a silently-partial read")
+        }
+      }
     }
+
+  /** Whether a generation dir holds any data files (a commit creates
+    * the dir even for an empty bucket — see [[bucketDirsIn]]). */
+  private def hasDataFiles(d: java.io.File): Boolean =
+    dataFilePaths(d).nonEmpty
+
+  /** A generation dir's data files, used as the reader's ROOT paths:
+    * handing Spark the `_`-prefixed dir itself trips its hidden-path
+    * check and WARN-spams "All paths were ignored" on every scan
+    * (reads still worked — explicit roots are honored — but the log
+    * noise buried real warnings). */
+  private def dataFilePaths(d: java.io.File): Seq[String] =
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(_.toString)
 
   /** Read a table's active state regardless of layout (append-only
     * root, whole-table generation, or pk-hash buckets), conformed to
@@ -283,19 +316,31 @@ final class GraphStore(
       withFileId(declared))
     bucketStateIn(m, path) match {
       case Some((_, nB)) =>
-        val dirs = bucketDirsIn(m, path, nB)
+        val files = bucketDirsIn(m, path, nB)
           .filter { case (b, _) => onlyBuckets.forall(_.contains(b)) }
-        // per-bucket evolved reads unioned BY NAME: buckets rewritten
-        // before a schema extension carry the old file schema — a
-        // single multi-path read would silently drop the new column's
-        // values from newer buckets
-        if (dirs.isEmpty) empty
-        else dirs.map { case (_, d) =>
-          evolved(spark.read.parquet(d.toString), declared)
-        }.reduce(_.unionByName(_))
+          .flatMap { case (_, d) => dataFilePaths(d) }
+        // ONE multi-path scan with the DECLARED schema, not a
+        // per-bucket union: parquet resolves the requested schema
+        // by name per file, so buckets rewritten before a schema
+        // extension read the new column as nulls (the `evolved`
+        // semantics) while the plan stays a single FileScan — at a
+        // production bucket count a union of B scans is B listings
+        // and B-way planning for every read
+        if (files.isEmpty) empty
+        else spark.read.schema(withFileId(declared)).parquet(files: _*)
       case None =>
         if (!exists(path)) empty
-        else evolved(spark.read.parquet(dataPath(path)), declared)
+        else {
+          val dp = dataPath(path)
+          if (dp == path) evolved(spark.read.parquet(path), declared)
+          else {
+            // pointer-era unbucketed generation dir: same hidden-name
+            // story — read its files, not the `_gen-` dir
+            val files = dataFilePaths(new java.io.File(dp))
+            if (files.isEmpty) empty
+            else evolved(spark.read.parquet(files: _*), declared)
+          }
+        }
     }
   }
 
@@ -384,8 +429,12 @@ final class GraphStore(
       require(dirs.nonEmpty && generation <= currentGen(path),
         s"generation $generation of $what is not retained " +
           s"(current ${currentGen(path)}, retention keeps one previous)")
-      dirs.map(d => evolved(spark.read.parquet(d.toString), declared))
-        .reduce(_.unionByName(_))
+      val files = dirs.flatMap(dataFilePaths)
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          withFileId(declared))
+      else spark.read.schema(withFileId(declared)).parquet(files: _*)
     }
   }
 
@@ -649,19 +698,35 @@ final class GraphStore(
       next.withColumn("__pkb", bucketExpr(col(bucketKeyCol(path)), nB))
         .write.mode(SaveMode.Overwrite).partitionBy("__pkb")
         .parquet(stage.toString)
+      // a point write whose `next` holds rows hashing OUTSIDE the
+      // declared touched scope would silently drop them with the
+      // stage below — fail loudly instead (misuse guard on the
+      // private[graft] API; updateNodeProps can't trip it because SET
+      // may not reassign the primary key)
+      val stray = Option(stage.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("__pkb="))
+        .map(_.getName.stripPrefix("__pkb=").toInt)
+        .filterNot(touched.contains)
+      if (stray.nonEmpty) {
+        rmTree(stage)
+        throw new IllegalStateException(
+          s"point write to $path declared touched buckets " +
+            s"${touched.mkString(",")} but staged rows hashing into " +
+            s"${stray.sorted.mkString(",")} — refusing to drop them")
+      }
       touched.foreach { b =>
         val bPath = bucketPath(path, b)
         val bGen = baseManifest.get(tableKey(bPath)).map(genNum).getOrElse(0) + 1
         val name = newGenName(bGen)
         val src = new java.io.File(stage, s"__pkb=$b")
-        if (src.isDirectory) {
-          val dst = new java.io.File(s"$bPath/$name")
-          dst.getParentFile.mkdirs()
-          java.nio.file.Files.move(src.toPath, dst.toPath)
-          created += dst
-        }
-        // no partition ⇒ the bucket is now EMPTY: the entry still
-        // advances, naming a dir-less generation (readers skip it)
+        val dst = new java.io.File(s"$bPath/$name")
+        dst.getParentFile.mkdirs()
+        if (src.isDirectory) java.nio.file.Files.move(src.toPath, dst.toPath)
+        // no partition ⇒ the bucket is now EMPTY: the generation dir
+        // is still CREATED so readers can tell an empty bucket (dir
+        // present, no files) from a vacuumed one (dir gone → loud)
+        else dst.mkdirs()
+        created += dst
         entries += tableKey(bPath) -> name
         vacuums += bPath -> (bGen - 1)
       }
@@ -714,6 +779,8 @@ final class GraphStore(
           // a crashed writer's stage (live stages are removed inline
           // within the committing writer's lock scope)
           f.getName.stripPrefix("_stage-").takeWhile(_.isDigit).toInt < keepFrom
+        else if (f.isFile && (f.getName == "_SUCCESS" || f.getName.endsWith(".crc")))
+          keepFrom >= 1 // gen-0 append litter (commit marker, checksums)
         else if (f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
           keepFrom >= 1 // legacy root data = generation 0
         else false

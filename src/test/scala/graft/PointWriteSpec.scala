@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.schema.CustomSchemaJson
+import graft.storage.GraphStore
+
+/** Point-write scope on pk-hash-bucketed tables: the round-11 feature's
+  * direct coverage (previously only exercised incidentally). Pins that
+  * a single-key SET reads and rewrites EXACTLY the bucket its key
+  * hashes into — the 1/B-of-the-table contract a 100 TB graph depends
+  * on — plus the empty-vs-vacuumed bucket distinction and the
+  * commitTables stray-row guard. */
+class PointWriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def thingSchema = CustomSchemaJson.parse(
+    """{"name":"pw","version":"1.0",
+      "nodes":[{"name":"Thing","properties":[
+        {"name":"identifier","type":"STRING","is_primary_key":true},
+        {"name":"v","type":"INT64"}]}],
+      "relationships":[]}""")
+
+  private def freshStore(tag: String): GraphStore = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+    new GraphStore(spark, root, "g", thingSchema)
+  }
+
+  private def bucketOf(key: String, nB: Int): Int =
+    spark.range(1).select(pmod(xxhash64(lit(key)), lit(nB.toLong)))
+      .head().getLong(0).toInt
+
+  /** Recursive (relativePath, length, mtime) listing of a dir. */
+  private def listing(d: java.io.File): Set[(String, Long, Long)] = {
+    def walk(f: java.io.File, pre: String): Seq[(String, Long, Long)] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten
+          .flatMap(c => walk(c, s"$pre${c.getName}/"))
+      else Seq((pre.stripSuffix("/"), f.length(), f.lastModified()))
+    walk(d, "").toSet
+  }
+
+  test("a single-key SET reads and rewrites exactly the touched bucket") {
+    val store = freshStore("pw1")
+    val tdir = new java.io.File(s"${store.root}/g/nodes/Thing")
+    store.ingestNodes("Thing",
+      (0 until 32).map(i => (s"k$i", i.toLong)).toDF("identifier", "v"))
+
+    // first rewrite bucketizes the whole table
+    assert(store.updateNodeProps("Thing",
+      Seq(("k0", 100L)).toDF("__key", "v")) === 1L)
+    assert(store.generationOf("Thing") === 1)
+    val nB = store.pkBuckets
+    val b0 = bucketOf("k0", nB)
+
+    // pick a target key in a bucket other than k0's, and a third
+    // populated bucket to poison
+    val byBucket = (0 until 32).map(i => s"k$i").groupBy(bucketOf(_, nB))
+    val (bTarget, targetKeys) = byBucket.find(_._1 != b0).get
+    val target = targetKeys.head
+    val bPoison = byBucket.keys.find(b => b != b0 && b != bTarget).get
+
+    // plant a garbage "parquet" file in a DIFFERENT populated bucket:
+    // if the point write scanned that bucket, the parquet read would
+    // fail loudly — succeeding proves the untouched bucket was never
+    // READ, not just never rewritten
+    val poisonGen = Option(new java.io.File(tdir, s"pkb=$bPoison").listFiles())
+      .toSeq.flatten.find(_.getName.startsWith("_gen-")).get
+    val poison = new java.io.File(poisonGen, "part-poison.parquet")
+    java.nio.file.Files.write(poison.toPath, "not parquet".getBytes("UTF-8"))
+
+    val before = (0 until nB).map(b =>
+      b -> listing(new java.io.File(tdir, s"pkb=$b"))).toMap
+
+    assert(store.updateNodeProps("Thing",
+      Seq((target, 200L)).toDF("__key", "v")) === 1L)
+    assert(store.generationOf("Thing") === 2)
+
+    val after = (0 until nB).map(b =>
+      b -> listing(new java.io.File(tdir, s"pkb=$b"))).toMap
+    // ONLY the target's bucket changed: a new _gen-2- dir appeared
+    // there, every other bucket's files (names, sizes, mtimes) are
+    // byte-identical — the rewrite never copied, linked, or rewrote
+    // them
+    (0 until nB).filter(_ != bTarget).foreach { b =>
+      assert(after(b) === before(b), s"untouched bucket $b changed")
+    }
+    assert(after(bTarget) !== before(bTarget))
+    assert(Option(new java.io.File(tdir, s"pkb=$bTarget").listFiles()).toSeq
+      .flatten.exists(_.getName.startsWith("_gen-2-")))
+
+    // full-state read is correct once the poison is removed
+    assert(poison.delete())
+    val state = store.node("Thing")
+      .select("identifier", "v").as[(String, Long)].collect().toMap
+    assert(state.size === 32)
+    assert(state("k0") === 100L && state(target) === 200L)
+    assert(state("k31") === (if (target == "k31") 200L else 31L))
+  }
+
+  test("appends land in active bucket generations and survive the next rewrite") {
+    val store = freshStore("pw2")
+    val tdir = new java.io.File(s"${store.root}/g/nodes/Thing")
+    store.ingestNodes("Thing",
+      (0 until 8).map(i => (s"k$i", i.toLong)).toDF("identifier", "v"))
+    store.updateNodeProps("Thing", Seq(("k0", 100L)).toDF("__key", "v")): Unit
+
+    // append AFTER bucketization: the new row must land inside its
+    // bucket's ACTIVE generation dir (never at the table root)
+    assert(store.ingestNodes("Thing",
+      Seq(("extra", 99L)).toDF("identifier", "v")) === 1L)
+    val bExtra = bucketOf("extra", store.pkBuckets)
+    val genDir = Option(new java.io.File(tdir, s"pkb=$bExtra").listFiles())
+      .toSeq.flatten.find(_.getName.startsWith("_gen-")).get
+    assert(Option(genDir.listFiles()).toSeq.flatten
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+
+    // the append survives a subsequent point write on another key
+    store.updateNodeProps("Thing", Seq(("k1", 11L)).toDF("__key", "v")): Unit
+    // …after which the gen-0 root files (retained as "previous" after
+    // the FIRST rewrite only) are vacuumed
+    assert(!Option(tdir.listFiles()).toSeq.flatten
+      .exists(f => f.isFile && f.getName.startsWith("part-")))
+    val state = store.node("Thing")
+      .select("identifier", "v").as[(String, Long)].collect().toMap
+    assert(state("extra") === 99L && state("k0") === 100L && state("k1") === 11L)
+    assert(state.size === 9)
+  }
+
+  test("nodeAt across bucketed generations returns exact pre-write state") {
+    val store = freshStore("pw3")
+    store.ingestNodes("Thing",
+      (0 until 8).map(i => (s"k$i", i.toLong)).toDF("identifier", "v"))
+    store.updateNodeProps("Thing", Seq(("k0", 100L)).toDF("__key", "v")): Unit // gen 1
+    store.updateNodeProps("Thing", Seq(("k1", 200L)).toDF("__key", "v")): Unit // gen 2
+    val gen1 = store.nodeAt("Thing", 1)
+      .select("identifier", "v").as[(String, Long)].collect().toMap
+    assert(gen1("k0") === 100L && gen1("k1") === 1L && gen1.size === 8)
+    val gen2 = store.nodeAt("Thing", 2)
+      .select("identifier", "v").as[(String, Long)].collect().toMap
+    assert(gen2("k0") === 100L && gen2("k1") === 200L && gen2.size === 8)
+  }
+
+  test("vacuumed bucket generations fail loudly; empty buckets read fine") {
+    val store = freshStore("pw4")
+    // two keys only: most buckets are EMPTY after bucketization — the
+    // read must treat their (dir present, no files) state as empty,
+    // not as missing data
+    store.ingestNodes("Thing",
+      Seq(("a", 1L), ("b", 2L)).toDF("identifier", "v"))
+    store.updateNodeProps("Thing", Seq(("a", 10L)).toDF("__key", "v")): Unit // gen 1
+    assert(store.node("Thing").count() === 2)
+    store.updateNodeProps("Thing", Seq(("a", 20L)).toDF("__key", "v")): Unit // gen 2
+    store.updateNodeProps("Thing", Seq(("a", 30L)).toDF("__key", "v")): Unit // gen 3
+    // gen 1's dir for a's bucket is vacuumed: time travel to it must
+    // fail loudly, NOT return a table silently missing a's rows
+    val e = intercept[IllegalArgumentException](store.nodeAt("Thing", 1).collect())
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+    // retained generation still reads exactly
+    val gen2 = store.nodeAt("Thing", 2)
+      .select("identifier", "v").as[(String, Long)].collect().toMap
+    assert(gen2 === Map("a" -> 20L, "b" -> 2L))
+  }
+
+  test("commitTables refuses a point write whose rows hash outside the touched scope") {
+    val store = freshStore("pw5")
+    store.ingestNodes("Thing",
+      (0 until 8).map(i => (s"k$i", i.toLong)).toDF("identifier", "v"))
+    store.updateNodeProps("Thing", Seq(("k0", 100L)).toDF("__key", "v")): Unit
+    val path = s"${store.root}/g/nodes/Thing"
+    val nB = store.pkBuckets
+    val rows = Seq(("k1", 1L), ("k2", 2L))
+      .toDF("identifier", "v")
+      .withColumn("file_id", lit(null).cast("string"))
+    val Seq(bK1, bK2) = Seq("k1", "k2").map(bucketOf(_, nB))
+    assert(bK1 !== bK2, "fixture keys must hash to different buckets")
+    val e = intercept[IllegalStateException] {
+      store.commitTables(Seq((path, rows, Some(Seq(bK1)))))
+    }
+    assert(e.getMessage.contains("refusing to drop"), e.getMessage)
+    // nothing committed: state unchanged and readable
+    val state = store.node("Thing")
+      .select("identifier", "v").as[(String, Long)].collect().toMap
+    assert(state("k0") === 100L && state.size === 8)
+  }
+}

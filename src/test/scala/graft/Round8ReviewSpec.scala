@@ -174,16 +174,34 @@ class Round8ReviewSpec extends SparkTestBase {
     assert(store.nodeAt("Thing", 0).filter($"identifier" === "a")
       .select("v").as[Long].head() === 1L)
 
-    setV("a", 20L) // -> _gen-2: legacy root (gen 0) is vacuumed
-    setV("a", 30L) // -> _gen-3: _gen-1 is vacuumed
+    setV("a", 20L) // -> logical gen 2: legacy root (gen 0) is vacuumed
+    setV("a", 30L) // -> logical gen 3: a's bucket's gen-1 dir is vacuumed
     assert(store.generationOf("Thing") === 3)
     val tdir = new java.io.File(s"$root/g3/nodes/Thing")
     val names = Option(tdir.listFiles()).toSeq.flatten.map(_.getName).toSet
-    // generation dirs carry writer-unique tokens: _gen-<n>-<tok>
-    assert(names.exists(_.startsWith("_gen-2-")) &&
-      names.exists(_.startsWith("_gen-3-")), names.toString)
-    assert(!names.exists(_.startsWith("_gen-1-")), names.toString)
+    // the first rewrite bucketed the table: generations live under
+    // pkb=<b>/, keyed by the pk hash — "a"'s point writes advance ONLY
+    // its own bucket (gen dirs carry writer-unique tokens _gen-<n>-<tok>)
+    assert(names.exists(_.startsWith("pkb=")), names.toString)
+    assert(!names.exists(_.startsWith("_gen-")), names.toString)
     assert(!names.exists(n => n.startsWith("part-")), s"legacy files survive: $names")
+    val aBucket = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit("a")),
+        org.apache.spark.sql.functions.lit(16L))).head().getLong(0).toInt
+    val aDir = new java.io.File(tdir, s"pkb=$aBucket")
+    val aGens = Option(aDir.listFiles()).toSeq.flatten.map(_.getName).toSet
+    assert(aGens.exists(_.startsWith("_gen-2-")) &&
+      aGens.exists(_.startsWith("_gen-3-")), aGens.toString)
+    assert(!aGens.exists(_.startsWith("_gen-1-")), aGens.toString)
+    // untouched buckets still sit at their first-rewrite generation
+    val otherGens = (0 until 16).filter(_ != aBucket).flatMap { b =>
+      Option(new java.io.File(tdir, s"pkb=$b").listFiles()).toSeq.flatten
+        .map(_.getName)
+    }
+    assert(otherGens.nonEmpty && otherGens.forall(_.startsWith("_gen-1-")),
+      otherGens.toString)
     // previous generation still time-travels; vacuumed ones fail loudly
     assert(store.nodeAt("Thing", 2).filter($"identifier" === "a")
       .select("v").as[Long].head() === 20L)
