@@ -392,7 +392,15 @@ object CurationPipeline {
     * block table is content-bounded after the aggregate) → join back
     * on the block → per-doc ordered reassembly via sort_array over a
     * collect_list bounded by DOCUMENT size, never corpus size. Two
-    * key shuffles, no windows over the corpus, no driver state. */
+    * key shuffles, no windows over the corpus, no driver state.
+    *
+    * Exactness caveat: block identity is the 64-bit xxhash64 of the
+    * block text, so "exact" is modulo hash collisions — two DIFFERENT
+    * blocks colliding would keep only the first owner's text, and the
+    * losing block's text is unrecoverable from the output. At 64 bits
+    * the birthday bound crosses ~50% around 5×10⁹ distinct blocks;
+    * corpora near that scale should widen the key (e.g. pair xxhash64
+    * with length or a second-seed hash) before trusting removal. */
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
       blockTokens: Int)(implicit ctx: PipelineContext): DataFrame = {
     require(blockTokens >= 1, s"need blockTokens >= 1, got $blockTokens")

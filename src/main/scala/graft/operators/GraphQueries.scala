@@ -126,17 +126,30 @@ object GraphQueries {
     * root is wiped only when (re)building, so a cached store's files
     * are never deleted under an open reader. */
   private val chainStores =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.storage.GraphStore]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.storage.GraphStore]()
+  // keyed on (session, dir): a store captures its SparkSession, so a
+  // session restart must rebuild rather than serve plans bound to the
+  // stopped session
   private def orderChainStore(spark: SparkSession, dir: String): graft.storage.GraphStore =
-    chainStores.computeIfAbsent(dir, _ => buildOrderChainStore(spark, dir))
+    chainStores.computeIfAbsent((sessionToken(spark), dir),
+      _ => buildOrderChainStore(spark, dir))
+
+  /** Identity token for a session instance (a restarted session is a
+    * NEW instance and must not reuse the old instance's stores). */
+  private def sessionToken(spark: SparkSession): String =
+    Integer.toHexString(System.identityHashCode(spark))
 
   private def buildOrderChainStore(spark: SparkSession, dir: String) = {
     import org.apache.spark.sql.expressions.Window
-    // per-source-dir root: two sf dirs cached in one JVM (ScaleCheck
-    // tiers, mixed-sf tests) must not wipe each other's live store
+    // per-(session, source-dir) root: two sf dirs cached in one JVM
+    // (ScaleCheck tiers, mixed-sf tests) must not wipe each other's
+    // live store. Base64(dir) is collision-free (a hash of the path
+    // could alias two dirs onto one root and wipe a live store).
     val root = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-ggate",
-      Integer.toHexString(dir.hashCode))
+      sessionToken(spark),
+      java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(dir.getBytes("UTF-8")))
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(); ()

@@ -454,7 +454,15 @@ object PipelineQueries {
     * for the round-8 selection family. */
   def t52SelectionPipeline(spark: SparkSession, dir: String): DataFrame =
     PipelineContext.materialize { implicit ctx =>
-      val docs = Tables.documents(spark, dir)
+      selectionPipelineOn(Tables.documents(spark, dir))
+    }
+
+  /** [[t52SelectionPipeline]]'s body over an arbitrary documents frame
+    * (`doc_id` long, `text`, `lang`) — the test seam that pins the
+    * cohort semantics: every percentile cut runs over the SAME id set
+    * the bucket pass scores. */
+  def selectionPipelineOn(docs: DataFrame)(
+      implicit ctx: PipelineContext): DataFrame = {
       val en = col("lang") === "en"
       // ONE tokenize pass feeds both token-level signals (the
       // classifier features are pure char arithmetic — no tokens)
@@ -502,8 +510,11 @@ object PipelineQueries {
       // the classifier cut waits on the trained weights by necessity
       // (σ is monotone but percentile_cont interpolates in score
       // space, so it cannot be precomputed on z) — a small scan of
-      // the cached feature frame
-      val ccut = clf.agg(
+      // the cached feature frame, SEMI-JOINED to the token cohort: a
+      // doc with <2 tokens has no bigram signal, drops from pd, and
+      // must not shift the cutpoint the surviving cohort is cut at
+      // (the oracle's quantile runs over the joined ppl⋈clf⋈dsir set)
+      val ccut = clf.join(pd.select(col("id")), Seq("id"), "left_semi").agg(
         round(percentile(col("cs"), lit(0.4)), 6).as("ccut")).collect()(0)
       // cuts as LITERALS: the collected doubles reproduce the exact
       // comparisons, and the broadcast-crossJoin job disappears

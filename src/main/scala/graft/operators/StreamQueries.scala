@@ -341,8 +341,12 @@ object StreamQueries {
     val q = stream.writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) idx.append(batch, "doc_id", "text")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the batch id tags the segment: an at-least-once replay of
+        // the same micro-batch (post-failure restart) is a no-op
+        // instead of a tf/df/stats double count
+        if (!batch.isEmpty)
+          idx.append(batch, "doc_id", "text", batchTag = Some(s"s07:$batchId"))
       }
       .start()
     q.awaitTermination()

@@ -52,6 +52,13 @@ import org.apache.spark.sql.functions._
   * corpus — the t56 driver gate pins exactly that equality through an
   * incremental append, against the same DuckDB oracle as t47.
   *
+  * Format compatibility: segments written before the dl
+  * denormalization stored (term, id, tf) postings plus a separate
+  * doclen table; [[topDocs]] and [[compact]] require `dl` on posting
+  * rows and do NOT read the old layout — a persisted index from that
+  * format must be REBUILT (re-appended from its source corpus). The
+  * index is a derived structure, so a rebuild loses nothing.
+  *
   * `dfCap` (off by default): terms whose in-segment document
   * frequency exceeds the cap are dropped from postings and dfreq at
   * BUILD time — the stopword-whale lever (a df≈n term's posting list
@@ -107,16 +114,38 @@ final class Bm25Index(
     parted.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dest)
   }
 
+  /** Tags of the batches already committed at the head — the
+    * idempotency surface a streaming writer replays against. A tag is
+    * recorded in the segment dir BEFORE the manifest CAS, so "named by
+    * the head" implies "tag durably committed"; [[compact]] carries
+    * the union of its inputs' tags forward, so replay safety survives
+    * maintenance. */
+  def committedBatchTags: Set[String] = readHead()._2.flatMap(tagsOf).toSet
+
+  private def tagsOf(segName: String): Seq[String] = {
+    val f = new java.io.File(s"$path/$segName", "_batch")
+    if (!f.exists) Nil
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   /** Append one batch of documents as a new immutable segment and
     * publish it atomically. Documents must be NEW ids (a doc split
     * across segments would double-count df and split its tf) — the
     * incremental contract, same as the reference's ingest dedup
     * boundary. Safe under concurrent writers: each writer builds under
     * its own unique segment name, the loser's dir is removed and
-    * [[CommitConflictException]] says retry. */
+    * [[CommitConflictException]] says retry.
+    *
+    * `batchTag` makes the append IDEMPOTENT for at-least-once callers
+    * (Structured Streaming's foreachBatch replays a micro-batch after
+    * a failure): a tag already committed at the head turns the call
+    * into a no-op instead of double-counting tf/df/stats. Tags must be
+    * unique per (stream, batch) — e.g. `"<queryName>:<batchId>"`. */
   def append(docs: DataFrame, idCol: String, textCol: String,
-      dfCap: Long = 0L): Unit = {
+      dfCap: Long = 0L, batchTag: Option[String] = None): Unit = {
     val (baseVer, segs) = readHead()
+    if (batchTag.exists(t => segs.flatMap(tagsOf).contains(t))) return
     val seg = newSegDir(baseVer + 1)
     val wc = docs
       .select(col(idCol).as("id"),
@@ -177,6 +206,8 @@ final class Bm25Index(
       writes.foreach(Await.result(_, scala.concurrent.duration.Duration(600, "s")))
       java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
         s"${st.getLong(0)} ${st.getLong(1)}\n".getBytes("UTF-8"))
+      batchTag.foreach(t => java.nio.file.Files.write(
+        new java.io.File(seg, "_batch").toPath, s"$t\n".getBytes("UTF-8")))
     } finally wc.unpersist(false)
     val body = (segs :+ seg.getName).mkString("", "\n", "\n")
     if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1), body.getBytes("UTF-8"))) {
@@ -233,6 +264,12 @@ final class Bm25Index(
     val (n, s) = segs.map(readStats).reduce((a, x) => (a._1 + x._1, a._2 + x._2))
     java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
       s"$n $s\n".getBytes("UTF-8"))
+    // the merged segment inherits every constituent batch tag, so
+    // replay safety survives compaction
+    val tags = segs.flatMap(tagsOf).distinct
+    if (tags.nonEmpty) java.nio.file.Files.write(
+      new java.io.File(seg, "_batch").toPath,
+      tags.mkString("", "\n", "\n").getBytes("UTF-8"))
     if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
         s"${seg.getName}\n".getBytes("UTF-8"))) {
       rmTree(seg)

@@ -154,6 +154,35 @@ class Bm25IndexSpec extends SparkTestBase {
       .collect().toSeq === expect)
   }
 
+  test("a committed batch tag makes replayed appends no-ops, surviving compaction") {
+    val dir = newIndexDir()
+    val idx = new Bm25Index(spark, dir, nBuckets = 8)
+    val b0 = corpus.filter($"doc_id" <= 4)
+    val b1 = corpus.filter($"doc_id" > 4)
+    idx.append(b0, "doc_id", "text", batchTag = Some("q:0"))
+    val before = idx.topDocs(queries, k = 5).orderBy("qid", "rank")
+      .collect().toSeq
+    // an at-least-once replay of the SAME micro-batch is a no-op:
+    // one segment, unchanged scores — not a tf/df/stats double count
+    idx.append(b0, "doc_id", "text", batchTag = Some("q:0"))
+    assert(idx.segments.size === 1)
+    assert(idx.committedBatchTags === Set("q:0"))
+    assert(idx.topDocs(queries, k = 5).orderBy("qid", "rank")
+      .collect().toSeq === before)
+    // tags survive compaction: the merged segment inherits them
+    idx.append(b1, "doc_id", "text", batchTag = Some("q:1"))
+    idx.compact()
+    assert(idx.segments.size === 1)
+    assert(idx.committedBatchTags === Set("q:0", "q:1"))
+    idx.append(b1, "doc_id", "text", batchTag = Some("q:1")) // replay post-compact
+    assert(idx.segments.size === 1)
+    assert(idx.topDocs(queries, k = 5).orderBy("qid", "rank")
+      .collect().toSeq === inline(corpus))
+    // untagged appends keep their original always-append semantics
+    idx.append(Seq((9L, "join scan")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(idx.segments.size === 2)
+  }
+
   test("foreachBatch streaming append: batched ingest converges to the inline scores") {
     val dir = newIndexDir()
     val idx = new Bm25Index(spark, dir, nBuckets = 8)

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationPipeline, PipelineContext, PipelineQueries}
+
+/** Round-12 review pins: the ADVICE-medium t52 cohort defect (the
+  * classifier cutpoint ran over ALL scored docs instead of the joined
+  * ppl⋈clf⋈dsir id set — invisible on testdata, divergent on any
+  * corpus with sub-bigram docs). */
+class Round12ReviewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("selection-pipeline cuts run over the joined token cohort; sub-bigram docs excluded") {
+    // graded "the" density spreads the classifier scores; mixed langs
+    // give GD a non-degenerate label column
+    val base = (1 to 11).map { i =>
+      val thes = Seq.fill(i)("the").mkString(" ")
+      (i.toLong, s"$thes alpha$i beta$i", if (i % 3 == 0) "de" else "en")
+    }
+    // ONE token (no spaces): no bigram → absent from the perplexity
+    // signal → absent from the scored cohort. Its engineered-extreme
+    // classifier score must therefore NOT move the p40 classifier cut
+    // the surviving cohort is compared against.
+    val degen = (99L, "thethethethethethethethe", "en")
+    val docs = (base :+ degen).toDF("doc_id", "text", "lang")
+
+    val got = PipelineContext.materialize { implicit ctx =>
+      PipelineQueries.selectionPipelineOn(docs)
+    }.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // independent replay with the cohort EXPLICIT: all three cuts over
+    // the joined id set — the oracle SQL's shape
+    val want = PipelineContext.materialize { implicit ctx =>
+      val en = col("lang") === "en"
+      val toks = CurationPipeline.tokenFrame(docs, "doc_id", "text", en)
+      val ppl = CurationPipeline.lmPerplexityFromTokens(toks)
+        .select(col("id"), round(col("ppl"), 6).as("ppl"))
+      val dsir = CurationPipeline.importanceWeightsFromTokens(toks)
+        .select(col("id"), round(col("score"), 6).as("dscore"))
+      val feats = CurationPipeline.classifierFeatures(docs, "doc_id", "text", en)
+      val w = CurationPipeline.trainQualityClassifierOnFeats(feats).collect()(0)
+      val clf = CurationPipeline.scoreFromFeats(feats, (1 to 4).map(w.getDouble))
+        .select(col("id"), round(col("score"), 6).as("cs"))
+      val joined = ctx.stagePersist(
+        ppl.join(dsir, Seq("id")).join(clf, Seq("id")))
+      val cuts = joined.agg(
+        round(percentile(col("ppl"), lit(0.6)), 6).as("pcut"),
+        round(percentile(col("dscore"), lit(0.4)), 6).as("dcut"),
+        round(percentile(col("cs"), lit(0.4)), 6).as("ccut")).collect()(0)
+      joined.withColumn("bucket",
+          when(col("ppl") > lit(cuts.getDouble(0)), "ppl_fail")
+            .when(col("cs") < lit(cuts.getDouble(2)), "clf_fail")
+            .when(col("dscore") < lit(cuts.getDouble(1)), "dsir_fail")
+            .otherwise("kept"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+        .orderBy(col("bucket"))
+    }.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    assert(got === want)
+    // the degenerate doc lands in NO bucket (it has no token signals)
+    assert(got.map(_._2).sum === 11L)
+    assert(got.map(_._3).sum === (1 to 11).sum.toLong)
+  }
+}
