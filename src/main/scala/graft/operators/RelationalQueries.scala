@@ -363,7 +363,44 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
+  /** v01: the element-mapping view ([[graft.views.ElementMapping]],
+    * reference element_mapping.py:91/:183) over an accounting fixture
+    * derived DETERMINISTICALLY from the customer table: each customer
+    * row is a fact (entity = market segment, period from the key's
+    * parity, element from the nation key), and a static mapping
+    * structure folds the eight source accounts into four targets, one
+    * per aggregation method — sum, weighted_average, average, and a
+    * mixed first/last group whose dispatch must pick the
+    * smallest-order association's method. Exercises the uri→id
+    * resolution too (facts carry ids, associations carry uris). */
+  def v01ElementMapping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.views.ElementMapping
+    import graft.views.ElementMapping.Association
+    val facts = Tables.customer(spark, dir).select(
+      col("c_mktsegment").as("entity_id"),
+      when(col("c_custkey") % 2 === 0, "2024-03-31")
+        .otherwise("2024-06-30").as("period_end"),
+      concat(lit("uri:acct"), (col("c_nationkey") % 8).cast("string"))
+        .as("element_uri"),
+      concat(lit("id:acct"), (col("c_nationkey") % 8).cast("string"))
+        .as("element_id"),
+      col("c_acctbal").as("numeric_value"))
+    val assocs = Seq(
+      Association("a1", "uri:acct0", "tax:Current", "sum", 1.0, 1.0),
+      Association("a2", "uri:acct1", "tax:Current", "sum", 1.0, 2.0),
+      Association("a3", "uri:acct2", "tax:Assets", "weighted_average", 2.0, 1.0),
+      Association("a4", "uri:acct3", "tax:Assets", "weighted_average", 1.0, 2.0),
+      Association("a5", "uri:acct4", "tax:Avg", "average", 1.0, 1.0),
+      Association("a6", "uri:acct5", "tax:Edge", "first", 1.0, 1.0),
+      Association("a7", "uri:acct6", "tax:Edge", "last", 1.0, 2.0),
+      Association("a8", "uri:acct7", "tax:Tail", "last", 1.0, 1.0))
+    ElementMapping(facts, assocs)
+      .withColumn("numeric_value", round(col("numeric_value"), 4))
+      .orderBy(col("element_id"), col("entity_id"), col("period_end"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_element_mapping" -> v01ElementMapping _,
     "q23_count_distinct" -> q23CountDistinct _,
     "q24_collect" -> q24Collect _,
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -393,6 +430,57 @@ object RelationalQueries {
   /** DuckDB-dialect oracle SQL, column-name-aligned with the Spark
     * results (driver hash-compares after sorting columns by name). */
   val oracle: Map[String, String] = Map(
+    "v01_element_mapping" ->
+      """WITH facts AS (
+           SELECT c_mktsegment AS entity_id,
+                  CASE WHEN c_custkey % 2 = 0 THEN '2024-03-31'
+                       ELSE '2024-06-30' END AS period_end,
+                  'uri:acct' || CAST(c_nationkey % 8 AS VARCHAR) AS element_uri,
+                  'id:acct' || CAST(c_nationkey % 8 AS VARCHAR) AS element_id,
+                  c_acctbal AS numeric_value
+           FROM customer),
+         assoc(identifier, source_element, target_element, method, weight, order_value) AS (
+           VALUES
+             ('a1','uri:acct0','tax:Current','sum',1.0,1.0),
+             ('a2','uri:acct1','tax:Current','sum',1.0,2.0),
+             ('a3','uri:acct2','tax:Assets','weighted_average',2.0,1.0),
+             ('a4','uri:acct3','tax:Assets','weighted_average',1.0,2.0),
+             ('a5','uri:acct4','tax:Avg','average',1.0,1.0),
+             ('a6','uri:acct5','tax:Edge','first',1.0,1.0),
+             ('a7','uri:acct6','tax:Edge','last',1.0,2.0),
+             ('a8','uri:acct7','tax:Tail','last',1.0,1.0)),
+         uri_map AS (SELECT DISTINCT element_uri, element_id FROM facts),
+         resolved AS (
+           SELECT a.*, COALESCE(m.element_id, a.source_element) AS source_id
+           FROM assoc a LEFT JOIN uri_map m ON m.element_uri = a.source_element),
+         disp AS (
+           SELECT target_element,
+                  first(method ORDER BY order_value, identifier) AS method
+           FROM assoc GROUP BY target_element),
+         j AS (
+           SELECT r.target_element, r.weight, r.order_value, f.*
+           FROM facts f JOIN resolved r ON f.element_id = r.source_id),
+         agg AS (
+           SELECT target_element, entity_id, period_end,
+                  sum(numeric_value) AS sum_v,
+                  avg(numeric_value) AS avg_v,
+                  CASE WHEN sum(weight) = 0 THEN 0.0
+                       ELSE sum(numeric_value * weight) / sum(weight)
+                  END AS wavg_v,
+                  first(numeric_value ORDER BY order_value, element_id, numeric_value) AS first_v,
+                  last(numeric_value ORDER BY order_value, element_id, numeric_value) AS last_v
+           FROM j GROUP BY 1, 2, 3)
+         SELECT a.target_element AS element_id,
+                regexp_replace(a.target_element, '^.*:', '') AS element_name,
+                entity_id, period_end,
+                round(CASE d.method
+                  WHEN 'average' THEN avg_v
+                  WHEN 'weighted_average' THEN wavg_v
+                  WHEN 'first' THEN first_v
+                  WHEN 'last' THEN last_v
+                  ELSE sum_v END, 4) AS numeric_value
+         FROM agg a JOIN disp d ON a.target_element = d.target_element
+         ORDER BY element_id, entity_id, period_end""",
     "q23_count_distinct" ->
       """SELECT l_returnflag,
          count(DISTINCT l_orderkey) AS n_orders,

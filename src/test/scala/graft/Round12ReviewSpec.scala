@@ -63,4 +63,34 @@ class Round12ReviewSpec extends SparkTestBase {
     assert(got.map(_._2).sum === 11L)
     assert(got.map(_._3).sum === (1 to 11).sum.toLong)
   }
+
+  // ---- element-mapping view edges (reference element_mapping.py) ----------
+
+  test("element mapping: net_balance fallback, zero-weight guard, groupless aggregation") {
+    import graft.views.ElementMapping
+    import graft.views.ElementMapping.Association
+    // trial-balance shape: net_balance (no numeric_value), NO group-by
+    // candidates -> one row per target over all facts
+    val tb = Seq(
+      ("e1", 10.0), ("e1", 30.0), ("e2", 5.0)).toDF("element_id", "net_balance")
+    val out = ElementMapping(tb, Seq(
+      Association("a1", "e1", "t:Zero", "weighted_average", weight = 0.0),
+      Association("a2", "e2", "t:Sum", "sum")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // Σw = 0 -> 0.0 (py:204), not a NaN; value column keeps its name
+    assert(out.toSeq === Seq(("t:Sum", "Sum", 5.0), ("t:Zero", "Zero", 0.0)))
+
+    // mixed-method target dispatches the SMALLEST order_value's method
+    val facts = Seq(("x", 1.0), ("x", 2.0), ("y", 30.0))
+      .toDF("element_id", "net_balance")
+    val mixed = ElementMapping(facts, Seq(
+      Association("b2", "y", "t:M", "sum", orderValue = 2.0),
+      Association("b1", "x", "t:M", "average", orderValue = 1.0)))
+      .collect().map(_.getDouble(2))
+    assert(mixed.toSeq === Seq(11.0)) // avg(1,2,30), not sum
+
+    // empty associations: the facts pass through unchanged (py:101)
+    assert(ElementMapping(facts, Nil).collect().length === 3)
+  }
 }
