@@ -36,9 +36,16 @@ import graft.functions.VectorFunctions._
   * Centroids are trained on the FIRST batch ([[graft.operators
   * .Similarity.ivfTrain]]'s bounded deterministic sample) — the FAISS
   * contract: train once on a representative sample, then add vectors
-  * forever. Re-training would re-shape cells and silently invalidate
-  * every committed segment; growing the cell count instead means
-  * building a new index generation (k ∝ √n, see SCALING.md).
+  * forever. A matrix can never change UNDER committed segments (cell
+  * assignment must stay consistent), so drift across long-lived
+  * appends is handled by [[retrain]]: fresh sample over the CURRENT
+  * corpus, new centroid matrix, every vector re-assigned, all
+  * committed as ONE manifest swap (the matrix is versioned THROUGH
+  * the manifest — a `centroids=<file>` line — so readers can never
+  * pair a segment with the wrong matrix; the un-versioned
+  * `_centroids` file remains the fallback for pre-retrain heads).
+  * Growing the cell count still means a new index generation
+  * (k ∝ √n, see SCALING.md).
   *
   * Scale shape: query cost ∝ (nProbe / nCells) × corpus, the scan is
   * partition-pruned parquet, the probe set is computed driver-side
@@ -78,17 +85,34 @@ final class IvfIndex(
     }
   }
 
-  /** The frozen centroid matrix (nCells × dim, L2-normalized rows),
-    * or None before the first append. */
-  def centroids: Option[Seq[Seq[Double]]] =
-    if (!centroidsFile.exists()) None
+  /** Segment names among manifest `lines` (a manifest may also carry
+    * a `centroids=<file>` line — the matrix version for that head). */
+  private def segsOf(lines: Seq[String]): Seq[String] =
+    lines.filterNot(_.startsWith("centroids="))
+
+  /** The centroid file the head's segments were assigned under: the
+    * head's `centroids=` entry after a [[retrain]], else the frozen
+    * first-append `_centroids`. */
+  private def centroidsFileOf(lines: Seq[String]): java.io.File =
+    lines.find(_.startsWith("centroids="))
+      .map(n => new java.io.File(dir, n.stripPrefix("centroids=")))
+      .getOrElse(centroidsFile)
+
+  /** The active centroid matrix (nCells × dim, L2-normalized rows),
+    * or None before the first append. Resolved through the manifest
+    * head so a [[retrain]]'s matrix and its re-assigned segment are
+    * one atomic swap. */
+  def centroids: Option[Seq[Seq[Double]]] = {
+    val f = centroidsFileOf(readHead()._2)
+    if (!f.exists()) None
     else Some(new String(java.nio.file.Files.readAllBytes(
-      centroidsFile.toPath), "UTF-8")
+      f.toPath), "UTF-8")
       .linesIterator.filter(_.nonEmpty)
       .map(_.split(",").map(_.toDouble).toSeq).toSeq)
+  }
 
   /** Committed segment names at the current head (spec surface). */
-  def segments: Seq[String] = readHead()._2
+  def segments: Seq[String] = segsOf(readHead()._2)
 
   /** Merge every committed segment into ONE new segment (one file per
     * cell) and publish a manifest naming only it — the [[Bm25Index
@@ -99,7 +123,8 @@ final class IvfIndex(
     * so this is a pure rewrite). Superseded segments stay on disk for
     * in-flight readers until [[vacuum]]. */
   def compact(): Unit = {
-    val (baseVer, segs) = readHead()
+    val (baseVer, lines) = readHead()
+    val segs = segsOf(lines)
     if (segs.size <= 1) return // already compact
     val seg = newSegDir(baseVer + 1)
     segs.map(s => spark.read.parquet(s"$path/$s/vectors"))
@@ -107,9 +132,56 @@ final class IvfIndex(
       .repartition(nCells, col("cell"))
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$seg/vectors")
+    // carry the head's centroid version forward — compaction is a
+    // layout rewrite under the SAME assignment basis
+    val body = (lines.filter(_.startsWith("centroids=")) :+ seg.getName)
+      .mkString("", "\n", "\n")
     if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
-        s"${seg.getName}\n".getBytes("UTF-8"))) {
+        body.getBytes("UTF-8"))) {
       rmTree(seg)
+      throw new CommitConflictException(s"ivf:$path", baseVer + 1)
+    }
+  }
+
+  /** Re-train the centroid matrix on the CURRENT corpus and re-assign
+    * every vector — the drift lifecycle. Appends assign against a
+    * frozen matrix, so a corpus whose distribution drifts away from
+    * the training batch degrades low-nProbe recall (cells stretch over
+    * regions the matrix never saw). retrain() draws a fresh bounded
+    * deterministic sample over the whole corpus
+    * ([[graft.operators.Similarity.ivfTrain]]), re-assigns every
+    * vector cell-partitioned (compact's rewrite shape), and publishes
+    * the new matrix WITH the single re-assigned segment in one
+    * manifest CAS — readers either see (old matrix, old segments) or
+    * (new matrix, new segment), never a mix; a racing writer makes
+    * this throw [[CommitConflictException]] with the orphans removed.
+    * Full-probe results are unchanged by construction (every vector is
+    * in exactly one cell either way); low-probe recall is what it
+    * buys. Cost: one full corpus rewrite — the same bill FAISS pays
+    * for re-clustering; schedule it off drift metrics, not per batch. */
+  def retrain(): Unit = {
+    val (baseVer, lines) = readHead()
+    val segs = segsOf(lines)
+    require(segs.nonEmpty, s"empty IVF index at $path")
+    val all = segs.map(s => spark.read.parquet(s"$path/$s/vectors"))
+      .reduce(_.unionByName(_))
+    val trained = graft.operators.Similarity.ivfTrain(
+      all.select(col("id"), col("v")), "id", "v", nCells)
+    val tok = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val centFile = new java.io.File(dir, s"_centroids.v${baseVer + 1}-$tok")
+    java.nio.file.Files.write(centFile.toPath,
+      trained.map(_.mkString(",")).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val seg = newSegDir(baseVer + 1)
+    all.select(col("id"), col("v"), col("nv"))
+      .withColumn("cell",
+        element_at(nearestCentroids(col("v"), trained, 1), 1))
+      .repartition(nCells, col("cell"))
+      .write.partitionBy("cell").mode(SaveMode.Overwrite)
+      .parquet(s"$seg/vectors")
+    val body = s"centroids=${centFile.getName}\n${seg.getName}\n"
+    if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
+        body.getBytes("UTF-8"))) {
+      rmTree(seg); centFile.delete()
       throw new CommitConflictException(s"ivf:$path", baseVer + 1)
     }
   }
@@ -130,6 +202,14 @@ final class IvfIndex(
     val dead = Option(dir.list()).toSeq.flatten
       .filter(n => n.startsWith("seg-") && !live.contains(n))
     dead.foreach(n => rmTree(new java.io.File(dir, n)))
+    // retired centroid versions fall out with the manifests that named
+    // them (the un-versioned `_centroids` fallback always stays: any
+    // retained pre-retrain head still resolves through it)
+    val liveCents = live.filter(_.startsWith("centroids="))
+      .map(_.stripPrefix("centroids="))
+    Option(dir.list()).toSeq.flatten
+      .filter(n => n.startsWith("_centroids.v") && !liveCents.contains(n))
+      .foreach(n => new java.io.File(dir, n).delete())
     vs.dropRight(2).foreach(v => manifestFile(v).delete())
     dead.sorted
   }
@@ -219,7 +299,7 @@ final class IvfIndex(
       s"nProbe must be in [1, $nCells]")
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val (_, segs) = readHead()
+    val segs = segsOf(readHead()._2)
     require(segs.nonEmpty, s"empty IVF index at $path")
     val cents = centroids.get
     val q = queries.select(

@@ -116,6 +116,68 @@ class IvfIndexSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("retrain after drifted appends: atomic matrix swap, full-probe exact, low-probe recall restored") {
+    // Cluster A has sub-structure in dim 2 (two lobes at ±1), so the
+    // first-batch 2-means splits on that dimension. Cluster B (the
+    // DRIFT — a region the frozen matrix never saw) varies in dim 2
+    // too, so under the frozen matrix B lands in BOTH cells and a
+    // single-probe query over B misses its cross-cell true neighbors.
+    val aVecs = (0L until 16L).map { i =>
+      val lobe = if (i % 2 == 0) 1.0 else -1.0
+      i -> Seq(10.0, 0.0, lobe + 0.01 * i, 0.0)
+    }
+    // B: tight in dim 1, spread in dim 2 with both signs
+    val bT3 = Seq(-0.40, -0.20, -0.04, -0.02, 0.30, 0.50, 0.70, 0.90)
+    val bVecs = bT3.zipWithIndex.map { case (t3, i) =>
+      (100L + i) -> Seq(0.0, 10.0, t3, 0.0)
+    }
+    val a = aVecs.toDF("vec_id", "embedding")
+    val b = bVecs.toDF("vec_id", "embedding")
+    val dir = newIndexDir()
+    val idx = new IvfIndex(spark, dir, nCells = 2)
+    idx.append(a, "vec_id", "embedding")   // trains + freezes on A alone
+    val frozen = idx.centroids.get
+    idx.append(b, "vec_id", "embedding")   // the drifted batch
+    val q = Seq((0L, Seq(0.0, 10.0, 0.02, 0.0))).toDF("qid", "qv")
+    def brute(k: Int) = Similarity.bruteForceTopK(
+      a.unionByName(b), "vec_id", "embedding", q, "qid", "qv", k = k)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    val want = brute(4)
+    val preLow = idx.topK(q, "qid", "qv", k = 4, nProbe = 1)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // drift symptom: the frozen matrix splits B across cells, so the
+    // single-probe result misses true neighbors assigned to the other
+    // cell (the spec's premise — if this ever returns exact, the
+    // fixture no longer demonstrates drift)
+    assert(preLow !== want, s"fixture must show drifted recall loss: $preLow")
+    idx.retrain()
+    // the swap is atomic and complete: ONE re-assigned segment, a new
+    // matrix resolved through the manifest, old matrix file untouched
+    // as the previous head's fallback
+    assert(idx.segments.size === 1)
+    assert(idx.centroids.get !== frozen)
+    assert(new java.io.File(dir, "_centroids").exists())
+    // full probe is exact across the retrain (assignment-invariant)...
+    assert(idx.topK(q, "qid", "qv", k = 4, nProbe = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq === want)
+    // ...and the retrained matrix restores single-probe recall: the
+    // fresh 2-means separates A from B, so B is one cell again
+    assert(idx.topK(q, "qid", "qv", k = 4, nProbe = 1)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq === want)
+    // appends after the retrain assign against the NEW matrix and
+    // carry the centroids line forward through compaction
+    idx.append(Seq((200L, Seq(0.0, 10.0, 0.01, 0.0)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    idx.compact()
+    assert(idx.segments.size === 1)
+    assert(idx.topK(q, "qid", "qv", k = 1, nProbe = 1)
+      .collect().map(_.getLong(1)).toSeq === Seq(200L))
+    // vacuum retires centroid versions with their manifests (the
+    // current+previous window still covers the retrain head here)
+    idx.vacuum(): Unit
+    assert(idx.centroids.nonEmpty)
+  }
+
   test("losing the manifest CAS raises CommitConflictException, removes ONLY the loser's segment") {
     val dir = newIndexDir()
     val idx = new IvfIndex(spark, dir, nCells = 4)
