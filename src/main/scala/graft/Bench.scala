@@ -58,17 +58,54 @@ object Bench {
       wall
     }
 
+    // host-load observability: /proc/loadavg (1-min average) at each
+    // pass boundary and the steal-time delta across it. When a
+    // committed wall reads high, these columns say whether the bench
+    // window was loaded (r9's t44 18.3 s and r11's 12.6 s were exactly
+    // this ambiguity) — without re-running the round's tree after the
+    // fact.
+    def loadavg1: Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def stealJiffies: Long =
+      try {
+        val cpu = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+          .linesIterator.find(_.startsWith("cpu ")).get
+        cpu.trim.split("\\s+")(8).toLong // user nice sys idle iow irq sirq STEAL
+      } catch { case _: Throwable => -1L }
+
     // SPARK_GRAFT_BENCH_ONLY=a,b,c — local-iteration filter; the
     // driver never sets it, so per-round artifacts stay full-suite
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.foreach(runOnce(_, "warmup")) // warmup pass (untimed)
-    val passes = (1 to 3).map(p =>
-      names.map(n => n -> runOnce(n, s"pass$p")).toMap)
+    val passLoad = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Long)]()
+    val passes = (1 to 3).map { p =>
+      val (l0, s0) = (loadavg1, stealJiffies)
+      val walls = names.map(n => n -> runOnce(n, s"pass$p")).toMap
+      passLoad += ((p, l0, loadavg1, stealJiffies - s0))
+      walls
+    }
+    // auto-rerun gates whose pass spread exceeds 2× (min > 0.2 s so a
+    // job-floor gate's scheduler jitter doesn't qualify): a >2× spread
+    // means at least one sample was interference, and two extra
+    // samples give the min a fair shot at a quiet window — the r10/r11
+    // "one gate doubled with its code untouched" class
+    val spreadGates = names.filter { n =>
+      val s = passes.map(_(n)).filter(_ >= 0)
+      s.nonEmpty && s.min > 0.2 && s.max / s.min > 2.0
+    }
+    val reruns: Map[String, Seq[Double]] = spreadGates.map { n =>
+      n -> (1 to 2).map(i => runOnce(n, s"rerun$i"))
+    }.toMap
     val results = names.map { n =>
-      val samples = passes.map(_(n))
-      n -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
+      val samples = passes.map(_(n)) ++ reruns.getOrElse(n, Nil)
+      val ok = samples.filter(_ >= 0)
+      n -> (if (passes.map(_(n)).exists(_ < 0)) -1.0 else ok.min)
     }
 
     // 3-decimal walls (ms precision — below this host's noise floor):
@@ -95,9 +132,16 @@ object Bench {
     // the inflation was one unlucky pass or sustained external load —
     // without having to re-run the round's tree after the fact
     val samples = names.map { n =>
-      "\"" + n + "\":[" + passes.map(p => f3(p(n))).mkString(",") + "]"
+      val all = passes.map(_(n)) ++ reruns.getOrElse(n, Nil)
+      "\"" + n + "\":[" + all.map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val fileLine = line.dropRight(1) + s""","pass_walls":$samples}"""
+    val loadJson = passLoad.map { case (p, l0, l1, st) =>
+      s"""{"pass":$p,"load_start":${f3(l0)},"load_end":${f3(l1)},"steal_jiffies":$st}"""
+    }.mkString("[", ",", "]")
+    val rerunJson = reruns.keys.toSeq.sorted
+      .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val fileLine = line.dropRight(1) +
+      s""","pass_walls":$samples,"pass_load":$loadJson,"rerun_gates":$rerunJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fileLine + "\n").getBytes("UTF-8"))
     spark.stop()
