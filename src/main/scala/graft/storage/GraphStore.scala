@@ -36,7 +36,15 @@ final class GraphStore(
     /** How long a mutation waits for the per-graph [[WriterLock]]
       * before rejecting loudly (the reference QUEUES writers behind
       * its per-DB pool; this is the bounded local analog). */
-    val lockWaitMs: Long = 10000L) extends GraphSource {
+    val lockWaitMs: Long = 10000L,
+    /** Bucket count frozen into a table's `_bucketed` marker at its
+      * FIRST rewrite (tables already bucketed keep their marker's
+      * count regardless of this value). Size it ≈ table bytes /
+      * target file size: a point write's cost is one bucket's
+      * read+rewrite, so this knob IS the point-write granularity —
+      * PointWriteScale measures the trade. Default sized for test
+      * graphs. */
+    val pkBuckets: Int = 16) extends GraphSource {
 
   val FileIdCol = "file_id"
 
@@ -219,13 +227,6 @@ final class GraphStore(
   // time travel resolves a logical generation through the retained
   // manifest chain to that version's bucket dirs.
 
-  /** Bucket count frozen into a table's `_bucketed` marker at its
-    * first rewrite. Local default sized for test graphs; at 100 TB
-    * this is a per-deployment knob (≈ table bytes / target file
-    * size) — changing it requires a full-table rewrite, like any
-    * bucketing scheme. */
-  val pkBuckets: Int = 16
-
   private def bucketMarker(g: Int, b: Int) = s"_bucketed-$g-$b"
 
   /** (logical generation, bucket count) if `v` is a bucketed-table
@@ -344,11 +345,22 @@ final class GraphStore(
     }
   }
 
-  /** Distinct buckets the keys of `keys` hash into (keys must be
-    * driver-small/materialized — the updateNodeProps contract). */
+  /** Distinct buckets the keys of `keys` hash into, computed
+    * DRIVER-SIDE over the collected key strings (keys are driver-small
+    * by the updateNodeProps contract): one narrow collect instead of
+    * a distinct-shuffle job — a visible slice of a point write's wall,
+    * which is job-floor-bound, not data-bound. The hash is the exact
+    * XXH64 replica of [[bucketExpr]] (seed 42 over the string bytes,
+    * the Bm25Index.bucketOf pattern); a drift between the two would
+    * trip the commitTables stray-bucket guard loudly, not lose rows. */
   private def touchedBuckets(keys: DataFrame, keyCol: String, nB: Int): Seq[Int] =
-    keys.select(bucketExpr(col(keyCol), nB).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    keys.select(col(keyCol).cast("string")).collect()
+      .map { r =>
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)), 42L)
+        val m = (h % nB).toInt
+        if (m < 0) m + nB else m
+      }.toSeq.distinct.sorted
 
   // ---- readers -----------------------------------------------------------
 
@@ -541,7 +553,9 @@ final class GraphStore(
       val m = readManifest()
       bucketStateIn(m, path) match {
         case Some((g, nB)) => appendBucketed(cached, path, g, nB, m)
-        case None => cached.write.mode(SaveMode.Append).parquet(dataPath(path))
+        case None => cached.write.mode(SaveMode.Append)
+          .option("parquet.block.size", GraphStore.RowGroupBytes)
+          .parquet(dataPath(path))
       }
       n
     } finally { cached.unpersist(); () }
@@ -556,7 +570,13 @@ final class GraphStore(
     val stage = new java.io.File(path, s"_stage-$tableGen-" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12))
     df.withColumn("__pkb", bucketExpr(col(bucketKeyCol(path)), nB))
+      // repartition ON the partition column: one open parquet writer
+      // per task. Un-repartitioned, every task buffers up to nB
+      // writers' row groups at once — measured OOM at a 13 GB table
+      // on the local 8 GB JVM (32 tasks × 16 buffering writers)
+      .repartition(nB, col("__pkb"))
       .write.mode(SaveMode.Overwrite).partitionBy("__pkb")
+      .option("parquet.block.size", GraphStore.RowGroupBytes)
       .parquet(stage.toString)
     (0 until nB).foreach { b =>
       val src = new java.io.File(stage, s"__pkb=$b")
@@ -695,8 +715,19 @@ final class GraphStore(
       // publish, and the conflict rollback below deletes OURS alone.
       val stage = new java.io.File(path, s"_stage-$newGen-" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(12))
-      next.withColumn("__pkb", bucketExpr(col(bucketKeyCol(path)), nB))
-        .write.mode(SaveMode.Overwrite).partitionBy("__pkb")
+      val staged0 = next.withColumn("__pkb",
+        bucketExpr(col(bucketKeyCol(path)), nB))
+      // writers-per-task bound: a whole-table stage would otherwise
+      // have every task buffer up to nB parquet writers' row groups at
+      // once (measured OOM at a 13 GB table on the local 8 GB JVM) —
+      // repartition ON the bucket so each task holds one writer. A
+      // POINT write's rows span only its touched buckets, so few
+      // writers per task already — skip the shuffle, it would cost
+      // more than the write
+      val staged = if (touched.size > 4) staged0.repartition(nB, col("__pkb"))
+        else staged0
+      staged.write.mode(SaveMode.Overwrite).partitionBy("__pkb")
+        .option("parquet.block.size", GraphStore.RowGroupBytes)
         .parquet(stage.toString)
       // a point write whose `next` holds rows hashing OUTSIDE the
       // declared touched scope would silently drop them with the
@@ -820,24 +851,36 @@ final class GraphStore(
     // on a 100 TB graph touches 1/B of the table, not all of it
     val touched = bucketStateIn(readManifest(), path)
       .map { case (_, nB) => touchedBuckets(u, "__key", nB) }
-    val cur = readTableState(path, d.structType, touched)
-    // matched = keys that actually hit a stored row (counted BEFORE the
-    // rewrite swaps the table; a key only ever lives in its own hash
-    // bucket, so the touched-bucket read sees every possible match).
-    // Counting distinct REQUESTED keys would overreport: keys absent
-    // from the table are not property sets.
-    val matched = cur.join(u, cur(pk).cast("string") === u("__key"), "left_semi")
-      .count()
-    val joined = cur.join(u, cur(pk).cast("string") === u("__key"), "left")
-    val outCols = cur.columns.map { c =>
-      if (assigned.contains(c)) {
-        val f = d.structType(c)
-        when(col("__matched"), col(s"__set_$c").cast(f.dataType))
-          .otherwise(cur(c)).as(c)
-      } else cur(c)
-    }
-    commitTables(Seq((path, joined.select(outCols.toIndexedSeq: _*), touched)))
-    matched
+    // cache the touched-bucket read of a POINT write: both consumers
+    // below (the matched count, then the rewrite's stage job) scan it,
+    // and 1/B of a table is cheap residency for halving the data term.
+    // A WHOLE-TABLE rewrite (first bucketize, schema materialization)
+    // deliberately re-reads instead: caching a full table for one
+    // reuse is the block-residency OOM shape the 64× postmortems hit.
+    val cache = touched.exists(_.size < pkBuckets)
+    val cur0 = readTableState(path, d.structType, touched)
+    val cur = if (cache) cur0.persist() else cur0
+    try {
+      // matched = keys that actually hit a stored row (counted BEFORE
+      // the rewrite swaps the table; a key only ever lives in its own
+      // hash bucket, so the touched-bucket read sees every possible
+      // match). Counting distinct REQUESTED keys would overreport:
+      // keys absent from the table are not property sets. This count
+      // is also what materializes the cache, while `path` is still
+      // unmutated (the writeCounted discipline).
+      val matched = cur.join(u, cur(pk).cast("string") === u("__key"), "left_semi")
+        .count()
+      val joined = cur.join(u, cur(pk).cast("string") === u("__key"), "left")
+      val outCols = cur.columns.map { c =>
+        if (assigned.contains(c)) {
+          val f = d.structType(c)
+          when(col("__matched"), col(s"__set_$c").cast(f.dataType))
+            .otherwise(cur(c)).as(c)
+        } else cur(c)
+      }
+      commitTables(Seq((path, joined.select(outCols.toIndexedSeq: _*), touched)))
+      matched
+    } finally { if (cache) { cur.unpersist(false); () } }
   }
 
   /** Cypher `MATCH … [DETACH] DELETE n` executor: remove node rows by
@@ -925,4 +968,14 @@ final class GraphStore(
       if (exists(relPath(r.name))) rel(r.name).createOrReplaceTempView(r.name)
     }
   }
+}
+
+object GraphStore {
+  /** Row-group size for every table write. Sized for the LOCAL
+    * profile: 32 read threads × vectored-reader buffers of whole row
+    * groups must fit an 8 GB JVM (the default 128 MB groups measured
+    * an OOM in ParquetFileReader.readVectored at a 13 GB table). On a
+    * real cluster raise it with executor memory — bigger groups, fewer
+    * seeks. */
+  private[graft] val RowGroupBytes: Int = 32 * 1024 * 1024
 }
