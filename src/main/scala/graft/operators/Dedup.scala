@@ -639,7 +639,20 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingle: ShingleMode = WordGrams(2), minJaccard: Double = 0.5,
       exactBudget: Long = 1000000000L)(
-      implicit ctx: PipelineContext): DataFrame = {
+      implicit ctx: PipelineContext): DataFrame =
+    jaccardPairsAutoRouted(df, idCol, textCol, shingle, minJaccard,
+      exactBudget)._2
+
+  /** [[jaccardPairsAuto]] returning the DECISION with the pairs — the
+    * gate surface: a driver gate pins the route string against its
+    * oracle, so a silent regime change (profile drift, a routing-rule
+    * edit) flips the gate red instead of silently paying the wrong
+    * engine. */
+  def jaccardPairsAutoRouted(
+      df: DataFrame, idCol: String, textCol: String,
+      shingle: ShingleMode = WordGrams(2), minJaccard: Double = 0.5,
+      exactBudget: Long = 1000000000L)(
+      implicit ctx: PipelineContext): (String, DataFrame) = {
     val p = jaccardProfile(df, idCol, textCol, shingle)
     val route = jaccardRouteFor(p, minJaccard, exactBudget)
     println(s"JROUTE postings=${p.postings} distinct_grams=${p.nGrams} " +
@@ -649,7 +662,7 @@ object Dedup {
           f" (PROBABILISTIC: S-curve midpoint ${math.pow(1.0 / b, b.toDouble / n)}%.3f)"
         case _ => " (recall 1)"
       }))
-    route match {
+    val pairs = route match {
       case JaccardRoute.Exact =>
         jaccardPairsExact(df, idCol, textCol, shingle, minJaccard)
       case JaccardRoute.Prefix =>
@@ -658,6 +671,7 @@ object Dedup {
         minhashPairs(df, idCol, textCol, shingle,
           numHashes = n, bands = b, minJaccard = Some(minJaccard))
     }
+    (route.toString, pairs)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates

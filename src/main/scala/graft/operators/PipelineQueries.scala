@@ -690,6 +690,33 @@ object PipelineQueries {
     * differential: fixtures/t11_expected.parquet is the committed
     * expectation (values pinned by MultimodalSpec), and the driver
     * hash-compares the live pipeline against it. */
+  /** t61: the Jaccard auto-router firing its NON-exact route under
+    * the differential gate (the r10 carryover — the router was
+    * spec-pinned but its LSH regime never ran under an oracle). An
+    * exactBudget of 100 k sits far below this corpus's Σdf² candidate
+    * volume (≈730 k at sf0.01, 73 M at sf0.1) and θ = 0.4 < 0.65, so
+    * the router must choose banded minhash-LSH (64 hashes, 32 bands —
+    * the S-curve knee at 0.18 ≤ θ). The gate pins the ROUTE STRING and
+    * the resulting pair set in one row; the oracle replays the pair
+    * set EXACTLY (the t05 argument: the verify filter makes precision
+    * 1, and 32 bands of 2 hashes are strictly looser than t05's
+    * proven-recall-1 16×4 banding on this corpus). A silent routing
+    * regression — profile drift, a rule edit, a banding change — flips
+    * the route column and the gate goes red. */
+  def t61JaccardAutoRoute(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      val (route, pairs) = Dedup.jaccardPairsAutoRouted(
+        Tables.documents(spark, dir), "doc_id", "text",
+        shingle = Dedup.WordGrams(2), minJaccard = 0.4,
+        exactBudget = 100000L)
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("id1")).as("id1_sum"),
+        sum(col("id2")).as("id2_sum"),
+        round(sum(col("jaccard")), 6).as("jaccard_sum"))
+        .withColumn("route", lit(route))
+    }
+
   def t11MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(spark, 300)
     val features = Multimodal.extractFeatures(media, dim = 16, partitions = 8)
@@ -1189,6 +1216,7 @@ object PipelineQueries {
     "t58_ivf_persisted" -> t58IvfPersisted _,
     "t59_gopher_rules" -> t59GopherRules _,
     "t60_c4_clean" -> t60C4Clean _,
+    "t61_jaccard_auto_route" -> t61JaccardAutoRoute _,
   )
 
   /** Shared DuckDB fold fragments for the vector oracles — the same
@@ -2255,6 +2283,33 @@ object PipelineQueries {
            FROM scored)
          SELECT qid, id, cosine, rank FROM ranked WHERE rank <= 5
          ORDER BY qid, rank""",
+    // the auto-route gate reuses t05's exact-pair replay (precision 1
+    // via the verify filter; recall 1 per the t05 argument at the
+    // looser 64×32 banding) and pins the router's DECISION as a column
+    "t61_jaccard_auto_route" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents
+         ),
+         grams AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM toks WHERE len(w) >= 2
+         ),
+         p AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2,
+             round(len(list_intersect(a.g, b.g))::DOUBLE /
+                   (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+           FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+                 (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
+         )
+         SELECT count(*) AS n_pairs,
+                CAST(sum(id1) AS BIGINT) AS id1_sum,
+                CAST(sum(id2) AS BIGINT) AS id2_sum,
+                round(sum(jaccard), 6) AS jaccard_sum,
+                'Lsh(64,32)' AS route
+         FROM p""",
     "t05_minhash_pairs" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
