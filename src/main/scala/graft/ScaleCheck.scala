@@ -164,7 +164,12 @@ object ScaleCheck {
       // Gopher rules: a pure per-row map (regexp counts + fixed
       // array probes) — the flattest possible shape by construction.
       // (t60's pages are fixed-size in-engine synthesis, like t57.)
-      "t59_gopher_rules").filter(q =>
+      "t59_gopher_rules",
+      // round 12: the element-mapping view (broadcast associations +
+      // one grouped fact shuffle — should track the fact scan) and the
+      // auto-router's LSH regime (profile pass + banded minhash: the
+      // t05 curve plus one O(corpus) profile scan)
+      "v01_element_mapping", "t61_jaccard_auto_route").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // Shapes whose scale-correct form needs to know k: SemDeDup's

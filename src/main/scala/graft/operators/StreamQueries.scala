@@ -277,29 +277,61 @@ object StreamQueries {
     val q = stream.writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // (a) within-batch exact dedup, min doc_id per content hash
-        val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-        val clean = batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        if (!new java.io.File(corpusDir).exists())
-          clean.write.mode("append").parquet(corpusDir)
-        else PipelineContext.run { implicit ctx =>
-          // (b) exact + near dedup against the accumulated corpus;
-          // the append IS the consuming action (staged frames free
-          // only after it lands)
-          Dedup.dedupAgainst(
-            clean, spark.read.parquet(corpusDir), "doc_id", "text",
-            shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
-            minJaccard = 0.4)
-            .write.mode("append").parquet(corpusDir)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        corpusDedupAppend(batch, corpusDir, batchId)
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(corpusDir)
+    readCorpus(spark, corpusDir)
       .select(col("doc_id"), (col("doc_id") % 2).cast("int").as("batch"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The accumulated s06 corpus: exactly the COMMITTED batch dirs
+    * (those with a `_SUCCESS` marker) — a crashed attempt's partial
+    * files are never read, so a replay can't dedup against its own
+    * leftovers. */
+  private[graft] def committedBatchDirs(corpusDir: String): Seq[String] =
+    Option(new java.io.File(corpusDir).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && new java.io.File(d, "_SUCCESS").exists())
+      .map(_.toString).sorted
+
+  private[graft] def readCorpus(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.read.parquet(committedBatchDirs(corpusDir): _*)
+
+  /** s06's per-batch body, IDEMPOTENT for at-least-once foreachBatch
+    * (the s07/Bm25Index batchTag discipline): each batch's survivors
+    * land in their own `b<batchId>` dir, and a dir whose `_SUCCESS`
+    * marker exists makes the replay a NO-OP. Without the guard a
+    * replayed batch is not merely double-appended — dedupAgainst
+    * would run against a corpus already holding this batch's
+    * survivors, absorb every doc as a self-duplicate, and write an
+    * EMPTY survivor set (data loss on retry). */
+  private[graft] def corpusDedupAppend(
+      batch: DataFrame, corpusDir: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val out = new java.io.File(corpusDir, s"b$batchId")
+    if (new java.io.File(out, "_SUCCESS").exists()) return
+    // (a) within-batch exact dedup, min doc_id per content hash
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val clean = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val committed = committedBatchDirs(corpusDir)
+    if (committed.isEmpty)
+      clean.write.mode("overwrite").parquet(out.toString)
+    else PipelineContext.run { implicit ctx =>
+      // (b) exact + near dedup against the accumulated corpus; the
+      // write IS the consuming action (staged frames free only after
+      // it lands). Overwrite into the batch-own dir: a crashed
+      // half-written attempt (no _SUCCESS) is simply redone, and the
+      // corpus read above can never see its partial files.
+      Dedup.dedupAgainst(
+        clean, spark.read.parquet(committed: _*), "doc_id", "text",
+        shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+        minJaccard = 0.4)
+        .write.mode("overwrite").parquet(out.toString)
+    }
   }
 
   /** s07: STREAMING retrieval-index ingest — the streaming ×

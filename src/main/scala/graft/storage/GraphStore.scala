@@ -354,13 +354,20 @@ final class GraphStore(
     * the Bm25Index.bucketOf pattern); a drift between the two would
     * trip the commitTables stray-bucket guard loudly, not lose rows. */
   private def touchedBuckets(keys: DataFrame, keyCol: String, nB: Int): Seq[Int] =
-    keys.select(col(keyCol).cast("string")).collect()
-      .map { r =>
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
-          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)), 42L)
-        val m = (h % nB).toInt
-        if (m < 0) m + nB else m
-      }.toSeq.distinct.sorted
+    bucketsOfKeys(
+      keys.select(col(keyCol).cast("string")).collect()
+        .map(_.getString(0)).toSeq, nB)
+
+  /** Driver-side bucket set of already-collected key strings (tables
+    * can carry different frozen bucket counts, so the hash re-runs per
+    * nB over one collect). */
+  private def bucketsOfKeys(keys: Seq[String], nB: Int): Seq[Int] =
+    keys.map { s =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
+      val m = (h % nB).toInt
+      if (m < 0) m + nB else m
+    }.distinct.sorted
 
   // ---- readers -----------------------------------------------------------
 
@@ -910,29 +917,51 @@ final class GraphStore(
     // DETACH collects every touching relationship table's post-delete
     // state and commits it WITH the node table in ONE manifest swap —
     // a crash between any two rewrites must never leave dangling
-    // relationship rows or a half-detached graph
-    val relWrites: Seq[(String, DataFrame)] =
+    // relationship rows or a half-detached graph.
+    //
+    // Point-write scope (the updateNodeProps discipline): on a
+    // bucketed table, deleting keys only rewrites the buckets those
+    // keys hash into. Relationship tables bucket on SRC, so a
+    // FROM-side detach is bucket-scoped the same way; a TO-side
+    // detach's victims can sit in ANY src bucket — whole-table there
+    // (at 100 TB a reverse-heavy delete pattern wants a dst-bucketed
+    // companion table, the classic both-directions trade).
+    val m0 = readManifest()
+    // one collect of the (driver-small) key set; per-table bucket sets
+    // re-hash driver-side since each table freezes its own count
+    lazy val keyStrings: Seq[String] =
+      k.collect().map(_.getString(0)).toIndexedSeq
+    def scopeOf(path: String): Option[Seq[Int]] =
+      bucketStateIn(m0, path).map { case (_, nB) =>
+        bucketsOfKeys(keyStrings, nB) }
+    val relWrites: Seq[(String, DataFrame, Option[Seq[Int]])] =
       if (!detach) Nil
       else touching.filter(r => exists(relPath(r.name))).map { r =>
-        var kept = rel(r.name)
+        val path = relPath(r.name)
+        val scope = if (r.to == label) None else scopeOf(path)
+        var kept = readTableState(path, schema.rel(r.name).structType, scope)
         if (r.from == label)
           kept = kept.join(k, kept("src").cast("string") === k("__key"), "left_anti")
         if (r.to == label)
           kept = kept.join(k, kept("dst").cast("string") === k("__key"), "left_anti")
-        relPath(r.name) -> kept
+        (path, kept, scope)
       }
     if (!exists(nodePath(label))) {
-      if (relWrites.nonEmpty) commitGenerations(relWrites)
+      if (relWrites.nonEmpty) commitTables(relWrites)
       return 0L
     }
-    val cur = node(label)
+    val nodeScope = scopeOf(nodePath(label))
+    val cur = readTableState(nodePath(label),
+      schema.node(label).structType, nodeScope)
     // deleted = rows that actually matched a requested key (counted
-    // BEFORE the rewrite swaps the table) — deleting an absent key
-    // reports 0, mirroring updateNodeProps' matched-key semantics.
+    // BEFORE the rewrite swaps the table; a key lives only in its own
+    // hash bucket, so the scoped read sees every possible match) —
+    // deleting an absent key reports 0, mirroring updateNodeProps'
+    // matched-key semantics.
     val deleted = cur.join(k, cur(pk).cast("string") === k("__key"), "left_semi")
       .count()
     val kept = cur.join(k, cur(pk).cast("string") === k("__key"), "left_anti")
-    commitGenerations(relWrites :+ (nodePath(label) -> kept))
+    commitTables(relWrites :+ ((nodePath(label), kept, nodeScope)))
     deleted
   }
 

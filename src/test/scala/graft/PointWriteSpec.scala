@@ -162,6 +162,58 @@ class PointWriteSpec extends SparkTestBase {
     assert(gen2 === Map("a" -> 20L, "b" -> 2L))
   }
 
+  test("DETACH DELETE is bucket-scoped on the node table and FROM-side rels") {
+    val schema = CustomSchemaJson.parse(
+      """{"name":"pwdel","version":"1.0",
+        "nodes":[
+          {"name":"User","properties":[
+            {"name":"identifier","type":"STRING","is_primary_key":true}]},
+          {"name":"Item","properties":[
+            {"name":"identifier","type":"STRING","is_primary_key":true}]}],
+        "relationships":[
+          {"name":"OWNS","from_node":"User","to_node":"Item"},
+          {"name":"LIKED","from_node":"Item","to_node":"User"}]}""")
+    val root = java.nio.file.Files.createTempDirectory("graft-pwdel").toString
+    val store = new GraphStore(spark, root, "g", schema)
+    val users = (0 until 32).map(i => s"u$i")
+    store.ingestNodes("User", users.toDF("identifier"))
+    store.ingestNodes("Item", (0 until 32).map(i => s"i$i").toDF("identifier"))
+    store.ingestRels("OWNS",
+      (0 until 32).map(i => (s"u$i", s"i$i")).toDF("from", "to"))
+    store.ingestRels("LIKED",
+      (0 until 32).map(i => (s"i$i", s"u$i")).toDF("from", "to"))
+
+    // first detach-delete bucketizes User, OWNS and LIKED (whole-table)
+    assert(store.deleteNodes("User", Seq("u0").toDF("k"), detach = true) === 1L)
+    val nB = store.pkBuckets
+    val userDir = new java.io.File(s"$root/g/nodes/User")
+    val ownsDir = new java.io.File(s"$root/g/rels/OWNS")
+    def snap(d: java.io.File) = (0 until nB).map(b =>
+      b -> listing(new java.io.File(d, s"pkb=$b"))).toMap
+
+    val target = users.find(u => u != "u0" &&
+      bucketOf(u, nB) != bucketOf("u0", nB)).get
+    val bT = bucketOf(target, nB)
+    val (userBefore, ownsBefore) = (snap(userDir), snap(ownsDir))
+    assert(store.deleteNodes("User", Seq(target).toDF("k"), detach = true) === 1L)
+    val (userAfter, ownsAfter) = (snap(userDir), snap(ownsDir))
+    // only the deleted key's bucket changed — in the node table AND in
+    // the src-keyed OWNS table (LIKED keys on Item src, so the victim
+    // row can sit in any bucket: whole-table there, correctness below)
+    (0 until nB).filter(_ != bT).foreach { b =>
+      assert(userAfter(b) === userBefore(b), s"User bucket $b changed")
+      assert(ownsAfter(b) === ownsBefore(b), s"OWNS bucket $b changed")
+    }
+    assert(userAfter(bT) !== userBefore(bT))
+    assert(ownsAfter(bT) !== ownsBefore(bT))
+    // full-state correctness across all three tables
+    assert(store.node("User").count() === 30)
+    assert(store.rel("OWNS").filter(col("src").isin("u0", target)).count() === 0)
+    assert(store.rel("LIKED").filter(col("dst").isin("u0", target)).count() === 0)
+    assert(store.rel("OWNS").count() === 30)
+    assert(store.rel("LIKED").count() === 30)
+  }
+
   test("commitTables refuses a point write whose rows hash outside the touched scope") {
     val store = freshStore("pw5")
     store.ingestNodes("Thing",

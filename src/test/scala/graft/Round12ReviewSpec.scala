@@ -64,6 +64,30 @@ class Round12ReviewSpec extends SparkTestBase {
     assert(got.map(_._3).sum === (1 to 11).sum.toLong)
   }
 
+  test("s06 corpus appends are idempotent under micro-batch replay") {
+    import graft.operators.StreamQueries
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-s06replay").toString + "/corpus"
+    val b0 = Seq((0L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (4L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val b1 = Seq((1L, "alpha beta gamma"), (3L, "eta theta iota"))
+      .toDF("doc_id", "text")
+    StreamQueries.corpusDedupAppend(b0, corpusDir, 0L)
+    StreamQueries.corpusDedupAppend(b1, corpusDir, 1L)
+    def state() = StreamQueries.readCorpus(spark, corpusDir)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val want = state()
+    // batch 0: doc 2 is a within-batch exact dup of 0; batch 1: doc 1
+    // is an exact dup of the corpus' doc 0, doc 3 survives
+    assert(want === Seq(0L, 3L, 4L))
+    // an at-least-once REPLAY of either batch is a no-op — without the
+    // committed-batch guard, replaying b1 would dedup its docs against
+    // their own survivors and replace them with an EMPTY set
+    StreamQueries.corpusDedupAppend(b0, corpusDir, 0L)
+    StreamQueries.corpusDedupAppend(b1, corpusDir, 1L)
+    assert(state() === want)
+  }
+
   // ---- element-mapping view edges (reference element_mapping.py) ----------
 
   test("element mapping: net_balance fallback, zero-weight guard, groupless aggregation") {
