@@ -858,36 +858,34 @@ final class GraphStore(
     // on a 100 TB graph touches 1/B of the table, not all of it
     val touched = bucketStateIn(readManifest(), path)
       .map { case (_, nB) => touchedBuckets(u, "__key", nB) }
-    // cache the touched-bucket read of a POINT write: both consumers
-    // below (the matched count, then the rewrite's stage job) scan it,
-    // and 1/B of a table is cheap residency for halving the data term.
-    // A WHOLE-TABLE rewrite (first bucketize, schema materialization)
-    // deliberately re-reads instead: caching a full table for one
-    // reuse is the block-residency OOM shape the 64× postmortems hit.
-    val cache = touched.exists(_.size < pkBuckets)
-    val cur0 = readTableState(path, d.structType, touched)
-    val cur = if (cache) cur0.persist() else cur0
-    try {
-      // matched = keys that actually hit a stored row (counted BEFORE
-      // the rewrite swaps the table; a key only ever lives in its own
-      // hash bucket, so the touched-bucket read sees every possible
-      // match). Counting distinct REQUESTED keys would overreport:
-      // keys absent from the table are not property sets. This count
-      // is also what materializes the cache, while `path` is still
-      // unmutated (the writeCounted discipline).
-      val matched = cur.join(u, cur(pk).cast("string") === u("__key"), "left_semi")
-        .count()
-      val joined = cur.join(u, cur(pk).cast("string") === u("__key"), "left")
-      val outCols = cur.columns.map { c =>
-        if (assigned.contains(c)) {
-          val f = d.structType(c)
-          when(col("__matched"), col(s"__set_$c").cast(f.dataType))
-            .otherwise(cur(c)).as(c)
-        } else cur(c)
-      }
-      commitTables(Seq((path, joined.select(outCols.toIndexedSeq: _*), touched)))
-      matched
-    } finally { if (cache) { cur.unpersist(false); () } }
+    val cur = readTableState(path, d.structType, touched)
+    val joined = cur.join(u, cur(pk).cast("string") === u("__key"), "left")
+    val outCols = cur.columns.map { c =>
+      if (assigned.contains(c)) {
+        val f = d.structType(c)
+        when(col("__matched"), col(s"__set_$c").cast(f.dataType))
+          .otherwise(cur(c)).as(c)
+      } else cur(c)
+    }
+    // matched = keys that actually hit a stored row (a key only ever
+    // lives in its own hash bucket, so the touched-bucket read sees
+    // every possible match; counting REQUESTED keys would overreport —
+    // keys absent from the table are not property sets). Counted
+    // DURING the rewrite's own stage job via a CollectMetrics node
+    // (`observe`): the touched scope is scanned ONCE — the previous
+    // separate count job doubled a point write's data term and added
+    // a whole job floor. Still "before the swap": the stage job runs
+    // before the manifest commit by construction.
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-set-${java.util.UUID.randomUUID()}")
+    commitTables(Seq((path,
+      joined.observe(obs, count(when(col("__matched"), lit(1))).as("matched"))
+        .select(outCols.toIndexedSeq: _*),
+      touched)))
+    // an EMPTY table state folds the CollectMetrics node away
+    // (PropagateEmptyRelation) — no metrics means no rows scanned,
+    // i.e. zero matches
+    obs.get.getOrElse("matched", 0L).asInstanceOf[Long]
   }
 
   /** Cypher `MATCH … [DETACH] DELETE n` executor: remove node rows by
@@ -953,16 +951,21 @@ final class GraphStore(
     val nodeScope = scopeOf(nodePath(label))
     val cur = readTableState(nodePath(label),
       schema.node(label).structType, nodeScope)
-    // deleted = rows that actually matched a requested key (counted
-    // BEFORE the rewrite swaps the table; a key lives only in its own
-    // hash bucket, so the scoped read sees every possible match) —
-    // deleting an absent key reports 0, mirroring updateNodeProps'
-    // matched-key semantics.
-    val deleted = cur.join(k, cur(pk).cast("string") === k("__key"), "left_semi")
-      .count()
-    val kept = cur.join(k, cur(pk).cast("string") === k("__key"), "left_anti")
+    // deleted = rows that actually matched a requested key (a key
+    // lives only in its own hash bucket, so the scoped read sees every
+    // possible match) — deleting an absent key reports 0, mirroring
+    // updateNodeProps' matched-key semantics. Counted DURING the
+    // rewrite's stage job (observe over the pre-filter marker join):
+    // the anti-join + separate count read the scope twice.
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-del-${java.util.UUID.randomUUID()}")
+    val kept = cur.join(k, cur(pk).cast("string") === k("__key"), "left")
+      .observe(obs, count(when(col("__key").isNotNull, lit(1))).as("deleted"))
+      .filter(col("__key").isNull)
+      .select(cur.columns.map(cur(_)).toIndexedSeq: _*)
     commitTables(relWrites :+ ((nodePath(label), kept, nodeScope)))
-    deleted
+    // empty state folds the metrics node away — zero deletions
+    obs.get.getOrElse("deleted", 0L).asInstanceOf[Long]
   }
 
   /** Subgraph fork = path copy (operations/graph/subgraph_service.py;
