@@ -463,12 +463,15 @@ object Dedup {
       else {
         val nBlocks = math.min(4096L,
           (volume + maxCandidatesPerBlock - 1) / maxCandidatesPerBlock).toInt
-        // segmented blocks keep the PROVEN 64×-tier sizing (~4 M
-        // candidate rows per task, 234 partitions at 4.7 B/5 blocks):
-        // the block loop is memory-bound, not task-overhead-bound, and
-        // this is the configuration the ScaleCheck completion ran
-        val aggParts = math.min(2048L,
-          math.max(64L, volume / nBlocks / 4000000L)).toInt
+        // segmented-block agg sizing: ~2 M candidate rows per task.
+        // The earlier 4 M/task sizing put 32 concurrent tasks × 4 M
+        // pair keys ≈ the whole 8 GB heap in agg state — the r12 full
+        // 16×-sweep OOMed exactly there (1.17 B candidates, 2 blocks,
+        // 146 partitions) on a loaded box; 2 M/task halves peak state
+        // for one more round of task overhead, which the block loop —
+        // memory-bound, not task-overhead-bound — doesn't notice
+        val aggParts = math.min(4096L,
+          math.max(64L, volume / nBlocks / 2000000L)).toInt
         println(s"JEXACT segmenting gram postings: $volume candidates " +
           s"> $maxCandidatesPerBlock budget -> $nBlocks sequential " +
           s"blocks, $aggParts agg partitions")
