@@ -363,8 +363,12 @@ final class GraphStore(
     * nB over one collect). */
   private def bucketsOfKeys(keys: Seq[String], nB: Int): Seq[Int] =
     keys.map { s =>
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
+      // a NULL key hashes to the seed in the engine's xxhash64 —
+      // replicate rather than NPE (a null pk row is pathological but
+      // must route to the same bucket the stage write puts it in)
+      val h = if (s == null) 42L
+        else org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
       val m = (h % nB).toInt
       if (m < 0) m + nB else m
     }.distinct.sorted

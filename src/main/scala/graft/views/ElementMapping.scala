@@ -88,9 +88,22 @@ object ElementMapping {
       .agg(min_by(col("aggregationMethod"),
         struct(col("orderValue"), col("identifier"))).as("__method"))
 
+    // duplicate (target, source) associations collapse to ONE joinable
+    // row — the reference's `isin` membership + dict-overwrite
+    // semantics (a fact counts once per target however many times its
+    // source is listed; the LAST association's weight — by
+    // (order_value, identifier) — wins, py:197's dict build; the
+    // smallest order_value keys the first/last ordering)
+    val perSource = resolved
+      .groupBy(col("targetElement"), col("sourceId"))
+      .agg(
+        max_by(col("weight"),
+          struct(col("orderValue"), col("identifier"))).as("weight"),
+        min(col("orderValue")).as("orderValue"))
+
     val v = col(valueCol)
     val joined = facts.join(
-      broadcast(resolved.select(col("sourceId"), col("targetElement"),
+      broadcast(perSource.select(col("sourceId"), col("targetElement"),
         col("weight"), col("orderValue"))),
       facts("element_id") === col("sourceId"))
     val ord = struct(col("orderValue"), facts("element_id"), v)

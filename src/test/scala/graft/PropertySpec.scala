@@ -359,4 +359,93 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  // ---- element mapping vs an independent reference fold -------------------
+
+  private case class PAssoc(id: String, src: String, tgt: String,
+      method: String, weight: Double, order: Double)
+
+  private val mappingGen: Gen[(Seq[(String, String, Long, Double)], Seq[PAssoc])] =
+    for {
+      nElems <- Gen.chooseNum(2, 6)
+      nFacts <- Gen.chooseNum(1, 30)
+      facts <- Gen.listOfN(nFacts, for {
+        e <- Gen.chooseNum(0, nElems - 1)
+        ent <- Gen.oneOf("e1", "e2")
+        per <- Gen.oneOf("2024-03-31", "2024-06-30")
+        v <- Gen.chooseNum(-400, 400)
+      } yield (ent, per, e.toLong, v / 4.0))
+      nAssoc <- Gen.chooseNum(1, 8)
+      // sources may repeat within a target (dict-overwrite semantics)
+      // and may reference elements with no facts (skipped targets)
+      assocs <- Gen.listOfN(nAssoc, for {
+        src <- Gen.chooseNum(0, nElems) // nElems itself = factless
+        tgt <- Gen.oneOf("t:A", "t:B", "t:C")
+        m <- Gen.oneOf("sum", "average", "weighted_average",
+          "first", "last", "calculated")
+        w <- Gen.oneOf(0.0, 0.5, 1.0, 2.0)
+        o <- Gen.chooseNum(1, 5)
+      } yield PAssoc("", s"uri:$src", tgt, m, w, o.toDouble))
+    } yield (facts, assocs.zipWithIndex.map { case (a, i) =>
+      a.copy(id = s"a$i") })
+
+  /** Plain-Scala replay of the documented ElementMapping semantics. */
+  private def mappingReference(
+      facts: Seq[(String, String, Long, Double)],
+      assocs: Seq[PAssoc]): Map[(String, String, String), Double] = {
+    val methodOf = assocs.groupBy(_.tgt).map { case (t, as) =>
+      t -> as.minBy(a => (a.order, a.id)).method }
+    // uri -> id resolution from the facts' own pairs, then per
+    // (target, sourceId) dict-overwrite: last (order, id) weight wins,
+    // smallest order keys the first/last ordering
+    val uriToId = facts.map(f => s"uri:${f._3}" -> s"id:${f._3}").toMap
+    val perSource: Map[String, Map[String, (Double, Double)]] =
+      assocs.groupBy(_.tgt).map { case (t, as) =>
+        t -> as.groupBy(a => uriToId.getOrElse(a.src, a.src)).map {
+          case (sid, dup) =>
+            sid -> (dup.maxBy(a => (a.order, a.id)).weight,
+              dup.map(_.order).min)
+        }
+      }
+    (for {
+      (tgt, sources) <- perSource.toSeq
+      method = methodOf(tgt)
+      matched = facts.flatMap { case (ent, per, e, v) =>
+        sources.get(s"id:$e").map { case (w, o) => (ent, per, e, v, w, o) }
+      }
+      ((ent, per), rows) <- matched.groupBy(r => (r._1, r._2)).toSeq
+    } yield {
+      val vs = rows.map(_._4)
+      val value = method match {
+        case "average" => vs.sum / vs.size
+        case "weighted_average" =>
+          val sw = rows.map(_._5).sum
+          if (sw == 0.0) 0.0 else rows.map(r => r._4 * r._5).sum / sw
+        case "first" => rows.minBy(r => (r._6, s"id:${r._3}", r._4))._4
+        case "last" => rows.maxBy(r => (r._6, s"id:${r._3}", r._4))._4
+        case _ => vs.sum // sum / calculated / unknown
+      }
+      (tgt, ent, per) -> value
+    }).toMap
+  }
+
+  test("element mapping matches the independent reference fold on random structures") {
+    import graft.views.ElementMapping
+    samples(mappingGen, 25).zipWithIndex.foreach { case ((facts, assocs), i) =>
+      val df = facts.toDF("entity_id", "period_end", "__e", "numeric_value")
+        .withColumn("element_uri", concat(lit("uri:"), col("__e")))
+        .withColumn("element_id", concat(lit("id:"), col("__e")))
+        .drop("__e")
+      val got = ElementMapping(df, assocs.map(a =>
+        ElementMapping.Association(a.id, a.src, a.tgt, a.method, a.weight, a.order)))
+        .collect().map(r => (r.getString(0), r.getString(3), r.getString(2)) ->
+          r.getDouble(4)).toMap // cols: target, name, period_end, entity_id, value
+      val want = mappingReference(facts, assocs)
+      assert(got.keySet === want.keySet, s"sample $i: group keys diverge")
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - want(k)) <= 1e-9 * math.max(1.0, math.abs(want(k))),
+          s"sample $i $k: got $v want ${want(k)}")
+      }
+    }
+  }
 }
