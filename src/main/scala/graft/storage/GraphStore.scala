@@ -452,7 +452,19 @@ final class GraphStore(
       require(dirs.nonEmpty && generation <= currentGen(path),
         s"generation $generation of $what is not retained " +
           s"(current ${currentGen(path)}, retention keeps one previous)")
-      val files = dirs.flatMap(dataFilePaths)
+      // appended files carry a g<N> tag (appendBucketed): include only
+      // those appended while the table's logical generation was ≤ the
+      // requested one — shared bucket dirs would otherwise leak LATER
+      // appends into this generation's read. Untagged files are
+      // rewrite outputs (dir membership already scopes them) or
+      // pre-tag legacy appends.
+      val AppendTag = "^g(\\d+)-.*".r
+      val files = dirs.flatMap(dataFilePaths).filter { p =>
+        new java.io.File(p).getName match {
+          case AppendTag(g) => g.toInt <= generation
+          case _ => true
+        }
+      }
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -574,7 +586,15 @@ final class GraphStore(
 
   /** Append into a BUCKETED table: one partitioned stage write, then
     * each partition's files move into that bucket's active generation
-    * dir (new unique file names — an open reader is never broken). */
+    * dir (new unique file names — an open reader is never broken).
+    * Moved files carry a `g<tableGen>-` name tag: an UNTOUCHED
+    * bucket's dir is physically shared by several retained manifests,
+    * so without the tag an append made AFTER a rewrite would leak
+    * backward into older generations' time-travel reads (the
+    * randomized mutation-model differential caught exactly that);
+    * [[tableAt]] filters tagged files to tag ≤ the requested
+    * generation, restoring the end-of-tenure semantics the
+    * whole-table layout had for free. */
   private def appendBucketed(
       df: DataFrame, path: String, tableGen: Int, nB: Int,
       m: Map[String, String]): Unit = {
@@ -602,7 +622,7 @@ final class GraphStore(
             !f.getName.startsWith("."))
           .foreach { f =>
             java.nio.file.Files.move(f.toPath,
-              new java.io.File(dst, f.getName).toPath)
+              new java.io.File(dst, s"g$tableGen-${f.getName}").toPath)
           }
       }
     }

@@ -448,4 +448,77 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  // ---- randomized GraphStore mutation sequences vs an in-memory model -----
+
+  private sealed trait MutOp
+  private case class MIngest(keys: Seq[String]) extends MutOp
+  private case class MSet(key: String) extends MutOp
+  private case class MDelete(key: String) extends MutOp
+
+  private val mutOpsGen: Gen[Seq[MutOp]] = {
+    val keyGen = Gen.chooseNum(0, 9).map(i => s"k$i")
+    val opGen: Gen[MutOp] = Gen.frequency(
+      3 -> Gen.chooseNum(1, 4).flatMap(n =>
+        Gen.listOfN(n, keyGen).map(ks => MIngest(ks.distinct))),
+      4 -> keyGen.map(MSet(_)),
+      2 -> keyGen.map(MDelete(_)))
+    Gen.chooseNum(6, 10).flatMap(n => Gen.listOfN(n, opGen))
+  }
+
+  test("randomized mutation sequences match an in-memory model, counts and time travel included") {
+    val schema = graft.schema.CustomSchemaJson.parse(
+      """{"name":"prop","version":"1.0",
+        "nodes":[{"name":"Thing","properties":[
+          {"name":"identifier","type":"STRING","is_primary_key":true},
+          {"name":"v","type":"INT64"}]}],
+        "relationships":[]}""")
+    samples(mutOpsGen, 5).zipWithIndex.foreach { case (ops, si) =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-prop-mut$si").toString
+      val store = new graft.storage.GraphStore(spark, root, "g", schema)
+      val model = scala.collection.mutable.Map[String, Long]()
+      // model state at the END of each generation's tenure (appends
+      // land in the ACTIVE generation, so a retained generation reads
+      // as of the NEXT rewrite, its appends included)
+      val genEnd = scala.collection.mutable.Map[Int, Map[String, Long]]()
+      var tick = 0L
+      ops.zipWithIndex.foreach { case (op, oi) =>
+        val ctx = s"sample $si op $oi $op"
+        op match {
+          case MIngest(keys) =>
+            tick += 1
+            val fresh = keys.filterNot(model.contains)
+            val n = store.ingestNodes("Thing",
+              keys.map(k => (k, tick)).toDF("identifier", "v"),
+              ignoreErrors = true)
+            assert(n === fresh.size.toLong, ctx)
+            fresh.foreach(k => model(k) = tick)
+          case MSet(key) =>
+            tick += 1
+            genEnd(store.generationOf("Thing")) = model.toMap
+            val n = store.updateNodeProps("Thing",
+              Seq((key, tick)).toDF("__key", "v"))
+            assert(n === (if (model.contains(key)) 1L else 0L), ctx)
+            if (model.contains(key)) model(key) = tick
+          case MDelete(key) =>
+            genEnd(store.generationOf("Thing")) = model.toMap
+            val n = store.deleteNodes("Thing",
+              Seq(key).toDF("k"), detach = false)
+            assert(n === (if (model.contains(key)) 1L else 0L), ctx)
+            model.remove(key)
+        }
+        val got = store.node("Thing").select("identifier", "v")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got === model.toMap, ctx)
+      }
+      // retained previous generation reads exactly as of its tenure end
+      val cur = store.generationOf("Thing")
+      genEnd.get(cur - 1).filter(_ => cur >= 2).foreach { snap =>
+        val tt = store.nodeAt("Thing", cur - 1).select("identifier", "v")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(tt === snap, s"sample $si time travel to gen ${cur - 1}")
+      }
+    }
+  }
 }
