@@ -521,4 +521,74 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("randomized graph mutations with relationships: detach cascades match the model") {
+    val schema = graft.schema.CustomSchemaJson.parse(
+      """{"name":"propg","version":"1.0",
+        "nodes":[{"name":"Thing","properties":[
+          {"name":"identifier","type":"STRING","is_primary_key":true},
+          {"name":"v","type":"INT64"}]}],
+        "relationships":[
+          {"name":"NEXT","from_node":"Thing","to_node":"Thing"}]}""")
+    val keyGen = Gen.chooseNum(0, 7).map(i => s"k$i")
+    sealed trait GOp
+    case class GNodes(keys: Seq[String]) extends GOp
+    case class GRels(pairs: Seq[(String, String)]) extends GOp
+    case class GSet(key: String) extends GOp
+    case class GDetach(key: String) extends GOp
+    val opGen: Gen[GOp] = Gen.frequency(
+      3 -> Gen.chooseNum(1, 3).flatMap(n =>
+        Gen.listOfN(n, keyGen).map(ks => GNodes(ks.distinct))),
+      3 -> Gen.chooseNum(1, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(keyGen, keyGen))
+          .map(ps => GRels(ps.distinct))),
+      3 -> keyGen.map(GSet(_)),
+      2 -> keyGen.map(GDetach(_)))
+    val opsGen = Gen.chooseNum(6, 9).flatMap(n => Gen.listOfN(n, opGen))
+
+    samples(opsGen, 4).zipWithIndex.foreach { case (ops, si) =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-prop-g$si").toString
+      val store = new graft.storage.GraphStore(spark, root, "g", schema)
+      val nodes = scala.collection.mutable.Map[String, Long]()
+      val rels = scala.collection.mutable.Set[(String, String)]()
+      var tick = 0L
+      ops.zipWithIndex.foreach { case (op, oi) =>
+        val ctx = s"sample $si op $oi $op"
+        op match {
+          case GNodes(keys) =>
+            tick += 1
+            val fresh = keys.filterNot(nodes.contains)
+            assert(store.ingestNodes("Thing",
+              keys.map(k => (k, tick)).toDF("identifier", "v"),
+              ignoreErrors = true) === fresh.size.toLong, ctx)
+            fresh.foreach(k => nodes(k) = tick)
+          case GRels(pairs) =>
+            val fresh = pairs.filterNot(rels.contains)
+            assert(store.ingestRels("NEXT",
+              pairs.map { case (a, b) => (a, b) }.toDF("from", "to"),
+              ignoreExisting = true) === fresh.size.toLong, ctx)
+            rels ++= fresh
+          case GSet(key) =>
+            tick += 1
+            assert(store.updateNodeProps("Thing",
+              Seq((key, tick)).toDF("__key", "v"))
+              === (if (nodes.contains(key)) 1L else 0L), ctx)
+            if (nodes.contains(key)) nodes(key) = tick
+          case GDetach(key) =>
+            assert(store.deleteNodes("Thing",
+              Seq(key).toDF("k"), detach = true)
+              === (if (nodes.contains(key)) 1L else 0L), ctx)
+            nodes.remove(key)
+            rels.retain { case (a, b) => a != key && b != key }
+        }
+        val gotN = store.node("Thing").select("identifier", "v")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(gotN === nodes.toMap, ctx)
+        val gotR = store.rel("NEXT").select("src", "dst")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        assert(gotR === rels.toSet, ctx)
+      }
+    }
+  }
 }
