@@ -591,4 +591,74 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  // ---- persisted indexes vs their inline forms on random corpora ----------
+
+  test("persisted BM25 over random batch splits scores exactly like the inline pass") {
+    val vocab = Vector("dup", "join", "scan", "hash", "table", "agg",
+      "window", "spark", "sort", "merge")
+    val corpusGen = for {
+      nDocs <- Gen.chooseNum(6, 18)
+      docs <- Gen.listOfN(nDocs, Gen.chooseNum(2, 8).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      cut1 <- Gen.chooseNum(1, nDocs - 1)
+      compact <- Gen.oneOf(true, false)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, cut1, compact)
+    samples(corpusGen, 6).zipWithIndex.foreach { case ((docs, cut, doCompact), i) =>
+      val df = docs.toDF("doc_id", "text")
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-prop-bm25-$i").toString
+      val idx = new graft.storage.Bm25Index(spark, dir, nBuckets = 8)
+      idx.append(df.filter(col("doc_id") < cut), "doc_id", "text",
+        batchTag = Some("b0"))
+      idx.append(df.filter(col("doc_id") >= cut), "doc_id", "text",
+        batchTag = Some("b1"))
+      idx.append(df.filter(col("doc_id") >= cut), "doc_id", "text",
+        batchTag = Some("b1")) // replay: must be a no-op
+      if (doCompact) idx.compact()
+      val queries = Seq((1L, "dup join"), (2L, "hash scan sort"))
+      val got = idx.topDocs(queries, k = 5).orderBy("qid", "rank")
+        .collect().toSeq
+      val want = PipelineContext.materialize { implicit ctx =>
+        graft.operators.CurationPipeline.bm25TopDocs(df, "doc_id", "text",
+          queries.toDF("qid", "qtext"), "qid", "qtext", k = 5)
+      }.orderBy("qid", "rank").collect().toSeq
+      assert(got === want, s"sample $i (cut=$cut compact=$doCompact)")
+    }
+  }
+
+  test("persisted IVF full probe equals brute force across random appends and a retrain") {
+    val corpusGen = for {
+      n <- Gen.chooseNum(10, 24)
+      vecs <- Gen.listOfN(n, Gen.listOfN(4,
+        Gen.chooseNum(-100, 100).map(_ / 25.0)))
+      cut <- Gen.chooseNum(3, n - 1) // first batch trains: needs >= nCells
+      retrain <- Gen.oneOf(true, false)
+    } yield (vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, cut, retrain)
+    samples(corpusGen, 5).zipWithIndex.foreach { case ((vecs, cut, doRetrain), i) =>
+      // degenerate all-zero vectors break cosine; keep them out
+      val clean = vecs.map { case (id, v) =>
+        (id, if (v.forall(_ == 0.0)) v.updated(0, 1.0) else v) }
+      val df = clean.toDF("vec_id", "embedding")
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-prop-ivf-$i").toString
+      val idx = new graft.storage.IvfIndex(spark, dir, nCells = 3)
+      idx.append(df.filter(col("vec_id") < cut), "vec_id", "embedding")
+      idx.append(df.filter(col("vec_id") >= cut), "vec_id", "embedding")
+      if (doRetrain) idx.retrain()
+      val q = df.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val got = idx.topK(q, "qid", "qv", k = 4, nProbe = 3,
+        excludeSelf = true).orderBy("qid", "rank").collect().toSeq
+      val want = graft.operators.Similarity.bruteForceTopK(
+        df, "vec_id", "embedding", q, "qid", "qv", k = 5)
+        .filter(col("id") =!= col("qid"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("cosine").desc, col("id"))))
+        .filter(col("rank") <= 4)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(got === want, s"sample $i (cut=$cut retrain=$doRetrain)")
+    }
+  }
 }
