@@ -162,6 +162,19 @@ class PointWriteSpec extends SparkTestBase {
     assert(gen2 === Map("a" -> 20L, "b" -> 2L))
   }
 
+  test("a bucketed table reads as ONE FileScan, not a per-bucket union") {
+    val store = freshStore("pwplan")
+    store.ingestNodes("Thing",
+      (0 until 32).map(i => (s"k$i", i.toLong)).toDF("identifier", "v"))
+    store.updateNodeProps("Thing", Seq(("k0", 1L)).toDF("__key", "v")): Unit
+    val plan = store.node("Thing").queryExecution.executedPlan.toString
+    // at a production bucket count a union of B scans is B listings
+    // and B-way planning per read — the multi-path single scan is the
+    // round-12 pin
+    assert(plan.linesIterator.count(_.contains("FileScan")) === 1, plan)
+    assert(!plan.contains("Union"), plan)
+  }
+
   test("DETACH DELETE is bucket-scoped on the node table and FROM-side rels") {
     val schema = CustomSchemaJson.parse(
       """{"name":"pwdel","version":"1.0",
