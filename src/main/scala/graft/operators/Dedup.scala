@@ -503,27 +503,48 @@ object Dedup {
   }
 
   /** PREFIX-FILTERED exact n-gram Jaccard pairs — [[jaccardPairsExact]]
-    * with the AllPairs/SSJoin prefix filter, still recall 1. For
-    * J(A,B) ≥ t the intersection has ≥ t·|A| grams, so B must hit A's
-    * PREFIX — the ⌊(1−t)·|A|⌋+1 rarest grams under the global (df, h)
-    * total order — or the intersection would fit inside A's
-    * ⌈t·|A|⌉−1 commonest grams, a contradiction. Candidates therefore
-    * come from joining the PREFIX index against the full gram table
-    * (the safe one-sided variant: no overlap-bound bookkeeping), and
-    * the exact intersection is recomputed per candidate over the full
-    * sets — output identical to [[jaccardPairsExact]] by construction
-    * (PipelineSpec pins the equivalence).
+    * with the full AllPairs/PPJoin filter stack (Xiao et al., "Efficient
+    * Similarity Joins for Near Duplicate Detection"), still recall 1:
+    *
+    *  1. TWO-SIDED prefix join. For J(A,B) ≥ t the required overlap is
+    *     α = ⌈t/(1+t)·(|A|+|B|)⌉, and with the size filter (|B| ≥ t·|A|)
+    *     α ≥ ⌈t·|x|⌉ for BOTH sides, so the (|x|−α+1)-prefixes — the
+    *     ⌊(1−t)·|x|⌋+1 rarest grams under the global (df, h) total
+    *     order — of A and B must SHARE a gram (the prefix-filtering
+    *     principle). Candidates therefore come from the prefix index
+    *     self-joined against itself, not against the full gram table:
+    *     the probe side shrinks from |x| to (1−t)·|x|+1 grams per doc.
+    *  2. SIZE filter at join-row level: J ≥ t forces
+    *     min(|A|,|B|) ≥ t·max(|A|,|B|) — pairs violating it die before
+    *     the pair aggregation ever shuffles them.
+    *  3. POSITIONAL filter per pair: both docs rank grams by the SAME
+    *     (df, h) total order, so among a pair's matching prefix rows
+    *     the row minimizing rn1 also minimizes rn2 (order-agreement).
+    *     For that first shared prefix gram at positions (p1, p2),
+    *     shared grams before it number ≤ min(p1,p2)−1 and after it
+    *     ≤ min(|A|−p1, |B|−p2), so
+    *     overlap ≤ min(p1,p2) + min(|A|−p1, |B|−p2); pairs whose bound
+    *     sits below α never reach the array-intersect verify. This is
+    *     the filter that kills the dense-corpus candidate whales: two
+    *     docs sharing only COMMON grams match late in both prefixes and
+    *     prune here without touching their full gram sets.
+    *
+    * The exact intersection is then recomputed per surviving candidate
+    * over the full sets — output identical to [[jaccardPairsExact]] by
+    * construction (PipelineSpec pins the equivalence; PropertySpec
+    * differentials it against brute force at t ∈ {0.3, 0.6, 0.9}).
+    * All ε-guards lean KEEP (longer prefix, looser bound), so IEEE
+    * rounding can only admit extra candidates, never drop a true pair.
     *
     * What it buys at 100 TB: the inverted index drops each document's
     * commonest grams — exactly the Σ df² whales — keeping only
-    * (1−t)·|A|+1 rare grams per doc, so candidate volume falls
-    * super-proportionally as t rises (the rare grams have small df by
-    * construction). Pays at t ≥ ~0.7; at t = 0.4 on the low-entropy
-    * test corpus the cut is only 1.8× (measured in SCALING.md) — use
-    * [[jaccardPairs]] (LSH) there. The df computation and per-doc
-    * rank are one agg + one bounded window (docs are bounded size);
-    * no global gram sort is needed because (df, h) is itself the
-    * total order. */
+    * (1−t)·|A|+1 rare grams per doc, and the candidate join volume is
+    * now quadratic in the PREFIX postings, not one-sided-linear in the
+    * full postings. Pays at t ≥ ~0.7; at t = 0.4 the prefixes keep
+    * most grams — use [[jaccardPairs]] (LSH) there (SCALING.md
+    * "Jaccard engines"). The df computation and per-doc rank are one
+    * agg + one bounded window (docs are bounded size); no global gram
+    * sort is needed because (df, h) is itself the total order. */
   def jaccardPairsPrefix(
       df: DataFrame, idCol: String, textCol: String,
       shingle: ShingleMode = WordGrams(2), minJaccard: Double = 0.7)(
@@ -539,17 +560,35 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
-    val prefix = ranked
-      .filter(col("rn") <= floor(lit(1.0 - minJaccard) * col("sz")) + lit(1))
-      .select(col("h"), col("id"))
-    val cand = prefix.select(col("h"), col("id").as("id1"))
-      .join(sh.select(col("h"), col("id").as("id2")), Seq("h"))
-      .filter(col("id1") =!= col("id2"))
-      // normalize so each unordered pair counts once regardless of
-      // which side's prefix produced it
-      .select(least(col("id1"), col("id2")).as("id1"),
-        greatest(col("id1"), col("id2")).as("id2"))
-      .distinct()
+    // +1e-9 before floor: (1−t)·sz can land an ULP under its exact
+    // value (0.3·10 = 2.999…96 would floor to 2, not 3) — a too-short
+    // prefix breaks recall, a one-longer prefix only costs candidates
+    val prefix = ctx.stage(ranked
+      .filter(col("rn") <=
+        floor(lit(1.0 - minJaccard) * col("sz") + lit(1e-9)) + lit(1))
+      .select(col("h"), col("id"), col("rn"), col("sz")))
+    // two-sided prefix self-join; id1 < id2 directly (the match-row set
+    // is symmetric, so each unordered pair appears exactly once per
+    // shared prefix gram) + the size filter before any shuffle
+    val matches = prefix
+      .select(col("h"), col("id").as("id1"), col("rn").as("rn1"),
+        col("sz").as("sz1"))
+      .join(prefix.select(col("h"), col("id").as("id2"),
+        col("rn").as("rn2"), col("sz").as("sz2")), Seq("h"))
+      .filter(col("id1") < col("id2"))
+      .filter(least(col("sz1"), col("sz2")).cast("double") + lit(1e-9) >=
+        lit(minJaccard) * greatest(col("sz1"), col("sz2")))
+    // per-pair first shared prefix gram (min rn on both sides — same
+    // row by order-agreement), then the positional overlap bound
+    val alpha = lit(minJaccard / (1.0 + minJaccard))
+    val cand = matches
+      .groupBy(col("id1"), col("id2"))
+      .agg(min(col("rn1")).as("p1"), min(col("rn2")).as("p2"),
+        first(col("sz1")).as("sz1"), first(col("sz2")).as("sz2"))
+      .filter((least(col("p1"), col("p2")) +
+        least(col("sz1") - col("p1"), col("sz2") - col("p2")))
+        .cast("double") + lit(1e-9) >= alpha * (col("sz1") + col("sz2")))
+      .select(col("id1"), col("id2"))
     // verify PPJoin-style: per-pair O(|A|+|B|) via native
     // array_intersect over each doc's gram-set array (bounded per doc)
     // — NOT a re-join against the exploded gram table, whose volume is

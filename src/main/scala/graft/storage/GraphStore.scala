@@ -260,16 +260,29 @@ final class GraphStore(
   private def bucketStateIn(m: Map[String, String], path: String): Option[(Int, Int)] =
     m.get(tableKey(path)).flatMap(parseBucketMarker)
 
+  /** Physical generation number of a `_gen-<n>-<token>` dir name. */
+  private def genOf(dirName: String): Option[Int] =
+    if (!dirName.startsWith("_gen-")) None
+    else dirName.stripPrefix("_gen-").split("-").headOption.flatMap(_.toIntOption)
+
   /** Active data dirs of a BUCKETED table under manifest `m`, bucket
     * index included. Empty buckets are DISTINGUISHABLE from vacuumed
     * ones: commits create the generation dir even when a bucket holds
-    * no rows, so a manifest-named dir that is MISSING means the
-    * generation was vacuumed (or the layout corrupted) and the read
-    * fails loudly instead of silently returning a table missing that
-    * bucket's rows. Pre-upgrade manifests recorded dir-less entries
-    * for empty buckets; those buckets have no `_gen-` dirs at all
-    * under `pkb=<b>/`, which tells them apart from a vacuumed one
-    * (whose bucket dir still holds the newer generations). */
+    * no rows, so a manifest-named dir that is MISSING normally means
+    * the generation was vacuumed (or the layout corrupted) and the
+    * read fails loudly instead of silently returning a table missing
+    * that bucket's rows. The one legitimate missing-dir case is a
+    * PRE-UPGRADE empty bucket: the old commit code wrote no dir for a
+    * bucket its rewrite left empty, while retention could keep the
+    * previous generation's data dir alongside. The two are told apart
+    * by GENERATION NUMBER — the commit protocol creates every named
+    * dir before the manifest CAS and vacuum only removes generations
+    * OLDER than the newest, so if every retained `_gen-` dir in the
+    * bucket is OLDER than the manifest-named one the named generation
+    * can only be a pre-upgrade empty bucket (skip it: its state IS
+    * empty), whereas any retained dir AT or PAST the named generation
+    * proves the named dir itself was removed (a true vacuum of a
+    * still-referenced read — throw). */
   private def bucketDirsIn(
       m: Map[String, String], path: String, nB: Int): Seq[(Int, java.io.File)] =
     (0 until nB).flatMap { b =>
@@ -277,20 +290,19 @@ final class GraphStore(
         val d = new java.io.File(s"${bucketPath(path, b)}/$n")
         if (d.isDirectory) Some(b -> d)
         else {
-          val everWritten = Option(new java.io.File(bucketPath(path, b)).list())
-            .toSeq.flatten.exists(_.startsWith("_gen-"))
-          if (!everWritten) None // pre-upgrade dir-less empty bucket
+          val retained = Option(new java.io.File(bucketPath(path, b)).list())
+            .toSeq.flatten
+          val preUpgradeEmpty = genOf(n) match {
+            case Some(g) => retained.flatMap(genOf).forall(_ < g)
+            case None    => !retained.exists(_.startsWith("_gen-"))
+          }
+          if (preUpgradeEmpty) None
           else throw new IllegalArgumentException(
             s"generation dir $d named by the manifest is not retained " +
               "(vacuumed?) — refusing a silently-partial read")
         }
       }
     }
-
-  /** Whether a generation dir holds any data files (a commit creates
-    * the dir even for an empty bucket — see [[bucketDirsIn]]). */
-  private def hasDataFiles(d: java.io.File): Boolean =
-    dataFilePaths(d).nonEmpty
 
   /** A generation dir's data files, used as the reader's ROOT paths:
     * handing Spark the `_`-prefixed dir itself trips its hidden-path

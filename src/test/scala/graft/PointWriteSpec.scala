@@ -162,6 +162,40 @@ class PointWriteSpec extends SparkTestBase {
     assert(gen2 === Map("a" -> 20L, "b" -> 2L))
   }
 
+  test("pre-upgrade emptied bucket (dir-less gen, older dir retained) reads as empty") {
+    val store = freshStore("pw4b")
+    val tdir = new java.io.File(s"${store.root}/g/nodes/Thing")
+    store.ingestNodes("Thing",
+      (0 until 32).map(i => (s"k$i", i.toLong)).toDF("identifier", "v"))
+    store.updateNodeProps("Thing", Seq(("k0", 10L)).toDF("__key", "v")): Unit // gen 1
+    val nB = store.pkBuckets
+    val byBucket = (0 until 32).map(i => s"k$i").groupBy(bucketOf(_, nB))
+    // empty one populated bucket via a delete (bucket-scoped rewrite →
+    // gen 2 names an EMPTY dir there), then remove that dir to emulate
+    // the pre-upgrade commit layout that never created it — while
+    // retention keeps the bucket's gen-1 data dir alongside
+    val (bVictim, victims) = byBucket.find(_._1 != bucketOf("k0", nB)).get
+    assert(store.deleteNodes("Thing", victims.toDF("k"), detach = false) ===
+      victims.size.toLong)
+    val bDir = new java.io.File(tdir, s"pkb=$bVictim")
+    val named = Option(bDir.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("_gen-2-"))
+    assert(named.nonEmpty, "the emptying rewrite should have created its gen dir")
+    named.foreach { d =>
+      Option(d.listFiles()).toSeq.flatten.foreach(f => assert(f.delete()))
+      assert(d.delete())
+    }
+    assert(Option(bDir.list()).toSeq.flatten.exists(_.startsWith("_gen-1-")),
+      "scenario needs the older generation retained in the bucket")
+    // the read must classify the bucket as pre-upgrade-empty (all
+    // retained gens OLDER than the named one), not as vacuumed
+    val state = store.node("Thing")
+      .select("identifier", "v").as[(String, Long)].collect().toMap
+    assert(state.size === 32 - victims.size)
+    assert(state("k0") === 10L)
+    assert(victims.forall(!state.contains(_)))
+  }
+
   test("a bucketed table reads as ONE FileScan, not a per-bucket union") {
     val store = freshStore("pwplan")
     store.ingestNodes("Thing",
