@@ -82,6 +82,32 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+
+    // QUIET-WINDOW GATE (r12 verdict #2): pass_load columns proved the
+    // r12 artifact ran at loadavg 4.6–8.2, and uniform background load
+    // escapes the per-gate spread rerun entirely. So the run WAITS
+    // (bounded) for the 1-min loadavg to drop under the threshold
+    // before the warmup, then stamps the artifact with the pre-run
+    // load and a quiet_window verdict — a hot wall in a
+    // quiet_window=false artifact is an environment question, never a
+    // code one, answerable from the artifact alone.
+    val quietMax = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble
+    val quietWaitS = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "120").toInt
+    val tWait0 = System.nanoTime()
+    var lNow = loadavg1
+    while (lNow > quietMax &&
+        (System.nanoTime() - tWait0) / 1e9 < quietWaitS) {
+      System.err.println(
+        f"BENCH quiet-window wait: loadavg $lNow%.2f > $quietMax%.2f")
+      Thread.sleep(5000)
+      lNow = loadavg1
+    }
+    val loadInitial = lNow
+    val quietWindow = loadInitial >= 0 && loadInitial <= quietMax
+    if (!quietWindow) System.err.println(
+      f"BENCH WARNING: starting LOADED (loadavg $loadInitial%.2f after " +
+        f"$quietWaitS s wait) — walls in this artifact are NOT steady-state")
+
     names.foreach(runOnce(_, "warmup")) // warmup pass (untimed)
     val passLoad = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Long)]()
     val passes = (1 to 3).map { p =>
@@ -116,7 +142,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val ts = java.time.Instant.now().toString
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","load_initial":${f3(loadInitial)},"quiet_window":$quietWindow,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is the driver contract, but its capture has
     // truncated the tail two rounds running (r6/r7 BENCH artifacts
@@ -140,8 +166,16 @@ object Bench {
     }.mkString("[", ",", "]")
     val rerunJson = reruns.keys.toSeq.sorted
       .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    // per-gate MEDIAN of the three whole-suite passes (reruns
+    // excluded): when min and median agree the wall is steady; a
+    // min ≪ median gate rode one lucky pass through a loaded window —
+    // the t47-style question, answerable from the artifact alone
+    val medians = names.map { n =>
+      val s = passes.map(_(n)).filter(_ >= 0).sorted
+      "\"" + n + "\":" + (if (s.isEmpty) "-1" else f3(s(s.size / 2)))
+    }.mkString("{", ",", "}")
     val fileLine = line.dropRight(1) +
-      s""","pass_walls":$samples,"pass_load":$loadJson,"rerun_gates":$rerunJson}"""
+      s""","pass_walls":$samples,"pass_median":$medians,"pass_load":$loadJson,"rerun_gates":$rerunJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fileLine + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -161,6 +161,10 @@ object ScaleCheck {
       // per-cell writes, all ~k) + a full-probe query (≈ the corpus
       // scan at full probe — partial probes are the serving shape)
       "t58_ivf_persisted",
+      // round 13: the delete-list gates — t56/t58's build shapes plus
+      // one id-filtered scan (the tombstone computation) and the
+      // query-time anti-join; tombstone volume is delete-batch-bounded
+      "t62_bm25_delete", "t63_ivf_delete",
       // Gopher rules: a pure per-row map (regexp counts + fixed
       // array probes) — the flattest possible shape by construction.
       // (t60's pages are fixed-size in-engine synthesis, like t57.)

@@ -125,19 +125,38 @@ object GraphQueries {
     * many times), and what the g08 wall should measure. The scratch
     * root is wiped only when (re)building, so a cached store's files
     * are never deleted under an open reader. */
-  private val chainStores =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.storage.GraphStore]()
+  private val chainStores = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (SparkSession, graft.storage.GraphStore)]()
   // keyed on (session, dir): a store captures its SparkSession, so a
   // session restart must rebuild rather than serve plans bound to the
-  // stopped session
-  private def orderChainStore(spark: SparkSession, dir: String): graft.storage.GraphStore =
+  // stopped session. Every lookup first EVICTS entries whose session
+  // has stopped (and removes their scratch roots) — a long-lived JVM
+  // cycling sessions must not accumulate dead stores on heap or disk.
+  private def orderChainStore(spark: SparkSession, dir: String): graft.storage.GraphStore = {
+    val it = chainStores.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue._1.sparkContext.isStopped) {
+        it.remove()
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(e.getValue._2.root)) // no readers: session dead
+      }
+    }
     chainStores.computeIfAbsent((sessionToken(spark), dir),
-      _ => buildOrderChainStore(spark, dir))
+      _ => (spark, buildOrderChainStore(spark, dir)))._2
+  }
 
   /** Identity token for a session instance (a restarted session is a
-    * NEW instance and must not reuse the old instance's stores). */
+    * NEW instance and must not reuse the old instance's stores).
+    * applicationId + context start time + identity hash: two live
+    * instances can never share all three, unlike a bare
+    * identityHashCode (which the JVM may reuse across instances). */
   private def sessionToken(spark: SparkSession): String =
-    Integer.toHexString(System.identityHashCode(spark))
+    s"${spark.sparkContext.applicationId}-${spark.sparkContext.startTime}-" +
+      Integer.toHexString(System.identityHashCode(spark))
 
   private def buildOrderChainStore(spark: SparkSession, dir: String) = {
     import org.apache.spark.sql.expressions.Window

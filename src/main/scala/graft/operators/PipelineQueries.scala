@@ -635,6 +635,68 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Document deletion from the persisted BM25 index
+    * ([[graft.storage.Bm25Index.delete]], the Lucene delete-list
+    * pattern): the corpus lands in TWO appends, every tenth doc is
+    * then TOMBSTONED — no data segment rewritten, one `del-` manifest
+    * entry carrying the ids, per-term df decrements and stats
+    * adjustments — and the three t47 queries rank against the
+    * tombstoned head. The oracle is the inline BM25 replay over the
+    * corpus WITHOUT those docs: a hash match proves query-time
+    * tombstone folding (postings anti-join, df decrements, stats
+    * subtraction) is indistinguishable from an index rebuilt without
+    * the deleted documents. */
+  def t62Bm25Delete(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-stgate", "t62")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val docs = Tables.documents(spark, dir)
+    val idx = new graft.storage.Bm25Index(spark, base.toString, nBuckets = 16)
+    idx.append(docs.filter(col("doc_id") % 4 < 3), "doc_id", "text")
+    idx.append(docs.filter(col("doc_id") % 4 === 3), "doc_id", "text")
+    idx.delete(docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")), "doc_id"): Unit
+    idx.topDocs(Seq(
+        (1L, "dup join"),
+        (2L, "hash table scan"),
+        (3L, "spark window agg")), k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Vector deletion from the persisted IVF index
+    * ([[graft.storage.IvfIndex.delete]]): two appends, then a
+    * tombstoned subset (`vec_id % 7 = 3`), then a FULL-probe query
+    * against the tombstoned head — no data segment rewritten. The
+    * oracle is brute-force cosine over the SURVIVING vectors: a hash
+    * match proves the cell-pruned scan + tombstone anti-join returns
+    * exactly what an index rebuilt without those vectors would. */
+  def t63IvfDelete(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-stgate", "t63")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val emb = Tables.embeddings(spark, dir)
+    val idx = new graft.storage.IvfIndex(spark, base.toString, nCells = 16)
+    idx.append(emb.filter(col("vec_id") % 4 < 3), "vec_id", "embedding")
+    idx.append(emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
+    idx.delete(emb.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id")), "vec_id"): Unit
+    idx.topK(
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 5, nProbe = 16, excludeSelf = true)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** C4 page/line cleaning ([[CurationPipeline.c4Clean]], Raffel et
     * al. arXiv:1910.10683 §2.2) over 150 synthetic multi-line pages —
     * the testdata corpus carries no newlines or punctuation, so the
@@ -1214,6 +1276,8 @@ object PipelineQueries {
     "t56_bm25_persisted" -> t56Bm25Persisted _,
     "t57_image_near_dup" -> t57ImageNearDup _,
     "t58_ivf_persisted" -> t58IvfPersisted _,
+    "t62_bm25_delete" -> t62Bm25Delete _,
+    "t63_ivf_delete" -> t63IvfDelete _,
     "t59_gopher_rules" -> t59GopherRules _,
     "t60_c4_clean" -> t60C4Clean _,
     "t61_jaccard_auto_route" -> t61JaccardAutoRoute _,
@@ -1641,6 +1705,13 @@ object PipelineQueries {
     // the persisted segmented index (t56) must be score-identical to
     // the inline single-pass build — SAME replay
     "t56_bm25_persisted" -> bm25Oracle,
+    // t62: the tombstoned index must score identically to an index
+    // REBUILT without the deleted docs — same replay over the
+    // surviving corpus (only the corpus CTE differs from t47/t56)
+    "t62_bm25_delete" -> bm25Oracle.replaceFirst(
+      java.util.regex.Pattern.quote("FROM documents, unnest"),
+      java.util.regex.Matcher.quoteReplacement(
+        "FROM (SELECT * FROM documents WHERE doc_id % 10 <> 0) documents, unnest")),
     // add-1 bigram LM trained on the en slice; bigram stream replayed
     // via t30's comprehension windows, OOV prefixes at the 1/V floor
     "t49_perplexity" ->
@@ -2277,6 +2348,35 @@ object PipelineQueries {
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
                     (a, b) -> a + b))), 6) AS cosine
            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+           FROM scored)
+         SELECT qid, id, cosine, rank FROM ranked WHERE rank <= 5
+         ORDER BY qid, rank""",
+    // t63: the tombstoned inverted file at FULL probe must return the
+    // brute-force neighbor set over the SURVIVING vectors — the t58
+    // replay with the deleted ids filtered out of the corpus side
+    "t63_ivf_delete" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                    WHERE vec_id < 3),
+         scored AS (
+           SELECT q.qid, e.vec_id AS id,
+             round(
+               list_reduce(list_prepend(0.0,
+                 list_transform(list_zip(e.embedding, q.qv),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                 (a, b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(q.qv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, b) -> a + b))), 6) AS cosine
+           FROM (SELECT * FROM embeddings WHERE vec_id % 7 <> 3) e
+             CROSS JOIN q WHERE e.vec_id <> q.qid),
          ranked AS (
            SELECT *, ROW_NUMBER() OVER
              (PARTITION BY qid ORDER BY cosine DESC, id) AS rank

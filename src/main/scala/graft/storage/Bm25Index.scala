@@ -79,6 +79,14 @@ final class Bm25Index(
   private def newSegDir(n: Int) = new java.io.File(dir,
     s"seg-$n-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}")
 
+  /** A new, writer-unique DELETE-list directory (tombstone segment —
+    * the Lucene liveDocs pattern expressed as manifest entries). */
+  private def newDelDir(n: Int) = new java.io.File(dir,
+    s"del-$n-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}")
+
+  /** Whether a manifest entry names a tombstone (delete-list) segment. */
+  private def isDel(name: String): Boolean = name.startsWith("del-")
+
   /** Manifest head: (version, committed segment names). (0, Nil) =
     * empty index. */
   private def readHead(): (Int, Seq[String]) = {
@@ -216,8 +224,96 @@ final class Bm25Index(
     }
   }
 
-  /** Committed segment names at the current head (spec surface). */
+  /** Committed segment names at the current head (spec surface) —
+    * data segments AND tombstone (`del-`) segments, in manifest order. */
   def segments: Seq[String] = readHead()._2
+
+  /** Drop documents from the index WITHOUT rewriting any data segment
+    * — the Lucene delete-list pattern: a tombstone segment
+    * `del-<n>-<tok>/` carrying the deleted ids, per-term df decrements
+    * and (n_docs, Σdl) stats adjustments is CAS-committed as one more
+    * manifest entry. [[topDocs]] anti-joins postings against the
+    * tombstones and folds the df/stats adjustments, so post-delete
+    * scores are IDENTICAL to an index rebuilt without those docs (the
+    * t62 driver gate pins exactly that); [[compact]] folds tombstones
+    * physically and the merged manifest carries none.
+    *
+    * Manifest ORDER scopes a tombstone: it suppresses only data
+    * segments committed BEFORE it, so a later re-append of the same id
+    * is a new live document (re-curation, not resurrection). The
+    * adjustments are computed from the ids' LIVE posting rows at
+    * delete time — deleting an absent or already-deleted id
+    * contributes zero, which makes the operation idempotent in effect;
+    * `batchTag` additionally short-circuits an at-least-once replay
+    * before it re-scans anything (same contract as [[append]]).
+    *
+    * Cost shape: one postings scan FILTERED by the requested ids (ids
+    * are not the partition key, so the scan is not pruned — the
+    * takedown bill is a read of the index, never a rewrite of it; the
+    * rewrite happens once, amortized, at the next [[compact]]).
+    * Returns the number of documents actually tombstoned. */
+  def delete(ids: DataFrame, idCol: String,
+      batchTag: Option[String] = None): Long = {
+    val (baseVer, segs) = readHead()
+    if (batchTag.exists(t => segs.flatMap(tagsOf).contains(t))) return 0L
+    val entries = segs.zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    if (dataSegs.isEmpty) return 0L
+    val want = ids.select(col(idCol).as("id")).distinct()
+    val posts = dataSegs.map { case (s, i) =>
+      spark.read.parquet(s"$path/$s/postings").withColumn("__ord", lit(i))
+    }.reduce(_.unionByName(_)).join(want, Seq("id"))
+    val live = minusDeleted(posts, entries.filter(e => isDel(e._1))).persist()
+    try {
+      val dls = live.groupBy(col("id")).agg(first(col("dl")).as("dl"))
+      val st = dls.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s")).collect()(0)
+      val nDel = st.getLong(0)
+      if (nDel == 0L) return 0L // nothing live — nothing to publish
+      val del = newDelDir(baseVer + 1)
+      // tombstone ids: only the LIVE ones (minimal tombstones; an id
+      // never present or already dead is not re-recorded). Takedown
+      // batches are id-bounded — one file is the right layout.
+      live.select(col("id")).distinct().coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
+      // per-term df decrements, bucket-partitioned EXACTLY like dfreq
+      // so the query path prunes adjustments with the same literal
+      // bucket filter as the tables they adjust
+      live.groupBy(col("bucket"), col("term"))
+        .agg(count(lit(1)).as("ddf"))
+        .repartition(nBuckets, col("bucket"))
+        .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+        .parquet(s"$del/dfadj")
+      java.nio.file.Files.write(new java.io.File(del, "_stats").toPath,
+        s"$nDel ${st.getLong(1)}\n".getBytes("UTF-8"))
+      batchTag.foreach(t => java.nio.file.Files.write(
+        new java.io.File(del, "_batch").toPath, s"$t\n".getBytes("UTF-8")))
+      val body = (segs :+ del.getName).mkString("", "\n", "\n")
+      if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
+          body.getBytes("UTF-8"))) {
+        rmTree(del)
+        throw new CommitConflictException(s"bm25:$path", baseVer + 1)
+      }
+      nDel
+    } finally { live.unpersist(false); () }
+  }
+
+  /** Anti-join `posts` (posting rows carrying a manifest-ordinal
+    * `__ord` column) against every tombstone that OUTRANKS the row's
+    * segment — the manifest-order scoping rule. No tombstones = the
+    * plan untouched. */
+  private def minusDeleted(
+      posts: DataFrame, delSegs: Seq[(String, Int)]): DataFrame =
+    if (delSegs.isEmpty) posts
+    else {
+      val dels = delSegs.map { case (s, i) =>
+        spark.read.parquet(s"$path/$s/ids")
+          .select(col("id").as("__did")).withColumn("__dord", lit(i))
+      }.reduce(_.unionByName(_))
+      posts.join(dels,
+        posts("id") === dels("__did") && dels("__dord") > posts("__ord"),
+        "left_anti")
+    }
 
   /** Merge every committed segment into ONE new segment and publish a
     * manifest naming only it. Per-batch streaming appends
@@ -235,33 +331,51 @@ final class Bm25Index(
     * [[CommitConflictException]] with the orphan cleaned up. */
   def compact(): Unit = {
     val (baseVer, segs) = readHead()
-    if (segs.size <= 1) return // already compact
+    val entries = segs.zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    val delSegs = entries.filter(e => isDel(e._1))
+    if (dataSegs.isEmpty) return // nothing to rewrite
+    if (dataSegs.size <= 1 && delSegs.isEmpty) return // already compact
     val seg = newSegDir(baseVer + 1)
-    def unionOf(sub: String): DataFrame =
-      segs.map(s => spark.read.parquet(s"$path/$s/$sub"))
-        .reduce(_.unionByName(_))
+    // tombstones FOLD here: the merged postings drop deleted rows, the
+    // merged dfreq absorbs the df decrements, the merged stats the
+    // (n, Σdl) adjustments — and the new manifest names no del- entry
+    val postings = minusDeleted(
+      dataSegs.map { case (s, i) =>
+        spark.read.parquet(s"$path/$s/postings").withColumn("__ord", lit(i))
+      }.reduce(_.unionByName(_)), delSegs).drop("__ord")
+    val dfreq = (dataSegs.map { case (s, _) =>
+      spark.read.parquet(s"$path/$s/dfreq") } ++
+      delSegs.map { case (s, _) =>
+        spark.read.parquet(s"$path/$s/dfadj")
+          .select(col("bucket"), col("term"), (-col("ddf")).as("df")) })
+      .reduce(_.unionByName(_))
+      .groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
     // posting-file sizing WITHOUT an extra counting job: Σ dl from the
     // per-segment stats bounds the posting-row count from above (a
     // posting row is ≥1 token), so the rewrite gets at least the
     // parallelism the true volume needs
-    val sumDl = segs.map(readStats).map(_._2).sum
+    val sumDl = dataSegs.map(e => readStats(e._1)).map(_._2).sum
     // the two rewrites read disjoint inputs — concurrent write jobs,
     // the append() discipline (per-job floor dominates at batch scale)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val writes = Seq(
       Future {
-        writeBucketed(unionOf("postings"), s"$seg/postings", sumDl, col("id"))
+        writeBucketed(postings, s"$seg/postings", sumDl, col("id"))
       },
       Future {
-        unionOf("dfreq")
-          .groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df"))
+        dfreq
           .repartition(nBuckets, col("bucket"))
           .write.partitionBy("bucket").mode(SaveMode.Overwrite)
           .parquet(s"$seg/dfreq")
       })
     writes.foreach(Await.result(_, scala.concurrent.duration.Duration(600, "s")))
-    val (n, s) = segs.map(readStats).reduce((a, x) => (a._1 + x._1, a._2 + x._2))
+    val (dn, ds) = dataSegs.map(e => readStats(e._1))
+      .reduce((a, x) => (a._1 + x._1, a._2 + x._2))
+    val (n, s) = delSegs.map(e => readStats(e._1))
+      .foldLeft((dn, ds))((a, x) => (a._1 - x._1, a._2 - x._2))
     java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
       s"$n $s\n".getBytes("UTF-8"))
     // the merged segment inherits every constituent batch tag, so
@@ -295,7 +409,8 @@ final class Bm25Index(
         .linesIterator.map(_.trim).filter(_.nonEmpty)
     }.toSet
     val dead = Option(dir.list()).toSeq.flatten
-      .filter(n => n.startsWith("seg-") && !live.contains(n))
+      .filter(n => (n.startsWith("seg-") || n.startsWith("del-")) &&
+        !live.contains(n))
     dead.foreach(n => rmTree(new java.io.File(dir, n)))
     vs.dropRight(2).foreach(v => manifestFile(v).delete())
     dead.sorted
@@ -328,7 +443,10 @@ final class Bm25Index(
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
     val (_, segs) = readHead()
-    require(segs.nonEmpty, s"empty BM25 index at $path")
+    val entries = segs.zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    val delSegs = entries.filter(e => isDel(e._1))
+    require(dataSegs.nonEmpty, s"empty BM25 index at $path")
     val qterms = queries.flatMap { case (qid, text) =>
       text.split(" ").filter(_.nonEmpty).distinct.map(qid -> _)
     }
@@ -339,17 +457,36 @@ final class Bm25Index(
     val buckets: Seq[Int] = qterms.map { case (_, t) =>
       Bm25Index.bucketOf(t, nBuckets).toInt
     }.distinct
-    def unionRead(sub: String): DataFrame =
-      segs.map { s =>
-        spark.read.parquet(s"$path/$s/$sub")
-          .filter(col("bucket").isin(buckets: _*))
-      }.reduce(_.unionByName(_))
-    val (nDocs, sumDl) = segs.map(readStats)
-      .reduce((a, x) => (a._1 + x._1, a._2 + x._2))
-    val avgdl = sumDl.toDouble / nDocs
-    val dfreq = unionRead("dfreq")
+    def bucketRead(seg: String, sub: String): DataFrame =
+      spark.read.parquet(s"$path/$seg/$sub")
+        .filter(col("bucket").isin(buckets: _*))
+    // tombstones fold in three places, each pruned/scoped the same way
+    // as the table it adjusts: stats by subtraction, dfreq by the
+    // bucket-partitioned df decrements, postings by the manifest-order
+    // anti-join. With no tombstones every plan is untouched.
+    val (nDocs, sumDl) = delSegs.map(e => readStats(e._1))
+      .foldLeft(dataSegs.map(e => readStats(e._1))
+        .reduce((a, x) => (a._1 + x._1, a._2 + x._2)))(
+        (a, x) => (a._1 - x._1, a._2 - x._2))
+    // all-deleted head: every posting row is tombstoned below, so the
+    // result is empty regardless of avgdl — guard the division only
+    val avgdl = sumDl.toDouble / math.max(nDocs, 1L)
+    val dfreq = (dataSegs.map(e => bucketRead(e._1, "dfreq")) ++
+      delSegs.map { case (s, _) =>
+        bucketRead(s, "dfadj")
+          .select(col("bucket"), col("term"), (-col("ddf")).as("df")) })
+      .reduce(_.unionByName(_))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    val scored = unionRead("postings")
+      .filter(col("df") > 0)
+    val posts =
+      if (delSegs.isEmpty)
+        dataSegs.map(e => bucketRead(e._1, "postings"))
+          .reduce(_.unionByName(_))
+      else minusDeleted(
+        dataSegs.map { case (s, i) =>
+          bucketRead(s, "postings").withColumn("__ord", lit(i))
+        }.reduce(_.unionByName(_)), delSegs).drop("__ord")
+    val scored = posts
       .join(broadcast(qtermsDf), Seq("term"))
       .join(dfreq, Seq("term"))
       .withColumn("idf",

@@ -956,10 +956,19 @@ final class GraphStore(
     // Point-write scope (the updateNodeProps discipline): on a
     // bucketed table, deleting keys only rewrites the buckets those
     // keys hash into. Relationship tables bucket on SRC, so a
-    // FROM-side detach is bucket-scoped the same way; a TO-side
-    // detach's victims can sit in ANY src bucket — whole-table there
-    // (at 100 TB a reverse-heavy delete pattern wants a dst-bucketed
-    // companion table, the classic both-directions trade).
+    // FROM-side detach hashes the keys driver-side; a TO-side detach's
+    // victims can sit in ANY src bucket, so it PROBES first — one
+    // dst+src column scan with the key set pushed into the parquet
+    // reader (row-group min/max stats, the min-max sidecar the format
+    // already maintains, skip non-matching groups for free) that
+    // returns exactly the src buckets holding a victim row. The
+    // rewrite then touches only those buckets: bytes WRITTEN scale
+    // with the victims' actual in-edge placement, never the table, and
+    // a key with no in-edges skips the rel table entirely. The probe
+    // read is O(two columns of the table) — the deliberate trade
+    // against maintaining a custom per-bucket dst sidecar on every
+    // ingest (write-path cost + a staleness protocol) for an operation
+    // that is rare and whose bill was the REWRITE.
     val m0 = readManifest()
     // one collect of the (driver-small) key set; per-table bucket sets
     // re-hash driver-side since each table freezes its own count
@@ -970,15 +979,36 @@ final class GraphStore(
         bucketsOfKeys(keyStrings, nB) }
     val relWrites: Seq[(String, DataFrame, Option[Seq[Int]])] =
       if (!detach) Nil
-      else touching.filter(r => exists(relPath(r.name))).map { r =>
+      else touching.filter(r => exists(relPath(r.name))).flatMap { r =>
         val path = relPath(r.name)
-        val scope = if (r.to == label) None else scopeOf(path)
-        var kept = readTableState(path, schema.rel(r.name).structType, scope)
-        if (r.from == label)
-          kept = kept.join(k, kept("src").cast("string") === k("__key"), "left_anti")
-        if (r.to == label)
-          kept = kept.join(k, kept("dst").cast("string") === k("__key"), "left_anti")
-        (path, kept, scope)
+        val declared = schema.rel(r.name).structType
+        val scope: Option[Seq[Int]] = bucketStateIn(m0, path) match {
+          case None => None // unbucketed: first rewrite bucketizes
+          case Some((_, nB)) =>
+            val fromSide =
+              if (r.from == label) bucketsOfKeys(keyStrings, nB) else Nil
+            val toSide =
+              if (r.to != label) Nil
+              else {
+                val st = readTableState(path, declared)
+                st.join(k, st("dst").cast("string") === k("__key"),
+                    "left_semi")
+                  .select(bucketExpr(col("src"), nB).as("__b")).distinct()
+                  .collect().map(_.getLong(0).toInt).toSeq
+              }
+            Some((fromSide ++ toSide).distinct.sorted)
+        }
+        if (scope.exists(_.isEmpty)) None // no touching rows anywhere
+        else {
+          var kept = readTableState(path, declared, scope)
+          if (r.from == label)
+            kept = kept.join(k, kept("src").cast("string") === k("__key"),
+              "left_anti")
+          if (r.to == label)
+            kept = kept.join(k, kept("dst").cast("string") === k("__key"),
+              "left_anti")
+          Some((path, kept, scope))
+        }
       }
     if (!exists(nodePath(label))) {
       if (relWrites.nonEmpty) commitTables(relWrites)

@@ -68,6 +68,15 @@ final class IvfIndex(
     * only the manifest CAS decides whose name becomes visible. */
   private def newSegDir(n: Int) = new java.io.File(dir,
     s"seg-$n-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}")
+
+  /** A new, writer-unique DELETE-list directory (tombstone segment —
+    * the [[Bm25Index]] delete-list pattern). */
+  private def newDelDir(n: Int) = new java.io.File(dir,
+    s"del-$n-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}")
+
+  /** Whether a manifest entry names a tombstone (delete-list) segment. */
+  private def isDel(name: String): Boolean = name.startsWith("del-")
+
   private def centroidsFile = new java.io.File(dir, "_centroids")
 
   /** Manifest head: (version, committed segment names). (0, Nil) =
@@ -111,8 +120,77 @@ final class IvfIndex(
       .map(_.split(",").map(_.toDouble).toSeq).toSeq)
   }
 
-  /** Committed segment names at the current head (spec surface). */
+  /** Committed segment names at the current head (spec surface) —
+    * data segments AND tombstone (`del-`) segments, in manifest order. */
   def segments: Seq[String] = segsOf(readHead()._2)
+
+  /** Drop vectors from the index WITHOUT rewriting any data segment —
+    * the [[Bm25Index.delete]] tombstone pattern: a `del-<n>-<tok>/ids/`
+    * list is CAS-committed as one more manifest entry; [[topK]]
+    * anti-joins candidates against it, [[compact]] and [[retrain]]
+    * fold it physically. Manifest order scopes the tombstone (it
+    * suppresses only EARLIER segments), so re-appending a deleted id
+    * later is a new live vector. Only ids currently LIVE are recorded
+    * — deleting an absent or already-deleted id contributes zero, so
+    * the call is idempotent in effect. Cost shape: one id-filtered
+    * scan of the corpus (ids are not the partition key — a takedown
+    * reads the index, never rewrites it). Returns the count actually
+    * tombstoned. */
+  def delete(ids: DataFrame, idCol: String): Long = {
+    val (baseVer, lines) = readHead()
+    val entries = segsOf(lines).zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    if (dataSegs.isEmpty) return 0L
+    val want = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val live = minusDeleted(
+      dataSegs.map { case (s, i) =>
+        spark.read.parquet(s"$path/$s/vectors").withColumn("__ord", lit(i))
+      }.reduce(_.unionByName(_)).join(want, Seq("id")),
+      entries.filter(e => isDel(e._1)))
+      .select(col("id")).distinct().persist()
+    try {
+      val nDel = live.count()
+      if (nDel == 0L) return 0L
+      val del = newDelDir(baseVer + 1)
+      live.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
+      val body = (lines :+ del.getName).mkString("", "\n", "\n")
+      if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
+          body.getBytes("UTF-8"))) {
+        rmTree(del)
+        throw new CommitConflictException(s"ivf:$path", baseVer + 1)
+      }
+      nDel
+    } finally { live.unpersist(false); () }
+  }
+
+  /** Anti-join vector rows (carrying a manifest-ordinal `__ord`
+    * column) against every tombstone that outranks their segment. */
+  private def minusDeleted(
+      rows: DataFrame, delSegs: Seq[(String, Int)]): DataFrame =
+    if (delSegs.isEmpty) rows
+    else {
+      val dels = delSegs.map { case (s, i) =>
+        spark.read.parquet(s"$path/$s/ids")
+          .select(col("id").as("__did")).withColumn("__dord", lit(i))
+      }.reduce(_.unionByName(_))
+      rows.join(dels,
+        rows("id") === dels("__did") && dels("__dord") > rows("__ord"),
+        "left_anti")
+    }
+
+  /** The head's data rows with tombstones applied — the single live
+    * view [[compact]] and [[retrain]] rewrite from. */
+  private def liveVectors(entries: Seq[(String, Int)]): DataFrame = {
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    val delSegs = entries.filter(e => isDel(e._1))
+    if (delSegs.isEmpty)
+      dataSegs.map(e => spark.read.parquet(s"$path/${e._1}/vectors"))
+        .reduce(_.unionByName(_))
+    else minusDeleted(
+      dataSegs.map { case (s, i) =>
+        spark.read.parquet(s"$path/$s/vectors").withColumn("__ord", lit(i))
+      }.reduce(_.unionByName(_)), delSegs).drop("__ord")
+  }
 
   /** Merge every committed segment into ONE new segment (one file per
     * cell) and publish a manifest naming only it — the [[Bm25Index
@@ -124,11 +202,13 @@ final class IvfIndex(
     * in-flight readers until [[vacuum]]. */
   def compact(): Unit = {
     val (baseVer, lines) = readHead()
-    val segs = segsOf(lines)
-    if (segs.size <= 1) return // already compact
+    val entries = segsOf(lines).zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    if (dataSegs.isEmpty) return // nothing to rewrite
+    if (dataSegs.size <= 1 && entries.size == dataSegs.size)
+      return // already compact, no tombstones to fold
     val seg = newSegDir(baseVer + 1)
-    segs.map(s => spark.read.parquet(s"$path/$s/vectors"))
-      .reduce(_.unionByName(_))
+    liveVectors(entries)
       .repartition(nCells, col("cell"))
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$seg/vectors")
@@ -161,10 +241,12 @@ final class IvfIndex(
     * for re-clustering; schedule it off drift metrics, not per batch. */
   def retrain(): Unit = {
     val (baseVer, lines) = readHead()
-    val segs = segsOf(lines)
-    require(segs.nonEmpty, s"empty IVF index at $path")
-    val all = segs.map(s => spark.read.parquet(s"$path/$s/vectors"))
-      .reduce(_.unionByName(_))
+    val entries = segsOf(lines).zipWithIndex
+    require(entries.exists(e => !isDel(e._1)), s"empty IVF index at $path")
+    // tombstones fold here too: the fresh sample and the re-assigned
+    // segment both come from the LIVE view, so a retrain after heavy
+    // deletion re-centers on what actually remains
+    val all = liveVectors(entries)
     val trained = graft.operators.Similarity.ivfTrain(
       all.select(col("id"), col("v")), "id", "v", nCells)
     val tok = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -200,7 +282,8 @@ final class IvfIndex(
         .linesIterator.map(_.trim).filter(_.nonEmpty)
     }.toSet
     val dead = Option(dir.list()).toSeq.flatten
-      .filter(n => n.startsWith("seg-") && !live.contains(n))
+      .filter(n => (n.startsWith("seg-") || n.startsWith("del-")) &&
+        !live.contains(n))
     dead.foreach(n => rmTree(new java.io.File(dir, n)))
     // retired centroid versions fall out with the manifests that named
     // them (the un-versioned `_centroids` fallback always stays: any
@@ -299,8 +382,10 @@ final class IvfIndex(
       s"nProbe must be in [1, $nCells]")
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val segs = segsOf(readHead()._2)
-    require(segs.nonEmpty, s"empty IVF index at $path")
+    val entries = segsOf(readHead()._2).zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    val delSegs = entries.filter(e => isDel(e._1))
+    require(dataSegs.nonEmpty, s"empty IVF index at $path")
     val cents = centroids.get
     val q = queries.select(
       col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
@@ -313,10 +398,19 @@ final class IvfIndex(
     // partition values parse back as INT — keep the literal type exact
     // so the isin stays a plain partition filter
     val cells: Seq[Int] = probes.map(_._2).distinct
-    val base = segs.map { s =>
-      spark.read.parquet(s"$path/$s/vectors")
-        .filter(col("cell").isin(cells: _*))
-    }.reduce(_.unionByName(_))
+    // tombstones apply AFTER cell pruning: the anti-join touches only
+    // probed-cell rows; with none, the plan is untouched
+    val base =
+      if (delSegs.isEmpty)
+        dataSegs.map { case (s, _) =>
+          spark.read.parquet(s"$path/$s/vectors")
+            .filter(col("cell").isin(cells: _*))
+        }.reduce(_.unionByName(_))
+      else minusDeleted(
+        dataSegs.map { case (s, i) =>
+          spark.read.parquet(s"$path/$s/vectors")
+            .filter(col("cell").isin(cells: _*)).withColumn("__ord", lit(i))
+        }.reduce(_.unionByName(_)), delSegs).drop("__ord")
     val candRaw = base
       .join(broadcast(probes.toDF("qid", "cell")), Seq("cell"))
       .join(broadcast(q.withColumn("nq", l2Norm(col("qv")))), Seq("qid"))

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-import graft.schema.{GraftType, GraphSchema, NodeDef, Property}
+import graft.schema.{GraftType, GraphSchema, NodeDef, Property, RelDef}
 import graft.storage.GraphStore
 
 /** Scale evidence for pk-hash-bucketed point writes: at k× node rows,
@@ -76,6 +76,62 @@ object PointWriteScale {
         f""""bucketize":$tBucketize%.2f,"point_write":$tPoint%.2f,""" +
         f""""whole_rewrite":$tWhole%.2f,"read_all":$tRead%.2f,""" +
         f""""whole_over_point":${tWhole / tPoint}%.1f}""")
+      def rm(f: java.io.File): Boolean =
+        Option(f.listFiles()).forall(_.forall(rm)) && f.delete()
+      rm(new java.io.File(root)); ()
+    }
+
+    // REL tier (round 13): the TO-side DETACH DELETE bill. The rel
+    // table buckets on SRC, so deleting a User (the DST of LIKED)
+    // historically rewrote the WHOLE rel table. The probe path scans
+    // dst+src once (parquet row-group stats prune for free) and
+    // rewrites only the buckets holding victims — this harness times
+    // both shapes at k× rel rows for a single-node delete whose
+    // in-edges all sit in ONE src bucket.
+    val relSchema = GraphSchema("pwrscale", "1.0",
+      Seq(NodeDef("User", Seq(
+          Property("identifier", GraftType.STRING, isPrimaryKey = true))),
+        NodeDef("Item", Seq(
+          Property("identifier", GraftType.STRING, isPrimaryKey = true)))),
+      Seq(RelDef("LIKED", "Item", "User", Seq(
+        Property("payload", GraftType.STRING)))))
+    ks.foreach { k =>
+      val n = 100000L * k
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-pwrscale-x$k").toString
+      val tableBytes = n * (40L + 32L * payloadRep)
+      val buckets = math.max(16L,
+        (tableBytes + (128L << 20) - 1) / (128L << 20)).toInt
+      val store = new GraphStore(spark, root, "g", relSchema,
+        pkBuckets = buckets)
+      // users are few (delete targets); each user's n/1000 in-edges
+      // all come from its paired item, so one user's victims live in
+      // ONE src bucket — the shape the probe's pruning is for
+      spark.range(1000).select(concat(lit("u"), col("id")).as("identifier"))
+        .write.mode("overwrite").parquet(s"$root/g/nodes/User")
+      val rels = spark.range(n).select(
+        concat(lit("i"), pmod(col("id"), lit(1000L))).as("src"),
+        concat(lit("u"), pmod(col("id"), lit(1000L))).as("dst"),
+        repeat(md5(col("id").cast("string")), payloadRep).as("payload"))
+      val tIngest = time(rels
+        .write.mode("overwrite")
+        .option("parquet.block.size", 32 * 1024 * 1024)
+        .parquet(s"$root/g/rels/LIKED"))
+      // first detach bucketizes LIKED (whole-table by design)
+      val tBucketize = time(
+        store.deleteNodes("User", Seq("u0").toDF("k"), detach = true))
+      // the probe path: one dst+src column scan + a rewrite scoped to
+      // the victim rows' src buckets
+      val tProbe = time(
+        store.deleteNodes("User", Seq("u1").toDF("k"), detach = true))
+      // the pre-round-13 shape: same state change as a WHOLE-table
+      // rel rewrite
+      val tWhole = time(store.commitGenerations(Seq(
+        s"$root/g/rels/LIKED" -> store.rel("LIKED"))))
+      println(f"""PWRSCALE {"k":$k,"rel_rows":$n,"buckets":$buckets,""" +
+        f""""ingest":$tIngest%.2f,"bucketize_detach":$tBucketize%.2f,""" +
+        f""""probe_detach":$tProbe%.2f,"whole_rewrite":$tWhole%.2f,""" +
+        f""""whole_over_probe":${tWhole / tProbe}%.1f}""")
       def rm(f: java.io.File): Boolean =
         Option(f.listFiles()).forall(_.forall(rm)) && f.delete()
       rm(new java.io.File(root)); ()

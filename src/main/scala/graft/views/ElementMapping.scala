@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
   * Output: one row per (target element, group keys): the group keys,
   * `element_id` = target, `element_name` = the target's post-colon
   * local name (py:155), and the aggregated value under the input's
-  * value column name. The reference additionally carries every other
+  * value column name. When NO association matches any fact (or the
+  * fact input is empty) the ORIGINAL fact frame passes through
+  * unchanged — the reference's aggregated-rows-empty return (py:91),
+  * replicated here. The reference additionally carries every other
   * column of an arbitrary first row of the group; that carryover is
   * row-order-defined and is deliberately not reproduced.
   *
@@ -117,7 +120,7 @@ object ElementMapping {
         min_by(v, ord).as("__first"),
         max_by(v, ord).as("__last"))
       .join(broadcast(method), Seq("targetElement"))
-    agg.select(
+    val out = agg.select(
       col("targetElement").as("element_id") +:
         regexp_replace(col("targetElement"), "^.*:", "").as("element_name") +:
         groupCols.map(col) :+
@@ -127,5 +130,12 @@ object ElementMapping {
           .when(col("__method") === "last", col("__last"))
           .otherwise(col("__sum")) // sum / calculated / unknown
           .as(valueCol): _*)
+    // reference parity (element_mapping.py:91/:183): when NO
+    // association matches any fact — including empty fact input — the
+    // ORIGINAL frame passes through unchanged (aggregated_rows empty ⇒
+    // return facts), schema and all. The emptiness probe is one
+    // limit-1 action over the aggregated view, whose row count is
+    // bounded by targets × groups — never the fact volume.
+    if (out.isEmpty) facts else out
   }
 }

@@ -238,27 +238,69 @@ class PointWriteSpec extends SparkTestBase {
     def snap(d: java.io.File) = (0 until nB).map(b =>
       b -> listing(new java.io.File(d, s"pkb=$b"))).toMap
 
+    val likedDir = new java.io.File(s"$root/g/rels/LIKED")
     val target = users.find(u => u != "u0" &&
       bucketOf(u, nB) != bucketOf("u0", nB)).get
     val bT = bucketOf(target, nB)
-    val (userBefore, ownsBefore) = (snap(userDir), snap(ownsDir))
+    // LIKED is TO-side for User: its victim row (i<k> → <target>) sits
+    // in the bucket of its SRC item — the probe must find exactly it
+    val bLiked = bucketOf("i" + target.stripPrefix("u"), nB)
+    val (userBefore, ownsBefore, likedBefore) =
+      (snap(userDir), snap(ownsDir), snap(likedDir))
     assert(store.deleteNodes("User", Seq(target).toDF("k"), detach = true) === 1L)
-    val (userAfter, ownsAfter) = (snap(userDir), snap(ownsDir))
-    // only the deleted key's bucket changed — in the node table AND in
-    // the src-keyed OWNS table (LIKED keys on Item src, so the victim
-    // row can sit in any bucket: whole-table there, correctness below)
+    val (userAfter, ownsAfter, likedAfter) =
+      (snap(userDir), snap(ownsDir), snap(likedDir))
+    // only the deleted key's bucket changed — in the node table, in
+    // the src-keyed OWNS table, AND (round 13) in the dst-probed LIKED
+    // table: the TO-side rewrite touches exactly the src buckets the
+    // probe found victims in, every other bucket byte-identical
     (0 until nB).filter(_ != bT).foreach { b =>
       assert(userAfter(b) === userBefore(b), s"User bucket $b changed")
       assert(ownsAfter(b) === ownsBefore(b), s"OWNS bucket $b changed")
     }
+    (0 until nB).filter(_ != bLiked).foreach { b =>
+      assert(likedAfter(b) === likedBefore(b), s"LIKED bucket $b changed")
+    }
     assert(userAfter(bT) !== userBefore(bT))
     assert(ownsAfter(bT) !== ownsBefore(bT))
+    assert(likedAfter(bLiked) !== likedBefore(bLiked))
     // full-state correctness across all three tables
     assert(store.node("User").count() === 30)
     assert(store.rel("OWNS").filter(col("src").isin("u0", target)).count() === 0)
     assert(store.rel("LIKED").filter(col("dst").isin("u0", target)).count() === 0)
     assert(store.rel("OWNS").count() === 30)
     assert(store.rel("LIKED").count() === 30)
+  }
+
+  test("DETACH DELETE of a node with no in-edges leaves the TO-side rel table untouched") {
+    val schema = CustomSchemaJson.parse(
+      """{"name":"pwdel2","version":"1.0",
+        "nodes":[
+          {"name":"User","properties":[
+            {"name":"identifier","type":"STRING","is_primary_key":true}]},
+          {"name":"Item","properties":[
+            {"name":"identifier","type":"STRING","is_primary_key":true}]}],
+        "relationships":[
+          {"name":"LIKED","from_node":"Item","to_node":"User"}]}""")
+    val root = java.nio.file.Files.createTempDirectory("graft-pwdel2").toString
+    val store = new GraphStore(spark, root, "g", schema)
+    store.ingestNodes("User", (0 until 16).map(i => s"u$i").toDF("identifier"))
+    store.ingestNodes("Item", (0 until 16).map(i => s"i$i").toDF("identifier"))
+    // u15 has NO in-edges; everyone else has one
+    store.ingestRels("LIKED",
+      (0 until 15).map(i => (s"i$i", s"u$i")).toDF("from", "to"))
+    // bucketize both tables first
+    assert(store.deleteNodes("User", Seq("u0").toDF("k"), detach = true) === 1L)
+    val likedDir = new java.io.File(s"$root/g/rels/LIKED")
+    val nB = store.pkBuckets
+    def snap = (0 until nB).map(b =>
+      b -> listing(new java.io.File(likedDir, s"pkb=$b"))).toMap
+    val before = snap
+    // an empty probe (no LIKED row has dst=u15) must skip the rel
+    // table ENTIRELY — no bucket rewritten, not even a new generation
+    assert(store.deleteNodes("User", Seq("u15").toDF("k"), detach = true) === 1L)
+    assert(snap === before, "LIKED must be untouched by a no-victim detach")
+    assert(store.rel("LIKED").count() === 14)
   }
 
   test("commitTables refuses a point write whose rows hash outside the touched scope") {

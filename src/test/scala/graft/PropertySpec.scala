@@ -436,15 +436,24 @@ class PropertySpec extends SparkTestBase {
         .withColumn("element_uri", concat(lit("uri:"), col("__e")))
         .withColumn("element_id", concat(lit("id:"), col("__e")))
         .drop("__e")
-      val got = ElementMapping(df, assocs.map(a =>
+      val mapped = ElementMapping(df, assocs.map(a =>
         ElementMapping.Association(a.id, a.src, a.tgt, a.method, a.weight, a.order)))
+      val want = mappingReference(facts, assocs)
+      if (want.isEmpty) {
+        // reference parity: zero matches pass the ORIGINAL frame
+        // through, schema untouched
+        assert(mapped.columns.toSeq === df.columns.toSeq,
+          s"sample $i: no-match must pass the fact frame through")
+        assert(mapped.count() === facts.size.toLong, s"sample $i passthrough")
+      } else {
+      val got = mapped
         .collect().map(r => (r.getString(0), r.getString(3), r.getString(2)) ->
           r.getDouble(4)).toMap // cols: target, name, period_end, entity_id, value
-      val want = mappingReference(facts, assocs)
       assert(got.keySet === want.keySet, s"sample $i: group keys diverge")
       got.foreach { case (k, v) =>
         assert(math.abs(v - want(k)) <= 1e-9 * math.max(1.0, math.abs(want(k))),
           s"sample $i $k: got $v want ${want(k)}")
+      }
       }
     }
   }
@@ -603,28 +612,75 @@ class PropertySpec extends SparkTestBase {
         Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
       cut1 <- Gen.chooseNum(1, nDocs - 1)
       compact <- Gen.oneOf(true, false)
-    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, cut1, compact)
-    samples(corpusGen, 6).zipWithIndex.foreach { case ((docs, cut, doCompact), i) =>
-      val df = docs.toDF("doc_id", "text")
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-prop-bm25-$i").toString
-      val idx = new graft.storage.Bm25Index(spark, dir, nBuckets = 8)
-      idx.append(df.filter(col("doc_id") < cut), "doc_id", "text",
-        batchTag = Some("b0"))
-      idx.append(df.filter(col("doc_id") >= cut), "doc_id", "text",
-        batchTag = Some("b1"))
-      idx.append(df.filter(col("doc_id") >= cut), "doc_id", "text",
-        batchTag = Some("b1")) // replay: must be a no-op
-      if (doCompact) idx.compact()
-      val queries = Seq((1L, "dup join"), (2L, "hash scan sort"))
-      val got = idx.topDocs(queries, k = 5).orderBy("qid", "rank")
-        .collect().toSeq
-      val want = PipelineContext.materialize { implicit ctx =>
-        graft.operators.CurationPipeline.bm25TopDocs(df, "doc_id", "text",
-          queries.toDF("qid", "qtext"), "qid", "qtext", k = 5)
-      }.orderBy("qid", "rank").collect().toSeq
-      assert(got === want, s"sample $i (cut=$cut compact=$doCompact)")
+      delMod <- Gen.chooseNum(2, 5) // delete ids ≡ 0 (mod delMod), id > 0
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      cut1, compact, delMod)
+    samples(corpusGen, 6).zipWithIndex.foreach {
+      case ((docs, cut, doCompact, delMod), i) =>
+        val df = docs.toDF("doc_id", "text")
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-prop-bm25-$i").toString
+        val idx = new graft.storage.Bm25Index(spark, dir, nBuckets = 8)
+        idx.append(df.filter(col("doc_id") < cut), "doc_id", "text",
+          batchTag = Some("b0"))
+        idx.append(df.filter(col("doc_id") >= cut), "doc_id", "text",
+          batchTag = Some("b1"))
+        idx.append(df.filter(col("doc_id") >= cut), "doc_id", "text",
+          batchTag = Some("b1")) // replay: must be a no-op
+        // tombstone a subset (id > 0 keeps the corpus nonempty); the
+        // tagged replay must be a no-op BEFORE it re-scans anything
+        val delPred = col("doc_id") > 0 && col("doc_id") % delMod === 0
+        val doomed = df.filter(delPred).select(col("doc_id"))
+        val nDel = idx.delete(doomed, "doc_id", batchTag = Some("d0"))
+        assert(nDel === docs.count { case (id, _) => id > 0 && id % delMod == 0 },
+          s"sample $i delete count")
+        assert(idx.delete(doomed, "doc_id", batchTag = Some("d0")) === 0L,
+          s"sample $i tagged delete replay must no-op")
+        if (doCompact) {
+          idx.compact() // folds the tombstone physically
+          assert(idx.segments.forall(!_.startsWith("del-")),
+            s"sample $i compact must fold tombstones")
+        }
+        val queries = Seq((1L, "dup join"), (2L, "hash scan sort"))
+        val got = idx.topDocs(queries, k = 5).orderBy("qid", "rank")
+          .collect().toSeq
+        // the reference is an index REBUILT without the deleted docs
+        val want = PipelineContext.materialize { implicit ctx =>
+          graft.operators.CurationPipeline.bm25TopDocs(
+            df.filter(!delPred), "doc_id", "text",
+            queries.toDF("qid", "qtext"), "qid", "qtext", k = 5)
+        }.orderBy("qid", "rank").collect().toSeq
+        assert(got === want,
+          s"sample $i (cut=$cut compact=$doCompact delMod=$delMod)")
     }
+  }
+
+  test("BM25 delete-then-reappend makes the doc live again (manifest-order scope)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-recur").toString
+    val idx = new graft.storage.Bm25Index(spark, dir, nBuckets = 8)
+    val v1 = Seq((1L, "dup join scan"), (2L, "hash table")).toDF("doc_id", "text")
+    idx.append(v1, "doc_id", "text")
+    assert(idx.delete(Seq(1L).toDF("doc_id"), "doc_id") === 1L)
+    // re-curation: the revised doc 1 re-enters AFTER the tombstone, so
+    // the tombstone (scoped to earlier segments) must not suppress it
+    idx.append(Seq((1L, "dup merge window")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val queries = Seq((1L, "dup"))
+    val got = idx.topDocs(queries, k = 5).orderBy("rank").collect().toSeq
+    val want = PipelineContext.materialize { implicit ctx =>
+      graft.operators.CurationPipeline.bm25TopDocs(
+        Seq((1L, "dup merge window"), (2L, "hash table"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text",
+        queries.toDF("qid", "qtext"), "qid", "qtext", k = 5)
+    }.orderBy("rank").collect().toSeq
+    assert(got === want)
+    // and compact folds everything into one tombstone-free segment
+    // with identical scores
+    idx.compact()
+    assert(idx.segments.size === 1 && !idx.segments.head.startsWith("del-"))
+    assert(idx.topDocs(queries, k = 5).orderBy("rank").collect().toSeq === want)
   }
 
   test("persisted IVF full probe equals brute force across random appends and a retrain") {
@@ -634,31 +690,58 @@ class PropertySpec extends SparkTestBase {
         Gen.chooseNum(-100, 100).map(_ / 25.0)))
       cut <- Gen.chooseNum(3, n - 1) // first batch trains: needs >= nCells
       retrain <- Gen.oneOf(true, false)
-    } yield (vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, cut, retrain)
-    samples(corpusGen, 5).zipWithIndex.foreach { case ((vecs, cut, doRetrain), i) =>
-      // degenerate all-zero vectors break cosine; keep them out
-      val clean = vecs.map { case (id, v) =>
-        (id, if (v.forall(_ == 0.0)) v.updated(0, 1.0) else v) }
-      val df = clean.toDF("vec_id", "embedding")
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-prop-ivf-$i").toString
-      val idx = new graft.storage.IvfIndex(spark, dir, nCells = 3)
-      idx.append(df.filter(col("vec_id") < cut), "vec_id", "embedding")
-      idx.append(df.filter(col("vec_id") >= cut), "vec_id", "embedding")
-      if (doRetrain) idx.retrain()
-      val q = df.filter(col("vec_id") < 2)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val got = idx.topK(q, "qid", "qv", k = 4, nProbe = 3,
-        excludeSelf = true).orderBy("qid", "rank").collect().toSeq
-      val want = graft.operators.Similarity.bruteForceTopK(
-        df, "vec_id", "embedding", q, "qid", "qv", k = 5)
-        .filter(col("id") =!= col("qid"))
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-            .orderBy(col("cosine").desc, col("id"))))
-        .filter(col("rank") <= 4)
-        .orderBy("qid", "rank").collect().toSeq
-      assert(got === want, s"sample $i (cut=$cut retrain=$doRetrain)")
+      delMod <- Gen.chooseNum(3, 6) // delete ids >= 2 with id ≡ 2 (mod delMod)
+    } yield (vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      cut, retrain, delMod)
+    samples(corpusGen, 5).zipWithIndex.foreach {
+      case ((vecs, cut, doRetrain, delMod), i) =>
+        // degenerate all-zero vectors break cosine; keep them out
+        val clean = vecs.map { case (id, v) =>
+          (id, if (v.forall(_ == 0.0)) v.updated(0, 1.0) else v) }
+        val df = clean.toDF("vec_id", "embedding")
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-prop-ivf-$i").toString
+        val idx = new graft.storage.IvfIndex(spark, dir, nCells = 3)
+        idx.append(df.filter(col("vec_id") < cut), "vec_id", "embedding")
+        idx.append(df.filter(col("vec_id") >= cut), "vec_id", "embedding")
+        // tombstone a subset (ids >= 2 keep the query vectors live);
+        // retrain/compact afterwards must FOLD it, and full-probe
+        // equality against brute force over the survivors is the
+        // rebuilt-without-those-docs bar
+        val delPred = col("vec_id") >= 2 && col("vec_id") % delMod === 2
+        val nWant = clean.count { case (id, _) => id >= 2 && id % delMod == 2 }
+        assert(idx.delete(df.filter(delPred).select(col("vec_id")),
+          "vec_id") === nWant.toLong, s"sample $i delete count")
+        // deleting the same ids again finds nothing live
+        assert(idx.delete(df.filter(delPred).select(col("vec_id")),
+          "vec_id") === 0L, s"sample $i delete replay")
+        if (doRetrain) {
+          idx.retrain()
+          assert(idx.segments.forall(!_.startsWith("del-")),
+            s"sample $i retrain must fold tombstones")
+        }
+        val live = df.filter(!delPred)
+        val q = df.filter(col("vec_id") < 2)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val got = idx.topK(q, "qid", "qv", k = 4, nProbe = 3,
+          excludeSelf = true).orderBy("qid", "rank").collect().toSeq
+        val want = graft.operators.Similarity.bruteForceTopK(
+          live, "vec_id", "embedding", q, "qid", "qv", k = 5)
+          .filter(col("id") =!= col("qid"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+              .orderBy(col("cosine").desc, col("id"))))
+          .filter(col("rank") <= 4)
+          .orderBy("qid", "rank").collect().toSeq
+        assert(got === want,
+          s"sample $i (cut=$cut retrain=$doRetrain delMod=$delMod)")
+        // compact folds the tombstone when retrain didn't already
+        idx.compact()
+        assert(idx.segments.size === 1 &&
+          idx.segments.forall(!_.startsWith("del-")), s"sample $i compact")
+        assert(idx.topK(q, "qid", "qv", k = 4, nProbe = 3,
+          excludeSelf = true).orderBy("qid", "rank").collect().toSeq === want,
+          s"sample $i post-compact")
     }
   }
 }
