@@ -165,6 +165,10 @@ object ScaleCheck {
       // one id-filtered scan (the tombstone computation) and the
       // query-time anti-join; tombstone volume is delete-batch-bounded
       "t62_bm25_delete", "t63_ivf_delete",
+      // round 13: URL/domain filter — per-row host extraction, a
+      // suffix-chain equi-join against the (small) blocklist and a
+      // per-domain window whose partitions grow with the corpus
+      "t64_url_filter",
       // Gopher rules: a pure per-row map (regexp counts + fixed
       // array probes) — the flattest possible shape by construction.
       // (t60's pages are fixed-size in-engine synthesis, like t57.)

@@ -749,6 +749,61 @@ object CurationPipeline {
       array_join(keptLines, "\n").as("text"))
   }
 
+  /** RefinedWeb-style URL/domain filtering (Penedo et al., "The
+    * RefinedWeb Dataset for Falcon LLM", arXiv:2306.01116 §3.1 — the
+    * UT1-blocklist + per-domain-cap curation stage):
+    *
+    *  1. HOST extraction: `scheme://[userinfo@]host[:port]/…` → the
+    *     lowercased host (ports, userinfo, paths stripped). A URL the
+    *     pattern can't parse yields the empty domain — kept, grouped
+    *     under `""`, for the caller to audit rather than silently
+    *     dropped.
+    *  2. BLOCKLIST: a document is dropped when its host equals a
+    *     blocked domain OR sits under one at a label boundary
+    *     (`ads.example.com` is blocked by `example.com`;
+    *     `notexample.com` is NOT). Expressed scale-first: each host
+    *     explodes into its ≤ `maxLabels` dot-suffix chain and the
+    *     chain EQUI-joins the blocklist (left-semi → distinct ids →
+    *     anti) — never a `LIKE`-shaped non-equi join; AQE broadcasts
+    *     the blocklist side when it fits (UT1 is millions of rows —
+    *     one row per domain, always the small side).
+    *  3. PER-DOMAIN CAP: survivors keep `domain_rank ≤ maxPerDomain`
+    *     under a per-host (domain, id) window — the dedup/antispam cap
+    *     ("no domain may contribute more than N documents"). The
+    *     window partitions by host; a pathological whale host
+    *     serializes its own sort into one task, which is exactly the
+    *     domain the cap is about to cut to N rows — acceptable until a
+    *     host's raw row count itself exceeds task memory, where a
+    *     pre-cap coarse filter (keep the N smallest ids per host via a
+    *     partial top-N aggregate) slots in front.
+    *
+    * Output: every input column plus `domain` and `domain_rank`,
+    * blocked rows removed, cap applied. */
+  def urlDomainFilter(
+      docs: DataFrame, idCol: String, urlCol: String,
+      blocklist: DataFrame, domainCol: String,
+      maxPerDomain: Int = Int.MaxValue): DataFrame = {
+    require(maxPerDomain >= 1, "maxPerDomain must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val host = lower(regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+).*$", 1))
+    val withHost = docs.withColumn("domain", host)
+    val labels = split(col("domain"), "\\.")
+    // all label-boundary suffixes of the host: a.b.c → [a.b.c, b.c, c]
+    val suffixes = transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels) - i), "."))
+    val blockedIds = withHost
+      .select(col(idCol).as("__bid"), explode(suffixes).as("__sfx"))
+      .join(blocklist.select(lower(col(domainCol)).as("__sfx")),
+        Seq("__sfx"), "left_semi")
+      .select(col("__bid")).distinct()
+    withHost
+      .join(blockedIds, withHost(idCol) === blockedIds("__bid"), "left_anti")
+      .withColumn("domain_rank", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col(idCol))))
+      .filter(col("domain_rank") <= maxPerDomain)
+  }
+
   /** Gopher quality rules (Rae et al., "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher",
     * arXiv:2112.11446 §A1.1 — the document-shape subset; the

@@ -19,6 +19,10 @@ object CypherAst {
   final case class MapLit(items: Seq[(String, Expr)]) extends Expr
   final case class FnCall(name: String, args: Seq[Expr], distinct: Boolean = false) extends Expr
   case object Star extends Expr // count(*)
+  /** `v.*` star projection (backup_manager.py's export queries):
+    * expands to every property column of `v`, named by bare property
+    * name — the engine's COPY/export column convention. */
+  final case class PropStar(variable: String) extends Expr
   final case class Bin(op: String, l: Expr, r: Expr) extends Expr
   final case class Not(e: Expr) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
@@ -89,4 +93,16 @@ object CypherAst {
   /** One or more single queries combined with UNION ALL / UNION
     * (example_queries_tool.py:82 — per-label count branches). */
   final case class UnionQuery(branches: Seq[Query], distinct: Boolean)
+    extends Statement
+
+  /** A top-level statement: a (union) query, or the engine's
+    * bulk-export dialect around one. */
+  sealed trait Statement
+
+  /** `COPY (<query>) TO '<path>' [(header=true|false)]` — the
+    * reference engine's bulk-export statement
+    * (robosystems/operations/lbug/backup_manager.py): run the inner
+    * query, write the result as CSV at `path`. */
+  final case class CopyTo(query: UnionQuery, path: String, header: Boolean)
+    extends Statement
 }

@@ -47,12 +47,32 @@ final class CypherCompiler(
   def run(text: String): DataFrame =
     CypherParser.parseQuery(text) match {
       case Left(err) => throw new IllegalArgumentException(err)
-      case Right(UnionQuery(branches, _)) if branches.exists(_.writes.nonEmpty) =>
+      case Right(u) => runUnion(u)
+    }
+
+  /** Parse and execute a top-level STATEMENT: a read query returns
+    * Some(result frame); `COPY (<query>) TO '<path>'` (the reference
+    * engine's bulk-export dialect, backup_manager.py) executes the
+    * export — distributed CSV part files under `path`, header per the
+    * statement's option — and returns None. */
+  def runStatement(text: String): Option[DataFrame] =
+    CypherParser.parseStatement(text) match {
+      case Left(err) => throw new IllegalArgumentException(err)
+      case Right(c: CopyTo) =>
+        runUnion(c.query).write.mode("overwrite")
+          .option("header", c.header).csv(c.path)
+        None
+      case Right(u: UnionQuery) => Some(runUnion(u))
+    }
+
+  private def runUnion(parsed: UnionQuery): DataFrame =
+    parsed match {
+      case UnionQuery(branches, _) if branches.exists(_.writes.nonEmpty) =>
         throw new IllegalArgumentException(
           "write clauses (SET/REMOVE/DELETE/CREATE) execute via CypherWriter " +
             "against a writable GraphStore, not the read-only compiler")
-      case Right(UnionQuery(Seq(q), _)) => compile(q)
-      case Right(UnionQuery(branches, distinct)) =>
+      case UnionQuery(Seq(q), _) => compile(q)
+      case UnionQuery(branches, distinct) =>
         // §2.7: UNION [ALL] of branch results by column name. Trailing
         // ORDER BY/SKIP/LIMIT parse into the LAST branch but apply to
         // the whole union in Cypher — lift them (they may only
@@ -621,6 +641,14 @@ final class CypherCompiler(
           // resolves to the expanded column
           (s"$out.$propName", col(c), Some(Prop(v, propName): Expr))
         }
+      case ProjectionItem(PropStar(v), _) =>
+        // `v.*` (the COPY/export convention): every property column of
+        // v under its BARE property name — works for node vars and rel
+        // vars alike (both namespaces are `v__prop` in the frame)
+        val prefix = s"${v}__"
+        val cols = frame.columns.filter(_.startsWith(prefix))
+        require(cols.nonEmpty, s"$v.* matches no columns of $v")
+        cols.map(c => (c.stripPrefix(prefix), col(c), None))
       case ProjectionItem(e, alias) =>
         Seq((alias.getOrElse(pretty(e)), toColumn(e, vars), Some(e)))
     }

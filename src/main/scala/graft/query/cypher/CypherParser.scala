@@ -201,7 +201,8 @@ object CypherParser extends RegexParsers {
     }
 
   private lazy val projItem: Parser[ProjectionItem] =
-    expr ~ opt(kw("AS") ~> ident) ^^ { case e ~ a => ProjectionItem(e, a) }
+    (ident <~ "." <~ "*" ^^ (v => ProjectionItem(PropStar(v), None))) |
+      (expr ~ opt(kw("AS") ~> ident) ^^ { case e ~ a => ProjectionItem(e, a) })
 
   private lazy val withClause: Parser[ReadClause] =
     kw("WITH") ~> rep1sep(projItem, ",") ~ opt(whereClause) ^^ {
@@ -286,6 +287,26 @@ object CypherParser extends RegexParsers {
   def parseQuery(text: String): Either[String, UnionQuery] =
     parseAll(unionQuery, text) match {
       case Success(q, _) => Right(q)
+      case NoSuccess(msg, next) =>
+        Left(s"Cypher parse error at line ${next.pos.line}, col ${next.pos.column}: $msg")
+      case other => Left(s"Cypher parse error: $other")
+    }
+
+  /** `COPY (<query>) TO '<path>' [(header=true|false)]` — the engine's
+    * bulk-export statement (backup_manager.py's node/rel export
+    * queries). The optional parenthesized options accept only the
+    * `header` flag the reference emits. */
+  private lazy val copyTo: Parser[CopyTo] =
+    kw("COPY") ~> "(" ~> unionQuery ~ (")" ~ kw("TO") ~> stringLit) ~
+      opt("(" ~> kw("HEADER") ~> "=" ~> (kw("TRUE") | kw("FALSE")) <~ ")") ^^ {
+      case q ~ p ~ h => CopyTo(q, p.value.toString, h.contains("TRUE"))
+    }
+
+  /** Top-level statement: a plain (union) query or a COPY export. */
+  def parseStatement(text: String): Either[String, Statement] =
+    parseAll((copyTo: Parser[Statement]) | (unionQuery: Parser[Statement]),
+      text) match {
+      case Success(s, _) => Right(s)
       case NoSuccess(msg, next) =>
         Left(s"Cypher parse error at line ${next.pos.line}, col ${next.pos.column}: $msg")
       case other => Left(s"Cypher parse error: $other")

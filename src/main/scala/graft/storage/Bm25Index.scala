@@ -67,8 +67,12 @@ import org.apache.spark.sql.functions._
   * document, not of what the index chose to store.
   */
 final class Bm25Index(
-    spark: SparkSession, path: String, nBuckets: Int = 64) {
+    spark: SparkSession, path: String, nBuckets: Int = 64,
+    retainManifests: Int = 2) {
   require(nBuckets > 0, "nBuckets must be positive")
+  require(retainManifests >= 2,
+    "retainManifests must be >= 2 (the head plus at least one " +
+      "predecessor for in-flight readers — the reader lease)")
 
   private def dir = new java.io.File(path)
   private def manifestFile(v: Int) = new java.io.File(dir, s"_manifest.v$v")
@@ -401,8 +405,8 @@ final class Bm25Index(
     val vs = Option(dir.list()).toSeq.flatten
       .filter(_.matches("_manifest\\.v\\d+"))
       .map(_.stripPrefix("_manifest.v").toInt).sorted
-    if (vs.size < 2) return Nil
-    val keepVs = vs.takeRight(2)
+    if (vs.size < retainManifests) return Nil
+    val keepVs = vs.takeRight(retainManifests)
     val live: Set[String] = keepVs.flatMap { v =>
       new String(java.nio.file.Files.readAllBytes(
         manifestFile(v).toPath), "UTF-8")
@@ -412,7 +416,7 @@ final class Bm25Index(
       .filter(n => (n.startsWith("seg-") || n.startsWith("del-")) &&
         !live.contains(n))
     dead.foreach(n => rmTree(new java.io.File(dir, n)))
-    vs.dropRight(2).foreach(v => manifestFile(v).delete())
+    vs.dropRight(retainManifests).foreach(v => manifestFile(v).delete())
     dead.sorted
   }
 

@@ -44,7 +44,25 @@ final class GraphStore(
       * read+rewrite, so this knob IS the point-write granularity —
       * PointWriteScale measures the trade. Default sized for test
       * graphs. */
-    val pkBuckets: Int = 16) extends GraphSource {
+    val pkBuckets: Int = 16,
+    /** How many generations of each table (and bucket) survive a
+      * commit: the newest `retainGenerations` stay on disk, older
+      * ones vacuum. This IS the reader lease — readers take no lock,
+      * so a reader's snapshot stays scannable for exactly the next
+      * (retainGenerations − 1) commits to its table. A reader OLDER
+      * than that sees one of two LOUD failures, never silent data: a
+      * plan already executing hits file-not-found task failures when
+      * vacuum deletes under it; a fresh time-travel read of an
+      * evicted generation throws "not retained (vacuumed?)" at
+      * planning ([[bucketDirsIn]]). Size it to ceil(longest-running
+      * query / shortest commit interval) + 1; the default 2
+      * (current + previous) is the reference's swap-and-keep-one
+      * behavior. */
+    val retainGenerations: Int = 2) extends GraphSource {
+
+  require(retainGenerations >= 2,
+    "retainGenerations must be >= 2 (the current generation plus at " +
+      "least one predecessor for in-flight readers)")
 
   val FileIdCol = "file_id"
 
@@ -802,11 +820,11 @@ final class GraphStore(
         else dst.mkdirs()
         created += dst
         entries += tableKey(bPath) -> name
-        vacuums += bPath -> (bGen - 1)
+        vacuums += bPath -> (bGen - (retainGenerations - 1))
       }
       rmTree(stage)
       entries += tableKey(path) -> bucketMarker(newGen, nB)
-      vacuums += path -> (newGen - 1)
+      vacuums += path -> (newGen - (retainGenerations - 1))
     }
     try commitManifest(baseVersion, baseManifest ++ entries)
     catch {

@@ -55,8 +55,12 @@ import graft.functions.VectorFunctions._
   * S3/GCS primitive ([[CasFiles]]).
   */
 final class IvfIndex(
-    spark: SparkSession, path: String, nCells: Int = 16) {
+    spark: SparkSession, path: String, nCells: Int = 16,
+    retainManifests: Int = 2) {
   require(nCells > 0, "nCells must be positive")
+  require(retainManifests >= 2,
+    "retainManifests must be >= 2 (the head plus at least one " +
+      "predecessor for in-flight readers — the reader lease)")
 
   private def dir = new java.io.File(path)
   private def manifestFile(v: Int) = new java.io.File(dir, s"_manifest.v$v")
@@ -275,8 +279,8 @@ final class IvfIndex(
     val vs = Option(dir.list()).toSeq.flatten
       .filter(_.matches("_manifest\\.v\\d+"))
       .map(_.stripPrefix("_manifest.v").toInt).sorted
-    if (vs.size < 2) return Nil
-    val live: Set[String] = vs.takeRight(2).flatMap { v =>
+    if (vs.size < retainManifests) return Nil
+    val live: Set[String] = vs.takeRight(retainManifests).flatMap { v =>
       new String(java.nio.file.Files.readAllBytes(
         manifestFile(v).toPath), "UTF-8")
         .linesIterator.map(_.trim).filter(_.nonEmpty)
@@ -293,7 +297,7 @@ final class IvfIndex(
     Option(dir.list()).toSeq.flatten
       .filter(n => n.startsWith("_centroids.v") && !liveCents.contains(n))
       .foreach(n => new java.io.File(dir, n).delete())
-    vs.dropRight(2).foreach(v => manifestFile(v).delete())
+    vs.dropRight(retainManifests).foreach(v => manifestFile(v).delete())
     dead.sorted
   }
 

@@ -196,6 +196,34 @@ class PointWriteSpec extends SparkTestBase {
     assert(victims.forall(!state.contains(_)))
   }
 
+  test("retainGenerations widens the reader lease: gen kept at 3, vacuumed at 2") {
+    // default (2 = current + previous): the existing vacuumed-fails
+    // test pins the eviction; here a 3-generation store keeps the
+    // grandparent generation time-travelable after the same mutations
+    val root = java.nio.file.Files.createTempDirectory("graft-pw-ret").toString
+    val store = new GraphStore(spark, root, "g", thingSchema,
+      retainGenerations = 3)
+    store.ingestNodes("Thing",
+      Seq(("a", 1L), ("b", 2L)).toDF("identifier", "v"))
+    store.updateNodeProps("Thing", Seq(("a", 10L)).toDF("__key", "v")): Unit // gen 1
+    store.updateNodeProps("Thing", Seq(("a", 20L)).toDF("__key", "v")): Unit // gen 2
+    store.updateNodeProps("Thing", Seq(("a", 30L)).toDF("__key", "v")): Unit // gen 3
+    // gen 1 is head−2: retained under retainGenerations=3 (a default
+    // store evicts it — the sibling test asserts exactly that)
+    val gen1 = store.nodeAt("Thing", 1)
+      .select("identifier", "v").as[(String, Long)].collect().toMap
+    assert(gen1 === Map("a" -> 10L, "b" -> 2L))
+    store.updateNodeProps("Thing", Seq(("a", 40L)).toDF("__key", "v")): Unit // gen 4
+    // now gen 1 is head−3: vacuumed, and LOUDLY so
+    val e = intercept[IllegalArgumentException](store.nodeAt("Thing", 1).collect())
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+    assert(store.nodeAt("Thing", 2)
+      .select("identifier", "v").as[(String, Long)].collect().toMap ===
+      Map("a" -> 20L, "b" -> 2L))
+    intercept[IllegalArgumentException](
+      new GraphStore(spark, root, "g2", thingSchema, retainGenerations = 1))
+  }
+
   test("a bucketed table reads as ONE FileScan, not a per-bucket union") {
     val store = freshStore("pwplan")
     store.ingestNodes("Thing",

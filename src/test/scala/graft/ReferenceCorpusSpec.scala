@@ -12,45 +12,63 @@ import graft.tools.CorpusSweep
   * source, and the green count may only go up. */
 class ReferenceCorpusSpec extends AnyFunSuite {
 
-  /** Sources allowed to carry unparseable entries, with the reason.
-    * Everything else must parse. */
-  private val allowedFailures: Map[String, String] = Map(
-    "robosystems/operations/lbug/backup_manager.py" ->
-      ("COPY (MATCH …) TO '…' — the engine's bulk-export dialect, not a " +
-        "query; covered at API level by storage/GraphBackup"),
+  /** The round-13 exclusion AUDIT (verdict r12 #7): every remaining
+    * unparseable corpus item, categorized, with its EXACT expected
+    * count per source — a new failure inside an allowed source is as
+    * loud as one outside it. Two categories survive the audit:
+    *
+    *  - HARVEST ARTIFACT: an f-string hole swallowed a STRUCTURAL
+    *    fragment (a WHERE clause, a SET list, a node pattern, a
+    *    property map), leaving text no Cypher grammar accepts; the
+    *    filled forms parse and are exercised elsewhere.
+    *
+    * The previously-excluded third category — DIALECT (`COPY (…) TO
+    * '…'`, 8 items from backup_manager.py) — now PARSES (and executes:
+    * CypherCompiler.runStatement) as of round 13, raising the floor
+    * 221 → 229. No genuine-query exclusions remain. */
+  private val allowedFailures: Map[String, (Int, String)] = Map(
     "robosystems/middleware/mcp/tools/facts_tool.py" ->
-      ("harvest artifact: dynamic WHERE fragment spliced out of the " +
-        "f-string ('X' hole mid-query); the filled forms are exercised " +
-        "by MetricsCorpusSpec and the facts-tool gates"),
+      ((3, "harvest artifact: dynamic WHERE fragment spliced out of " +
+        "the f-string ('X' hole after IS NOT NULL); the filled forms " +
+        "are exercised by MetricsCorpusSpec and the facts-tool gates")),
     "robosystems/middleware/mcp/tools/elements_tool.py" ->
-      "harvest artifact: same spliced-fragment hole",
+      ((1, "harvest artifact: same spliced WHERE-fragment hole")),
     "robosystems/graph_api/client/client.py" ->
-      "harvest artifact: same spliced-fragment hole",
+      ((1, "harvest artifact: 'X' hole in clause position after MATCH")),
     "robosystems/graph_api/core/ladybug/engine.py" ->
-      "harvest artifact: same spliced-fragment hole",
+      ((1, "harvest artifact: 'X' hole fused to the node pattern")),
     "robosystems/operations/connection_service.py" ->
-      ("harvest artifact: SET clause list built by ', '.join(…) — the " +
-        "filled SET forms parse (and execute via CypherWriter)"),
+      ((1, "harvest artifact: SET clause list built by ', '.join(…) — " +
+        "the filled SET forms parse (and execute via CypherWriter)")),
     "tests/adapters/qb/processors/test_transactions.py" ->
-      "harvest artifact: property-map f-string hole swallowed the map",
+      ((1, "harvest artifact: property-map f-string hole swallowed the map")),
     "tests/conftest.py" ->
-      "harvest artifact: node patterns are f-string holes",
+      ((1, "harvest artifact: node patterns are f-string holes")),
     "tests/routers/graphs/test_query.py" ->
-      "harvest artifact: property map is an f-string hole")
+      ((1, "harvest artifact: property map is an f-string hole")))
 
   test("reference Cypher corpus: every real query parses; exclusions documented") {
     val items = CorpusSweep.corpus()
     assert(items.size === 239, "corpus file changed — re-audit the exclusion list")
-    val results = items.map { case (src, q) => (src, q, CypherParser.parseQuery(q)) }
+    val results = items.map { case (src, q) =>
+      (src, q, CypherParser.parseStatement(q)) }
     val failed = results.collect { case (src, q, Left(err)) => (src, q, err) }
-    val unexpected = failed.filterNot { case (src, _, _) => allowedFailures.contains(src) }
+    val unexpected = failed.filterNot { case (src, _, _) =>
+      allowedFailures.contains(src) }
     assert(unexpected.isEmpty,
       "new parse failures outside the documented exclusions:\n" +
         unexpected.map { case (src, q, err) =>
           s"  [$src] ${q.replaceAll("\\s+", " ").take(120)}\n    $err"
         }.mkString("\n"))
+    // exact per-source counts: an allowed source may not grow new
+    // failures silently, and a FIXED exclusion must be struck off
+    val bySrc = failed.groupBy(_._1).view.mapValues(_.size).toMap
+    allowedFailures.foreach { case (src, (n, why)) =>
+      assert(bySrc.getOrElse(src, 0) === n,
+        s"$src: expected $n excluded items ($why), found ${bySrc.getOrElse(src, 0)}")
+    }
     val ok = results.count(_._3.isRight)
-    assert(ok >= 221, s"parse coverage regressed: $ok/${items.size}")
+    assert(ok >= 229, s"parse coverage regressed: $ok/${items.size}")
   }
 
   test("the platform's load-bearing shapes parse exactly as emitted") {
@@ -105,5 +123,30 @@ class ReferenceCorpusSpec extends AnyFunSuite {
          MERGE (n:`Entity` {identifier: row.identifier})
          SET n += row
          RETURN count(n) as count""").isRight)
+    // backup_manager.py — the COPY export dialect, node and rel forms
+    assert(CypherParser.parseStatement(
+      "COPY (MATCH (n:Entity) RETURN n.*) TO '/tmp/x' (header=true)").isRight)
+    assert(CypherParser.parseStatement(
+      "COPY (MATCH ()-[r:HAS_CONNECTION]->() RETURN r.*) TO '/tmp/x'").isRight)
+  }
+
+  test("COPY (…) TO exports the inner query as CSV (backup_manager.py dialect)") {
+    val spark = SparkTestBase.session
+    val dir = java.nio.file.Files.createTempDirectory("graft-copyto").toString
+    val compiler = new graft.query.cypher.CypherCompiler(
+      new graft.sources.TpchGraph(spark, "/root/testdata/sf0.001"))
+    // a read statement still returns its frame through the same entry
+    assert(compiler.runStatement("MATCH (n:Nation) RETURN count(n) AS c")
+      .get.head().getLong(0) > 0)
+    // the export: r.* star-projects the rel's columns into headed CSV
+    assert(compiler.runStatement(
+      s"COPY (MATCH ()-[r:CUSTOMER_IN_NATION]->() RETURN r.*) TO '$dir/rels' " +
+        "(header=true)").isEmpty)
+    val back = spark.read.option("header", "true").csv(s"$dir/rels")
+    assert(back.columns.contains("src") && back.columns.contains("dst"))
+    val direct = compiler.runStatement(
+      "MATCH ()-[r:CUSTOMER_IN_NATION]->() RETURN count(r) AS n")
+      .get.head().getLong(0)
+    assert(back.count() === direct && direct > 0)
   }
 }
