@@ -650,19 +650,35 @@ object Dedup {
   }
 
   /** The routing decision, pure in the profile:
-    *  1. Σ df² within one exact-segment budget → EXACT (recall 1,
+    *  1. θ ≥ 0.3 AND the prefix join's own volume BOUND —
+    *     (1−θ)²·Σdf², the two-sided prefix index self-joined — fits
+    *     the budget → PREFIX (recall 1). The round-13 PPJoin upgrade
+    *     (two-sided join + size + positional filters) moved this
+    *     boundary: measured on the dense sf0.1 corpus
+    *     (`graft.tools.JaccardRegimes`), prefix now beats exact at
+    *     EVERY threshold — 8.9→6.8 s at θ=0.3, 8.4→2.8 s at θ=0.7 —
+    *     where the old one-sided filter only paid at θ ≥ ~0.65. The
+    *     θ ≥ 0.3 floor keeps the near-degenerate regime (prefix ≈
+    *     whole doc, filters toothless, rank window pure overhead) on
+    *     the count-aggregation engine.
+    *  2. else Σ df² within one exact-segment budget → EXACT (recall 1,
     *     no pre-filter machinery to pay for);
-    *  2. else θ ≥ 0.65 → PREFIX (still recall 1; the prefix filter's
-    *     candidate cut grows super-proportionally exactly in this
-    *     regime — SCALING.md "Jaccard engines");
-    *  3. else → LSH (the only sub-quadratic option at low θ;
+    *  3. else θ ≥ 0.65 → PREFIX regardless of the bound (still
+    *     recall 1; the measured cut at high θ is super-proportional —
+    *     rare grams have small df — so the static (1−θ)² bound is
+    *     very pessimistic exactly here);
+    *  4. else → LSH (the only sub-quadratic option at low θ;
     *     recall < 1 and the router says so loudly). */
   private[graft] def jaccardRouteFor(
       p: JaccardProfile, minJaccard: Double,
-      exactBudget: Long = 1000000000L): JaccardRoute =
-    if (p.candVolume <= exactBudget) JaccardRoute.Exact
+      exactBudget: Long = 1000000000L): JaccardRoute = {
+    val prefVolume =
+      ((1.0 - minJaccard) * (1.0 - minJaccard) * p.candVolume).toLong
+    if (minJaccard >= 0.3 && prefVolume <= exactBudget) JaccardRoute.Prefix
+    else if (p.candVolume <= exactBudget) JaccardRoute.Exact
     else if (minJaccard >= 0.65) JaccardRoute.Prefix
     else JaccardRoute.Lsh(64, lshBandsFor(minJaccard))
+  }
 
   /** Fewest bands (of 64 hashes) whose S-curve midpoint (1/b)^(r⁻¹)
     * does not exceed θ — the most selective banding that still puts

@@ -255,7 +255,16 @@ final class Bm25Index(
     * are not the partition key, so the scan is not pruned — the
     * takedown bill is a read of the index, never a rewrite of it; the
     * rewrite happens once, amortized, at the next [[compact]]).
-    * Returns the number of documents actually tombstoned. */
+    * Returns the number of documents actually tombstoned.
+    *
+    * `dfCap` edge: a document EVERY one of whose terms was capped at
+    * build time has no posting rows, so delete cannot see it — it
+    * stays in the segment stats (n_docs, Σdl) where a full rebuild
+    * without it would not count it. The skew is bounded to avgdl/idf
+    * drift from docs that, by construction, can never match any query
+    * (they have no postings); exact parity for such corpora means
+    * rebuilding, as the format-compatibility note above already
+    * requires for other layout changes. */
   def delete(ids: DataFrame, idCol: String,
       batchTag: Option[String] = None): Long = {
     val (baseVer, segs) = readHead()

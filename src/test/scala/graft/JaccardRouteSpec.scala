@@ -14,17 +14,26 @@ class JaccardRouteSpec extends SparkTestBase {
     assert(Dedup.lshBandsFor(0.05) === 64) // 0.016 floor
   }
 
-  test("jaccardRouteFor: exact within budget; prefix at high theta; LSH otherwise") {
+  test("jaccardRouteFor: prefix when its volume bound fits; exact low-theta; LSH otherwise") {
     val small = JaccardProfile(1000L, 500L, 100000L)
     val big = JaccardProfile(1000000L, 500000L, 5000000000L)
-    assert(Dedup.jaccardRouteFor(small, 0.4) === JaccardRoute.Exact)
-    assert(Dedup.jaccardRouteFor(small, 0.9) === JaccardRoute.Exact)
+    // round 13: the PPJoin prefix engine measures faster than exact at
+    // every θ ≥ 0.3 (JaccardRegimes), so within its (1−θ)²·Σdf² volume
+    // bound it is the default recall-1 engine
+    assert(Dedup.jaccardRouteFor(small, 0.4) === JaccardRoute.Prefix)
+    assert(Dedup.jaccardRouteFor(small, 0.9) === JaccardRoute.Prefix)
+    // near-degenerate θ: prefixes keep ~everything, filters toothless —
+    // the count-aggregation exact engine stays the right plan
+    assert(Dedup.jaccardRouteFor(small, 0.2) === JaccardRoute.Exact)
     assert(Dedup.jaccardRouteFor(big, 0.8) === JaccardRoute.Prefix)
     assert(Dedup.jaccardRouteFor(big, 0.65) === JaccardRoute.Prefix)
+    // (1−0.4)²·5e9 = 1.8e9 > 1e9 budget and θ < 0.65 → LSH
     assert(Dedup.jaccardRouteFor(big, 0.4) === JaccardRoute.Lsh(64, 32))
     assert(Dedup.jaccardRouteFor(big, 0.5) === JaccardRoute.Lsh(64, 16))
-    // budget is the knob: the same corpus routes Exact when allowed
+    // budget is the knob: the same corpus routes recall-1 when allowed
     assert(Dedup.jaccardRouteFor(big, 0.4,
+      exactBudget = 6000000000L) === JaccardRoute.Prefix)
+    assert(Dedup.jaccardRouteFor(big, 0.2,
       exactBudget = 6000000000L) === JaccardRoute.Exact)
   }
 
