@@ -485,7 +485,11 @@ class PropertySpec extends SparkTestBase {
     samples(mutOpsGen, 5).zipWithIndex.foreach { case (ops, si) =>
       val root = java.nio.file.Files
         .createTempDirectory(s"graft-prop-mut$si").toString
-      val store = new graft.storage.GraphStore(spark, root, "g", schema)
+      // exercise BOTH retention widths (round-13 knob): the model's
+      // time-travel window below widens with it
+      val retain = 2 + (si % 2)
+      val store = new graft.storage.GraphStore(spark, root, "g", schema,
+        retainGenerations = retain)
       val model = scala.collection.mutable.Map[String, Long]()
       // model state at the END of each generation's tenure (appends
       // land in the ACTIVE generation, so a retained generation reads
@@ -521,12 +525,18 @@ class PropertySpec extends SparkTestBase {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         assert(got === model.toMap, ctx)
       }
-      // retained previous generation reads exactly as of its tenure end
+      // every generation inside the retention window reads exactly as
+      // of its tenure end (retain−1 predecessors: cur−1 always, cur−2
+      // too under the widened knob — no bucket can have advanced more
+      // than that many times since, so all its named dirs are retained)
       val cur = store.generationOf("Thing")
-      genEnd.get(cur - 1).filter(_ => cur >= 2).foreach { snap =>
-        val tt = store.nodeAt("Thing", cur - 1).select("identifier", "v")
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        assert(tt === snap, s"sample $si time travel to gen ${cur - 1}")
+      (1 until retain).foreach { back =>
+        genEnd.get(cur - back).filter(_ => cur - back >= 1).foreach { snap =>
+          val tt = store.nodeAt("Thing", cur - back).select("identifier", "v")
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          assert(tt === snap,
+            s"sample $si (retain=$retain) time travel to gen ${cur - back}")
+        }
       }
     }
   }
