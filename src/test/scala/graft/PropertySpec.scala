@@ -693,6 +693,132 @@ class PropertySpec extends SparkTestBase {
     assert(idx.topDocs(queries, k = 5).orderBy("rank").collect().toSeq === want)
   }
 
+  test("BM25 index mutation sequences match the inline engine on the modeled corpus") {
+    // the graph-store mutation-model discipline applied to the
+    // persisted index: arbitrary interleavings of append / delete /
+    // compact / vacuum vs an in-memory corpus model, scores checked
+    // against the inline engine over the model after EVERY op
+    val vocab = Vector("dup", "join", "scan", "hash", "table", "agg",
+      "window", "spark", "sort", "merge")
+    sealed trait BOp
+    case class BAppend(texts: Seq[String]) extends BOp // ids at apply time
+    case class BDelete(ids: Seq[Long]) extends BOp
+    case object BCompact extends BOp
+    case object BVacuum extends BOp
+    val appendGen: Gen[BOp] = for {
+      n <- Gen.chooseNum(2, 5)
+      texts <- Gen.listOfN(n, Gen.chooseNum(2, 7).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    } yield BAppend(texts)
+    val opGen: Gen[BOp] = Gen.frequency(
+      4 -> appendGen,
+      3 -> Gen.chooseNum(1, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(1, 25).map(_.toLong))
+          .map(ids => BDelete(ids.distinct))),
+      2 -> Gen.const(BCompact),
+      1 -> Gen.const(BVacuum))
+    val opsGen = Gen.chooseNum(5, 8).flatMap(n => Gen.listOfN(n, opGen))
+    val queries = Seq((1L, "dup join"), (2L, "hash scan sort"))
+    samples(opsGen, 4).zipWithIndex.foreach { case (ops, si) =>
+      var nextId = 0L // per-sample id space: deletes target 1..25
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-prop-bm25seq-$si").toString
+      val idx = new graft.storage.Bm25Index(spark, dir, nBuckets = 8)
+      val model = scala.collection.mutable.LinkedHashMap[Long, String]()
+      ops.zipWithIndex.foreach { case (op, oi) =>
+        val ctx = s"sample $si op $oi $op"
+        op match {
+          case BAppend(texts) =>
+            val docs = texts.map { t => nextId += 1; (nextId, t) }
+            idx.append(docs.toDF("doc_id", "text"), "doc_id", "text")
+            docs.foreach { case (id, t) => model(id) = t }
+          case BDelete(ids) =>
+            val live = ids.filter(model.contains)
+            assert(idx.delete(ids.toDF("doc_id"), "doc_id") ===
+              live.size.toLong, ctx)
+            live.foreach(model.remove)
+          case BCompact => if (idx.segments.nonEmpty) idx.compact()
+          case BVacuum => idx.vacuum(): Unit
+        }
+        if (model.nonEmpty) {
+          val got = idx.topDocs(queries, k = 5).orderBy("qid", "rank")
+            .collect().toSeq
+          val want = PipelineContext.materialize { implicit mctx =>
+            graft.operators.CurationPipeline.bm25TopDocs(
+              model.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+              queries.toDF("qid", "qtext"), "qid", "qtext", k = 5)
+          }.orderBy("qid", "rank").collect().toSeq
+          assert(got === want, ctx)
+        }
+      }
+    }
+  }
+
+  test("IVF index mutation sequences match brute force on the modeled corpus") {
+    sealed trait VOp
+    case class VAppend(vecs: Seq[Seq[Double]]) extends VOp // ids at apply
+    case class VDelete(ids: Seq[Long]) extends VOp
+    case object VCompact extends VOp
+    case object VRetrain extends VOp
+    val appendGen: Gen[VOp] = for {
+      n <- Gen.chooseNum(3, 6)
+      vs <- Gen.listOfN(n, Gen.listOfN(4,
+        Gen.chooseNum(-100, 100).map(_ / 25.0)))
+    } yield VAppend(vs.map(v =>
+      if (v.forall(_ == 0.0)) v.updated(0, 1.0) else v))
+    val opGen: Gen[VOp] = Gen.frequency(
+      4 -> appendGen,
+      3 -> Gen.chooseNum(1, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(1, 25).map(_.toLong))
+          .map(ids => VDelete(ids.distinct))),
+      1 -> Gen.const(VCompact),
+      1 -> Gen.const(VRetrain))
+    val opsGen = Gen.chooseNum(4, 7).flatMap(n => Gen.listOfN(n, opGen))
+    samples(opsGen, 3).zipWithIndex.foreach { case (ops0, si) =>
+      // a fixed seed batch first: centroids train on the first append
+      val ops = VAppend(Seq(
+        Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+        Seq(0.0, 0.0, 1.0, 0.0), Seq(0.5, 0.5, 0.0, 0.0))) +: ops0
+      var nextId = 0L
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-prop-ivfseq-$si").toString
+      val idx = new graft.storage.IvfIndex(spark, dir, nCells = 3)
+      val model = scala.collection.mutable.LinkedHashMap[Long, Seq[Double]]()
+      ops.zipWithIndex.foreach { case (op, oi) =>
+        val ctx = s"sample $si op $oi $op"
+        op match {
+          case VAppend(vecs) =>
+            val vs = vecs.map { v => nextId += 1; (nextId, v) }
+            idx.append(vs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+            vs.foreach { case (id, v) => model(id) = v }
+          case VDelete(ids) =>
+            val live = ids.filter(model.contains)
+            assert(idx.delete(ids.toDF("vec_id"), "vec_id") ===
+              live.size.toLong, ctx)
+            live.foreach(model.remove)
+          case VCompact => if (model.nonEmpty) idx.compact()
+          case VRetrain => if (model.nonEmpty) idx.retrain()
+        }
+        if (model.nonEmpty) {
+          val corpus = model.toSeq.toDF("vec_id", "embedding")
+          val q = corpus.limit(2)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          val got = idx.topK(q, "qid", "qv", k = 3, nProbe = 3,
+            excludeSelf = true).orderBy("qid", "rank").collect().toSeq
+          val want = graft.operators.Similarity.bruteForceTopK(
+            corpus, "vec_id", "embedding", q, "qid", "qv", k = 4)
+            .filter(col("id") =!= col("qid"))
+            .withColumn("rank", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+                .orderBy(col("cosine").desc, col("id"))))
+            .filter(col("rank") <= 3)
+            .orderBy("qid", "rank").collect().toSeq
+          assert(got === want, ctx)
+        }
+      }
+    }
+  }
+
   test("persisted IVF full probe equals brute force across random appends and a retrain") {
     val corpusGen = for {
       n <- Gen.chooseNum(10, 24)
