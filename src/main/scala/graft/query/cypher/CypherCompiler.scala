@@ -749,6 +749,8 @@ final class CypherCompiler(
   }
 
   private[cypher] def toColumn(e: Expr, vars: Map[String, String]): Column = e match {
+    case PropStar(v) => throw new IllegalArgumentException(
+      s"$v.* is only valid as a whole projection item (RETURN/WITH)")
     case Prop(v, name) =>
       // backtick-quoted so property names containing dots (newly
       // parseable via backtick identifiers) resolve as literal column
@@ -994,6 +996,7 @@ final class CypherCompiler(
   }
 
   private def pretty(e: Expr): String = e match {
+    case PropStar(v) => s"$v.*"
     case Prop(v, n) => s"$v.$n"
     case VarRef(n) => n
     case Param(n) => s"$$$n"

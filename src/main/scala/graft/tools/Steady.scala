@@ -12,6 +12,16 @@ object Steady {
     val spark = graft.SparkBoot.session(graft.SparkBoot.cpusFromEnv, "ERROR")
     val iters = args.headOption.map(_.toInt).getOrElse(3)
     val names = args.drop(1).toSeq
+    names.filterNot(SparkEntry.queries.contains) match {
+      case Seq() =>
+      case bad =>
+        val hints = bad.map { b =>
+          val near = SparkEntry.queries.keys
+            .filter(_.startsWith(b.takeWhile(_ != '_'))).toSeq.sorted
+          s"  $b — did you mean: ${near.mkString(", ")}"
+        }
+        sys.error(s"unknown gate(s):\n${hints.mkString("\n")}")
+    }
     names.foreach { n =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
