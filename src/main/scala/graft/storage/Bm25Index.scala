@@ -389,6 +389,17 @@ final class Bm25Index(
       .reduce((a, x) => (a._1 + x._1, a._2 + x._2))
     val (n, s) = delSegs.map(e => readStats(e._1))
       .foldLeft((dn, ds))((a, x) => (a._1 - x._1, a._2 - x._2))
+    // a FULLY-tombstoned index compacts to an EMPTY index (a manifest
+    // naming no segment — the same state a fresh rebuild of the empty
+    // corpus would publish), not to a zero-row segment whose later
+    // reads die in parquet schema inference
+    if (n == 0L) {
+      rmTree(seg)
+      if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
+          "".getBytes("UTF-8")))
+        throw new CommitConflictException(s"bm25:$path", baseVer + 1)
+      return
+    }
     java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
       s"$n $s\n".getBytes("UTF-8"))
     // the merged segment inherits every constituent batch tag, so

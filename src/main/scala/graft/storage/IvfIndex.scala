@@ -216,10 +216,19 @@ final class IvfIndex(
       .repartition(nCells, col("cell"))
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$seg/vectors")
-    // carry the head's centroid version forward — compaction is a
-    // layout rewrite under the SAME assignment basis
-    val body = (lines.filter(_.startsWith("centroids=")) :+ seg.getName)
+    // a FULLY-tombstoned index compacts to an EMPTY index (manifest
+    // naming no segment; the centroids line stays — the frozen
+    // assignment basis for whatever appends next), never to a zero-row
+    // segment whose later reads die in parquet schema inference.
+    // Emptiness is a driver-side listing of what the rewrite just
+    // wrote — no extra job.
+    val wroteRows = Option(new java.io.File(s"$seg/vectors").listFiles())
+      .toSeq.flatten.exists(f => f.isDirectory &&
+        f.getName.startsWith("cell="))
+    val body = (lines.filter(_.startsWith("centroids=")) ++
+      (if (wroteRows) Seq(seg.getName) else Nil))
       .mkString("", "\n", "\n")
+    if (!wroteRows) rmTree(seg)
     if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
         body.getBytes("UTF-8"))) {
       rmTree(seg)
@@ -253,6 +262,9 @@ final class IvfIndex(
     val all = liveVectors(entries)
     val trained = graft.operators.Similarity.ivfTrain(
       all.select(col("id"), col("v")), "id", "v", nCells)
+    require(trained.nonEmpty,
+      s"retrain over an empty live corpus at $path — compact (to the " +
+        "empty index) or rebuild instead")
     val tok = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val centFile = new java.io.File(dir, s"_centroids.v${baseVer + 1}-$tok")
     java.nio.file.Files.write(centFile.toPath,

@@ -204,4 +204,23 @@ class Bm25IndexSpec extends SparkTestBase {
     assert(idx.topDocs(queries, k = 5).orderBy("qid", "rank").collect().toSeq
       === inline(corpus))
   }
+
+  test("deleting every doc then compacting yields the EMPTY index; appends restart it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-allgone").toString
+    val idx = new graft.storage.Bm25Index(spark, dir, nBuckets = 8)
+    val v1 = Seq((1L, "dup join"), (2L, "hash scan")).toDF("doc_id", "text")
+    idx.append(v1, "doc_id", "text")
+    assert(idx.delete(Seq(1L, 2L).toDF("doc_id"), "doc_id") === 2L)
+    // fully tombstoned but un-compacted: queries return empty, loudly
+    // consistent (no NaN scores from a zero avgdl)
+    assert(idx.topDocs(Seq((1L, "dup")), k = 3).collect().isEmpty)
+    idx.compact()
+    // the empty index, not a zero-row segment: same state as never
+    // having appended — and the next append starts a fresh lineage
+    assert(idx.segments.isEmpty)
+    intercept[IllegalArgumentException](idx.topDocs(Seq((1L, "dup")), k = 3))
+    idx.append(Seq((3L, "dup merge")).toDF("doc_id", "text"), "doc_id", "text")
+    val got = idx.topDocs(Seq((1L, "dup")), k = 3).collect()
+    assert(got.length === 1 && got(0).getLong(1) === 3L)
+  }
 }

@@ -205,4 +205,27 @@ class IvfIndexSpec extends SparkTestBase {
       "loser must clean up its own segment and ONLY its own segment")
     assert(idx.segments === Seq(first, "seg-2-foreignwriter"))
   }
+
+  test("deleting every vector then compacting yields the EMPTY index; appends restart it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-allgone").toString
+    val idx = new graft.storage.IvfIndex(spark, dir, nCells = 2)
+    val vs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 1.0))).toDF("vec_id", "embedding")
+    idx.append(vs, "vec_id", "embedding")
+    assert(idx.delete(Seq(1L, 2L, 3L).toDF("vec_id"), "vec_id") === 3L)
+    val q = Seq((1L, Seq(1.0, 0.0))).toDF("qid", "qv")
+    // fully tombstoned but un-compacted: empty result, no crash
+    assert(idx.topK(q, "qid", "qv", k = 2, nProbe = 2).collect().isEmpty)
+    idx.compact()
+    // empty index (centroids line retained as the assignment basis)
+    assert(idx.segments.isEmpty)
+    intercept[IllegalArgumentException](idx.topK(q, "qid", "qv", k = 2, nProbe = 2))
+    // retrain on the empty index is refused loudly
+    intercept[IllegalArgumentException](idx.retrain())
+    idx.append(Seq((9L, Seq(0.5, 0.5))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val got = idx.topK(q, "qid", "qv", k = 2, nProbe = 2).collect()
+    assert(got.length === 1 && got(0).getLong(1) === 9L)
+  }
 }
