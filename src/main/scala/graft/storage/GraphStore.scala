@@ -516,6 +516,9 @@ final class GraphStore(
   /** The table's current snapshot generation (0 until first rewrite). */
   def generationOf(label: String): Int = currentGen(nodePath(label))
 
+  /** [[generationOf]]'s relationship-table counterpart. */
+  def relGenerationOf(tpe: String): Int = currentGen(relPath(tpe))
+
   private def withFileId(st: StructType): StructType =
     if (st.fieldNames.contains(FileIdCol)) st
     else st.add(FileIdCol, org.apache.spark.sql.types.StringType)

@@ -571,6 +571,7 @@ class PropertySpec extends SparkTestBase {
       val store = new graft.storage.GraphStore(spark, root, "g", schema)
       val nodes = scala.collection.mutable.Map[String, Long]()
       val rels = scala.collection.mutable.Set[(String, String)]()
+      val relGenEnd = scala.collection.mutable.Map[Int, Set[(String, String)]]()
       var tick = 0L
       ops.zipWithIndex.foreach { case (op, oi) =>
         val ctx = s"sample $si op $oi $op"
@@ -595,6 +596,10 @@ class PropertySpec extends SparkTestBase {
               === (if (nodes.contains(key)) 1L else 0L), ctx)
             if (nodes.contains(key)) nodes(key) = tick
           case GDetach(key) =>
+            // record the rel table's state at the END of its current
+            // generation's tenure — a detach may bump it (both the
+            // FROM-side scope and the round-13 TO-side probe rewrite)
+            relGenEnd(store.relGenerationOf("NEXT")) = rels.toSet
             assert(store.deleteNodes("Thing",
               Seq(key).toDF("k"), detach = true)
               === (if (nodes.contains(key)) 1L else 0L), ctx)
@@ -607,6 +612,16 @@ class PropertySpec extends SparkTestBase {
         val gotR = store.rel("NEXT").select("src", "dst")
           .collect().map(r => (r.getString(0), r.getString(1))).toSet
         assert(gotR === rels.toSet, ctx)
+      }
+      // rel-table TIME TRAVEL across detach rewrites (round 13: the
+      // TO-side probe scopes the rewrite — retained generations must
+      // still read their exact tenure-end state, untouched buckets
+      // shared across manifests included)
+      val curR = store.relGenerationOf("NEXT")
+      relGenEnd.get(curR - 1).filter(_ => curR >= 2).foreach { snap =>
+        val tt = store.relAt("NEXT", curR - 1).select("src", "dst")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        assert(tt === snap, s"sample $si rel time travel to gen ${curR - 1}")
       }
     }
   }
