@@ -133,9 +133,16 @@ object ElementMapping {
     // reference parity (element_mapping.py:91/:183): when NO
     // association matches any fact — including empty fact input — the
     // ORIGINAL frame passes through unchanged (aggregated_rows empty ⇒
-    // return facts), schema and all. The emptiness probe is one
-    // limit-1 action over the aggregated view, whose row count is
-    // bounded by targets × groups — never the fact volume.
-    if (out.isEmpty) facts else out
+    // return facts), schema and all. `out` is empty iff no fact joins
+    // any association source (perSource targets ⊆ method targets, so a
+    // non-empty join survives the agg and the method join), so the
+    // probe is a 1-column broadcast semi-join with limit-1 early exit
+    // — it never executes the aggregation, which the caller's own
+    // action would otherwise recompute in full.
+    val anyMatch = !facts.select(facts("element_id"))
+      .join(broadcast(perSource.select(col("sourceId"))),
+        facts("element_id") === col("sourceId"), "left_semi")
+      .isEmpty
+    if (anyMatch) out else facts
   }
 }
