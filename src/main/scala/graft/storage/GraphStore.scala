@@ -945,6 +945,55 @@ final class GraphStore(
     obs.get.getOrElse("matched", 0L).asInstanceOf[Long]
   }
 
+  /** TO-side detach probe (plan-pinnable — PointWriteSpec): the src
+    * buckets holding a row whose dst matches one of the delete keys.
+    * The key set rides twice: once as a LITERAL native-typed
+    * `dst IN (…)` — the only predicate form a parquet reader can take
+    * into row-group min/max skipping; a join side, however small,
+    * never reaches the reader — and once as the exact string-equality
+    * semi-join that defines match semantics. The literal IN is a
+    * SUPERSET of the semi-join for every standard dst type (a value's
+    * canonical string form parses back to the value), so it can only
+    * skip row groups holding no victim, never a bucket holding one. */
+  private[graft] def toSideProbeFrame(
+      path: String, declared: StructType, k: DataFrame,
+      keyStrings: Seq[String], nB: Int): DataFrame = {
+    val st = readTableState(path, declared)
+    val pre = dstLiteralIn(declared("dst").dataType, keyStrings)
+      .map(st.filter).getOrElse(st)
+    pre.join(k, pre("dst").cast("string") === k("__key"), "left_semi")
+      .select(bucketExpr(col("src"), nB).as("__b")).distinct()
+  }
+
+  /** The literal IN over `dst` in the column's NATIVE type. TRY-cast
+    * parses each key driver-side: a key that does not parse back into
+    * the dst type cannot equal any dst value's canonical string form,
+    * so dropping it loses no match; if NONE parse, no row can match at
+    * all (`lit(false)` — the caller skips the table). A dst type
+    * string can't cast into at all returns None and the probe stays a
+    * full two-column scan — still correct, just unskipped. */
+  private def dstLiteralIn(
+      t: org.apache.spark.sql.types.DataType,
+      keys: Seq[String]): Option[Column] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, EvalMode}
+    import org.apache.spark.sql.types.StringType
+    t match {
+      case StringType => Some(col("dst").isin(keys: _*))
+      case _ if Cast.canCast(StringType, t) =>
+        val parsed = keys.flatMap { s =>
+          Option(Cast(Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            StringType), t,
+            Some(spark.sessionState.conf.sessionLocalTimeZone),
+            EvalMode.TRY).eval(null))
+            .map(v => org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .convertToScala(v, t))
+        }
+        Some(if (parsed.isEmpty) lit(false) else col("dst").isin(parsed: _*))
+      case _ => None
+    }
+  }
+
   /** Cypher `MATCH … [DETACH] DELETE n` executor: remove node rows by
     * key. `detach` also removes every relationship row touching the
     * keys (both directions, schema-driven); without it, remaining
@@ -978,18 +1027,19 @@ final class GraphStore(
     // bucketed table, deleting keys only rewrites the buckets those
     // keys hash into. Relationship tables bucket on SRC, so a
     // FROM-side detach hashes the keys driver-side; a TO-side detach's
-    // victims can sit in ANY src bucket, so it PROBES first — one
-    // dst+src column scan with the key set pushed into the parquet
-    // reader (row-group min/max stats, the min-max sidecar the format
-    // already maintains, skip non-matching groups for free) that
-    // returns exactly the src buckets holding a victim row. The
-    // rewrite then touches only those buckets: bytes WRITTEN scale
+    // victims can sit in ANY src bucket, so it PROBES first — see
+    // [[toSideProbeFrame]]: a dst+src column scan carrying the key set
+    // as a LITERAL native-typed IN the parquet reader takes into
+    // row-group min/max skipping (a join side never reaches the
+    // reader), returning exactly the src buckets holding a victim row.
+    // The rewrite then touches only those buckets: bytes WRITTEN scale
     // with the victims' actual in-edge placement, never the table, and
     // a key with no in-edges skips the rel table entirely. The probe
-    // read is O(two columns of the table) — the deliberate trade
-    // against maintaining a custom per-bucket dst sidecar on every
-    // ingest (write-path cost + a staleness protocol) for an operation
-    // that is rare and whose bill was the REWRITE.
+    // read is AT MOST two columns of the table, less what the pushed
+    // IN skips — the deliberate trade against maintaining a custom
+    // per-bucket dst sidecar on every ingest (write-path cost + a
+    // staleness protocol) for an operation that is rare and whose
+    // bill was the REWRITE.
     val m0 = readManifest()
     // one collect of the (driver-small) key set; per-table bucket sets
     // re-hash driver-side since each table freezes its own count
@@ -1010,13 +1060,8 @@ final class GraphStore(
               if (r.from == label) bucketsOfKeys(keyStrings, nB) else Nil
             val toSide =
               if (r.to != label) Nil
-              else {
-                val st = readTableState(path, declared)
-                st.join(k, st("dst").cast("string") === k("__key"),
-                    "left_semi")
-                  .select(bucketExpr(col("src"), nB).as("__b")).distinct()
-                  .collect().map(_.getLong(0).toInt).toSeq
-              }
+              else toSideProbeFrame(path, declared, k, keyStrings, nB)
+                .collect().map(_.getLong(0).toInt).toSeq
             Some((fromSide ++ toSide).distinct.sorted)
         }
         if (scope.exists(_.isEmpty)) None // no touching rows anywhere

@@ -81,12 +81,14 @@ object PointWriteScale {
       rm(new java.io.File(root)); ()
     }
 
-    // REL tier (round 13): the TO-side DETACH DELETE bill. The rel
-    // table buckets on SRC, so deleting a User (the DST of LIKED)
-    // historically rewrote the WHOLE rel table. The probe path scans
-    // dst+src once (parquet row-group stats prune for free) and
-    // rewrites only the buckets holding victims — this harness times
-    // both shapes at k× rel rows for a single-node delete whose
+    // REL tier (round 13, probe mechanism corrected r14): the TO-side
+    // DETACH DELETE bill. The rel table buckets on SRC, so deleting a
+    // User (the DST of LIKED) historically rewrote the WHOLE rel
+    // table. The probe path scans dst+src once — with the key set as
+    // a pushed LITERAL `dst IN (…)` so parquet row-group min/max
+    // skipping actually fires (PointWriteSpec pins it in the plan) —
+    // and rewrites only the buckets holding victims; this harness
+    // times both shapes at k× rel rows for a single-node delete whose
     // in-edges all sit in ONE src bucket.
     val relSchema = GraphSchema("pwrscale", "1.0",
       Seq(NodeDef("User", Seq(

@@ -331,6 +331,40 @@ class PointWriteSpec extends SparkTestBase {
     assert(store.rel("LIKED").count() === 14)
   }
 
+  test("TO-side probe pushes a literal IN on dst into the parquet scan (r14 pin)") {
+    val schema = CustomSchemaJson.parse(
+      """{"name":"pwprobe","version":"1.0",
+        "nodes":[
+          {"name":"User","properties":[
+            {"name":"identifier","type":"STRING","is_primary_key":true}]},
+          {"name":"Item","properties":[
+            {"name":"identifier","type":"STRING","is_primary_key":true}]}],
+        "relationships":[
+          {"name":"LIKED","from_node":"Item","to_node":"User"}]}""")
+    val root = java.nio.file.Files.createTempDirectory("graft-pwprobe").toString
+    val store = new GraphStore(spark, root, "g", schema)
+    store.ingestNodes("User", (0 until 16).map(i => s"u$i").toDF("identifier"))
+    store.ingestNodes("Item", (0 until 16).map(i => s"i$i").toDF("identifier"))
+    store.ingestRels("LIKED",
+      (0 until 16).map(i => (s"i$i", s"u$i")).toDF("from", "to"))
+    // bucketize via a first detach so the probe runs the real scoped path
+    assert(store.deleteNodes("User", Seq("u0").toDF("k"), detach = true) === 1L)
+    val nB = store.pkBuckets
+    val k = Seq("u3").toDF("k")
+      .select(col("k").cast("string").as("__key")).distinct()
+    val probe = store.toSideProbeFrame(s"$root/g/rels/LIKED",
+      schema.rel("LIKED").structType, k, Seq("u3"), nB)
+    // correct bucket set: exactly the src bucket of the victim row
+    assert(probe.collect().map(_.getLong(0).toInt).toSet ===
+      Set(bucketOf("i3", nB)))
+    // and the key set reached the parquet reader as a LITERAL filter —
+    // the row-group min/max skipping mechanism the doc claims (a join
+    // side never appears in PushedFilters)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.matches(
+      "(?s).*PushedFilters: \\[[^]]*(In|EqualTo)\\(dst,[^)]*u3[^)]*\\).*"), plan)
+  }
+
   test("commitTables refuses a point write whose rows hash outside the touched scope") {
     val store = freshStore("pw5")
     store.ingestNodes("Thing",
