@@ -213,11 +213,17 @@ final class Bm25Index(
             .parquet(s"$seg/dfreq")
         })
       // stats from the cached wc-derived agg (not a re-read of files
-      // just written), computed on this thread while the writes run
-      val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+      // just written), computed on this thread while the writes run;
+      // the id min/max for the segment's `_idrange` sidecar ride the
+      // SAME action — the delete-time segment pruning costs the write
+      // path nothing
+      val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"),
+        min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
       writes.foreach(Await.result(_, scala.concurrent.duration.Duration(600, "s")))
       java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
         s"${st.getLong(0)} ${st.getLong(1)}\n".getBytes("UTF-8"))
+      SegmentIdRange.write(seg, SegmentIdRange.of(
+        wc.schema("id").dataType.typeName, st.get(2), st.get(3)))
       batchTag.foreach(t => java.nio.file.Files.write(
         new java.io.File(seg, "_batch").toPath, s"$t\n".getBytes("UTF-8")))
     } finally wc.unpersist(false)
@@ -251,11 +257,16 @@ final class Bm25Index(
     * `batchTag` additionally short-circuits an at-least-once replay
     * before it re-scans anything (same contract as [[append]]).
     *
-    * Cost shape: one postings scan FILTERED by the requested ids (ids
-    * are not the partition key, so the scan is not pruned — the
-    * takedown bill is a read of the index, never a rewrite of it; the
-    * rewrite happens once, amortized, at the next [[compact]]).
-    * Returns the number of documents actually tombstoned.
+    * Cost shape: one postings scan FILTERED by the requested ids,
+    * over only the segments whose `_idrange` sidecar overlaps the
+    * requested ids' min/max ([[SegmentIdRange]] — segments are
+    * typically time-ordered, so takedowns of a cohort skip the rest;
+    * a segment without the sidecar is always scanned). The takedown
+    * bill is a read of the index, never a rewrite of it; the rewrite
+    * happens once, amortized, at the next [[compact]]. Returns the
+    * number of documents actually tombstoned. The caller's id column
+    * is CAST to the postings id type explicitly — a loose coercion
+    * between mismatched types could otherwise silently match nothing.
     *
     * `dfCap` edge: a document EVERY one of whose terms was capped at
     * build time has no posting rows, so delete cannot see it — it
@@ -272,8 +283,9 @@ final class Bm25Index(
     val entries = segs.zipWithIndex
     val dataSegs = entries.filterNot(e => isDel(e._1))
     if (dataSegs.isEmpty) return 0L
-    val want = ids.select(col(idCol).as("id")).distinct()
-    val posts = dataSegs.map { case (s, i) =>
+    val (want, scanSegs) = pruneForDelete(dataSegs, ids, idCol)
+    if (scanSegs.isEmpty) return 0L // no segment can hold a requested id
+    val posts = scanSegs.map { case (s, i) =>
       spark.read.parquet(s"$path/$s/postings").withColumn("__ord", lit(i))
     }.reduce(_.unionByName(_)).join(want, Seq("id"))
     val live = minusDeleted(posts, entries.filter(e => isDel(e._1))).persist()
@@ -309,6 +321,37 @@ final class Bm25Index(
       }
       nDel
     } finally { live.unpersist(false); () }
+  }
+
+  /** Delete-side normalization + pruning: the caller's ids CAST to
+    * the postings id type (loud under ANSI if unparseable — never a
+    * silent loose coercion), deduped, and the subset of data segments
+    * whose `_idrange` sidecar may hold one of them. An empty id set
+    * prunes everything. */
+  private def pruneForDelete(
+      dataSegs: Seq[(String, Int)], ids: DataFrame,
+      idCol: String): (DataFrame, Seq[(String, Int)]) = {
+    val idT = spark.read.parquet(s"$path/${dataSegs.head._1}/postings")
+      .schema("id").dataType
+    val want = ids.select(col(idCol).cast(idT).as("id")).distinct()
+    val r = want.agg(count(lit(1)).as("n"),
+      min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+    if (r.getLong(0) == 0L) return (want, Nil)
+    val req = SegmentIdRange.of(idT.typeName, r.get(1), r.get(2))
+    (want, dataSegs.filter { case (s, _) =>
+      SegmentIdRange.mayOverlap(
+        SegmentIdRange.read(new java.io.File(s"$path/$s")), req)
+    })
+  }
+
+  /** The data segments a [[delete]] of `ids` would actually SCAN
+    * after id-range pruning (spec surface — the r14 segment-skip
+    * pin; the skip is invisible in results by design). */
+  private[graft] def deleteScanSegments(
+      ids: DataFrame, idCol: String): Seq[String] = {
+    val dataSegs = readHead()._2.zipWithIndex.filterNot(e => isDel(e._1))
+    if (dataSegs.isEmpty) Nil
+    else pruneForDelete(dataSegs, ids, idCol)._2.map(_._1)
   }
 
   /** Anti-join `posts` (posting rows carrying a manifest-ordinal
@@ -402,6 +445,13 @@ final class Bm25Index(
     }
     java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
       s"$n $s\n".getBytes("UTF-8"))
+    // merged id range = union of the constituents' (conservative:
+    // folded tombstones may narrow the true range; a superset only
+    // costs future delete scans, never correctness). Any constituent
+    // without a sidecar → merged has none (always scanned).
+    SegmentIdRange.write(seg, dataSegs
+      .map(e => SegmentIdRange.read(new java.io.File(s"$path/${e._1}")))
+      .reduce(SegmentIdRange.union))
     // the merged segment inherits every constituent batch tag, so
     // replay safety survives compaction
     val tags = segs.flatMap(tagsOf).distinct

@@ -136,18 +136,33 @@ final class IvfIndex(
     * suppresses only EARLIER segments), so re-appending a deleted id
     * later is a new live vector. Only ids currently LIVE are recorded
     * — deleting an absent or already-deleted id contributes zero, so
-    * the call is idempotent in effect. Cost shape: one id-filtered
-    * scan of the corpus (ids are not the partition key — a takedown
-    * reads the index, never rewrites it). Returns the count actually
+    * the call is idempotent in effect; `batchTag` additionally
+    * short-circuits an at-least-once replay BEFORE any scan (the
+    * [[Bm25Index.delete]] contract), so a replayed delete after a
+    * re-append of the same ids cannot tombstone the re-appended live
+    * vectors. Cost shape: one id-filtered scan over only the segments
+    * whose `_idrange` sidecar overlaps the requested ids' min/max
+    * ([[SegmentIdRange]]; ids are not the partition key, so the
+    * in-segment scan itself is not pruned — a takedown reads the
+    * index, never rewrites it). Returns the count actually
     * tombstoned. */
-  def delete(ids: DataFrame, idCol: String): Long = {
+  def delete(ids: DataFrame, idCol: String,
+      batchTag: Option[String] = None): Long = {
     val (baseVer, lines) = readHead()
     val entries = segsOf(lines).zipWithIndex
+    // at-least-once replay guard (the Bm25Index.delete contract —
+    // ADVICE r13): a tag already committed at the head short-circuits
+    // BEFORE any scan, so a replayed delete after a re-append of the
+    // same ids cannot tombstone the newly re-appended live vectors
+    if (batchTag.exists(t =>
+        entries.map(_._1).flatMap(tagsOf).contains(t))) return 0L
     val dataSegs = entries.filterNot(e => isDel(e._1))
     if (dataSegs.isEmpty) return 0L
     val want = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val scanSegs = pruneByIdRange(dataSegs, want)
+    if (scanSegs.isEmpty) return 0L // no segment can hold a requested id
     val live = minusDeleted(
-      dataSegs.map { case (s, i) =>
+      scanSegs.map { case (s, i) =>
         spark.read.parquet(s"$path/$s/vectors").withColumn("__ord", lit(i))
       }.reduce(_.unionByName(_)).join(want, Seq("id")),
       entries.filter(e => isDel(e._1)))
@@ -157,6 +172,8 @@ final class IvfIndex(
       if (nDel == 0L) return 0L
       val del = newDelDir(baseVer + 1)
       live.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
+      batchTag.foreach(t => java.nio.file.Files.write(
+        new java.io.File(del, "_batch").toPath, s"$t\n".getBytes("UTF-8")))
       val body = (lines :+ del.getName).mkString("", "\n", "\n")
       if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
           body.getBytes("UTF-8"))) {
@@ -165,6 +182,43 @@ final class IvfIndex(
       }
       nDel
     } finally { live.unpersist(false); () }
+  }
+
+  /** Tags of batches already committed at the head (delete replay
+    * guard — the [[Bm25Index.committedBatchTags]] contract). */
+  private def tagsOf(segName: String): Seq[String] = {
+    val f = new java.io.File(s"$path/$segName", "_batch")
+    if (!f.exists) Nil
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** The subset of data segments whose `_idrange` sidecar may hold one
+    * of the requested (long-cast, deduped) ids — [[SegmentIdRange]];
+    * an empty id set prunes everything, a sidecar-less segment is
+    * always kept. */
+  private def pruneByIdRange(
+      dataSegs: Seq[(String, Int)], want: DataFrame): Seq[(String, Int)] = {
+    val r = want.agg(count(lit(1)).as("n"),
+      min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+    if (r.getLong(0) == 0L) return Nil
+    val req = SegmentIdRange.of("long", r.get(1), r.get(2))
+    dataSegs.filter { case (s, _) =>
+      SegmentIdRange.mayOverlap(
+        SegmentIdRange.read(new java.io.File(s"$path/$s")), req)
+    }
+  }
+
+  /** The data segments a [[delete]] of `ids` would actually SCAN after
+    * id-range pruning (spec surface — the skip is invisible in
+    * results by design). */
+  private[graft] def deleteScanSegments(
+      ids: DataFrame, idCol: String): Seq[String] = {
+    val dataSegs = segsOf(readHead()._2).zipWithIndex
+      .filterNot(e => isDel(e._1))
+    if (dataSegs.isEmpty) Nil
+    else pruneByIdRange(dataSegs,
+      ids.select(col(idCol).cast("long").as("id")).distinct()).map(_._1)
   }
 
   /** Anti-join vector rows (carrying a manifest-ordinal `__ord`
@@ -225,6 +279,11 @@ final class IvfIndex(
     val wroteRows = Option(new java.io.File(s"$seg/vectors").listFiles())
       .toSeq.flatten.exists(f => f.isDirectory &&
         f.getName.startsWith("cell="))
+    // merged id range = union of the constituents' (conservative:
+    // folded tombstones may narrow it — a superset only costs scans)
+    if (wroteRows) SegmentIdRange.write(seg, dataSegs
+      .map(e => SegmentIdRange.read(new java.io.File(s"$path/${e._1}")))
+      .reduce(SegmentIdRange.union))
     val body = (lines.filter(_.startsWith("centroids=")) ++
       (if (wroteRows) Seq(seg.getName) else Nil))
       .mkString("", "\n", "\n")
@@ -270,12 +329,19 @@ final class IvfIndex(
     java.nio.file.Files.write(centFile.toPath,
       trained.map(_.mkString(",")).mkString("", "\n", "\n").getBytes("UTF-8"))
     val seg = newSegDir(baseVer + 1)
+    // id range off the rewrite job itself (observe — no extra pass);
+    // the live view can only narrow, so this is exact, not a union
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-ivf-rt-${java.util.UUID.randomUUID()}")
     all.select(col("id"), col("v"), col("nv"))
+      .observe(obs, min(col("id")).as("mn"), max(col("id")).as("mx"))
       .withColumn("cell",
         element_at(nearestCentroids(col("v"), trained, 1), 1))
       .repartition(nCells, col("cell"))
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$seg/vectors")
+    SegmentIdRange.write(seg, SegmentIdRange.of("long",
+      obs.get.getOrElse("mn", null), obs.get.getOrElse("mx", null)))
     val body = s"centroids=${centFile.getName}\n${seg.getName}\n"
     if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
         body.getBytes("UTF-8"))) {
@@ -339,14 +405,22 @@ final class IvfIndex(
     val seg = newSegDir(baseVer + 1)
     // one task per cell partition (the Bm25Index write discipline:
     // repartition ON the partition column so the write lands one file
-    // per cell instead of tasks × cells)
+    // per cell instead of tasks × cells). The id min/max for the
+    // `_idrange` delete-pruning sidecar ride the write job itself as
+    // an observation — no extra pass (an empty input folds the
+    // observe node away: empty metrics map, no sidecar written).
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-ivf-${java.util.UUID.randomUUID()}")
     vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .observe(obs, min(col("id")).as("mn"), max(col("id")).as("mx"))
       .withColumn("cell",
         element_at(nearestCentroids(col("v"), cents, 1), 1))
       .withColumn("nv", l2Norm(col("v")))
       .repartition(nCells, col("cell"))
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$seg/vectors")
+    SegmentIdRange.write(seg, SegmentIdRange.of("long",
+      obs.get.getOrElse("mn", null), obs.get.getOrElse("mx", null)))
     val body = (segs :+ seg.getName).mkString("", "\n", "\n")
     if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1), body.getBytes("UTF-8"))) {
       def rm(f: java.io.File): Boolean =

@@ -205,6 +205,47 @@ class Bm25IndexSpec extends SparkTestBase {
       === inline(corpus))
   }
 
+  test("delete scans only segments whose id range overlaps the requested ids (r14 pin)") {
+    val dir = newIndexDir()
+    val idx = new Bm25Index(spark, dir, nBuckets = 8)
+    idx.append(corpus.filter($"doc_id" <= 4), "doc_id", "text")
+    idx.append(corpus.filter($"doc_id" > 4), "doc_id", "text")
+    val Seq(segLow, segHigh) = idx.segments
+    // a delete of low ids must not read the high segment, and vice
+    // versa — the _idrange sidecar's whole point (the r13 documented
+    // takedown read bill)
+    assert(idx.deleteScanSegments(Seq(2L, 3L).toDF("doc_id"), "doc_id")
+      === Seq(segLow))
+    assert(idx.deleteScanSegments(Seq(7L).toDF("doc_id"), "doc_id")
+      === Seq(segHigh))
+    // ids outside every range scan nothing; empty set scans nothing
+    assert(idx.deleteScanSegments(Seq(99L).toDF("doc_id"), "doc_id") === Nil)
+    assert(idx.deleteScanSegments(Seq.empty[Long].toDF("doc_id"), "doc_id")
+      === Nil)
+    assert(idx.delete(Seq(99L).toDF("doc_id"), "doc_id") === 0L)
+    // the caller's id TYPE is normalized against the postings schema
+    // (ADVICE r13): string ids parse into the long postings ids and
+    // match exactly — not silently zero
+    assert(idx.deleteScanSegments(Seq("7").toDF("doc_id"), "doc_id")
+      === Seq(segHigh))
+    assert(idx.delete(Seq("7").toDF("doc_id"), "doc_id") === 1L)
+    // post-delete scores still match a rebuilt index without the doc
+    val rebuilt = new Bm25Index(spark, newIndexDir(), nBuckets = 8)
+    rebuilt.append(corpus.filter($"doc_id" =!= 7L), "doc_id", "text")
+    assert(idx.topDocs(queries, k = 5).orderBy("qid", "rank").collect().toSeq
+      === rebuilt.topDocs(queries, k = 5).orderBy("qid", "rank").collect().toSeq)
+    // compaction carries a (unioned) range forward: still prunable
+    idx.compact()
+    val Seq(merged) = idx.segments
+    assert(idx.deleteScanSegments(Seq(99L).toDF("doc_id"), "doc_id") === Nil)
+    assert(idx.deleteScanSegments(Seq(1L).toDF("doc_id"), "doc_id")
+      === Seq(merged))
+    // a segment WITHOUT the sidecar (pre-r14 layout) is always scanned
+    new java.io.File(s"$dir/$merged", "_idrange").delete()
+    assert(idx.deleteScanSegments(Seq(99L).toDF("doc_id"), "doc_id")
+      === Seq(merged))
+  }
+
   test("deleting every doc then compacting yields the EMPTY index; appends restart it") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25-allgone").toString
     val idx = new graft.storage.Bm25Index(spark, dir, nBuckets = 8)

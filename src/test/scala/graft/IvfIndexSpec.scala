@@ -206,6 +206,37 @@ class IvfIndexSpec extends SparkTestBase {
     assert(idx.segments === Seq(first, "seg-2-foreignwriter"))
   }
 
+  test("delete scans only segments whose id range overlaps; batchTag replays are pre-scan no-ops (r14)") {
+    val idx = new IvfIndex(spark, newIndexDir(), nCells = 4)
+    idx.append(corpus.filter($"vec_id" < 32), "vec_id", "embedding")
+    idx.append(corpus.filter($"vec_id" >= 32), "vec_id", "embedding")
+    val Seq(segLow, segHigh) = idx.segments
+    // disjoint-id deletes skip the other segment entirely
+    assert(idx.deleteScanSegments(Seq(3L, 9L).toDF("vec_id"), "vec_id")
+      === Seq(segLow))
+    assert(idx.deleteScanSegments(Seq(40L).toDF("vec_id"), "vec_id")
+      === Seq(segHigh))
+    assert(idx.deleteScanSegments(Seq(999L).toDF("vec_id"), "vec_id") === Nil)
+    assert(idx.delete(Seq(999L).toDF("vec_id"), "vec_id") === 0L)
+    // the ADVICE r13 race, now guarded: delete(tag) → re-append same
+    // id → REPLAY of delete(tag) must be a no-op, not a tombstone of
+    // the re-appended live vector
+    assert(idx.delete(Seq(40L).toDF("vec_id"), "vec_id",
+      batchTag = Some("takedown:1")) === 1L)
+    idx.append(corpus.filter($"vec_id" === 40L), "vec_id", "embedding")
+    assert(idx.delete(Seq(40L).toDF("vec_id"), "vec_id",
+      batchTag = Some("takedown:1")) === 0L)
+    val got = idx.topK(queriesDf, "qid", "qv", k = 64, nProbe = 4)
+      .filter($"id" === 40L)
+    assert(got.count() > 0, "re-appended vector must stay live after replay")
+    // retrain writes a fresh exact range: still prunable afterwards
+    idx.retrain()
+    val Seq(seg) = idx.segments
+    assert(idx.deleteScanSegments(Seq(999L).toDF("vec_id"), "vec_id") === Nil)
+    assert(idx.deleteScanSegments(Seq(1L).toDF("vec_id"), "vec_id")
+      === Seq(seg))
+  }
+
   test("deleting every vector then compacting yields the EMPTY index; appends restart it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-allgone").toString
