@@ -177,7 +177,13 @@ object ScaleCheck {
       // one grouped fact shuffle — should track the fact scan) and the
       // auto-router's LSH regime (profile pass + banded minhash: the
       // t05 curve plus one O(corpus) profile scan)
-      "v01_element_mapping", "t61_jaccard_auto_route").filter(q =>
+      "v01_element_mapping", "t61_jaccard_auto_route",
+      // round 14: count-min heavy hitters — the sketch pass's shuffle
+      // is bounded at depth×width counters per task however the
+      // vocabulary grows (token-suffix synthesis grows vocab k×, the
+      // exact t34 shuffle with it), the candidate pass by the hot-cell
+      // term set; growth term = the two token scans, ~k
+      "t65_heavy_hitters_sketch").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // Shapes whose scale-correct form needs to know k: SemDeDup's

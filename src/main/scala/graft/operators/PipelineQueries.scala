@@ -707,6 +707,21 @@ object PipelineQueries {
     * extraction with the same regex, the label-boundary block rule as
     * an equality-or-LIKE join, and the capped per-domain ranking — a
     * hash match pins extraction, blocking and the cap together. */
+  /** Count-min sketch heavy hitters ([[CurationPipeline
+    * .heavyHittersSketch]]): candidate pass bounded at depth×width
+    * counters per task + exact verify — provably the same top-k as the
+    * exact engine, so the oracle is t34's exact SQL at this gate's k
+    * (the full-probe ≡ exact trick: a hash match proves the sketch
+    * path is invisible in the result while the vocabulary-sized
+    * shuffle is gone). k differs from t34 so the two gates cannot
+    * silently share a cached result. */
+  def t65HeavyHittersSketch(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      CurationPipeline.heavyHittersSketch(
+        Tables.documents(spark, dir), "text", k = 40)
+        .orderBy(col("tf").desc, col("term"))
+    }
+
   def t64UrlFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val host = concat(lit("s"), col("doc_id") % 7, lit("."),
@@ -1312,6 +1327,7 @@ object PipelineQueries {
     "t62_bm25_delete" -> t62Bm25Delete _,
     "t63_ivf_delete" -> t63IvfDelete _,
     "t64_url_filter" -> t64UrlFilter _,
+    "t65_heavy_hitters_sketch" -> t65HeavyHittersSketch _,
     "t59_gopher_rules" -> t59GopherRules _,
     "t60_c4_clean" -> t60C4Clean _,
     "t61_jaccard_auto_route" -> t61JaccardAutoRoute _,
@@ -2419,6 +2435,14 @@ object PipelineQueries {
          ORDER BY qid, rank""",
     // t64: host extraction replayed with the SAME regex, the
     // label-boundary block rule as equality-or-'.'-suffix, the cap as
+    // the sketch path is provably exact (candidate superset + verify
+    // loop), so its oracle IS the exact top-k SQL — t34's shape at k=40
+    "t65_heavy_hitters_sketch" ->
+      """SELECT term, count(*) AS tf FROM (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents)
+         WHERE len(term) > 0
+         GROUP BY term ORDER BY tf DESC, term LIMIT 40""",
     // a per-domain row_number — extraction + blocking + cap in one hash
     "t64_url_filter" ->
       """WITH d AS (
