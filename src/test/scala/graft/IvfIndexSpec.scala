@@ -178,6 +178,53 @@ class IvfIndexSpec extends SparkTestBase {
     assert(idx.centroids.nonEmpty)
   }
 
+  test("drift-triggered retrain: baseline stamped at train time, auto-retrain restores single-probe recall (r14)") {
+    // the retrain fixture's drift shape: train on A, append B from a
+    // region the frozen matrix never saw
+    val aVecs = (0L until 16L).map { i =>
+      val lobe = if (i % 2 == 0) 1.0 else -1.0
+      i -> Seq(10.0, 0.0, lobe + 0.01 * i, 0.0)
+    }
+    val bT3 = Seq(-0.40, -0.20, -0.04, -0.02, 0.30, 0.50, 0.70, 0.90)
+    val bVecs = bT3.zipWithIndex.map { case (t3, i) =>
+      (100L + i) -> Seq(0.0, 10.0, t3, 0.0)
+    }
+    val a = aVecs.toDF("vec_id", "embedding")
+    val b = bVecs.toDF("vec_id", "embedding")
+    val idx = new IvfIndex(spark, newIndexDir(), nCells = 2)
+    idx.append(a, "vec_id", "embedding") // trains → baseline stamped
+    val base = idx.driftBaseline
+    assert(base.isDefined && base.get > 0.9,
+      s"training corpus must fit its own matrix tightly: $base")
+    val d0 = idx.drift().get
+    assert(math.abs(d0) < 1e-6, s"drift right after training must be ~0: $d0")
+    assert(!idx.retrainIfDrifted(0.05), "no drift → no retrain")
+    idx.append(b, "vec_id", "embedding") // the drifted batch
+    val d1 = idx.drift().get
+    assert(d1 > 0.05, s"drifted appends must move the metric: $d1")
+    val q = Seq((0L, Seq(0.0, 10.0, 0.02, 0.0))).toDF("qid", "qv")
+    val want = Similarity.bruteForceTopK(
+      a.unionByName(b), "vec_id", "embedding", q, "qid", "qv", k = 4)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(idx.topK(q, "qid", "qv", k = 4, nProbe = 1)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq !== want,
+      "fixture premise: drifted single-probe recall is broken")
+    // the policy call a streaming foreachBatch would make
+    assert(idx.retrainIfDrifted(0.05), "drift above threshold must retrain")
+    assert(idx.topK(q, "qid", "qv", k = 4, nProbe = 1)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq === want,
+      "auto-retrain must restore single-probe recall")
+    // fresh baseline stamped by the retrain; metric re-centered
+    assert(math.abs(idx.drift().get) < 1e-6)
+    assert(!idx.retrainIfDrifted(0.05), "re-centered → no second retrain")
+    // compaction carries the baseline forward with the centroids line
+    idx.append(Seq((200L, Seq(0.0, 10.0, 0.01, 0.0)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    idx.compact()
+    assert(idx.driftBaseline.isDefined)
+    assert(idx.drift().isDefined)
+  }
+
   test("losing the manifest CAS raises CommitConflictException, removes ONLY the loser's segment") {
     val dir = newIndexDir()
     val idx = new IvfIndex(spark, dir, nCells = 4)
