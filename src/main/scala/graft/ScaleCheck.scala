@@ -193,6 +193,22 @@ object ScaleCheck {
     // linear per row. Measured against t45's fixed-8 gate this is the
     // blocking-structure story in one table.
     val kAware: Seq[(String, (String, Int) => DataFrame)] = Seq(
+      // round 14: the urlDomainFilter whale-host tier — EVERY row on
+      // one host, cap 100. Catalyst's Partial WindowGroupLimit keeps
+      // ≤ 100 rows per host per map task before the shuffle
+      // (Round14ReviewSpec plan-pins it), so the wall must track the
+      // corpus scan, never a one-task whale sort.
+      "t64_whalehost" -> { (dir: String, _: Int) =>
+        val docs = graft.sources.Tables.documents(spark, dir).select(
+          col("doc_id"),
+          concat(lit("https://whale.example.com/p/"), col("doc_id")).as("url"))
+        graft.operators.CurationPipeline.urlDomainFilter(
+          docs, "doc_id", "url",
+          spark.createDataFrame(Seq(Tuple1("blocked.io"))).toDF("domain"),
+          "domain", maxPerDomain = 100)
+          .groupBy(col("domain")).agg(count(lit(1)).as("n"),
+            max(col("domain_rank")).as("max_rank"))
+      },
       "t45_semdedup_kn" -> { (dir: String, k: Int) =>
         graft.operators.PipelineContext.materialize { implicit ctx =>
           val emb = graft.sources.Tables.embeddings(spark, dir)

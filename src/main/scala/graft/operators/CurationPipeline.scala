@@ -909,26 +909,47 @@ object CurationPipeline {
     *  3. PER-DOMAIN CAP: survivors keep `domain_rank ≤ maxPerDomain`
     *     under a per-host (domain, id) window — the dedup/antispam cap
     *     ("no domain may contribute more than N documents"). The
-    *     window partitions by host; a pathological whale host
-    *     serializes its own sort into one task, which is exactly the
-    *     domain the cap is about to cut to N rows — acceptable until a
-    *     host's raw row count itself exceeds task memory, where a
-    *     pre-cap coarse filter (keep the N smallest ids per host via a
-    *     partial top-N aggregate) slots in front.
+    *     whale-host hazard (one host's whole row set dragged through a
+    *     single window task) is handled by CATALYST, not by extra
+    *     machinery here: a `row_number ≤ N` filter over a window
+    *     triggers the rank-limit pushdown (`InferWindowGroupLimit` →
+    *     a PARTIAL `WindowGroupLimit` below the exchange), so every
+    *     map task locally keeps only its first N rows per host and at
+    *     most N × map-tasks rows per host ever cross the shuffle —
+    *     the "partial top-N before the window" this doc used to name
+    *     as future work, already in the engine. Round14ReviewSpec pins
+    *     the Partial node in the executed plan; graft.tools
+    *     .WhaleHostScale measures an all-one-host corpus at 2–40 M
+    *     rows tracking the corpus scan, never a one-task sort. The
+    *     residual: the pushdown fires while maxPerDomain ≤
+    *     spark.sql.optimizer.windowGroupLimitThreshold (default 1000)
+    *     — a LARGER cap loses it, but a cap that large keeps the
+    *     whale's rows in the OUTPUT anyway, where no pre-cap can help.
+    *
+    * `maxLabels` bounds the suffix explosion per host: only the LAST
+    * `maxLabels` dot-labels form the chain, so a crafted
+    * thousand-label host contributes `maxLabels` suffix rows, not
+    * thousands; the documented trade is that a blocklist entry with
+    * MORE than `maxLabels` labels never matches (real blocklists are
+    * public-suffix-shaped — a handful of labels).
     *
     * Output: every input column plus `domain` and `domain_rank`,
     * blocked rows removed, cap applied. */
   def urlDomainFilter(
       docs: DataFrame, idCol: String, urlCol: String,
       blocklist: DataFrame, domainCol: String,
-      maxPerDomain: Int = Int.MaxValue): DataFrame = {
+      maxPerDomain: Int = Int.MaxValue, maxLabels: Int = 8): DataFrame = {
     require(maxPerDomain >= 1, "maxPerDomain must be positive")
+    require(maxLabels >= 1, "maxLabels must be positive")
     import org.apache.spark.sql.expressions.Window
     val host = lower(regexp_extract(col(urlCol),
       "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+).*$", 1))
     val withHost = docs.withColumn("domain", host)
-    val labels = split(col("domain"), "\\.")
-    // all label-boundary suffixes of the host: a.b.c → [a.b.c, b.c, c]
+    val labelsAll = split(col("domain"), "\\.")
+    // the last maxLabels labels — the ADVICE r13 bound on the chain
+    val labels = slice(labelsAll,
+      greatest(size(labelsAll) - (maxLabels - 1), lit(1)), lit(maxLabels))
+    // label-boundary suffixes of the bounded tail: a.b.c → [a.b.c, b.c, c]
     val suffixes = transform(sequence(lit(0), size(labels) - 1),
       i => array_join(slice(labels, i + 1, size(labels) - i), "."))
     val blockedIds = withHost

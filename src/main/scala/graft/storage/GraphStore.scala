@@ -314,8 +314,20 @@ final class GraphStore(
             case Some(g) => retained.flatMap(genOf).forall(_ < g)
             case None    => !retained.exists(_.startsWith("_gen-"))
           }
-          if (preUpgradeEmpty) None
-          else throw new IllegalArgumentException(
+          if (preUpgradeEmpty) {
+            // ADVICE r13: this branch also catches out-of-band loss of
+            // a bucket's NEWEST gen dir (partial sync, manual rm) when
+            // only older dirs remain — indistinguishable by layout
+            // alone from a pre-upgrade empty bucket, so say what was
+            // concluded instead of staying silent
+            System.err.println(
+              s"[graft] $d named by the manifest is missing with only " +
+                "older generations retained - reading the bucket as a " +
+                "PRE-UPGRADE EMPTY bucket; if this table was never " +
+                "written by a pre-r12 build, the dir was lost out of " +
+                "band and this bucket's rows are GONE")
+            None
+          } else throw new IllegalArgumentException(
             s"generation dir $d named by the manifest is not retained " +
               "(vacuumed?) — refusing a silently-partial read")
         }
