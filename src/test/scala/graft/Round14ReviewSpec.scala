@@ -50,8 +50,8 @@ class Round14ReviewSpec extends SparkTestBase {
     val crafted = (1 to 1000).map(i => s"l$i").mkString(".") + ".evil.com"
     val docs = Seq(
       (1L, s"https://$crafted/x"),            // blocked via its last labels
-      (2L, "https://fine.example.org/y"),
-      (3L, "https://sub.evil.com/z")          // blocked normally
+      (2L, "https://" + "fine.example.org/y"),
+      (3L, "https://" + "sub.evil.com/z")     // blocked normally
     ).toDF("doc_id", "url")
     val block = Seq("evil.com").toDF("domain")
     val out = CurationPipeline.urlDomainFilter(
