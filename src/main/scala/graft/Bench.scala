@@ -92,21 +92,37 @@ object Bench {
     // quiet_window=false artifact is an environment question, never a
     // code one, answerable from the artifact alone.
     val quietMax = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble
+    // STEAL preflight (r14): the r14 window was quiet by loadavg (0.43)
+    // yet read every gate ~15% hot, and the artifact's own pass columns
+    // showed 343 steal jiffies in pass 1 — hypervisor contention the
+    // loadavg gate cannot see. The wait loop now also samples the
+    // steal-time RATE and refuses to call a window quiet while a
+    // neighbor is visibly stealing cycles.
+    val stealMax = sys.env.getOrElse("SPARK_GRAFT_QUIET_STEAL", "5.0").toDouble
     val quietWaitS = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "120").toInt
     val tWait0 = System.nanoTime()
+    def stealRateOver(ms: Long): Double = {
+      val s0 = stealJiffies; Thread.sleep(ms)
+      (stealJiffies - s0) * 1000.0 / ms
+    }
     var lNow = loadavg1
-    while (lNow > quietMax &&
+    var sRate = stealRateOver(2000)
+    while ((lNow > quietMax || sRate > stealMax) &&
         (System.nanoTime() - tWait0) / 1e9 < quietWaitS) {
       System.err.println(
-        f"BENCH quiet-window wait: loadavg $lNow%.2f > $quietMax%.2f")
-      Thread.sleep(5000)
+        f"BENCH quiet-window wait: loadavg $lNow%.2f (max $quietMax%.2f), " +
+          f"steal $sRate%.1f jiffies/s (max $stealMax%.1f)")
       lNow = loadavg1
+      sRate = stealRateOver(5000)
     }
     val loadInitial = lNow
-    val quietWindow = loadInitial >= 0 && loadInitial <= quietMax
+    val stealInitial = sRate
+    val quietWindow = loadInitial >= 0 && loadInitial <= quietMax &&
+      stealInitial <= stealMax
     if (!quietWindow) System.err.println(
-      f"BENCH WARNING: starting LOADED (loadavg $loadInitial%.2f after " +
-        f"$quietWaitS s wait) — walls in this artifact are NOT steady-state")
+      f"BENCH WARNING: starting DIRTY (loadavg $loadInitial%.2f, steal " +
+        f"$stealInitial%.1f j/s after $quietWaitS s wait) — walls in this " +
+        "artifact are NOT steady-state")
 
     names.foreach(runOnce(_, "warmup")) // warmup pass (untimed)
     val passLoad = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Long)]()
@@ -142,7 +158,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val ts = java.time.Instant.now().toString
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","load_initial":${f3(loadInitial)},"quiet_window":$quietWindow,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","load_initial":${f3(loadInitial)},"steal_initial":${f3(stealInitial)},"quiet_window":$quietWindow,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is the driver contract, but its capture has
     // truncated the tail two rounds running (r6/r7 BENCH artifacts
