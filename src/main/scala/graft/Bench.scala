@@ -124,6 +124,29 @@ object Bench {
         f"$stealInitial%.1f j/s after $quietWaitS s wait) — walls in this " +
         "artifact are NOT steady-state")
 
+    // BOX-SPEED CANARY (r14): a fixed synthetic workload — 30 B
+    // xxhash64+sum over range, zero IO, zero shuffle — timed right
+    // after the quiet gate. Identical work every round, so the
+    // artifact carries its own denominator: when every gate reads ~N%
+    // hot and the canary reads ~N% hot too, the window is slow, not
+    // the code (the r13-t47 / r14-whole-artifact attribution, now
+    // answerable without rebuilding an old tree). Median of 3.
+    val canaryWall = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 30000000000L, 1, 32)
+          .select(org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id")).as("h"))
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("h"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // JIT/codegen warmup
+      val ws = Seq(once(), once(), once()).sorted
+      ws(1)
+    }
+    System.err.println(f"BENCH canary: $canaryWall%.3f s")
+
     names.foreach(runOnce(_, "warmup")) // warmup pass (untimed)
     val passLoad = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Long)]()
     val passes = (1 to 3).map { p =>
@@ -158,7 +181,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val ts = java.time.Instant.now().toString
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","load_initial":${f3(loadInitial)},"steal_initial":${f3(stealInitial)},"quiet_window":$quietWindow,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","load_initial":${f3(loadInitial)},"steal_initial":${f3(stealInitial)},"canary_wall":${f3(canaryWall)},"quiet_window":$quietWindow,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is the driver contract, but its capture has
     // truncated the tail two rounds running (r6/r7 BENCH artifacts
