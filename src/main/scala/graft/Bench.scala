@@ -125,7 +125,7 @@ object Bench {
         "artifact are NOT steady-state")
 
     // BOX-SPEED CANARY (r14): a fixed synthetic workload — 30 B
-    // xxhash64+sum over range, zero IO, zero shuffle — timed right
+    // xxhash64 folded through a max over range, zero IO, zero shuffle — timed right
     // after the quiet gate. Identical work every round, so the
     // artifact carries its own denominator: when every gate reads ~N%
     // hot and the canary reads ~N% hot too, the window is slow, not

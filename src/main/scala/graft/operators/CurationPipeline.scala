@@ -926,12 +926,15 @@ object CurationPipeline {
     *     — a LARGER cap loses it, but a cap that large keeps the
     *     whale's rows in the OUTPUT anyway, where no pre-cap can help.
     *
-    * `maxLabels` bounds the suffix explosion per host: only the LAST
-    * `maxLabels` dot-labels form the chain, so a crafted
-    * thousand-label host contributes `maxLabels` suffix rows, not
-    * thousands; the documented trade is that a blocklist entry with
-    * MORE than `maxLabels` labels never matches (real blocklists are
-    * public-suffix-shaped — a handful of labels).
+    * `maxLabels` bounds the suffix explosion per host: the chain is
+    * the FULL host plus the last `maxLabels` dot-label suffixes, so a
+    * crafted thousand-label host contributes `maxLabels + 1` rows, not
+    * thousands — and an EXACT-host blocklist entry always matches
+    * however deep the host (the full-host row), closing the evasion
+    * where the bound itself would hide a listed crafted host. The
+    * documented trade is only that a blocklist entry which is a
+    * PROPER suffix deeper than `maxLabels` never matches (real
+    * blocklists are public-suffix-shaped — a handful of labels).
     *
     * Output: every input column plus `domain` and `domain_rank`,
     * blocked rows removed, cap applied. */
@@ -952,8 +955,12 @@ object CurationPipeline {
     // label-boundary suffixes of the bounded tail: a.b.c → [a.b.c, b.c, c]
     val suffixes = transform(sequence(lit(0), size(labels) - 1),
       i => array_join(slice(labels, i + 1, size(labels) - i), "."))
+    // the FULL host heads the chain (duplicated when it fits the
+    // bound — harmless under the distinct semi-join): exact-host
+    // entries must match however many labels the host has
+    val chain = concat(array(col("domain")), suffixes)
     val blockedIds = withHost
-      .select(col(idCol).as("__bid"), explode(suffixes).as("__sfx"))
+      .select(col(idCol).as("__bid"), explode(chain).as("__sfx"))
       .join(blocklist.select(lower(col(domainCol)).as("__sfx")),
         Seq("__sfx"), "left_semi")
       .select(col("__bid")).distinct()

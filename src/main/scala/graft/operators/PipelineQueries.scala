@@ -707,21 +707,6 @@ object PipelineQueries {
     * extraction with the same regex, the label-boundary block rule as
     * an equality-or-LIKE join, and the capped per-domain ranking — a
     * hash match pins extraction, blocking and the cap together. */
-  /** Count-min sketch heavy hitters ([[CurationPipeline
-    * .heavyHittersSketch]]): candidate pass bounded at depth×width
-    * counters per task + exact verify — provably the same top-k as the
-    * exact engine, so the oracle is t34's exact SQL at this gate's k
-    * (the full-probe ≡ exact trick: a hash match proves the sketch
-    * path is invisible in the result while the vocabulary-sized
-    * shuffle is gone). k differs from t34 so the two gates cannot
-    * silently share a cached result. */
-  def t65HeavyHittersSketch(spark: SparkSession, dir: String): DataFrame =
-    PipelineContext.materialize { implicit ctx =>
-      CurationPipeline.heavyHittersSketch(
-        Tables.documents(spark, dir), "text", k = 40)
-        .orderBy(col("tf").desc, col("term"))
-    }
-
   def t64UrlFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val host = concat(lit("s"), col("doc_id") % 7, lit("."),
@@ -744,6 +729,21 @@ object PipelineQueries {
       .select(col("doc_id").as("id"), col("domain"), col("domain_rank"))
       .orderBy(col("id"))
   }
+
+  /** Count-min sketch heavy hitters ([[CurationPipeline
+    * .heavyHittersSketch]]): candidate pass bounded at depth×width
+    * counters per task + exact verify — provably the same top-k as the
+    * exact engine, so the oracle is t34's exact SQL at this gate's k
+    * (the full-probe ≡ exact trick: a hash match proves the sketch
+    * path is invisible in the result while the vocabulary-sized
+    * shuffle is gone). k differs from t34 so the two gates cannot
+    * silently share a cached result. */
+  def t65HeavyHittersSketch(spark: SparkSession, dir: String): DataFrame =
+    PipelineContext.materialize { implicit ctx =>
+      CurationPipeline.heavyHittersSketch(
+        Tables.documents(spark, dir), "text", k = 40)
+        .orderBy(col("tf").desc, col("term"))
+    }
 
   /** C4 page/line cleaning ([[CurationPipeline.c4Clean]], Raffel et
     * al. arXiv:1910.10683 §2.2) over 150 synthetic multi-line pages —
@@ -2433,16 +2433,17 @@ object PipelineQueries {
            FROM scored)
          SELECT qid, id, cosine, rank FROM ranked WHERE rank <= 5
          ORDER BY qid, rank""",
-    // t64: host extraction replayed with the SAME regex, the
-    // label-boundary block rule as equality-or-'.'-suffix, the cap as
-    // the sketch path is provably exact (candidate superset + verify
-    // loop), so its oracle IS the exact top-k SQL — t34's shape at k=40
+    // t65: the sketch path is provably exact (candidate superset +
+    // verify loop), so its oracle IS the exact top-k SQL — t34's
+    // shape at k=40
     "t65_heavy_hitters_sketch" ->
       """SELECT term, count(*) AS tf FROM (
            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
            FROM documents)
          WHERE len(term) > 0
          GROUP BY term ORDER BY tf DESC, term LIMIT 40""",
+    // t64: host extraction replayed with the SAME regex, the
+    // label-boundary block rule as equality-or-'.'-suffix, the cap as
     // a per-domain row_number — extraction + blocking + cap in one hash
     "t64_url_filter" ->
       """WITH d AS (

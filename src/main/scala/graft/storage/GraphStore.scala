@@ -963,10 +963,11 @@ final class GraphStore(
     * `dst IN (…)` — the only predicate form a parquet reader can take
     * into row-group min/max skipping; a join side, however small,
     * never reaches the reader — and once as the exact string-equality
-    * semi-join that defines match semantics. The literal IN is a
-    * SUPERSET of the semi-join for every standard dst type (a value's
-    * canonical string form parses back to the value), so it can only
-    * skip row groups holding no victim, never a bucket holding one. */
+    * semi-join that defines match semantics. dst is schema-pinned to
+    * StringType, so the literal IN is exactly the semi-join's
+    * string-equality — it can only skip row groups holding no victim,
+    * never a bucket holding one (and if the pin ever changed, the IN
+    * simply degrades to no pre-filter; the semi-join stays). */
   private[graft] def toSideProbeFrame(
       path: String, declared: StructType, k: DataFrame,
       keyStrings: Seq[String], nB: Int): DataFrame = {
@@ -977,33 +978,19 @@ final class GraphStore(
       .select(bucketExpr(col("src"), nB).as("__b")).distinct()
   }
 
-  /** The literal IN over `dst` in the column's NATIVE type. TRY-cast
-    * parses each key driver-side: a key that does not parse back into
-    * the dst type cannot equal any dst value's canonical string form,
-    * so dropping it loses no match; if NONE parse, no row can match at
-    * all (`lit(false)` — the caller skips the table). A dst type
-    * string can't cast into at all returns None and the probe stays a
-    * full two-column scan — still correct, just unskipped. */
+  /** The literal IN over `dst`. Rel tables pin dst to StringType
+    * (GraphSchema's structType — endpoints are key strings), so the
+    * driver-collected key strings go in verbatim and the IN is exactly
+    * the string-equality match semantics; a hypothetical non-string
+    * dst returns None (probe falls back to the unskipped two-column
+    * scan — still correct) rather than carrying cast machinery no
+    * schema can reach. */
   private def dstLiteralIn(
       t: org.apache.spark.sql.types.DataType,
-      keys: Seq[String]): Option[Column] = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, EvalMode}
-    import org.apache.spark.sql.types.StringType
-    t match {
-      case StringType => Some(col("dst").isin(keys: _*))
-      case _ if Cast.canCast(StringType, t) =>
-        val parsed = keys.flatMap { s =>
-          Option(Cast(Literal(
-            org.apache.spark.unsafe.types.UTF8String.fromString(s),
-            StringType), t,
-            Some(spark.sessionState.conf.sessionLocalTimeZone),
-            EvalMode.TRY).eval(null))
-            .map(v => org.apache.spark.sql.catalyst.CatalystTypeConverters
-              .convertToScala(v, t))
-        }
-        Some(if (parsed.isEmpty) lit(false) else col("dst").isin(parsed: _*))
-      case _ => None
-    }
+      keys: Seq[String]): Option[Column] = t match {
+    case org.apache.spark.sql.types.StringType =>
+      Some(col("dst").isin(keys: _*))
+    case _ => None
   }
 
   /** Cypher `MATCH … [DETACH] DELETE n` executor: remove node rows by

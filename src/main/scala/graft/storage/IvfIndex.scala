@@ -201,6 +201,16 @@ final class IvfIndex(
       .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
+  /** Write the union of `fromSegs`' batch tags into a rewritten
+    * segment's `_batch` BEFORE its manifest CAS — replay safety must
+    * survive compaction and retraining. */
+  private def writeTags(seg: java.io.File, fromSegs: Seq[String]): Unit = {
+    val tags = fromSegs.flatMap(tagsOf).distinct
+    if (tags.nonEmpty) java.nio.file.Files.write(
+      new java.io.File(seg, "_batch").toPath,
+      tags.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+  }
+
   /** The subset of data segments whose `_idrange` sidecar may hold one
     * of the requested (long-cast, deduped) ids — [[SegmentIdRange]];
     * an empty id set prunes everything, a sidecar-less segment is
@@ -292,6 +302,12 @@ final class IvfIndex(
     if (wroteRows) SegmentIdRange.write(seg, dataSegs
       .map(e => SegmentIdRange.read(new java.io.File(s"$path/${e._1}")))
       .reduce(SegmentIdRange.union))
+    // the merged segment inherits every constituent batch tag (data
+    // AND tombstone dirs), so the delete replay guard survives
+    // maintenance — the Bm25Index.compact contract; without this a
+    // compact between a tagged takedown and its at-least-once replay
+    // re-tombstones a re-appended id
+    if (wroteRows) writeTags(seg, entries.map(_._1))
     val body = (metaLines(lines) ++
       (if (wroteRows) Seq(seg.getName) else Nil))
       .mkString("", "\n", "\n")
@@ -350,6 +366,8 @@ final class IvfIndex(
       .parquet(s"$seg/vectors")
     SegmentIdRange.write(seg, SegmentIdRange.of("long",
       obs.get.getOrElse("mn", null), obs.get.getOrElse("mx", null)))
+    // replay guard survives the rewrite (the compact() contract)
+    writeTags(seg, entries.map(_._1))
     // fresh baseline: the new matrix's fit on the corpus it was just
     // trained on — what [[drift]] compares future appends against
     val driftLine = meanAssignedCos(

@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * base64(max) — base64 keeps string ids containing newlines honest.
   * Only integral, fractional and string id types are comparable here;
   * anything else never writes a file (= never prunes). */
-private[storage] object SegmentIdRange {
+private[graft] object SegmentIdRange {
   val FileName = "_idrange"
 
   /** Driver-side comparator matching Spark's column ordering for the
@@ -60,16 +60,20 @@ private[storage] object SegmentIdRange {
         s"$t\n${b64(mn)}\n${b64(mx)}\n".getBytes("UTF-8"))
     }
 
-  def read(segDir: java.io.File): Option[(String, String, String)] = {
-    val f = new java.io.File(segDir, FileName)
-    if (!f.exists) None
-    else {
-      val ls = new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .linesIterator.toSeq
-      if (ls.size < 3) None else Some((ls(0), unb64(ls(1)), unb64(ls(2))))
-    }
-  }
+  def read(segDir: java.io.File): Option[(String, String, String)] =
+    // ANY defect — missing, truncated, invalid base64 — degrades to
+    // None (= always scan): the sidecar is advisory, and a takedown
+    // must never hard-fail on a corrupt hint file
+    try {
+      val f = new java.io.File(segDir, FileName)
+      if (!f.exists) None
+      else {
+        val ls = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .linesIterator.toSeq
+        if (ls.size < 3) None else Some((ls(0), unb64(ls(1)), unb64(ls(2))))
+      }
+    } catch { case _: Exception => None }
 
   /** Range union (a compacted segment inherits its constituents' —
     * conservative: tombstoned ids may narrow the true range, a

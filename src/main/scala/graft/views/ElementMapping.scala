@@ -97,17 +97,27 @@ object ElementMapping {
     // source is listed; the LAST association's weight — by
     // (order_value, identifier) — wins, py:197's dict build; the
     // smallest order_value keys the first/last ordering)
-    val perSource = resolved
+    val perSourcePlan = resolved
       .groupBy(col("targetElement"), col("sourceId"))
       .agg(
         max_by(col("weight"),
           struct(col("orderValue"), col("identifier"))).as("weight"),
         min(col("orderValue")).as("orderValue"))
+      .select(col("sourceId"), col("targetElement"),
+        col("weight"), col("orderValue"))
+    // perSource is association-domain-bounded (targets × resolved
+    // sources) but its PLAN embeds the fact-wide uriMap distinct —
+    // collect it ONCE into a literal frame so the emptiness probe and
+    // the caller's own action stop re-running that corpus pass (r14
+    // review: the r13 fix still paid the uriMap scan twice)
+    val perSourceRows = perSourcePlan.collect().toIndexedSeq
+    val perSource = spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(perSourceRows).asJava),
+      perSourcePlan.schema)
 
     val v = col(valueCol)
-    val joined = facts.join(
-      broadcast(perSource.select(col("sourceId"), col("targetElement"),
-        col("weight"), col("orderValue"))),
+    val joined = facts.join(broadcast(perSource),
       facts("element_id") === col("sourceId"))
     val ord = struct(col("orderValue"), facts("element_id"), v)
     val agg = joined
@@ -136,13 +146,15 @@ object ElementMapping {
     // return facts), schema and all. `out` is empty iff no fact joins
     // any association source (perSource targets ⊆ method targets, so a
     // non-empty join survives the agg and the method join), so the
-    // probe is a 1-column broadcast semi-join with limit-1 early exit
-    // — it never executes the aggregation, which the caller's own
-    // action would otherwise recompute in full.
-    val anyMatch = !facts.select(facts("element_id"))
-      .join(broadcast(perSource.select(col("sourceId"))),
-        facts("element_id") === col("sourceId"), "left_semi")
-      .isEmpty
+    // probe is a 1-column scan with a LITERAL source-id IN — pushed
+    // into the parquet reader, limit-1 early exit — over the
+    // driver-collected source-id set. It never executes the
+    // aggregation, which the caller's own action would otherwise
+    // recompute in full.
+    val srcIds = perSourceRows.map(_.get(0)).filter(_ != null)
+    val anyMatch = srcIds.nonEmpty &&
+      !facts.filter(facts("element_id").isin(srcIds: _*))
+        .select(facts("element_id")).isEmpty
     if (anyMatch) out else facts
   }
 }

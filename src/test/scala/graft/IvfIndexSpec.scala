@@ -276,8 +276,22 @@ class IvfIndexSpec extends SparkTestBase {
     val got = idx.topK(queriesDf, "qid", "qv", k = 64, nProbe = 4)
       .filter($"id" === 40L)
     assert(got.count() > 0, "re-appended vector must stay live after replay")
-    // retrain writes a fresh exact range: still prunable afterwards
+    // the replay guard must survive MAINTENANCE (r14 review finding:
+    // compact/retrain used to drop the folded segments' _batch tags,
+    // so a compact between a tagged takedown and its replay would
+    // re-tombstone a re-appended id)
+    idx.compact()
+    assert(idx.delete(Seq(40L).toDF("vec_id"), "vec_id",
+      batchTag = Some("takedown:1")) === 0L,
+      "replay after compact must still be a no-op")
     idx.retrain()
+    assert(idx.delete(Seq(40L).toDF("vec_id"), "vec_id",
+      batchTag = Some("takedown:1")) === 0L,
+      "replay after retrain must still be a no-op")
+    assert(idx.topK(queriesDf, "qid", "qv", k = 64, nProbe = 4)
+      .filter($"id" === 40L).count() > 0,
+      "the re-appended vector must stay live through maintenance + replays")
+    // retrain writes a fresh exact range: still prunable afterwards
     val Seq(seg) = idx.segments
     assert(idx.deleteScanSegments(Seq(999L).toDF("vec_id"), "vec_id") === Nil)
     assert(idx.deleteScanSegments(Seq(1L).toDF("vec_id"), "vec_id")
