@@ -112,10 +112,26 @@ object Dedup {
     * ([[graft.functions.SketchFunctions.minhashSig]]): the previous
     * k-column `min(xxhash64(h, i))` form made Catalyst planning scale
     * with k (~2.5 s driver time per pipeline call at k=64). */
-  private def minhashSigs(hashes: DataFrame, numHashes: Int)(
+  private[graft] def minhashSigs(hashes: DataFrame, numHashes: Int)(
       implicit ctx: PipelineContext): DataFrame =
     ctx.stage(hashes.groupBy(col("id"))
       .agg(graft.functions.SketchFunctions.minhashSig(col("h"), numHashes).as("sig")))
+
+  /** LSH band keys (id, band, bh) from a signature table — xxhash64 of
+    * each band's signature slice. ONE definition shared by the
+    * self-pair, cross-corpus and persisted-index engines so every
+    * caller buckets identically (a divergent band hash would silently
+    * zero the persisted index's recall against the inline forms). */
+  private[graft] def bandKeys(
+      sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(
+      col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
 
   /** MinHash+LSH near-duplicate candidate pairs (id1 < id2), optionally
     * verified with exact Jaccard over the shingle sets. `bands` must
@@ -126,19 +142,13 @@ object Dedup {
       minJaccard: Option[Double] = None,
       maxBucket: Int = 500)(implicit ctx: PipelineContext): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // staged here, not inside shingleHashes: THIS caller fans the hash
     // table into sigs + the exact-verify stage; single-consumer callers
     // (jaccardPairsExact stages its own distinct) must not pay a
     // second block copy
     val hashes = ctx.stage(shingleHashes(df, idCol, textCol, shingle))
     val sigs = minhashSigs(hashes, numHashes)
-    val banded = sigs.select(
-      col("id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded = bandKeys(sigs, numHashes, bands)
     // Bucket cap, then pair generation from per-bucket id arrays. The
     // cap must apply BEFORE any array materializes — a degenerate
     // bucket (millions of boilerplate docs sharing one band signature)
@@ -232,7 +242,6 @@ object Dedup {
       bands: Int = 16, minJaccard: Double = 0.5,
       maxBucket: Int = 500)(implicit ctx: PipelineContext): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // exact stage: one anti-join on the content hash (existing side
     // reduced to distinct hashes — AQE broadcasts when it fits)
     val exHash = existing
@@ -242,12 +251,7 @@ object Dedup {
       .join(exHash, col("__h") === col("__exh"), "left_anti")
       .drop("__h"))
 
-    def banded(sigs: DataFrame): DataFrame = sigs.select(
-      col("id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    def banded(sigs: DataFrame): DataFrame = bandKeys(sigs, numHashes, bands)
 
     val inHashes = ctx.stage(shingleHashes(exactSurvivors, idCol, textCol, shingle))
     val exHashes = ctx.stage(shingleHashes(existing, idCol, textCol, shingle))

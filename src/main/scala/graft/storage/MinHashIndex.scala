@@ -1,0 +1,552 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{Dedup, PipelineContext}
+
+/** Persisted, incrementally-appendable MinHash near-duplicate index —
+  * the third persisted index alongside [[Bm25Index]] (text retrieval)
+  * and [[IvfIndex]] (vectors), completing the lifecycle triad for the
+  * continuous-ingest corpus.
+  *
+  * [[graft.operators.Dedup.dedupAgainst]] is the right OPERATOR for
+  * admitting a new batch against an existing corpus, but its existing
+  * side is a DataFrame of raw text: every increment re-shingles and
+  * re-signs the full corpus. Its own scaladoc names the fix — "on a
+  * cluster the existing side's signatures/banded table would be a
+  * persisted index, bucketed by (band, bucket-hash), amortized across
+  * increments" — and this class IS that index: signatures, shingle-hash
+  * sets and band keys are computed once per document at append time and
+  * persisted as immutable segments under the same CAS-committed
+  * manifest protocol as the other two indexes (atomic appends, snapshot
+  * isolation for readers, loud loser on a writer race). Reference
+  * parity: the reference's ingest path dedups incoming batches against
+  * the stored graph inside its embedded engine
+  * (robosystems/operations/graph — ingest is idempotent against
+  * existing node state); this class expresses the same
+  * "state lives in the store, increments probe it" contract for
+  * near-duplicate text admission, Spark-first.
+  *
+  * Layout (all under `path/`; `<tok>` is a per-writer random token so
+  * racing writers never share a directory — the [[Bm25Index]] rule):
+  * {{{
+  *   _params                 "<shingle> <numHashes> <bands> <nBuckets>"
+  *                           (CAS-committed once; every handle must agree —
+  *                           signatures from divergent params never match)
+  *   _manifest.v<N>          one segment name per line; highest N = head
+  *   seg-<n>-<tok>/docs/     (id, exh, sig, sh) parquet — exh = md5(text),
+  *                           sig = k-minhash longs, sh = distinct shingle
+  *                           hashes; sig/sh NULL for docs too short to
+  *                           shingle (they still dedup exactly via exh)
+  *   seg-<n>-<tok>/banded/   (id, band, bh) parquet, partitioned by
+  *                           bucket = pmod(bh, nBuckets)
+  *   seg-<n>-<tok>/_stats    "<n_docs> <sum_shingles>"
+  *   del-<n>-<tok>/ids/      tombstoned ids (the Lucene liveDocs pattern,
+  *                           manifest-order scoped exactly as in Bm25Index)
+  * }}}
+  *
+  * Scale shape: a [[dedupAgainst]] probe reads ONLY the banded
+  * partitions whose bucket appears in the incoming batch's band keys
+  * (literal bucket set collected driver-side — at most nBuckets values,
+  * so the collection is bounded at ANY increment size; a large
+  * increment degenerates gracefully to all buckets, which is the true
+  * work). The docs table is touched twice, both column-pruned: once for
+  * the 2-column (id, exh) exact-hash pass, once to fetch (sig, sh) for
+  * the CANDIDATE existing docs only (left-semi on candidate ids) — the
+  * corpus-sized shingle arrays never ride a shuffle for docs no
+  * candidate touched. Whale band-buckets are capped with the same
+  * window-count-then-filter discipline as the inline engine, computed
+  * only over PROBED buckets (per-bucket counts are identical to the
+  * inline global counts for those buckets, so results match the inline
+  * operator exactly — the differential spec pins it).
+  *
+  * Appends must carry NEW ids (the incremental contract shared by all
+  * three indexes); `batchTag` makes append/delete idempotent for
+  * at-least-once callers and survives [[compact]] (tags union forward).
+  * [[delete]] is a tombstone write — one id list, no segment rewrite —
+  * pruned by the [[SegmentIdRange]] sidecars; [[compact]] folds
+  * tombstones physically and re-derives band keys from the merged docs'
+  * stored signatures (never from text — the index has no text).
+  */
+final class MinHashIndex(
+    spark: SparkSession, path: String,
+    shingle: Dedup.ShingleMode = Dedup.CharGrams(5),
+    numHashes: Int = 64, bands: Int = 16, nBuckets: Int = 64,
+    retainManifests: Int = 2) {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  require(nBuckets > 0, "nBuckets must be positive")
+  require(retainManifests >= 2,
+    "retainManifests must be >= 2 (the head plus at least one " +
+      "predecessor for in-flight readers — the reader lease)")
+
+  private def dir = new java.io.File(path)
+  private def manifestFile(v: Int) = new java.io.File(dir, s"_manifest.v$v")
+
+  private def shingleCode: String = shingle match {
+    case Dedup.CharGrams(n) => s"char:$n"
+    case Dedup.WordGrams(n) => s"word:$n"
+  }
+  private def paramsLine = s"$shingleCode $numHashes $bands $nBuckets"
+
+  /** First writer publishes the index parameters (CAS — concurrent
+    * first-appends of the SAME params both pass); every later handle
+    * must agree, loudly: a probe signed with different params would
+    * return silently-wrong results, never an error. */
+  private def ensureParams(): Unit = {
+    val f = new java.io.File(dir, "_params")
+    if (!f.exists) {
+      java.nio.file.Files.createDirectories(dir.toPath)
+      CasFiles.putIfAbsent(f, s"$paramsLine\n".getBytes("UTF-8")): Unit
+    }
+    val committed = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+    require(committed == paramsLine,
+      s"MinHash index at $path has params '$committed'; " +
+        s"this handle was built with '$paramsLine'")
+  }
+
+  private def newSegDir(n: Int) = new java.io.File(dir,
+    s"seg-$n-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}")
+  private def newDelDir(n: Int) = new java.io.File(dir,
+    s"del-$n-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}")
+  private def isDel(name: String): Boolean = name.startsWith("del-")
+
+  /** Manifest head: (version, committed segment names). (0, Nil) =
+    * empty index. */
+  private def readHead(): (Int, Seq[String]) = {
+    val vs = Option(dir.list()).toSeq.flatten
+      .filter(_.matches("_manifest\\.v\\d+"))
+      .map(_.stripPrefix("_manifest.v").toInt)
+    if (vs.isEmpty) (0, Nil)
+    else {
+      val v = vs.max
+      (v, new String(java.nio.file.Files.readAllBytes(
+        manifestFile(v).toPath), "UTF-8")
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+    }
+  }
+
+  /** Committed segment names at the current head (spec surface). */
+  def segments: Seq[String] = readHead()._2
+
+  /** Tags of the batches already committed at the head — the
+    * idempotency surface, inherited across [[compact]]. */
+  def committedBatchTags: Set[String] = readHead()._2.flatMap(tagsOf).toSet
+
+  private def tagsOf(segName: String): Seq[String] = {
+    val f = new java.io.File(s"$path/$segName", "_batch")
+    if (!f.exists) Nil
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def readStats(segName: String): (Long, Long) = {
+    val parts = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$path/$segName", "_stats").toPath), "UTF-8")
+      .trim.split(" ")
+    (parts(0).toLong, parts(1).toLong)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    def rm(g: java.io.File): Boolean =
+      Option(g.listFiles()).forall(_.forall(rm)) && g.delete()
+    rm(f); ()
+  }
+
+  /** Bucket-partitioned banded write, file count scaled by measured
+    * volume (the [[Bm25Index]] sizing discipline: one file per bucket
+    * for a batch, salted fan-out for a bulk build). */
+  private def writeBanded(banded: DataFrame, dest: String, rows: Long): Unit = {
+    val filesPerBucket = math.max(1L,
+      (rows + nBuckets.toLong * Bm25Index.RowsPerFile - 1) /
+        (nBuckets.toLong * Bm25Index.RowsPerFile)).toInt
+    val df = banded.withColumn(
+      "bucket", pmod(col("bh"), lit(nBuckets.toLong)))
+    val parted =
+      if (filesPerBucket == 1) df.repartition(nBuckets, col("bucket"))
+      else df.repartition(nBuckets * filesPerBucket, col("bucket"),
+        pmod(xxhash64(col("id")), lit(filesPerBucket.toLong)))
+    parted.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dest)
+  }
+
+  /** Append one batch of documents as a new immutable segment. Ids must
+    * be NEW (a doc split across segments would probe as two half-docs);
+    * `batchTag` short-circuits an at-least-once replay into a no-op.
+    * All per-doc derivations (content hash, k-minhash signature,
+    * distinct shingle-hash set, band keys) happen HERE, once — the
+    * amortization that is this class's whole point. */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+      batchTag: Option[String] = None): Unit = {
+    val (baseVer, segs) = readHead()
+    if (batchTag.exists(t => segs.flatMap(tagsOf).contains(t))) return
+    ensureParams()
+    val seg = newSegDir(baseVer + 1)
+    PipelineContext.run { implicit ctx =>
+      val base = docs.select(col(idCol).as("id"),
+        col(textCol).cast("string").as("t"))
+      // ONE aggregation produces both the signature and the exact-verify
+      // shingle set (same rows, same shuffle); too-short docs fall out of
+      // shingleHashes and rejoin as NULL sig/sh (they dedup via exh only)
+      val agg = Dedup.shingleHashes(base, "id", "t", shingle)
+        .groupBy(col("id"))
+        .agg(graft.functions.SketchFunctions
+          .minhashSig(col("h"), numHashes).as("sig"),
+          collect_set(col("h")).as("sh"))
+      val docRows = ctx.stage(base
+        .select(col("id"), md5(col("t")).as("exh"))
+        .join(agg, Seq("id"), "left"))
+      // stats + id-range sidecar bounds off one action over the staged
+      // frame; sum of shingle-set sizes is the volume that sizes files
+      // (a docs row's weight IS its sh array)
+      val st = docRows.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("sh").isNotNull, size(col("sh")))
+          .otherwise(lit(0))), lit(0L)).as("s"),
+        min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+      val nDocs = st.getLong(0)
+      val sumSh = st.getLong(1)
+      val docFiles = math.max(1L,
+        (sumSh + Bm25Index.RowsPerFile - 1) / Bm25Index.RowsPerFile).toInt
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        Future {
+          docRows.repartition(docFiles)
+            .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs")
+        },
+        Future {
+          writeBanded(
+            Dedup.bandKeys(docRows.filter(col("sig").isNotNull)
+              .select(col("id"), col("sig")), numHashes, bands),
+            s"$seg/banded", nDocs * bands.toLong)
+        })
+      writes.foreach(Await.result(_,
+        scala.concurrent.duration.Duration(600, "s")))
+      java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
+        s"$nDocs $sumSh\n".getBytes("UTF-8"))
+      SegmentIdRange.write(seg, SegmentIdRange.of(
+        docRows.schema("id").dataType.typeName, st.get(2), st.get(3)))
+      batchTag.foreach(t => java.nio.file.Files.write(
+        new java.io.File(seg, "_batch").toPath, s"$t\n".getBytes("UTF-8")))
+    }
+    val body = (segs :+ seg.getName).mkString("", "\n", "\n")
+    if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1), body.getBytes("UTF-8"))) {
+      rmTree(seg)
+      throw new CommitConflictException(s"minhash:$path", baseVer + 1)
+    }
+  }
+
+  /** Anti-join a frame carrying (id, __ord) against every tombstone
+    * that OUTRANKS the row's segment — manifest-order scoping, shared
+    * verbatim with the other indexes' delete semantics. */
+  private def minusDeleted(
+      rows: DataFrame, delSegs: Seq[(String, Int)]): DataFrame =
+    if (delSegs.isEmpty) rows
+    else {
+      val dels = delSegs.map { case (s, i) =>
+        spark.read.parquet(s"$path/$s/ids")
+          .select(col("id").as("__did")).withColumn("__dord", lit(i))
+      }.reduce(_.unionByName(_))
+      rows.join(dels,
+        rows("id") === dels("__did") && dels("__dord") > rows("__ord"),
+        "left_anti")
+    }
+
+  /** Delete-side normalization + [[SegmentIdRange]] pruning (the
+    * [[Bm25Index]] contract: explicit cast, never loose coercion; a
+    * segment without a sidecar is always scanned). */
+  private def pruneForDelete(
+      dataSegs: Seq[(String, Int)], ids: DataFrame,
+      idCol: String): (DataFrame, Seq[(String, Int)]) = {
+    val idT = spark.read.parquet(s"$path/${dataSegs.head._1}/docs")
+      .schema("id").dataType
+    val want = ids.select(col(idCol).cast(idT).as("id")).distinct()
+    val r = want.agg(count(lit(1)).as("n"),
+      min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+    if (r.getLong(0) == 0L) return (want, Nil)
+    val req = SegmentIdRange.of(idT.typeName, r.get(1), r.get(2))
+    (want, dataSegs.filter { case (s, _) =>
+      SegmentIdRange.mayOverlap(
+        SegmentIdRange.read(new java.io.File(s"$path/$s")), req)
+    })
+  }
+
+  /** The data segments a [[delete]] of `ids` would actually SCAN after
+    * id-range pruning (spec surface). */
+  private[graft] def deleteScanSegments(
+      ids: DataFrame, idCol: String): Seq[String] = {
+    val dataSegs = readHead()._2.zipWithIndex.filterNot(e => isDel(e._1))
+    if (dataSegs.isEmpty) Nil
+    else pruneForDelete(dataSegs, ids, idCol)._2.map(_._1)
+  }
+
+  /** Tombstone documents without rewriting a segment: one `del-`
+    * manifest entry carrying the LIVE requested ids. Manifest order
+    * scopes it (a later re-append of the same id is a new live doc);
+    * deleting an absent id contributes zero; `batchTag` short-circuits
+    * replays. Cost: a 2-column (id) scan of the docs tables of only
+    * the segments whose id-range sidecar overlaps. Returns the number
+    * of documents actually tombstoned. */
+  def delete(ids: DataFrame, idCol: String,
+      batchTag: Option[String] = None): Long = {
+    val (baseVer, segs) = readHead()
+    if (batchTag.exists(t => segs.flatMap(tagsOf).contains(t))) return 0L
+    val entries = segs.zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    if (dataSegs.isEmpty) return 0L
+    val (want, scanSegs) = pruneForDelete(dataSegs, ids, idCol)
+    if (scanSegs.isEmpty) return 0L
+    val hits = scanSegs.map { case (s, i) =>
+      spark.read.parquet(s"$path/$s/docs").select(col("id"))
+        .withColumn("__ord", lit(i))
+    }.reduce(_.unionByName(_)).join(want, Seq("id"))
+    val live = minusDeleted(hits, entries.filter(e => isDel(e._1)))
+      .select(col("id")).distinct().persist()
+    try {
+      val nDel = live.count()
+      if (nDel == 0L) return 0L
+      val del = newDelDir(baseVer + 1)
+      live.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
+      java.nio.file.Files.write(new java.io.File(del, "_stats").toPath,
+        s"$nDel 0\n".getBytes("UTF-8"))
+      batchTag.foreach(t => java.nio.file.Files.write(
+        new java.io.File(del, "_batch").toPath, s"$t\n".getBytes("UTF-8")))
+      val body = (segs :+ del.getName).mkString("", "\n", "\n")
+      if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
+          body.getBytes("UTF-8"))) {
+        rmTree(del)
+        throw new CommitConflictException(s"minhash:$path", baseVer + 1)
+      }
+      nDel
+    } finally { live.unpersist(false); () }
+  }
+
+  /** Merge every committed segment into ONE, folding tombstones
+    * physically; band keys are re-derived from the merged docs' STORED
+    * signatures (the index never re-reads source text). A fully-
+    * tombstoned index compacts to the EMPTY index (empty manifest, the
+    * [[Bm25Index]] rule). Batch tags union forward. */
+  def compact(): Unit = {
+    val (baseVer, segs) = readHead()
+    val entries = segs.zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    val delSegs = entries.filter(e => isDel(e._1))
+    if (dataSegs.isEmpty) return
+    if (dataSegs.size <= 1 && delSegs.isEmpty) return
+    val seg = newSegDir(baseVer + 1)
+    val merged = minusDeleted(
+      dataSegs.map { case (s, i) =>
+        spark.read.parquet(s"$path/$s/docs").withColumn("__ord", lit(i))
+      }.reduce(_.unionByName(_)), delSegs).drop("__ord").persist()
+    try {
+      // exact stats (and a TIGHT id range — tombstoned ids drop out,
+      // unlike the conservative union) off the frame we must scan anyway
+      val st = merged.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("sh").isNotNull, size(col("sh")))
+          .otherwise(lit(0))), lit(0L)).as("s"),
+        min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+      val nDocs = st.getLong(0)
+      if (nDocs == 0L) {
+        rmTree(seg)
+        if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
+            "".getBytes("UTF-8")))
+          throw new CommitConflictException(s"minhash:$path", baseVer + 1)
+        return
+      }
+      val sumSh = st.getLong(1)
+      val docFiles = math.max(1L,
+        (sumSh + Bm25Index.RowsPerFile - 1) / Bm25Index.RowsPerFile).toInt
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        Future {
+          merged.repartition(docFiles)
+            .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs")
+        },
+        Future {
+          writeBanded(
+            Dedup.bandKeys(merged.filter(col("sig").isNotNull)
+              .select(col("id"), col("sig")), numHashes, bands),
+            s"$seg/banded", nDocs * bands.toLong)
+        })
+      writes.foreach(Await.result(_,
+        scala.concurrent.duration.Duration(600, "s")))
+      java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
+        s"$nDocs $sumSh\n".getBytes("UTF-8"))
+      SegmentIdRange.write(seg, SegmentIdRange.of(
+        merged.schema("id").dataType.typeName, st.get(2), st.get(3)))
+      val tags = segs.flatMap(tagsOf).distinct
+      if (tags.nonEmpty) java.nio.file.Files.write(
+        new java.io.File(seg, "_batch").toPath,
+        tags.mkString("", "\n", "\n").getBytes("UTF-8"))
+      if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
+          s"${seg.getName}\n".getBytes("UTF-8"))) {
+        rmTree(seg)
+        throw new CommitConflictException(s"minhash:$path", baseVer + 1)
+      }
+    } finally { merged.unpersist(false); () }
+  }
+
+  /** Current + previous retention, the shared index rule: drop segment
+    * dirs referenced by neither retained manifest, and older manifests.
+    * Returns the deleted names. */
+  def vacuum(): Seq[String] = {
+    val vs = Option(dir.list()).toSeq.flatten
+      .filter(_.matches("_manifest\\.v\\d+"))
+      .map(_.stripPrefix("_manifest.v").toInt).sorted
+    if (vs.size < retainManifests) return Nil
+    val keepVs = vs.takeRight(retainManifests)
+    val live: Set[String] = keepVs.flatMap { v =>
+      new String(java.nio.file.Files.readAllBytes(
+        manifestFile(v).toPath), "UTF-8")
+        .linesIterator.map(_.trim).filter(_.nonEmpty)
+    }.toSet
+    val dead = Option(dir.list()).toSeq.flatten
+      .filter(n => (n.startsWith("seg-") || n.startsWith("del-")) &&
+        !live.contains(n))
+    dead.foreach(n => rmTree(new java.io.File(dir, n)))
+    vs.dropRight(retainManifests).foreach(v => manifestFile(v).delete())
+    dead.sorted
+  }
+
+  /** The banded-table bucket partitions a probe of `incoming` would
+    * touch (spec surface — the pruning pin). */
+  private[graft] def probeBuckets(
+      incoming: DataFrame, idCol: String, textCol: String)(
+      implicit ctx: PipelineContext): Seq[Int] = {
+    val base = incoming.select(col(idCol).as("id"),
+      col(textCol).cast("string").as("t"))
+    val sigs = Dedup.shingleHashes(base, "id", "t", shingle)
+      .groupBy(col("id"))
+      .agg(graft.functions.SketchFunctions
+        .minhashSig(col("h"), numHashes).as("sig"))
+    Dedup.bandKeys(sigs, numHashes, bands)
+      .select(pmod(col("bh"), lit(nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+  }
+
+  /** The live banded rows of the probed buckets — every underlying
+    * parquet scan carries the literal bucket partition filter (what
+    * turns probe cost ∝ matched buckets, not index size). Shared by
+    * [[dedupAgainst]] and the pruning-pin spec, so the pinned plan IS
+    * the production plan (staging inside dedupAgainst would otherwise
+    * hide the scan behind a checkpoint leaf). */
+  private[graft] def bandedScan(buckets: Seq[Int]): DataFrame = {
+    val entries = readHead()._2.zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    val delSegs = entries.filter(e => isDel(e._1))
+    require(dataSegs.nonEmpty, s"empty MinHash index at $path")
+    minusDeleted(dataSegs.map { case (s, i) =>
+      spark.read.parquet(s"$path/$s/banded")
+        .filter(col("bucket").isin(buckets: _*))
+        .select(col("id"), col("band"), col("bh"))
+        .withColumn("__ord", lit(i))
+    }.reduce(_.unionByName(_)), delSegs).drop("__ord")
+  }
+
+  /** Admit `incoming` against the persisted corpus: drop rows that are
+    * exact (content-hash) or near (banded-signature candidate verified
+    * by exact Jaccard ≥ `minJaccard`) duplicates of a LIVE indexed
+    * document, returning the surviving incoming rows unchanged —
+    * result-identical to [[graft.operators.Dedup.dedupAgainst]] over
+    * the live corpus with this index's parameters (the differential
+    * spec and the t66/t67 driver gates pin it), but the existing side's
+    * shingling/signing work was paid once, at append.
+    *
+    * Plan shape: banded scans carry a literal bucket-partition filter
+    * (driver-collected, ≤ nBuckets values — bounded at any increment
+    * size); docs scans are column-pruned to (id, exh) for the exact
+    * pass and left-semi-bounded to candidate ids for the (sig, sh)
+    * fetch. Within-incoming duplicates are NOT collapsed (compose with
+    * exactDedup/minhashPairs first — the inline operator's contract). */
+  def dedupAgainst(
+      incoming: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5, maxBucket: Int = 500)(
+      implicit ctx: PipelineContext): DataFrame = {
+    ensureParams()
+    val (_, segs) = readHead()
+    val entries = segs.zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    val delSegs = entries.filter(e => isDel(e._1))
+    require(dataSegs.nonEmpty, s"empty MinHash index at $path")
+
+    def docsRead(cols: Seq[String]): DataFrame =
+      minusDeleted(dataSegs.map { case (s, i) =>
+        spark.read.parquet(s"$path/$s/docs")
+          .select(cols.map(col): _*).withColumn("__ord", lit(i))
+      }.reduce(_.unionByName(_)), delSegs).drop("__ord")
+
+    // exact stage: incoming content hashes (small side, broadcast) probe
+    // the live (id, exh) columns; survivors carry the original schema
+    val base = incoming.withColumn("__h", md5(col(textCol).cast("string")))
+    val inH = base.select(col("__h").as("exh")).distinct()
+    val matchedH = docsRead(Seq("id", "exh"))
+      .join(broadcast(inH), Seq("exh")).select(col("exh")).distinct()
+    val exactSurvivors = ctx.stage(base
+      .join(matchedH, base("__h") === matchedH("exh"), "left_anti")
+      .drop("__h"))
+
+    // incoming derivations — the same one-aggregation construction as
+    // append, so both sides of every comparison hash identically
+    val inHashes = ctx.stage(Dedup.shingleHashes(
+      exactSurvivors, idCol, textCol, shingle))
+    val inAgg = ctx.stage(inHashes.groupBy(col("id"))
+      .agg(graft.functions.SketchFunctions
+        .minhashSig(col("h"), numHashes).as("sig"),
+        collect_set(col("h")).as("sh")))
+    val inBanded = ctx.stage(Dedup.bandKeys(
+      inAgg.select(col("id"), col("sig")), numHashes, bands))
+
+    // literal bucket set → partition pruning on every banded scan (the
+    // Bm25Index.topDocs discipline; ≤ nBuckets values by construction)
+    val buckets: Seq[Int] = inBanded
+      .select(pmod(col("bh"), lit(nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty) return exactSurvivors // nothing shingles
+    val idxBanded = bandedScan(buckets)
+
+    // whale-bucket cap over PROBED buckets only: a semi-join against the
+    // incoming key set bounds the window's input, and per-(band, bh)
+    // counts equal the inline engine's global counts for those buckets
+    val inKeys = inBanded.select(col("band"), col("bh")).distinct()
+    val exSized = idxBanded
+      .join(inKeys, Seq("band", "bh"), "left_semi")
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bn") <= maxBucket)
+      .select(col("id").as("ex_id"), col("band"), col("bh"))
+    val cand = inBanded.join(exSized, Seq("band", "bh"))
+      .select(col("id"), col("ex_id")).distinct()
+
+    // existing (sig, sh) only for candidate docs — the semi-join that
+    // keeps corpus-sized shingle arrays off the wire
+    val exSide = ctx.stage(docsRead(Seq("id", "sig", "sh"))
+      .join(cand.select(col("ex_id").as("id")).distinct(),
+        Seq("id"), "left_semi"))
+
+    // two-stage verify, the inline engine's exact arithmetic: signature
+    // estimate prefilter, then exact Jaccard over stored shingle sets
+    val estMargin =
+      2.0 * math.sqrt(minJaccard * (1 - minJaccard) / numHashes)
+    val estimated = ctx.stage(cand
+      .join(inAgg.select(col("id"), col("sig").as("sig1")), Seq("id"))
+      .join(exSide.select(col("id").as("ex_id"), col("sig").as("sig2")),
+        Seq("ex_id"))
+      .withColumn("est",
+        graft.functions.SketchFunctions.matchCount(col("sig1"), col("sig2"))
+          .cast("double") / numHashes)
+      .filter(col("est") >= minJaccard - estMargin)
+      .select(col("id"), col("ex_id")))
+    val dropIds = estimated
+      .join(inAgg.select(col("id"), col("sh").as("sh1")), Seq("id"))
+      .join(exSide.select(col("id").as("ex_id"), col("sh").as("sh2")),
+        Seq("ex_id"))
+      .filter(
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))) >= minJaccard)
+      .select(col("id")).distinct()
+    exactSurvivors.join(dropIds,
+      exactSurvivors(idCol) === dropIds("id"), "left_anti")
+  }
+}

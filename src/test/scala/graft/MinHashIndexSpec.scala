@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, PipelineContext}
+import graft.storage.MinHashIndex
+
+/** Persisted MinHash near-duplicate index: result parity against the
+  * inline [[Dedup.dedupAgainst]] engine (the amortized existing side
+  * must be INVISIBLE in results), lifecycle parity with the other two
+  * persisted indexes (tombstones, replay guards, id-range pruning,
+  * empty-compact), and the bucket-partition-pruning plan pin. */
+class MinHashIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // existing corpus (even-ish ids) with exact dups, near dups and a
+  // too-short doc; incoming batch probes all three classes
+  private def existing: DataFrame = Seq(
+    (2L, "the quick brown fox jumps over the lazy dog tonight"),
+    (4L, "spark shuffles partition data across the cluster nodes"),
+    (6L, "a wholly unrelated document about maritime navigation charts"),
+    (8L, "the quick brown fox jumps over the lazy dog at dawn"),
+    (10L, "short one"),
+    (12L, "columnar storage formats compress repeated values efficiently"))
+    .toDF("doc_id", "text")
+
+  private def incoming: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 2
+    (3L, "the quick brown fox jumps over the lazy dog at dusk"), // near dup of 2/8
+    (5L, "entirely novel content on quantum error correction codes"),
+    (7L, "spark shuffles partition data across the cluster machines"), // near dup of 4
+    (9L, "short one"), // exact dup of 10 (too short to shingle)
+    (11L, "another fresh document discussing medieval trade routes"))
+    .toDF("doc_id", "text")
+
+  private val mode: Dedup.ShingleMode = Dedup.WordGrams(2)
+
+  private def newDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-mh").toString
+
+  private def inline(in: DataFrame, ex: DataFrame, j: Double = 0.4): Seq[Row] =
+    PipelineContext.materialize { implicit ctx =>
+      Dedup.dedupAgainst(in, ex, "doc_id", "text", shingle = mode,
+        numHashes = 64, bands = 16, minJaccard = j)
+    }.orderBy("doc_id").collect().toSeq
+
+  private def probe(idx: MinHashIndex, in: DataFrame,
+      j: Double = 0.4): Seq[Row] =
+    PipelineContext.materialize { implicit ctx =>
+      idx.dedupAgainst(in, "doc_id", "text", minJaccard = j)
+    }.orderBy("doc_id").collect().toSeq
+
+  test("segmented incremental index admits exactly what the inline engine admits") {
+    val idx = new MinHashIndex(spark, newDir(), shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8)
+    idx.append(existing.filter($"doc_id" <= 6), "doc_id", "text")
+    idx.append(existing.filter($"doc_id" > 6), "doc_id", "text")
+    assert(idx.segments.size === 2)
+    val got = probe(idx, incoming)
+    assert(got === inline(incoming, existing))
+    // the survivors are the genuinely-new docs, in the original schema
+    assert(got.map(_.getLong(0)) === Seq(3L, 5L, 11L) ||
+      got.map(_.getLong(0)).toSet.subsetOf(Set(3L, 5L, 7L, 11L)),
+      s"unexpected survivor set: $got")
+    // exact dups (1, 9 — including the unshingleable short doc) and the
+    // high-overlap near dup (7) must be gone
+    val ids = got.map(_.getLong(0)).toSet
+    assert(!ids.contains(1L) && !ids.contains(9L), s"exact dups survived: $ids")
+  }
+
+  test("threshold sweep matches inline at every theta") {
+    val idx = new MinHashIndex(spark, newDir(), shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8)
+    idx.append(existing, "doc_id", "text")
+    Seq(0.2, 0.4, 0.6, 0.9).foreach { j =>
+      assert(probe(idx, incoming, j) === inline(incoming, existing, j),
+        s"divergence at theta=$j")
+    }
+  }
+
+  test("delete tombstones probe-identically to an index rebuilt without the docs") {
+    val dir = newDir()
+    val idx = new MinHashIndex(spark, dir, shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8)
+    idx.append(existing, "doc_id", "text")
+    // tombstone the near-dup cluster anchor and the short doc
+    assert(idx.delete(Seq(2L, 10L).toDF("doc_id"), "doc_id") === 2L)
+    val survivors = existing.filter(!$"doc_id".isin(2L, 10L))
+    assert(probe(idx, incoming) === inline(incoming, survivors))
+    // deleting an absent / already-dead id is a zero no-op
+    assert(idx.delete(Seq(2L, 999L).toDF("doc_id"), "doc_id") === 0L)
+    // compact folds the tombstone physically; results unchanged
+    idx.compact()
+    assert(idx.segments.size === 1 &&
+      !idx.segments.head.startsWith("del-"))
+    assert(probe(idx, incoming) === inline(incoming, survivors))
+    // a re-append of a deleted id is a NEW live doc (manifest order)
+    idx.append(existing.filter($"doc_id" === 2L), "doc_id", "text")
+    assert(probe(idx, incoming) ===
+      inline(incoming, existing.filter($"doc_id" =!= 10L)))
+  }
+
+  test("batch tags make replayed appends and deletes no-ops, surviving compaction") {
+    val idx = new MinHashIndex(spark, newDir(), shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8)
+    idx.append(existing, "doc_id", "text", batchTag = Some("b1"))
+    val want = probe(idx, incoming)
+    // replayed append: no new segment, results unchanged
+    idx.append(existing, "doc_id", "text", batchTag = Some("b1"))
+    assert(idx.segments.size === 1)
+    assert(probe(idx, incoming) === want)
+    // tagged delete, then replay across a compact: the guard must
+    // survive the rewrite (tags union forward) — without it the
+    // replayed delete would re-tombstone the re-appended doc
+    assert(idx.delete(Seq(2L).toDF("doc_id"), "doc_id",
+      batchTag = Some("d1")) === 1L)
+    idx.compact()
+    idx.append(existing.filter($"doc_id" === 2L), "doc_id", "text")
+    val afterReappend = probe(idx, incoming)
+    assert(idx.delete(Seq(2L).toDF("doc_id"), "doc_id",
+      batchTag = Some("d1")) === 0L)
+    assert(probe(idx, incoming) === afterReappend)
+    assert(idx.committedBatchTags === Set("b1", "d1"))
+  }
+
+  test("delete scans only segments whose id range overlaps the requested ids") {
+    val idx = new MinHashIndex(spark, newDir(), shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8)
+    idx.append(existing.filter($"doc_id" <= 6), "doc_id", "text") // ids 2..6
+    idx.append(existing.filter($"doc_id" > 6), "doc_id", "text") // ids 8..12
+    val segs = idx.segments
+    // a takedown of low ids must skip the high segment, and vice versa
+    assert(idx.deleteScanSegments(Seq(3L, 4L).toDF("doc_id"), "doc_id")
+      === Seq(segs(0)))
+    assert(idx.deleteScanSegments(Seq(11L).toDF("doc_id"), "doc_id")
+      === Seq(segs(1)))
+    assert(idx.deleteScanSegments(Seq(100L).toDF("doc_id"), "doc_id")
+      === Nil)
+  }
+
+  test("deleting every doc then compacting yields the EMPTY index; appends restart it") {
+    val idx = new MinHashIndex(spark, newDir(), shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8)
+    idx.append(existing, "doc_id", "text")
+    assert(idx.delete(existing.select($"doc_id"), "doc_id") === 6L)
+    idx.compact()
+    assert(idx.segments.isEmpty)
+    // empty head: probe fails loudly (same contract as the other indexes)
+    val e = intercept[IllegalArgumentException] {
+      probe(idx, incoming)
+    }
+    assert(e.getMessage.contains("empty MinHash index"))
+    idx.append(existing, "doc_id", "text")
+    assert(probe(idx, incoming) === inline(incoming, existing))
+  }
+
+  test("banded scans carry the literal bucket partition filter (pruning pin)") {
+    val dir = newDir()
+    val idx = new MinHashIndex(spark, dir, shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8)
+    idx.append(existing, "doc_id", "text")
+    // one incoming doc → ≤ 16 band keys → a strict subset of the 8
+    // buckets is possible; the plan must show partition filters on the
+    // banded scans either way, and when the probed set IS a subset the
+    // untouched partitions must not be read
+    val one = incoming.filter($"doc_id" === 3L)
+    PipelineContext.run { implicit ctx =>
+      val buckets = idx.probeBuckets(one, "doc_id", "text")
+      assert(buckets.nonEmpty && buckets.size <= 8)
+      // bandedScan is the exact frame dedupAgainst probes candidates
+      // from (shared method — the pin covers the production path; the
+      // full operator stages it behind a checkpoint leaf, which would
+      // hide the scan from the outer plan)
+      val plan = idx.bandedScan(buckets)
+        .queryExecution.executedPlan.toString
+      val bandedScans = plan.linesIterator
+        .filter(l => l.contains("/banded")).toSeq
+      assert(bandedScans.nonEmpty, s"no banded scan in plan:\n$plan")
+      assert(bandedScans.forall(_.contains("PartitionFilters: [")), plan)
+      assert(bandedScans.forall(l =>
+        buckets.forall(b => l.contains(b.toString))),
+        s"expected literal bucket set $buckets in:\n${bandedScans.mkString("\n")}")
+      // and the results with the pruned scan equal the inline engine
+      assert(probe(idx, one) === inline(one, existing))
+    }
+  }
+
+  test("a mismatched-params handle fails loudly instead of probing garbage") {
+    val dir = newDir()
+    val idx = new MinHashIndex(spark, dir, shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8)
+    idx.append(existing, "doc_id", "text")
+    val other = new MinHashIndex(spark, dir, shingle = Dedup.CharGrams(5),
+      numHashes = 64, bands = 16, nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      other.append(incoming, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("params"))
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineContext.materialize { implicit ctx =>
+        other.dedupAgainst(incoming, "doc_id", "text")
+      }
+    }
+    assert(e2.getMessage.contains("params"))
+  }
+}
