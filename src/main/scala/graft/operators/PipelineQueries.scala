@@ -745,6 +745,76 @@ object PipelineQueries {
         .orderBy(col("tf").desc, col("term"))
     }
 
+  /** Persisted MinHash near-dup admission
+    * ([[graft.storage.MinHashIndex]]): the EXISTING corpus (even ids)
+    * lands in TWO appends — signatures, shingle sets and band keys
+    * computed once, persisted as CAS-committed segments — and the
+    * incoming batch (odd ids) is admitted against the persisted head.
+    * Identical parameters and aggregation to t37, so the oracle is
+    * t37's exact cross-pair Jaccard SQL: a hash match proves the
+    * amortized, segmented existing side is result-invisible vs the
+    * inline engine that re-shingles the corpus per batch. */
+  def t66MinhashPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-stgate", "t66")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val docs = Tables.documents(spark, dir)
+    val idx = new graft.storage.MinHashIndex(spark, base.toString,
+      shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+      nBuckets = 16)
+    idx.append(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+    idx.append(docs.filter(col("doc_id") % 4 === 2), "doc_id", "text")
+    PipelineContext.materialize { implicit ctx =>
+      idx.dedupAgainst(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", minJaccard = 0.4)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }
+  }
+
+  /** Document takedown from the persisted MinHash index
+    * ([[graft.storage.MinHashIndex.delete]]): two appends land the
+    * even corpus, the SECOND append's docs (doc_id % 4 = 2) are then
+    * tombstoned — one `del-` manifest entry, no segment rewritten —
+    * and the odd batch is admitted against the tombstoned head. The
+    * oracle is the inline cross-dedup against only the surviving
+    * (doc_id % 4 = 0) corpus: a hash match proves manifest-order
+    * tombstone folding admits exactly what an index rebuilt without
+    * the deleted docs would. */
+  def t67MinhashDelete(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-stgate", "t67")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val docs = Tables.documents(spark, dir)
+    val idx = new graft.storage.MinHashIndex(spark, base.toString,
+      shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+      nBuckets = 16)
+    idx.append(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+    idx.append(docs.filter(col("doc_id") % 4 === 2), "doc_id", "text")
+    idx.delete(docs.filter(col("doc_id") % 4 === 2)
+      .select(col("doc_id")), "doc_id"): Unit
+    PipelineContext.materialize { implicit ctx =>
+      idx.dedupAgainst(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", minJaccard = 0.4)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }
+  }
+
   /** C4 page/line cleaning ([[CurationPipeline.c4Clean]], Raffel et
     * al. arXiv:1910.10683 §2.2) over 150 synthetic multi-line pages —
     * the testdata corpus carries no newlines or punctuation, so the
@@ -1328,6 +1398,8 @@ object PipelineQueries {
     "t63_ivf_delete" -> t63IvfDelete _,
     "t64_url_filter" -> t64UrlFilter _,
     "t65_heavy_hitters_sketch" -> t65HeavyHittersSketch _,
+    "t66_minhash_persisted" -> t66MinhashPersisted _,
+    "t67_minhash_delete" -> t67MinhashDelete _,
     "t59_gopher_rules" -> t59GopherRules _,
     "t60_c4_clean" -> t60C4Clean _,
     "t61_jaccard_auto_route" -> t61JaccardAutoRoute _,
@@ -1342,6 +1414,35 @@ object PipelineQueries {
   private def normFold(a: String): String =
     s"""sqrt(list_reduce(list_prepend(0.0, list_transform($a,
        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))"""
+
+  /** t37's exact cross-pair word-bigram-Jaccard admission SQL,
+    * parameterized by the EXISTING-side id predicate — the persisted
+    * MinHash index gates (t66/t67) reuse it with the live subset of
+    * even ids: incoming (odd ids) survives iff no live existing doc is
+    * text-equal or bigram-Jaccard ≥ 0.4. */
+  private def crossDedupOracle(existingPred: String): String =
+    s"""WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents
+         ), grams AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM toks WHERE len(w) >= 2
+         ), dropped AS (
+           SELECT DISTINCT i.doc_id
+           FROM grams i JOIN grams e
+             ON i.doc_id % 2 = 1 AND e.doc_id $existingPred
+            AND len(list_intersect(i.g, e.g))::DOUBLE /
+                (len(i.g) + len(e.g) - len(list_intersect(i.g, e.g))) >= 0.4
+         )
+         SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars, max(d.doc_id) AS max_id
+         FROM documents d
+         WHERE d.doc_id % 2 = 1
+           AND NOT EXISTS (SELECT 1 FROM documents e
+                           WHERE e.doc_id $existingPred AND e.text = d.text)
+           AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+         GROUP BY d.lang ORDER BY d.lang"""
 
   /** The t53 oracle: greedy MMR as chained CTEs — round r scores the
     * unselected candidates against the union of rounds 1..r−1 and
@@ -2433,6 +2534,12 @@ object PipelineQueries {
            FROM scored)
          SELECT qid, id, cosine, rank FROM ranked WHERE rank <= 5
          ORDER BY qid, rank""",
+    // t66/t67: the persisted MinHash index must admit exactly what the
+    // inline cross-dedup admits (t37's oracle, parameterized by which
+    // even ids are LIVE in the index — all of them for the build gate,
+    // only the un-tombstoned %4=0 half for the delete gate)
+    "t66_minhash_persisted" -> crossDedupOracle("% 2 = 0"),
+    "t67_minhash_delete" -> crossDedupOracle("% 4 = 0"),
     // t65: the sketch path is provably exact (candidate superset +
     // verify loop), so its oracle IS the exact top-k SQL — t34's
     // shape at k=40

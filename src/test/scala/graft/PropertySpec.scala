@@ -834,6 +834,81 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("MinHash index mutation sequences match the inline cross-dedup on the modeled corpus") {
+    // the persisted-index mutation-model discipline applied to the
+    // near-dup admission index: arbitrary append / delete / compact /
+    // vacuum interleavings vs an in-memory corpus model, the probe
+    // checked against the inline Dedup.dedupAgainst over the model
+    // after EVERY op. The small vocabulary makes real near-dup
+    // collisions (and band-bucket whales) common.
+    val vocab = Vector("dup", "join", "scan", "hash", "table", "agg",
+      "window", "spark")
+    sealed trait MOp
+    case class MAppend(texts: Seq[String]) extends MOp
+    case class MDelete(ids: Seq[Long]) extends MOp
+    case object MCompact extends MOp
+    case object MVacuum extends MOp
+    val appendGen: Gen[MOp] = for {
+      n <- Gen.chooseNum(2, 5)
+      texts <- Gen.listOfN(n, Gen.chooseNum(3, 8).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    } yield MAppend(texts)
+    val opGen: Gen[MOp] = Gen.frequency(
+      4 -> appendGen,
+      3 -> Gen.chooseNum(1, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(1, 25).map(_.toLong))
+          .map(ids => MDelete(ids.distinct))),
+      2 -> Gen.const(MCompact),
+      1 -> Gen.const(MVacuum))
+    val opsGen = Gen.chooseNum(5, 8).flatMap(n => Gen.listOfN(n, opGen))
+    // fixed probe batch in the same vocabulary (ids disjoint from the
+    // model's 1..25 space — the cross-dedup id contract)
+    val probeBatch = Seq(
+      (1001L, "dup join scan hash"),
+      (1002L, "window spark agg table window"),
+      (1003L, "hash hash table"),
+      (1004L, "scan dup join scan table agg"))
+    samples(opsGen, 4).zipWithIndex.foreach { case (ops, si) =>
+      var nextId = 0L
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-prop-mhseq-$si").toString
+      val idx = new graft.storage.MinHashIndex(spark, dir,
+        shingle = graft.operators.Dedup.WordGrams(2),
+        numHashes = 64, bands = 16, nBuckets = 8)
+      val model = scala.collection.mutable.LinkedHashMap[Long, String]()
+      ops.zipWithIndex.foreach { case (op, oi) =>
+        val ctx = s"sample $si op $oi $op"
+        op match {
+          case MAppend(texts) =>
+            val docs = texts.map { t => nextId += 1; (nextId, t) }
+            idx.append(docs.toDF("doc_id", "text"), "doc_id", "text")
+            docs.foreach { case (id, t) => model(id) = t }
+          case MDelete(ids) =>
+            val live = ids.filter(model.contains)
+            assert(idx.delete(ids.toDF("doc_id"), "doc_id") ===
+              live.size.toLong, ctx)
+            live.foreach(model.remove)
+          case MCompact => if (idx.segments.nonEmpty) idx.compact()
+          case MVacuum => idx.vacuum(): Unit
+        }
+        if (model.nonEmpty) {
+          val got = PipelineContext.materialize { implicit mctx =>
+            idx.dedupAgainst(probeBatch.toDF("doc_id", "text"),
+              "doc_id", "text", minJaccard = 0.4)
+          }.orderBy("doc_id").collect().toSeq
+          val want = PipelineContext.materialize { implicit mctx =>
+            graft.operators.Dedup.dedupAgainst(
+              probeBatch.toDF("doc_id", "text"),
+              model.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+              shingle = graft.operators.Dedup.WordGrams(2),
+              numHashes = 64, bands = 16, minJaccard = 0.4)
+          }.orderBy("doc_id").collect().toSeq
+          assert(got === want, ctx)
+        }
+      }
+    }
+  }
+
   test("persisted IVF full probe equals brute force across random appends and a retrain") {
     val corpusGen = for {
       n <- Gen.chooseNum(10, 24)
