@@ -391,6 +391,83 @@ object StreamQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** s08: STREAMING near-dup admission against the PERSISTED MinHash
+    * index — s06's continuous-crawl loop with the accumulated corpus
+    * replaced by [[graft.storage.MinHashIndex]]: each micro-batch is
+    * within-batch exact-deduped, admitted against the index head
+    * (banded candidate probe over bucket-pruned persisted signatures —
+    * the batch never re-shingles the corpus), and its SURVIVORS append
+    * as a new CAS-committed segment. Replay safety is the head tag
+    * check: a replayed batch would otherwise dedup against an index
+    * already holding its own survivors and admit nothing — the s06
+    * data-loss-on-retry class, here guarded by one driver-side
+    * manifest read instead of a _SUCCESS marker. The end state (the
+    * index's live doc ids) must hash-match s06's oracle exactly:
+    * batch boundaries, segmentation and the amortized existing side
+    * all invisible. At 100 TB this is the crawl-admission shape:
+    * per-batch cost is incoming × probed-buckets, the corpus is
+    * signed once, and maintenance (compact) folds per-trigger
+    * segments without changing a single admission. */
+  def s08StreamMinhashAdmit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = scratchBase.resolve("s08")
+    rmTree(base.toFile)
+    Files.createDirectories(base)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val watch = s"$base/watch"
+    Files.createDirectories(java.nio.file.Paths.get(watch))
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$watch/b0")
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.parquet(s"$watch/b1")
+    // the file source orders by (mtime, path): pin batch order
+    val now = System.currentTimeMillis()
+    def stamp(sub: String, t: Long): Unit = {
+      val d = new java.io.File(s"$watch/$sub")
+      (d +: Option(d.listFiles()).toSeq.flatten).foreach(_.setLastModified(t))
+    }
+    stamp("b0", now - 120000); stamp("b1", now)
+    val idx = new graft.storage.MinHashIndex(spark, s"$base/idx",
+      shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+      nBuckets = 16)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(watch)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"s08:$batchId"
+        // head tag check FIRST: a replayed batch must not re-probe an
+        // index that already committed its survivors (it would admit
+        // nothing); append's own guard alone is too late
+        if (!batch.isEmpty && !idx.committedBatchTags.contains(tag)) {
+          val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+          val clean = batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          // survivors feed append INSIDE the probe's context: append's
+          // write jobs must run while the staged probe frames are live
+          PipelineContext.run { implicit ctx =>
+            val survivors =
+              if (idx.segments.isEmpty) clean
+              else idx.dedupAgainst(clean, "doc_id", "text",
+                minJaccard = 0.4)
+            idx.append(survivors, "doc_id", "text", batchTag = Some(tag))
+          }
+        }
+      }
+      .start()
+    q.awaitTermination()
+    idx.compact() // maintenance under the oracle: admissions unchanged
+    idx.vacuum(): Unit
+    idx.liveDocIds
+      .select(col("id").as("doc_id"),
+        (col("id") % 2).cast("int").as("batch"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_window" -> (s01StreamWindow(_, _)),
     "s02_stream_dedup" -> (s02StreamDedup(_, _)),
@@ -398,20 +475,16 @@ object StreamQueries {
     "s04_stream_interval_join" -> (s04StreamIntervalJoin(_, _)),
     "s05_stream_ingest" -> (s05StreamIngest(_, _)),
     "s06_stream_corpus_dedup" -> (s06StreamCorpusDedup(_, _)),
-    "s07_stream_bm25_index" -> (s07StreamBm25Index(_, _)))
+    "s07_stream_bm25_index" -> (s07StreamBm25Index(_, _)),
+    "s08_stream_minhash_admit" -> (s08StreamMinhashAdmit(_, _)))
 
-  /** DuckDB replay of the emitted state, watermark semantics included. */
-  val oracle: Map[String, String] = Map(
-    // the streamed, segmented, compacted index must score exactly like
-    // one inline pass over the whole corpus — t47's oracle verbatim
-    "s07_stream_bm25_index" -> PipelineQueries.bm25Oracle,
-    // sequential two-batch replay: batch 0 keeps min doc_id per
-    // content hash; batch 1 additionally survives exact AND exact
-    // word-bigram-Jaccard >= 0.4 checks against batch 0's SURVIVORS
-    // (the t37 recall/precision argument makes the minhash path
-    // replayable)
-    "s06_stream_corpus_dedup" ->
-      """WITH d AS (
+  /** Sequential two-batch admission replay, shared by s06 (inline
+    * accumulated-corpus dedup) and s08 (persisted MinHash index): both
+    * run the same even-then-odd admission sequence at θ=0.4 with
+    * word-bigram shingles, so their end states are identical by
+    * construction. */
+  private val corpusDedupOracle: String =
+    """WITH d AS (
            SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS batch
            FROM documents),
          e0 AS (
@@ -448,7 +521,22 @@ object StreamQueries {
          UNION ALL
          SELECT doc_id, 1 AS batch FROM x1
          WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-         ORDER BY doc_id""",
+         ORDER BY doc_id"""
+
+  /** DuckDB replay of the emitted state, watermark semantics included. */
+  val oracle: Map[String, String] = Map(
+    // the streamed, segmented, compacted index must score exactly like
+    // one inline pass over the whole corpus — t47's oracle verbatim
+    "s07_stream_bm25_index" -> PipelineQueries.bm25Oracle,
+    // sequential two-batch replay: batch 0 keeps min doc_id per
+    // content hash; batch 1 additionally survives exact AND exact
+    // word-bigram-Jaccard >= 0.4 checks against batch 0's SURVIVORS
+    // (the t37 recall/precision argument makes the minhash path
+    // replayable). s08 runs the SAME admission sequence with the
+    // corpus side persisted as a MinHash index — identical end state
+    // by construction, so the oracle is shared verbatim.
+    "s06_stream_corpus_dedup" -> corpusDedupOracle,
+    "s08_stream_minhash_admit" -> corpusDedupOracle,
     // a window is emitted iff its END is at or below the final
     // watermark — which Spark computes at MILLISECOND resolution
     // (floor-to-ms of max event time, minus the delay; non-strict <=

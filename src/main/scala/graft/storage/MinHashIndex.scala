@@ -426,6 +426,22 @@ final class MinHashIndex(
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
   }
 
+  /** Live document ids at the head — docs minus manifest-order
+    * tombstones, column-pruned to the id alone. The corpus-membership
+    * listing a continuous-ingest pipeline reads back as its end state
+    * (the s08 driver gate); loud on an empty index, like every other
+    * probe. */
+  def liveDocIds: DataFrame = {
+    val entries = readHead()._2.zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    val delSegs = entries.filter(e => isDel(e._1))
+    require(dataSegs.nonEmpty, s"empty MinHash index at $path")
+    minusDeleted(dataSegs.map { case (s, i) =>
+      spark.read.parquet(s"$path/$s/docs").select(col("id"))
+        .withColumn("__ord", lit(i))
+    }.reduce(_.unionByName(_)), delSegs).drop("__ord")
+  }
+
   /** The live banded rows of the probed buckets — every underlying
     * parquet scan carries the literal bucket partition filter (what
     * turns probe cost ∝ matched buckets, not index size). Shared by
