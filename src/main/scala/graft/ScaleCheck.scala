@@ -183,7 +183,15 @@ object ScaleCheck {
       // vocabulary grows (token-suffix synthesis grows vocab k×, the
       // exact t34 shuffle with it), the candidate pass by the hot-cell
       // term set; growth term = the two token scans, ~k
-      "t65_heavy_hitters_sketch").filter(q =>
+      "t65_heavy_hitters_sketch",
+      // round 14 (cont.): the persisted MinHash admission gates — two
+      // segment builds (shingle+sign the even corpus once, ~k) plus a
+      // probe whose cost is incoming × probed-bucket postings; the
+      // delete variant adds one id-filtered docs scan. The streaming
+      // admission gate is the s06 loop with the corpus side persisted
+      // — its growth term is the per-batch sign + probe, ~k
+      "t66_minhash_persisted", "t67_minhash_delete",
+      "s08_stream_minhash_admit").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // Shapes whose scale-correct form needs to know k: SemDeDup's

@@ -186,4 +186,19 @@ class StreamingGateSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getInt(1)))
     assert(again.toSeq === out.toSeq)
   }
+
+  test("s08: persisted-index admission ends in exactly s06's corpus state") {
+    // the two gates are DEFINED to agree: same admission sequence, the
+    // corpus side inline (s06) vs persisted MinHash index (s08) — the
+    // strongest spec is literal end-state equality, which also makes
+    // the shared DuckDB oracle self-consistent
+    val viaIndex = graft.operators.StreamQueries
+      .s08StreamMinhashAdmit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val inline = graft.operators.StreamQueries
+      .s06StreamCorpusDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(viaIndex.toSeq === inline.toSeq)
+    assert(viaIndex.nonEmpty)
+  }
 }
