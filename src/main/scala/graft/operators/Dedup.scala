@@ -228,10 +228,14 @@ object Dedup {
     * buckets are capped on the EXISTING side (the unbounded one) via
     * the same spillable window count; the two-stage verify (signature
     * estimate prefilter → exact Jaccard on survivors) keeps shingle
-    * arrays off the wire for clearly-false candidates. On a cluster
-    * the existing side's signatures/banded table would be a persisted
+    * arrays off the wire for clearly-false candidates. At corpus scale
+    * the existing side's signatures/banded table should be a persisted
     * index, bucketed by (band, bucket-hash), amortized across
-    * increments. Within-incoming duplicates are NOT collapsed here —
+    * increments — [[graft.storage.MinHashIndex]] IS that index (its
+    * `dedupAgainst` is result-identical to this one by differential
+    * spec); this inline form remains the right call for one-shot
+    * corpus-vs-corpus jobs where nothing is reused.
+    * Within-incoming duplicates are NOT collapsed here —
     * run [[exactDedup]]/[[minhashPairs]] on the increment first;
     * composing the two keeps each operator's semantics testable.
     * Ids must be unique across BOTH tables. */

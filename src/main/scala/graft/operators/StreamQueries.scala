@@ -247,8 +247,9 @@ object StreamQueries {
     * and planted near-pairs sit at J ≥ 0.9 where 16-band recall is
     * 1 − 1e-8. At 100 TB this IS the streaming ingest shape:
     * per-batch cost is incoming × corpus-index, never corpus², and
-    * the corpus side would be a bucketed signature index maintained
-    * incrementally ([[Dedup.dedupAgainst]]'s scale note). */
+    * the corpus side should be a bucketed signature index maintained
+    * incrementally — s08 below runs THIS loop with that index
+    * ([[graft.storage.MinHashIndex]]) and must end in the same state. */
   def s06StreamCorpusDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = scratchBase.resolve("s06")

@@ -68,7 +68,7 @@ import org.apache.spark.sql.functions._
   */
 final class Bm25Index(
     spark: SparkSession, path: String, nBuckets: Int = 64,
-    retainManifests: Int = 2) {
+    retainManifests: Int = 2, idBloomMaxIds: Long = 0L) {
   require(nBuckets > 0, "nBuckets must be positive")
   require(retainManifests >= 2,
     "retainManifests must be >= 2 (the head plus at least one " +
@@ -224,6 +224,10 @@ final class Bm25Index(
         s"${st.getLong(0)} ${st.getLong(1)}\n".getBytes("UTF-8"))
       SegmentIdRange.write(seg, SegmentIdRange.of(
         wc.schema("id").dataType.typeName, st.get(2), st.get(3)))
+      // opt-in content pruning for scattered takedowns: one extra
+      // narrow aggregation over the cached batch's doc ids
+      SegmentIdBloom.write(seg, dl.select(col("id")), st.getLong(0),
+        idBloomMaxIds)
       batchTag.foreach(t => java.nio.file.Files.write(
         new java.io.File(seg, "_batch").toPath, s"$t\n".getBytes("UTF-8")))
     } finally wc.unpersist(false)
@@ -338,9 +342,13 @@ final class Bm25Index(
       min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
     if (r.getLong(0) == 0L) return (want, Nil)
     val req = SegmentIdRange.of(idT.typeName, r.get(1), r.get(2))
+    // blooms refine whatever the range keeps (scattered takedowns span
+    // every range); a segment without either sidecar is always scanned
+    val probe = SegmentIdBloom.probeIds(want, r.getLong(0))
     (want, dataSegs.filter { case (s, _) =>
-      SegmentIdRange.mayOverlap(
-        SegmentIdRange.read(new java.io.File(s"$path/$s")), req)
+      val segDir = new java.io.File(s"$path/$s")
+      SegmentIdRange.mayOverlap(SegmentIdRange.read(segDir), req) &&
+        SegmentIdBloom.mayContain(segDir, probe)
     })
   }
 

@@ -56,7 +56,7 @@ import graft.functions.VectorFunctions._
   */
 final class IvfIndex(
     spark: SparkSession, path: String, nCells: Int = 16,
-    retainManifests: Int = 2) {
+    retainManifests: Int = 2, idBloomMaxIds: Long = 0L) {
   require(nCells > 0, "nCells must be positive")
   require(retainManifests >= 2,
     "retainManifests must be >= 2 (the head plus at least one " +
@@ -221,9 +221,13 @@ final class IvfIndex(
       min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
     if (r.getLong(0) == 0L) return Nil
     val req = SegmentIdRange.of("long", r.get(1), r.get(2))
+    // blooms refine whatever the range keeps (scattered takedowns span
+    // every range); a segment without either sidecar is always scanned
+    val probe = SegmentIdBloom.probeIds(want, r.getLong(0))
     dataSegs.filter { case (s, _) =>
-      SegmentIdRange.mayOverlap(
-        SegmentIdRange.read(new java.io.File(s"$path/$s")), req)
+      val segDir = new java.io.File(s"$path/$s")
+      SegmentIdRange.mayOverlap(SegmentIdRange.read(segDir), req) &&
+        SegmentIdBloom.mayContain(segDir, probe)
     }
   }
 
@@ -444,7 +448,8 @@ final class IvfIndex(
     val obs = org.apache.spark.sql.Observation(
       s"graft-ivf-${java.util.UUID.randomUUID()}")
     vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .observe(obs, min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .observe(obs, min(col("id")).as("mn"), max(col("id")).as("mx"),
+        count(lit(1)).as("n"))
       .withColumn("cell",
         element_at(nearestCentroids(col("v"), cents, 1), 1))
       .withColumn("nv", l2Norm(col("v")))
@@ -453,6 +458,18 @@ final class IvfIndex(
       .parquet(s"$seg/vectors")
     SegmentIdRange.write(seg, SegmentIdRange.of("long",
       obs.get.getOrElse("mn", null), obs.get.getOrElse("mx", null)))
+    // opt-in content pruning for scattered takedowns: one narrow
+    // column-pruned scan of the JUST-WRITTEN segment (never a
+    // re-computation of the caller's lineage), paid only when the
+    // handle opted in ([[SegmentIdBloom]])
+    if (idBloomMaxIds > 0L)
+      SegmentIdBloom.write(seg,
+        spark.read.parquet(s"$seg/vectors").select(col("id")),
+        obs.get.getOrElse("n", 0L) match {
+          case l: java.lang.Long => l.longValue
+          case _ => 0L
+        },
+        idBloomMaxIds)
     // training append: stamp the train-time fit of matrix-to-corpus
     // (mean assigned-centroid cosine over the batch the matrix was
     // trained on) as the head's drift baseline — one narrow scan of

@@ -74,7 +74,7 @@ final class MinHashIndex(
     spark: SparkSession, path: String,
     shingle: Dedup.ShingleMode = Dedup.CharGrams(5),
     numHashes: Int = 64, bands: Int = 16, nBuckets: Int = 64,
-    retainManifests: Int = 2) {
+    retainManifests: Int = 2, idBloomMaxIds: Long = 0L) {
   require(numHashes % bands == 0, "bands must divide numHashes")
   require(nBuckets > 0, "nBuckets must be positive")
   require(retainManifests >= 2,
@@ -227,6 +227,10 @@ final class MinHashIndex(
         s"$nDocs $sumSh\n".getBytes("UTF-8"))
       SegmentIdRange.write(seg, SegmentIdRange.of(
         docRows.schema("id").dataType.typeName, st.get(2), st.get(3)))
+      // opt-in content pruning for scattered takedowns: one extra
+      // narrow aggregation over the staged batch ids ([[SegmentIdBloom]])
+      SegmentIdBloom.write(seg, docRows.select(col("id")), nDocs,
+        idBloomMaxIds)
       batchTag.foreach(t => java.nio.file.Files.write(
         new java.io.File(seg, "_batch").toPath, s"$t\n".getBytes("UTF-8")))
     }
@@ -266,9 +270,13 @@ final class MinHashIndex(
       min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
     if (r.getLong(0) == 0L) return (want, Nil)
     val req = SegmentIdRange.of(idT.typeName, r.get(1), r.get(2))
+    // blooms refine whatever the range keeps (scattered takedowns span
+    // every range); a segment without either sidecar is always scanned
+    val probe = SegmentIdBloom.probeIds(want, r.getLong(0))
     (want, dataSegs.filter { case (s, _) =>
-      SegmentIdRange.mayOverlap(
-        SegmentIdRange.read(new java.io.File(s"$path/$s")), req)
+      val segDir = new java.io.File(s"$path/$s")
+      SegmentIdRange.mayOverlap(SegmentIdRange.read(segDir), req) &&
+        SegmentIdBloom.mayContain(segDir, probe)
     })
   }
 

@@ -246,6 +246,37 @@ class Bm25IndexSpec extends SparkTestBase {
       === Seq(merged))
   }
 
+  test("opt-in id blooms prune range-overlapped segments on scattered takedowns") {
+    // interleaved id ranges: [1,7] odd and [2,8] even overlap fully, so
+    // the range sidecar never prunes an in-range takedown — the bloom
+    // skips by content ([[SegmentIdBloom]], opt-in per handle)
+    def seed(bloomCap: Long): Bm25Index = {
+      val idx = new Bm25Index(spark, newIndexDir(), nBuckets = 8,
+        idBloomMaxIds = bloomCap)
+      idx.append(corpus.filter($"doc_id" % 2 === 1), "doc_id", "text")
+      idx.append(corpus.filter($"doc_id" % 2 === 0), "doc_id", "text")
+      idx
+    }
+    val withBloom = seed(1000000L)
+    val Seq(segOdd, segEven) = withBloom.segments
+    assert(withBloom.deleteScanSegments(Seq(4L).toDF("doc_id"), "doc_id")
+      === Seq(segEven))
+    assert(withBloom.deleteScanSegments(Seq(5L).toDF("doc_id"), "doc_id")
+      === Seq(segOdd))
+    // pruning stays invisible: post-delete scores equal a rebuild
+    assert(withBloom.delete(Seq(4L).toDF("doc_id"), "doc_id") === 1L)
+    val rebuilt = new Bm25Index(spark, newIndexDir(), nBuckets = 8)
+    rebuilt.append(corpus.filter($"doc_id" =!= 4L), "doc_id", "text")
+    assert(withBloom.topDocs(queries, k = 5).orderBy("qid", "rank")
+      .collect().toSeq ===
+      rebuilt.topDocs(queries, k = 5).orderBy("qid", "rank")
+        .collect().toSeq)
+    // the default handle writes no blooms: range alone keeps both
+    val noBloom = seed(0L)
+    assert(noBloom.deleteScanSegments(Seq(4L).toDF("doc_id"), "doc_id")
+      === noBloom.segments)
+  }
+
   test("deleting every doc then compacting yields the EMPTY index; appends restart it") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25-allgone").toString
     val idx = new graft.storage.Bm25Index(spark, dir, nBuckets = 8)

@@ -298,6 +298,37 @@ class IvfIndexSpec extends SparkTestBase {
       === Seq(seg))
   }
 
+  test("opt-in id blooms prune range-overlapped segments on scattered takedowns") {
+    // interleaved ranges (odd vs even ids) overlap fully — the range
+    // sidecar keeps both segments for any in-range takedown, the
+    // opt-in bloom skips the one that provably lacks the id
+    def seed(bloomCap: Long): IvfIndex = {
+      val idx = new IvfIndex(spark, newIndexDir(), nCells = 4,
+        idBloomMaxIds = bloomCap)
+      idx.append(corpus.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
+      idx.append(corpus.filter($"vec_id" % 2 === 0), "vec_id", "embedding")
+      idx
+    }
+    val withBloom = seed(1000000L)
+    val Seq(segOdd, segEven) = withBloom.segments
+    assert(withBloom.deleteScanSegments(Seq(8L).toDF("vec_id"), "vec_id")
+      === Seq(segEven))
+    assert(withBloom.deleteScanSegments(Seq(9L).toDF("vec_id"), "vec_id")
+      === Seq(segOdd))
+    // pruning invisible in results: neighbors equal a rebuilt index
+    assert(withBloom.delete(Seq(8L).toDF("vec_id"), "vec_id") === 1L)
+    val rebuilt = new IvfIndex(spark, newIndexDir(), nCells = 4)
+    rebuilt.append(corpus.filter($"vec_id" =!= 8L), "vec_id", "embedding")
+    assert(withBloom.topK(queriesDf, "qid", "qv", k = 5, nProbe = 4)
+      .orderBy("qid", "rank").select("qid", "id").collect().toSeq ===
+      rebuilt.topK(queriesDf, "qid", "qv", k = 5, nProbe = 4)
+        .orderBy("qid", "rank").select("qid", "id").collect().toSeq)
+    // default handle: no blooms written, range alone keeps both
+    val noBloom = seed(0L)
+    assert(noBloom.deleteScanSegments(Seq(8L).toDF("vec_id"), "vec_id")
+      === noBloom.segments)
+  }
+
   test("deleting every vector then compacting yields the EMPTY index; appends restart it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-allgone").toString

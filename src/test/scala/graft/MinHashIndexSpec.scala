@@ -185,6 +185,37 @@ class MinHashIndexSpec extends SparkTestBase {
     }
   }
 
+  test("opt-in id blooms prune range-overlapped segments on scattered takedowns") {
+    // two segments with INTERLEAVED id ranges: the range sidecar keeps
+    // both for any in-range takedown; the bloom skips by content
+    def seed(bloomCap: Long): MinHashIndex = {
+      val idx = new MinHashIndex(spark, newDir(), shingle = mode,
+        numHashes = 64, bands = 16, nBuckets = 8, idBloomMaxIds = bloomCap)
+      idx.append(existing.filter($"doc_id".isin(2L, 6L, 10L)),
+        "doc_id", "text") // range [2, 10]
+      idx.append(existing.filter($"doc_id".isin(4L, 8L, 12L)),
+        "doc_id", "text") // range [4, 12] — overlaps
+      idx
+    }
+    val withBloom = seed(1000000L)
+    val segs = withBloom.segments
+    // 8 sits inside BOTH ranges but only segment 2 holds it
+    assert(withBloom.deleteScanSegments(Seq(8L).toDF("doc_id"), "doc_id")
+      === Seq(segs(1)))
+    // a scattered id in NEITHER segment prunes everything by content
+    assert(withBloom.deleteScanSegments(Seq(5L).toDF("doc_id"), "doc_id")
+      === Nil)
+    // pruning is invisible in results: the delete still lands and the
+    // probe matches the inline engine over the survivors
+    assert(withBloom.delete(Seq(8L).toDF("doc_id"), "doc_id") === 1L)
+    assert(probe(withBloom, incoming) ===
+      inline(incoming, existing.filter($"doc_id" =!= 8L)))
+    // default handle (blooms off): the range alone keeps both segments
+    val noBloom = seed(0L)
+    assert(noBloom.deleteScanSegments(Seq(8L).toDF("doc_id"), "doc_id")
+      === noBloom.segments)
+  }
+
   test("a mismatched-params handle fails loudly instead of probing garbage") {
     val dir = newDir()
     val idx = new MinHashIndex(spark, dir, shingle = mode,
