@@ -272,7 +272,7 @@ final class MinHashIndex(
     val req = SegmentIdRange.of(idT.typeName, r.get(1), r.get(2))
     // blooms refine whatever the range keeps (scattered takedowns span
     // every range); a segment without either sidecar is always scanned
-    val probe = SegmentIdBloom.probeIds(want, r.getLong(0))
+    lazy val probe = SegmentIdBloom.probeIds(want, r.getLong(0))
     (want, dataSegs.filter { case (s, _) =>
       val segDir = new java.io.File(s"$path/$s")
       SegmentIdRange.mayOverlap(SegmentIdRange.read(segDir), req) &&

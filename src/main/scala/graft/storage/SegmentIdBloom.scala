@@ -83,13 +83,19 @@ private[graft] object SegmentIdBloom {
       !supported(want.schema("id").dataType.typeName)) None
     else Some(want.collect().map(_.get(0)).toSeq)
 
-  /** Can a segment with bloom `bloom` hold any of `ids`? True when the
-    * segment has no (readable) bloom or the call has no probe set —
-    * pruning must never invent a skip it cannot prove. */
+  /** Can this segment hold any of `ids`? True when the segment has no
+    * (readable) bloom or the call has no probe set — pruning must
+    * never invent a skip it cannot prove. `ids` is BY-NAME so a
+    * delete against an index with no blooms at all (the default-off
+    * handle) never pays the probe-set collection: the bloom file is
+    * checked first, and only an existing bloom forces the ids. */
   def mayContain(segDir: java.io.File,
-      ids: Option[Seq[Any]]): Boolean =
-    (read(segDir), ids) match {
-      case (Some(bf), Some(vs)) => vs.exists(v => v != null && bf.mightContain(v))
-      case _ => true
+      ids: => Option[Seq[Any]]): Boolean =
+    read(segDir) match {
+      case Some(bf) => ids match {
+        case Some(vs) => vs.exists(v => v != null && bf.mightContain(v))
+        case None => true
+      }
+      case None => true
     }
 }
