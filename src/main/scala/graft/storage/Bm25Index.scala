@@ -392,7 +392,12 @@ final class Bm25Index(
     * applied at build time stays applied (compaction is a layout
     * operation, not a re-index). Concurrency: same optimistic commit
     * as [[append]] — a racing writer makes this throw
-    * [[CommitConflictException]] with the orphan cleaned up. */
+    * [[CommitConflictException]] with the orphan cleaned up. A fully-
+    * tombstoned compact publishes the EMPTY index, and that is a NEW
+    * INDEX GENERATION: the batch-tag surface resets with the corpus
+    * (no segment remains to carry tags) — callers interleaving full
+    * teardowns with at-least-once producers must not reuse
+    * pre-generation tags (the [[MinHashIndex.compact]] note). */
   def compact(): Unit = {
     val (baseVer, segs) = readHead()
     val entries = segs.zipWithIndex

@@ -279,7 +279,11 @@ final class IvfIndex(
     * union; compaction folds the layout back with results unchanged
     * (rows are disjoint across segments and cell assignment is frozen,
     * so this is a pure rewrite). Superseded segments stay on disk for
-    * in-flight readers until [[vacuum]]. */
+    * in-flight readers until [[vacuum]]. A fully-tombstoned compact
+    * publishes the EMPTY index — a NEW INDEX GENERATION whose
+    * batch-tag surface resets with the corpus; callers interleaving
+    * full teardowns with at-least-once producers must not reuse
+    * pre-generation tags (the [[MinHashIndex.compact]] note). */
   def compact(): Unit = {
     val (baseVer, lines) = readHead()
     val entries = segsOf(lines).zipWithIndex
@@ -462,14 +466,17 @@ final class IvfIndex(
     // column-pruned scan of the JUST-WRITTEN segment (never a
     // re-computation of the caller's lineage), paid only when the
     // handle opted in ([[SegmentIdBloom]])
-    if (idBloomMaxIds > 0L)
+    val nAppended = obs.get.getOrElse("n", 0L) match {
+      case l: java.lang.Long => l.longValue
+      case _ => 0L
+    }
+    // the n > 0 guard ALSO protects the empty-append case: an empty
+    // dynamic-partition write leaves a fileless vectors/ dir whose
+    // eager read here would die in parquet schema inference
+    if (idBloomMaxIds > 0L && nAppended > 0L)
       SegmentIdBloom.write(seg,
         spark.read.parquet(s"$seg/vectors").select(col("id")),
-        obs.get.getOrElse("n", 0L) match {
-          case l: java.lang.Long => l.longValue
-          case _ => 0L
-        },
-        idBloomMaxIds)
+        nAppended, idBloomMaxIds)
     // training append: stamp the train-time fit of matrix-to-corpus
     // (mean assigned-centroid cosine over the batch the matrix was
     // trained on) as the head's drift baseline — one narrow scan of

@@ -142,13 +142,6 @@ final class MinHashIndex(
       .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  private def readStats(segName: String): (Long, Long) = {
-    val parts = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(s"$path/$segName", "_stats").toPath), "UTF-8")
-      .trim.split(" ")
-    (parts(0).toLong, parts(1).toLong)
-  }
-
   private def rmTree(f: java.io.File): Unit = {
     def rm(g: java.io.File): Boolean =
       Option(g.listFiles()).forall(_.forall(rm)) && g.delete()
@@ -157,13 +150,22 @@ final class MinHashIndex(
 
   /** Bucket-partitioned banded write, file count scaled by measured
     * volume (the [[Bm25Index]] sizing discipline: one file per bucket
-    * for a batch, salted fan-out for a bulk build). */
+    * for a batch, salted fan-out for a bulk build). `rows` must be the
+    * EXACT banded row count: a zero-row dynamic-partition write would
+    * create a fileless directory whose later read dies in parquet
+    * schema inference (the r13 zero-row-segment trap), so an
+    * all-unshingleable batch — legal: such docs still dedup exactly via
+    * exh — writes one empty but schema-bearing file instead. */
   private def writeBanded(banded: DataFrame, dest: String, rows: Long): Unit = {
+    val df = banded.withColumn(
+      "bucket", pmod(col("bh"), lit(nBuckets.toLong)))
+    if (rows == 0L) {
+      df.limit(0).coalesce(1).write.mode(SaveMode.Overwrite).parquet(dest)
+      return
+    }
     val filesPerBucket = math.max(1L,
       (rows + nBuckets.toLong * Bm25Index.RowsPerFile - 1) /
         (nBuckets.toLong * Bm25Index.RowsPerFile)).toInt
-    val df = banded.withColumn(
-      "bucket", pmod(col("bh"), lit(nBuckets.toLong)))
     val parted =
       if (filesPerBucket == 1) df.repartition(nBuckets, col("bucket"))
       else df.repartition(nBuckets * filesPerBucket, col("bucket"),
@@ -203,9 +205,11 @@ final class MinHashIndex(
       val st = docRows.agg(count(lit(1)).as("n"),
         coalesce(sum(when(col("sh").isNotNull, size(col("sh")))
           .otherwise(lit(0))), lit(0L)).as("s"),
-        min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+        min(col("id")).as("mn"), max(col("id")).as("mx"),
+        count(col("sig")).as("nsig")).collect()(0)
       val nDocs = st.getLong(0)
       val sumSh = st.getLong(1)
+      val nSig = st.getLong(4)
       val docFiles = math.max(1L,
         (sumSh + Bm25Index.RowsPerFile - 1) / Bm25Index.RowsPerFile).toInt
       import scala.concurrent.{Await, Future}
@@ -219,7 +223,7 @@ final class MinHashIndex(
           writeBanded(
             Dedup.bandKeys(docRows.filter(col("sig").isNotNull)
               .select(col("id"), col("sig")), numHashes, bands),
-            s"$seg/banded", nDocs * bands.toLong)
+            s"$seg/banded", nSig * bands.toLong)
         })
       writes.foreach(Await.result(_,
         scala.concurrent.duration.Duration(600, "s")))
@@ -332,9 +336,17 @@ final class MinHashIndex(
 
   /** Merge every committed segment into ONE, folding tombstones
     * physically; band keys are re-derived from the merged docs' STORED
-    * signatures (the index never re-reads source text). A fully-
-    * tombstoned index compacts to the EMPTY index (empty manifest, the
-    * [[Bm25Index]] rule). Batch tags union forward. */
+    * signatures (the index never re-reads source text). Batch tags
+    * union forward into the merged segment. A fully-tombstoned index
+    * compacts to the EMPTY index (empty manifest, the [[Bm25Index]]
+    * rule) — that is a NEW INDEX GENERATION: the batch-tag surface
+    * resets with the corpus (the empty manifest names no tag carrier),
+    * so a pre-teardown tag replayed afterwards re-admits its batch
+    * into the deliberately-emptied index. That is the intended
+    * semantics for the replay window streaming checkpoints actually
+    * produce (the replayed batch is new-to-the-empty-corpus); callers
+    * interleaving full teardowns with at-least-once producers must not
+    * reuse pre-generation tags. Spec-pinned. */
   def compact(): Unit = {
     val (baseVer, segs) = readHead()
     val entries = segs.zipWithIndex
@@ -353,8 +365,10 @@ final class MinHashIndex(
       val st = merged.agg(count(lit(1)).as("n"),
         coalesce(sum(when(col("sh").isNotNull, size(col("sh")))
           .otherwise(lit(0))), lit(0L)).as("s"),
-        min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+        min(col("id")).as("mn"), max(col("id")).as("mx"),
+        count(col("sig")).as("nsig")).collect()(0)
       val nDocs = st.getLong(0)
+      val nSig = st.getLong(4)
       if (nDocs == 0L) {
         rmTree(seg)
         if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
@@ -376,7 +390,7 @@ final class MinHashIndex(
           writeBanded(
             Dedup.bandKeys(merged.filter(col("sig").isNotNull)
               .select(col("id"), col("sig")), numHashes, bands),
-            s"$seg/banded", nDocs * bands.toLong)
+            s"$seg/banded", nSig * bands.toLong)
         })
       writes.foreach(Await.result(_,
         scala.concurrent.duration.Duration(600, "s")))
@@ -456,8 +470,16 @@ final class MinHashIndex(
     * [[dedupAgainst]] and the pruning-pin spec, so the pinned plan IS
     * the production plan (staging inside dedupAgainst would otherwise
     * hide the scan behind a checkpoint leaf). */
-  private[graft] def bandedScan(buckets: Seq[Int]): DataFrame = {
-    val entries = readHead()._2.zipWithIndex
+  private[graft] def bandedScan(buckets: Seq[Int]): DataFrame =
+    bandedScanAt(buckets, readHead()._2.zipWithIndex)
+
+  /** As [[bandedScan]], against a CALLER-HELD manifest snapshot —
+    * [[dedupAgainst]] reads the head exactly once and threads it into
+    * every scan it builds, so one probe can never mix two heads under
+    * a concurrent writer (snapshot isolation is per-call, not
+    * per-sub-plan). */
+  private def bandedScanAt(
+      buckets: Seq[Int], entries: Seq[(String, Int)]): DataFrame = {
     val dataSegs = entries.filterNot(e => isDel(e._1))
     val delSegs = entries.filter(e => isDel(e._1))
     require(dataSegs.nonEmpty, s"empty MinHash index at $path")
@@ -495,32 +517,36 @@ final class MinHashIndex(
     val delSegs = entries.filter(e => isDel(e._1))
     require(dataSegs.nonEmpty, s"empty MinHash index at $path")
 
-    def docsRead(cols: Seq[String]): DataFrame =
-      minusDeleted(dataSegs.map { case (s, i) =>
+    def docsRead(cols: Seq[String],
+        at: Seq[(String, Int)] = entries): DataFrame =
+      minusDeleted(at.filterNot(e => isDel(e._1)).map { case (s, i) =>
         spark.read.parquet(s"$path/$s/docs")
           .select(cols.map(col): _*).withColumn("__ord", lit(i))
-      }.reduce(_.unionByName(_)), delSegs).drop("__ord")
+      }.reduce(_.unionByName(_)), at.filter(e => isDel(e._1)))
+        .drop("__ord")
 
     // exact stage: incoming content hashes (small side, broadcast) probe
     // the live (id, exh) columns; survivors carry the original schema
     val base = incoming.withColumn("__h", md5(col(textCol).cast("string")))
     val inH = base.select(col("__h").as("exh")).distinct()
-    val matchedH = docsRead(Seq("id", "exh"))
+    val matchedH = docsRead(Seq("id", "exh"), entries)
       .join(broadcast(inH), Seq("exh")).select(col("exh")).distinct()
     val exactSurvivors = ctx.stage(base
       .join(matchedH, base("__h") === matchedH("exh"), "left_anti")
       .drop("__h"))
 
-    // incoming derivations — the same one-aggregation construction as
-    // append, so both sides of every comparison hash identically
+    // incoming derivations — the same shingle/sign construction as
+    // append, so both sides of every comparison hash identically.
+    // Signatures per doc; shingle SETS are aggregated later, only for
+    // estimate survivors (the inline engine's discipline — a large
+    // increment must not shuffle an array per doc for the few docs any
+    // candidate touches)
     val inHashes = ctx.stage(Dedup.shingleHashes(
       exactSurvivors, idCol, textCol, shingle))
-    val inAgg = ctx.stage(inHashes.groupBy(col("id"))
+    val inSigs = ctx.stage(inHashes.groupBy(col("id"))
       .agg(graft.functions.SketchFunctions
-        .minhashSig(col("h"), numHashes).as("sig"),
-        collect_set(col("h")).as("sh")))
-    val inBanded = ctx.stage(Dedup.bandKeys(
-      inAgg.select(col("id"), col("sig")), numHashes, bands))
+        .minhashSig(col("h"), numHashes).as("sig")))
+    val inBanded = ctx.stage(Dedup.bandKeys(inSigs, numHashes, bands))
 
     // literal bucket set → partition pruning on every banded scan (the
     // Bm25Index.topDocs discipline; ≤ nBuckets values by construction)
@@ -528,7 +554,7 @@ final class MinHashIndex(
       .select(pmod(col("bh"), lit(nBuckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     if (buckets.isEmpty) return exactSurvivors // nothing shingles
-    val idxBanded = bandedScan(buckets)
+    val idxBanded = bandedScanAt(buckets, entries)
 
     // whale-bucket cap over PROBED buckets only: a semi-join against the
     // incoming key set bounds the window's input, and per-(band, bh)
@@ -543,28 +569,35 @@ final class MinHashIndex(
     val cand = inBanded.join(exSized, Seq("band", "bh"))
       .select(col("id"), col("ex_id")).distinct()
 
-    // existing (sig, sh) only for candidate docs — the semi-join that
-    // keeps corpus-sized shingle arrays off the wire
-    val exSide = ctx.stage(docsRead(Seq("id", "sig", "sh"))
+    // existing SIGNATURES only for candidate docs — the semi-join that
+    // keeps per-doc state off the wire for docs no candidate touched
+    val exSigs = ctx.stage(docsRead(Seq("id", "sig"), entries)
       .join(cand.select(col("ex_id").as("id")).distinct(),
         Seq("id"), "left_semi"))
 
     // two-stage verify, the inline engine's exact arithmetic: signature
-    // estimate prefilter, then exact Jaccard over stored shingle sets
+    // estimate prefilter, then exact Jaccard over shingle sets fetched
+    // ONLY for the estimate survivors (both sides)
     val estMargin =
       2.0 * math.sqrt(minJaccard * (1 - minJaccard) / numHashes)
     val estimated = ctx.stage(cand
-      .join(inAgg.select(col("id"), col("sig").as("sig1")), Seq("id"))
-      .join(exSide.select(col("id").as("ex_id"), col("sig").as("sig2")),
+      .join(inSigs.select(col("id"), col("sig").as("sig1")), Seq("id"))
+      .join(exSigs.select(col("id").as("ex_id"), col("sig").as("sig2")),
         Seq("ex_id"))
       .withColumn("est",
         graft.functions.SketchFunctions.matchCount(col("sig1"), col("sig2"))
           .cast("double") / numHashes)
       .filter(col("est") >= minJaccard - estMargin)
       .select(col("id"), col("ex_id")))
+    val inSh = inHashes
+      .join(estimated.select(col("id")).distinct(), Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(collect_set(col("h")).as("sh1"))
+    val exSh = docsRead(Seq("id", "sh"), entries)
+      .join(estimated.select(col("ex_id").as("id")).distinct(),
+        Seq("id"), "left_semi")
     val dropIds = estimated
-      .join(inAgg.select(col("id"), col("sh").as("sh1")), Seq("id"))
-      .join(exSide.select(col("id").as("ex_id"), col("sh").as("sh2")),
+      .join(inSh, Seq("id"))
+      .join(exSh.select(col("id").as("ex_id"), col("sh").as("sh2")),
         Seq("ex_id"))
       .filter(
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /

@@ -327,6 +327,14 @@ class IvfIndexSpec extends SparkTestBase {
     val noBloom = seed(0L)
     assert(noBloom.deleteScanSegments(Seq(8L).toDF("vec_id"), "vec_id")
       === noBloom.segments)
+    // an EMPTY append with blooms opted in must still commit (the
+    // empty dynamic-partition write leaves a fileless vectors/ dir —
+    // the bloom build must not read it)
+    val emptyOk = new IvfIndex(spark, newIndexDir(), nCells = 4,
+      idBloomMaxIds = 1000000L)
+    emptyOk.append(corpus.limit(4), "vec_id", "embedding")
+    emptyOk.append(corpus.filter($"vec_id" < 0), "vec_id", "embedding")
+    assert(emptyOk.segments.size === 2)
   }
 
   test("deleting every vector then compacting yields the EMPTY index; appends restart it") {

@@ -216,6 +216,62 @@ class MinHashIndexSpec extends SparkTestBase {
       === noBloom.segments)
   }
 
+  test("unshingleable docs dedup via exh; an ALL-short append cannot poison the index") {
+    // 1-word docs yield NO WordGrams(2) shingles: sig/sh are NULL and
+    // the batch's banded table is EMPTY — the write must still leave a
+    // schema-bearing dir (the r13 zero-row-segment trap, here on the
+    // banded table) or every later probe dies in parquet inference
+    val idx = new MinHashIndex(spark, newDir(), shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8)
+    val shorts = Seq((2L, "zebra"), (4L, "crocodile")).toDF("doc_id", "text")
+    idx.append(shorts, "doc_id", "text") // all-unshingleable segment
+    idx.append(existing.filter($"doc_id" === 6L), "doc_id", "text")
+    val in = Seq(
+      (1L, "zebra"), // exact dup of an unshingleable doc → exh-only drop
+      (3L, "a wholly unrelated document about maritime navigation maps"),
+      (5L, "gnu")) // unshingleable AND novel → survives
+      .toDF("doc_id", "text")
+    val ex = shorts.unionByName(existing.filter($"doc_id" === 6L))
+    def check(): Unit = {
+      val got = PipelineContext.materialize { implicit ctx =>
+        idx.dedupAgainst(in, "doc_id", "text", minJaccard = 0.4)
+      }.orderBy("doc_id").collect().toSeq
+      assert(got === inline(in, ex))
+      assert(got.map(_.getLong(0)) === Seq(5L)) // 1 exact, 3 near dup of 6
+    }
+    check()
+    // compact folds the fileless-banded segment and must stay probeable
+    idx.compact()
+    assert(idx.segments.size === 1)
+    check()
+    // an index whose EVERY live doc is unshingleable still probes
+    val idx2 = new MinHashIndex(spark, newDir(), shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8)
+    idx2.append(shorts, "doc_id", "text")
+    val got2 = PipelineContext.materialize { implicit ctx =>
+      idx2.dedupAgainst(in, "doc_id", "text", minJaccard = 0.4)
+    }.orderBy("doc_id").collect().toSeq
+    assert(got2 === inline(in, shorts))
+    assert(got2.map(_.getLong(0)) === Seq(3L, 5L)) // only the exact dup drops
+  }
+
+  test("a fully-tombstoned compact is a new generation: the batch-tag surface resets") {
+    val idx = new MinHashIndex(spark, newDir(), shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8)
+    idx.append(existing, "doc_id", "text", batchTag = Some("gen1:b0"))
+    assert(idx.committedBatchTags === Set("gen1:b0"))
+    assert(idx.delete(existing.select($"doc_id"), "doc_id") === 6L)
+    idx.compact()
+    // the empty manifest names no tag carrier — documented trade: a
+    // pre-teardown tag replayed afterwards re-admits into the
+    // deliberately-emptied index (new-to-the-empty-corpus semantics)
+    assert(idx.segments.isEmpty)
+    assert(idx.committedBatchTags === Set.empty[String])
+    idx.append(existing, "doc_id", "text", batchTag = Some("gen1:b0"))
+    assert(idx.segments.size === 1)
+    assert(probe(idx, incoming) === inline(incoming, existing))
+  }
+
   test("a mismatched-params handle fails loudly instead of probing garbage") {
     val dir = newDir()
     val idx = new MinHashIndex(spark, dir, shingle = mode,
