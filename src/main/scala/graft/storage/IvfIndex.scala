@@ -221,13 +221,11 @@ final class IvfIndex(
       min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
     if (r.getLong(0) == 0L) return Nil
     val req = SegmentIdRange.of("long", r.get(1), r.get(2))
-    // blooms refine whatever the range keeps (scattered takedowns span
-    // every range); a segment without either sidecar is always scanned
+    // range + opt-in bloom, the shared predicate ([[SegmentIdBloom
+    // .mayHold]]); a segment without either sidecar is always scanned
     lazy val probe = SegmentIdBloom.probeIds(want, r.getLong(0))
     dataSegs.filter { case (s, _) =>
-      val segDir = new java.io.File(s"$path/$s")
-      SegmentIdRange.mayOverlap(SegmentIdRange.read(segDir), req) &&
-        SegmentIdBloom.mayContain(segDir, probe)
+      SegmentIdBloom.mayHold(new java.io.File(s"$path/$s"), req, probe)
     }
   }
 

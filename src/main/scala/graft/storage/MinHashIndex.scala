@@ -274,13 +274,11 @@ final class MinHashIndex(
       min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
     if (r.getLong(0) == 0L) return (want, Nil)
     val req = SegmentIdRange.of(idT.typeName, r.get(1), r.get(2))
-    // blooms refine whatever the range keeps (scattered takedowns span
-    // every range); a segment without either sidecar is always scanned
+    // range + opt-in bloom, the shared predicate ([[SegmentIdBloom
+    // .mayHold]]); a segment without either sidecar is always scanned
     lazy val probe = SegmentIdBloom.probeIds(want, r.getLong(0))
     (want, dataSegs.filter { case (s, _) =>
-      val segDir = new java.io.File(s"$path/$s")
-      SegmentIdRange.mayOverlap(SegmentIdRange.read(segDir), req) &&
-        SegmentIdBloom.mayContain(segDir, probe)
+      SegmentIdBloom.mayHold(new java.io.File(s"$path/$s"), req, probe)
     })
   }
 

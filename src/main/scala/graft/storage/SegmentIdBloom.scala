@@ -83,6 +83,17 @@ private[graft] object SegmentIdBloom {
       !supported(want.schema("id").dataType.typeName)) None
     else Some(want.collect().map(_.get(0)).toSeq)
 
+  /** The one delete-pruning predicate all three indexes share: range
+    * first (free — two comparisons off a 3-line sidecar), then bloom
+    * (forces the by-name probe set only if a bloom file exists). A
+    * segment passing both may hold a requested id and must be
+    * scanned; failing either provably cannot. */
+  def mayHold(segDir: java.io.File,
+      req: Option[(String, String, String)],
+      probe: => Option[Seq[Any]]): Boolean =
+    SegmentIdRange.mayOverlap(SegmentIdRange.read(segDir), req) &&
+      mayContain(segDir, probe)
+
   /** Can this segment hold any of `ids`? True when the segment has no
     * (readable) bloom or the call has no probe set — pruning must
     * never invent a skip it cannot prove. `ids` is BY-NAME so a
