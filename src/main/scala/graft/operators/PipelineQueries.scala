@@ -815,6 +815,33 @@ object PipelineQueries {
     }
   }
 
+  /** Corpus-wide pair query on the persisted MinHash index
+    * ([[graft.storage.MinHashIndex.selfPairs]]): the WHOLE corpus
+    * lands in two appends, and the periodic full-corpus near-dup job
+    * runs off STORED band keys/signatures/shingle sets — no text is
+    * re-shingled. The oracle is t05's exact all-pairs SQL: a hash
+    * match proves the persisted pair engine is byte-identical to the
+    * inline one. */
+  def t68MinhashIndexPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-stgate", "t68")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    val docs = Tables.documents(spark, dir)
+    val idx = new graft.storage.MinHashIndex(spark, base.toString,
+      shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+      nBuckets = 16)
+    idx.append(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    idx.append(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    PipelineContext.materialize { implicit ctx =>
+      idx.selfPairs(0.4).orderBy(col("id1"), col("id2"))
+    }
+  }
+
   /** C4 page/line cleaning ([[CurationPipeline.c4Clean]], Raffel et
     * al. arXiv:1910.10683 §2.2) over 150 synthetic multi-line pages —
     * the testdata corpus carries no newlines or punctuation, so the
@@ -1400,6 +1427,7 @@ object PipelineQueries {
     "t65_heavy_hitters_sketch" -> t65HeavyHittersSketch _,
     "t66_minhash_persisted" -> t66MinhashPersisted _,
     "t67_minhash_delete" -> t67MinhashDelete _,
+    "t68_minhash_index_pairs" -> t68MinhashIndexPairs _,
     "t59_gopher_rules" -> t59GopherRules _,
     "t60_c4_clean" -> t60C4Clean _,
     "t61_jaccard_auto_route" -> t61JaccardAutoRoute _,
@@ -1414,6 +1442,27 @@ object PipelineQueries {
   private def normFold(a: String): String =
     s"""sqrt(list_reduce(list_prepend(0.0, list_transform($a,
        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))"""
+
+  /** t05's exact all-pairs word-bigram-Jaccard SQL — shared by the
+    * inline engine gate (t05) and the persisted-index pair query
+    * (t68), which are defined to produce the same pair set. */
+  private val minhashPairsOracle: String =
+    """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents
+         ),
+         grams AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM toks WHERE len(w) >= 2
+         )
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           round(len(list_intersect(a.g, b.g))::DOUBLE /
+                 (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+         FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
+         ORDER BY id1, id2"""
 
   /** t37's exact cross-pair word-bigram-Jaccard admission SQL,
     * parameterized by the EXISTING-side id predicate — the persisted
@@ -2610,23 +2659,11 @@ object PipelineQueries {
                 round(sum(jaccard), 6) AS jaccard_sum,
                 'Lsh(64,32)' AS route
          FROM p""",
-    "t05_minhash_pairs" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-           FROM documents
-         ),
-         grams AS (
-           SELECT doc_id,
-             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
-           FROM toks WHERE len(w) >= 2
-         )
-         SELECT a.doc_id AS id1, b.doc_id AS id2,
-           round(len(list_intersect(a.g, b.g))::DOUBLE /
-                 (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
-         FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-         WHERE len(list_intersect(a.g, b.g))::DOUBLE /
-               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
-         ORDER BY id1, id2""",
+    "t05_minhash_pairs" -> minhashPairsOracle,
+    // t68: the persisted index's corpus-wide pair query must produce
+    // t05's exact pair set — stored signatures/band keys/shingle sets
+    // vs a fresh shingle+sign pass, byte-identical
+    "t68_minhash_index_pairs" -> minhashPairsOracle,
     // t05's exact pair set closed transitively with a recursive CTE:
     // component = min reachable doc id, matching componentsOf's
     // min-label fixpoint by construction.

@@ -489,6 +489,17 @@ final class MinHashIndex(
     }.reduce(_.unionByName(_)), delSegs).drop("__ord")
   }
 
+  /** The live docs-table columns `cols` at a caller-held manifest
+    * snapshot — column-pruned at the parquet scan, tombstones folded
+    * by manifest order. Shared by [[dedupAgainst]] and [[selfPairs]]. */
+  private def docsReadAt(
+      cols: Seq[String], entries: Seq[(String, Int)]): DataFrame =
+    minusDeleted(entries.filterNot(e => isDel(e._1)).map { case (s, i) =>
+      spark.read.parquet(s"$path/$s/docs")
+        .select(cols.map(col): _*).withColumn("__ord", lit(i))
+    }.reduce(_.unionByName(_)), entries.filter(e => isDel(e._1)))
+      .drop("__ord")
+
   /** Admit `incoming` against the persisted corpus: drop rows that are
     * exact (content-hash) or near (banded-signature candidate verified
     * by exact Jaccard ≥ `minJaccard`) duplicates of a LIVE indexed
@@ -515,19 +526,11 @@ final class MinHashIndex(
     val delSegs = entries.filter(e => isDel(e._1))
     require(dataSegs.nonEmpty, s"empty MinHash index at $path")
 
-    def docsRead(cols: Seq[String],
-        at: Seq[(String, Int)] = entries): DataFrame =
-      minusDeleted(at.filterNot(e => isDel(e._1)).map { case (s, i) =>
-        spark.read.parquet(s"$path/$s/docs")
-          .select(cols.map(col): _*).withColumn("__ord", lit(i))
-      }.reduce(_.unionByName(_)), at.filter(e => isDel(e._1)))
-        .drop("__ord")
-
     // exact stage: incoming content hashes (small side, broadcast) probe
     // the live (id, exh) columns; survivors carry the original schema
     val base = incoming.withColumn("__h", md5(col(textCol).cast("string")))
     val inH = base.select(col("__h").as("exh")).distinct()
-    val matchedH = docsRead(Seq("id", "exh"), entries)
+    val matchedH = docsReadAt(Seq("id", "exh"), entries)
       .join(broadcast(inH), Seq("exh")).select(col("exh")).distinct()
     val exactSurvivors = ctx.stage(base
       .join(matchedH, base("__h") === matchedH("exh"), "left_anti")
@@ -569,7 +572,7 @@ final class MinHashIndex(
 
     // existing SIGNATURES only for candidate docs — the semi-join that
     // keeps per-doc state off the wire for docs no candidate touched
-    val exSigs = ctx.stage(docsRead(Seq("id", "sig"), entries)
+    val exSigs = ctx.stage(docsReadAt(Seq("id", "sig"), entries)
       .join(cand.select(col("ex_id").as("id")).distinct(),
         Seq("id"), "left_semi"))
 
@@ -590,7 +593,7 @@ final class MinHashIndex(
     val inSh = inHashes
       .join(estimated.select(col("id")).distinct(), Seq("id"), "left_semi")
       .groupBy(col("id")).agg(collect_set(col("h")).as("sh1"))
-    val exSh = docsRead(Seq("id", "sh"), entries)
+    val exSh = docsReadAt(Seq("id", "sh"), entries)
       .join(estimated.select(col("ex_id").as("id")).distinct(),
         Seq("id"), "left_semi")
     val dropIds = estimated
@@ -603,5 +606,69 @@ final class MinHashIndex(
       .select(col("id")).distinct()
     exactSurvivors.join(dropIds,
       exactSurvivors(idCol) === dropIds("id"), "left_anti")
+  }
+  /** Corpus-wide near-duplicate pairs (id1 < id2, exact Jaccard ≥
+    * `minJaccard`) over the LIVE persisted corpus — result-identical
+    * to [[graft.operators.Dedup.minhashPairs]] over the same documents
+    * (differential spec + the t68 driver gate against t05's exact
+    * all-pairs oracle), computed entirely from STORED state: the
+    * periodic full-corpus dedup job reads band keys, signatures and
+    * shingle sets off the index and never re-shingles a byte of text.
+    * With [[dedupAgainst]] (admission) and [[liveDocIds]] (membership)
+    * this completes the index's query surface.
+    *
+    * No bucket pruning applies — this is the one corpus-wide query on
+    * the index, corpus-wide by nature. The candidate discipline is
+    * minhashPairs' verbatim: bucket sizes from a window count BEFORE
+    * any array materializes (a degenerate band bucket never becomes an
+    * unspillable collect_list whale), `maxBucket` log-and-drop cap,
+    * each unordered pair generated ONCE by positional explode from the
+    * per-bucket sorted id array, signature-estimate prefilter, and the
+    * exact-Jaccard verify touches shingle sets only for estimate
+    * survivors. */
+  def selfPairs(minJaccard: Double, maxBucket: Int = 500)(
+      implicit ctx: PipelineContext): DataFrame = {
+    ensureParams()
+    val entries = readHead()._2.zipWithIndex
+    require(entries.exists(e => !isDel(e._1)),
+      s"empty MinHash index at $path")
+    val banded = ctx.stage(bandedScanAt(0 until nBuckets, entries))
+    val sized = banded.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bn").between(2, maxBucket))
+    val buckets = sized.groupBy(col("band"), col("bh"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+    val cand = buckets
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+      .select(col("id1"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id2"))
+      .distinct()
+    val candIds = cand.select(col("id1").as("id"))
+      .union(cand.select(col("id2").as("id"))).distinct()
+    val sigs = ctx.stage(docsReadAt(Seq("id", "sig"), entries)
+      .join(candIds, Seq("id"), "left_semi"))
+    val estMargin =
+      2.0 * math.sqrt(minJaccard * (1 - minJaccard) / numHashes)
+    val estimated = ctx.stage(cand
+      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+      .withColumn("est",
+        graft.functions.SketchFunctions.matchCount(col("sig1"), col("sig2"))
+          .cast("double") / numHashes)
+      .filter(col("est") >= minJaccard - estMargin)
+      .select(col("id1"), col("id2")))
+    val survIds = estimated.select(col("id1").as("id"))
+      .union(estimated.select(col("id2").as("id"))).distinct()
+    val sh = docsReadAt(Seq("id", "sh"), entries)
+      .join(survIds, Seq("id"), "left_semi")
+    estimated
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"),
+        round(col("jaccard"), 6).as("jaccard"))
   }
 }

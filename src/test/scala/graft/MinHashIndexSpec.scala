@@ -255,6 +255,27 @@ class MinHashIndexSpec extends SparkTestBase {
     assert(got2.map(_.getLong(0)) === Seq(3L, 5L)) // only the exact dup drops
   }
 
+  test("selfPairs over stored state equals the inline minhashPairs engine") {
+    def inlinePairs(docs: DataFrame): Seq[Row] =
+      PipelineContext.materialize { implicit ctx =>
+        Dedup.minhashPairs(docs, "doc_id", "text", shingle = mode,
+          numHashes = 64, bands = 16, minJaccard = Some(0.4))
+      }.orderBy("id1", "id2").collect().toSeq
+    val idx = new MinHashIndex(spark, newDir(), shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8)
+    idx.append(existing.filter($"doc_id" <= 6), "doc_id", "text")
+    idx.append(existing.filter($"doc_id" > 6), "doc_id", "text")
+    def pairs(): Seq[Row] = PipelineContext.materialize { implicit ctx =>
+      idx.selfPairs(0.4)
+    }.orderBy("id1", "id2").collect().toSeq
+    val got = pairs()
+    assert(got === inlinePairs(existing))
+    assert(got.nonEmpty) // the fixture plants the (2, 8) near-dup pair
+    // tombstones fold into the corpus-wide query too
+    assert(idx.delete(Seq(2L).toDF("doc_id"), "doc_id") === 1L)
+    assert(pairs() === inlinePairs(existing.filter($"doc_id" =!= 2L)))
+  }
+
   test("a fully-tombstoned compact is a new generation: the batch-tag surface resets") {
     val idx = new MinHashIndex(spark, newDir(), shingle = mode,
       numHashes = 64, bands = 16, nBuckets = 8)
