@@ -191,7 +191,11 @@ object ScaleCheck {
       // admission gate is the s06 loop with the corpus side persisted
       // — its growth term is the per-batch sign + probe, ~k
       "t66_minhash_persisted", "t67_minhash_delete",
-      "s08_stream_minhash_admit").filter(q =>
+      "s08_stream_minhash_admit",
+      // the corpus-wide pair query off stored state: candidate volume
+      // is copy-local under the token-suffix synthesis (like t05), the
+      // build is the t66 machinery over the full corpus
+      "t68_minhash_index_pairs").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // Shapes whose scale-correct form needs to know k: SemDeDup's
