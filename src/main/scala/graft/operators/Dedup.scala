@@ -31,9 +31,11 @@ import graft.functions.TextFunctions._
   *    (round-4 profile: t13 8.6 s persisted vs 4.4 s checkpointed),
   *    while the context tracks each checkpoint's backing RDD and frees
   *    its blocks after the consuming action, so a long-lived serving
-  *    driver retains nothing between queries. On a cluster the
-  *    signature table would be persisted/bucketed by doc id for reuse
-  *    across pipeline runs;
+  *    driver retains nothing between queries. For reuse ACROSS
+  *    pipeline runs the signature/band-key/shingle-set tables are a
+  *    persisted index — [[graft.storage.MinHashIndex]] (admission,
+  *    corpus-wide pairs, membership, takedowns); these inline forms
+  *    are the one-shot engines it is differentially pinned against;
   *  - join strategy is left to AQE: the per-document side tables
   *    (signatures, shingle sets, sizes) come out of shuffles, so AQE
   *    has exact runtime sizes and picks broadcast-hash exactly when a
