@@ -135,6 +135,33 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
+  /** Candidate pairs (id1 < id2) from a banded table — ONE definition
+    * of the bucket-cap + pair-generation discipline, shared by
+    * [[minhashPairs]] and the persisted index's
+    * [[graft.storage.MinHashIndex.selfPairs]] (like [[bandKeys]]: a
+    * divergent copy would silently change recall in one engine only).
+    * Bucket sizes come from a window count (sort-based, spillable)
+    * BEFORE any array materializes — a degenerate bucket (millions of
+    * boilerplate docs sharing one band signature) inside a
+    * collect_list buffer would be an unspillable whale array — and
+    * only surviving buckets aggregate; the groupBy keys equal the
+    * window partition keys, so the aggregation reuses the window's
+    * hash partitioning (no second shuffle). Pairs explode positionally
+    * from the sorted per-bucket array (id2 drawn from the suffix after
+    * id1 — each unordered pair once, id1 < id2): no bucket self-join. */
+  private[graft] def bandedPairCandidates(
+      banded: DataFrame, maxBucket: Int): DataFrame = {
+    val sized = banded.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bn").between(2, maxBucket))
+    sized.groupBy(col("band"), col("bh"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
+      .select(col("id1"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id2"))
+      .distinct()
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs (id1 < id2), optionally
     * verified with exact Jaccard over the shingle sets. `bands` must
     * divide `numHashes`; collision probability ≈ 1-(1-j^r)^b. */
@@ -151,27 +178,7 @@ object Dedup {
     val hashes = ctx.stage(shingleHashes(df, idCol, textCol, shingle))
     val sigs = minhashSigs(hashes, numHashes)
     val banded = bandKeys(sigs, numHashes, bands)
-    // Bucket cap, then pair generation from per-bucket id arrays. The
-    // cap must apply BEFORE any array materializes — a degenerate
-    // bucket (millions of boilerplate docs sharing one band signature)
-    // inside a collect_list buffer would be an unspillable whale array
-    // — so sizes come from a window count (sort-based, spillable) and
-    // only surviving buckets aggregate. The groupBy keys equal the
-    // window partition keys, so the aggregation reuses the window's
-    // hash partitioning: no second shuffle. Pairs then explode
-    // positionally from the sorted array (id2 drawn from the suffix
-    // after id1 — each unordered pair once, id1 < id2), replacing the
-    // bucket self-join of the earlier form.
-    val sized = banded.withColumn("bn",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("bn").between(2, maxBucket))
-    val buckets = sized.groupBy(col("band"), col("bh"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-    val cand = buckets
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
-      .select(col("id1"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id2"))
-      .distinct()
+    val cand = bandedPairCandidates(banded, maxBucket)
     minJaccard match {
       case None => cand
       case Some(j) =>

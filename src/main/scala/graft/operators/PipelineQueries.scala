@@ -586,16 +586,9 @@ object PipelineQueries {
   def t56Bm25Persisted(spark: SparkSession, dir: String): DataFrame = {
     // stable wiped-at-entry scratch (the StorageQueries discipline:
     // fresh state per invocation without unbounded /tmp growth)
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-stgate", "t56")
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    rmTree(base.toFile)
-    java.nio.file.Files.createDirectories(base)
+    val base = stgateDir("t56")
     val docs = Tables.documents(spark, dir)
-    val idx = new graft.storage.Bm25Index(spark, base.toString, nBuckets = 16)
+    val idx = new graft.storage.Bm25Index(spark, base, nBuckets = 16)
     idx.append(docs.filter(col("doc_id") % 4 < 3), "doc_id", "text")
     idx.append(docs.filter(col("doc_id") % 4 === 3), "doc_id", "text")
     idx.topDocs(Seq(
@@ -616,16 +609,9 @@ object PipelineQueries {
     * persisted, segmented, incrementally-built inverted file returns
     * byte-identical neighbors to an exact scan of the whole corpus. */
   def t58IvfPersisted(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-stgate", "t58")
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    rmTree(base.toFile)
-    java.nio.file.Files.createDirectories(base)
+    val base = stgateDir("t58")
     val emb = Tables.embeddings(spark, dir)
-    val idx = new graft.storage.IvfIndex(spark, base.toString, nCells = 16)
+    val idx = new graft.storage.IvfIndex(spark, base, nCells = 16)
     idx.append(emb.filter(col("vec_id") % 4 < 3), "vec_id", "embedding")
     idx.append(emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
     idx.topK(
@@ -647,16 +633,9 @@ object PipelineQueries {
     * subtraction) is indistinguishable from an index rebuilt without
     * the deleted documents. */
   def t62Bm25Delete(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-stgate", "t62")
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    rmTree(base.toFile)
-    java.nio.file.Files.createDirectories(base)
+    val base = stgateDir("t62")
     val docs = Tables.documents(spark, dir)
-    val idx = new graft.storage.Bm25Index(spark, base.toString, nBuckets = 16)
+    val idx = new graft.storage.Bm25Index(spark, base, nBuckets = 16)
     idx.append(docs.filter(col("doc_id") % 4 < 3), "doc_id", "text")
     idx.append(docs.filter(col("doc_id") % 4 === 3), "doc_id", "text")
     idx.delete(docs.filter(col("doc_id") % 10 === 0)
@@ -676,16 +655,9 @@ object PipelineQueries {
     * match proves the cell-pruned scan + tombstone anti-join returns
     * exactly what an index rebuilt without those vectors would. */
   def t63IvfDelete(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-stgate", "t63")
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    rmTree(base.toFile)
-    java.nio.file.Files.createDirectories(base)
+    val base = stgateDir("t63")
     val emb = Tables.embeddings(spark, dir)
-    val idx = new graft.storage.IvfIndex(spark, base.toString, nCells = 16)
+    val idx = new graft.storage.IvfIndex(spark, base, nCells = 16)
     idx.append(emb.filter(col("vec_id") % 4 < 3), "vec_id", "embedding")
     idx.append(emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
     idx.delete(emb.filter(col("vec_id") % 7 === 3)
@@ -745,6 +717,21 @@ object PipelineQueries {
         .orderBy(col("tf").desc, col("term"))
     }
 
+  /** A fresh scratch directory for a persisted-index driver gate
+    * (`<tmp>/graft-stgate/<name>`, recreated per invocation) — the
+    * teardown shared by every st-index gate. */
+  private def stgateDir(name: String): String = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-stgate", name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    base.toString
+  }
+
   /** Persisted MinHash near-dup admission
     * ([[graft.storage.MinHashIndex]]): the EXISTING corpus (even ids)
     * lands in TWO appends — signatures, shingle sets and band keys
@@ -755,16 +742,9 @@ object PipelineQueries {
     * amortized, segmented existing side is result-invisible vs the
     * inline engine that re-shingles the corpus per batch. */
   def t66MinhashPersisted(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-stgate", "t66")
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    rmTree(base.toFile)
-    java.nio.file.Files.createDirectories(base)
+    val base = stgateDir("t66")
     val docs = Tables.documents(spark, dir)
-    val idx = new graft.storage.MinHashIndex(spark, base.toString,
+    val idx = new graft.storage.MinHashIndex(spark, base,
       shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
       nBuckets = 16)
     idx.append(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
@@ -789,16 +769,9 @@ object PipelineQueries {
     * tombstone folding admits exactly what an index rebuilt without
     * the deleted docs would. */
   def t67MinhashDelete(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-stgate", "t67")
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    rmTree(base.toFile)
-    java.nio.file.Files.createDirectories(base)
+    val base = stgateDir("t67")
     val docs = Tables.documents(spark, dir)
-    val idx = new graft.storage.MinHashIndex(spark, base.toString,
+    val idx = new graft.storage.MinHashIndex(spark, base,
       shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
       nBuckets = 16)
     idx.append(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
@@ -823,16 +796,9 @@ object PipelineQueries {
     * match proves the persisted pair engine is byte-identical to the
     * inline one. */
   def t68MinhashIndexPairs(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-stgate", "t68")
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    rmTree(base.toFile)
-    java.nio.file.Files.createDirectories(base)
+    val base = stgateDir("t68")
     val docs = Tables.documents(spark, dir)
-    val idx = new graft.storage.MinHashIndex(spark, base.toString,
+    val idx = new graft.storage.MinHashIndex(spark, base,
       shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
       nBuckets = 16)
     idx.append(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")

@@ -630,19 +630,12 @@ final class MinHashIndex(
       implicit ctx: PipelineContext): DataFrame = {
     ensureParams()
     val entries = readHead()._2.zipWithIndex
-    require(entries.exists(e => !isDel(e._1)),
-      s"empty MinHash index at $path")
-    val banded = ctx.stage(bandedScanAt(0 until nBuckets, entries))
-    val sized = banded.withColumn("bn",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("bn").between(2, maxBucket))
-    val buckets = sized.groupBy(col("band"), col("bh"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-    val cand = buckets
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id1")))
-      .select(col("id1"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id2"))
-      .distinct()
+    // bandedScanAt requires data segments — no duplicate guard here.
+    // cand is STAGED: it feeds both the signature fetch and the
+    // estimate join, and the candidate pipeline (window cap + pair
+    // explode + distinct) is the most expensive shuffle in this query
+    val cand = ctx.stage(Dedup.bandedPairCandidates(
+      ctx.stage(bandedScanAt(0 until nBuckets, entries)), maxBucket))
     val candIds = cand.select(col("id1").as("id"))
       .union(cand.select(col("id2").as("id"))).distinct()
     val sigs = ctx.stage(docsReadAt(Seq("id", "sig"), entries)
@@ -659,8 +652,10 @@ final class MinHashIndex(
       .select(col("id1"), col("id2")))
     val survIds = estimated.select(col("id1").as("id"))
       .union(estimated.select(col("id2").as("id"))).distinct()
-    val sh = docsReadAt(Seq("id", "sh"), entries)
-      .join(survIds, Seq("id"), "left_semi")
+    // staged: consumed as both sh1 and sh2 — unstaged, the heaviest
+    // column (the shingle arrays) would be scanned twice per segment
+    val sh = ctx.stage(docsReadAt(Seq("id", "sh"), entries)
+      .join(survIds, Seq("id"), "left_semi"))
     estimated
       .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
