@@ -180,8 +180,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // CANARY NORMALIZATION (r14 verdict #3): five end-of-r14 bench
+    // attempts all landed in canary-slow windows, so every committed
+    // wall needed SCALING.md arithmetic to read. The artifact now
+    // carries that arithmetic by construction: `canary_ref` is the
+    // box's established clean-window canary (r13/r14 clean runs read
+    // 2.38–2.87 s; 2.4 is the round-over-round reference every prior
+    // normalization used), and `value_norm` = value × ref/canary is
+    // the headline at box-speed — comparable ACROSS windows without
+    // cross-referencing anything. Raw walls stay the primary numbers;
+    // the norm is the denominator-applied view, exact to the extent
+    // gate walls scale with the CPU-bound canary (the r14 judge re-run
+    // measured per-gate walls uniformly ≈ the canary ratio).
+    val canaryRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_REF", "2.4").toDouble
+    val canaryRatio = canaryWall / canaryRef
+    val totalNorm = total / canaryRatio
     val ts = java.time.Instant.now().toString
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","load_initial":${f3(loadInitial)},"steal_initial":${f3(stealInitial)},"canary_wall":${f3(canaryWall)},"quiet_window":$quietWindow,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","load_initial":${f3(loadInitial)},"steal_initial":${f3(stealInitial)},"canary_wall":${f3(canaryWall)},"canary_ref":${f3(canaryRef)},"value_norm":${f3(totalNorm)},"quiet_window":$quietWindow,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is the driver contract, but its capture has
     // truncated the tail two rounds running (r6/r7 BENCH artifacts
@@ -213,8 +228,13 @@ object Bench {
       val s = passes.map(_(n)).filter(_ >= 0).sorted
       "\"" + n + "\":" + (if (s.isEmpty) "-1" else f3(s(s.size / 2)))
     }.mkString("{", ",", "}")
+    // per-gate canary-normalized walls (file artifact only — the
+    // stdout line must stay under the driver's capture width)
+    val qsNorm = results.map { case (k, v) =>
+      "\"" + k + "\":" + f3(if (v < 0) v else v / canaryRatio)
+    }.mkString("{", ",", "}")
     val fileLine = line.dropRight(1) +
-      s""","pass_walls":$samples,"pass_median":$medians,"pass_load":$loadJson,"rerun_gates":$rerunJson}"""
+      s""","queries_norm":$qsNorm,"pass_walls":$samples,"pass_median":$medians,"pass_load":$loadJson,"rerun_gates":$rerunJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fileLine + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -818,6 +818,91 @@ object PipelineQueries {
     * sentence-count attrition (odd ids with id%5=4 retain only 2
     * lines). The oracle replays BOTH the generation and the rules
     * relationally, so the cleaned text itself is hash-pinned. */
+  /** The composed periodic index-maintenance dedup job
+    * ([[graft.storage.MinHashIndex.dedupMaintenance]]): the whole
+    * corpus lands in two appends, then ONE call runs selfPairs →
+    * connected components → keep-min-id representative → tombstone
+    * the dropped ids, entirely off stored state. The gate's output is
+    * the post-maintenance LIVE corpus (liveDocIds semi-joined back to
+    * the documents table, aggregated by lang); the oracle replays the
+    * job relationally — exact all-pairs bigram Jaccard (t05's pair
+    * definition verbatim), transitive closure via a recursive CTE,
+    * keep-min-per-component — so a hash match proves the composed
+    * loop's end state equals a corpus deduped from first principles. */
+  def t69MinhashMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val base = stgateDir("t69")
+    val docs = Tables.documents(spark, dir)
+    val idx = new graft.storage.MinHashIndex(spark, base,
+      shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+      nBuckets = 16)
+    idx.append(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    idx.append(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    PipelineContext.run { implicit ctx =>
+      idx.dedupMaintenance(minJaccard = 0.4): Unit
+    }
+    PipelineContext.materialize { implicit ctx =>
+      val live = idx.liveDocIds.select(col("id").as("doc_id"))
+      docs.join(live, Seq("doc_id"), "left_semi")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }
+  }
+
+  /** Persisted EMBEDDING near-dup admission
+    * ([[graft.storage.EmbedIndex]], the r14 missing #4): the existing
+    * corpus (even vec_ids) lands in two appends — banded hyperplane
+    * keys and norms computed once, persisted — and the incoming batch
+    * (odd vec_ids) is admitted against the stored head. The oracle is
+    * t10's precision/recall pattern: the engine EXACT-verifies its own
+    * output (`n_false_drops` counts dropped vectors with no live
+    * existing cosine ≥ θ — zero by construction, every drop is
+    * verified before it happens) and the only cross-checkable scalar,
+    * the exact droppable count, is recomputed relationally. Identical
+    * hyperplane constants to t10's inline engine (nPlanes=4, bands=4,
+    * seeds 42+band); recall is deterministic (fixed seeds, fixed
+    * data). */
+  def t70EmbedIndexAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val base = stgateDir("t70")
+    val emb = Tables.embeddings(spark, dir)
+    val thr = 0.35
+    val idx = new graft.storage.EmbedIndex(spark, base, dim = 64,
+      nPlanes = 4, bands = 4, nBuckets = 16)
+    idx.append(emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
+    idx.append(emb.filter(col("vec_id") % 4 === 2), "vec_id", "embedding")
+    PipelineContext.materialize { implicit ctx =>
+      val in = ctx.stage(emb.filter(col("vec_id") % 2 === 1))
+      val ex = emb.filter(col("vec_id") % 2 === 0)
+      val admitted = idx.dedupAgainst(in, "vec_id", "embedding",
+        minCosine = thr)
+      val dropped = ctx.stage(in.join(
+        admitted.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("embedding")))
+      // exact per-incoming max cosine against the existing corpus —
+      // O(|in|·|ex|), the same bill the t10 oracle pays
+      val maxCos = ctx.stage(in
+        .select(col("vec_id").as("iid"), col("embedding").as("iv"))
+        .crossJoin(ex.select(col("embedding").as("ev")))
+        .groupBy(col("iid"))
+        .agg(max(VectorFunctions.cosine(col("iv"), col("ev"))).as("mc")))
+      val nDroppable = maxCos.filter(col("mc") >= thr)
+        .agg(count(lit(1)).as("n_droppable"))
+      // precision invariant: every drop is exact-verified in the index
+      val nFalse = dropped
+        .join(maxCos, dropped("vec_id") === maxCos("iid"), "left")
+        .filter(col("mc").isNull || col("mc") < thr)
+        .agg(count(lit(1)).as("n_false_drops"))
+      val nIn = in.agg(count(lit(1)).as("n_incoming"))
+      val nDropped = dropped.agg(count(lit(1)).as("n_dropped"))
+      nIn.crossJoin(nDroppable).crossJoin(nFalse).crossJoin(nDropped)
+        .select(col("n_incoming"), col("n_droppable"), col("n_false_drops"),
+          (col("n_droppable") === 0 ||
+            col("n_dropped").cast("double") / col("n_droppable") >= lit(0.3))
+            .as("recall_met"))
+    }
+  }
+
   def t60C4Clean(spark: SparkSession, dir: String): DataFrame = {
     val pages = spark.range(0, 150).select(col("id"),
       concat_ws("\n",
@@ -1394,6 +1479,8 @@ object PipelineQueries {
     "t66_minhash_persisted" -> t66MinhashPersisted _,
     "t67_minhash_delete" -> t67MinhashDelete _,
     "t68_minhash_index_pairs" -> t68MinhashIndexPairs _,
+    "t69_minhash_maintenance" -> t69MinhashMaintenance _,
+    "t70_embed_index_admission" -> t70EmbedIndexAdmission _,
     "t59_gopher_rules" -> t59GopherRules _,
     "t60_c4_clean" -> t60C4Clean _,
     "t61_jaccard_auto_route" -> t61JaccardAutoRoute _,
@@ -2555,6 +2642,66 @@ object PipelineQueries {
     // only the un-tombstoned %4=0 half for the delete gate)
     "t66_minhash_persisted" -> crossDedupOracle("% 2 = 0"),
     "t67_minhash_delete" -> crossDedupOracle("% 4 = 0"),
+    // t69: the composed maintenance job (pairs → components →
+    // keep-min-id → delete) replayed from first principles — t05's
+    // exact pair definition, transitive closure by recursive CTE,
+    // drop every clustered id above its component minimum
+    "t69_minhash_maintenance" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents
+         ), grams AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM toks WHERE len(w) >= 2
+         ), pairs AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+                 (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
+         ), edges AS (
+           SELECT id1 AS u, id2 AS v FROM pairs
+           UNION SELECT id2, id1 FROM pairs
+         ), reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         ), dropped AS (
+           SELECT u AS id FROM reach GROUP BY u HAVING min(v) < u
+         )
+         SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars, max(d.doc_id) AS max_id
+         FROM documents d
+         WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+         GROUP BY d.lang ORDER BY d.lang""",
+    // t70: persisted embedding admission — the t10 pattern: the exact
+    // droppable count recomputed relationally; the false-drop count is
+    // 0 by the index's verified-drop construction and recall is
+    // deterministic (fixed hyperplane seeds, fixed data)
+    "t70_embed_index_admission" ->
+      """WITH mc AS (
+           SELECT i.vec_id,
+             max(list_reduce(list_prepend(0.0,
+               list_transform(list_zip(i.embedding, e.embedding),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+               (p, c) -> p + c)
+             / (sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(i.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (p, c) -> p + c))
+              * sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (p, c) -> p + c)))) AS mc
+           FROM embeddings i JOIN embeddings e
+             ON i.vec_id % 2 = 1 AND e.vec_id % 2 = 0
+           GROUP BY i.vec_id)
+         SELECT
+           (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1)
+             AS n_incoming,
+           (SELECT count(*) FROM mc WHERE mc >= 0.35) AS n_droppable,
+           CAST(0 AS BIGINT) AS n_false_drops,
+           TRUE AS recall_met""",
     // t65: the sketch path is provably exact (candidate superset +
     // verify loop), so its oracle IS the exact top-k SQL — t34's
     // shape at k=40

@@ -70,41 +70,14 @@ final class Bm25Index(
     spark: SparkSession, path: String, nBuckets: Int = 64,
     retainManifests: Int = 2, idBloomMaxIds: Long = 0L) {
   require(nBuckets > 0, "nBuckets must be positive")
-  require(retainManifests >= 2,
-    "retainManifests must be >= 2 (the head plus at least one " +
-      "predecessor for in-flight readers — the reader lease)")
 
-  private def dir = new java.io.File(path)
-  private def manifestFile(v: Int) = new java.io.File(dir, s"_manifest.v$v")
+  // the shared segmented-manifest protocol (naming, head, tags, CAS
+  // commit, retention) — one definition across the index triad
+  private val mf = new SegmentedManifest(
+    new java.io.File(path), s"bm25:$path", retainManifests)
 
-  /** A new, writer-unique segment directory for version `n`. The
-    * random token keeps two concurrent appenders' writes physically
-    * disjoint; only the manifest CAS decides whose name is published. */
-  private def newSegDir(n: Int) = new java.io.File(dir,
-    s"seg-$n-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}")
-
-  /** A new, writer-unique DELETE-list directory (tombstone segment —
-    * the Lucene liveDocs pattern expressed as manifest entries). */
-  private def newDelDir(n: Int) = new java.io.File(dir,
-    s"del-$n-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}")
-
-  /** Whether a manifest entry names a tombstone (delete-list) segment. */
-  private def isDel(name: String): Boolean = name.startsWith("del-")
-
-  /** Manifest head: (version, committed segment names). (0, Nil) =
-    * empty index. */
-  private def readHead(): (Int, Seq[String]) = {
-    val vs = Option(dir.list()).toSeq.flatten
-      .filter(_.matches("_manifest\\.v\\d+"))
-      .map(_.stripPrefix("_manifest.v").toInt)
-    if (vs.isEmpty) (0, Nil)
-    else {
-      val v = vs.max
-      (v, new String(java.nio.file.Files.readAllBytes(
-        manifestFile(v).toPath), "UTF-8")
-        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
-    }
-  }
+  private def readHead(): (Int, Seq[String]) = mf.readHead()
+  private def isDel(name: String): Boolean = mf.isDel(name)
 
   /** Bucket-partitioned segment-table write, file count scaled by the
     * MEASURED row volume: below one target file's worth per bucket the
@@ -116,6 +89,16 @@ final class Bm25Index(
     * nBuckets tasks. */
   private def writeBucketed(
       df: DataFrame, dest: String, rows: Long, saltKey: Column): Unit = {
+    // a zero-row dynamic-partition write leaves a FILELESS directory
+    // whose later read dies in parquet schema inference (the r13
+    // zero-row-segment trap, [[MinHashIndex.writeBanded]]'s rule) —
+    // an empty batch (the all-duplicate streaming micro-batch) writes
+    // one empty but schema-bearing plain file instead; readers'
+    // bucket filters still bind (the column is in the schema)
+    if (rows == 0L) {
+      df.limit(0).coalesce(1).write.mode(SaveMode.Overwrite).parquet(dest)
+      return
+    }
     val filesPerBucket = math.max(1L,
       (rows + nBuckets.toLong * Bm25Index.RowsPerFile - 1) /
         (nBuckets.toLong * Bm25Index.RowsPerFile)).toInt
@@ -132,14 +115,7 @@ final class Bm25Index(
     * the head" implies "tag durably committed"; [[compact]] carries
     * the union of its inputs' tags forward, so replay safety survives
     * maintenance. */
-  def committedBatchTags: Set[String] = readHead()._2.flatMap(tagsOf).toSet
-
-  private def tagsOf(segName: String): Seq[String] = {
-    val f = new java.io.File(s"$path/$segName", "_batch")
-    if (!f.exists) Nil
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-  }
+  def committedBatchTags: Set[String] = readHead()._2.flatMap(mf.tagsOf).toSet
 
   /** Append one batch of documents as a new immutable segment and
     * publish it atomically. Documents must be NEW ids (a doc split
@@ -157,8 +133,8 @@ final class Bm25Index(
   def append(docs: DataFrame, idCol: String, textCol: String,
       dfCap: Long = 0L, batchTag: Option[String] = None): Unit = {
     val (baseVer, segs) = readHead()
-    if (batchTag.exists(t => segs.flatMap(tagsOf).contains(t))) return
-    val seg = newSegDir(baseVer + 1)
+    if (batchTag.exists(t => segs.flatMap(mf.tagsOf).contains(t))) return
+    val seg = mf.newSegDir(baseVer + 1)
     val wc = docs
       .select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("term"))
@@ -207,8 +183,13 @@ final class Bm25Index(
             s"$seg/postings", nPostings, col("id"))
         },
         Future {
-          kept.select(col("term"), col("df"), col("bucket"))
-            .repartition(nBuckets, col("bucket"))
+          val sel = kept.select(col("term"), col("df"), col("bucket"))
+          // the writeBucketed zero-guard, for the same fileless-dir
+          // trap: an empty batch's dfreq is empty iff its postings are
+          if (nPostings == 0L)
+            sel.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
+              .parquet(s"$seg/dfreq")
+          else sel.repartition(nBuckets, col("bucket"))
             .write.partitionBy("bucket").mode(SaveMode.Overwrite)
             .parquet(s"$seg/dfreq")
         })
@@ -217,7 +198,8 @@ final class Bm25Index(
       // the id min/max for the segment's `_idrange` sidecar ride the
       // SAME action — the delete-time segment pruning costs the write
       // path nothing
-      val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"),
+      val st = dl.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s"),
         min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
       writes.foreach(Await.result(_, scala.concurrent.duration.Duration(600, "s")))
       java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
@@ -228,14 +210,10 @@ final class Bm25Index(
       // narrow aggregation over the cached batch's doc ids
       SegmentIdBloom.write(seg, dl.select(col("id")), st.getLong(0),
         idBloomMaxIds)
-      batchTag.foreach(t => java.nio.file.Files.write(
-        new java.io.File(seg, "_batch").toPath, s"$t\n".getBytes("UTF-8")))
+      batchTag.foreach(mf.writeTag(seg, _))
     } finally wc.unpersist(false)
     val body = (segs :+ seg.getName).mkString("", "\n", "\n")
-    if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1), body.getBytes("UTF-8"))) {
-      rmTree(seg) // ours alone — the winner's dir has a different token
-      throw new CommitConflictException(s"bm25:$path", baseVer + 1)
-    }
+    mf.commit(baseVer + 1, body, Seq(seg))
   }
 
   /** Committed segment names at the current head (spec surface) —
@@ -283,12 +261,13 @@ final class Bm25Index(
   def delete(ids: DataFrame, idCol: String,
       batchTag: Option[String] = None): Long = {
     val (baseVer, segs) = readHead()
-    if (batchTag.exists(t => segs.flatMap(tagsOf).contains(t))) return 0L
+    if (batchTag.exists(t => segs.flatMap(mf.tagsOf).contains(t))) return 0L
     val entries = segs.zipWithIndex
     val dataSegs = entries.filterNot(e => isDel(e._1))
     if (dataSegs.isEmpty) return 0L
     val (want, scanSegs) = pruneForDelete(dataSegs, ids, idCol)
-    if (scanSegs.isEmpty) return 0L // no segment can hold a requested id
+    // no segment can hold a requested id
+    if (scanSegs.isEmpty) { want.unpersist(false); return 0L }
     val posts = scanSegs.map { case (s, i) =>
       spark.read.parquet(s"$path/$s/postings").withColumn("__ord", lit(i))
     }.reduce(_.unionByName(_)).join(want, Seq("id"))
@@ -299,7 +278,7 @@ final class Bm25Index(
         coalesce(sum(col("dl")), lit(0L)).as("s")).collect()(0)
       val nDel = st.getLong(0)
       if (nDel == 0L) return 0L // nothing live — nothing to publish
-      val del = newDelDir(baseVer + 1)
+      val del = mf.newDelDir(baseVer + 1)
       // tombstone ids: only the LIVE ones (minimal tombstones; an id
       // never present or already dead is not re-recorded). Takedown
       // batches are id-bounded — one file is the right layout.
@@ -315,29 +294,27 @@ final class Bm25Index(
         .parquet(s"$del/dfadj")
       java.nio.file.Files.write(new java.io.File(del, "_stats").toPath,
         s"$nDel ${st.getLong(1)}\n".getBytes("UTF-8"))
-      batchTag.foreach(t => java.nio.file.Files.write(
-        new java.io.File(del, "_batch").toPath, s"$t\n".getBytes("UTF-8")))
+      batchTag.foreach(mf.writeTag(del, _))
       val body = (segs :+ del.getName).mkString("", "\n", "\n")
-      if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
-          body.getBytes("UTF-8"))) {
-        rmTree(del)
-        throw new CommitConflictException(s"bm25:$path", baseVer + 1)
-      }
+      mf.commit(baseVer + 1, body, Seq(del))
       nDel
-    } finally { live.unpersist(false); () }
+    } finally { live.unpersist(false); want.unpersist(false); () }
   }
 
   /** Delete-side normalization + pruning: the caller's ids CAST to
     * the postings id type (loud under ANSI if unparseable — never a
     * silent loose coercion), deduped, and the subset of data segments
     * whose `_idrange` sidecar may hold one of them. An empty id set
-    * prunes everything. */
+    * prunes everything. The returned `want` frame is PERSISTED (its
+    * lineage otherwise re-runs for the bounds agg, the lazy bloom
+    * probe, and the caller's tombstone-scan join); callers unpersist
+    * it when done. */
   private def pruneForDelete(
       dataSegs: Seq[(String, Int)], ids: DataFrame,
       idCol: String): (DataFrame, Seq[(String, Int)]) = {
     val idT = spark.read.parquet(s"$path/${dataSegs.head._1}/postings")
       .schema("id").dataType
-    val want = ids.select(col(idCol).cast(idT).as("id")).distinct()
+    val want = ids.select(col(idCol).cast(idT).as("id")).distinct().persist()
     val r = want.agg(count(lit(1)).as("n"),
       min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
     if (r.getLong(0) == 0L) return (want, Nil)
@@ -357,7 +334,11 @@ final class Bm25Index(
       ids: DataFrame, idCol: String): Seq[String] = {
     val dataSegs = readHead()._2.zipWithIndex.filterNot(e => isDel(e._1))
     if (dataSegs.isEmpty) Nil
-    else pruneForDelete(dataSegs, ids, idCol)._2.map(_._1)
+    else {
+      val (want, scanSegs) = pruneForDelete(dataSegs, ids, idCol)
+      want.unpersist(false)
+      scanSegs.map(_._1)
+    }
   }
 
   /** Anti-join `posts` (posting rows carrying a manifest-ordinal
@@ -403,7 +384,7 @@ final class Bm25Index(
     val delSegs = entries.filter(e => isDel(e._1))
     if (dataSegs.isEmpty) return // nothing to rewrite
     if (dataSegs.size <= 1 && delSegs.isEmpty) return // already compact
-    val seg = newSegDir(baseVer + 1)
+    val seg = mf.newSegDir(baseVer + 1)
     // tombstones FOLD here: the merged postings drop deleted rows, the
     // merged dfreq absorbs the df decrements, the merged stats the
     // (n, Σdl) adjustments — and the new manifest names no del- entry
@@ -448,10 +429,8 @@ final class Bm25Index(
     // corpus would publish), not to a zero-row segment whose later
     // reads die in parquet schema inference
     if (n == 0L) {
-      rmTree(seg)
-      if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
-          "".getBytes("UTF-8")))
-        throw new CommitConflictException(s"bm25:$path", baseVer + 1)
+      mf.rmTree(seg)
+      mf.commit(baseVer + 1, "", Nil)
       return
     }
     java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
@@ -463,17 +442,82 @@ final class Bm25Index(
     SegmentIdRange.write(seg, dataSegs
       .map(e => SegmentIdRange.read(new java.io.File(s"$path/${e._1}")))
       .reduce(SegmentIdRange.union))
+    // compaction output keeps the takedown pruning its corpus opted
+    // into (VERDICT r14 #7): one column-pruned scan of the postings
+    // just written — never a re-run of the merge lineage
+    if (idBloomMaxIds > 0L) SegmentIdBloom.write(seg,
+      spark.read.parquet(s"$seg/postings").select(col("id")), n,
+      idBloomMaxIds)
     // the merged segment inherits every constituent batch tag, so
     // replay safety survives compaction
-    val tags = segs.flatMap(tagsOf).distinct
-    if (tags.nonEmpty) java.nio.file.Files.write(
-      new java.io.File(seg, "_batch").toPath,
-      tags.mkString("", "\n", "\n").getBytes("UTF-8"))
-    if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
-        s"${seg.getName}\n".getBytes("UTF-8"))) {
-      rmTree(seg)
-      throw new CommitConflictException(s"bm25:$path", baseVer + 1)
+    mf.writeTags(seg, segs)
+    mf.commit(baseVer + 1, s"${seg.getName}\n", Seq(seg))
+  }
+
+  /** Size-tiered PARTIAL compaction — the routine maintenance call
+    * ([[MinHashIndex.compactTiered]] carries the full design note):
+    * within each manifest run, segments bucketed by
+    * floor(log_mergeFactor(bytes)) merge when ≥ 2 share a tier; the
+    * compacted giant is never rewritten. A tier merge is pure
+    * concatenation — postings rows move as written (ids are disjoint
+    * within a run and every tombstone outranks all of the group or
+    * none of it, so the spliced ordinal preserves suppression), dfreq
+    * adds per (bucket, term), stats add, id ranges union, tags union,
+    * blooms follow `idBloomMaxIds`. Tombstones and their dfadj stay
+    * verbatim (they decrement GLOBAL df, which merging leaves
+    * unchanged); they fold at the next full [[compact]]. Returns the
+    * number of segments folded. */
+  /** The tier-merge groups a [[compactTiered]] at `mergeFactor`
+    * would fold (spec surface — the giant-is-never-rewritten pin). */
+  private[graft] def tieredPlan(mergeFactor: Int): Seq[Seq[String]] =
+    mf.tieredGroups(readHead()._2, mergeFactor)
+
+  def compactTiered(mergeFactor: Int = 10): Int = {
+    val (baseVer, segs) = readHead()
+    val groups = mf.tieredGroups(segs, mergeFactor)
+    if (groups.isEmpty) return 0
+    val builds = groups.map { g =>
+      val seg = mf.newSegDir(baseVer + 1)
+      val postings = g.map(s => spark.read.parquet(s"$path/$s/postings")
+        .select(col("id"), col("term"), col("tf"), col("dl"),
+          col("bucket"))).reduce(_.unionByName(_))
+      val dfreq = g.map(s => spark.read.parquet(s"$path/$s/dfreq")
+        .select(col("term"), col("df"), col("bucket")))
+        .reduce(_.unionByName(_))
+        .groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df"))
+        .select(col("term"), col("df"), col("bucket"))
+      val (n, sdl) = g.map(readStats)
+        .reduce((a, x) => (a._1 + x._1, a._2 + x._2))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        Future { writeBucketed(postings, s"$seg/postings", sdl, col("id")) },
+        Future {
+          if (n == 0L)
+            dfreq.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
+              .parquet(s"$seg/dfreq")
+          else dfreq.repartition(nBuckets, col("bucket"))
+            .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+            .parquet(s"$seg/dfreq")
+        })
+      writes.foreach(Await.result(_,
+        scala.concurrent.duration.Duration(600, "s")))
+      java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
+        s"$n $sdl\n".getBytes("UTF-8"))
+      SegmentIdRange.write(seg, g
+        .map(s => SegmentIdRange.read(new java.io.File(s"$path/$s")))
+        .reduce(SegmentIdRange.union))
+      if (idBloomMaxIds > 0L && n > 0L) SegmentIdBloom.write(seg,
+        spark.read.parquet(s"$seg/postings").select(col("id")), n,
+        idBloomMaxIds)
+      mf.writeTags(seg, g)
+      g -> seg
     }
+    mf.commit(baseVer + 1,
+      mf.spliceMerged(segs, builds.map { case (g, s) => (g, s.getName) })
+        .mkString("", "\n", "\n"),
+      builds.map(_._2))
+    groups.map(_.size).sum
   }
 
   /** Delete segment dirs referenced by NEITHER the head manifest nor
@@ -482,36 +526,13 @@ final class Bm25Index(
     * that planned against the previous head still scans live files.
     * Crashed writers' orphan segments (never published, never
     * self-cleaned) fall out here too. Returns the deleted names. */
-  def vacuum(): Seq[String] = {
-    val vs = Option(dir.list()).toSeq.flatten
-      .filter(_.matches("_manifest\\.v\\d+"))
-      .map(_.stripPrefix("_manifest.v").toInt).sorted
-    if (vs.size < retainManifests) return Nil
-    val keepVs = vs.takeRight(retainManifests)
-    val live: Set[String] = keepVs.flatMap { v =>
-      new String(java.nio.file.Files.readAllBytes(
-        manifestFile(v).toPath), "UTF-8")
-        .linesIterator.map(_.trim).filter(_.nonEmpty)
-    }.toSet
-    val dead = Option(dir.list()).toSeq.flatten
-      .filter(n => (n.startsWith("seg-") || n.startsWith("del-")) &&
-        !live.contains(n))
-    dead.foreach(n => rmTree(new java.io.File(dir, n)))
-    vs.dropRight(retainManifests).foreach(v => manifestFile(v).delete())
-    dead.sorted
-  }
+  def vacuum(): Seq[String] = mf.vacuum()
 
   private def readStats(segName: String): (Long, Long) = {
     val parts = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(s"$path/$segName", "_stats").toPath), "UTF-8")
       .trim.split(" ")
     (parts(0).toLong, parts(1).toLong)
-  }
-
-  private def rmTree(f: java.io.File): Unit = {
-    def rm(g: java.io.File): Boolean =
-      Option(g.listFiles()).forall(_.forall(rm)) && g.delete()
-    rm(f); ()
   }
 
   /** BM25 top-`k` per query over the index head — the same arithmetic

@@ -1,0 +1,474 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, PipelineContext}
+
+/** Persisted, incrementally-appendable EMBEDDING near-duplicate index
+  * — the fourth persisted index (VERDICT r14 missing #4): MinHash
+  * admission covers text, but the image/embedding near-dup pipeline's
+  * scale form ([[graft.operators.Dedup.embeddingPairs]] /
+  * [[graft.operators.Multimodal]]'s t57 composition) had no persisted
+  * incoming-batch-vs-corpus admission path — every increment re-bucketed
+  * the full corpus. This class persists exactly what
+  * `embeddingPairs` derives per vector — the banded sign-bit
+  * hyperplane bucket keys ([[VectorFunctions.lshBucket]], seeds
+  * `42 + band`, the inline operator's constants) and the L2 norm —
+  * as immutable segments under the same CAS-manifest protocol as the
+  * other three indexes ([[SegmentedManifest]]).
+  *
+  * Layout (all under `path/`):
+  * {{{
+  *   _params                 "<dim> <nPlanes> <bands> <nBuckets>"
+  *   _manifest.v<N>          one segment name per line; highest N = head
+  *   seg-<n>-<tok>/docs/     (id, v, nrm) parquet — the vector and its
+  *                           norm (verification needs both; storing
+  *                           them here is what makes admission never
+  *                           touch source tables)
+  *   seg-<n>-<tok>/banded/   (id, band, bh) parquet, partitioned by
+  *                           bucket = pmod(bh, nBuckets); bh is the
+  *                           band's nPlanes-bit hyperplane sign mask
+  *   del-<n>-<tok>/ids/      tombstoned ids (manifest-order scoped)
+  * }}}
+  *
+  * Scale shape, shared with [[MinHashIndex]]: an admission probe reads
+  * ONLY the banded partitions whose bucket appears in the incoming
+  * batch's keys (literal driver-collected set, ≤ nBuckets values at
+  * any increment size); the docs table is touched once, left-semi
+  * bounded to CANDIDATE ids — corpus vectors never ride a shuffle for
+  * docs no candidate touched. Whale buckets are capped with the
+  * EXISTING-side window-count discipline (the [[MinHashIndex
+  * .dedupAgainst]] cross-admission contract). [[selfPairs]] shares
+  * [[Dedup.bandedPairCandidates]] with the MinHash engines, so the
+  * periodic corpus-wide pair job off stored state is pair-identical
+  * to inline [[Dedup.embeddingPairs]] (the differential spec pins
+  * it). Appends must carry NEW ids; `batchTag` makes append/delete
+  * idempotent; [[delete]] is a tombstone; [[compact]] folds
+  * tombstones and re-derives band keys from the STORED vectors;
+  * [[compactTiered]] is the size-tiered routine-maintenance merge.
+  */
+final class EmbedIndex(
+    spark: SparkSession, path: String, dim: Int,
+    nPlanes: Int = 8, bands: Int = 4, nBuckets: Int = 16,
+    retainManifests: Int = 2, idBloomMaxIds: Long = 0L) {
+  require(dim > 0, "dim must be positive")
+  require(nPlanes >= 1 && nPlanes <= 62, "nPlanes must be in [1, 62]")
+  require(nBuckets > 0, "nBuckets must be positive")
+
+  private val mf = new SegmentedManifest(
+    new java.io.File(path), s"embed:$path", retainManifests)
+  private def dir = mf.dir
+
+  private def paramsLine = s"$dim $nPlanes $bands $nBuckets"
+
+  /** First writer publishes the index parameters; every later handle
+    * must agree, loudly (the [[MinHashIndex]] rule — bucket keys from
+    * divergent hyperplanes never match). */
+  private def ensureParams(): Unit = {
+    val f = new java.io.File(dir, "_params")
+    if (!f.exists) {
+      java.nio.file.Files.createDirectories(dir.toPath)
+      CasFiles.putIfAbsent(f, s"$paramsLine\n".getBytes("UTF-8")): Unit
+    }
+    val committed = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+    require(committed == paramsLine,
+      s"Embed index at $path has params '$committed'; " +
+        s"this handle was built with '$paramsLine'")
+  }
+
+  private def readHead(): (Int, Seq[String]) = mf.readHead()
+  private def isDel(name: String): Boolean = mf.isDel(name)
+
+  /** Committed segment names at the current head (spec surface). */
+  def segments: Seq[String] = readHead()._2
+
+  /** Tags of the batches already committed at the head. */
+  def committedBatchTags: Set[String] = readHead()._2.flatMap(mf.tagsOf).toSet
+
+  /** The banded derivation `embeddingPairs` computes inline — one
+    * (band, bh) row per vector per band, bh the sign-bit mask under
+    * the band's seeded hyperplanes. */
+  private def bandedOf(docRows: DataFrame): DataFrame = docRows
+    .select(col("id"), posexplode(array((0 until bands).map(b =>
+      VectorFunctions.lshBucket(col("v"), dim, nPlanes,
+        seed = 42L + b)): _*)).as(Seq("band", "bh")))
+
+  /** Bucket-partitioned banded write ([[MinHashIndex.writeBanded]]'s
+    * zero-guard and volume sizing verbatim). */
+  private def writeBanded(banded: DataFrame, dest: String, rows: Long): Unit = {
+    val df = banded.withColumn(
+      "bucket", pmod(col("bh"), lit(nBuckets.toLong)))
+    if (rows == 0L) {
+      df.limit(0).coalesce(1).write.mode(SaveMode.Overwrite).parquet(dest)
+      return
+    }
+    val filesPerBucket = math.max(1L,
+      (rows + nBuckets.toLong * Bm25Index.RowsPerFile - 1) /
+        (nBuckets.toLong * Bm25Index.RowsPerFile)).toInt
+    val parted =
+      if (filesPerBucket == 1) df.repartition(nBuckets, col("bucket"))
+      else df.repartition(nBuckets * filesPerBucket, col("bucket"),
+        pmod(xxhash64(col("id")), lit(filesPerBucket.toLong)))
+    parted.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dest)
+  }
+
+  private def writeSegment(docRows: DataFrame, seg: java.io.File,
+      nDocs: Long, mn: Any, mx: Any, idType: String): Unit = {
+    val docFiles = math.max(1L,
+      (nDocs * dim + Bm25Index.RowsPerFile - 1) / Bm25Index.RowsPerFile).toInt
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      Future {
+        docRows.repartition(docFiles)
+          .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs")
+      },
+      Future {
+        writeBanded(bandedOf(docRows), s"$seg/banded",
+          nDocs * bands.toLong)
+      })
+    writes.foreach(Await.result(_,
+      scala.concurrent.duration.Duration(600, "s")))
+    java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
+      s"$nDocs ${nDocs * dim}\n".getBytes("UTF-8"))
+    SegmentIdRange.write(seg, SegmentIdRange.of(idType, mn, mx))
+    SegmentIdBloom.write(seg,
+      docRows.select(col("id")), nDocs, idBloomMaxIds)
+  }
+
+  /** Append one batch of vectors as a new immutable segment: norms and
+    * banded hyperplane keys are computed HERE, once — the amortization
+    * (the inline operator re-buckets the corpus per increment). Ids
+    * must be NEW; `batchTag` short-circuits at-least-once replays. */
+  def append(vecs: DataFrame, idCol: String, vecCol: String,
+      batchTag: Option[String] = None): Unit = {
+    val (baseVer, segs) = readHead()
+    if (batchTag.exists(t => segs.flatMap(mf.tagsOf).contains(t))) return
+    ensureParams()
+    val seg = mf.newSegDir(baseVer + 1)
+    PipelineContext.run { implicit ctx =>
+      // staged: the frame feeds the docs write, the banded write and
+      // the stats agg — per-row derivation (norm), no shuffle
+      val docRows = ctx.stage(vecs.select(
+        col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("nrm", VectorFunctions.l2Norm(col("v"))))
+      val st = docRows.agg(count(lit(1)).as("n"),
+        min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+      writeSegment(docRows, seg, st.getLong(0), st.get(1), st.get(2),
+        docRows.schema("id").dataType.typeName)
+      batchTag.foreach(mf.writeTag(seg, _))
+    }
+    mf.commit(baseVer + 1,
+      (segs :+ seg.getName).mkString("", "\n", "\n"), Seq(seg))
+  }
+
+  /** Manifest-order tombstone anti-join ([[MinHashIndex]] verbatim). */
+  private def minusDeleted(
+      rows: DataFrame, delSegs: Seq[(String, Int)]): DataFrame =
+    if (delSegs.isEmpty) rows
+    else {
+      val dels = delSegs.map { case (s, i) =>
+        spark.read.parquet(s"$path/$s/ids")
+          .select(col("id").as("__did")).withColumn("__dord", lit(i))
+      }.reduce(_.unionByName(_))
+      rows.join(dels,
+        rows("id") === dels("__did") && dels("__dord") > rows("__ord"),
+        "left_anti")
+    }
+
+  /** Delete-side normalization + range/bloom pruning; `want` comes
+    * back persisted (callers unpersist). */
+  private def pruneForDelete(
+      dataSegs: Seq[(String, Int)], ids: DataFrame,
+      idCol: String): (DataFrame, Seq[(String, Int)]) = {
+    val idT = spark.read.parquet(s"$path/${dataSegs.head._1}/docs")
+      .schema("id").dataType
+    val want = ids.select(col(idCol).cast(idT).as("id")).distinct().persist()
+    val r = want.agg(count(lit(1)).as("n"),
+      min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+    if (r.getLong(0) == 0L) return (want, Nil)
+    val req = SegmentIdRange.of(idT.typeName, r.get(1), r.get(2))
+    lazy val probe = SegmentIdBloom.probeIds(want, r.getLong(0))
+    (want, dataSegs.filter { case (s, _) =>
+      SegmentIdBloom.mayHold(new java.io.File(s"$path/$s"), req, probe)
+    })
+  }
+
+  /** The data segments a [[delete]] of `ids` would actually SCAN
+    * (spec surface). */
+  private[graft] def deleteScanSegments(
+      ids: DataFrame, idCol: String): Seq[String] = {
+    val dataSegs = readHead()._2.zipWithIndex.filterNot(e => isDel(e._1))
+    if (dataSegs.isEmpty) Nil
+    else {
+      val (want, scanSegs) = pruneForDelete(dataSegs, ids, idCol)
+      want.unpersist(false)
+      scanSegs.map(_._1)
+    }
+  }
+
+  /** Tombstone vectors without rewriting a segment — the shared
+    * delete contract (manifest-order scoping, live-ids-only
+    * tombstones, pre-scan `batchTag` replay guard, range+bloom
+    * pruning). Returns the number tombstoned. */
+  def delete(ids: DataFrame, idCol: String,
+      batchTag: Option[String] = None): Long = {
+    val (baseVer, segs) = readHead()
+    if (batchTag.exists(t => segs.flatMap(mf.tagsOf).contains(t))) return 0L
+    val entries = segs.zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    if (dataSegs.isEmpty) return 0L
+    val (want, scanSegs) = pruneForDelete(dataSegs, ids, idCol)
+    if (scanSegs.isEmpty) { want.unpersist(false); return 0L }
+    val hits = scanSegs.map { case (s, i) =>
+      spark.read.parquet(s"$path/$s/docs").select(col("id"))
+        .withColumn("__ord", lit(i))
+    }.reduce(_.unionByName(_)).join(want, Seq("id"))
+    val live = minusDeleted(hits, entries.filter(e => isDel(e._1)))
+      .select(col("id")).distinct().persist()
+    try {
+      val nDel = live.count()
+      if (nDel == 0L) return 0L
+      val del = mf.newDelDir(baseVer + 1)
+      live.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
+      java.nio.file.Files.write(new java.io.File(del, "_stats").toPath,
+        s"$nDel 0\n".getBytes("UTF-8"))
+      batchTag.foreach(mf.writeTag(del, _))
+      mf.commit(baseVer + 1,
+        (segs :+ del.getName).mkString("", "\n", "\n"), Seq(del))
+      nDel
+    } finally { live.unpersist(false); want.unpersist(false); () }
+  }
+
+  /** FULL compaction: fold tombstones physically, re-derive band keys
+    * from the STORED vectors, one segment out; a fully-tombstoned
+    * compact publishes the EMPTY index (new generation — the shared
+    * batch-tag-reset note in [[MinHashIndex.compact]]). Routine
+    * maintenance is [[compactTiered]]. */
+  def compact(): Unit = {
+    val (baseVer, segs) = readHead()
+    val entries = segs.zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    val delSegs = entries.filter(e => isDel(e._1))
+    if (dataSegs.isEmpty) return
+    if (dataSegs.size <= 1 && delSegs.isEmpty) return
+    val seg = mf.newSegDir(baseVer + 1)
+    val merged = minusDeleted(
+      dataSegs.map { case (s, i) =>
+        spark.read.parquet(s"$path/$s/docs").withColumn("__ord", lit(i))
+      }.reduce(_.unionByName(_)), delSegs).drop("__ord").persist()
+    try {
+      val st = merged.agg(count(lit(1)).as("n"),
+        min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+      val nDocs = st.getLong(0)
+      if (nDocs == 0L) {
+        mf.rmTree(seg)
+        mf.commit(baseVer + 1, "", Nil)
+        return
+      }
+      writeSegment(merged, seg, nDocs, st.get(1), st.get(2),
+        merged.schema("id").dataType.typeName)
+      mf.writeTags(seg, segs)
+      mf.commit(baseVer + 1, s"${seg.getName}\n", Seq(seg))
+    } finally { merged.unpersist(false); () }
+  }
+
+  private def readStats(segName: String): (Long, Long) = {
+    val parts = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$path/$segName", "_stats").toPath), "UTF-8")
+      .trim.split(" ")
+    (parts(0).toLong, parts(1).toLong)
+  }
+
+  /** The tier-merge groups a [[compactTiered]] at `mergeFactor`
+    * would fold (spec surface — the giant-is-never-rewritten pin). */
+  private[graft] def tieredPlan(mergeFactor: Int): Seq[Seq[String]] =
+    mf.tieredGroups(readHead()._2, mergeFactor)
+
+  /** Size-tiered PARTIAL compaction ([[MinHashIndex.compactTiered]]
+    * carries the full design note): pure per-table concatenation
+    * within manifest runs, the giant never rewritten, tombstones
+    * verbatim, stats add, ranges union, tags union, blooms follow
+    * `idBloomMaxIds`. Returns the number of segments folded. */
+  def compactTiered(mergeFactor: Int = 10): Int = {
+    val (baseVer, segs) = readHead()
+    val groups = mf.tieredGroups(segs, mergeFactor)
+    if (groups.isEmpty) return 0
+    val builds = groups.map { g =>
+      val seg = mf.newSegDir(baseVer + 1)
+      val docs = g.map(s => spark.read.parquet(s"$path/$s/docs"))
+        .reduce(_.unionByName(_))
+      val banded = g.map(s => spark.read.parquet(s"$path/$s/banded")
+        .select(col("id"), col("band"), col("bh")))
+        .reduce(_.unionByName(_))
+      val (nDocs, sumW) = g.map(readStats)
+        .reduce((a, x) => (a._1 + x._1, a._2 + x._2))
+      val bandedRows = banded.count()
+      val docFiles = math.max(1L,
+        (sumW + Bm25Index.RowsPerFile - 1) / Bm25Index.RowsPerFile).toInt
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        Future {
+          docs.repartition(docFiles)
+            .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs")
+        },
+        Future { writeBanded(banded, s"$seg/banded", bandedRows) })
+      writes.foreach(Await.result(_,
+        scala.concurrent.duration.Duration(600, "s")))
+      java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
+        s"$nDocs $sumW\n".getBytes("UTF-8"))
+      SegmentIdRange.write(seg, g
+        .map(s => SegmentIdRange.read(new java.io.File(s"$path/$s")))
+        .reduce(SegmentIdRange.union))
+      if (nDocs > 0L) SegmentIdBloom.write(seg,
+        spark.read.parquet(s"$seg/docs").select(col("id")), nDocs,
+        idBloomMaxIds)
+      mf.writeTags(seg, g)
+      g -> seg
+    }
+    mf.commit(baseVer + 1,
+      mf.spliceMerged(segs, builds.map { case (g, s) => (g, s.getName) })
+        .mkString("", "\n", "\n"),
+      builds.map(_._2))
+    groups.map(_.size).sum
+  }
+
+  /** Live vector ids at the head (the corpus-membership listing). */
+  def liveDocIds: DataFrame = {
+    val entries = readHead()._2.zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    require(dataSegs.nonEmpty, s"empty Embed index at $path")
+    minusDeleted(dataSegs.map { case (s, i) =>
+      spark.read.parquet(s"$path/$s/docs").select(col("id"))
+        .withColumn("__ord", lit(i))
+    }.reduce(_.unionByName(_)), entries.filter(e => isDel(e._1)))
+      .drop("__ord")
+  }
+
+  /** The live banded rows of the probed buckets — the exact frame
+    * [[dedupAgainst]] probes candidates from (spec surface: the
+    * pruning pin covers the production path). */
+  private[graft] def bandedScan(buckets: Seq[Int]): DataFrame =
+    bandedScanAt(buckets, readHead()._2.zipWithIndex)
+
+  /** The live banded rows of the probed buckets — literal bucket
+    * partition filter on every scan. */
+  private def bandedScanAt(
+      buckets: Seq[Int], entries: Seq[(String, Int)]): DataFrame = {
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    val delSegs = entries.filter(e => isDel(e._1))
+    require(dataSegs.nonEmpty, s"empty Embed index at $path")
+    minusDeleted(dataSegs.map { case (s, i) =>
+      spark.read.parquet(s"$path/$s/banded")
+        .filter(col("bucket").isin(buckets: _*))
+        .select(col("id"), col("band"), col("bh"))
+        .withColumn("__ord", lit(i))
+    }.reduce(_.unionByName(_)), delSegs).drop("__ord")
+  }
+
+  /** The live docs-table columns at a caller-held snapshot. */
+  private def docsReadAt(
+      cols: Seq[String], entries: Seq[(String, Int)]): DataFrame =
+    minusDeleted(entries.filterNot(e => isDel(e._1)).map { case (s, i) =>
+      spark.read.parquet(s"$path/$s/docs")
+        .select(cols.map(col): _*).withColumn("__ord", lit(i))
+    }.reduce(_.unionByName(_)), entries.filter(e => isDel(e._1)))
+      .drop("__ord")
+
+  /** The banded-table bucket partitions a probe of `incoming` would
+    * touch (spec surface — the pruning pin). */
+  private[graft] def probeBuckets(
+      incoming: DataFrame, idCol: String, vecCol: String): Seq[Int] =
+    bandedOf(incoming.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .select(pmod(col("bh"), lit(nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  /** Admit `incoming` against the persisted corpus: drop rows whose
+    * exact cosine against some LIVE indexed vector sharing a banded
+    * hyperplane bucket is ≥ `minCosine`, returning survivors
+    * unchanged. Precision is 1 by construction (every drop is
+    * exact-cosine verified — banding only bounds recall, exactly the
+    * inline [[Dedup.embeddingPairs]] contract, t10's oracle shape).
+    * Whale buckets cap on EXISTING-side counts over probed buckets
+    * (the [[MinHashIndex.dedupAgainst]] cross-admission discipline).
+    * Within-incoming duplicates are NOT collapsed (compose with
+    * [[Dedup.embeddingPairs]]/[[Dedup.semanticDedup]] first). */
+  def dedupAgainst(
+      incoming: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, maxBucket: Int = 2000)(
+      implicit ctx: PipelineContext): DataFrame = {
+    ensureParams()
+    val entries = readHead()._2.zipWithIndex
+    require(entries.exists(e => !isDel(e._1)), s"empty Embed index at $path")
+
+    // incoming derivations, once: norm + banded keys (same expressions
+    // as append, so both sides of every comparison hash identically)
+    val inRows = ctx.stage(incoming.select(
+      col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v"))))
+    val inBanded = ctx.stage(bandedOf(inRows))
+
+    val buckets: Seq[Int] = inBanded
+      .select(pmod(col("bh"), lit(nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty) return incoming
+    val idxBanded = bandedScanAt(buckets, entries)
+
+    val inKeys = inBanded.select(col("band"), col("bh")).distinct()
+    val exSized = idxBanded
+      .join(inKeys, Seq("band", "bh"), "left_semi")
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bn") <= maxBucket)
+      .select(col("id").as("ex_id"), col("band"), col("bh"))
+    val cand = inBanded.join(exSized, Seq("band", "bh"))
+      .select(col("id"), col("ex_id")).distinct()
+
+    // existing vectors only for candidate docs — the left-semi that
+    // keeps corpus vectors off the wire for docs no candidate touched
+    val exVecs = docsReadAt(Seq("id", "v", "nrm"), entries)
+      .join(cand.select(col("ex_id").as("id")).distinct(),
+        Seq("id"), "left_semi")
+    val dropIds = cand
+      .join(inRows.select(col("id"), col("v").as("v1"),
+        col("nrm").as("n1")), Seq("id"))
+      .join(exVecs.select(col("id").as("ex_id"), col("v").as("v2"),
+        col("nrm").as("n2")), Seq("ex_id"))
+      .filter(VectorFunctions.cosinePre(
+        VectorFunctions.dot(col("v1"), col("v2")),
+        col("n1"), col("n2")) >= minCosine)
+      .select(col("id")).distinct()
+    incoming.join(dropIds, incoming(idCol) === dropIds("id"), "left_anti")
+  }
+
+  /** Corpus-wide near-duplicate pairs (id1 < id2, exact cosine ≥
+    * `minCosine`) over the LIVE persisted corpus — pair-identical to
+    * inline [[Dedup.embeddingPairs]] over the same vectors (shared
+    * [[Dedup.bandedPairCandidates]] discipline; the differential spec
+    * pins it), computed entirely from STORED state. */
+  def selfPairs(minCosine: Double, maxBucket: Int = 2000)(
+      implicit ctx: PipelineContext): DataFrame = {
+    ensureParams()
+    val entries = readHead()._2.zipWithIndex
+    val cand = ctx.stage(Dedup.bandedPairCandidates(
+      ctx.stage(bandedScanAt(0 until nBuckets, entries)), maxBucket))
+    val candIds = cand.select(col("id1").as("id"))
+      .union(cand.select(col("id2").as("id"))).distinct()
+    val vecs = ctx.stage(docsReadAt(Seq("id", "v", "nrm"), entries)
+      .join(candIds, Seq("id"), "left_semi"))
+    cand
+      .join(vecs.select(col("id").as("id1"), col("v").as("v1"),
+        col("nrm").as("n1")), Seq("id1"))
+      .join(vecs.select(col("id").as("id2"), col("v").as("v2"),
+        col("nrm").as("n2")), Seq("id2"))
+      .withColumn("cosine", VectorFunctions.cosinePre(
+        VectorFunctions.dot(col("v1"), col("v2")), col("n1"), col("n2")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+  }
+}

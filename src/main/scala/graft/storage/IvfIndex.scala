@@ -58,45 +58,17 @@ final class IvfIndex(
     spark: SparkSession, path: String, nCells: Int = 16,
     retainManifests: Int = 2, idBloomMaxIds: Long = 0L) {
   require(nCells > 0, "nCells must be positive")
-  require(retainManifests >= 2,
-    "retainManifests must be >= 2 (the head plus at least one " +
-      "predecessor for in-flight readers — the reader lease)")
 
-  private def dir = new java.io.File(path)
-  private def manifestFile(v: Int) = new java.io.File(dir, s"_manifest.v$v")
-
-  /** A new, writer-unique segment directory for version `n` (the
-    * [[Bm25Index]] naming): two racing writers build under physically
-    * disjoint paths, so a CAS loser's cleanup — and its parquet
-    * Overwrite — can never touch the directory the winner published;
-    * only the manifest CAS decides whose name becomes visible. */
-  private def newSegDir(n: Int) = new java.io.File(dir,
-    s"seg-$n-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}")
-
-  /** A new, writer-unique DELETE-list directory (tombstone segment —
-    * the [[Bm25Index]] delete-list pattern). */
-  private def newDelDir(n: Int) = new java.io.File(dir,
-    s"del-$n-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}")
-
-  /** Whether a manifest entry names a tombstone (delete-list) segment. */
-  private def isDel(name: String): Boolean = name.startsWith("del-")
+  // the shared segmented-manifest protocol (naming, head, tags, CAS
+  // commit, retention) — one definition across the index triad
+  private val mf = new SegmentedManifest(
+    new java.io.File(path), s"ivf:$path", retainManifests)
+  private def dir = mf.dir
 
   private def centroidsFile = new java.io.File(dir, "_centroids")
 
-  /** Manifest head: (version, committed segment names). (0, Nil) =
-    * empty index. */
-  private def readHead(): (Int, Seq[String]) = {
-    val vs = Option(dir.list()).toSeq.flatten
-      .filter(_.matches("_manifest\\.v\\d+"))
-      .map(_.stripPrefix("_manifest.v").toInt)
-    if (vs.isEmpty) (0, Nil)
-    else {
-      val v = vs.max
-      (v, new String(java.nio.file.Files.readAllBytes(
-        manifestFile(v).toPath), "UTF-8")
-        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
-    }
-  }
+  private def readHead(): (Int, Seq[String]) = mf.readHead()
+  private def isDel(name: String): Boolean = mf.isDel(name)
 
   /** Segment names among manifest `lines` (a manifest may also carry
     * a `centroids=<file>` line — the matrix version for that head —
@@ -163,7 +135,7 @@ final class IvfIndex(
     // BEFORE any scan, so a replayed delete after a re-append of the
     // same ids cannot tombstone the newly re-appended live vectors
     if (batchTag.exists(t =>
-        entries.map(_._1).flatMap(tagsOf).contains(t))) return 0L
+        entries.map(_._1).flatMap(mf.tagsOf).contains(t))) return 0L
     val dataSegs = entries.filterNot(e => isDel(e._1))
     if (dataSegs.isEmpty) return 0L
     val want = ids.select(col(idCol).cast("long").as("id")).distinct()
@@ -178,37 +150,13 @@ final class IvfIndex(
     try {
       val nDel = live.count()
       if (nDel == 0L) return 0L
-      val del = newDelDir(baseVer + 1)
+      val del = mf.newDelDir(baseVer + 1)
       live.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
-      batchTag.foreach(t => java.nio.file.Files.write(
-        new java.io.File(del, "_batch").toPath, s"$t\n".getBytes("UTF-8")))
+      batchTag.foreach(mf.writeTag(del, _))
       val body = (lines :+ del.getName).mkString("", "\n", "\n")
-      if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
-          body.getBytes("UTF-8"))) {
-        rmTree(del)
-        throw new CommitConflictException(s"ivf:$path", baseVer + 1)
-      }
+      mf.commit(baseVer + 1, body, Seq(del))
       nDel
     } finally { live.unpersist(false); () }
-  }
-
-  /** Tags of batches already committed at the head (delete replay
-    * guard — the [[Bm25Index.committedBatchTags]] contract). */
-  private def tagsOf(segName: String): Seq[String] = {
-    val f = new java.io.File(s"$path/$segName", "_batch")
-    if (!f.exists) Nil
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-  }
-
-  /** Write the union of `fromSegs`' batch tags into a rewritten
-    * segment's `_batch` BEFORE its manifest CAS — replay safety must
-    * survive compaction and retraining. */
-  private def writeTags(seg: java.io.File, fromSegs: Seq[String]): Unit = {
-    val tags = fromSegs.flatMap(tagsOf).distinct
-    if (tags.nonEmpty) java.nio.file.Files.write(
-      new java.io.File(seg, "_batch").toPath,
-      tags.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
   }
 
   /** The subset of data segments whose `_idrange` sidecar may hold one
@@ -289,7 +237,7 @@ final class IvfIndex(
     if (dataSegs.isEmpty) return // nothing to rewrite
     if (dataSegs.size <= 1 && entries.size == dataSegs.size)
       return // already compact, no tombstones to fold
-    val seg = newSegDir(baseVer + 1)
+    val seg = mf.newSegDir(baseVer + 1)
     liveVectors(entries)
       .repartition(nCells, col("cell"))
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
@@ -313,16 +261,72 @@ final class IvfIndex(
     // maintenance — the Bm25Index.compact contract; without this a
     // compact between a tagged takedown and its at-least-once replay
     // re-tombstones a re-appended id
-    if (wroteRows) writeTags(seg, entries.map(_._1))
+    if (wroteRows) mf.writeTags(seg, entries.map(_._1))
+    // compaction output keeps the takedown pruning its corpus opted
+    // into (VERDICT r14 #7): one column-pruned scan of the vectors
+    // just written; the count over a plain parquet scan is
+    // metadata-cheap
+    if (wroteRows && idBloomMaxIds > 0L) {
+      val ids = spark.read.parquet(s"$seg/vectors").select(col("id"))
+      SegmentIdBloom.write(seg, ids, ids.count(), idBloomMaxIds)
+    }
     val body = (metaLines(lines) ++
       (if (wroteRows) Seq(seg.getName) else Nil))
       .mkString("", "\n", "\n")
-    if (!wroteRows) rmTree(seg)
-    if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
-        body.getBytes("UTF-8"))) {
-      rmTree(seg)
-      throw new CommitConflictException(s"ivf:$path", baseVer + 1)
+    if (!wroteRows) mf.rmTree(seg)
+    mf.commit(baseVer + 1, body, Seq(seg))
+  }
+
+  /** Size-tiered PARTIAL compaction — the routine maintenance call
+    * ([[MinHashIndex.compactTiered]] carries the full design note):
+    * within each manifest run, segments bucketed by
+    * floor(log_mergeFactor(bytes)) merge when ≥ 2 share a tier; the
+    * compacted giant is never rewritten. A tier merge is pure
+    * concatenation: cell assignment is FROZEN per head (a retrain
+    * swaps matrix and segments atomically, so every data segment at
+    * one head was assigned under the head's matrix), ids are disjoint
+    * within a run, and every tombstone outranks all of the group or
+    * none of it. Tombstones stay verbatim and fold at the next full
+    * [[compact]]/[[retrain]]. Id ranges union, tags union, blooms
+    * follow `idBloomMaxIds`. Returns the number of segments folded. */
+  /** The tier-merge groups a [[compactTiered]] at `mergeFactor`
+    * would fold (spec surface — the giant-is-never-rewritten pin). */
+  private[graft] def tieredPlan(mergeFactor: Int): Seq[Seq[String]] =
+    mf.tieredGroups(readHead()._2, mergeFactor)
+
+  def compactTiered(mergeFactor: Int = 10): Int = {
+    val (baseVer, lines) = readHead()
+    val groups = mf.tieredGroups(lines, mergeFactor)
+    if (groups.isEmpty) return 0
+    val builds = groups.map { g =>
+      val seg = mf.newSegDir(baseVer + 1)
+      val vectors = g.map(s => spark.read.parquet(s"$path/$s/vectors")
+        .select(col("id"), col("v"), col("nv"), col("cell")))
+        .reduce(_.unionByName(_))
+      // metadata-cheap count (plain unfiltered scan) — the zero-row
+      // guard for a group of all-empty streaming segments
+      val n = vectors.count()
+      if (n == 0L)
+        vectors.limit(0).coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$seg/vectors")
+      else vectors
+        .repartition(nCells, col("cell"))
+        .write.partitionBy("cell").mode(SaveMode.Overwrite)
+        .parquet(s"$seg/vectors")
+      SegmentIdRange.write(seg, g
+        .map(s => SegmentIdRange.read(new java.io.File(s"$path/$s")))
+        .reduce(SegmentIdRange.union))
+      if (idBloomMaxIds > 0L && n > 0L) SegmentIdBloom.write(seg,
+        spark.read.parquet(s"$seg/vectors").select(col("id")), n,
+        idBloomMaxIds)
+      mf.writeTags(seg, g)
+      g -> seg
     }
+    mf.commit(baseVer + 1,
+      mf.spliceMerged(lines, builds.map { case (g, s) => (g, s.getName) })
+        .mkString("", "\n", "\n"),
+      builds.map(_._2))
+    groups.map(_.size).sum
   }
 
   /** Re-train the centroid matrix on the CURRENT corpus and re-assign
@@ -358,7 +362,7 @@ final class IvfIndex(
     val centFile = new java.io.File(dir, s"_centroids.v${baseVer + 1}-$tok")
     java.nio.file.Files.write(centFile.toPath,
       trained.map(_.mkString(",")).mkString("", "\n", "\n").getBytes("UTF-8"))
-    val seg = newSegDir(baseVer + 1)
+    val seg = mf.newSegDir(baseVer + 1)
     // id range off the rewrite job itself (observe — no extra pass);
     // the live view can only narrow, so this is exact, not a union
     val obs = org.apache.spark.sql.Observation(
@@ -373,37 +377,21 @@ final class IvfIndex(
     SegmentIdRange.write(seg, SegmentIdRange.of("long",
       obs.get.getOrElse("mn", null), obs.get.getOrElse("mx", null)))
     // replay guard survives the rewrite (the compact() contract)
-    writeTags(seg, entries.map(_._1))
+    mf.writeTags(seg, entries.map(_._1))
     // fresh baseline: the new matrix's fit on the corpus it was just
     // trained on — what [[drift]] compares future appends against
     val driftLine = meanAssignedCos(
       spark.read.parquet(s"$seg/vectors"), trained)
       .map(b => s"drift=$b\n").getOrElse("")
     val body = s"centroids=${centFile.getName}\n$driftLine${seg.getName}\n"
-    if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1),
-        body.getBytes("UTF-8"))) {
-      rmTree(seg); centFile.delete()
-      throw new CommitConflictException(s"ivf:$path", baseVer + 1)
-    }
+    try mf.commit(baseVer + 1, body, Seq(seg))
+    catch { case e: CommitConflictException => centFile.delete(); throw e }
   }
 
   /** Current + previous retention, as [[Bm25Index.vacuum]]: delete
     * segment dirs referenced by neither of the two newest manifests
     * and manifests older than those. Returns the deleted names. */
-  def vacuum(): Seq[String] = {
-    val vs = Option(dir.list()).toSeq.flatten
-      .filter(_.matches("_manifest\\.v\\d+"))
-      .map(_.stripPrefix("_manifest.v").toInt).sorted
-    if (vs.size < retainManifests) return Nil
-    val live: Set[String] = vs.takeRight(retainManifests).flatMap { v =>
-      new String(java.nio.file.Files.readAllBytes(
-        manifestFile(v).toPath), "UTF-8")
-        .linesIterator.map(_.trim).filter(_.nonEmpty)
-    }.toSet
-    val dead = Option(dir.list()).toSeq.flatten
-      .filter(n => (n.startsWith("seg-") || n.startsWith("del-")) &&
-        !live.contains(n))
-    dead.foreach(n => rmTree(new java.io.File(dir, n)))
+  def vacuum(): Seq[String] = mf.vacuum { live =>
     // retired centroid versions fall out with the manifests that named
     // them (the un-versioned `_centroids` fallback always stays: any
     // retained pre-retrain head still resolves through it)
@@ -412,14 +400,6 @@ final class IvfIndex(
     Option(dir.list()).toSeq.flatten
       .filter(n => n.startsWith("_centroids.v") && !liveCents.contains(n))
       .foreach(n => new java.io.File(dir, n).delete())
-    vs.dropRight(retainManifests).foreach(v => manifestFile(v).delete())
-    dead.sorted
-  }
-
-  private def rmTree(f: java.io.File): Unit = {
-    def rm(g: java.io.File): Boolean =
-      Option(g.listFiles()).forall(_.forall(rm)) && g.delete()
-    rm(f); ()
   }
 
   /** Append one batch of vectors as a new immutable segment. The first
@@ -440,7 +420,7 @@ final class IvfIndex(
       CasFiles.putIfAbsent(centroidsFile, body.getBytes("UTF-8"))
       centroids.get
     }
-    val seg = newSegDir(baseVer + 1)
+    val seg = mf.newSegDir(baseVer + 1)
     // one task per cell partition (the Bm25Index write discipline:
     // repartition ON the partition column so the write lands one file
     // per cell instead of tasks × cells). The id min/max for the
@@ -449,28 +429,37 @@ final class IvfIndex(
     // observe node away: empty metrics map, no sidecar written).
     val obs = org.apache.spark.sql.Observation(
       s"graft-ivf-${java.util.UUID.randomUUID()}")
-    vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .observe(obs, min(col("id")).as("mn"), max(col("id")).as("mx"),
-        count(lit(1)).as("n"))
+    def shaped(v: DataFrame): DataFrame = v
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("cell",
         element_at(nearestCentroids(col("v"), cents, 1), 1))
       .withColumn("nv", l2Norm(col("v")))
+    shaped(vecs)
+      .observe(obs, min(col("id")).as("mn"), max(col("id")).as("mx"),
+        count(lit(1)).as("n"))
       .repartition(nCells, col("cell"))
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$seg/vectors")
     SegmentIdRange.write(seg, SegmentIdRange.of("long",
       obs.get.getOrElse("mn", null), obs.get.getOrElse("mx", null)))
-    // opt-in content pruning for scattered takedowns: one narrow
-    // column-pruned scan of the JUST-WRITTEN segment (never a
-    // re-computation of the caller's lineage), paid only when the
-    // handle opted in ([[SegmentIdBloom]])
     val nAppended = obs.get.getOrElse("n", 0L) match {
       case l: java.lang.Long => l.longValue
       case _ => 0L
     }
-    // the n > 0 guard ALSO protects the empty-append case: an empty
-    // dynamic-partition write leaves a fileless vectors/ dir whose
-    // eager read here would die in parquet schema inference
+    // an EMPTY batch's dynamic-partition write leaves a FILELESS
+    // vectors/ dir that every later whole-index read (liveVectors,
+    // topK's per-segment scans, compact, retrain) would die on in
+    // parquet schema inference — rewrite it as one empty but
+    // schema-bearing plain file (the MinHashIndex.writeBanded rule;
+    // previously only the bloom build was guarded, leaving the
+    // committed segment a landmine for the next probe)
+    if (nAppended == 0L)
+      shaped(vecs).limit(0).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$seg/vectors")
+    // opt-in content pruning for scattered takedowns: one narrow
+    // column-pruned scan of the JUST-WRITTEN segment (never a
+    // re-computation of the caller's lineage), paid only when the
+    // handle opted in ([[SegmentIdBloom]])
     if (idBloomMaxIds > 0L && nAppended > 0L)
       SegmentIdBloom.write(seg,
         spark.read.parquet(s"$seg/vectors").select(col("id")),
@@ -485,12 +474,7 @@ final class IvfIndex(
         spark.read.parquet(s"$seg/vectors"), cents)
         .map(b => s"drift=$b").toSeq
     val body = (segs ++ driftLine :+ seg.getName).mkString("", "\n", "\n")
-    if (!CasFiles.putIfAbsent(manifestFile(baseVer + 1), body.getBytes("UTF-8"))) {
-      def rm(f: java.io.File): Boolean =
-        Option(f.listFiles()).forall(_.forall(rm)) && f.delete()
-      rm(seg)
-      throw new CommitConflictException(s"ivf:$path", baseVer + 1)
-    }
+    mf.commit(baseVer + 1, body, Seq(seg))
   }
 
   /** Mean cosine between vectors and their ASSIGNED centroid (rows
@@ -525,16 +509,30 @@ final class IvfIndex(
     * no baseline or no live vector. Cost: one narrow corpus scan (v,
     * nv, cell + a broadcast centroid join) — the audit pass a
     * takedown- or drift-heavy pipeline runs per batch or per N
-    * batches; at 100 TB sample the live view first if even that scan
-    * is too dear (the statistic is a mean — any unbiased sample
-    * estimates it). */
-  def drift(): Option[Double] = {
-    val (_, lines) = readHead()
+    * batches. At 100 TB even that scan per batch is too dear, so
+    * `sampleFraction < 1.0` estimates the statistic from a Bernoulli
+    * sample of the live view instead: the statistic is a MEAN, so any
+    * uniform row sample estimates it without bias (each vector is
+    * included independently of its cosine), with standard error
+    * ∝ 1/√(f·n) — at corpus scale a 1e-4 fraction is still millions
+    * of rows, far tighter than any `maxDrift` threshold a caller
+    * would set. The sample is seeded from the head's manifest version
+    * so repeated audits of the SAME head are deterministic while a
+    * changed head re-draws. */
+  def drift(sampleFraction: Double = 1.0): Option[Double] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      "sampleFraction must be in (0, 1]")
+    val (ver, lines) = readHead()
     val entries = segsOf(lines).zipWithIndex
     if (!entries.exists(e => !isDel(e._1))) return None
     (driftBaseline, centroids) match {
       case (Some(base), Some(c)) =>
-        meanAssignedCos(liveVectors(entries), c).map(base - _)
+        val live = liveVectors(entries)
+        val view =
+          if (sampleFraction >= 1.0) live
+          else live.sample(withReplacement = false, sampleFraction,
+            seed = ver.toLong)
+        meanAssignedCos(view, c).map(base - _)
       case _ => None
     }
   }

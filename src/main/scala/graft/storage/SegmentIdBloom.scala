@@ -65,11 +65,23 @@ private[graft] object SegmentIdBloom {
       new java.io.File(segDir, FileName).toPath, out.toByteArray)
   }
 
-  /** Read a segment's bloom; ANY defect degrades to None (= scan). */
+  /** Hard ceiling on a readable `_idbloom` file. The write side never
+    * produces one this large (at 3% fpp a filter is ~0.9 MB per
+    * million ids, so 128 MB covers ~140 M ids — far past any sane
+    * `idBloomMaxIds`, whose economics break down well before that);
+    * a bigger file is foreign or corrupt and must degrade to "scan"
+    * WITHOUT being slurped into driver memory first (ADVICE r14 —
+    * the 'oversized → scan' promise previously held only at write
+    * time). */
+  private val MaxFileBytes = 128L << 20
+
+  /** Read a segment's bloom; ANY defect — including a file above
+    * [[MaxFileBytes]], checked BEFORE reading a byte — degrades to
+    * None (= scan). */
   def read(segDir: java.io.File): Option[BloomFilter] =
     try {
       val f = new java.io.File(segDir, FileName)
-      if (!f.exists) None
+      if (!f.exists || f.length() > MaxFileBytes) None
       else Some(BloomFilter.readFrom(new java.io.ByteArrayInputStream(
         java.nio.file.Files.readAllBytes(f.toPath))))
     } catch { case _: Exception => None }

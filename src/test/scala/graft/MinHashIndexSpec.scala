@@ -293,6 +293,85 @@ class MinHashIndexSpec extends SparkTestBase {
     assert(probe(idx, incoming) === inline(incoming, existing))
   }
 
+  test("an ALL-DUPLICATE micro-batch (empty append) still commits; the index probes and compacts (ADVICE r14)") {
+    // the s08 streaming loop's edge: every incoming doc deduped away →
+    // append() sees ZERO rows but must still commit (the batchTag is
+    // the replay guard — skipping the commit would re-admit the batch
+    // on a checkpoint replay). Blooms opted in: the bloom writer must
+    // no-op on the empty batch, not die or write an empty-filter file.
+    val idx = new MinHashIndex(spark, newDir(), shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8, idBloomMaxIds = 1000L)
+    idx.append(existing, "doc_id", "text", batchTag = Some("b0"))
+    idx.append(existing.limit(0), "doc_id", "text", batchTag = Some("b1"))
+    assert(idx.segments.size === 2, "the empty batch commits a segment")
+    assert(idx.committedBatchTags === Set("b0", "b1"),
+      "the empty batch's tag IS the replay guard")
+    // the zero-doc segment is invisible in every read path: admission,
+    // membership, deletes (its null-bounds id range never wrote a
+    // sidecar → always scanned → zero rows contributed)
+    assert(probe(idx, incoming) === inline(incoming, existing))
+    assert(idx.liveDocIds.count() === 6L)
+    assert(idx.delete(Seq(12L).toDF("doc_id"), "doc_id") === 1L)
+    idx.compact()
+    assert(idx.segments.size === 1)
+    assert(idx.committedBatchTags === Set("b0", "b1"),
+      "tags union forward through the compact")
+    assert(probe(idx, incoming) ===
+      inline(incoming, existing.filter($"doc_id" =!= 12L)))
+  }
+
+  test("dedupMaintenance end state ≡ an index REBUILT from the kept corpus, across a pre-existing tombstone (r15)") {
+    val idx = new MinHashIndex(spark, newDir(), shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8)
+    // the full 12-doc corpus (both fixture halves), then a takedown
+    // BEFORE maintenance: 8 is already tombstoned, so it must neither
+    // drop a live doc nor be kept as a representative
+    idx.append(existing, "doc_id", "text")
+    idx.append(incoming, "doc_id", "text")
+    assert(idx.delete(Seq(8L).toDF("doc_id"), "doc_id") === 1L)
+    val nDropped = PipelineContext.run { implicit ctx =>
+      idx.dedupMaintenance(minJaccard = 0.4, batchTag = Some("m1"))
+    }
+    assert(nDropped > 0L, "the fixture has near-dup clusters to fold")
+    val liveA = idx.liveDocIds.collect().map(_.getLong(0)).sorted.toSeq
+    // keep-min-id per component: every dropped id has a smaller live
+    // representative it pairs with transitively; 8 stayed dead
+    assert(!liveA.contains(8L))
+    assert(liveA.contains(1L), "cluster minima are kept")
+    // REBUILD from exactly the kept docs — the end-state oracle
+    val kept = existing.unionByName(incoming)
+      .filter(col("doc_id").isin(liveA: _*))
+    val rebuilt = new MinHashIndex(spark, newDir(), shingle = mode,
+      numHashes = 64, bands = 16, nBuckets = 8)
+    rebuilt.append(kept, "doc_id", "text")
+    assert(rebuilt.liveDocIds.collect().map(_.getLong(0)).sorted.toSeq
+      === liveA)
+    // probe scores: admission against the maintained index equals
+    // admission against the rebuilt one, for a batch that probes
+    // every class (exact dup of a kept doc, near dup of a dropped
+    // doc's representative, novel)
+    val probeBatch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog tonight"),
+      (103L, "the quick brown fox jumps over the lazy dog at dusk"),
+      (105L, "entirely new material about glacier formation dynamics"))
+      .toDF("doc_id", "text")
+    def admit(i: MinHashIndex): Seq[Row] =
+      PipelineContext.materialize { implicit ctx =>
+        i.dedupAgainst(probeBatch, "doc_id", "text", minJaccard = 0.4)
+      }.orderBy("doc_id").collect().toSeq
+    assert(admit(idx) === admit(rebuilt))
+    // after maintenance the live corpus is pairwise below θ — the
+    // fixpoint a weekly job converges to
+    assert(PipelineContext.materialize { implicit ctx =>
+      idx.selfPairs(0.4)
+    }.isEmpty)
+    // the batchTag makes the whole job replay-safe: a second call is
+    // a pre-pair-computation no-op
+    assert(PipelineContext.run { implicit ctx =>
+      idx.dedupMaintenance(minJaccard = 0.4, batchTag = Some("m1"))
+    } === 0L)
+  }
+
   test("a mismatched-params handle fails loudly instead of probing garbage") {
     val dir = newDir()
     val idx = new MinHashIndex(spark, dir, shingle = mode,
