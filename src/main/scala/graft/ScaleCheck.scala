@@ -195,7 +195,13 @@ object ScaleCheck {
       // the corpus-wide pair query off stored state: candidate volume
       // is copy-local under the token-suffix synthesis (like t05), the
       // build is the t66 machinery over the full corpus
-      "t68_minhash_index_pairs").filter(q =>
+      "t68_minhash_index_pairs",
+      // round 15: the composed maintenance job (pairs → components →
+      // keep-min → tombstone; pair volume copy-local like t68) and the
+      // persisted embedding admission (banded-bucket probe + the
+      // gate's own O(|in|·|ex|) exact verification term — the oracle
+      // bill, not the index's)
+      "t69_minhash_maintenance").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
     // Shapes whose scale-correct form needs to know k: SemDeDup's
@@ -223,6 +229,26 @@ object ScaleCheck {
           "domain", maxPerDomain = 100)
           .groupBy(col("domain")).agg(count(lit(1)).as("n"),
             max(col("domain_rank")).as("max_rank"))
+      },
+      // t70's GATE carries an O(|in|·|ex|) exact-verification term (the
+      // oracle's bill) — this shape scales the OPERATOR alone: persisted
+      // embed-index admission, banded-bucket probe + verified drops
+      "t70_admit_kn" -> { (dir: String, _: Int) =>
+        val emb = graft.sources.Tables.embeddings(spark, dir)
+        val base = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft-scale-t70",
+          dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
+        val idx = new graft.storage.EmbedIndex(spark, base, dim = 64,
+          nPlanes = 4, bands = 4, nBuckets = 16)
+        if (idx.segments.isEmpty)
+          idx.append(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding")
+        graft.operators.PipelineContext.materialize { implicit ctx =>
+          idx.dedupAgainst(emb.filter(col("vec_id") % 2 === 1),
+            "vec_id", "embedding", minCosine = 0.35)
+            .agg(count(lit(1)).as("n_admitted"),
+              sum(col("vec_id")).as("id_sum"))
+        }
       },
       "t45_semdedup_kn" -> { (dir: String, k: Int) =>
         graft.operators.PipelineContext.materialize { implicit ctx =>

@@ -277,6 +277,10 @@ final class EmbedIndex(
     } finally { merged.unpersist(false); () }
   }
 
+  /** Current + previous retention, the shared index rule
+    * ([[SegmentedManifest.vacuum]]). Returns the deleted names. */
+  def vacuum(): Seq[String] = mf.vacuum()
+
   private def readStats(segName: String): (Long, Long) = {
     val parts = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(s"$path/$segName", "_stats").toPath), "UTF-8")
@@ -444,6 +448,20 @@ final class EmbedIndex(
         col("n1"), col("n2")) >= minCosine)
       .select(col("id")).distinct()
     incoming.join(dropIds, incoming(idCol) === dropIds("id"), "left_anti")
+  }
+
+  /** The composed periodic maintenance job, the
+    * [[MinHashIndex.dedupMaintenance]] contract on the embedding
+    * index: [[selfPairs]] → [[Dedup.componentsOf]] → keep the
+    * cluster-minimum id → [[delete]] the rest; `batchTag` checked
+    * before the pair computation. Returns the number tombstoned. */
+  def dedupMaintenance(minCosine: Double, maxBucket: Int = 2000,
+      batchTag: Option[String] = None)(
+      implicit ctx: PipelineContext): Long = {
+    if (batchTag.exists(committedBatchTags.contains)) return 0L
+    val comps = Dedup.componentsOf(selfPairs(minCosine, maxBucket))
+    delete(comps.filter(col("id") =!= col("component"))
+      .select(col("id")), "id", batchTag)
   }
 
   /** Corpus-wide near-duplicate pairs (id1 < id2, exact cosine ≥

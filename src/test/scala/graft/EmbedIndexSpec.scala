@@ -189,6 +189,87 @@ class EmbedIndexSpec extends SparkTestBase {
     }
   }
 
+  test("dedupMaintenance end state ≡ an index rebuilt from the kept vectors (the shared composed job)") {
+    val idx = mkIndex()
+    idx.append(existing, "vec_id", "embedding")
+    val nDropped = PipelineContext.run { implicit ctx =>
+      idx.dedupMaintenance(minCosine = Theta, maxBucket = NoCap,
+        batchTag = Some("m1"))
+    }
+    assert(nDropped > 0L, "the seed families give near-dup clusters")
+    val liveIds = idx.liveDocIds.collect().map(_.getLong(0)).sorted.toSeq
+    val kept = existing.filter($"vec_id".isin(liveIds: _*))
+    val rebuilt = mkIndex()
+    rebuilt.append(kept, "vec_id", "embedding")
+    assert(rebuilt.liveDocIds.collect().map(_.getLong(0)).sorted.toSeq
+      === liveIds)
+    assert(probe(idx, incoming) === probe(rebuilt, incoming))
+    // post-job fixpoint and replay no-op
+    assert(indexPairs(idx).isEmpty)
+    assert(PipelineContext.run { implicit ctx =>
+      idx.dedupMaintenance(minCosine = Theta, maxBucket = NoCap,
+        batchTag = Some("m1"))
+    } === 0L)
+  }
+
+  test("streaming admission against the persisted index (the s08 shape): batch-invisible end state, replay-safe") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft-emb-stream")
+    val watch = base.resolve("watch")
+    java.nio.file.Files.createDirectories(watch)
+    existing.coalesce(1).write.parquet(s"$watch/b0")
+    incoming.coalesce(1).write.parquet(s"$watch/b1")
+    // the file source orders by (mtime, path): pin batch order
+    val now = System.currentTimeMillis()
+    Seq("b0" -> (now - 120000), "b1" -> now).foreach { case (sub, t) =>
+      val d = new java.io.File(s"$watch/$sub")
+      (d +: Option(d.listFiles()).toSeq.flatten).foreach(_.setLastModified(t))
+    }
+    val idx = mkIndex(s"$base/idx")
+    def admitBatch(batch: DataFrame, tag: String): Unit =
+      // head-tag check FIRST (the s08 rule): a replayed batch must not
+      // re-probe an index that already committed its survivors — it
+      // would dedup against itself and admit nothing
+      if (!batch.isEmpty && !idx.committedBatchTags.contains(tag))
+        PipelineContext.run { implicit ctx =>
+          val survivors =
+            if (idx.segments.isEmpty) batch
+            else idx.dedupAgainst(batch, "vec_id", "embedding",
+              minCosine = Theta, maxBucket = NoCap)
+          idx.append(survivors, "vec_id", "embedding", batchTag = Some(tag))
+        }
+    val q = spark.readStream.schema(existing.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(watch.toString)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch, s"es:$batchId")
+      }
+      .start()
+    q.awaitTermination()
+    // maintenance under the end-state check: admissions unchanged
+    idx.compactTiered(10)
+    idx.compact()
+    idx.vacuum(): Unit
+    // end state ≡ the batch composition over the same data
+    val ref = mkIndex()
+    ref.append(existing, "vec_id", "embedding")
+    PipelineContext.run { implicit ctx =>
+      val surv = ref.dedupAgainst(incoming, "vec_id", "embedding",
+        minCosine = Theta, maxBucket = NoCap)
+      ref.append(surv, "vec_id", "embedding")
+    }
+    def live(i: EmbedIndex): Seq[Long] =
+      i.liveDocIds.collect().map(_.getLong(0)).sorted.toSeq
+    assert(live(idx) === live(ref))
+    // an at-least-once replay of the last batch is a no-op
+    admitBatch(spark.read.parquet(s"$watch/b1"), "es:1")
+    assert(live(idx) === live(ref))
+  }
+
   test("a mismatched-params handle fails loudly instead of probing garbage") {
     val dir = newDir()
     val idx = mkIndex(dir)
