@@ -232,14 +232,22 @@ object ScaleCheck {
       },
       // t70's GATE carries an O(|in|·|ex|) exact-verification term (the
       // oracle's bill) — this shape scales the OPERATOR alone: persisted
-      // embed-index admission, banded-bucket probe + verified drops
-      "t70_admit_kn" -> { (dir: String, _: Int) =>
+      // embed-index admission, banded-bucket probe + verified drops.
+      // Scale-correct form is k-AWARE: sign-bit LSH candidate volume is
+      // ~n²/2^nPlanes per band, so nPlanes grows log2(k) with the
+      // corpus (2^nPlanes ∝ n ⇒ bucket occupancy, and with it
+      // per-row candidate volume, stays constant) — the EmbedIndex
+      // generation rule, the analog of IVF's k ∝ √n (measured: the
+      // FIXED-4-plane index read 1.3/1.9/13.4 s at 1×/4×/16× — the
+      // quadratic regime this rule exists to avoid)
+      "t70_admit_kn" -> { (dir: String, k: Int) =>
         val emb = graft.sources.Tables.embeddings(spark, dir)
+        val np = 4 + (31 - Integer.numberOfLeadingZeros(math.max(k, 1)))
         val base = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"), "graft-scale-t70",
           dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
         val idx = new graft.storage.EmbedIndex(spark, base, dim = 64,
-          nPlanes = 4, bands = 4, nBuckets = 16)
+          nPlanes = np, bands = 4, nBuckets = 16)
         if (idx.segments.isEmpty)
           idx.append(emb.filter(col("vec_id") % 2 === 0),
             "vec_id", "embedding")

@@ -41,7 +41,19 @@ import graft.operators.{Dedup, PipelineContext}
   * bounded to CANDIDATE ids — corpus vectors never ride a shuffle for
   * docs no candidate touched. Whale buckets are capped with the
   * EXISTING-side window-count discipline (the [[MinHashIndex
-  * .dedupAgainst]] cross-admission contract). [[selfPairs]] shares
+  * .dedupAgainst]] cross-admission contract).
+  *
+  * GENERATION RULE (the IVF k ∝ √n analog): sign-bit LSH candidate
+  * volume is ~n² / 2^nPlanes per band, so `nPlanes` must grow
+  * log₂(n) with the corpus — 2^nPlanes ∝ n holds per-bucket occupancy
+  * (and with it per-row candidate volume) constant. A corpus that has
+  * outgrown its plane count rebuilds into a new index generation
+  * (params are frozen per index — divergent hyperplanes never match);
+  * within a generation, `maxBucket` is the log-and-drop safety that
+  * bounds a whale bucket's work at the cost of its recall. Measured
+  * in ScaleCheck's `t70_admit_kn`: the fixed-4-plane index reads
+  * 1.3/1.9/13.4 s at 1×/4×/16× (the quadratic regime), the
+  * log₂-grown one stays linear-at-tier. [[selfPairs]] shares
   * [[Dedup.bandedPairCandidates]] with the MinHash engines, so the
   * periodic corpus-wide pair job off stored state is pair-identical
   * to inline [[Dedup.embeddingPairs]] (the differential spec pins
