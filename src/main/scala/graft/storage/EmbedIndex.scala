@@ -354,6 +354,29 @@ final class EmbedIndex(
     groups.map(_.size).sum
   }
 
+  /** Build the NEXT INDEX GENERATION at `destPath` with a new plane
+    * count — the migration the generation rule (class doc) calls for
+    * when the corpus outgrows 2^nPlanes. Everything needed is STORED
+    * (the docs table carries the vectors), so regeneration reads the
+    * live corpus off this index — tombstones folded, column-pruned to
+    * (id, v) — and never touches a source table. The destination is a
+    * separate index (separate `_params`, fresh manifest): readers
+    * migrate by switching paths, the old generation stays queryable
+    * until retired, and a failed regeneration leaves both untouched.
+    * This index's batch tags do NOT carry over (a new generation is a
+    * new idempotency surface — the [[MinHashIndex.compact]] empty-
+    * index note's rule); pass `batchTag` to make the bulk append
+    * itself replay-safe. Returns the new-generation handle. */
+  def regenerate(destPath: String, newPlanes: Int,
+      newBuckets: Int = nBuckets, batchTag: Option[String] = None): EmbedIndex = {
+    val entries = readHead()._2.zipWithIndex
+    require(entries.exists(e => !isDel(e._1)), s"empty Embed index at $path")
+    val next = new EmbedIndex(spark, destPath, dim, newPlanes, bands,
+      newBuckets, retainManifests, idBloomMaxIds)
+    next.append(docsReadAt(Seq("id", "v"), entries), "id", "v", batchTag)
+    next
+  }
+
   /** Live vector ids at the head (the corpus-membership listing). */
   def liveDocIds: DataFrame = {
     val entries = readHead()._2.zipWithIndex
