@@ -383,8 +383,13 @@ object StreamQueries {
       }
       .start()
     q.awaitTermination()
-    idx.compact() // the post-ingest maintenance pass, under the oracle
-    idx.vacuum()  // no-op here (retention covers the pre-compact head)
+    // the post-ingest maintenance pass, under the oracle — the TIERED
+    // policy (r15): per-trigger segments share a size tier and fold;
+    // a compacted giant would be left alone (scores are invariant
+    // either way — TieredCompactionSpec pins it — so the oracle gates
+    // the production maintenance call, not a special one)
+    idx.compactTiered(): Unit
+    idx.vacuum()  // no-op here (retention covers the pre-merge head)
     idx.topDocs(Seq(
         (1L, "dup join"),
         (2L, "hash table scan"),
@@ -461,7 +466,10 @@ object StreamQueries {
       }
       .start()
     q.awaitTermination()
-    idx.compact() // maintenance under the oracle: admissions unchanged
+    // maintenance under the oracle: admissions unchanged — the tiered
+    // policy folds the per-trigger segments (same size tier), never a
+    // full-corpus rewrite (r15)
+    idx.compactTiered(): Unit
     idx.vacuum(): Unit
     idx.liveDocIds
       .select(col("id").as("doc_id"),
