@@ -65,14 +65,11 @@ import graft.operators.{Dedup, PipelineContext}
 final class EmbedIndex(
     spark: SparkSession, path: String, dim: Int,
     nPlanes: Int = 8, bands: Int = 4, nBuckets: Int = 16,
-    retainManifests: Int = 2, idBloomMaxIds: Long = 0L) {
+    retainManifests: Int = 2, idBloomMaxIds: Long = 0L)
+  extends BandedDocsIndex(
+    spark, path, "Embed", nBuckets, retainManifests, idBloomMaxIds) {
   require(dim > 0, "dim must be positive")
   require(nPlanes >= 1 && nPlanes <= 62, "nPlanes must be in [1, 62]")
-  require(nBuckets > 0, "nBuckets must be positive")
-
-  private val mf = new SegmentedManifest(
-    new java.io.File(path), s"embed:$path", retainManifests)
-  private def dir = mf.dir
 
   private def paramsLine = s"$dim $nPlanes $bands $nBuckets"
 
@@ -92,15 +89,6 @@ final class EmbedIndex(
         s"this handle was built with '$paramsLine'")
   }
 
-  private def readHead(): (Int, Seq[String]) = mf.readHead()
-  private def isDel(name: String): Boolean = mf.isDel(name)
-
-  /** Committed segment names at the current head (spec surface). */
-  def segments: Seq[String] = readHead()._2
-
-  /** Tags of the batches already committed at the head. */
-  def committedBatchTags: Set[String] = readHead()._2.flatMap(mf.tagsOf).toSet
-
   /** The banded derivation `embeddingPairs` computes inline — one
     * (band, bh) row per vector per band, bh the sign-bit mask under
     * the band's seeded hyperplanes. */
@@ -108,25 +96,6 @@ final class EmbedIndex(
     .select(col("id"), posexplode(array((0 until bands).map(b =>
       VectorFunctions.lshBucket(col("v"), dim, nPlanes,
         seed = 42L + b)): _*)).as(Seq("band", "bh")))
-
-  /** Bucket-partitioned banded write ([[MinHashIndex.writeBanded]]'s
-    * zero-guard and volume sizing verbatim). */
-  private def writeBanded(banded: DataFrame, dest: String, rows: Long): Unit = {
-    val df = banded.withColumn(
-      "bucket", pmod(col("bh"), lit(nBuckets.toLong)))
-    if (rows == 0L) {
-      df.limit(0).coalesce(1).write.mode(SaveMode.Overwrite).parquet(dest)
-      return
-    }
-    val filesPerBucket = math.max(1L,
-      (rows + nBuckets.toLong * Bm25Index.RowsPerFile - 1) /
-        (nBuckets.toLong * Bm25Index.RowsPerFile)).toInt
-    val parted =
-      if (filesPerBucket == 1) df.repartition(nBuckets, col("bucket"))
-      else df.repartition(nBuckets * filesPerBucket, col("bucket"),
-        pmod(xxhash64(col("id")), lit(filesPerBucket.toLong)))
-    parted.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dest)
-  }
 
   private def writeSegment(docRows: DataFrame, seg: java.io.File,
       nDocs: Long, mn: Any, mx: Any, idType: String): Unit = {
@@ -178,84 +147,6 @@ final class EmbedIndex(
       (segs :+ seg.getName).mkString("", "\n", "\n"), Seq(seg))
   }
 
-  /** Manifest-order tombstone anti-join ([[MinHashIndex]] verbatim). */
-  private def minusDeleted(
-      rows: DataFrame, delSegs: Seq[(String, Int)]): DataFrame =
-    if (delSegs.isEmpty) rows
-    else {
-      val dels = delSegs.map { case (s, i) =>
-        spark.read.parquet(s"$path/$s/ids")
-          .select(col("id").as("__did")).withColumn("__dord", lit(i))
-      }.reduce(_.unionByName(_))
-      rows.join(dels,
-        rows("id") === dels("__did") && dels("__dord") > rows("__ord"),
-        "left_anti")
-    }
-
-  /** Delete-side normalization + range/bloom pruning; `want` comes
-    * back persisted (callers unpersist). */
-  private def pruneForDelete(
-      dataSegs: Seq[(String, Int)], ids: DataFrame,
-      idCol: String): (DataFrame, Seq[(String, Int)]) = {
-    val idT = spark.read.parquet(s"$path/${dataSegs.head._1}/docs")
-      .schema("id").dataType
-    val want = ids.select(col(idCol).cast(idT).as("id")).distinct().persist()
-    val r = want.agg(count(lit(1)).as("n"),
-      min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
-    if (r.getLong(0) == 0L) return (want, Nil)
-    val req = SegmentIdRange.of(idT.typeName, r.get(1), r.get(2))
-    lazy val probe = SegmentIdBloom.probeIds(want, r.getLong(0))
-    (want, dataSegs.filter { case (s, _) =>
-      SegmentIdBloom.mayHold(new java.io.File(s"$path/$s"), req, probe)
-    })
-  }
-
-  /** The data segments a [[delete]] of `ids` would actually SCAN
-    * (spec surface). */
-  private[graft] def deleteScanSegments(
-      ids: DataFrame, idCol: String): Seq[String] = {
-    val dataSegs = readHead()._2.zipWithIndex.filterNot(e => isDel(e._1))
-    if (dataSegs.isEmpty) Nil
-    else {
-      val (want, scanSegs) = pruneForDelete(dataSegs, ids, idCol)
-      want.unpersist(false)
-      scanSegs.map(_._1)
-    }
-  }
-
-  /** Tombstone vectors without rewriting a segment — the shared
-    * delete contract (manifest-order scoping, live-ids-only
-    * tombstones, pre-scan `batchTag` replay guard, range+bloom
-    * pruning). Returns the number tombstoned. */
-  def delete(ids: DataFrame, idCol: String,
-      batchTag: Option[String] = None): Long = {
-    val (baseVer, segs) = readHead()
-    if (batchTag.exists(t => segs.flatMap(mf.tagsOf).contains(t))) return 0L
-    val entries = segs.zipWithIndex
-    val dataSegs = entries.filterNot(e => isDel(e._1))
-    if (dataSegs.isEmpty) return 0L
-    val (want, scanSegs) = pruneForDelete(dataSegs, ids, idCol)
-    if (scanSegs.isEmpty) { want.unpersist(false); return 0L }
-    val hits = scanSegs.map { case (s, i) =>
-      spark.read.parquet(s"$path/$s/docs").select(col("id"))
-        .withColumn("__ord", lit(i))
-    }.reduce(_.unionByName(_)).join(want, Seq("id"))
-    val live = minusDeleted(hits, entries.filter(e => isDel(e._1)))
-      .select(col("id")).distinct().persist()
-    try {
-      val nDel = live.count()
-      if (nDel == 0L) return 0L
-      val del = mf.newDelDir(baseVer + 1)
-      live.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
-      java.nio.file.Files.write(new java.io.File(del, "_stats").toPath,
-        s"$nDel 0\n".getBytes("UTF-8"))
-      batchTag.foreach(mf.writeTag(del, _))
-      mf.commit(baseVer + 1,
-        (segs :+ del.getName).mkString("", "\n", "\n"), Seq(del))
-      nDel
-    } finally { live.unpersist(false); want.unpersist(false); () }
-  }
-
   /** FULL compaction: fold tombstones physically, re-derive band keys
     * from the STORED vectors, one segment out; a fully-tombstoned
     * compact publishes the EMPTY index (new generation — the shared
@@ -289,71 +180,6 @@ final class EmbedIndex(
     } finally { merged.unpersist(false); () }
   }
 
-  /** Current + previous retention, the shared index rule
-    * ([[SegmentedManifest.vacuum]]). Returns the deleted names. */
-  def vacuum(): Seq[String] = mf.vacuum()
-
-  private def readStats(segName: String): (Long, Long) = {
-    val parts = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(s"$path/$segName", "_stats").toPath), "UTF-8")
-      .trim.split(" ")
-    (parts(0).toLong, parts(1).toLong)
-  }
-
-  /** The tier-merge groups a [[compactTiered]] at `mergeFactor`
-    * would fold (spec surface — the giant-is-never-rewritten pin). */
-  private[graft] def tieredPlan(mergeFactor: Int): Seq[Seq[String]] =
-    mf.tieredGroups(readHead()._2, mergeFactor)
-
-  /** Size-tiered PARTIAL compaction ([[MinHashIndex.compactTiered]]
-    * carries the full design note): pure per-table concatenation
-    * within manifest runs, the giant never rewritten, tombstones
-    * verbatim, stats add, ranges union, tags union, blooms follow
-    * `idBloomMaxIds`. Returns the number of segments folded. */
-  def compactTiered(mergeFactor: Int = 10): Int = {
-    val (baseVer, segs) = readHead()
-    val groups = mf.tieredGroups(segs, mergeFactor)
-    if (groups.isEmpty) return 0
-    val builds = groups.map { g =>
-      val seg = mf.newSegDir(baseVer + 1)
-      val docs = g.map(s => spark.read.parquet(s"$path/$s/docs"))
-        .reduce(_.unionByName(_))
-      val banded = g.map(s => spark.read.parquet(s"$path/$s/banded")
-        .select(col("id"), col("band"), col("bh")))
-        .reduce(_.unionByName(_))
-      val (nDocs, sumW) = g.map(readStats)
-        .reduce((a, x) => (a._1 + x._1, a._2 + x._2))
-      val bandedRows = banded.count()
-      val docFiles = math.max(1L,
-        (sumW + Bm25Index.RowsPerFile - 1) / Bm25Index.RowsPerFile).toInt
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val writes = Seq(
-        Future {
-          docs.repartition(docFiles)
-            .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs")
-        },
-        Future { writeBanded(banded, s"$seg/banded", bandedRows) })
-      writes.foreach(Await.result(_,
-        scala.concurrent.duration.Duration(600, "s")))
-      java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
-        s"$nDocs $sumW\n".getBytes("UTF-8"))
-      SegmentIdRange.write(seg, g
-        .map(s => SegmentIdRange.read(new java.io.File(s"$path/$s")))
-        .reduce(SegmentIdRange.union))
-      if (nDocs > 0L) SegmentIdBloom.write(seg,
-        spark.read.parquet(s"$seg/docs").select(col("id")), nDocs,
-        idBloomMaxIds)
-      mf.writeTags(seg, g)
-      g -> seg
-    }
-    mf.commit(baseVer + 1,
-      mf.spliceMerged(segs, builds.map { case (g, s) => (g, s.getName) })
-        .mkString("", "\n", "\n"),
-      builds.map(_._2))
-    groups.map(_.size).sum
-  }
-
   /** Build the NEXT INDEX GENERATION at `destPath` with a new plane
     * count — the migration the generation rule (class doc) calls for
     * when the corpus outgrows 2^nPlanes. Everything needed is STORED
@@ -376,48 +202,6 @@ final class EmbedIndex(
     next.append(docsReadAt(Seq("id", "v"), entries), "id", "v", batchTag)
     next
   }
-
-  /** Live vector ids at the head (the corpus-membership listing). */
-  def liveDocIds: DataFrame = {
-    val entries = readHead()._2.zipWithIndex
-    val dataSegs = entries.filterNot(e => isDel(e._1))
-    require(dataSegs.nonEmpty, s"empty Embed index at $path")
-    minusDeleted(dataSegs.map { case (s, i) =>
-      spark.read.parquet(s"$path/$s/docs").select(col("id"))
-        .withColumn("__ord", lit(i))
-    }.reduce(_.unionByName(_)), entries.filter(e => isDel(e._1)))
-      .drop("__ord")
-  }
-
-  /** The live banded rows of the probed buckets — the exact frame
-    * [[dedupAgainst]] probes candidates from (spec surface: the
-    * pruning pin covers the production path). */
-  private[graft] def bandedScan(buckets: Seq[Int]): DataFrame =
-    bandedScanAt(buckets, readHead()._2.zipWithIndex)
-
-  /** The live banded rows of the probed buckets — literal bucket
-    * partition filter on every scan. */
-  private def bandedScanAt(
-      buckets: Seq[Int], entries: Seq[(String, Int)]): DataFrame = {
-    val dataSegs = entries.filterNot(e => isDel(e._1))
-    val delSegs = entries.filter(e => isDel(e._1))
-    require(dataSegs.nonEmpty, s"empty Embed index at $path")
-    minusDeleted(dataSegs.map { case (s, i) =>
-      spark.read.parquet(s"$path/$s/banded")
-        .filter(col("bucket").isin(buckets: _*))
-        .select(col("id"), col("band"), col("bh"))
-        .withColumn("__ord", lit(i))
-    }.reduce(_.unionByName(_)), delSegs).drop("__ord")
-  }
-
-  /** The live docs-table columns at a caller-held snapshot. */
-  private def docsReadAt(
-      cols: Seq[String], entries: Seq[(String, Int)]): DataFrame =
-    minusDeleted(entries.filterNot(e => isDel(e._1)).map { case (s, i) =>
-      spark.read.parquet(s"$path/$s/docs")
-        .select(cols.map(col): _*).withColumn("__ord", lit(i))
-    }.reduce(_.unionByName(_)), entries.filter(e => isDel(e._1)))
-      .drop("__ord")
 
   /** The banded-table bucket partitions a probe of `incoming` would
     * touch (spec surface — the pruning pin). */
