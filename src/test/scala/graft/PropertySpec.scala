@@ -853,12 +853,14 @@ class PropertySpec extends SparkTestBase {
       texts <- Gen.listOfN(n, Gen.chooseNum(3, 8).flatMap(len =>
         Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
     } yield MAppend(texts)
+    case object MCompactTiered extends MOp
     val opGen: Gen[MOp] = Gen.frequency(
       4 -> appendGen,
       3 -> Gen.chooseNum(1, 3).flatMap(n =>
         Gen.listOfN(n, Gen.chooseNum(1, 25).map(_.toLong))
           .map(ids => MDelete(ids.distinct))),
       2 -> Gen.const(MCompact),
+      2 -> Gen.const(MCompactTiered),
       1 -> Gen.const(MVacuum))
     val opsGen = Gen.chooseNum(5, 8).flatMap(n => Gen.listOfN(n, opGen))
     // fixed probe batch in the same vocabulary (ids disjoint from the
@@ -889,6 +891,7 @@ class PropertySpec extends SparkTestBase {
               live.size.toLong, ctx)
             live.foreach(model.remove)
           case MCompact => if (idx.segments.nonEmpty) idx.compact()
+          case MCompactTiered => idx.compactTiered(10): Unit
           case MVacuum => idx.vacuum(): Unit
         }
         if (model.nonEmpty) {
@@ -903,6 +906,105 @@ class PropertySpec extends SparkTestBase {
               shingle = graft.operators.Dedup.WordGrams(2),
               numHashes = 64, bands = 16, minJaccard = 0.4)
           }.orderBy("doc_id").collect().toSeq
+          assert(got === want, ctx)
+        }
+      }
+    }
+  }
+
+  test("Embed index mutation sequences match the inline embeddingPairs dedup on the modeled corpus") {
+    // the persisted-index mutation-model discipline applied to the
+    // embedding admission index (r15): arbitrary append / delete /
+    // tiered-compact / full-compact / vacuum interleavings vs an
+    // in-memory vector-corpus model, the probe checked against the
+    // inline embeddingPairs-based dedup over the model after EVERY
+    // op. Vectors draw from a handful of shared DIRECTIONS at varied
+    // scales (scaled copies bucket identically and sit at cosine 1 —
+    // real collisions) plus unique gaussian noise vectors; identical
+    // hyperplane seeds on both engines make the equality
+    // deterministic whatever banding recalls.
+    val Dim = 8
+    def vecOf(fam: Int, scale: Double, jitter: Int): Seq[Double] = {
+      val seed = if (fam < 4) 500L + fam else 9000L + jitter
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(Dim)(rnd.nextGaussian() * scale)
+    }
+    sealed trait EOp
+    case class EAppend(vecs: Seq[Seq[Double]]) extends EOp
+    case class EDelete(ids: Seq[Long]) extends EOp
+    case object ECompact extends EOp
+    case object ECompactTiered extends EOp
+    case object EVacuum extends EOp
+    val vecGen: Gen[Seq[Double]] = for {
+      fam <- Gen.chooseNum(0, 6)
+      scale <- Gen.oneOf(0.5, 1.0, 2.0)
+      jitter <- Gen.chooseNum(0, 1000)
+    } yield vecOf(fam, scale, jitter)
+    val opGen: Gen[EOp] = Gen.frequency(
+      4 -> Gen.chooseNum(2, 5).flatMap(n =>
+        Gen.listOfN(n, vecGen).map(EAppend(_))),
+      3 -> Gen.chooseNum(1, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(1, 25).map(_.toLong))
+          .map(ids => EDelete(ids.distinct))),
+      2 -> Gen.const(ECompact),
+      2 -> Gen.const(ECompactTiered),
+      1 -> Gen.const(EVacuum))
+    val opsGen = Gen.chooseNum(5, 8).flatMap(n => Gen.listOfN(n, opGen))
+    // fixed probe batch: two family directions (drop while the family
+    // lives), two unique vectors (survive)
+    val probeBatch = Seq(
+      (1001L, vecOf(0, 1.5, 0)), (1002L, vecOf(1, 0.7, 0)),
+      (1003L, vecOf(9, 1.0, 777)), (1004L, vecOf(9, 1.0, 778)))
+    val theta = 0.8
+    samples(opsGen, 4).zipWithIndex.foreach { case (ops, si) =>
+      var nextId = 0L
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-prop-embseq-$si").toString
+      val idx = new graft.storage.EmbedIndex(spark, dir, dim = Dim,
+        nPlanes = 4, bands = 4, nBuckets = 8)
+      val model = scala.collection.mutable.LinkedHashMap[Long, Seq[Double]]()
+      ops.zipWithIndex.foreach { case (op, oi) =>
+        val ctx = s"sample $si op $oi"
+        op match {
+          case EAppend(vecs) =>
+            val rows = vecs.map { v => nextId += 1; (nextId, v) }
+            idx.append(rows.toDF("vec_id", "embedding"),
+              "vec_id", "embedding")
+            rows.foreach { case (id, v) => model(id) = v }
+          case EDelete(ids) =>
+            val live = ids.filter(model.contains)
+            assert(idx.delete(ids.toDF("vec_id"), "vec_id") ===
+              live.size.toLong, ctx)
+            live.foreach(model.remove)
+          case ECompact => if (idx.segments.nonEmpty) idx.compact()
+          case ECompactTiered => idx.compactTiered(10): Unit
+          case EVacuum => idx.vacuum(): Unit
+        }
+        if (model.nonEmpty) {
+          val probeDf = probeBatch.toDF("vec_id", "embedding")
+          val got = PipelineContext.materialize { implicit mctx =>
+            idx.dedupAgainst(probeDf, "vec_id", "embedding",
+              minCosine = theta, maxBucket = 1000000)
+          }.orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+          // inline reference: embeddingPairs over probe ∪ model, drop
+          // every probe id paired with a model id
+          val want = PipelineContext.materialize { implicit mctx =>
+            val union = probeDf.unionByName(
+              model.toSeq.toDF("vec_id", "embedding"))
+            val pairs = mctx.stage(graft.operators.Dedup.embeddingPairs(
+              union, "vec_id", "embedding", dim = Dim,
+              minCosine = theta, nPlanes = 4, bands = 4,
+              maxBucket = 1000000))
+            val exIds = model.keys.toSeq.toDF("ex_id")
+            val dropped = pairs
+              .join(exIds, pairs("id2") === col("ex_id"))
+              .select(col("id1").as("id"))
+              .unionByName(pairs.join(exIds, pairs("id1") === col("ex_id"))
+                .select(col("id2").as("id")))
+              .distinct()
+            probeDf.join(dropped, probeDf("vec_id") === dropped("id"),
+              "left_anti")
+          }.orderBy("vec_id").collect().map(_.getLong(0)).toSeq
           assert(got === want, ctx)
         }
       }
