@@ -131,18 +131,18 @@ object Bench {
     // hot and the canary reads ~N% hot too, the window is slow, not
     // the code (the r13-t47 / r14-whole-artifact attribution, now
     // answerable without rebuilding an old tree). Median of 3.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 30000000000L, 1, 32)
+        .select(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("id")).as("h"))
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("h"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val canaryWall = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(0, 30000000000L, 1, 32)
-          .select(org.apache.spark.sql.functions.xxhash64(
-            org.apache.spark.sql.functions.col("id")).as("h"))
-          .agg(org.apache.spark.sql.functions.max(
-            org.apache.spark.sql.functions.col("h"))).collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // JIT/codegen warmup
-      val ws = Seq(once(), once(), once()).sorted
+      canaryOnce() // JIT/codegen warmup
+      val ws = Seq(canaryOnce(), canaryOnce(), canaryOnce()).sorted
       ws(1)
     }
     System.err.println(f"BENCH canary: $canaryWall%.3f s")
@@ -172,6 +172,13 @@ object Bench {
       val ok = samples.filter(_ >= 0)
       n -> (if (passes.map(_(n)).exists(_ < 0)) -1.0 else ok.min)
     }
+    // END-of-run canary (r15): the start canary once read CLEAN while
+    // hypervisor contention landed mid-run (233 steal jiffies in pass
+    // 2, totals inflated 8%) — a second sample after the last pass
+    // bounds the window's drift from the artifact alone. Median of 3,
+    // same job.
+    val canaryEnd = Seq(canaryOnce(), canaryOnce(), canaryOnce()).sorted.apply(1)
+    System.err.println(f"BENCH canary end: $canaryEnd%.3f s")
 
     // 3-decimal walls (ms precision — below this host's noise floor):
     // full-precision doubles made the line long enough that the
@@ -196,7 +203,7 @@ object Bench {
     val canaryRatio = canaryWall / canaryRef
     val totalNorm = total / canaryRatio
     val ts = java.time.Instant.now().toString
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","load_initial":${f3(loadInitial)},"steal_initial":${f3(stealInitial)},"canary_wall":${f3(canaryWall)},"canary_ref":${f3(canaryRef)},"value_norm":${f3(totalNorm)},"quiet_window":$quietWindow,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","load_initial":${f3(loadInitial)},"steal_initial":${f3(stealInitial)},"canary_wall":${f3(canaryWall)},"canary_end":${f3(canaryEnd)},"canary_ref":${f3(canaryRef)},"value_norm":${f3(totalNorm)},"quiet_window":$quietWindow,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is the driver contract, but its capture has
     // truncated the tail two rounds running (r6/r7 BENCH artifacts
