@@ -200,10 +200,27 @@ object Bench {
     // gate walls scale with the CPU-bound canary (the r14 judge re-run
     // measured per-gate walls uniformly ≈ the canary ratio).
     val canaryRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_REF", "2.4").toDouble
-    val canaryRatio = canaryWall / canaryRef
+    // r15 verdict wrong #1: normalizing by the START canary alone
+    // over-normalizes a window that RECOVERS mid-run (the committed r15
+    // artifact: start 3.149, end 2.369 — per-gate minima land in the
+    // clean tail, yet value_norm divided everything by 1.31). The
+    // committed per-gate walls are MINIMA over passes, so the honest
+    // denominator is the FASTEST box speed either probe observed:
+    // min(start, end). value_norm is therefore a bound, never an
+    // overstatement; raw walls stay the primary numbers. canary_spread
+    // (max/min of the two probes) flags windows whose speed drifted
+    // beyond noise — read such artifacts via their raw walls only.
+    val canaryBest = math.min(canaryWall, canaryEnd)
+    val canaryRatio = canaryBest / canaryRef
+    val canarySpread =
+      math.max(canaryWall, canaryEnd) / math.max(canaryBest, 1e-9)
+    if (canarySpread > 1.15) System.err.println(
+      f"BENCH WARNING: canary spread $canarySpread%.2f× (start " +
+        f"$canaryWall%.3f vs end $canaryEnd%.3f) — box speed drifted " +
+        "mid-run; trust raw walls, not value_norm")
     val totalNorm = total / canaryRatio
     val ts = java.time.Instant.now().toString
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","load_initial":${f3(loadInitial)},"steal_initial":${f3(stealInitial)},"canary_wall":${f3(canaryWall)},"canary_end":${f3(canaryEnd)},"canary_ref":${f3(canaryRef)},"value_norm":${f3(totalNorm)},"quiet_window":$quietWindow,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","load_initial":${f3(loadInitial)},"steal_initial":${f3(stealInitial)},"canary_wall":${f3(canaryWall)},"canary_end":${f3(canaryEnd)},"canary_ref":${f3(canaryRef)},"canary_spread":${f3(canarySpread)},"value_norm":${f3(totalNorm)},"quiet_window":$quietWindow,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is the driver contract, but its capture has
     // truncated the tail two rounds running (r6/r7 BENCH artifacts

@@ -141,9 +141,11 @@ private[storage] abstract class BandedDocsIndex(
       val nDel = live.count()
       if (nDel == 0L) return 0L
       val del = mf.newDelDir(baseVer + 1)
-      live.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
-      java.nio.file.Files.write(new java.io.File(del, "_stats").toPath,
-        s"$nDel 0\n".getBytes("UTF-8"))
+      // volume-sized like every other segment table (r15 wrong #2: a
+      // coalesce(1) here funnels a GDPR-class purge through one task)
+      live.repartition(Bm25Index.delFiles(spark, nDel))
+        .write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
+      mf.writeStats(del, nDel, 0L)
       batchTag.foreach(mf.writeTag(del, _))
       mf.commit(baseVer + 1,
         (segs :+ del.getName).mkString("", "\n", "\n"), Seq(del))
@@ -219,8 +221,7 @@ private[storage] abstract class BandedDocsIndex(
         Future { writeBanded(banded, s"$seg/banded", bandedRows) })
       writes.foreach(Await.result(_,
         scala.concurrent.duration.Duration(600, "s")))
-      java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
-        s"$nDocs $sumW\n".getBytes("UTF-8"))
+      mf.writeStats(seg, nDocs, sumW)
       SegmentIdRange.write(seg, g
         .map(s => SegmentIdRange.read(new java.io.File(s"$path/$s")))
         .reduce(SegmentIdRange.union))

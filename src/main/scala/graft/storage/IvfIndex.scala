@@ -151,7 +151,10 @@ final class IvfIndex(
       val nDel = live.count()
       if (nDel == 0L) return 0L
       val del = mf.newDelDir(baseVer + 1)
-      live.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
+      // volume-sized like every segment table (r15 wrong #2)
+      live.repartition(Bm25Index.delFiles(spark, nDel))
+        .write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
+      mf.writeStats(del, nDel, 0L)
       batchTag.foreach(mf.writeTag(del, _))
       val body = (lines :+ del.getName).mkString("", "\n", "\n")
       mf.commit(baseVer + 1, body, Seq(del))
@@ -270,6 +273,9 @@ final class IvfIndex(
       val ids = spark.read.parquet(s"$seg/vectors").select(col("id"))
       SegmentIdBloom.write(seg, ids, ids.count(), idBloomMaxIds)
     }
+    // write-time bytes for the tier planner (n deliberately unstamped
+    // — compact counts nothing; IVF reads no counts from _stats)
+    if (wroteRows) mf.writeStats(seg, 0L, 0L)
     val body = (metaLines(lines) ++
       (if (wroteRows) Seq(seg.getName) else Nil))
       .mkString("", "\n", "\n")
@@ -319,6 +325,7 @@ final class IvfIndex(
       if (idBloomMaxIds > 0L && n > 0L) SegmentIdBloom.write(seg,
         spark.read.parquet(s"$seg/vectors").select(col("id")), n,
         idBloomMaxIds)
+      mf.writeStats(seg, n, 0L)
       mf.writeTags(seg, g)
       g -> seg
     }
@@ -376,6 +383,7 @@ final class IvfIndex(
       .parquet(s"$seg/vectors")
     SegmentIdRange.write(seg, SegmentIdRange.of("long",
       obs.get.getOrElse("mn", null), obs.get.getOrElse("mx", null)))
+    mf.writeStats(seg, 0L, 0L) // write-time bytes for the tier planner
     // replay guard survives the rewrite (the compact() contract)
     mf.writeTags(seg, entries.map(_._1))
     // fresh baseline: the new matrix's fit on the corpus it was just
@@ -464,6 +472,10 @@ final class IvfIndex(
       SegmentIdBloom.write(seg,
         spark.read.parquet(s"$seg/vectors").select(col("id")),
         nAppended, idBloomMaxIds)
+    // write-time segment bytes for metadata-only tier planning (r15
+    // missing #3); IVF reads no counts back from _stats — the sidecar
+    // exists here for the third (bytes) field
+    mf.writeStats(seg, nAppended, 0L)
     // training append: stamp the train-time fit of matrix-to-corpus
     // (mean assigned-centroid cosine over the batch the matrix was
     // trained on) as the head's drift baseline — one narrow scan of

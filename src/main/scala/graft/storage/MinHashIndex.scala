@@ -156,8 +156,7 @@ final class MinHashIndex(
         })
       writes.foreach(Await.result(_,
         scala.concurrent.duration.Duration(600, "s")))
-      java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
-        s"$nDocs $sumSh\n".getBytes("UTF-8"))
+      mf.writeStats(seg, nDocs, sumSh)
       SegmentIdRange.write(seg, SegmentIdRange.of(
         docRows.schema("id").dataType.typeName, st.get(2), st.get(3)))
       // opt-in content pruning for scattered takedowns: one extra
@@ -233,8 +232,7 @@ final class MinHashIndex(
         })
       writes.foreach(Await.result(_,
         scala.concurrent.duration.Duration(600, "s")))
-      java.nio.file.Files.write(new java.io.File(seg, "_stats").toPath,
-        s"$nDocs $sumSh\n".getBytes("UTF-8"))
+      mf.writeStats(seg, nDocs, sumSh)
       SegmentIdRange.write(seg, SegmentIdRange.of(
         merged.schema("id").dataType.typeName, st.get(2), st.get(3)))
       // compaction output keeps the takedown pruning its corpus opted
@@ -300,8 +298,7 @@ final class MinHashIndex(
     // shuffled join
     val base = incoming.withColumn("__h", md5(col(textCol).cast("string")))
     val inH = base.select(col("__h").as("exh")).distinct()
-    val matchedH = docsReadAt(Seq("id", "exh"), entries)
-      .join(inH, Seq("exh")).select(col("exh")).distinct()
+    val matchedH = exactMatchedHashes(inH, entries)
     val exactSurvivors = ctx.stage(base
       .join(matchedH, base("__h") === matchedH("exh"), "left_anti")
       .drop("__h"))
@@ -377,6 +374,27 @@ final class MinHashIndex(
     exactSurvivors.join(dropIds,
       exactSurvivors(idCol) === dropIds("id"), "left_anti")
   }
+  /** The exact-content-hash probe: incoming hashes against the live
+    * corpus (id, exh) columns. With AQE on (the default) the join
+    * strategy comes from the MEASURED runtime size — a micro-batch
+    * hash set broadcasts, a bulk increment past the broadcast cap
+    * degrades to a shuffled join instead of failing under a forced
+    * hint. With AQE OFF the static planner has no size estimate for a
+    * multi-stage derived frame and would shuffle the whole corpus
+    * (id, exh) scan per micro-batch — there the explicit broadcast
+    * hint restores the probe plan, accepting the hint's usual
+    * oversized-build-side risk the deployment opted into by disabling
+    * AQE (ADVICE r15). */
+  private[graft] def exactMatchedHashes(
+      inH: DataFrame, entries: Seq[(String, Int)]): DataFrame = {
+    val inHint =
+      if (spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean)
+        inH
+      else broadcast(inH)
+    docsReadAt(Seq("id", "exh"), entries)
+      .join(inHint, Seq("exh")).select(col("exh")).distinct()
+  }
+
   /** Corpus-wide near-duplicate pairs (id1 < id2, exact Jaccard ≥
     * `minJaccard`) over the LIVE persisted corpus — result-identical
     * to [[graft.operators.Dedup.minhashPairs]] over the same documents
