@@ -903,6 +903,42 @@ object PipelineQueries {
     }
   }
 
+  /** The composed periodic EMBEDDING-maintenance job ([[graft.storage
+    * .EmbedIndex.dedupMaintenance]] — t69's contract on the fourth
+    * persisted index, VERDICT r15 #2): the corpus is the even-id
+    * embeddings PLUS planted exact-direction near-duplicates — every
+    * vec_id % 10 == 0 vector re-appended at ×2 scale under
+    * id + 100000. Doubling is exact in floating point and scale-
+    * invariant for BOTH the verify arithmetic (cosine(v, 2v) ≡ 1) and
+    * the banded sign masks (sign(dot(2v, p)) = sign(dot(v, p))), so
+    * banding recall on the planted pairs is exactly 1 — while the
+    * i.i.d. testdata background never crosses the θ=0.8 threshold
+    * (measured max background pairwise cosine ≈ 0.51 at both sf0.01
+    * and sf0.1). One call then runs selfPairs → connected components →
+    * keep-min-id → tombstone, entirely off stored state; the gate's
+    * output is the post-maintenance live id set. The oracle replays
+    * the job from first principles — exact all-pairs cosine,
+    * transitive closure by recursive CTE, keep-min-per-component — so
+    * a hash match proves the composed loop's end state equals a corpus
+    * deduped exactly (the t69 oracle pattern over t70's cosine SQL). */
+  def t71EmbedMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val base = stgateDir("t71")
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val copies = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val idx = new graft.storage.EmbedIndex(spark, base, dim = 64,
+      nPlanes = 8, bands = 4, nBuckets = 16)
+    idx.append(emb, "vec_id", "embedding")
+    idx.append(copies, "vec_id", "embedding")
+    PipelineContext.run { implicit ctx =>
+      idx.dedupMaintenance(minCosine = 0.8): Unit
+    }
+    idx.liveDocIds.select(col("id").as("vec_id")).orderBy(col("vec_id"))
+  }
+
   def t60C4Clean(spark: SparkSession, dir: String): DataFrame = {
     val pages = spark.range(0, 150).select(col("id"),
       concat_ws("\n",
@@ -1481,6 +1517,7 @@ object PipelineQueries {
     "t68_minhash_index_pairs" -> t68MinhashIndexPairs _,
     "t69_minhash_maintenance" -> t69MinhashMaintenance _,
     "t70_embed_index_admission" -> t70EmbedIndexAdmission _,
+    "t71_embed_maintenance" -> t71EmbedMaintenance _,
     "t59_gopher_rules" -> t59GopherRules _,
     "t60_c4_clean" -> t60C4Clean _,
     "t61_jaccard_auto_route" -> t61JaccardAutoRoute _,
@@ -2702,6 +2739,49 @@ object PipelineQueries {
            (SELECT count(*) FROM mc WHERE mc >= 0.35) AS n_droppable,
            CAST(0 AS BIGINT) AS n_false_drops,
            TRUE AS recall_met""",
+    // t71: the composed embedding-maintenance job replayed from first
+    // principles — t69's oracle pattern (exact pairs, recursive-CTE
+    // closure, keep-min-per-component) over t70's exact-cosine SQL.
+    // The planted ×2 copies double exactly in both engines and sit at
+    // cosine 1 against their originals; the i.i.d. background never
+    // reaches θ=0.8 (measured max ≈ 0.51), so the exact pair set is
+    // replayable and banding recall on it is 1 by sign-mask identity.
+    "t71_embed_maintenance" ->
+      """WITH RECURSIVE base AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+         ), corpus AS (
+           SELECT vec_id, embedding FROM base
+           UNION ALL
+           SELECT vec_id + 100000,
+                  list_transform(embedding, x -> x * 2)
+           FROM base WHERE vec_id % 10 = 0
+         ), n AS (
+           SELECT vec_id, embedding,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (p, c) -> p + c)) AS nrm
+           FROM corpus
+         ), pairs AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE list_reduce(list_prepend(0.0,
+                   list_transform(list_zip(a.embedding, b.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                   (p, c) -> p + c) / (a.nrm * b.nrm) >= 0.8
+         ), edges AS (
+           SELECT id1 AS u, id2 AS v FROM pairs
+           UNION SELECT id2, id1 FROM pairs
+         ), reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         ), dropped AS (
+           SELECT u AS vec_id FROM reach GROUP BY u HAVING min(v) < u
+         )
+         SELECT vec_id FROM corpus
+         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         ORDER BY vec_id""",
     // t65: the sketch path is provably exact (candidate superset +
     // verify loop), so its oracle IS the exact top-k SQL — t34's
     // shape at k=40
