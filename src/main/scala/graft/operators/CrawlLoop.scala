@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.storage.{Bm25Index, EmbedIndex, MinHashIndex}
+
+/** The composed CROSS-INDEX crawl-admission loop (VERDICT r15 missing
+  * #4): the production multimodal crawl runs one streaming loop whose
+  * every micro-batch passes through THREE index heads — within-batch
+  * exact text dedup → [[MinHashIndex.dedupAgainst]] (text near-dup
+  * admission) → [[EmbedIndex.dedupAgainst]] (embedding near-dup
+  * admission) → append the JOINTLY-admitted docs to all three
+  * persisted indexes (MinHash, Embed, and [[Bm25Index]] for
+  * retrieval), one shared batch tag, tiered maintenance between
+  * batches. The invariant worth a gate is CONSISTENCY: the three heads
+  * must expose the SAME live id set under at-least-once delivery,
+  * partial failures between appends, and compactions — a crawl whose
+  * retrieval index serves documents its dedup index dropped is
+  * corrupt in the way no single-index gate can see.
+  *
+  * Crash-consistency design. Appends commit in a FIXED order
+  * (MinHash → Embed → BM25), so committed batches always satisfy
+  * minhash ⊇ embed ⊇ bm25 and only a SUFFIX can be missing. The
+  * MinHash head doubles as the admission LEDGER: its tagged segment
+  * durably records the admitted id set at the moment of commit
+  * ([[graft.storage.BandedDocsIndex.docIdsOfBatch]]). A replayed batch
+  * whose leader already committed must NOT re-probe (the s08
+  * data-loss class: probing an index that already holds this batch's
+  * survivors absorbs every doc as a self-duplicate and admits
+  * nothing); instead it recovers `admitted = ledger ids ∩ batch ids` —
+  * exact even after a compaction merged the tagged segment with
+  * neighbors, because ids are globally unique across batches — and
+  * completes the suffix appends under their own tag guards (no-ops
+  * where already committed). The heads therefore CONVERGE: after any
+  * interleaving of crashes, replays and maintenance, one more replay
+  * of the failed batch restores three-way equality with the very id
+  * set the uninterrupted run would have admitted (CrawlLoopSpec drives
+  * exactly this; the s10 driver gate hash-pins the equality against a
+  * relational replay of the sequential admission).
+  *
+  * Scale shape: every stage is the gated per-index plan — the probes
+  * read only the batch's bucket partitions, the appends band/sign/
+  * tokenize the batch once, and maintenance is the tiered merge. The
+  * loop adds NO cross-index shuffle: the admitted frame is one staged
+  * micro-batch fanned into three writers. */
+object CrawlLoop {
+
+  /** Run one micro-batch through the three-index admission loop.
+    * `batch` carries (idCol, textCol, vecCol); `tag` must be unique
+    * per (stream, batch) — e.g. `"crawl:<batchId>"`. Thresholds are
+    * the per-index admission contracts ([[Dedup.dedupAgainst]]'s
+    * minJaccard, [[EmbedIndex.dedupAgainst]]'s minCosine).
+    * `failpoint` is the spec's crash-injection hook ("afterMinhash" /
+    * "afterEmbed" throw between commits); production callers leave it
+    * empty. */
+  def admitBatch(
+      minhash: MinHashIndex, embed: EmbedIndex, bm25: Bm25Index,
+      batch: DataFrame, idCol: String, textCol: String, vecCol: String,
+      tag: String, minJaccard: Double = 0.5, minCosine: Double = 0.8,
+      failpoint: String = ""): Unit = {
+    if (batch.isEmpty) return
+    def fail(p: String): Unit = if (failpoint == p)
+      throw new IllegalStateException(s"crawl-loop failpoint: $p")
+
+    if (minhash.committedBatchTags.contains(tag)) {
+      // RECOVERY / replay: the leader committed, so the admitted set
+      // is durably recorded — never re-probe, complete the suffix
+      val ledger = minhash.docIdsOfBatch(tag)
+      val admitted = batch.join(ledger,
+        batch(idCol) === ledger("id"), "left_semi")
+      embed.append(admitted, idCol, vecCol, batchTag = Some(tag))
+      fail("afterEmbed")
+      bm25.append(admitted, idCol, textCol, batchTag = Some(tag))
+      return
+    }
+
+    PipelineContext.run { implicit ctx =>
+      // within-batch exact text dedup, keep-min-id (the s06/s08 rule)
+      val w = Window.partitionBy(md5(col(textCol).cast("string")))
+        .orderBy(col(idCol))
+      val clean = ctx.stage(batch
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"))
+      // sequential admission: text near-dup first (drops also every
+      // exact cross-batch duplicate), then embedding near-dup on the
+      // text survivors — a doc must pass BOTH heads to be admitted
+      val admitted = ctx.stage(
+        if (minhash.segments.isEmpty) clean
+        else {
+          val textSurv = minhash.dedupAgainst(
+            clean, idCol, textCol, minJaccard)
+          if (embed.segments.isEmpty) textSurv
+          else embed.dedupAgainst(textSurv, idCol, vecCol, minCosine)
+        })
+      // fixed commit order — the ledger-first rule the recovery path
+      // depends on
+      minhash.append(admitted, idCol, textCol, batchTag = Some(tag))
+      fail("afterMinhash")
+      embed.append(admitted, idCol, vecCol, batchTag = Some(tag))
+      fail("afterEmbed")
+      bm25.append(admitted, idCol, textCol, batchTag = Some(tag))
+    }
+  }
+
+  /** The in-loop maintenance pass: tiered compaction on all three
+    * heads (never a full rewrite — the [[graft.storage
+    * .BandedDocsIndex.compactTiered]] policy). Admissions, probes and
+    * the ledger-recovery path are invariant under it: tags union
+    * forward and [[graft.storage.BandedDocsIndex.docIdsOfBatch]]
+    * intersects with the batch, so a merge between a crash and its
+    * replay changes nothing (spec-pinned). Returns segments folded. */
+  def maintain(minhash: MinHashIndex, embed: EmbedIndex, bm25: Bm25Index,
+      mergeFactor: Int = 10): Int =
+    minhash.compactTiered(mergeFactor) + embed.compactTiered(mergeFactor) +
+      bm25.compactTiered(mergeFactor)
+}

@@ -602,6 +602,97 @@ object StreamQueries {
     }
   }
 
+  /** s10: the composed CROSS-INDEX crawl loop ([[CrawlLoop]], VERDICT
+    * r15 missing #4) under the driver oracle — one AvailableNow stream
+    * whose each micro-batch runs text admission (MinHash), embedding
+    * admission (EmbedIndex) and retrieval indexing (BM25 append of the
+    * jointly-admitted docs) with one shared tag, tiered maintenance on
+    * all three heads between batches.
+    *
+    * Corpus: documents ⋈ embeddings on doc_id = vec_id, with PLANTED
+    * embedding near-duplicates — every doc_id % 10 == 5 (odd, batch 1)
+    * carries ×2 the (doc_id − 1) vector. Doubling preserves exact
+    * cosine (≡ 1) and the banded sign masks, so the embedding stage's
+    * recall on planted pairs is exactly 1 while the i.i.d. background
+    * (max pairwise cosine ≈ 0.51) never reaches θ = 0.8; the text
+    * stage is s06/s08's replayable configuration verbatim. The gate's
+    * output full-outer-joins the three heads' live id sets with
+    * presence flags, so an id present in ANY head but not all three
+    * becomes a row/hash mismatch — the oracle replays the sequential
+    * admission relationally and states TRUE/TRUE/TRUE per admitted
+    * doc. At 100 TB this is the production crawl: per-batch cost is
+    * incoming × probed-buckets on both near-dup heads, the admitted
+    * frame fans into three writers with no cross-index shuffle, and
+    * the heads stay mutually consistent under replays and partial
+    * failures by the ledger-first commit order (CrawlLoopSpec drives
+    * the crash matrix). */
+  def s10StreamCrawl(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratchBase.resolve("s10")
+    rmTree(base.toFile)
+    Files.createDirectories(base)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val prev = emb.select((col("vec_id") + 1).as("pid"),
+      col("embedding").as("prev_emb"))
+    val joint = docs
+      .join(emb, docs("doc_id") === emb("vec_id")).drop("vec_id")
+      .join(prev, col("doc_id") === prev("pid"), "left").drop("pid")
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 10 === 5 && col("prev_emb").isNotNull,
+          transform(col("prev_emb"), x => x * lit(2.0f)))
+          .otherwise(col("embedding")).as("embedding"))
+    val watch = s"$base/watch"
+    Files.createDirectories(java.nio.file.Paths.get(watch))
+    joint.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$watch/b0")
+    joint.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.parquet(s"$watch/b1")
+    // the file source orders by (mtime, path): pin batch order
+    val now = System.currentTimeMillis()
+    def stamp(sub: String, t: Long): Unit = {
+      val d = new java.io.File(s"$watch/$sub")
+      (d +: Option(d.listFiles()).toSeq.flatten).foreach(_.setLastModified(t))
+    }
+    stamp("b0", now - 120000); stamp("b1", now)
+    val mh = new graft.storage.MinHashIndex(spark, s"$base/mh",
+      shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+      nBuckets = 16)
+    val em = new graft.storage.EmbedIndex(spark, s"$base/em", dim = 64,
+      nPlanes = 4, bands = 4, nBuckets = 16)
+    val bm = new graft.storage.Bm25Index(spark, s"$base/bm", nBuckets = 16)
+    val stream = spark.readStream.schema(joint.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(watch)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          CrawlLoop.admitBatch(mh, em, bm, batch,
+            "doc_id", "text", "embedding", tag = s"s10:$batchId",
+            minJaccard = 0.4, minCosine = 0.8)
+          CrawlLoop.maintain(mh, em, bm): Unit
+        }
+      }
+      .start()
+    q.awaitTermination()
+    val m = mh.liveDocIds
+      .select(col("id").as("doc_id"), lit(true).as("in_minhash"))
+    val ei = em.liveDocIds
+      .select(col("id").as("doc_id"), lit(true).as("in_embed"))
+    val bi = bm.liveDocIds
+      .select(col("id").as("doc_id"), lit(true).as("in_bm25"))
+    m.join(ei, Seq("doc_id"), "full_outer")
+      .join(bi, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), (col("doc_id") % 2).cast("int").as("batch"),
+        coalesce(col("in_minhash"), lit(false)).as("in_minhash"),
+        coalesce(col("in_embed"), lit(false)).as("in_embed"),
+        coalesce(col("in_bm25"), lit(false)).as("in_bm25"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_window" -> (s01StreamWindow(_, _)),
     "s02_stream_dedup" -> (s02StreamDedup(_, _)),
@@ -611,7 +702,8 @@ object StreamQueries {
     "s06_stream_corpus_dedup" -> (s06StreamCorpusDedup(_, _)),
     "s07_stream_bm25_index" -> (s07StreamBm25Index(_, _)),
     "s08_stream_minhash_admit" -> (s08StreamMinhashAdmit(_, _)),
-    "s09_stream_embed_admit" -> (s09StreamEmbedAdmit(_, _)))
+    "s09_stream_embed_admit" -> (s09StreamEmbedAdmit(_, _)),
+    "s10_stream_crawl" -> (s10StreamCrawl(_, _)))
 
   /** Sequential two-batch admission replay, shared by s06 (inline
     * accumulated-corpus dedup) and s08 (persisted MinHash index): both
@@ -707,6 +799,87 @@ object StreamQueries {
            CAST(0 AS BIGINT) AS n_false_drops,
            TRUE AS recall_met,
            TRUE AS ends_equal_batch""",
+    // s10: the cross-index crawl replayed sequentially — batch 0
+    // (even doc_ids) keeps min-id per content hash and is fully
+    // admitted; batch 1 (odd) additionally survives exact text, exact
+    // word-bigram Jaccard >= 0.4 (the s06/s08 recall argument) AND
+    // exact cosine >= 0.8 against batch 0's survivors (the planted
+    // ×2-copy construction makes the embedding stage's recall exactly
+    // 1 — t71's argument). Every admitted doc must be in ALL THREE
+    // heads: a divergent head surfaces as a row whose flag the oracle
+    // says is TRUE.
+    "s10_stream_crawl" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         j AS (
+           SELECT d.doc_id, d.text,
+             CASE WHEN d.doc_id % 10 = 5 AND p.vec_id IS NOT NULL
+               THEN list_transform(p.embedding, x -> x * 2)
+               ELSE e.embedding END AS emb
+           FROM documents d
+           JOIN e ON d.doc_id = e.vec_id
+           LEFT JOIN e p ON p.vec_id = d.doc_id - 1),
+         e0 AS (
+           SELECT doc_id, text, emb FROM j WHERE doc_id % 2 = 0
+           QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) = 1),
+         e1 AS (
+           SELECT doc_id, text, emb FROM j WHERE doc_id % 2 = 1
+           QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) = 1),
+         x1 AS (
+           SELECT e1.doc_id, e1.text, e1.emb FROM e1
+           WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.text = e1.text)),
+         g0 AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS w
+                 FROM e0)
+           WHERE len(w) >= 2),
+         g1 AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS w
+                 FROM x1)
+           WHERE len(w) >= 2),
+         tdrop AS (
+           SELECT DISTINCT i.doc_id
+           FROM g1 i JOIN g0 t
+             ON len(list_intersect(i.g, t.g))::DOUBLE /
+                (len(i.g) + len(t.g) - len(list_intersect(i.g, t.g))) >= 0.4),
+         ts AS (
+           SELECT doc_id, emb FROM x1
+           WHERE doc_id NOT IN (SELECT doc_id FROM tdrop)),
+         n0 AS (
+           SELECT doc_id, emb,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(emb,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (p, c) -> p + c)) AS nrm
+           FROM e0),
+         ns AS (
+           SELECT doc_id, emb,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(emb,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (p, c) -> p + c)) AS nrm
+           FROM ts),
+         edrop AS (
+           SELECT DISTINCT s.doc_id
+           FROM ns s JOIN n0 t
+             ON list_reduce(list_prepend(0.0,
+                  list_transform(list_zip(s.emb, t.emb),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                  (p, c) -> p + c) / (s.nrm * t.nrm) >= 0.8)
+         SELECT doc_id, CAST(doc_id % 2 AS INT) AS batch,
+                TRUE AS in_minhash, TRUE AS in_embed, TRUE AS in_bm25
+         FROM (
+           SELECT doc_id FROM e0
+           UNION ALL
+           SELECT doc_id FROM ts
+           WHERE doc_id NOT IN (SELECT doc_id FROM edrop))
+         ORDER BY doc_id""",
     // a window is emitted iff its END is at or below the final
     // watermark — which Spark computes at MILLISECOND resolution
     // (floor-to-ms of max event time, minus the delay; non-strict <=

@@ -40,6 +40,25 @@ private[storage] abstract class BandedDocsIndex(
     * idempotency surface, inherited across compaction. */
   def committedBatchTags: Set[String] = readHead()._2.flatMap(mf.tagsOf).toSet
 
+  /** The doc ids recorded in the head's data segments carrying `tag` —
+    * the admission LEDGER [[graft.operators.CrawlLoop]] recovers a
+    * replayed batch's admitted set from: a tagged append durably
+    * records exactly what it admitted, and compaction unions tags
+    * forward, so after a merge the tagged segment is a SUPERSET whose
+    * intersection with the batch's own ids is still exact (ids are
+    * globally unique across batches — the new-ids append contract).
+    * Raw segment contents, deliberately without the tombstone fold:
+    * recovery wants what the tagged append COMMITTED, not the current
+    * live view. Loud when no segment carries the tag — callers check
+    * [[committedBatchTags]] first. */
+  def docIdsOfBatch(tag: String): DataFrame = {
+    val segs = readHead()._2
+      .filter(s => !isDel(s) && mf.tagsOf(s).contains(tag))
+    require(segs.nonEmpty, s"no $kind segment carries batch tag '$tag'")
+    segs.map(s => spark.read.parquet(s"$path/$s/docs").select(col("id")))
+      .reduce(_.unionByName(_)).distinct()
+  }
+
   /** Bucket-partitioned banded write, file count scaled by measured
     * volume (the [[Bm25Index]] sizing discipline: one file per bucket
     * for a batch, salted fan-out for a bulk build). `rows` must be the

@@ -220,6 +220,24 @@ final class Bm25Index(
     * data segments AND tombstone (`del-`) segments, in manifest order. */
   def segments: Seq[String] = readHead()._2
 
+  /** Live document ids at the head — distinct posting ids minus
+    * manifest-order tombstones, column-pruned to the id alone (the
+    * [[MinHashIndex]]-family membership surface, here for cross-index
+    * consistency checks). Caveat inherited from the layout: a document
+    * EVERY one of whose terms was df-capped at build time has no
+    * posting rows and is invisible here (the [[delete]] scaladoc's
+    * dfCap edge). Loud on an empty index, like every query. */
+  def liveDocIds: DataFrame = {
+    val entries = readHead()._2.zipWithIndex
+    val dataSegs = entries.filterNot(e => isDel(e._1))
+    require(dataSegs.nonEmpty, s"empty BM25 index at $path")
+    minusDeleted(dataSegs.map { case (s, i) =>
+      spark.read.parquet(s"$path/$s/postings").select(col("id"))
+        .withColumn("__ord", lit(i))
+    }.reduce(_.unionByName(_)), entries.filter(e => isDel(e._1)))
+      .select(col("id")).distinct()
+  }
+
   /** Drop documents from the index WITHOUT rewriting any data segment
     * — the Lucene delete-list pattern: a tombstone segment
     * `del-<n>-<tok>/` carrying the deleted ids, per-term df decrements
