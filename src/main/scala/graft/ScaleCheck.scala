@@ -201,6 +201,10 @@ object ScaleCheck {
       // persisted embedding admission (banded-bucket probe + the
       // gate's own O(|in|·|ex|) exact verification term — the oracle
       // bill, not the index's)
+      // (round 16: s09's GATE carries the O(|in|·|ex|) exact-
+      // verification bill like t70's and is excluded the same way —
+      // t70_admit_kn scales the operator, s08 the streaming loop;
+      // the crawl loop runs k-aware below.)
       "t69_minhash_maintenance").filter(q =>
       onlyShapes.forall(_.contains(q)))
 
@@ -257,6 +261,57 @@ object ScaleCheck {
             .agg(count(lit(1)).as("n_admitted"),
               sum(col("vec_id")).as("id_sum"))
         }
+      },
+      // round 16: the composed embedding-maintenance job (t71's shape)
+      // scaled k-AWARE under the generation rule (nPlanes = 8 +
+      // log₂ k): fresh index per invocation — build (two appends) +
+      // selfPairs → components → keep-min → tombstone, all off stored
+      // state. NOTE the embedding synthesis replicates each base
+      // vector VERBATIM per copy (ids shift, vectors don't), so at k×
+      // this job collapses k-sized identical-twin families — the drop
+      // set is ~(k−1)/k of the corpus, i.e. the semantic work per
+      // original grows with k BY CONSTRUCTION (a dedup job on k×
+      // duplicated data). Family pair volume is C(k,2) per direction,
+      // bounded and copy-local; the scan/build terms are ~k.
+      // round 16: the cross-index crawl loop, k-AWARE on the embed
+      // head (nPlanes = 8 + log₂ k — the generation rule; results are
+      // plane-count-invariant): three index builds + bucket-pruned
+      // probes per batch, no quadratic verification term. Growth term
+      // is the per-batch shingle/sign/tokenize work, ~k. Text
+      // structure is copy-local by the token-suffix synthesis; the
+      // verbatim-replicated embeddings keep parity (shifts are even),
+      // so odd probes meet even corpus vectors only at background
+      // cosine plus the in-copy planted pairs.
+      "s10_crawl_kn" -> { (dir: String, k: Int) =>
+        graft.operators.StreamQueries.s10StreamCrawlAt(spark, dir,
+          nPlanes = 8 + (31 - Integer.numberOfLeadingZeros(math.max(k, 1))))
+      },
+      "t71_maint_kn" -> { (dir: String, k: Int) =>
+        val base = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft-scale-t71").toString
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(base))
+        val emb = graft.sources.Tables.embeddings(spark, dir)
+          .filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding"))
+        // copy offset BEYOND the synthesis key shifts (i·10^7, i<k) —
+        // appended ids must be new
+        val copies = emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        val np = 8 + (31 - Integer.numberOfLeadingZeros(math.max(k, 1)))
+        val idx = new graft.storage.EmbedIndex(spark, base, dim = 64,
+          nPlanes = np, bands = 4, nBuckets = 16)
+        idx.append(emb, "vec_id", "embedding")
+        idx.append(copies, "vec_id", "embedding")
+        graft.operators.PipelineContext.run { implicit ctx =>
+          idx.dedupMaintenance(minCosine = 0.8): Unit
+        }
+        idx.liveDocIds.agg(count(lit(1)).as("n_live"),
+          sum(col("id")).as("id_sum"))
       },
       "t45_semdedup_kn" -> { (dir: String, k: Int) =>
         graft.operators.PipelineContext.materialize { implicit ctx =>

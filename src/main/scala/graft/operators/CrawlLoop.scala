@@ -104,6 +104,40 @@ object CrawlLoop {
     }
   }
 
+  /** Cross-index TAKEDOWN: tombstone `ids` in all three heads under
+    * one shared tag — the GDPR-purge / curation-drop companion of
+    * [[admitBatch]]: a crawl whose retrieval index still serves a
+    * document its dedup heads dropped is exactly the corruption the
+    * consistency contract exists to prevent, and takedowns arrive on
+    * the same at-least-once schedulers as batches.
+    *
+    * Unlike admission, no ledger is needed: the id set is the
+    * CALLER'S durable artifact (the takedown request), and each
+    * index's `delete` is independently idempotent — tag-guarded
+    * before any scan, and absent/already-dead ids contribute zero —
+    * so a replay after a crash between deletes simply completes the
+    * missing suffix. Between a partial failure and its replay the
+    * heads transiently diverge (inherent to any non-atomic
+    * multi-store write); the contract is CONVERGENCE under
+    * at-least-once delivery, which CrawlLoopSpec drives through the
+    * same failpoint matrix as admission. The per-index tag guard also
+    * protects the usual replay-after-re-append hazard: a takedown tag
+    * replayed after a later [[admitBatch]] re-admitted one of the ids
+    * must not tombstone the new live document. Returns the per-head
+    * tombstone counts of THIS call (zeros on a replay). */
+  def takedown(minhash: MinHashIndex, embed: EmbedIndex, bm25: Bm25Index,
+      ids: DataFrame, idCol: String, tag: String,
+      failpoint: String = ""): (Long, Long, Long) = {
+    def fail(p: String): Unit = if (failpoint == p)
+      throw new IllegalStateException(s"crawl-loop failpoint: $p")
+    val m = minhash.delete(ids, idCol, batchTag = Some(tag))
+    fail("afterMinhashDel")
+    val e = embed.delete(ids, idCol, batchTag = Some(tag))
+    fail("afterEmbedDel")
+    val b = bm25.delete(ids, idCol, batchTag = Some(tag))
+    (m, e, b)
+  }
+
   /** The in-loop maintenance pass: tiered compaction on all three
     * heads (never a full rewrite — the [[graft.storage
     * .BandedDocsIndex.compactTiered]] policy). Admissions, probes and

@@ -626,7 +626,16 @@ object StreamQueries {
     * the heads stay mutually consistent under replays and partial
     * failures by the ledger-first commit order (CrawlLoopSpec drives
     * the crash matrix). */
-  def s10StreamCrawl(spark: SparkSession, dir: String): DataFrame = {
+  def s10StreamCrawl(spark: SparkSession, dir: String): DataFrame =
+    s10StreamCrawlAt(spark, dir, nPlanes = 8)
+
+  /** [[s10StreamCrawl]] with the embed head's plane count exposed —
+    * results are plane-count-invariant (planted copies collide at ANY
+    * plane count by sign-mask identity; every drop is exact-verified),
+    * so ScaleCheck can run the loop under the generation rule
+    * (nPlanes ∝ log₂ k) while the gate pins one fixed configuration. */
+  private[graft] def s10StreamCrawlAt(
+      spark: SparkSession, dir: String, nPlanes: Int): DataFrame = {
     val base = scratchBase.resolve("s10")
     rmTree(base.toFile)
     Files.createDirectories(base)
@@ -659,7 +668,7 @@ object StreamQueries {
       shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
       nBuckets = 16)
     val em = new graft.storage.EmbedIndex(spark, s"$base/em", dim = 64,
-      nPlanes = 4, bands = 4, nBuckets = 16)
+      nPlanes = nPlanes, bands = 4, nBuckets = 16)
     val bm = new graft.storage.Bm25Index(spark, s"$base/bm", nBuckets = 16)
     val stream = spark.readStream.schema(joint.schema)
       .option("maxFilesPerTrigger", "1")

@@ -257,6 +257,36 @@ private[storage] abstract class BandedDocsIndex(
     groups.map(_.size).sum
   }
 
+  /** FULL compaction — fold tombstones physically, whole-corpus
+    * rewrite; per-index (band keys re-derive from each index's stored
+    * state). The routine call is [[compactTiered]];
+    * [[maintainCompaction]] picks between them by measured debt. */
+  def compact(): Unit
+
+  /** The debt-aware maintenance dispatch — the policy answer to
+    * tombstone PILEUP (Lucene folds deletes when their covering
+    * segment merges; here a del entry is a manifest-order anti-join
+    * term every probe pays AND a run separator every tier merge
+    * respects, so a takedown-heavy corpus accumulates read and merge
+    * debt that tiered maintenance never clears). Reads the debt from
+    * `_stats` alone ([[SegmentedManifest.tombstoneDebt]] — pure
+    * metadata): past `maxDelFraction` dead docs, pay the one full
+    * rewrite that reclaims them; otherwise run the ∝-merged-bytes
+    * tiered merge. Returns true when the full compact ran. The
+    * default 0.2 is Lucene's reclaim-at-20%-deletes ballpark: a full
+    * rewrite costs ~corpus bytes, so amortizing it against ≥ 20%
+    * reclaimed space bounds rewrite amplification at ~5× while
+    * keeping the per-probe anti-join term short. */
+  def maintainCompaction(maxDelFraction: Double = 0.2,
+      mergeFactor: Int = 10): Boolean = {
+    require(maxDelFraction > 0, "maxDelFraction must be positive")
+    val (_, segs) = readHead()
+    val (dead, total) = mf.tombstoneDebt(segs)
+    if (total > 0 && dead.toDouble / total > maxDelFraction) {
+      compact(); true
+    } else { compactTiered(mergeFactor): Unit; false }
+  }
+
   /** Live document ids at the head — docs minus manifest-order
     * tombstones, column-pruned to the id alone; loud on an empty
     * index, like every probe. */

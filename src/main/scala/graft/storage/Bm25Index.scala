@@ -543,6 +543,22 @@ final class Bm25Index(
     groups.map(_.size).sum
   }
 
+  /** The debt-aware maintenance dispatch ([[graft.storage
+    * .BandedDocsIndex.maintainCompaction]] carries the policy note):
+    * past `maxDelFraction` dead docs — read from `_stats` alone —
+    * run the full tombstone-folding [[compact]]; otherwise the
+    * ∝-merged-bytes [[compactTiered]]. Returns true when the full
+    * compact ran. */
+  def maintainCompaction(maxDelFraction: Double = 0.2,
+      mergeFactor: Int = 10): Boolean = {
+    require(maxDelFraction > 0, "maxDelFraction must be positive")
+    val (_, segs) = readHead()
+    val (dead, total) = mf.tombstoneDebt(segs)
+    if (total > 0 && dead.toDouble / total > maxDelFraction) {
+      compact(); true
+    } else { compactTiered(mergeFactor): Unit; false }
+  }
+
   /** Delete segment dirs referenced by NEITHER the head manifest nor
     * its predecessor, and manifests older than the predecessor — the
     * [[GraphStore]] retention rule (current + previous), so a reader

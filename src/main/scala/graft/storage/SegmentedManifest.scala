@@ -180,6 +180,22 @@ private[storage] final class SegmentedManifest(
   def segSize(segName: String): Long =
     statsBytes(segName).getOrElse(segBytes(segName))
 
+  /** Tombstone debt at a head, from `_stats` alone (pure metadata):
+    * (Σ tombstoned ids over del entries, Σ appended docs over data
+    * entries). Every delete records only then-live ids, so the del
+    * sum never double-counts; the data sum includes later-tombstoned
+    * docs, making del/data the dead fraction a full compact would
+    * reclaim. Entries without `_stats` contribute zero. */
+  def tombstoneDebt(entries: Seq[String]): (Long, Long) =
+    entries.foldLeft((0L, 0L)) { case ((d, n), s) =>
+      val f = new File(new File(dir, s), "_stats")
+      val first =
+        if (!f.exists) 0L
+        else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .trim.split(" ").headOption.map(_.toLong).getOrElse(0L)
+      if (isDel(s)) (d + first, n) else (d, n + first)
+    }
+
   /** The size-tiered merge selection (Lucene's log merge policy
     * shape), shared by all three indexes' `compactTiered`:
     *

@@ -116,6 +116,40 @@ class CrawlLoopSpec extends SparkTestBase {
     }
   }
 
+  Seq("afterMinhashDel", "afterEmbedDel").foreach { fp =>
+    test(s"a takedown crash at $fp converges on replay; admission afterwards reflects the purge") {
+      val (mh, em, bm) = mkIndexes()
+      admit(mh, em, bm, b0, "c:0")
+      admit(mh, em, bm, b1, "c:1")
+      intercept[IllegalStateException] {
+        CrawlLoop.takedown(mh, em, bm, Seq(2L, 4L).toDF("doc_id"),
+          "doc_id", "td:1", failpoint = fp)
+      }
+      // the at-least-once replay completes the missing deletes; the
+      // already-committed heads' tag guards return zero
+      val (m2, e2, b2) = CrawlLoop.takedown(mh, em, bm,
+        Seq(2L, 4L).toDF("doc_id"), "doc_id", "td:1")
+      assert(m2 === 0L)
+      if (fp == "afterMinhashDel") assert(e2 === 2L) else assert(e2 === 0L)
+      assert(b2 === 2L)
+      val purged = expected -- Set(2L, 4L)
+      assertAllHeads(mh, em, bm, purged)
+      // the purge is SEMANTIC, not just membership: a new doc carrying
+      // doc 2's exact text and an exact-direction copy of doc 4's
+      // vector is ADMITTED — the corpus no longer holds either
+      val reAdd = Seq((100L, textOf(2L), vec(4L, 0.5))).toDF(
+        "doc_id", "text", "embedding")
+      admit(mh, em, bm, reAdd, "c:2")
+      assertAllHeads(mh, em, bm, purged + 100L)
+      // a REPLAYED takedown tag after the re-admission must not
+      // tombstone the new live document (the per-index tag guard)
+      val (m3, e3, b3) = CrawlLoop.takedown(mh, em, bm,
+        Seq(2L, 4L, 100L).toDF("doc_id"), "doc_id", "td:1")
+      assert((m3, e3, b3) === ((0L, 0L, 0L)))
+      assertAllHeads(mh, em, bm, purged + 100L)
+    }
+  }
+
   test("a full compaction between the crash and its replay does not corrupt the ledger recovery") {
     val (mh, em, bm) = mkIndexes()
     admit(mh, em, bm, b0, "c:0")

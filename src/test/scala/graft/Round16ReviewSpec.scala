@@ -164,6 +164,43 @@ class Round16ReviewSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.index.rowsPerFile")
   }
 
+  test("maintainCompaction pays the full rewrite only past the tombstone-debt threshold (banded family)") {
+    val idx = new EmbedIndex(spark, newDir("graft-r16-debt"), dim = 8,
+      nPlanes = 4, bands = 2, nBuckets = 4)
+    idx.append(mkVecs(0L until 40L, 8), "vec_id", "embedding")
+    idx.append(mkVecs(40L until 80L, 8), "vec_id", "embedding")
+    assert(idx.delete((0L until 10L).toDF("vec_id"), "vec_id") === 10L)
+    // 10/80 dead = 12.5% < 20%: the tiered path runs, tombstones stay
+    assert(idx.maintainCompaction() === false)
+    assert(idx.segments.exists(_.startsWith("del-")))
+    assert(idx.liveDocIds.count() === 70L)
+    assert(idx.delete((10L until 25L).toDF("vec_id"), "vec_id") === 15L)
+    // 25/80 dead = 31% > 20%: the full rewrite reclaims the debt
+    assert(idx.maintainCompaction() === true)
+    assert(idx.segments.size === 1)
+    assert(!idx.segments.exists(_.startsWith("del-")))
+    assert(idx.liveDocIds.count() === 55L)
+  }
+
+  test("maintainCompaction pays the full rewrite only past the tombstone-debt threshold (BM25)") {
+    val dir = newDir("graft-r16-bmdebt")
+    val idx = new Bm25Index(spark, dir, nBuckets = 4)
+    def docsOf(ids: Seq[Long]) =
+      ids.map(i => (i, s"alpha$i beta$i shared")).toDF("doc_id", "text")
+    idx.append(docsOf(0L until 20L), "doc_id", "text")
+    idx.append(docsOf(20L until 40L), "doc_id", "text")
+    assert(idx.delete((0L until 5L).toDF("doc_id"), "doc_id") === 5L)
+    assert(idx.maintainCompaction() === false) // 5/40 = 12.5%
+    assert(idx.segments.exists(_.startsWith("del-")))
+    assert(idx.delete((5L until 15L).toDF("doc_id"), "doc_id") === 10L)
+    assert(idx.maintainCompaction() === true)  // 15/40 = 37.5%
+    assert(idx.segments.size === 1)
+    assert(!idx.segments.exists(_.startsWith("del-")))
+    // scores over the reclaimed index see exactly the live corpus
+    val top = idx.topDocs(Seq((1L, "alpha17")), k = 1).collect()
+    assert(top.length === 1 && top(0).getLong(1) === 17L)
+  }
+
   private implicit class AppendSugar(idx: Bm25Index) {
     def append(docs: org.apache.spark.sql.DataFrame): Unit =
       idx.append(docs, "doc_id", "text")
