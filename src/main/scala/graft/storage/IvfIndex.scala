@@ -273,9 +273,11 @@ final class IvfIndex(
       val ids = spark.read.parquet(s"$seg/vectors").select(col("id"))
       SegmentIdBloom.write(seg, ids, ids.count(), idBloomMaxIds)
     }
-    // write-time bytes for the tier planner (n deliberately unstamped
-    // — compact counts nothing; IVF reads no counts from _stats)
-    if (wroteRows) mf.writeStats(seg, 0L, 0L)
+    // write-time bytes for the tier planner + the live count for the
+    // tombstone-debt dispatch (a plain parquet count is
+    // footer-metadata-cheap over the files just written)
+    if (wroteRows) mf.writeStats(seg,
+      spark.read.parquet(s"$seg/vectors").count(), 0L)
     val body = (metaLines(lines) ++
       (if (wroteRows) Seq(seg.getName) else Nil))
       .mkString("", "\n", "\n")
@@ -336,6 +338,25 @@ final class IvfIndex(
     groups.map(_.size).sum
   }
 
+  /** The debt-aware maintenance dispatch ([[graft.storage
+    * .BandedDocsIndex.maintainCompaction]] carries the policy note):
+    * past `maxDelFraction` dead vectors — read from `_stats` alone —
+    * run the full tombstone-folding [[compact]]; otherwise the
+    * ∝-merged-bytes [[compactTiered]]. Pre-upgrade segments whose
+    * `_stats` was stamped before IVF recorded counts read as zero
+    * docs, which UNDERSTATES debt (conservative: the policy defers
+    * the full rewrite, never pays it early); one compact/retrain
+    * re-stamps them. Returns true when the full compact ran. */
+  def maintainCompaction(maxDelFraction: Double = 0.2,
+      mergeFactor: Int = 10): Boolean = {
+    require(maxDelFraction > 0, "maxDelFraction must be positive")
+    val (_, lines) = readHead()
+    val (dead, total) = mf.tombstoneDebt(segsOf(lines))
+    if (total > 0 && dead.toDouble / total > maxDelFraction) {
+      compact(); true
+    } else { compactTiered(mergeFactor): Unit; false }
+  }
+
   /** Re-train the centroid matrix on the CURRENT corpus and re-assign
     * every vector — the drift lifecycle. Appends assign against a
     * frozen matrix, so a corpus whose distribution drifts away from
@@ -375,7 +396,8 @@ final class IvfIndex(
     val obs = org.apache.spark.sql.Observation(
       s"graft-ivf-rt-${java.util.UUID.randomUUID()}")
     all.select(col("id"), col("v"), col("nv"))
-      .observe(obs, min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .observe(obs, min(col("id")).as("mn"), max(col("id")).as("mx"),
+        count(lit(1)).as("n"))
       .withColumn("cell",
         element_at(nearestCentroids(col("v"), trained, 1), 1))
       .repartition(nCells, col("cell"))
@@ -383,7 +405,12 @@ final class IvfIndex(
       .parquet(s"$seg/vectors")
     SegmentIdRange.write(seg, SegmentIdRange.of("long",
       obs.get.getOrElse("mn", null), obs.get.getOrElse("mx", null)))
-    mf.writeStats(seg, 0L, 0L) // write-time bytes for the tier planner
+    // write-time bytes for the tier planner + the live count (off the
+    // same observed rewrite action) for the tombstone-debt dispatch
+    mf.writeStats(seg, obs.get.getOrElse("n", 0L) match {
+      case l: java.lang.Long => l.longValue
+      case _ => 0L
+    }, 0L)
     // replay guard survives the rewrite (the compact() contract)
     mf.writeTags(seg, entries.map(_._1))
     // fresh baseline: the new matrix's fit on the corpus it was just

@@ -201,6 +201,28 @@ class Round16ReviewSpec extends SparkTestBase {
     assert(top.length === 1 && top(0).getLong(1) === 17L)
   }
 
+  test("maintainCompaction pays the full rewrite only past the tombstone-debt threshold (IVF)") {
+    val idx = new graft.storage.IvfIndex(spark, newDir("graft-r16-ivfdebt"),
+      nCells = 4)
+    def vecsOf(ids: Seq[Long]) = ids.map { id =>
+      val rnd = new scala.util.Random(2000 + id)
+      (id, Seq.fill(8)(rnd.nextGaussian()))
+    }.toDF("vec_id", "v")
+    idx.append(vecsOf(0L until 20L), "vec_id", "v")
+    idx.append(vecsOf(20L until 40L), "vec_id", "v")
+    assert(idx.delete((0L until 5L).toDF("vec_id"), "vec_id") === 5L)
+    assert(idx.maintainCompaction() === false) // 5/40 = 12.5%
+    assert(idx.segments.exists(_.startsWith("del-")))
+    assert(idx.delete((5L until 15L).toDF("vec_id"), "vec_id") === 10L)
+    assert(idx.maintainCompaction() === true)  // 15/40 = 37.5%
+    assert(idx.segments.size === 1)
+    assert(!idx.segments.exists(_.startsWith("del-")))
+    // the compacted giant's _stats carries the LIVE count, so the debt
+    // baseline is correct for the next cycle
+    assert(idx.delete((15L until 20L).toDF("vec_id"), "vec_id") === 5L)
+    assert(idx.maintainCompaction() === false) // 5/25 = 20%, not past
+  }
+
   private implicit class AppendSugar(idx: Bm25Index) {
     def append(docs: org.apache.spark.sql.DataFrame): Unit =
       idx.append(docs, "doc_id", "text")
