@@ -939,6 +939,102 @@ object PipelineQueries {
     idx.liveDocIds.select(col("id").as("vec_id")).orderBy(col("vec_id"))
   }
 
+  /** The EmbedIndex GENERATION-RULE TRIGGER under the driver oracle
+    * ([[graft.storage.EmbedIndex.regenerateIfOvergrown]]): the even
+    * corpus lands in a deliberately-outgrown 2-plane index (expected
+    * occupancy ≈ |evens|/4 per occupied key — deep in the quadratic
+    * regime), ONE trigger call measures occupancy, regenerates at
+    * ⌈4 + log₂ n⌉ planes off the STORED vectors, and the admission
+    * probe then runs against the NEW generation. Incoming = planted
+    * ×2-scaled copies of the %10 == 0 evens (exact cosine 1, identical
+    * sign masks at ANY plane count — recall 1 by construction, t71's
+    * argument) plus the odd vectors (background max cosine ≈ 0.51 <
+    * θ = 0.8 — never droppable). The gate pins: the trigger fired,
+    * the new generation's occupancy is back at design, the exact
+    * droppable count (oracle-recomputed), zero false drops, and full
+    * recall on the planted set. */
+  def t72EmbedRegenTrigger(spark: SparkSession, dir: String): DataFrame = {
+    val base = stgateDir("t72")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val thr = 0.8
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val incoming = emb.filter(col("vec_id") % 2 === 1)
+      .unionByName(even.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    val idx = new graft.storage.EmbedIndex(spark, s"$base/gen1", dim = 64,
+      nPlanes = 2, bands = 4, nBuckets = 16)
+    idx.append(even, "vec_id", "embedding")
+    val next = idx.regenerateIfOvergrown(s"$base/gen2",
+      batchTag = Some("t72"))
+    val triggered = next.isDefined
+    val probeIdx = next.getOrElse(idx)
+    val occRestored = probeIdx.meanBucketOccupancy.exists(_ <= 8.0)
+    PipelineContext.materialize { implicit ctx =>
+      val in = ctx.stage(incoming)
+      val admitted = probeIdx.dedupAgainst(in, "vec_id", "embedding",
+        minCosine = thr)
+      val dropped = ctx.stage(in.join(
+        admitted.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("vec_id")))
+      val maxCos = ctx.stage(in
+        .select(col("vec_id").as("iid"), col("embedding").as("iv"))
+        .crossJoin(even.select(col("embedding").as("ev")))
+        .groupBy(col("iid"))
+        .agg(max(VectorFunctions.cosine(col("iv"), col("ev"))).as("mc")))
+      val nIn = in.agg(count(lit(1)).as("n_incoming"))
+      val nDroppable = maxCos.filter(col("mc") >= thr)
+        .agg(count(lit(1)).as("n_droppable"))
+      val nFalse = dropped
+        .join(maxCos, dropped("vec_id") === maxCos("iid"), "left")
+        .filter(col("mc").isNull || col("mc") < thr)
+        .agg(count(lit(1)).as("n_false_drops"))
+      val nDropped = dropped.agg(count(lit(1)).as("n_dropped"))
+      nIn.crossJoin(nDroppable).crossJoin(nFalse).crossJoin(nDropped)
+        .select(lit(triggered).as("triggered"),
+          lit(occRestored).as("occupancy_restored"),
+          col("n_incoming"), col("n_droppable"), col("n_false_drops"),
+          (col("n_droppable") === 0 ||
+            col("n_dropped") === col("n_droppable")).as("recall_met"))
+    }
+  }
+
+  /** The tombstone-debt maintenance DISPATCH under the driver oracle
+    * ([[graft.storage.BandedDocsIndex.maintainCompaction]]): t67's
+    * takedown fixture (append evens in two halves, tombstone the
+    * %4 == 2 half — 50% dead, past the 20% threshold), then ONE
+    * `maintainCompaction` call must choose the FULL compact: the head
+    * collapses to a single tombstone-free segment, and the admission
+    * probe over the reclaimed index must still hash-match the inline
+    * cross-dedup against only the surviving corpus (t67's oracle) —
+    * the policy, the reclaim, and result invariance in one gate. */
+  def t73MinhashDebtCompact(spark: SparkSession, dir: String): DataFrame = {
+    val base = stgateDir("t73")
+    val docs = Tables.documents(spark, dir)
+    val idx = new graft.storage.MinHashIndex(spark, base,
+      shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+      nBuckets = 16)
+    idx.append(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+    idx.append(docs.filter(col("doc_id") % 4 === 2), "doc_id", "text")
+    idx.delete(docs.filter(col("doc_id") % 4 === 2)
+      .select(col("doc_id")), "doc_id"): Unit
+    val fullRan = idx.maintainCompaction() // 50% dead > 20% → compact
+    val segs = idx.segments
+    PipelineContext.materialize { implicit ctx =>
+      idx.dedupAgainst(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", minJaccard = 0.4)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          max(col("doc_id")).as("max_id"))
+        .withColumn("full_compact_ran", lit(fullRan))
+        .withColumn("n_segments", lit(segs.size.toLong))
+        .withColumn("n_del_entries",
+          lit(segs.count(_.startsWith("del-")).toLong))
+        .orderBy(col("lang"))
+    }
+  }
+
   def t60C4Clean(spark: SparkSession, dir: String): DataFrame = {
     val pages = spark.range(0, 150).select(col("id"),
       concat_ws("\n",
@@ -1518,6 +1614,8 @@ object PipelineQueries {
     "t69_minhash_maintenance" -> t69MinhashMaintenance _,
     "t70_embed_index_admission" -> t70EmbedIndexAdmission _,
     "t71_embed_maintenance" -> t71EmbedMaintenance _,
+    "t72_embed_regen_trigger" -> t72EmbedRegenTrigger _,
+    "t73_minhash_debt_compact" -> t73MinhashDebtCompact _,
     "t59_gopher_rules" -> t59GopherRules _,
     "t60_c4_clean" -> t60C4Clean _,
     "t61_jaccard_auto_route" -> t61JaccardAutoRoute _,
@@ -1559,7 +1657,8 @@ object PipelineQueries {
     * MinHash index gates (t66/t67) reuse it with the live subset of
     * even ids: incoming (odd ids) survives iff no live existing doc is
     * text-equal or bigram-Jaccard ≥ 0.4. */
-  private def crossDedupOracle(existingPred: String): String =
+  private def crossDedupOracle(existingPred: String,
+      extra: String = ""): String =
     s"""WITH toks AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
            FROM documents
@@ -1575,7 +1674,7 @@ object PipelineQueries {
                 (len(i.g) + len(e.g) - len(list_intersect(i.g, e.g))) >= 0.4
          )
          SELECT d.lang, count(*) AS n_docs,
-           CAST(sum(d.n_chars) AS BIGINT) AS chars, max(d.doc_id) AS max_id
+           CAST(sum(d.n_chars) AS BIGINT) AS chars, max(d.doc_id) AS max_id$extra
          FROM documents d
          WHERE d.doc_id % 2 = 1
            AND NOT EXISTS (SELECT 1 FROM documents e
@@ -2679,6 +2778,13 @@ object PipelineQueries {
     // only the un-tombstoned %4=0 half for the delete gate)
     "t66_minhash_persisted" -> crossDedupOracle("% 2 = 0"),
     "t67_minhash_delete" -> crossDedupOracle("% 4 = 0"),
+    // t73: t67's takedown replay with the debt dispatch's outcome
+    // pinned — the full compact ran, the head is one tombstone-free
+    // segment, and admissions over the reclaimed index are unchanged
+    "t73_minhash_debt_compact" -> crossDedupOracle("% 4 = 0",
+      ",\n           TRUE AS full_compact_ran," +
+        "\n           CAST(1 AS BIGINT) AS n_segments," +
+        "\n           CAST(0 AS BIGINT) AS n_del_entries"),
     // t69: the composed maintenance job (pairs → components →
     // keep-min-id → delete) replayed from first principles — t05's
     // exact pair definition, transitive closure by recursive CTE,
@@ -2782,6 +2888,42 @@ object PipelineQueries {
          SELECT vec_id FROM corpus
          WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
          ORDER BY vec_id""",
+    // t72: the generation-rule trigger — the booleans (trigger fired,
+    // occupancy restored, full planted recall, zero false drops) are
+    // engine-computed invariants the oracle states TRUE (all
+    // deterministic: fixed data, fixed seeds, sign-mask identity for
+    // the planted ×2 copies); the droppable count is recomputed
+    // exactly over the same constructed incoming set.
+    "t72_embed_regen_trigger" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         inc AS (
+           SELECT vec_id, embedding FROM base WHERE vec_id % 2 = 1
+           UNION ALL
+           SELECT vec_id + 100000,
+                  list_transform(embedding, x -> x * 2)
+           FROM base WHERE vec_id % 2 = 0 AND vec_id % 10 = 0),
+         ex AS (SELECT embedding FROM base WHERE vec_id % 2 = 0),
+         mc AS (
+           SELECT i.vec_id,
+             max(list_reduce(list_prepend(0.0,
+               list_transform(list_zip(i.embedding, e.embedding),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+               (p, c) -> p + c)
+             / (sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(i.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (p, c) -> p + c))
+              * sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (p, c) -> p + c)))) AS mc
+           FROM inc i CROSS JOIN ex e
+           GROUP BY i.vec_id)
+         SELECT TRUE AS triggered, TRUE AS occupancy_restored,
+           (SELECT count(*) FROM inc) AS n_incoming,
+           (SELECT count(*) FROM mc WHERE mc >= 0.8) AS n_droppable,
+           CAST(0 AS BIGINT) AS n_false_drops,
+           TRUE AS recall_met""",
     // t65: the sketch path is provably exact (candidate superset +
     // verify loop), so its oracle IS the exact top-k SQL — t34's
     // shape at k=40
