@@ -29,11 +29,13 @@ import graft.storage.{Bm25Index, EmbedIndex, MinHashIndex}
   * whose leader already committed must NOT re-probe (the s08
   * data-loss class: probing an index that already holds this batch's
   * survivors absorbs every doc as a self-duplicate and admits
-  * nothing); instead it recovers `admitted = ledger ids ∩ batch ids` —
-  * exact even after a compaction merged the tagged segment with
-  * neighbors, because ids are globally unique across batches — and
-  * completes the suffix appends under their own tag guards (no-ops
-  * where already committed). The heads therefore CONVERGE: after any
+  * nothing); instead it recovers `admitted = ledger ids ∩ batch ids ∩
+  * leader live view` — exact even after a compaction merged the
+  * tagged segment with neighbors (ids are globally unique across
+  * batches), and the live-view intersection keeps a [[takedown]] that
+  * landed between the crash and the replay from being resurrected
+  * into the suffix heads — and completes the suffix appends under
+  * their own tag guards (no-ops where already committed). The heads therefore CONVERGE: after any
   * interleaving of crashes, replays and maintenance, one more replay
   * of the failed batch restores three-way equality with the very id
   * set the uninterrupted run would have admitted (CrawlLoopSpec drives
@@ -66,13 +68,27 @@ object CrawlLoop {
 
     if (minhash.committedBatchTags.contains(tag)) {
       // RECOVERY / replay: the leader committed, so the admitted set
-      // is durably recorded — never re-probe, complete the suffix
+      // is durably recorded — never re-probe, complete the suffix.
+      // The ledger is intersected with the leader's LIVE view: a
+      // takedown that landed between the crash and this replay
+      // tombstoned the doc in the leader but found nothing in the
+      // suffix heads (a zero-hit delete commits no tag), so replaying
+      // the RAW ledger would resurrect a purged doc into Embed/BM25
+      // forever — the one interleaving the raw segment contents get
+      // wrong. Within a stream batches replay in order, so no LATER
+      // re-append of the same id can be live here (the one case where
+      // live-filtering could over-include again).
       val ledger = minhash.docIdsOfBatch(tag)
-      val admitted = batch.join(ledger,
-        batch(idCol) === ledger("id"), "left_semi")
-      embed.append(admitted, idCol, vecCol, batchTag = Some(tag))
-      fail("afterEmbed")
-      bm25.append(admitted, idCol, textCol, batchTag = Some(tag))
+        .join(minhash.liveDocIds, Seq("id"), "left_semi")
+      PipelineContext.run { implicit ctx =>
+        // staged: the ledger read + semi-join feeds BOTH suffix
+        // appends (the normal path's staging discipline)
+        val admitted = ctx.stage(batch.join(ledger,
+          batch(idCol) === ledger("id"), "left_semi"))
+        embed.append(admitted, idCol, vecCol, batchTag = Some(tag))
+        fail("afterEmbed")
+        bm25.append(admitted, idCol, textCol, batchTag = Some(tag))
+      }
       return
     }
 

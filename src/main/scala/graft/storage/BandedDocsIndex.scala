@@ -278,14 +278,9 @@ private[storage] abstract class BandedDocsIndex(
     * reclaimed space bounds rewrite amplification at ~5× while
     * keeping the per-probe anti-join term short. */
   def maintainCompaction(maxDelFraction: Double = 0.2,
-      mergeFactor: Int = 10): Boolean = {
-    require(maxDelFraction > 0, "maxDelFraction must be positive")
-    val (_, segs) = readHead()
-    val (dead, total) = mf.tombstoneDebt(segs)
-    if (total > 0 && dead.toDouble / total > maxDelFraction) {
-      compact(); true
-    } else { compactTiered(mergeFactor): Unit; false }
-  }
+      mergeFactor: Int = 10): Boolean =
+    mf.dispatchCompaction(readHead()._2, maxDelFraction)(
+      compact())(compactTiered(mergeFactor): Unit)
 
   /** Live document ids at the head — docs minus manifest-order
     * tombstones, column-pruned to the id alone; loud on an empty

@@ -419,18 +419,23 @@ final class Bm25Index(
       .reduce(_.unionByName(_))
       .groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
-    // posting-file sizing WITHOUT an extra counting job: Σ dl from the
-    // per-segment stats bounds the posting-row count from above (a
-    // posting row is ≥1 token), so the rewrite gets at least the
-    // parallelism the true volume needs
-    val sumDl = dataSegs.map(e => readStats(e._1)).map(_._2).sum
+    // size the postings rewrite from the merged POSTING ROW count,
+    // matching append and compactTiered — the old Σdl bound counted
+    // token occurrences and over-fragmented tf-heavy corpora ~10×, and
+    // unlike a tier merge this output is the long-lived GIANT no
+    // future maintenance rewrites. The count pass over the cached
+    // merged frame is small against the rewrite it sizes; the cache
+    // also keeps the write job from recomputing the tombstone
+    // anti-join (the MinHashIndex.compact persist discipline).
+    postings.persist(): Unit
+    val nPost = postings.count()
     // the two rewrites read disjoint inputs — concurrent write jobs,
     // the append() discipline (per-job floor dominates at batch scale)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val writes = Seq(
       Future {
-        writeBucketed(postings, s"$seg/postings", sumDl, col("id"))
+        writeBucketed(postings, s"$seg/postings", nPost, col("id"))
       },
       Future {
         dfreq
@@ -439,6 +444,7 @@ final class Bm25Index(
           .parquet(s"$seg/dfreq")
       })
     writes.foreach(Await.result(_, scala.concurrent.duration.Duration(600, "s")))
+    postings.unpersist(false): Unit
     val (dn, ds) = dataSegs.map(e => readStats(e._1))
       .reduce((a, x) => (a._1 + x._1, a._2 + x._2))
     val (n, s) = delSegs.map(e => readStats(e._1))
@@ -550,14 +556,9 @@ final class Bm25Index(
     * ∝-merged-bytes [[compactTiered]]. Returns true when the full
     * compact ran. */
   def maintainCompaction(maxDelFraction: Double = 0.2,
-      mergeFactor: Int = 10): Boolean = {
-    require(maxDelFraction > 0, "maxDelFraction must be positive")
-    val (_, segs) = readHead()
-    val (dead, total) = mf.tombstoneDebt(segs)
-    if (total > 0 && dead.toDouble / total > maxDelFraction) {
-      compact(); true
-    } else { compactTiered(mergeFactor): Unit; false }
-  }
+      mergeFactor: Int = 10): Boolean =
+    mf.dispatchCompaction(readHead()._2, maxDelFraction)(
+      compact())(compactTiered(mergeFactor): Unit)
 
   /** Delete segment dirs referenced by NEITHER the head manifest nor
     * its predecessor, and manifests older than the predecessor — the

@@ -339,23 +339,16 @@ final class IvfIndex(
   }
 
   /** The debt-aware maintenance dispatch ([[graft.storage
-    * .BandedDocsIndex.maintainCompaction]] carries the policy note):
-    * past `maxDelFraction` dead vectors — read from `_stats` alone —
-    * run the full tombstone-folding [[compact]]; otherwise the
-    * ∝-merged-bytes [[compactTiered]]. Pre-upgrade segments whose
-    * `_stats` was stamped before IVF recorded counts read as zero
-    * docs, which UNDERSTATES debt (conservative: the policy defers
-    * the full rewrite, never pays it early); one compact/retrain
-    * re-stamps them. Returns true when the full compact ran. */
+    * .BandedDocsIndex.maintainCompaction]] carries the policy note;
+    * the shared [[SegmentedManifest.dispatchCompaction]] carries the
+    * pre-upgrade guard — a pre-this-version IVF data segment has no
+    * `_stats` at all, so the ratio is untrusted and the dispatch
+    * defers to the tiered pass until a full compact/retrain re-stamps
+    * the corpus). Returns true when the full compact ran. */
   def maintainCompaction(maxDelFraction: Double = 0.2,
-      mergeFactor: Int = 10): Boolean = {
-    require(maxDelFraction > 0, "maxDelFraction must be positive")
-    val (_, lines) = readHead()
-    val (dead, total) = mf.tombstoneDebt(segsOf(lines))
-    if (total > 0 && dead.toDouble / total > maxDelFraction) {
-      compact(); true
-    } else { compactTiered(mergeFactor): Unit; false }
-  }
+      mergeFactor: Int = 10): Boolean =
+    mf.dispatchCompaction(segsOf(readHead()._2), maxDelFraction)(
+      compact())(compactTiered(mergeFactor): Unit)
 
   /** Re-train the centroid matrix on the CURRENT corpus and re-assign
     * every vector — the drift lifecycle. Appends assign against a

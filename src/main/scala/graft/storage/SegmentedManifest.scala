@@ -185,7 +185,9 @@ private[storage] final class SegmentedManifest(
     * entries). Every delete records only then-live ids, so the del
     * sum never double-counts; the data sum includes later-tombstoned
     * docs, making del/data the dead fraction a full compact would
-    * reclaim. Entries without `_stats` contribute zero. */
+    * reclaim. Entries without `_stats` contribute zero —
+    * [[dispatchCompaction]] therefore refuses to TRUST the ratio
+    * unless every DATA entry is stamped. */
   def tombstoneDebt(entries: Seq[String]): (Long, Long) =
     entries.foldLeft((0L, 0L)) { case ((d, n), s) =>
       val f = new File(new File(dir, s), "_stats")
@@ -195,6 +197,29 @@ private[storage] final class SegmentedManifest(
           .trim.split(" ").headOption.map(_.toLong).getOrElse(0L)
       if (isDel(s)) (d + first, n) else (d, n + first)
     }
+
+  /** The debt-aware compaction dispatch, ONE definition behind every
+    * index's `maintainCompaction`: run `full` (tombstone-folding
+    * whole rewrite) when the measured dead fraction exceeds
+    * `maxDelFraction`, else `tiered`. The ratio is TRUSTED only when
+    * every data entry carries `_stats` — a pre-upgrade unstamped data
+    * segment would shrink the denominator and OVERSTATE the debt
+    * (e.g. a 1M-vector unstamped corpus + a 1k stamped append + a
+    * 300-id takedown would read as 30% dead and pay a 3000×-amplified
+    * rewrite); with the ledger incomplete the dispatch defers to the
+    * tiered pass, which is the genuinely conservative direction (the
+    * next full rewrite re-stamps everything). Returns true when
+    * `full` ran. */
+  def dispatchCompaction(entries: Seq[String], maxDelFraction: Double)(
+      full: => Unit)(tiered: => Unit): Boolean = {
+    require(maxDelFraction > 0, "maxDelFraction must be positive")
+    val stamped = entries.filter(s => isDel(s) ||
+      new File(new File(dir, s), "_stats").exists())
+    val (dead, total) = tombstoneDebt(entries)
+    if (stamped.size == entries.size && total > 0 &&
+        dead.toDouble / total > maxDelFraction) { full; true }
+    else { tiered; false }
+  }
 
   /** The size-tiered merge selection (Lucene's log merge policy
     * shape), shared by all three indexes' `compactTiered`:

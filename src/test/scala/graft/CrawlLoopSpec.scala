@@ -150,6 +150,28 @@ class CrawlLoopSpec extends SparkTestBase {
     }
   }
 
+  test("a takedown landing between an admission crash and its replay is not resurrected into the suffix heads") {
+    val (mh, em, bm) = mkIndexes()
+    admit(mh, em, bm, b0, "c:0")
+    intercept[IllegalStateException] {
+      admit(mh, em, bm, b1, "c:1", failpoint = "afterMinhash")
+    }
+    // a takedown of an ADMITTED batch-1 doc completes against the
+    // divergent heads: the leader tombstones it, the suffix heads hold
+    // nothing yet (a zero-hit delete commits no tag) — the caller sees
+    // success and never retries
+    assert(CrawlLoop.takedown(mh, em, bm, Seq(1L).toDF("doc_id"),
+      "doc_id", "td:x") === ((1L, 0L, 0L)))
+    // the at-least-once replay completes the suffix from the ledger ∩
+    // the leader's LIVE view — the purged doc must NOT come back
+    admit(mh, em, bm, b1, "c:1")
+    assertAllHeads(mh, em, bm, expected - 1L)
+    // and the takedown tag stays replayable without touching the rest
+    assert(CrawlLoop.takedown(mh, em, bm, Seq(1L).toDF("doc_id"),
+      "doc_id", "td:x") === ((0L, 0L, 0L)))
+    assertAllHeads(mh, em, bm, expected - 1L)
+  }
+
   test("a full compaction between the crash and its replay does not corrupt the ledger recovery") {
     val (mh, em, bm) = mkIndexes()
     admit(mh, em, bm, b0, "c:0")
