@@ -172,6 +172,74 @@ class CrawlLoopSpec extends SparkTestBase {
     assertAllHeads(mh, em, bm, expected - 1L)
   }
 
+  test("randomized interleaving model: admits, takedowns, crashes, replays and maintenance — the heads always converge to the model") {
+    // ids ≥ 1000 take textOf/vecOf's default branches: unique texts
+    // (cross-doc bigram J ≈ 0.13 < 0.4) and unique directions (dim-16
+    // gaussian background ≪ θ = 0.9), so every admitted doc survives
+    // both probes and the in-memory model is exact. What this model
+    // checks is CONSISTENCY under chaos — dedup semantics are pinned
+    // by the closed-form tests above and the driver gates.
+    val rnd = new scala.util.Random(20260816L)
+    val (mh, em, bm) = mkIndexes()
+    var model = Set.empty[Long]
+    var nextId = 1000L
+    def freshIds(n: Int): Seq[Long] = {
+      val ids = (nextId until nextId + n).toSeq; nextId += n; ids
+    }
+    // seed batch so the heads are never empty (liveDocIds is loud)
+    val seed = freshIds(3)
+    admit(mh, em, bm, batchOf(seed), "r:seed")
+    model ++= seed
+    for (step <- 0 until 12) {
+      rnd.nextInt(3) match {
+        case 0 =>
+          val ids = freshIds(1 + rnd.nextInt(3))
+          val tag = s"r:$step"
+          val fp = Seq("", "afterMinhash", "afterEmbed")(rnd.nextInt(3))
+          if (fp.isEmpty) admit(mh, em, bm, batchOf(ids), tag)
+          else {
+            intercept[IllegalStateException] {
+              admit(mh, em, bm, batchOf(ids), tag, failpoint = fp)
+            }
+            // chaos between the crash and the replay: maintenance
+            // and/or a takedown of one of the CRASHED batch's own ids
+            // (committed in the leader only — the resurrection case)
+            if (rnd.nextBoolean()) mh.compact()
+            val victim =
+              if (rnd.nextBoolean()) {
+                val v = ids(rnd.nextInt(ids.size))
+                CrawlLoop.takedown(mh, em, bm,
+                  Seq(v).toDF("doc_id"), "doc_id", s"td:x$step"): Unit
+                Some(v)
+              } else None
+            admit(mh, em, bm, batchOf(ids), tag) // the replay
+            model ++= ids; victim.foreach(model -= _)
+          }
+          if (fp.isEmpty) model ++= ids
+        case 1 if model.size > 2 =>
+          val victims = rnd.shuffle(model.toSeq)
+            .take(1 + rnd.nextInt(math.min(2, model.size - 2)))
+          val tag = s"td:$step"
+          val fp = Seq("", "afterMinhashDel", "afterEmbedDel")(rnd.nextInt(3))
+          if (fp.isEmpty)
+            CrawlLoop.takedown(mh, em, bm,
+              victims.toDF("doc_id"), "doc_id", tag): Unit
+          else {
+            intercept[IllegalStateException] {
+              CrawlLoop.takedown(mh, em, bm,
+                victims.toDF("doc_id"), "doc_id", tag, failpoint = fp)
+            }
+            CrawlLoop.takedown(mh, em, bm,
+              victims.toDF("doc_id"), "doc_id", tag): Unit // the replay
+          }
+          model --= victims
+        case _ =>
+          CrawlLoop.maintain(mh, em, bm, 2 + rnd.nextInt(8)): Unit
+      }
+      assertAllHeads(mh, em, bm, model)
+    }
+  }
+
   test("a full compaction between the crash and its replay does not corrupt the ledger recovery") {
     val (mh, em, bm) = mkIndexes()
     admit(mh, em, bm, b0, "c:0")
