@@ -1035,6 +1035,38 @@ object PipelineQueries {
     }
   }
 
+  /** Cross-index TAKEDOWN under the driver oracle
+    * ([[CrawlLoop.takedown]]): the s10 composition built by direct
+    * batch calls (the streaming leg is s10's job — this gate isolates
+    * the purge), then ONE takedown of the doc_id % 20 == 7 cohort
+    * across all three heads, tiered maintenance after. The output is
+    * s10's head-flag shape; the oracle is s10's sequential replay
+    * minus the cohort (a takedown removes only LIVE ids, so filtering
+    * the admitted set IS its exact semantics — cohort members that
+    * admission dropped contribute zero on both sides). A hash match
+    * proves the purge landed in every head and nothing else moved. */
+  def t74CrawlTakedown(spark: SparkSession, dir: String): DataFrame = {
+    val base = stgateDir("t74")
+    val joint = StreamQueries.crawlJoint(spark, dir)
+    val mh = new graft.storage.MinHashIndex(spark, s"$base/mh",
+      shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+      nBuckets = 16)
+    val em = new graft.storage.EmbedIndex(spark, s"$base/em", dim = 64,
+      nPlanes = 8, bands = 4, nBuckets = 16)
+    val bm = new graft.storage.Bm25Index(spark, s"$base/bm", nBuckets = 16)
+    CrawlLoop.admitBatch(mh, em, bm, joint.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", "embedding", tag = "t74:0",
+      minJaccard = 0.4, minCosine = 0.8)
+    CrawlLoop.admitBatch(mh, em, bm, joint.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", "embedding", tag = "t74:1",
+      minJaccard = 0.4, minCosine = 0.8)
+    CrawlLoop.takedown(mh, em, bm,
+      joint.filter(col("doc_id") % 20 === 7).select(col("doc_id")),
+      "doc_id", tag = "t74:td"): Unit
+    CrawlLoop.maintain(mh, em, bm): Unit
+    StreamQueries.crawlHeadsOut(mh, em, bm)
+  }
+
   def t60C4Clean(spark: SparkSession, dir: String): DataFrame = {
     val pages = spark.range(0, 150).select(col("id"),
       concat_ws("\n",
@@ -1616,6 +1648,7 @@ object PipelineQueries {
     "t71_embed_maintenance" -> t71EmbedMaintenance _,
     "t72_embed_regen_trigger" -> t72EmbedRegenTrigger _,
     "t73_minhash_debt_compact" -> t73MinhashDebtCompact _,
+    "t74_crawl_takedown" -> t74CrawlTakedown _,
     "t59_gopher_rules" -> t59GopherRules _,
     "t60_c4_clean" -> t60C4Clean _,
     "t61_jaccard_auto_route" -> t61JaccardAutoRoute _,
@@ -2778,6 +2811,12 @@ object PipelineQueries {
     // only the un-tombstoned %4=0 half for the delete gate)
     "t66_minhash_persisted" -> crossDedupOracle("% 2 = 0"),
     "t67_minhash_delete" -> crossDedupOracle("% 4 = 0"),
+    // t74: the cross-index purge — s10's sequential replay minus the
+    // taken-down cohort (takedown removes only LIVE ids, so the
+    // filter IS its semantics); every surviving doc still flagged
+    // present in all three heads
+    "t74_crawl_takedown" ->
+      graft.operators.StreamQueries.crawlOracle(" AND doc_id % 20 <> 7"),
     // t73: t67's takedown replay with the debt dispatch's outcome
     // pinned — the full compact ran, the head is one tombstone-free
     // segment, and admissions over the reclaimed index are unchanged

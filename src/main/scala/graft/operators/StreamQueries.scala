@@ -634,23 +634,53 @@ object StreamQueries {
     * plane count by sign-mask identity; every drop is exact-verified),
     * so ScaleCheck can run the loop under the generation rule
     * (nPlanes ∝ log₂ k) while the gate pins one fixed configuration. */
-  private[graft] def s10StreamCrawlAt(
-      spark: SparkSession, dir: String, nPlanes: Int): DataFrame = {
-    val base = scratchBase.resolve("s10")
-    rmTree(base.toFile)
-    Files.createDirectories(base)
+  /** The crawl-family corpus: documents ⋈ embeddings on doc_id =
+    * vec_id, with the planted ×2-copy embedding near-dups (class doc
+    * of [[s10StreamCrawl]]) — shared by s10 and the t74 takedown
+    * gate so both sides replay the SAME construction. */
+  private[graft] def crawlJoint(
+      spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val prev = emb.select((col("vec_id") + 1).as("pid"),
       col("embedding").as("prev_emb"))
-    val joint = docs
+    docs
       .join(emb, docs("doc_id") === emb("vec_id")).drop("vec_id")
       .join(prev, col("doc_id") === prev("pid"), "left").drop("pid")
       .select(col("doc_id"), col("text"),
         when(col("doc_id") % 10 === 5 && col("prev_emb").isNotNull,
           transform(col("prev_emb"), x => x * lit(2.0f)))
           .otherwise(col("embedding")).as("embedding"))
+  }
+
+  /** The three crawl heads' live id sets full-outer-joined with
+    * presence flags — the gate output shape s10 and t74 share: an id
+    * in ANY head but not all three is a row/hash mismatch. */
+  private[graft] def crawlHeadsOut(
+      mh: graft.storage.MinHashIndex, em: graft.storage.EmbedIndex,
+      bm: graft.storage.Bm25Index): DataFrame = {
+    val m = mh.liveDocIds
+      .select(col("id").as("doc_id"), lit(true).as("in_minhash"))
+    val ei = em.liveDocIds
+      .select(col("id").as("doc_id"), lit(true).as("in_embed"))
+    val bi = bm.liveDocIds
+      .select(col("id").as("doc_id"), lit(true).as("in_bm25"))
+    m.join(ei, Seq("doc_id"), "full_outer")
+      .join(bi, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), (col("doc_id") % 2).cast("int").as("batch"),
+        coalesce(col("in_minhash"), lit(false)).as("in_minhash"),
+        coalesce(col("in_embed"), lit(false)).as("in_embed"),
+        coalesce(col("in_bm25"), lit(false)).as("in_bm25"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[graft] def s10StreamCrawlAt(
+      spark: SparkSession, dir: String, nPlanes: Int): DataFrame = {
+    val base = scratchBase.resolve("s10")
+    rmTree(base.toFile)
+    Files.createDirectories(base)
+    val joint = crawlJoint(spark, dir)
     val watch = s"$base/watch"
     Files.createDirectories(java.nio.file.Paths.get(watch))
     joint.filter(col("doc_id") % 2 === 0)
@@ -687,19 +717,7 @@ object StreamQueries {
       }
       .start()
     q.awaitTermination()
-    val m = mh.liveDocIds
-      .select(col("id").as("doc_id"), lit(true).as("in_minhash"))
-    val ei = em.liveDocIds
-      .select(col("id").as("doc_id"), lit(true).as("in_embed"))
-    val bi = bm.liveDocIds
-      .select(col("id").as("doc_id"), lit(true).as("in_bm25"))
-    m.join(ei, Seq("doc_id"), "full_outer")
-      .join(bi, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"), (col("doc_id") % 2).cast("int").as("batch"),
-        coalesce(col("in_minhash"), lit(false)).as("in_minhash"),
-        coalesce(col("in_embed"), lit(false)).as("in_embed"),
-        coalesce(col("in_bm25"), lit(false)).as("in_bm25"))
-      .orderBy(col("doc_id"))
+    crawlHeadsOut(mh, em, bm)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -816,9 +834,16 @@ object StreamQueries {
     // ×2-copy construction makes the embedding stage's recall exactly
     // 1 — t71's argument). Every admitted doc must be in ALL THREE
     // heads: a divergent head surfaces as a row whose flag the oracle
-    // says is TRUE.
-    "s10_stream_crawl" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    // says is TRUE. t74 reuses the replay with the takedown id set
+    // removed at the end ([[crawlOracle]]).
+    "s10_stream_crawl" -> crawlOracle("")) ++ watermarkOracles
+
+  /** The crawl-family relational replay, parameterized by a final
+    * live-set predicate — "" for s10 (admission only); t74 appends
+    * the takedown exclusion (a takedown removes only LIVE ids, so
+    * filtering the admitted set IS its exact semantics). */
+  private[graft] def crawlOracle(finalFilter: String): String =
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          j AS (
            SELECT d.doc_id, d.text,
              CASE WHEN d.doc_id % 10 = 5 AND p.vec_id IS NOT NULL
@@ -842,14 +867,14 @@ object StreamQueries {
            SELECT doc_id,
              list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
            FROM (SELECT doc_id,
-                   string_split_regex(lower(trim(text)), '\s+') AS w
+                   string_split_regex(lower(trim(text)), '\\s+') AS w
                  FROM e0)
            WHERE len(w) >= 2),
          g1 AS (
            SELECT doc_id,
              list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
            FROM (SELECT doc_id,
-                   string_split_regex(lower(trim(text)), '\s+') AS w
+                   string_split_regex(lower(trim(text)), '\\s+') AS w
                  FROM x1)
            WHERE len(w) >= 2),
          tdrop AS (
@@ -888,7 +913,10 @@ object StreamQueries {
            UNION ALL
            SELECT doc_id FROM ts
            WHERE doc_id NOT IN (SELECT doc_id FROM edrop))
-         ORDER BY doc_id""",
+         WHERE 1 = 1$finalFilter
+         ORDER BY doc_id"""
+
+  private lazy val watermarkOracles: Map[String, String] = Map(
     // a window is emitted iff its END is at or below the final
     // watermark — which Spark computes at MILLISECOND resolution
     // (floor-to-ms of max event time, minus the delay; non-strict <=
