@@ -154,6 +154,52 @@ object CrawlLoop {
     (m, e, b)
   }
 
+  /** Cross-index PERIODIC DEDUP maintenance — the weekly
+    * near-duplicate fixpoint run consistently across the heads: a
+    * single-head `dedupMaintenance` tombstones near-dups in that
+    * index while the OTHER heads keep serving them (the corruption
+    * class the crawl's consistency contract forbids). This composes
+    * the per-index jobs and propagates each drop set everywhere:
+    *
+    *  1. the text head's composed job (selfPairs → components →
+    *     keep-min-id → tombstone) under tag `"<tag>:text"`, then the
+    *     recorded drop set ([[graft.storage.BandedDocsIndex
+    *     .delIdsOfBatch]] — the delete-side LEDGER) tombstones the
+    *     same ids in the embed and BM25 heads;
+    *  2. the embed head's job on the now-text-deduped corpus under
+    *     `"<tag>:embed"`, its drop set propagated back to MinHash and
+    *     BM25.
+    *
+    * Crash convergence mirrors [[admitBatch]]'s ledger rule: each
+    * sub-step is tag-guarded, and the drop sets are read from the
+    * RECORDED tombstones rather than recomputed — a replay after a
+    * crash between the leader's tombstone and its propagation would
+    * otherwise recompute the job on the post-drop corpus, find
+    * nothing, and leave the suffix heads diverged forever. A pass
+    * that drops nothing commits no tag (the zero-hit delete rule) and
+    * simply recomputes on replay. Returns the number of documents
+    * dropped by THIS call across the two leader jobs. */
+  def maintainDedup(minhash: MinHashIndex, embed: EmbedIndex,
+      bm25: Bm25Index, tag: String, minJaccard: Double = 0.5,
+      minCosine: Double = 0.9, maxBucket: Int = 500)(
+      implicit ctx: PipelineContext): Long = {
+    val textTag = s"$tag:text"
+    val nText =
+      if (minhash.committedBatchTags.contains(textTag)) 0L
+      else minhash.dedupMaintenance(minJaccard, maxBucket, Some(textTag))
+    val textDrops = minhash.delIdsOfBatch(textTag)
+    embed.delete(textDrops, "id", batchTag = Some(textTag)): Unit
+    bm25.delete(textDrops, "id", batchTag = Some(textTag)): Unit
+    val embedTag = s"$tag:embed"
+    val nEmbed =
+      if (embed.committedBatchTags.contains(embedTag)) 0L
+      else embed.dedupMaintenance(minCosine, maxBucket, Some(embedTag))
+    val embedDrops = embed.delIdsOfBatch(embedTag)
+    minhash.delete(embedDrops, "id", batchTag = Some(embedTag)): Unit
+    bm25.delete(embedDrops, "id", batchTag = Some(embedTag)): Unit
+    nText + nEmbed
+  }
+
   /** The in-loop maintenance pass: tiered compaction on all three
     * heads (never a full rewrite — the [[graft.storage
     * .BandedDocsIndex.compactTiered]] policy). Admissions, probes and

@@ -59,6 +59,24 @@ private[storage] abstract class BandedDocsIndex(
       .reduce(_.unionByName(_)).distinct()
   }
 
+  /** The ids recorded in the head's TOMBSTONE segments carrying `tag`
+    * — the delete-side ledger ([[docIdsOfBatch]]'s counterpart): a
+    * tagged [[delete]] durably records exactly what it tombstoned, so
+    * a cross-index maintenance job can propagate ITS drop set to the
+    * other heads even after a crash (recomputing the job on the
+    * post-drop corpus would find nothing and leave the other heads
+    * diverged — [[graft.operators.CrawlLoop.maintainDedup]]). Empty
+    * frame when no tombstone carries the tag (a maintenance pass that
+    * dropped nothing commits no tag — the zero-hit delete rule). */
+  def delIdsOfBatch(tag: String): DataFrame = {
+    val segs = readHead()._2
+      .filter(s => isDel(s) && mf.tagsOf(s).contains(tag))
+    if (segs.isEmpty)
+      spark.range(0).select(col("id"))
+    else segs.map(s => spark.read.parquet(s"$path/$s/ids").select(col("id")))
+      .reduce(_.unionByName(_)).distinct()
+  }
+
   /** Bucket-partitioned banded write, file count scaled by measured
     * volume (the [[Bm25Index]] sizing discipline: one file per bucket
     * for a batch, salted fan-out for a bulk build). `rows` must be the

@@ -29,6 +29,9 @@ class CrawlLoopSpec extends SparkTestBase {
   private def textOf(i: Long): String = i match {
     case 3L => textOf(2L)
     case 8L => textOf(6L)
+    // NEAR (not exact) text dup inside one batch — survives admission
+    // (within-batch dedup is exact-only) so maintainDedup has work
+    case 22L => textOf(20L) + " extra"
     case _ => s"document number $i carries the words " +
       s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h w${i}i"
   }
@@ -39,6 +42,8 @@ class CrawlLoopSpec extends SparkTestBase {
   private def vecOf(i: Long): Seq[Double] = i match {
     case 5L  => vec(4L, 2.0)
     case 15L => vec(14L, 2.0)
+    // same-direction pair INSIDE one batch (maintainDedup's work)
+    case 26L => vec(24L, 2.0)
     case _   => vec(i)
   }
 
@@ -238,6 +243,42 @@ class CrawlLoopSpec extends SparkTestBase {
       }
       assertAllHeads(mh, em, bm, model)
     }
+  }
+
+  test("maintainDedup runs the near-dup fixpoint consistently across the heads; a crashed propagation recovers from the tombstone ledger") {
+    import graft.operators.PipelineContext
+    // ids 20–30: all admitted in one batch (22 is a NEAR text dup of
+    // 20 — within-batch dedup is exact-only; 26 shares 24's direction)
+    val (mh, em, bm) = mkIndexes()
+    admit(mh, em, bm, batchOf(20L to 30L), "m:0")
+    assertAllHeads(mh, em, bm, (20L to 30L).toSet)
+    val dropped = PipelineContext.run { implicit ctx =>
+      CrawlLoop.maintainDedup(mh, em, bm, "wk1",
+        minJaccard = 0.5, minCosine = 0.9)
+    }
+    assert(dropped === 2L) // text drops 22, embed drops 26, keep-min
+    val live = (20L to 30L).toSet -- Set(22L, 26L)
+    assertAllHeads(mh, em, bm, live)
+    // a replayed pass is tag-guarded + ledger-read: nothing re-drops
+    assert(PipelineContext.run { implicit ctx =>
+      CrawlLoop.maintainDedup(mh, em, bm, "wk1",
+        minJaccard = 0.5, minCosine = 0.9)
+    } === 0L)
+    assertAllHeads(mh, em, bm, live)
+    // CRASH between the leader's tombstone and its propagation: the
+    // replay must read the drop set from the RECORDED tombstone — a
+    // recomputation on the post-drop corpus would find no pairs and
+    // leave the suffix heads serving the dropped doc forever
+    val (mh2, em2, bm2) = mkIndexes()
+    admit(mh2, em2, bm2, batchOf(20L to 30L), "m:0")
+    PipelineContext.run { implicit ctx =>
+      mh2.dedupMaintenance(0.5, 500, Some("wk1:text")): Unit
+    }
+    assert(PipelineContext.run { implicit ctx =>
+      CrawlLoop.maintainDedup(mh2, em2, bm2, "wk1",
+        minJaccard = 0.5, minCosine = 0.9)
+    } === 1L) // only the embed job ran here; 22's drop came off the ledger
+    assertAllHeads(mh2, em2, bm2, live)
   }
 
   test("a full compaction between the crash and its replay does not corrupt the ledger recovery") {
