@@ -214,13 +214,31 @@ object Bench {
     val canaryRatio = canaryBest / canaryRef
     val canarySpread =
       math.max(canaryWall, canaryEnd) / math.max(canaryBest, 1e-9)
+    // r16 verdict wrong #1: uniform canary division OVERSTATES box
+    // speed in uniformly-slow windows — the r16 artifacts measured
+    // gate walls tracking only a small fraction of the canary ratio
+    // (an 8% gate delta across a 39% canary delta), so value × ref /
+    // canary is NOT a box-speed estimate once the window is
+    // materially slow. RAW WALLS ARE THE ONLY HEADLINE. value_norm is
+    // now a flagged diagnostic emitted ONLY when normalization is
+    // near-identity (ratio ≤ 1.10 and spread ≤ 1.15 — where the
+    // correction is within the noise it claims to remove); any slower
+    // or drifting window publishes value_norm:null and the caveat, so
+    // no downstream reader can mistake a normalized number for a
+    // measured one.
+    val normCredible = canaryRatio <= 1.10 && canarySpread <= 1.15
     if (canarySpread > 1.15) System.err.println(
       f"BENCH WARNING: canary spread $canarySpread%.2f× (start " +
         f"$canaryWall%.3f vs end $canaryEnd%.3f) — box speed drifted " +
-        "mid-run; trust raw walls, not value_norm")
+        "mid-run; trust raw walls only")
+    if (canaryRatio > 1.10) System.err.println(
+      f"BENCH WARNING: canary ratio $canaryRatio%.2f× vs ref " +
+        f"$canaryRef%.1f s — slow window; raw walls only, re-run on " +
+        "a quiet box for comparable numbers")
     val totalNorm = total / canaryRatio
+    val valueNormJson = if (normCredible) f3(totalNorm) else "null"
     val ts = java.time.Instant.now().toString
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","load_initial":${f3(loadInitial)},"steal_initial":${f3(stealInitial)},"canary_wall":${f3(canaryWall)},"canary_end":${f3(canaryEnd)},"canary_ref":${f3(canaryRef)},"canary_spread":${f3(canarySpread)},"value_norm":${f3(totalNorm)},"quiet_window":$quietWindow,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"ts_utc":"$ts","load_initial":${f3(loadInitial)},"steal_initial":${f3(stealInitial)},"canary_wall":${f3(canaryWall)},"canary_end":${f3(canaryEnd)},"canary_ref":${f3(canaryRef)},"canary_spread":${f3(canarySpread)},"value_norm":$valueNormJson,"norm_credible":$normCredible,"quiet_window":$quietWindow,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is the driver contract, but its capture has
     // truncated the tail two rounds running (r6/r7 BENCH artifacts
@@ -252,11 +270,13 @@ object Bench {
       val s = passes.map(_(n)).filter(_ >= 0).sorted
       "\"" + n + "\":" + (if (s.isEmpty) "-1" else f3(s(s.size / 2)))
     }.mkString("{", ",", "}")
-    // per-gate canary-normalized walls (file artifact only — the
-    // stdout line must stay under the driver's capture width)
-    val qsNorm = results.map { case (k, v) =>
-      "\"" + k + "\":" + f3(if (v < 0) v else v / canaryRatio)
-    }.mkString("{", ",", "}")
+    // per-gate canary-normalized walls (file artifact only; null in
+    // non-credible windows — the same r16 demotion as value_norm)
+    val qsNorm =
+      if (!normCredible) "null"
+      else results.map { case (k, v) =>
+        "\"" + k + "\":" + f3(if (v < 0) v else v / canaryRatio)
+      }.mkString("{", ",", "}")
     val fileLine = line.dropRight(1) +
       s""","queries_norm":$qsNorm,"pass_walls":$samples,"pass_median":$medians,"pass_load":$loadJson,"rerun_gates":$rerunJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -313,6 +313,39 @@ object ScaleCheck {
         idx.liveDocIds.agg(count(lit(1)).as("n_live"),
           sum(col("id")).as("id_sum"))
       },
+      // round 17: the persisted IVFADC index, k-AWARE on the cell
+      // count (nCells ∝ √n — the IVF generation rule): fresh index
+      // per invocation, fixture codebooks (first 16 embeddings of
+      // copy 0 — identical codewords at every k), two appends, then
+      // a 3-query probe at fixed nProbe=4. Probe cost ∝ n·nProbe/
+      // nCells ∝ √n per query; the build (assign + encode, ~k) is the
+      // growth term. The code table is M=8 bytes-class per vector vs
+      // 4·64 raw — the compression that makes the 100 TB scan pay.
+      "t76_pqivf_kn" -> { (dir: String, k: Int) =>
+        val base = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft-scale-t76").toString
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(base))
+        val emb = graft.sources.Tables.embeddings(spark, dir)
+        val rows = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect().sortBy(_.getLong(0))
+          .map(_.getSeq[Double](1).toIndexedSeq)
+        val cbs = (0 until 8).map(m =>
+          rows.toSeq.map(v => v.slice(m * 8, m * 8 + 8)))
+        val nc = 16 * math.max(1, math.sqrt(k.toDouble).toInt)
+        val idx = new graft.storage.PqIvfIndex(spark, base,
+          nCells = nc, m = 8, ksub = 16)
+        idx.append(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", trainedCodebooks = Some(cbs))
+        idx.append(emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding")
+        idx.topK(emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 10, nProbe = 4)
+      },
       "t45_semdedup_kn" -> { (dir: String, k: Int) =>
         graft.operators.PipelineContext.materialize { implicit ctx =>
           val emb = graft.sources.Tables.embeddings(spark, dir)

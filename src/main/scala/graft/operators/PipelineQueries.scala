@@ -427,6 +427,41 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** The PERSISTED IVFADC index under the driver oracle
+    * ([[graft.storage.PqIvfIndex]], VERDICT r16 missing #4): PQ codes
+    * stored cell-partitioned under the shared manifest lifecycle —
+    * two appends (the second encoding against the FROZEN quantizers),
+    * a takedown tombstone, tiered maintenance, then a full-probe ADC
+    * query. Codebooks are t48's fixture (the first 16 embeddings
+    * sliced — SQL-replayable); the coarse centroids are REALLY
+    * trained ([[Similarity.ivfTrain]]) and full probe makes them
+    * invisible, so the oracle is the flat-ADC replay over the
+    * tombstoned corpus — a hash match proves the persisted path
+    * (train → freeze → encode → partition → tombstone → merge →
+    * probe → ADC) returns exactly the flat scan's answer. Partial
+    * probe and the rest of the lifecycle are spec-pinned
+    * (PqIvfIndexSpec). */
+  def t76PqIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val base = stgateDir("t76")
+    val emb = Tables.embeddings(spark, dir)
+    val rows = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toIndexedSeq)
+    val codebooks = (0 until 8).map(m =>
+      rows.toSeq.map(v => v.slice(m * 8, m * 8 + 8)))
+    val idx = new graft.storage.PqIvfIndex(spark, base,
+      nCells = 16, m = 8, ksub = 16)
+    idx.append(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      trainedCodebooks = Some(codebooks))
+    idx.append(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    idx.delete(emb.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id")), "vec_id"): Unit
+    idx.maintainCompaction(): Unit
+    idx.topK(emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+      k = 12, nProbe = 16)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Quality-classifier training under the oracle
     * ([[CurationPipeline.trainQualityClassifier]], 5 GD iterations,
     * lr=0.5, target = lang='en'): the whole optimization trajectory
@@ -1067,6 +1102,44 @@ object PipelineQueries {
     StreamQueries.crawlHeadsOut(mh, em, bm)
   }
 
+  /** Cross-index PERIODIC DEDUP maintenance under the driver oracle
+    * ([[CrawlLoop.maintainDedup]], VERDICT r16 missing #1): the s10
+    * composition over the WITHIN-batch-planted corpus — every
+    * doc_id % 20 == 6 (even) carries ×2 the (doc_id − 2) vector,
+    * which admission cannot see (batch 0 lands in an empty index,
+    * within-batch dedup is exact-text only) — then ONE maintainDedup
+    * call runs the text fixpoint, propagates its recorded drop set to
+    * the embed/BM25 heads, runs the embed fixpoint on the survivors,
+    * and propagates back; debt-dispatch maintenance after. The output
+    * is s10's head-flag shape; the oracle replays admission THEN both
+    * fixpoints from first principles (exact pairs, recursive-CTE
+    * closure, keep-min-per-component — t69's and t71's patterns
+    * composed in the engine's propagation order). A hash match proves
+    * the weekly job drops the same documents from every head and
+    * nothing else moves. */
+  def t75CrawlDedupMaint(spark: SparkSession, dir: String): DataFrame = {
+    val base = stgateDir("t75")
+    val joint = StreamQueries.crawlJoint(spark, dir, plantWithinBatch = true)
+    val mh = new graft.storage.MinHashIndex(spark, s"$base/mh",
+      shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
+      nBuckets = 16)
+    val em = new graft.storage.EmbedIndex(spark, s"$base/em", dim = 64,
+      nPlanes = 8, bands = 4, nBuckets = 16)
+    val bm = new graft.storage.Bm25Index(spark, s"$base/bm", nBuckets = 16)
+    CrawlLoop.admitBatch(mh, em, bm, joint.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", "embedding", tag = "t75:0",
+      minJaccard = 0.4, minCosine = 0.8)
+    CrawlLoop.admitBatch(mh, em, bm, joint.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", "embedding", tag = "t75:1",
+      minJaccard = 0.4, minCosine = 0.8)
+    PipelineContext.run { implicit ctx =>
+      CrawlLoop.maintainDedup(mh, em, bm, "t75:wk",
+        minJaccard = 0.4, minCosine = 0.8): Unit
+    }
+    CrawlLoop.maintain(mh, em, bm): Unit
+    StreamQueries.crawlHeadsOut(mh, em, bm)
+  }
+
   def t60C4Clean(spark: SparkSession, dir: String): DataFrame = {
     val pages = spark.range(0, 150).select(col("id"),
       concat_ws("\n",
@@ -1649,6 +1722,8 @@ object PipelineQueries {
     "t72_embed_regen_trigger" -> t72EmbedRegenTrigger _,
     "t73_minhash_debt_compact" -> t73MinhashDebtCompact _,
     "t74_crawl_takedown" -> t74CrawlTakedown _,
+    "t75_crawl_dedup_maint" -> t75CrawlDedupMaint _,
+    "t76_pqivf_persisted" -> t76PqIvfPersisted _,
     "t59_gopher_rules" -> t59GopherRules _,
     "t60_c4_clean" -> t60C4Clean _,
     "t61_jaccard_auto_route" -> t61JaccardAutoRoute _,
@@ -1907,14 +1982,23 @@ object PipelineQueries {
   /** The flat-ADC replay shared by t48 (brute ADC scan) and t50
     * (IVFADC at full probe): the same answer is the point — the
     * inverted-file composition must be invisible in the result. */
-  private val pqAdcOracle: String =
-    """WITH cw AS (SELECT vec_id AS c, embedding AS v FROM embeddings
+  private val pqAdcOracle: String = pqAdcOracleAt("", "vec_id < 3", 10)
+
+  /** The flat-ADC replay parameterized by a corpus predicate (the
+    * persisted gate's takedown exclusion), the query predicate and k —
+    * t48/t50 use the defaults; t76 runs it over the tombstoned corpus
+    * with distinct queries/k so the gates cannot share a cached
+    * result. */
+  private def pqAdcOracleAt(
+      corpusPred: String, queryPred: String, k: Int): String =
+    s"""WITH cw AS (SELECT vec_id AS c, embedding AS v FROM embeddings
                    WHERE vec_id < 16),
        sub AS (
          SELECT ms.m AS m, cw.c,
            list_slice(cw.v, ms.m * 8 + 1, ms.m * 8 + 8) AS w
          FROM cw CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
-       vecs AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       vecs AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+                WHERE 1 = 1$corpusPred),
        enc AS (
          SELECT vecs.id, s.m, s.c,
            list_reduce(list_prepend(0.0,
@@ -1931,7 +2015,7 @@ object PipelineQueries {
                                 ORDER BY dist ASC, c ASC) AS rk
            FROM enc) WHERE rk = 1),
        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-             WHERE vec_id < 3),
+             WHERE $queryPred),
        lut AS (
          SELECT q.qid, s.m, s.c,
            list_reduce(list_prepend(0.0,
@@ -1952,7 +2036,7 @@ object PipelineQueries {
            row_number() OVER (PARTITION BY qid
                               ORDER BY adc ASC, id) AS rank
          FROM adc)
-       SELECT qid, id, adc, rank FROM r WHERE rank <= 10
+       SELECT qid, id, adc, rank FROM r WHERE rank <= $k
        ORDER BY qid, rank"""
 
   /** DuckDB oracles for the engine-portable subset. The vector oracles
@@ -2175,6 +2259,10 @@ object PipelineQueries {
     // trained cell routing must be invisible in the result.
     "t48_pq_adc" -> pqAdcOracle,
     "t50_ivfadc" -> pqAdcOracle,
+    // t76: the persisted IVFADC path at full probe over the
+    // tombstoned corpus — flat-ADC replay, distinct queries/k
+    "t76_pqivf_persisted" ->
+      pqAdcOracleAt(" AND vec_id % 10 <> 3", "vec_id < 4", 12),
     // 5 GD iterations as chained CTEs (assembled in
     // [[qualityClassifierOracle]]) — weights must land bit-equal
     "t51_quality_classifier" -> qualityClassifierOracle,
@@ -2817,6 +2905,11 @@ object PipelineQueries {
     // present in all three heads
     "t74_crawl_takedown" ->
       graft.operators.StreamQueries.crawlOracle(" AND doc_id % 20 <> 7"),
+    // t75: the cross-index weekly dedup fixpoint — admission replay
+    // over the within-batch-planted corpus, then the text closure and
+    // the embed closure in the engine's propagation order
+    "t75_crawl_dedup_maint" ->
+      graft.operators.StreamQueries.crawlMaintOracle,
     // t73: t67's takedown replay with the debt dispatch's outcome
     // pinned — the full compact ran, the head is one tombstone-free
     // segment, and admissions over the reclaimed index are unchanged

@@ -383,12 +383,14 @@ object StreamQueries {
       }
       .start()
     q.awaitTermination()
-    // the post-ingest maintenance pass, under the oracle — the TIERED
-    // policy (r15): per-trigger segments share a size tier and fold;
-    // a compacted giant would be left alone (scores are invariant
-    // either way — TieredCompactionSpec pins it — so the oracle gates
-    // the production maintenance call, not a special one)
-    idx.compactTiered(): Unit
+    // the post-ingest maintenance pass, under the oracle — the DEBT
+    // dispatch (r16 missing #2): below the tombstone threshold it IS
+    // the tiered policy (per-trigger segments share a size tier and
+    // fold; a compacted giant is left alone), past it the one full
+    // rewrite reclaims takedown debt. Scores are invariant either way
+    // — TieredCompactionSpec pins it — so the oracle gates the
+    // production maintenance call, not a special one.
+    idx.maintainCompaction(): Unit
     idx.vacuum()  // no-op here (retention covers the pre-merge head)
     idx.topDocs(Seq(
         (1L, "dup join"),
@@ -466,10 +468,10 @@ object StreamQueries {
       }
       .start()
     q.awaitTermination()
-    // maintenance under the oracle: admissions unchanged — the tiered
-    // policy folds the per-trigger segments (same size tier), never a
-    // full-corpus rewrite (r15)
-    idx.compactTiered(): Unit
+    // maintenance under the oracle: admissions unchanged — the debt
+    // dispatch degrades to the tiered fold below the tombstone
+    // threshold (r16 missing #2), never an unearned full rewrite
+    idx.maintainCompaction(): Unit
     idx.vacuum(): Unit
     idx.liveDocIds
       .select(col("id").as("doc_id"),
@@ -483,8 +485,9 @@ object StreamQueries {
     * replaced by the embedding index: even vec_ids land first (the
     * index is empty — all admitted), odd vec_ids then probe the stored
     * head under the tag-guarded foreachBatch, and the PRODUCTION
-    * maintenance call ([[graft.storage.BandedDocsIndex.compactTiered]])
-    * runs in-loop after each append.
+    * maintenance call ([[graft.storage.BandedDocsIndex
+    * .maintainCompaction]] — the debt dispatch, tiered below the
+    * tombstone threshold) runs in-loop after each append.
     *
     * Oracle shape: unlike s08's text corpus, the i.i.d. embedding
     * testdata plants no cosine-1 pairs, so banding recall at θ=0.35 is
@@ -546,9 +549,10 @@ object StreamQueries {
             idx.append(survivors, "vec_id", "embedding",
               batchTag = Some(tag))
           }
-          // in-loop maintenance — the production cadence; admissions
-          // and the end state are invariant (TieredCompactionSpec)
-          idx.compactTiered(): Unit
+          // in-loop maintenance — the production cadence is the debt
+          // dispatch (r16 missing #2); admissions and the end state
+          // are invariant (TieredCompactionSpec)
+          idx.maintainCompaction(): Unit
         }
       }
       .start()
@@ -639,19 +643,39 @@ object StreamQueries {
     * of [[s10StreamCrawl]]) — shared by s10 and the t74 takedown
     * gate so both sides replay the SAME construction. */
   private[graft] def crawlJoint(
-      spark: SparkSession, dir: String): DataFrame = {
+      spark: SparkSession, dir: String): DataFrame =
+    crawlJoint(spark, dir, plantWithinBatch = false)
+
+  /** `plantWithinBatch = true` (the t75 maintenance gate) additionally
+    * plants WITHIN-batch embedding near-dups — every doc_id % 20 == 6
+    * (even, batch 0) carries ×2 the (doc_id − 2) vector, also even —
+    * which ADMISSION cannot see (batch 0 lands in an empty index, and
+    * within-batch dedup is exact-text only): exactly the residue the
+    * periodic cross-index dedup fixpoint exists to clear. */
+  private[graft] def crawlJoint(
+      spark: SparkSession, dir: String,
+      plantWithinBatch: Boolean): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val prev = emb.select((col("vec_id") + 1).as("pid"),
       col("embedding").as("prev_emb"))
-    docs
+    val prev2 = emb.select((col("vec_id") + 2).as("p2id"),
+      col("embedding").as("prev2_emb"))
+    val base = docs
       .join(emb, docs("doc_id") === emb("vec_id")).drop("vec_id")
       .join(prev, col("doc_id") === prev("pid"), "left").drop("pid")
-      .select(col("doc_id"), col("text"),
-        when(col("doc_id") % 10 === 5 && col("prev_emb").isNotNull,
-          transform(col("prev_emb"), x => x * lit(2.0f)))
-          .otherwise(col("embedding")).as("embedding"))
+      .join(prev2, col("doc_id") === prev2("p2id"), "left").drop("p2id")
+    val planted =
+      when(col("doc_id") % 10 === 5 && col("prev_emb").isNotNull,
+        transform(col("prev_emb"), x => x * lit(2.0f)))
+    val withinBatch =
+      if (plantWithinBatch)
+        planted.when(col("doc_id") % 20 === 6 && col("prev2_emb").isNotNull,
+          transform(col("prev2_emb"), x => x * lit(2.0f)))
+      else planted
+    base.select(col("doc_id"), col("text"),
+      withinBatch.otherwise(col("embedding")).as("embedding"))
   }
 
   /** The three crawl heads' live id sets full-outer-joined with
@@ -914,6 +938,141 @@ object StreamQueries {
            SELECT doc_id FROM ts
            WHERE doc_id NOT IN (SELECT doc_id FROM edrop))
          WHERE 1 = 1$finalFilter
+         ORDER BY doc_id"""
+
+  /** The t75 oracle: [[crawlOracle]]'s sequential-admission replay
+    * over the WITHIN-BATCH-planted corpus (`plantWithinBatch`), then
+    * the cross-index periodic dedup fixpoint replayed from first
+    * principles — t69's pattern (exact pairs → recursive-CTE closure
+    * → keep-min-per-component) for the TEXT head, then t71's exact-
+    * cosine pattern over the text survivors for the EMBED head, the
+    * exact order [[graft.operators.CrawlLoop.maintainDedup]] runs and
+    * propagates. Output is the three-head flag shape: a hash match
+    * proves both fixpoints' drop sets landed in every head and
+    * nothing else moved. */
+  private[graft] val crawlMaintOracle: String =
+    """WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+         j AS (
+           SELECT d.doc_id, d.text,
+             CASE WHEN d.doc_id % 10 = 5 AND p.vec_id IS NOT NULL
+               THEN list_transform(p.embedding, x -> x * 2)
+             WHEN d.doc_id % 20 = 6 AND p2.vec_id IS NOT NULL
+               THEN list_transform(p2.embedding, x -> x * 2)
+             ELSE e.embedding END AS emb
+           FROM documents d
+           JOIN e ON d.doc_id = e.vec_id
+           LEFT JOIN e p ON p.vec_id = d.doc_id - 1
+           LEFT JOIN e p2 ON p2.vec_id = d.doc_id - 2),
+         e0 AS (
+           SELECT doc_id, text, emb FROM j WHERE doc_id % 2 = 0
+           QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) = 1),
+         e1 AS (
+           SELECT doc_id, text, emb FROM j WHERE doc_id % 2 = 1
+           QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) = 1),
+         x1 AS (
+           SELECT e1.doc_id, e1.text, e1.emb FROM e1
+           WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.text = e1.text)),
+         g0 AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS w
+                 FROM e0)
+           WHERE len(w) >= 2),
+         g1 AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS w
+                 FROM x1)
+           WHERE len(w) >= 2),
+         tdrop AS (
+           SELECT DISTINCT i.doc_id
+           FROM g1 i JOIN g0 t
+             ON len(list_intersect(i.g, t.g))::DOUBLE /
+                (len(i.g) + len(t.g) - len(list_intersect(i.g, t.g))) >= 0.4),
+         ts AS (
+           SELECT doc_id, text, emb FROM x1
+           WHERE doc_id NOT IN (SELECT doc_id FROM tdrop)),
+         n0 AS (
+           SELECT doc_id, emb,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(emb,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (p, c) -> p + c)) AS nrm
+           FROM e0),
+         ns AS (
+           SELECT doc_id, emb,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(emb,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (p, c) -> p + c)) AS nrm
+           FROM ts),
+         edrop AS (
+           SELECT DISTINCT s.doc_id
+           FROM ns s JOIN n0 t
+             ON list_reduce(list_prepend(0.0,
+                  list_transform(list_zip(s.emb, t.emb),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                  (p, c) -> p + c) / (s.nrm * t.nrm) >= 0.8),
+         adm AS (
+           SELECT doc_id, text, emb FROM e0
+           UNION ALL
+           SELECT doc_id, text, emb FROM ts
+           WHERE doc_id NOT IN (SELECT doc_id FROM edrop)),
+         ga AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+           FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS w
+                 FROM adm)
+           WHERE len(w) >= 2),
+         tp AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM ga a JOIN ga b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+                 (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4),
+         te AS (
+           SELECT id1 AS u, id2 AS v FROM tp
+           UNION SELECT id2, id1 FROM tp),
+         treach(u, v) AS (
+           SELECT u, v FROM te
+           UNION
+           SELECT r.u, t2.v FROM treach r JOIN te t2 ON r.v = t2.u),
+         tdropped AS (
+           SELECT u AS doc_id FROM treach GROUP BY u HAVING min(v) < u),
+         live1 AS (
+           SELECT doc_id, emb FROM adm
+           WHERE doc_id NOT IN (SELECT doc_id FROM tdropped)),
+         nl AS (
+           SELECT doc_id, emb,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(emb,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (p, c) -> p + c)) AS nrm
+           FROM live1),
+         ep AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM nl a JOIN nl b ON a.doc_id < b.doc_id
+           WHERE list_reduce(list_prepend(0.0,
+                   list_transform(list_zip(a.emb, b.emb),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                   (p, c) -> p + c) / (a.nrm * b.nrm) >= 0.8),
+         ee AS (
+           SELECT id1 AS u, id2 AS v FROM ep
+           UNION SELECT id2, id1 FROM ep),
+         ereach(u, v) AS (
+           SELECT u, v FROM ee
+           UNION
+           SELECT r.u, e3.v FROM ereach r JOIN ee e3 ON r.v = e3.u),
+         edropped AS (
+           SELECT u AS doc_id FROM ereach GROUP BY u HAVING min(v) < u)
+         SELECT doc_id, CAST(doc_id % 2 AS INT) AS batch,
+                TRUE AS in_minhash, TRUE AS in_embed, TRUE AS in_bm25
+         FROM live1
+         WHERE doc_id NOT IN (SELECT doc_id FROM edropped)
          ORDER BY doc_id"""
 
   private lazy val watermarkOracles: Map[String, String] = Map(

@@ -137,10 +137,25 @@ final class IvfIndex(
     if (batchTag.exists(t =>
         entries.map(_._1).flatMap(mf.tagsOf).contains(t))) return 0L
     val dataSegs = entries.filterNot(e => isDel(e._1))
-    if (dataSegs.isEmpty) return 0L
+    // a TAGGED zero-hit delete still commits an empty marker segment
+    // carrying the tag (the BandedDocsIndex.commitDelMarker rule,
+    // ADVICE r16) so the replay guard holds on every head
+    def marker(): Long = {
+      batchTag.foreach { t =>
+        val del = mf.newDelDir(baseVer + 1)
+        spark.range(0).select(col("id"))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
+        mf.writeStats(del, 0L, 0L)
+        mf.writeTag(del, t)
+        mf.commit(baseVer + 1,
+          (lines :+ del.getName).mkString("", "\n", "\n"), Seq(del))
+      }
+      0L
+    }
+    if (dataSegs.isEmpty) return marker()
     val want = ids.select(col(idCol).cast("long").as("id")).distinct()
     val scanSegs = pruneByIdRange(dataSegs, want)
-    if (scanSegs.isEmpty) return 0L // no segment can hold a requested id
+    if (scanSegs.isEmpty) return marker() // no segment can hold one
     val live = minusDeleted(
       scanSegs.map { case (s, i) =>
         spark.read.parquet(s"$path/$s/vectors").withColumn("__ord", lit(i))
@@ -149,10 +164,14 @@ final class IvfIndex(
       .select(col("id")).distinct().persist()
     try {
       val nDel = live.count()
-      if (nDel == 0L) return 0L
+      if (nDel == 0L) return marker()
       val del = mf.newDelDir(baseVer + 1)
-      // volume-sized like every segment table (r15 wrong #2)
-      live.repartition(Bm25Index.delFiles(spark, nDel))
+      // volume-sized like every segment table (r15 wrong #2); the
+      // one-file case is a narrow coalesce, never a repartition
+      // exchange (VERDICT r16 wrong #2)
+      val nDelFiles = Bm25Index.delFiles(spark, nDel)
+      (if (nDelFiles == 1) live.coalesce(1)
+       else live.repartition(nDelFiles))
         .write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
       mf.writeStats(del, nDel, 0L)
       batchTag.foreach(mf.writeTag(del, _))
@@ -587,32 +606,11 @@ final class IvfIndex(
     go
   }
 
-  /** Driver-side replica of [[org.apache.spark.sql.graft
-    * .VectorExpressions.NearestCentroids]]' selection (raw-dot
-    * repeated max, lower index on ties) so the probe set — and with it
-    * the partition filter — is a plan literal. */
+  /** Driver-side probe-cell selection — [[CentroidProbe.cells]],
+    * shared with [[PqIvfIndex]]. */
   private def probeCellsOf(
-      q: Seq[Double], cents: Seq[Seq[Double]], nProbe: Int): Seq[Int] = {
-    val scores = cents.map { c =>
-      var s = 0.0; var i = 0
-      val n = math.min(q.length, c.length)
-      while (i < n) { s += q(i) * c(i); i += 1 }
-      s
-    }.toArray
-    val taken = new Array[Boolean](scores.length)
-    (0 until nProbe).map { _ =>
-      var best = -1; var bestS = Double.NegativeInfinity
-      var j = 0
-      while (j < scores.length) {
-        if (!taken(j) && (best < 0 || scores(j) > bestS)) {
-          best = j; bestS = scores(j)
-        }
-        j += 1
-      }
-      taken(best) = true
-      best // 0-based cell ids, as NearestCentroids emits
-    }
-  }
+      q: Seq[Double], cents: Seq[Seq[Double]], nProbe: Int): Seq[Int] =
+    CentroidProbe.cells(q, cents, nProbe)
 
   /** Exact-cosine top-`k` within the probed cells, reading ONLY those
     * cells' partitions of every segment. `queries` must be
@@ -672,5 +670,34 @@ final class IvfIndex(
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("cosine"), col("rank"))
+  }
+}
+
+/** Driver-side replica of [[org.apache.spark.sql.graft
+  * .VectorExpressions.NearestCentroids]]' selection (raw-dot repeated
+  * max, lower index on ties) so a probe set — and with it the cell
+  * partition filter — is a plan literal. One definition for both
+  * cell-partitioned indexes ([[IvfIndex]], [[PqIvfIndex]]). */
+private[storage] object CentroidProbe {
+  def cells(q: Seq[Double], cents: Seq[Seq[Double]], nProbe: Int): Seq[Int] = {
+    val scores = cents.map { c =>
+      var s = 0.0; var i = 0
+      val n = math.min(q.length, c.length)
+      while (i < n) { s += q(i) * c(i); i += 1 }
+      s
+    }.toArray
+    val taken = new Array[Boolean](scores.length)
+    (0 until nProbe).map { _ =>
+      var best = -1; var bestS = Double.NegativeInfinity
+      var j = 0
+      while (j < scores.length) {
+        if (!taken(j) && (best < 0 || scores(j) > bestS)) {
+          best = j; bestS = scores(j)
+        }
+        j += 1
+      }
+      taken(best) = true
+      best // 0-based cell ids, as NearestCentroids emits
+    }
   }
 }

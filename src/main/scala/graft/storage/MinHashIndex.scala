@@ -156,7 +156,9 @@ final class MinHashIndex(
         })
       writes.foreach(Await.result(_,
         scala.concurrent.duration.Duration(600, "s")))
-      mf.writeStats(seg, nDocs, sumSh)
+      // fourth field: banded rows (nSig docs × bands keys each), so
+      // tier merges size from summed metadata instead of a count()
+      mf.writeStats(seg, nDocs, sumSh, nSig * bands.toLong)
       SegmentIdRange.write(seg, SegmentIdRange.of(
         docRows.schema("id").dataType.typeName, st.get(2), st.get(3)))
       // opt-in content pruning for scattered takedowns: one extra
@@ -232,7 +234,7 @@ final class MinHashIndex(
         })
       writes.foreach(Await.result(_,
         scala.concurrent.duration.Duration(600, "s")))
-      mf.writeStats(seg, nDocs, sumSh)
+      mf.writeStats(seg, nDocs, sumSh, nSig * bands.toLong)
       SegmentIdRange.write(seg, SegmentIdRange.of(
         merged.schema("id").dataType.typeName, st.get(2), st.get(3)))
       // compaction output keeps the takedown pruning its corpus opted
@@ -241,6 +243,9 @@ final class MinHashIndex(
       // merged frame, same bill as an append's
       SegmentIdBloom.write(seg, merged.select(col("id")), nDocs,
         idBloomMaxIds)
+      // the delete-side ledger survives the fold (ADVICE r16): a
+      // pending cross-index propagation reads its drop set from here
+      preserveDelLedger(seg, segs)
       mf.writeTags(seg, segs)
       mf.commit(baseVer + 1, s"${seg.getName}\n", Seq(seg))
     } finally { merged.unpersist(false); () }
@@ -382,15 +387,23 @@ final class MinHashIndex(
     * hint. With AQE OFF the static planner has no size estimate for a
     * multi-stage derived frame and would shuffle the whole corpus
     * (id, exh) scan per micro-batch — there the explicit broadcast
-    * hint restores the probe plan, accepting the hint's usual
-    * oversized-build-side risk the deployment opted into by disabling
-    * AQE (ADVICE r15). */
+    * hint restores the probe plan. The hint is gated on the MEASURED
+    * incoming hash-set row count (`spark.graft.index.broadcastMaxRows`,
+    * default 1M — ADVICE r16: an unconditional hint would fail a bulk
+    * AQE-off backfill whose distinct hash set exceeds driver memory,
+    * where the shuffled join completes); the bounded count is an extra
+    * action paid only on the rare AQE-off path. */
   private[graft] def exactMatchedHashes(
       inH: DataFrame, entries: Seq[(String, Int)]): DataFrame = {
     val inHint =
       if (spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean)
         inH
-      else broadcast(inH)
+      else {
+        val cap = math.min(spark.conf.get(
+          "spark.graft.index.broadcastMaxRows", "1000000").toLong,
+          Int.MaxValue - 1L)
+        if (inH.limit(cap.toInt + 1).count() <= cap) broadcast(inH) else inH
+      }
     docsReadAt(Seq("id", "exh"), entries)
       .join(inHint, Seq("exh")).select(col("exh")).distinct()
   }

