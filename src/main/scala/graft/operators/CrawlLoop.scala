@@ -199,20 +199,41 @@ object CrawlLoop {
       bm25: Bm25Index, tag: String, minJaccard: Double = 0.5,
       minCosine: Double = 0.9, maxBucket: Int = 500)(
       implicit ctx: PipelineContext): Long = {
+    // each PROPAGATION step tombstones one recorded drop set in two
+    // INDEPENDENT heads (separate manifests — no shared CAS target):
+    // the two deletes run as concurrent driver threads (r17 — both
+    // are job-floor bound on this host). Crash convergence is
+    // unchanged: each delete is tag-guarded and idempotent, so any
+    // subset landing before a crash is exactly a state one replay
+    // completes — concurrency only widens which subsets occur, all of
+    // which the sequential contract already had to survive (a crash
+    // between the two sequential deletes leaves the same
+    // one-committed-one-missing state). ORDER ACROSS steps is load-
+    // bearing and stays: the embed fixpoint must run on the
+    // post-text-drop corpus (the oracle replays exactly that order).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def propagate(drops: DataFrame,
+        heads: Seq[DataFrame => Long]): Unit =
+      heads.map(h => Future(h(drops)))
+        .foreach(Await.result(_,
+          scala.concurrent.duration.Duration(600, "s")))
     val textTag = s"$tag:text"
     val nText =
       if (minhash.committedBatchTags.contains(textTag)) 0L
       else minhash.dedupMaintenance(minJaccard, maxBucket, Some(textTag))
     val textDrops = minhash.delIdsOfBatch(textTag)
-    embed.delete(textDrops, "id", batchTag = Some(textTag)): Unit
-    bm25.delete(textDrops, "id", batchTag = Some(textTag)): Unit
+    propagate(textDrops, Seq(
+      d => embed.delete(d, "id", batchTag = Some(textTag)),
+      d => bm25.delete(d, "id", batchTag = Some(textTag))))
     val embedTag = s"$tag:embed"
     val nEmbed =
       if (embed.committedBatchTags.contains(embedTag)) 0L
       else embed.dedupMaintenance(minCosine, maxBucket, Some(embedTag))
     val embedDrops = embed.delIdsOfBatch(embedTag)
-    minhash.delete(embedDrops, "id", batchTag = Some(embedTag)): Unit
-    bm25.delete(embedDrops, "id", batchTag = Some(embedTag)): Unit
+    propagate(embedDrops, Seq(
+      d => minhash.delete(d, "id", batchTag = Some(embedTag)),
+      d => bm25.delete(d, "id", batchTag = Some(embedTag))))
     nText + nEmbed
   }
 
@@ -232,8 +253,25 @@ object CrawlLoop {
     * (spec-pinned). Returns the number of heads that paid the full
     * rewrite. */
   def maintain(minhash: MinHashIndex, embed: EmbedIndex, bm25: Bm25Index,
-      mergeFactor: Int = 10, maxDelFraction: Double = 0.2): Int =
-    Seq(minhash.maintainCompaction(maxDelFraction, mergeFactor),
-      embed.maintainCompaction(maxDelFraction, mergeFactor),
-      bm25.maintainCompaction(maxDelFraction, mergeFactor)).count(identity)
+      mergeFactor: Int = 10, maxDelFraction: Double = 0.2): Int = {
+    // the three heads are INDEPENDENT indexes (separate directories,
+    // separate manifests — no shared CAS target), and a compaction is
+    // a pure layout rewrite whose results are invariant by
+    // construction (TieredCompactionSpec), so the three maintenance
+    // passes run as CONCURRENT driver threads: Spark interleaves
+    // their jobs and the loop pays roughly one head's maintenance
+    // wall instead of three (r17 — on this host the pass is job-floor
+    // bound, not data bound). Commit order between heads carries no
+    // crash contract here (unlike admitBatch): maintenance changes no
+    // live id set, so any interleaving of completed/missing passes is
+    // just the state a fresh maintain() call converges from.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Seq(
+      Future(minhash.maintainCompaction(maxDelFraction, mergeFactor)),
+      Future(embed.maintainCompaction(maxDelFraction, mergeFactor)),
+      Future(bm25.maintainCompaction(maxDelFraction, mergeFactor)))
+      .map(Await.result(_, scala.concurrent.duration.Duration(600, "s")))
+      .count(x => x)
+  }
 }

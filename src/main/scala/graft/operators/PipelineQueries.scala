@@ -1082,22 +1082,30 @@ object PipelineQueries {
     * proves the purge landed in every head and nothing else moved. */
   def t74CrawlTakedown(spark: SparkSession, dir: String): DataFrame = {
     val base = stgateDir("t74")
-    val joint = StreamQueries.crawlJoint(spark, dir)
     val mh = new graft.storage.MinHashIndex(spark, s"$base/mh",
       shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
       nBuckets = 16)
     val em = new graft.storage.EmbedIndex(spark, s"$base/em", dim = 64,
       nPlanes = 8, bands = 4, nBuckets = 16)
     val bm = new graft.storage.Bm25Index(spark, s"$base/bm", nBuckets = 16)
-    CrawlLoop.admitBatch(mh, em, bm, joint.filter(col("doc_id") % 2 === 0),
-      "doc_id", "text", "embedding", tag = "t74:0",
-      minJaccard = 0.4, minCosine = 0.8)
-    CrawlLoop.admitBatch(mh, em, bm, joint.filter(col("doc_id") % 2 === 1),
-      "doc_id", "text", "embedding", tag = "t74:1",
-      minJaccard = 0.4, minCosine = 0.8)
-    CrawlLoop.takedown(mh, em, bm,
-      joint.filter(col("doc_id") % 20 === 7).select(col("doc_id")),
-      "doc_id", tag = "t74:td"): Unit
+    // the joint corpus is STAGED (r17): its 3-join construction
+    // otherwise recomputes for every consumer — two batch filters,
+    // each touched again by admitBatch's isEmpty probe, plus the
+    // takedown id filter (≈6 replays of the same join tree). Every
+    // consumer is eager inside this context; the final crawlHeadsOut
+    // reads only the persisted index heads.
+    PipelineContext.run { implicit ctx =>
+      val joint = ctx.stage(StreamQueries.crawlJoint(spark, dir))
+      CrawlLoop.admitBatch(mh, em, bm, joint.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "embedding", tag = "t74:0",
+        minJaccard = 0.4, minCosine = 0.8)
+      CrawlLoop.admitBatch(mh, em, bm, joint.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", "embedding", tag = "t74:1",
+        minJaccard = 0.4, minCosine = 0.8)
+      CrawlLoop.takedown(mh, em, bm,
+        joint.filter(col("doc_id") % 20 === 7).select(col("doc_id")),
+        "doc_id", tag = "t74:td"): Unit
+    }
     CrawlLoop.maintain(mh, em, bm): Unit
     StreamQueries.crawlHeadsOut(mh, em, bm)
   }
@@ -1119,19 +1127,25 @@ object PipelineQueries {
     * nothing else moves. */
   def t75CrawlDedupMaint(spark: SparkSession, dir: String): DataFrame = {
     val base = stgateDir("t75")
-    val joint = StreamQueries.crawlJoint(spark, dir, plantWithinBatch = true)
     val mh = new graft.storage.MinHashIndex(spark, s"$base/mh",
       shingle = Dedup.WordGrams(2), numHashes = 64, bands = 16,
       nBuckets = 16)
     val em = new graft.storage.EmbedIndex(spark, s"$base/em", dim = 64,
       nPlanes = 8, bands = 4, nBuckets = 16)
     val bm = new graft.storage.Bm25Index(spark, s"$base/bm", nBuckets = 16)
-    CrawlLoop.admitBatch(mh, em, bm, joint.filter(col("doc_id") % 2 === 0),
-      "doc_id", "text", "embedding", tag = "t75:0",
-      minJaccard = 0.4, minCosine = 0.8)
-    CrawlLoop.admitBatch(mh, em, bm, joint.filter(col("doc_id") % 2 === 1),
-      "doc_id", "text", "embedding", tag = "t75:1",
-      minJaccard = 0.4, minCosine = 0.8)
+    // staged joint corpus — the t74 rationale (r17): one 3-join
+    // computation instead of ~4 replays across the batch filters and
+    // admitBatch's isEmpty probes
+    PipelineContext.run { implicit ctx =>
+      val joint = ctx.stage(
+        StreamQueries.crawlJoint(spark, dir, plantWithinBatch = true))
+      CrawlLoop.admitBatch(mh, em, bm, joint.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "embedding", tag = "t75:0",
+        minJaccard = 0.4, minCosine = 0.8)
+      CrawlLoop.admitBatch(mh, em, bm, joint.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", "embedding", tag = "t75:1",
+        minJaccard = 0.4, minCosine = 0.8)
+    }
     PipelineContext.run { implicit ctx =>
       CrawlLoop.maintainDedup(mh, em, bm, "t75:wk",
         minJaccard = 0.4, minCosine = 0.8): Unit

@@ -707,10 +707,16 @@ object StreamQueries {
     val joint = crawlJoint(spark, dir)
     val watch = s"$base/watch"
     Files.createDirectories(java.nio.file.Paths.get(watch))
-    joint.filter(col("doc_id") % 2 === 0)
-      .coalesce(1).write.parquet(s"$watch/b0")
-    joint.filter(col("doc_id") % 2 === 1)
-      .coalesce(1).write.parquet(s"$watch/b1")
+    // staged: the 3-join corpus construction feeds both batch writes —
+    // one computation instead of two (r17); both writes are eager
+    // inside the context
+    PipelineContext.run { implicit ctx =>
+      val j = ctx.stage(joint)
+      j.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$watch/b0")
+      j.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.parquet(s"$watch/b1")
+    }
     // the file source orders by (mtime, path): pin batch order
     val now = System.currentTimeMillis()
     def stamp(sub: String, t: Long): Unit = {

