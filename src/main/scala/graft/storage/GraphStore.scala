@@ -605,28 +605,34 @@ final class GraphStore(
     writeCounted(toWrite.repartition(col(pk)), nodePath(label))
   }
 
-  /** Persist → count → write → unpersist. The count comes FIRST: it
-    * materializes the cache while `path` is still unmutated, so even if
-    * blocks are evicted the recompute is correct; counting after the
-    * append is unsound — the conform+dedup+anti-join pipeline re-reads
-    * `path`, sees the just-written keys, and under-counts (observed:
-    * MERGE-rel reported 0 created while the row landed). */
+  /** Write with the row count riding the write action itself as an
+    * `Observation` (r17 — was persist → count() → write, two job
+    * floors per mutation for one figure). The historical hazard the
+    * count-first shape guarded ("counting after the append re-reads
+    * `path`, sees the just-written keys, and under-counts — observed
+    * as MERGE-rel reporting 0 created") was a SECOND action planned
+    * after the mutation; the observation is collected DURING the one
+    * write action, whose scan file-list snapshot predates every file
+    * the write adds, so the count is exactly the rows written. The
+    * persist is gone with the second consumer. */
   private def writeCounted(df: DataFrame, path: String): Long = {
-    val cached = df.persist()
-    try {
-      val n = cached.count()
-      // appends land in the ACTIVE generation: an open reader's file
-      // snapshot simply doesn't include the new files (never broken by
-      // them), and the next rewrite carries them forward
-      val m = readManifest()
-      bucketStateIn(m, path) match {
-        case Some((g, nB)) => appendBucketed(cached, path, g, nB, m)
-        case None => cached.write.mode(SaveMode.Append)
-          .option("parquet.block.size", GraphStore.RowGroupBytes)
-          .parquet(dataPath(path))
-      }
-      n
-    } finally { cached.unpersist(); () }
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-wc-${java.util.UUID.randomUUID()}")
+    val observed = df.observe(obs, count(lit(1)).as("n"))
+    // appends land in the ACTIVE generation: an open reader's file
+    // snapshot simply doesn't include the new files (never broken by
+    // them), and the next rewrite carries them forward
+    val m = readManifest()
+    bucketStateIn(m, path) match {
+      case Some((g, nB)) => appendBucketed(observed, path, g, nB, m)
+      case None => observed.write.mode(SaveMode.Append)
+        .option("parquet.block.size", GraphStore.RowGroupBytes)
+        .parquet(dataPath(path))
+    }
+    obs.get.getOrElse("n", 0L) match {
+      case l: java.lang.Long => l.longValue
+      case _ => 0L
+    }
   }
 
   /** Append into a BUCKETED table: one partitioned stage write, then
