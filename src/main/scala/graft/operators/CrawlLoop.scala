@@ -20,9 +20,13 @@ import graft.storage.{Bm25Index, EmbedIndex, MinHashIndex}
   * retrieval index serves documents its dedup index dropped is
   * corrupt in the way no single-index gate can see.
   *
-  * Crash-consistency design. Appends commit in a FIXED order
-  * (MinHash → Embed → BM25), so committed batches always satisfy
-  * minhash ⊇ embed ⊇ bm25 and only a SUFFIX can be missing. The
+  * Crash-consistency design. The LEADER commits first (MinHash),
+  * then the two SUFFIX heads (Embed, BM25) complete in either order —
+  * committed batches always satisfy minhash ⊇ each suffix head, and
+  * what a crash can leave missing is any SUBSET of the suffix (the
+  * suffix appends run as concurrent jobs in production — r17; the
+  * recovery path below never depended on an order between them, only
+  * on the leader-first rule). The
   * MinHash head doubles as the admission LEDGER: its tagged segment
   * durably records the admitted id set at the moment of commit
   * ([[graft.storage.BandedDocsIndex.docIdsOfBatch]]). A replayed batch
@@ -58,8 +62,13 @@ object CrawlLoop {
     * stopword-whale lever) — safe for consistency because BM25
     * membership is exact regardless of capping (the `docs/` table,
     * VERDICT r16 wrong #3). `failpoint` is the spec's crash-injection
-    * hook ("afterMinhash" / "afterEmbed" throw between commits);
-    * production callers leave it empty. */
+    * hook; production callers leave it empty. A non-empty failpoint
+    * SERIALIZES the suffix appends so the matrix can construct each
+    * partial state deterministically — "afterMinhash" (no suffix
+    * head committed), "afterEmbed" (embed committed, bm25 missing),
+    * "beforeEmbed" (bm25 committed, embed missing): exactly the crash
+    * states the concurrent production path can produce, each driven
+    * to convergence by CrawlLoopSpec. */
   def admitBatch(
       minhash: MinHashIndex, embed: EmbedIndex, bm25: Bm25Index,
       batch: DataFrame, idCol: String, textCol: String, vecCol: String,
@@ -68,6 +77,34 @@ object CrawlLoop {
     if (batch.isEmpty) return
     def fail(p: String): Unit = if (failpoint == p)
       throw new IllegalStateException(s"crawl-loop failpoint: $p")
+    // The two SUFFIX appends, shared by the normal and recovery paths.
+    // The suffix heads are independent indexes (separate manifests, no
+    // shared CAS target) and each append is tag-guarded + idempotent,
+    // so in production they run as CONCURRENT driver jobs (r17 — a
+    // segment build is job-floor bound at batch scale, so the loop
+    // pays ~one suffix append wall instead of two): any subset
+    // committed before a crash is a state one replay completes, and
+    // the recovery rule only ever needed the LEADER-first order. A
+    // non-empty failpoint serializes them so the spec matrix can
+    // construct each partial state deterministically — the states it
+    // builds are exactly the concurrent path's crash states.
+    def suffixAppends(admitted: DataFrame): Unit = {
+      def embedA(): Unit =
+        embed.append(admitted, idCol, vecCol, batchTag = Some(tag))
+      def bm25A(): Unit =
+        bm25.append(admitted, idCol, textCol, dfCap = bm25DfCap,
+          batchTag = Some(tag))
+      if (failpoint.nonEmpty) {
+        if (failpoint == "beforeEmbed") { bm25A(); fail("beforeEmbed") }
+        else { embedA(); fail("afterEmbed"); bm25A() }
+      } else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Seq(Future(embedA()), Future(bm25A()))
+          .foreach(Await.result(_,
+            scala.concurrent.duration.Duration(600, "s")))
+      }
+    }
 
     if (minhash.committedBatchTags.contains(tag)) {
       // RECOVERY / replay: the leader committed, so the admitted set
@@ -88,10 +125,7 @@ object CrawlLoop {
         // appends (the normal path's staging discipline)
         val admitted = ctx.stage(batch.join(ledger,
           batch(idCol) === ledger("id"), "left_semi"))
-        embed.append(admitted, idCol, vecCol, batchTag = Some(tag))
-        fail("afterEmbed")
-        bm25.append(admitted, idCol, textCol, dfCap = bm25DfCap,
-          batchTag = Some(tag))
+        suffixAppends(admitted)
       }
       return
     }
@@ -114,14 +148,11 @@ object CrawlLoop {
           if (embed.segments.isEmpty) textSurv
           else embed.dedupAgainst(textSurv, idCol, vecCol, minCosine)
         })
-      // fixed commit order — the ledger-first rule the recovery path
-      // depends on
+      // LEADER-first commit — the ledger rule the recovery path
+      // depends on; the suffix pair then completes concurrently
       minhash.append(admitted, idCol, textCol, batchTag = Some(tag))
       fail("afterMinhash")
-      embed.append(admitted, idCol, vecCol, batchTag = Some(tag))
-      fail("afterEmbed")
-      bm25.append(admitted, idCol, textCol, dfCap = bm25DfCap,
-        batchTag = Some(tag))
+      suffixAppends(admitted)
     }
   }
 
@@ -150,18 +181,37 @@ object CrawlLoop {
     * the heads are divergent (admission crash) records its tag even
     * in the heads that held nothing, so no head is left unguarded for
     * the replay. Returns the per-head tombstone counts of THIS call
-    * (zeros on a replay). */
+    * (zeros on a replay).
+    *
+    * Because there is NO cross-head order contract here at all (no
+    * leader, no ledger — the scaladoc above), the three deletes run
+    * as CONCURRENT driver jobs in production (r17): a crash can leave
+    * any SUBSET committed, each a state the replay already had to
+    * converge from. A non-empty failpoint serializes them so the spec
+    * matrix can construct the partial states deterministically. */
   def takedown(minhash: MinHashIndex, embed: EmbedIndex, bm25: Bm25Index,
       ids: DataFrame, idCol: String, tag: String,
       failpoint: String = ""): (Long, Long, Long) = {
     def fail(p: String): Unit = if (failpoint == p)
       throw new IllegalStateException(s"crawl-loop failpoint: $p")
-    val m = minhash.delete(ids, idCol, batchTag = Some(tag))
-    fail("afterMinhashDel")
-    val e = embed.delete(ids, idCol, batchTag = Some(tag))
-    fail("afterEmbedDel")
-    val b = bm25.delete(ids, idCol, batchTag = Some(tag))
-    (m, e, b)
+    if (failpoint.nonEmpty) {
+      val m = minhash.delete(ids, idCol, batchTag = Some(tag))
+      fail("afterMinhashDel")
+      val e = embed.delete(ids, idCol, batchTag = Some(tag))
+      fail("afterEmbedDel")
+      val b = bm25.delete(ids, idCol, batchTag = Some(tag))
+      (m, e, b)
+    } else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = Seq(
+        Future(minhash.delete(ids, idCol, batchTag = Some(tag))),
+        Future(embed.delete(ids, idCol, batchTag = Some(tag))),
+        Future(bm25.delete(ids, idCol, batchTag = Some(tag))))
+        .map(Await.result(_,
+          scala.concurrent.duration.Duration(600, "s")))
+      (fs(0), fs(1), fs(2))
+    }
   }
 
   /** Cross-index PERIODIC DEDUP maintenance — the weekly

@@ -81,6 +81,18 @@ object StreamQueries {
     f.delete(); ()
   }
 
+  /** Run independent write actions as concurrent driver jobs (disjoint
+    * output directories) — the streaming gates' two fixture batch
+    * files are independent filters of one source, so their writes pay
+    * one job-floor wall instead of two (r17; results invariant — the
+    * files land byte-identical either way). */
+  private def concurrently(writes: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    writes.map(w => Future(w())).foreach(
+      Await.result(_, scala.concurrent.duration.Duration(600, "s")))
+  }
+
   /** Run a streaming frame to completion under AvailableNow through a
     * parquet sink and return what was emitted. Each gate reuses ONE
     * sink+checkpoint location, wiped at entry — repeated invocations
@@ -259,10 +271,11 @@ object StreamQueries {
       .select(col("doc_id"), col("text"))
     val watch = s"$base/watch"
     Files.createDirectories(java.nio.file.Paths.get(watch))
-    docs.filter(col("doc_id") % 2 === 0)
-      .coalesce(1).write.parquet(s"$watch/b0")
-    docs.filter(col("doc_id") % 2 === 1)
-      .coalesce(1).write.parquet(s"$watch/b1")
+    concurrently(
+      () => docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$watch/b0"),
+      () => docs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.parquet(s"$watch/b1"))
     // the file source orders by (mtime, path): pin batch order
     val now = System.currentTimeMillis()
     def stamp(sub: String, t: Long): Unit = {
@@ -355,10 +368,11 @@ object StreamQueries {
       .select(col("doc_id"), col("text"))
     val watch = s"$base/watch"
     Files.createDirectories(java.nio.file.Paths.get(watch))
-    docs.filter(col("doc_id") % 4 < 3)
-      .coalesce(1).write.parquet(s"$watch/b0")
-    docs.filter(col("doc_id") % 4 === 3)
-      .coalesce(1).write.parquet(s"$watch/b1")
+    concurrently(
+      () => docs.filter(col("doc_id") % 4 < 3)
+        .coalesce(1).write.parquet(s"$watch/b0"),
+      () => docs.filter(col("doc_id") % 4 === 3)
+        .coalesce(1).write.parquet(s"$watch/b1"))
     // the file source orders by (mtime, path): pin batch order
     val now = System.currentTimeMillis()
     def stamp(sub: String, t: Long): Unit = {
@@ -425,10 +439,11 @@ object StreamQueries {
       .select(col("doc_id"), col("text"))
     val watch = s"$base/watch"
     Files.createDirectories(java.nio.file.Paths.get(watch))
-    docs.filter(col("doc_id") % 2 === 0)
-      .coalesce(1).write.parquet(s"$watch/b0")
-    docs.filter(col("doc_id") % 2 === 1)
-      .coalesce(1).write.parquet(s"$watch/b1")
+    concurrently(
+      () => docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$watch/b0"),
+      () => docs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.parquet(s"$watch/b1"))
     // the file source orders by (mtime, path): pin batch order
     val now = System.currentTimeMillis()
     def stamp(sub: String, t: Long): Unit = {
@@ -516,10 +531,11 @@ object StreamQueries {
       .select(col("vec_id"), col("embedding"))
     val watch = s"$base/watch"
     Files.createDirectories(java.nio.file.Paths.get(watch))
-    emb.filter(col("vec_id") % 2 === 0)
-      .coalesce(1).write.parquet(s"$watch/b0")
-    emb.filter(col("vec_id") % 2 === 1)
-      .coalesce(1).write.parquet(s"$watch/b1")
+    concurrently(
+      () => emb.filter(col("vec_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$watch/b0"),
+      () => emb.filter(col("vec_id") % 2 === 1)
+        .coalesce(1).write.parquet(s"$watch/b1"))
     // the file source orders by (mtime, path): pin batch order
     val now = System.currentTimeMillis()
     def stamp(sub: String, t: Long): Unit = {
@@ -712,10 +728,11 @@ object StreamQueries {
     // inside the context
     PipelineContext.run { implicit ctx =>
       val j = ctx.stage(joint)
-      j.filter(col("doc_id") % 2 === 0)
-        .coalesce(1).write.parquet(s"$watch/b0")
-      j.filter(col("doc_id") % 2 === 1)
-        .coalesce(1).write.parquet(s"$watch/b1")
+      concurrently(
+        () => j.filter(col("doc_id") % 2 === 0)
+          .coalesce(1).write.parquet(s"$watch/b0"),
+        () => j.filter(col("doc_id") % 2 === 1)
+          .coalesce(1).write.parquet(s"$watch/b1"))
     }
     // the file source orders by (mtime, path): pin batch order
     val now = System.currentTimeMillis()

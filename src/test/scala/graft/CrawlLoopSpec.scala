@@ -98,20 +98,23 @@ class CrawlLoopSpec extends SparkTestBase {
     assertAllHeads(mh, em, bm, expected)
   }
 
-  Seq("afterMinhash", "afterEmbed").foreach { fp =>
-    test(s"a crash at $fp leaves only a head suffix missing; the replay converges to the uninterrupted result") {
+  // the three partial suffix states a crash can leave behind — the
+  // suffix appends run CONCURRENTLY in production (r17), so any
+  // SUBSET of {embed, bm25} can be committed when the loop dies; the
+  // serialized failpoint mode constructs each state exactly
+  Seq(("afterMinhash", false, false), ("afterEmbed", true, false),
+      ("beforeEmbed", false, true)).foreach { case (fp, emHas, bmHas) =>
+    test(s"a crash at $fp leaves a suffix subset missing; the replay converges to the uninterrupted result") {
       val (mh, em, bm) = mkIndexes()
       admit(mh, em, bm, b0, "c:0")
       intercept[IllegalStateException] {
         admit(mh, em, bm, b1, "c:1", failpoint = fp)
       }
-      // ledger-first commit order: the leader always has the batch,
-      // BM25 (last) never does at either failpoint
+      // leader-first commit: the ledger always has the batch; the
+      // suffix heads hold exactly the subset the failpoint built
       assert(mh.committedBatchTags.contains("c:1"))
-      assert(!bm.committedBatchTags.contains("c:1"))
-      if (fp == "afterMinhash")
-        assert(!em.committedBatchTags.contains("c:1"))
-      else assert(em.committedBatchTags.contains("c:1"))
+      assert(em.committedBatchTags.contains("c:1") === emHas)
+      assert(bm.committedBatchTags.contains("c:1") === bmHas)
       // the at-least-once replay completes the suffix from the ledger
       admit(mh, em, bm, b1, "c:1")
       assertAllHeads(mh, em, bm, expected)
@@ -200,7 +203,8 @@ class CrawlLoopSpec extends SparkTestBase {
         case 0 =>
           val ids = freshIds(1 + rnd.nextInt(3))
           val tag = s"r:$step"
-          val fp = Seq("", "afterMinhash", "afterEmbed")(rnd.nextInt(3))
+          val fp = Seq("", "afterMinhash", "afterEmbed",
+            "beforeEmbed")(rnd.nextInt(4))
           if (fp.isEmpty) admit(mh, em, bm, batchOf(ids), tag)
           else {
             intercept[IllegalStateException] {
