@@ -36,6 +36,23 @@ object SparkBoot {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r18: let AQE re-plan (and coalesce) the subtree UNDER a
+      // persist() too. Default-false Spark conservatism preserves a
+      // cached plan's output partitioning for downstream reuse; none
+      // of our cached frames' consumers rely on that partitioning
+      // (they aggregate, join via fresh exchanges, or collect), while
+      // the frozen static count made every persist() materialize tiny
+      // frames through `shuffle.partitions` tasks — the r17 st04
+      // discovery (persist→count at 32 partitions, 904 tasks for kB of
+      // data), which r17 fixed point-wise by DROPPING persists in
+      // GraphStore; this closes the same hole for the remaining
+      // multi-consumer persists (componentsOf's per-round labels,
+      // pruneForDelete's want, Bm25 append's worklist). Measured on
+      // this host: t75 2778→~700 tasks; scale-relevant on a cluster
+      // too (a cached 200-partition shuffle of KB-scale metadata is
+      // 200 tiny blocks every consumer refetches).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

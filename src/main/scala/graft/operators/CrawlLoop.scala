@@ -97,13 +97,7 @@ object CrawlLoop {
       if (failpoint.nonEmpty) {
         if (failpoint == "beforeEmbed") { bm25A(); fail("beforeEmbed") }
         else { embedA(); fail("afterEmbed"); bm25A() }
-      } else {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        Seq(Future(embedA()), Future(bm25A()))
-          .foreach(Await.result(_,
-            scala.concurrent.duration.Duration(600, "s")))
-      }
+      } else DriverJobs.awaitAll(Seq(() => embedA(), () => bm25A())): Unit
     }
 
     if (minhash.committedBatchTags.contains(tag)) {
@@ -183,12 +177,27 @@ object CrawlLoop {
     * the replay. Returns the per-head tombstone counts of THIS call
     * (zeros on a replay).
     *
-    * Because there is NO cross-head order contract here at all (no
-    * leader, no ledger — the scaladoc above), the three deletes run
-    * as CONCURRENT driver jobs in production (r17): a crash can leave
-    * any SUBSET committed, each a state the replay already had to
-    * converge from. A non-empty failpoint serializes them so the spec
-    * matrix can construct the partial states deterministically. */
+    * The LEADER-FIRST order IS load-bearing here, exactly as in
+    * admission — takedown has no ledger of its own, but it COMPOSES
+    * with admission's: [[admitBatch]]'s recovery rule trusts
+    * `ledger ∩ leader live view`, so the leader's tombstone must be
+    * durable before any suffix head commits this tag. Were the three
+    * deletes fully concurrent (the r17 regression, reverted on ADVICE
+    * r17 #1), a crash could leave the SUFFIX tag markers committed
+    * while the victim is still live in the leader; a replay of a
+    * previously-crashed admission batch would then see the victim
+    * live in the leader's view, resurrect it into Embed/BM25 (their
+    * batch tag is absent there), and the takedown's own replay would
+    * be tag-guard no-op'd in exactly those heads — permanent
+    * cross-head divergence (CrawlLoopSpec drives this interleaving).
+    * So production commits the MinHash delete first, then runs the
+    * two suffix deletes as concurrent driver jobs (still one suffix
+    * wall instead of two — r17's win, minus the broken third). A
+    * non-empty failpoint serializes the suffix so the spec matrix can
+    * construct each leader-first partial state — "afterMinhashDel"
+    * (leader only), "beforeEmbedDel" (leader + bm25), "afterEmbedDel"
+    * (leader + embed): exactly the crash states the concurrent
+    * production path can produce. */
   def takedown(minhash: MinHashIndex, embed: EmbedIndex, bm25: Bm25Index,
       ids: DataFrame, idCol: String, tag: String,
       failpoint: String = ""): (Long, Long, Long) = {
@@ -197,20 +206,22 @@ object CrawlLoop {
     if (failpoint.nonEmpty) {
       val m = minhash.delete(ids, idCol, batchTag = Some(tag))
       fail("afterMinhashDel")
-      val e = embed.delete(ids, idCol, batchTag = Some(tag))
-      fail("afterEmbedDel")
-      val b = bm25.delete(ids, idCol, batchTag = Some(tag))
-      (m, e, b)
+      if (failpoint == "beforeEmbedDel") {
+        val b = bm25.delete(ids, idCol, batchTag = Some(tag))
+        fail("beforeEmbedDel")
+        (m, -1L, b) // unreachable — the failpoint above always throws
+      } else {
+        val e = embed.delete(ids, idCol, batchTag = Some(tag))
+        fail("afterEmbedDel")
+        val b = bm25.delete(ids, idCol, batchTag = Some(tag))
+        (m, e, b)
+      }
     } else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fs = Seq(
-        Future(minhash.delete(ids, idCol, batchTag = Some(tag))),
-        Future(embed.delete(ids, idCol, batchTag = Some(tag))),
-        Future(bm25.delete(ids, idCol, batchTag = Some(tag))))
-        .map(Await.result(_,
-          scala.concurrent.duration.Duration(600, "s")))
-      (fs(0), fs(1), fs(2))
+      val m = minhash.delete(ids, idCol, batchTag = Some(tag))
+      val eb = DriverJobs.awaitAll(Seq(
+        () => embed.delete(ids, idCol, batchTag = Some(tag)),
+        () => bm25.delete(ids, idCol, batchTag = Some(tag))))
+      (m, eb(0), eb(1))
     }
   }
 
@@ -249,41 +260,59 @@ object CrawlLoop {
       bm25: Bm25Index, tag: String, minJaccard: Double = 0.5,
       minCosine: Double = 0.9, maxBucket: Int = 500)(
       implicit ctx: PipelineContext): Long = {
-    // each PROPAGATION step tombstones one recorded drop set in two
-    // INDEPENDENT heads (separate manifests — no shared CAS target):
-    // the two deletes run as concurrent driver threads (r17 — both
-    // are job-floor bound on this host). Crash convergence is
-    // unchanged: each delete is tag-guarded and idempotent, so any
-    // subset landing before a crash is exactly a state one replay
-    // completes — concurrency only widens which subsets occur, all of
-    // which the sequential contract already had to survive (a crash
-    // between the two sequential deletes leaves the same
-    // one-committed-one-missing state). ORDER ACROSS steps is load-
-    // bearing and stays: the embed fixpoint must run on the
-    // post-text-drop corpus (the oracle replays exactly that order).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    def propagate(drops: DataFrame,
-        heads: Seq[DataFrame => Long]): Unit =
-      heads.map(h => Future(h(drops)))
-        .foreach(Await.result(_,
-          scala.concurrent.duration.Duration(600, "s")))
+    // PROPAGATION order. Within the text step, the two suffix heads
+    // (Embed, BM25) are independent indexes and the ADMISSION LEADER's
+    // tombstone is already durable (the fixpoint committed it), so
+    // their deletes run as concurrent driver jobs — any subset landing
+    // before a crash is a state one replay completes. The EMBED step
+    // is different: its propagation writes the admission LEADER
+    // (MinHash), and the same composed-recovery argument as
+    // [[takedown]] applies — a crash that committed BM25's tag marker
+    // while the victim was still live in the leader would let a
+    // replayed crashed-admission batch resurrect the victim into BM25
+    // under its batch tag, with the propagation replay tag-guard
+    // no-op'd there (ADVICE r17 #1's interleaving, one tag over). So
+    // the leader's delete commits FIRST, then BM25's. ORDER ACROSS
+    // steps is load-bearing and stays: the embed fixpoint must run on
+    // the post-text-drop corpus (the oracle replays exactly that
+    // order).
     val textTag = s"$tag:text"
     val nText =
       if (minhash.committedBatchTags.contains(textTag)) 0L
       else minhash.dedupMaintenance(minJaccard, maxBucket, Some(textTag))
     val textDrops = minhash.delIdsOfBatch(textTag)
-    propagate(textDrops, Seq(
-      d => embed.delete(d, "id", batchTag = Some(textTag)),
-      d => bm25.delete(d, "id", batchTag = Some(textTag))))
-    val embedTag = s"$tag:embed"
+    // embed's text-drop delete is on the CRITICAL PATH (the embed
+    // fixpoint below must run on the post-text-drop corpus); BM25's is
+    // not — no later step reads BM25 until its own embedTag delete, so
+    // it rides a background driver job UNDER the embed fixpoint (r18:
+    // one suffix-delete wall hidden instead of paid; §2.6). The await
+    // sits before BM25's embedTag delete: two writers on one manifest
+    // would race the CAS.
+    val bm25Text = DriverJobs.submit(
+      bm25.delete(textDrops, "id", batchTag = Some(textTag)))
     val nEmbed =
-      if (embed.committedBatchTags.contains(embedTag)) 0L
-      else embed.dedupMaintenance(minCosine, maxBucket, Some(embedTag))
-    val embedDrops = embed.delIdsOfBatch(embedTag)
-    propagate(embedDrops, Seq(
-      d => minhash.delete(d, "id", batchTag = Some(embedTag)),
-      d => bm25.delete(d, "id", batchTag = Some(embedTag))))
+      try {
+        embed.delete(textDrops, "id", batchTag = Some(textTag)): Unit
+        val embedTag = s"$tag:embed"
+        val n =
+          if (embed.committedBatchTags.contains(embedTag)) 0L
+          else embed.dedupMaintenance(minCosine, maxBucket, Some(embedTag))
+        val embedDrops = embed.delIdsOfBatch(embedTag)
+        // admission-LEADER first (the takedown argument, one tag
+        // over): MinHash's tombstone must be durable before BM25
+        // commits embedTag
+        minhash.delete(embedDrops, "id", batchTag = Some(embedTag)): Unit
+        DriverJobs.await(bm25Text): Unit
+        bm25.delete(embedDrops, "id", batchTag = Some(embedTag)): Unit
+        n
+      } catch {
+        // no index-mutating job may outlive this call (the awaitAll
+        // rule): drain the background delete before rethrowing the
+        // primary failure
+        case e: Throwable =>
+          scala.util.Try(DriverJobs.await(bm25Text))
+          throw e
+      }
     nText + nEmbed
   }
 
@@ -315,13 +344,10 @@ object CrawlLoop {
     // crash contract here (unlike admitBatch): maintenance changes no
     // live id set, so any interleaving of completed/missing passes is
     // just the state a fresh maintain() call converges from.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Seq(
-      Future(minhash.maintainCompaction(maxDelFraction, mergeFactor)),
-      Future(embed.maintainCompaction(maxDelFraction, mergeFactor)),
-      Future(bm25.maintainCompaction(maxDelFraction, mergeFactor)))
-      .map(Await.result(_, scala.concurrent.duration.Duration(600, "s")))
+    DriverJobs.awaitAll(Seq(
+      () => minhash.maintainCompaction(maxDelFraction, mergeFactor),
+      () => embed.maintainCompaction(maxDelFraction, mergeFactor),
+      () => bm25.maintainCompaction(maxDelFraction, mergeFactor)))
       .count(x => x)
   }
 }

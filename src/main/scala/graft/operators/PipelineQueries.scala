@@ -512,11 +512,10 @@ object PipelineQueries {
       // classifier's job floors then hide entirely under the token
       // work (2.3 s -> measured drop; Spark's scheduler interleaves
       // concurrent jobs freely).
-      import scala.concurrent.{Await, ExecutionContext, Future}
       val feats = CurationPipeline.classifierFeatures(docs, "doc_id", "text", en)
-      val clfTrain = Future {
+      val clfTrain = DriverJobs.submit {
         CurationPipeline.trainQualityClassifierOnFeats(feats).collect()(0)
-      }(ExecutionContext.global)
+      }
       val dsir = CurationPipeline.importanceWeightsFromTokens(toks)
         .select(col("id"), round(col("score"), 6).as("dscore"))
       // the heavy two signals feed the cutpoint agg AND the bucket
@@ -534,8 +533,7 @@ object PipelineQueries {
       val pdCuts = pd.agg(
         round(percentile(col("ppl"), lit(0.6)), 6).as("pcut"),
         round(percentile(col("dscore"), lit(0.4)), 6).as("dcut")).collect()(0)
-      val wRow = Await.result(clfTrain,
-        scala.concurrent.duration.Duration(300, "s"))
+      val wRow = DriverJobs.await(clfTrain)
       // score from the SAME cached feature frame the trainer used —
       // without the cache each consumer re-ran the two regexp_replace
       // char counts over the full corpus text

@@ -86,12 +86,8 @@ object StreamQueries {
     * files are independent filters of one source, so their writes pay
     * one job-floor wall instead of two (r17; results invariant — the
     * files land byte-identical either way). */
-  private def concurrently(writes: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    writes.map(w => Future(w())).foreach(
-      Await.result(_, scala.concurrent.duration.Duration(600, "s")))
-  }
+  private def concurrently(writes: (() => Unit)*): Unit =
+    DriverJobs.awaitAll(writes.toSeq): Unit
 
   /** Run a streaming frame to completion under AvailableNow through a
     * parquet sink and return what was emitted. Each gate reuses ONE

@@ -87,6 +87,13 @@ private[storage] abstract class BandedDocsIndex(
       .map(d => spark.read.parquet(d.toString).select(col("id")))
     val frames = delFrames ++ ledgerFrames
     if (frames.isEmpty) spark.range(0).select(col("id"))
+    // a single frame is already distinct (a delete writes each live id
+    // once; a ledger sidecar copies one such table) — the distinct is
+    // only needed to collapse duplicates ACROSS frames (a del segment
+    // plus its preserved copy after a partial fold). Skipping it for
+    // the common 1-frame head removes one exchange per propagation
+    // read (r18, §2.4).
+    else if (frames.sizeIs == 1) frames.head
     else frames.reduce(_.unionByName(_)).distinct()
   }
 
@@ -206,7 +213,16 @@ private[storage] abstract class BandedDocsIndex(
       idCol: String): (DataFrame, Long, Seq[(String, Int)]) = {
     val idT = spark.read.parquet(s"$path/${dataSegs.head._1}/docs")
       .schema("id").dataType
-    val want = ids.select(col(idCol).cast(idT).as("id")).distinct().persist()
+    // `__src` pins THIS index's path into the persisted plan: two
+    // concurrent deletes over the same id frame otherwise persist
+    // canonically IDENTICAL plans, which Spark's CacheManager dedups
+    // into one shared cache entry — the first delete to finish then
+    // unpersists it out from under its sibling mid-job (recompute of
+    // the bounds/bloom/scan joins + "already cached" warnings; ADVICE
+    // r17 #3). A per-index constant makes each plan unique; the column
+    // is never selected downstream (probeIds reads ordinal 0 = id).
+    val want = ids.select(col(idCol).cast(idT).as("id")).distinct()
+      .withColumn("__src", lit(path)).persist()
     val r = want.agg(count(lit(1)).as("n"),
       min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
     if (r.getLong(0) == 0L) return (want, 0L, Nil)
@@ -362,18 +378,14 @@ private[storage] abstract class BandedDocsIndex(
                        else banded.count()
       val docFiles = math.max(1L,
         (sumW + Bm25Index.RowsPerFile - 1) / Bm25Index.RowsPerFile).toInt
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val writes = Seq(
-        Future {
-          docs.repartition(docFiles)
-            .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs")
-        },
+      graft.operators.DriverJobs.awaitAll(Seq(
+        // one-file docs writes: narrow coalesce, no exchange (r18)
+        () => (if (docFiles == 1) docs.coalesce(1)
+               else docs.repartition(docFiles))
+          .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs"),
         // writeBanded re-derives bucket = pmod(bh, nBuckets) — bh is
         // stored, so the re-derived value is the written one
-        Future { writeBanded(banded, s"$seg/banded", bandedRows) })
-      writes.foreach(Await.result(_,
-        scala.concurrent.duration.Duration(600, "s")))
+        () => writeBanded(banded, s"$seg/banded", bandedRows))): Unit
       mf.writeStats(seg, nDocs, sumW, bandedRows)
       SegmentIdRange.write(seg, g
         .map(s => SegmentIdRange.read(new java.io.File(s"$path/$s")))

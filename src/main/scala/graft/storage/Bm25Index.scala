@@ -189,26 +189,6 @@ final class Bm25Index(
       // scale; Spark's scheduler interleaves the stages). dfreq is
       // vocabulary-bounded (Heaps' law), not corpus-bounded — one
       // file per bucket stays right at any corpus size
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val writes = Seq(
-        Future {
-          writeBucketed(
-            posts.select(col("id"), col("term"), col("tf"), col("dl"),
-              col("bucket")),
-            s"$seg/postings", nPostings, col("id"))
-        },
-        Future {
-          val sel = kept.select(col("term"), col("df"), col("bucket"))
-          // the writeBucketed zero-guard, for the same fileless-dir
-          // trap: an empty batch's dfreq is empty iff its postings are
-          if (nPostings == 0L)
-            sel.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
-              .parquet(s"$seg/dfreq")
-          else sel.repartition(nBuckets, col("bucket"))
-            .write.partitionBy("bucket").mode(SaveMode.Overwrite)
-            .parquet(s"$seg/dfreq")
-        })
       // the (id, dl) MEMBERSHIP table (VERDICT r16 wrong #3): dl is
       // computed over the UN-capped stream, so a doc every one of
       // whose terms was df-capped still gets its row — exact
@@ -220,9 +200,24 @@ final class Bm25Index(
       val docFiles = math.max(1L,
         (nDocs + Bm25Index.rowsPerFile(spark) - 1) /
           Bm25Index.rowsPerFile(spark)).toInt
-      dl.select(col("id"), col("dl")).coalesce(docFiles)
-        .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs")
-      writes.foreach(Await.result(_, scala.concurrent.duration.Duration(600, "s")))
+      graft.operators.DriverJobs.awaitAll(Seq(
+        () => writeBucketed(
+          posts.select(col("id"), col("term"), col("tf"), col("dl"),
+            col("bucket")),
+          s"$seg/postings", nPostings, col("id")),
+        () => {
+          val sel = kept.select(col("term"), col("df"), col("bucket"))
+          // the writeBucketed zero-guard, for the same fileless-dir
+          // trap: an empty batch's dfreq is empty iff its postings are
+          if (nPostings == 0L)
+            sel.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
+              .parquet(s"$seg/dfreq")
+          else sel.repartition(nBuckets, col("bucket"))
+            .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+            .parquet(s"$seg/dfreq")
+        },
+        () => dl.select(col("id"), col("dl")).coalesce(docFiles)
+          .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs"))): Unit
       // the fourth field: posting rows, so future merges size their
       // rewrites from summed metadata instead of a count() pass
       mf.writeStats(seg, nDocs, stRow.getLong(1), nPostings)
@@ -348,14 +343,10 @@ final class Bm25Index(
           coalesce(sum(col("dl")), lit(0L)).as("s"))
         .select(col("id"))
       val nDelFiles = Bm25Index.delFiles(spark, nWant)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val writes = Seq(
-        Future {
-          (if (nDelFiles == 1) delIds.coalesce(1)
-           else delIds.repartition(nDelFiles))
-            .write.mode(SaveMode.Overwrite).parquet(s"$del/ids")
-        },
+      graft.operators.DriverJobs.awaitAll(Seq(
+        () => (if (nDelFiles == 1) delIds.coalesce(1)
+               else delIds.repartition(nDelFiles))
+          .write.mode(SaveMode.Overwrite).parquet(s"$del/ids"),
         // per-term df decrements from the deleted docs' LIVE posting
         // rows — the (id, __ord) join binds each posting to exactly its
         // doc's live incarnation (a re-appended id's dead rows never
@@ -363,19 +354,15 @@ final class Bm25Index(
         // path prunes adjustments with the same literal bucket filter
         // as the tables they adjust. A fully-df-capped doc contributes
         // no rows here, which is correct: it has no stored df to adjust.
-        Future {
-          scanSegs.map { case (s, i) =>
+        () => scanSegs.map { case (s, i) =>
             spark.read.parquet(s"$path/$s/postings").withColumn("__ord", lit(i))
           }.reduce(_.unionByName(_))
-            .join(live.select(col("id"), col("__ord")), Seq("id", "__ord"))
-            .groupBy(col("bucket"), col("term"))
-            .agg(count(lit(1)).as("ddf"))
-            .repartition(nBuckets, col("bucket"))
-            .write.partitionBy("bucket").mode(SaveMode.Overwrite)
-            .parquet(s"$del/dfadj")
-        })
-      writes.foreach(Await.result(_,
-        scala.concurrent.duration.Duration(600, "s")))
+          .join(live.select(col("id"), col("__ord")), Seq("id", "__ord"))
+          .groupBy(col("bucket"), col("term"))
+          .agg(count(lit(1)).as("ddf"))
+          .repartition(nBuckets, col("bucket"))
+          .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+          .parquet(s"$del/dfadj"))): Unit
       val nDel = obs.get.getOrElse("n", 0L) match {
         case l: java.lang.Long => l.longValue
         case _ => 0L
@@ -435,7 +422,12 @@ final class Bm25Index(
       idCol: String): (DataFrame, Long, Seq[(String, Int)]) = {
     val idT = spark.read.parquet(s"$path/${dataSegs.head._1}/docs")
       .schema("id").dataType
-    val want = ids.select(col(idCol).cast(idT).as("id")).distinct().persist()
+    // `__src` = the BandedDocsIndex.pruneForDelete plan-uniqueness
+    // marker (ADVICE r17 #3): concurrent same-id deletes across indexes
+    // must not share one CacheManager entry that the first finisher
+    // unpersists mid-job.
+    val want = ids.select(col(idCol).cast(idT).as("id")).distinct()
+      .withColumn("__src", lit(path)).persist()
     val r = want.agg(count(lit(1)).as("n"),
       min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
     if (r.getLong(0) == 0L) return (want, 0L, Nil)
@@ -561,23 +553,14 @@ final class Bm25Index(
         Bm25Index.rowsPerFile(spark)).toInt
     // the rewrites read disjoint inputs — concurrent write jobs,
     // the append() discipline (per-job floor dominates at batch scale)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val writes = Seq(
-      Future {
-        writeBucketed(postings, s"$seg/postings", nPost, col("id"))
-      },
-      Future {
-        dfreq
-          .repartition(nBuckets, col("bucket"))
-          .write.partitionBy("bucket").mode(SaveMode.Overwrite)
-          .parquet(s"$seg/dfreq")
-      },
-      Future {
-        docs.coalesce(docFiles)
-          .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs")
-      })
-    writes.foreach(Await.result(_, scala.concurrent.duration.Duration(600, "s")))
+    graft.operators.DriverJobs.awaitAll(Seq(
+      () => writeBucketed(postings, s"$seg/postings", nPost, col("id")),
+      () => dfreq
+        .repartition(nBuckets, col("bucket"))
+        .write.partitionBy("bucket").mode(SaveMode.Overwrite)
+        .parquet(s"$seg/dfreq"),
+      () => docs.coalesce(docFiles)
+        .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs"))): Unit
     if (!haveRowStats) postings.unpersist(false): Unit
     mf.writeStats(seg, n, s, nPost)
     // merged id range = union of the constituents' (conservative:
@@ -651,11 +634,9 @@ final class Bm25Index(
       val docFiles = math.max(1L,
         (n + Bm25Index.rowsPerFile(spark) - 1) /
           Bm25Index.rowsPerFile(spark)).toInt
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val writes = Seq(
-        Future { writeBucketed(postings, s"$seg/postings", nPost, col("id")) },
-        Future {
+      graft.operators.DriverJobs.awaitAll(Seq(
+        () => writeBucketed(postings, s"$seg/postings", nPost, col("id")),
+        () => {
           if (n == 0L)
             dfreq.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
               .parquet(s"$seg/dfreq")
@@ -663,12 +644,8 @@ final class Bm25Index(
             .write.partitionBy("bucket").mode(SaveMode.Overwrite)
             .parquet(s"$seg/dfreq")
         },
-        Future {
-          docs.coalesce(docFiles)
-            .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs")
-        })
-      writes.foreach(Await.result(_,
-        scala.concurrent.duration.Duration(600, "s")))
+        () => docs.coalesce(docFiles)
+          .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs"))): Unit
       mf.writeStats(seg, n, sdl, nPost)
       SegmentIdRange.write(seg, g
         .map(s => SegmentIdRange.read(new java.io.File(s"$path/$s")))

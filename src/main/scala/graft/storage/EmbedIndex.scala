@@ -101,19 +101,13 @@ final class EmbedIndex(
       nDocs: Long, mn: Any, mx: Any, idType: String): Unit = {
     val docFiles = math.max(1L,
       (nDocs * dim + Bm25Index.RowsPerFile - 1) / Bm25Index.RowsPerFile).toInt
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val writes = Seq(
-      Future {
-        docRows.repartition(docFiles)
-          .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs")
-      },
-      Future {
-        writeBanded(bandedOf(docRows), s"$seg/banded",
-          nDocs * bands.toLong)
-      })
-    writes.foreach(Await.result(_,
-      scala.concurrent.duration.Duration(600, "s")))
+    graft.operators.DriverJobs.awaitAll(Seq(
+      // one-file docs writes: narrow coalesce, no exchange (r18)
+      () => (if (docFiles == 1) docRows.coalesce(1)
+             else docRows.repartition(docFiles))
+        .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs"),
+      () => writeBanded(bandedOf(docRows), s"$seg/banded",
+        nDocs * bands.toLong))): Unit
     // fourth field: banded rows (one key per band per vector), so tier
     // merges size from summed metadata instead of a count() action
     mf.writeStats(seg, nDocs, nDocs * dim, nDocs * bands.toLong)

@@ -141,21 +141,17 @@ final class MinHashIndex(
       val nSig = st.getLong(4)
       val docFiles = math.max(1L,
         (sumSh + Bm25Index.RowsPerFile - 1) / Bm25Index.RowsPerFile).toInt
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val writes = Seq(
-        Future {
-          docRows.repartition(docFiles)
-            .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs")
-        },
-        Future {
-          writeBanded(
-            Dedup.bandKeys(docRows.filter(col("sig").isNotNull)
-              .select(col("id"), col("sig")), numHashes, bands),
-            s"$seg/banded", nSig * bands.toLong)
-        })
-      writes.foreach(Await.result(_,
-        scala.concurrent.duration.Duration(600, "s")))
+      graft.operators.DriverJobs.awaitAll(Seq(
+        // one-file docs writes stay a NARROW coalesce — repartition(1)
+        // would pay a whole AQE exchange round-trip per segment for a
+        // single output file (the delFiles rule, r18)
+        () => (if (docFiles == 1) docRows.coalesce(1)
+               else docRows.repartition(docFiles))
+          .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs"),
+        () => writeBanded(
+          Dedup.bandKeys(docRows.filter(col("sig").isNotNull)
+            .select(col("id"), col("sig")), numHashes, bands),
+          s"$seg/banded", nSig * bands.toLong))): Unit
       // fourth field: banded rows (nSig docs × bands keys each), so
       // tier merges size from summed metadata instead of a count()
       mf.writeStats(seg, nDocs, sumSh, nSig * bands.toLong)
@@ -219,21 +215,14 @@ final class MinHashIndex(
       val sumSh = st.getLong(1)
       val docFiles = math.max(1L,
         (sumSh + Bm25Index.RowsPerFile - 1) / Bm25Index.RowsPerFile).toInt
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val writes = Seq(
-        Future {
-          merged.repartition(docFiles)
-            .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs")
-        },
-        Future {
-          writeBanded(
-            Dedup.bandKeys(merged.filter(col("sig").isNotNull)
-              .select(col("id"), col("sig")), numHashes, bands),
-            s"$seg/banded", nSig * bands.toLong)
-        })
-      writes.foreach(Await.result(_,
-        scala.concurrent.duration.Duration(600, "s")))
+      graft.operators.DriverJobs.awaitAll(Seq(
+        () => (if (docFiles == 1) merged.coalesce(1)
+               else merged.repartition(docFiles))
+          .write.mode(SaveMode.Overwrite).parquet(s"$seg/docs"),
+        () => writeBanded(
+          Dedup.bandKeys(merged.filter(col("sig").isNotNull)
+            .select(col("id"), col("sig")), numHashes, bands),
+          s"$seg/banded", nSig * bands.toLong))): Unit
       mf.writeStats(seg, nDocs, sumSh, nSig * bands.toLong)
       SegmentIdRange.write(seg, SegmentIdRange.of(
         merged.schema("id").dataType.typeName, st.get(2), st.get(3)))

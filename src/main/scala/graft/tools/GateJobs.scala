@@ -28,9 +28,33 @@ object GateJobs {
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicLong(0L)
+    // SPARK_GRAFT_GATEJOBS_TRACE=1: one stderr line per job with its
+    // callsite — the "which operator pays which floor" breakdown the
+    // aggregate counts can't answer
+    val trace = sys.env.get("SPARK_GRAFT_GATEJOBS_TRACE").contains("1")
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        { jobs.incrementAndGet(); () }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (trace) {
+          val p = Option(j.properties)
+          def prop(k: String): String =
+            p.flatMap(x => Option(x.getProperty(k))).getOrElse("")
+          val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          // first graft frame in the submission stack — the operator
+          // that paid this job's floor
+          val op = j.stageInfos.lastOption
+            .flatMap(_.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("GateJobs")))
+            .map(_.trim.stripPrefix("at ")).getOrElse("?")
+          val tasks = j.stageInfos.map(_.numTasks).sum
+          System.err.println(
+            s"JOBTRACE t=${j.time} id=${j.jobId} stages=${j.stageIds.size} " +
+              s"tasks=$tasks exec=${prop("spark.sql.execution.id")} " +
+              s"root=${prop("spark.sql.execution.root.id")} " +
+              s"site=${site.takeWhile(_ != ' ')} op=${op.take(100)} " +
+              s"desc=${prop("spark.job.description").take(60)}")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         { stages.incrementAndGet(); () }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =

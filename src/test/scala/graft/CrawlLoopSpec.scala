@@ -124,7 +124,11 @@ class CrawlLoopSpec extends SparkTestBase {
     }
   }
 
-  Seq("afterMinhashDel", "afterEmbedDel").foreach { fp =>
+  // the three LEADER-FIRST partial states a takedown crash can leave —
+  // the leader's delete always commits before the concurrent suffix
+  // pair (the admission-recovery composition, ADVICE r17 #1), so the
+  // reachable states are leader-only, leader+embed, leader+bm25
+  Seq("afterMinhashDel", "afterEmbedDel", "beforeEmbedDel").foreach { fp =>
     test(s"a takedown crash at $fp converges on replay; admission afterwards reflects the purge") {
       val (mh, em, bm) = mkIndexes()
       admit(mh, em, bm, b0, "c:0")
@@ -138,8 +142,8 @@ class CrawlLoopSpec extends SparkTestBase {
       val (m2, e2, b2) = CrawlLoop.takedown(mh, em, bm,
         Seq(2L, 4L).toDF("doc_id"), "doc_id", "td:1")
       assert(m2 === 0L)
-      if (fp == "afterMinhashDel") assert(e2 === 2L) else assert(e2 === 0L)
-      assert(b2 === 2L)
+      if (fp == "afterEmbedDel") assert(e2 === 0L) else assert(e2 === 2L)
+      if (fp == "beforeEmbedDel") assert(b2 === 0L) else assert(b2 === 2L)
       val purged = expected -- Set(2L, 4L)
       assertAllHeads(mh, em, bm, purged)
       // the purge is SEMANTIC, not just membership: a new doc carrying
@@ -156,6 +160,40 @@ class CrawlLoopSpec extends SparkTestBase {
       assert((m3, e3, b3) === ((0L, 0L, 0L)))
       assertAllHeads(mh, em, bm, purged + 100L)
     }
+  }
+
+  test("a takedown CRASH between an admission crash and its replay cannot resurrect the victim — leader-first keeps the tombstone ahead of every suffix marker (ADVICE r17 #1)") {
+    // The r17 regression this pins: with the three takedown deletes
+    // fully concurrent, a crash could commit the SUFFIX tag markers
+    // while the victim stayed live in the leader; the admission replay
+    // then saw the victim in ledger ∩ live view, resurrected it into
+    // Embed/BM25, and the takedown replay was tag-guard no-op'd in
+    // exactly those heads — permanent divergence. Leader-first makes
+    // that state unconstructible: every reachable crash state has the
+    // leader's tombstone durable before any suffix commit.
+    val (mh, em, bm) = mkIndexes()
+    admit(mh, em, bm, b0, "c:0")
+    intercept[IllegalStateException] {
+      admit(mh, em, bm, b1, "c:1", failpoint = "afterMinhash")
+    }
+    // the takedown of an admitted batch-1 doc itself CRASHES after the
+    // leader's delete — the worst reachable interleaving
+    intercept[IllegalStateException] {
+      CrawlLoop.takedown(mh, em, bm, Seq(1L).toDF("doc_id"),
+        "doc_id", "td:c", failpoint = "afterMinhashDel")
+    }
+    // the admission replay recovers ledger ∩ the leader's LIVE view:
+    // the victim is already tombstoned there, so no resurrection
+    admit(mh, em, bm, b1, "c:1")
+    // the takedown replay completes the suffix (zero hits → markers)
+    CrawlLoop.takedown(mh, em, bm, Seq(1L).toDF("doc_id"),
+      "doc_id", "td:c"): Unit
+    assertAllHeads(mh, em, bm, expected - 1L)
+    // both tags stay replayable without moving anything
+    admit(mh, em, bm, b1, "c:1")
+    CrawlLoop.takedown(mh, em, bm, Seq(1L).toDF("doc_id"),
+      "doc_id", "td:c"): Unit
+    assertAllHeads(mh, em, bm, expected - 1L)
   }
 
   test("a takedown landing between an admission crash and its replay is not resurrected into the suffix heads") {
@@ -229,7 +267,8 @@ class CrawlLoopSpec extends SparkTestBase {
           val victims = rnd.shuffle(model.toSeq)
             .take(1 + rnd.nextInt(math.min(2, model.size - 2)))
           val tag = s"td:$step"
-          val fp = Seq("", "afterMinhashDel", "afterEmbedDel")(rnd.nextInt(3))
+          val fp = Seq("", "afterMinhashDel", "afterEmbedDel",
+            "beforeEmbedDel")(rnd.nextInt(4))
           if (fp.isEmpty)
             CrawlLoop.takedown(mh, em, bm,
               victims.toDF("doc_id"), "doc_id", tag): Unit
