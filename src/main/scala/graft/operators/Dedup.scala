@@ -206,8 +206,10 @@ object Dedup {
         // exact shingle sets only for the surviving docs (semi join),
         // reusing the codegen'd hash rows — Jaccard over 64-bit shingle
         // hashes is exact modulo negligible collision probability
+        // semi consumer — duplicates are free, the distinct was a
+        // whole extra exchange (r18, §2.4)
         val survivorIds = estimated.select(col("id1").as("id"))
-          .union(estimated.select(col("id2").as("id"))).distinct()
+          .union(estimated.select(col("id2").as("id")))
         val sh = hashes.join(survivorIds, Seq("id"), "left_semi")
           .groupBy(col("id")).agg(collect_set(col("h")).as("shingles"))
         estimated
@@ -289,11 +291,12 @@ object Dedup {
           .cast("double") / numHashes)
       .filter(col("est") >= minJaccard - estMargin)
       .select(col("id"), col("ex_id")))
+    // semi/anti consumers need no distinct probe sides (r18, §2.4)
     val inSh = inHashes
-      .join(estimated.select(col("id")).distinct(), Seq("id"), "left_semi")
+      .join(estimated.select(col("id")), Seq("id"), "left_semi")
       .groupBy(col("id")).agg(collect_set(col("h")).as("sh1"))
     val exSh = exHashes
-      .join(estimated.select(col("ex_id").as("id")).distinct(), Seq("id"), "left_semi")
+      .join(estimated.select(col("ex_id").as("id")), Seq("id"), "left_semi")
       .groupBy(col("id")).agg(collect_set(col("h")).as("sh2"))
     val dropIds = estimated
       .join(inSh, Seq("id"))
@@ -301,7 +304,7 @@ object Dedup {
       .filter(
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))) >= minJaccard)
-      .select(col("id")).distinct()
+      .select(col("id"))
     exactSurvivors.join(dropIds,
       exactSurvivors(idCol) === dropIds("id"), "left_anti")
   }

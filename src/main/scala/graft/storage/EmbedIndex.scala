@@ -337,9 +337,9 @@ final class EmbedIndex(
 
     // existing vectors only for candidate docs — the left-semi that
     // keeps corpus vectors off the wire for docs no candidate touched
+    // semi-join probe side needs no distinct (r18, the MinHash rule)
     val exVecs = docsReadAt(Seq("id", "v", "nrm"), entries)
-      .join(cand.select(col("ex_id").as("id")).distinct(),
-        Seq("id"), "left_semi")
+      .join(cand.select(col("ex_id").as("id")), Seq("id"), "left_semi")
     val dropIds = cand
       .join(inRows.select(col("id"), col("v").as("v1"),
         col("nrm").as("n1")), Seq("id"))
@@ -348,7 +348,7 @@ final class EmbedIndex(
       .filter(VectorFunctions.cosinePre(
         VectorFunctions.dot(col("v1"), col("v2")),
         col("n1"), col("n2")) >= minCosine)
-      .select(col("id")).distinct()
+      .select(col("id")) // anti-join consumer: distinct was an exchange
     incoming.join(dropIds, incoming(idCol) === dropIds("id"), "left_anti")
   }
 
@@ -378,7 +378,7 @@ final class EmbedIndex(
     val cand = ctx.stage(Dedup.bandedPairCandidates(
       ctx.stage(bandedScanAt(0 until nBuckets, entries)), maxBucket))
     val candIds = cand.select(col("id1").as("id"))
-      .union(cand.select(col("id2").as("id"))).distinct()
+      .union(cand.select(col("id2").as("id"))) // semi consumer (r18)
     val vecs = ctx.stage(docsReadAt(Seq("id", "v", "nrm"), entries)
       .join(candIds, Seq("id"), "left_semi"))
     cand

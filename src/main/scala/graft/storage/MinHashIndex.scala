@@ -332,10 +332,12 @@ final class MinHashIndex(
       .select(col("id"), col("ex_id")).distinct()
 
     // existing SIGNATURES only for candidate docs — the semi-join that
-    // keeps per-doc state off the wire for docs no candidate touched
+    // keeps per-doc state off the wire for docs no candidate touched.
+    // No distinct on the probe side: a left-semi is duplicate-
+    // insensitive, and the distinct was a whole extra exchange (one
+    // AQE round-trip) per probe (r18, §2.4)
     val exSigs = ctx.stage(docsReadAt(Seq("id", "sig"), entries)
-      .join(cand.select(col("ex_id").as("id")).distinct(),
-        Seq("id"), "left_semi"))
+      .join(cand.select(col("ex_id").as("id")), Seq("id"), "left_semi"))
 
     // two-stage verify, the inline engine's exact arithmetic: signature
     // estimate prefilter, then exact Jaccard over shingle sets fetched
@@ -352,11 +354,12 @@ final class MinHashIndex(
       .filter(col("est") >= minJaccard - estMargin)
       .select(col("id"), col("ex_id")))
     val inSh = inHashes
-      .join(estimated.select(col("id")).distinct(), Seq("id"), "left_semi")
+      .join(estimated.select(col("id")), Seq("id"), "left_semi")
       .groupBy(col("id")).agg(collect_set(col("h")).as("sh1"))
     val exSh = docsReadAt(Seq("id", "sh"), entries)
-      .join(estimated.select(col("ex_id").as("id")).distinct(),
-        Seq("id"), "left_semi")
+      .join(estimated.select(col("ex_id").as("id")), Seq("id"), "left_semi")
+    // no distinct on dropIds either: the anti join below is equally
+    // duplicate-insensitive (r18)
     val dropIds = estimated
       .join(inSh, Seq("id"))
       .join(exSh.select(col("id").as("ex_id"), col("sh").as("sh2")),
@@ -364,7 +367,7 @@ final class MinHashIndex(
       .filter(
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))) >= minJaccard)
-      .select(col("id")).distinct()
+      .select(col("id"))
     exactSurvivors.join(dropIds,
       exactSurvivors(idCol) === dropIds("id"), "left_anti")
   }
@@ -426,8 +429,10 @@ final class MinHashIndex(
     // explode + distinct) is the most expensive shuffle in this query
     val cand = ctx.stage(Dedup.bandedPairCandidates(
       ctx.stage(bandedScanAt(0 until nBuckets, entries)), maxBucket))
+    // candIds feeds a left-semi: duplicates are free, the distinct was
+    // an exchange (r18)
     val candIds = cand.select(col("id1").as("id"))
-      .union(cand.select(col("id2").as("id"))).distinct()
+      .union(cand.select(col("id2").as("id")))
     val sigs = ctx.stage(docsReadAt(Seq("id", "sig"), entries)
       .join(candIds, Seq("id"), "left_semi"))
     val estMargin =
@@ -441,7 +446,7 @@ final class MinHashIndex(
       .filter(col("est") >= minJaccard - estMargin)
       .select(col("id1"), col("id2")))
     val survIds = estimated.select(col("id1").as("id"))
-      .union(estimated.select(col("id2").as("id"))).distinct()
+      .union(estimated.select(col("id2").as("id"))) // semi consumer (r18)
     // staged: consumed as both sh1 and sh2 — unstaged, the heaviest
     // column (the shingle arrays) would be scanned twice per segment
     val sh = ctx.stage(docsReadAt(Seq("id", "sh"), entries)
