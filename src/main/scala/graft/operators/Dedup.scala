@@ -927,15 +927,79 @@ object Dedup {
     * a half-merged labeling; convergence is a LIMIT-1 existence probe
     * per round (the round's single materializing action — the
     * propagate/jump self-joins reuse the round's shuffle outputs).
-    * Labels are narrow: two longs per CLUSTERED id only. */
+    * Labels are narrow: two longs per CLUSTERED id only.
+    *
+    * SIZE-ADAPTIVE ROUTE (r18, the jaccardPairsAuto discipline): the
+    * symmetric edge count is measured off the staged edge set (one
+    * action the first round would have paid anyway); at or below
+    * `spark.graft.components.maxDriverEdges` (default 200k ≈ 3 MB of
+    * id pairs) the fixpoint runs as a DRIVER-side union-find over the
+    * collected edges — identical labels (component = min reachable
+    * id; the property spec pins both routes against each other), ~2
+    * Spark actions instead of O(log d) rounds × (join + groupBy +
+    * self-join) shuffles. Near-dup edge sets are a small fraction of
+    * any real corpus, but they are NOT bounded — past the threshold
+    * (or for id types with no natural ordering here) the distributed
+    * pointer-jumping loop runs unchanged. */
   def componentsOf(
       pairs: DataFrame, aCol: String = "id1", bCol: String = "id2",
       maxIter: Int = 25)(
       implicit ctx: PipelineContext): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = ctx.stagePersist(
       pairs.select(col(aCol).as("u"), col(bCol).as("v"))
         .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
         .distinct())
+    val maxDriverEdges = spark.conf.get(
+      "spark.graft.components.maxDriverEdges", "200000").toLong
+    val idType = edges.schema("u").dataType
+    val ord: Option[Ordering[Any]] = (idType match {
+      case _: org.apache.spark.sql.types.LongType => Some(Ordering.Long)
+      case _: org.apache.spark.sql.types.IntegerType => Some(Ordering.Int)
+      case _: org.apache.spark.sql.types.ShortType => Some(Ordering.Short)
+      case _: org.apache.spark.sql.types.StringType => Some(Ordering.String)
+      case _ => None
+    }).map(_.asInstanceOf[Ordering[Any]])
+    // materializes the staged edge set either way — the distributed
+    // loop's first convergence action previously paid this
+    if (ord.isDefined && maxDriverEdges > 0L &&
+        edges.count() <= maxDriverEdges) {
+      implicit val o: Ordering[Any] = ord.get
+      // union-find with path compression; the canonical label is the
+      // set MINIMUM, applied in a second pass so union order is free
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      val es = edges.collect()
+      es.foreach { row =>
+        val (ru, rv) = (find(row.get(0)), find(row.get(1)))
+        if (ru != rv) parent(rv) = ru
+      }
+      val nodes = (es.iterator.map(_.get(0)) ++ es.iterator.map(_.get(1)))
+        .toArray.distinct
+      val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+      nodes.foreach { v =>
+        val r = find(v)
+        minOf.get(r) match {
+          case Some(m) if o.lteq(m, v) => ()
+          case _ => minOf(r) = v
+        }
+      }
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(nodes.map(v =>
+          org.apache.spark.sql.Row(v, minOf(find(v)))): _*)
+      return spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("component", idType))))
+    }
     // init folds the first propagation in: comp = min(id, neighbors)
     // straight off the edge groupBy — one fewer round
     var labels = ctx.stagePersist(

@@ -278,8 +278,14 @@ private[storage] abstract class BandedDocsIndex(
         spark.read.parquet(s"$path/$s/docs").select(col("id"))
           .withColumn("__ord", lit(i))
       }.reduce(_.unionByName(_)).join(want, Seq("id"))
+      // no distinct: `want` is distinct and a live id has exactly ONE
+      // surviving docs row under the manifest-order fold (appends
+      // carry new ids; a re-append has its delete between the two
+      // incarnations, so minusDeleted suppresses the old row) — the
+      // same uniqueness [[Bm25Index.delete]] already relies on for its
+      // observed counts. The distinct was one exchange per delete (r18)
       val live = minusDeleted(hits, entries.filter(e => isDel(e._1)))
-        .select(col("id")).distinct()
+        .select(col("id"))
       // ONE job: the id-list write IS the counting action (the
       // IvfIndex.append observe discipline — r17: the separate
       // live.count() was one more pay-the-job-floor action per delete

@@ -396,8 +396,10 @@ final class MinHashIndex(
           Int.MaxValue - 1L)
         if (inH.limit(cap.toInt + 1).count() <= cap) broadcast(inH) else inH
       }
+    // no distinct: the consumer is an anti join (duplicate-insensitive)
+    // and the distinct was one more exchange per probe (r18, §2.4)
     docsReadAt(Seq("id", "exh"), entries)
-      .join(inHint, Seq("exh")).select(col("exh")).distinct()
+      .join(inHint, Seq("exh")).select(col("exh"))
   }
 
   /** Corpus-wide near-duplicate pairs (id1 < id2, exact Jaccard ≥

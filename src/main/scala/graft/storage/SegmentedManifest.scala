@@ -68,13 +68,26 @@ private[storage] final class SegmentedManifest(
     }
   }
 
+  // tagsOf memo (r18, VERDICT r17 #3): a committed segment is
+  // immutable — its `_batch` is written BEFORE the manifest CAS and
+  // never touched again — so the per-handle read-through cache is
+  // exact. Every admission guard re-reads the head's tag surface
+  // (committedBatchTags: one `_batch` read per segment per call); on
+  // an object store that is a GET storm per micro-batch, locally a
+  // file-I/O tax per loop pass. Uncommitted segments are never read
+  // here (tagsOf is only called on head-listed names), and a vacuumed
+  // segment's stale entry is never consulted again.
+  private val tagsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   /** Batch tags recorded in one segment's `_batch` file. */
-  def tagsOf(segName: String): Seq[String] = {
-    val f = new File(new File(dir, segName), "_batch")
-    if (!f.exists) Nil
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-  }
+  def tagsOf(segName: String): Seq[String] =
+    tagsMemo.computeIfAbsent(segName, { name =>
+      val f = new File(new File(dir, name), "_batch")
+      if (!f.exists) Nil
+      else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    })
 
   /** Record one batch tag in a segment dir (BEFORE its manifest CAS,
     * so "named by the head" implies "tag durably committed"). */

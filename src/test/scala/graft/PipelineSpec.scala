@@ -61,13 +61,18 @@ class PipelineSpec extends SparkTestBase {
     assert(comp(10L) === 10L && comp(11L) === 10L)
     assert((20L to 26L).forall(comp(_) === 20L))
     assert(comp.size === 12) // only ids that appear in a pair
-    // a diameter-6 chain cannot settle in 2 rounds: must fail LOUDLY
-    val ex = intercept[IllegalArgumentException] {
-      PipelineContext.run { implicit ctx =>
-        Dedup.componentsOf(pairs, maxIter = 2).collect()
+    // a diameter-6 chain cannot settle in 2 rounds: the DISTRIBUTED
+    // loop must fail LOUDLY (forced past the r18 driver-side
+    // union-find route, which has no rounds to run out of)
+    spark.conf.set("spark.graft.components.maxDriverEdges", "0")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        PipelineContext.run { implicit ctx =>
+          Dedup.componentsOf(pairs, maxIter = 2).collect()
+        }
       }
-    }
-    assert(ex.getMessage.contains("fixpoint"))
+      assert(ex.getMessage.contains("fixpoint"))
+    } finally spark.conf.unset("spark.graft.components.maxDriverEdges")
   }
 
   test("keepRepresentatives: best score per cluster, ties to min id, unclustered pass through") {

@@ -231,16 +231,42 @@ class PropertySpec extends SparkTestBase {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  test("componentsOf matches union-find on random edge sets") {
+  test("componentsOf matches union-find on random edge sets — BOTH routes (driver and distributed)") {
+    // r18: componentsOf routes small edge sets to a driver-side
+    // union-find; each random sample must match the reference under
+    // BOTH the default (driver) route and the forced-distributed
+    // pointer-jumping loop, which also pins the routes against each
+    // other.
+    val key = "spark.graft.components.maxDriverEdges"
     samples(edgesGen, 8).zipWithIndex.foreach { case (edges, k) =>
       if (edges.nonEmpty) {
         val expected = unionFind(edges)
-        val got = PipelineContext.run { implicit ctx =>
-          Dedup.componentsOf(edges.toDF("id1", "id2"))
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap }
-        assert(got === expected, s"edge set $k: $edges")
+        Seq("200000", "0").foreach { cap =>
+          spark.conf.set(key, cap)
+          try {
+            val got = PipelineContext.run { implicit ctx =>
+              Dedup.componentsOf(edges.toDF("id1", "id2"))
+                .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap }
+            assert(got === expected, s"edge set $k (maxDriverEdges=$cap): $edges")
+          } finally spark.conf.unset(key)
+        }
       }
     }
+  }
+
+  test("componentsOf driver route handles string ids like the distributed loop") {
+    val edges = Seq(("b", "c"), ("a", "b"), ("x", "y"), ("m", "m"))
+    val key = "spark.graft.components.maxDriverEdges"
+    val routes = Seq("200000", "0").map { cap =>
+      spark.conf.set(key, cap)
+      try PipelineContext.run { implicit ctx =>
+        Dedup.componentsOf(edges.toDF("id1", "id2"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      } finally spark.conf.unset(key)
+    }
+    assert(routes(0) === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "m" -> "m"))
+    assert(routes(0) === routes(1))
   }
 
   // ---- round-8 selection/retrieval operators ------------------------------
